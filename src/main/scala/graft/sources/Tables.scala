@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-fixture table access (see /root/repo/TESTDATA.md).
+  *
+  * All engine queries read these deterministic parquet tables; the analytics
+  * library itself (graft.analytics / graft.scanner / ...) is schema-driven and
+  * works on any DataFrame with the right columns.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with a normalized event-time pair:
+    *   - `ts_ns`  Long   — exact epoch nanoseconds (the fixture stores
+    *                        TIMESTAMP(NANOS), which Spark reads as Long under
+    *                        `spark.sql.legacy.parquet.nanosAsLong`)
+    *   - `ts`     Timestamp — micros-precision event time for window/watermark ops
+    *
+    * Handles both the nanosAsLong=true (LongType) and native TimestampType read
+    * paths so callers never branch on the physical schema.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    val tsNs = raw.schema("ts").dataType match {
+      case LongType => col("ts")
+      case _        => unix_micros(col("ts")) * lit(1000L)
+    }
+    raw
+      .withColumn("ts_ns", tsNs)
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+  }
+
+  /** Session defaults shared by Verify / Bench / tests: UTC, modest shuffle
+    * parallelism for local mode, AQE on (scale-out posture: skew joins and
+    * runtime coalescing matter at 100 TB, cost nothing here).
+    */
+  def session(master: String, shufflePartitions: Int): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

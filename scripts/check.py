@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local correctness loop mimicking the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check.py [sfdir] [outdir]
+Reads outdir/<name>/ parquet (engine results written by graft.Verify) and
+outdir/oracle_sql.json, runs each SQL in DuckDB over the sfdir tables,
+sorts columns by name + rows by all columns, and compares values.
+"""
+import sys, json, glob, os
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no engine output")
+        fail += 1
+        continue
+    try:
+        eng = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        ora = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: {e}")
+        fail += 1
+        continue
+    ecols, ocols = sorted(eng.columns), sorted(ora.columns)
+    if ecols != ocols:
+        print(f"FAIL {name}: cols engine={ecols} oracle={ocols}")
+        fail += 1
+        continue
+    eng, ora = eng[ecols], ora[ocols]
+    if len(eng) != len(ora):
+        print(f"FAIL {name}: rows engine={len(eng)} oracle={len(ora)}")
+        fail += 1
+        continue
+    eng = eng.sort_values(ecols, ignore_index=True)
+    ora = ora.sort_values(ocols, ignore_index=True)
+    mismatch = None
+    for c in ecols:
+        ev, ov = eng[c], ora[c]
+        try:
+            import pandas as pd
+            if ev.dtype.kind == 'f' or ov.dtype.kind == 'f':
+                import numpy as np
+                bad = ~(np.isclose(ev.astype(float), ov.astype(float),
+                                   rtol=0, atol=0, equal_nan=True))
+            else:
+                bad = ev.astype(str) != ov.astype(str)
+            if bad.any():
+                i = bad.idxmax()
+                mismatch = f"col {c} row {i}: engine={ev[i]!r} oracle={ov[i]!r}"
+                break
+        except Exception as e:
+            mismatch = f"col {c}: compare error {e}"
+            break
+    if mismatch:
+        print(f"FAIL {name}: {mismatch}")
+        fail += 1
+    else:
+        print(f"OK   {name} ({len(eng)} rows)")
+        ok += 1
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)

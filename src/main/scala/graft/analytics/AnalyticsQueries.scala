@@ -1,0 +1,174 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Books
+import graft.sources.Snapshots
+import graft.sources.Snapshots.{sql => S}
+
+/** Registry: analytics-slice queries (§3.3 of SURVEY) + DuckDB oracle SQL.
+  *
+  * The oracle recomputes each result arithmetically from `events` — a
+  * fully independent path from the engine's JSON-roundtrip + HOF pipeline,
+  * so a hash match actually validates the book semantics, not just the
+  * plumbing. All float math is written as the same IEEE ops in the same
+  * order on both sides (bit-identical results, no rounding fudge).
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def snaps(spark: SparkSession, dir: String): DataFrame =
+    Snapshots.frame(spark, dir)
+
+  // Polymarket condition_id of market Tk — the venue-native series key.
+  private[graft] def condId(market: String): String =
+    "0x" + java.security.MessageDigest.getInstance("MD5")
+      .digest(market.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private val t3Cond = "'0x' || md5('T3')"
+
+  val queries: Map[String, Q] = Map(
+    "available_tickers" -> ((s, d) =>
+      TickerSeries.availableTickers(snaps(s, d)).orderBy("ticker", "source")),
+
+    "ticker_series_raw" -> ((s, d) => TickerSeries.raw(snaps(s, d), "T3", "kalshi")),
+
+    "ticker_series_poly" -> ((s, d) =>
+      TickerSeries.raw(snaps(s, d), condId("T3"), "polymarket")),
+
+    "ticker_series_1m" -> ((s, d) =>
+      TickerSeries.downsampled(snaps(s, d), "T3", "kalshi", "1 minute")),
+
+    "ticker_series_1h" -> ((s, d) =>
+      TickerSeries.downsampled(snaps(s, d), "T3", "kalshi", "1 hour")),
+
+    "best_price" -> ((s, d) => {
+      val k = snaps(s, d).filter(col("source") === "kalshi")
+        .withColumn("book", Books.parseKalshi(col("full_orderbook")))
+      k.select(
+        col("ts_us"), col("snapshot_id"), col("ticker"),
+        Books.kalshiBestBidCents(col("book.yes")).as("yes_bid_cents"),
+        Books.kalshiBestAskCents(col("book.yes")).as("yes_ask_cents"),
+        Books.kalshiBestBidCents(col("book.no")).as("no_bid_cents"),
+        Books.kalshiBestAskCents(col("book.no")).as("no_ask_cents"),
+        Books.centsToDollars(Books.kalshiBestBidCents(col("book.yes")))
+          .as("yes_bid"))
+        .orderBy("ts_us", "snapshot_id")
+    }),
+
+    "topofbook" -> ((s, d) => {
+      val p = snaps(s, d).filter(col("source") === "polymarket")
+        .withColumn("ob",
+          Books.parsePoly(col("full_orderbook")).getField("orderbook"))
+        .withColumn("tob", Books.topOfBook(col("ob.bids"), col("ob.asks")))
+      p.select(
+        col("ts_us"), col("snapshot_id"), col("ticker"),
+        col("tob.best_bid").as("best_bid"),
+        col("tob.best_ask").as("best_ask"),
+        col("tob.bid_levels").as("bid_levels"),
+        col("tob.ask_levels").as("ask_levels"),
+        col("tob.midpoint").as("midpoint"),
+        col("tob.spread").as("spread"))
+        .orderBy("ts_us", "snapshot_id")
+    }),
+
+    "fill_walk" -> ((s, d) => {
+      val k = snaps(s, d).filter(col("source") === "kalshi")
+        .withColumn("book", Books.parseKalshi(col("full_orderbook")))
+      k.select(
+        col("ts_us"), col("snapshot_id"), col("ticker"),
+        Books.fillWalkAvgPriceDollars(col("book.yes"), lit(25L))
+          .as("avg_fill_price"))
+        .orderBy("ts_us", "snapshot_id")
+    }),
+
+    "latency_chain" -> ((s, d) =>
+      snaps(s, d).select(
+        col("ts_us"), col("snapshot_id"), col("source"),
+        expr("(api_response_ns - api_call_start_ns) DIV 1000")
+          .as("api_latency_us"),
+        expr("(virginia_received_ns - api_response_ns) DIV 1000000")
+          .as("ingest_ms"),
+        expr("(data_server_stored_ns - api_call_start_ns) DIV 1000000")
+          .as("e2e_ms"))
+        .orderBy("ts_us", "snapshot_id")))
+
+  // --- oracle SQL ---------------------------------------------------------
+
+  private val kYes = s"(CAST(${S.p} AS DOUBLE) / 100)"
+  private val pBid = s"(CAST(${S.p} - 1 AS DOUBLE) / 100)"
+  private val pAsk = s"(CAST(${S.p} + 1 AS DOUBLE) / 100)"
+  private val pMid = s"(($pBid + $pAsk) / 2.0)"
+
+  val oracle: Map[String, String] = Map(
+    "available_tickers" ->
+      s"SELECT DISTINCT ${S.ticker} AS ticker, ${S.source} AS source FROM events ORDER BY ticker, source",
+
+    "ticker_series_raw" ->
+      s"""SELECT ${S.tsUs} AS ts_us, event_id AS snapshot_id, 'T3' AS ticker,
+         |$kYes AS yes, 1.0 - $kYes AS no
+         |FROM events WHERE ${S.isKalshi} AND user_id % 8 = 3
+         |ORDER BY ts_us, snapshot_id""".stripMargin,
+
+    "ticker_series_poly" ->
+      s"""SELECT ${S.tsUs} AS ts_us, event_id AS snapshot_id,
+         |$t3Cond AS ticker,
+         |CASE WHEN $pMid > 0.5 THEN 1.0 - $pMid ELSE $pMid END AS yes,
+         |CASE WHEN $pMid > 0.5 THEN $pMid ELSE 1.0 - $pMid END AS no
+         |FROM events WHERE NOT ${S.isKalshi} AND user_id % 8 = 3
+         |ORDER BY ts_us, snapshot_id""".stripMargin,
+
+    "ticker_series_1m" -> downsampleOracle("minute"),
+    "ticker_series_1h" -> downsampleOracle("hour"),
+
+    "best_price" ->
+      s"""SELECT ${S.tsUs} AS ts_us, event_id AS snapshot_id,
+         |${S.market} AS ticker,
+         |CAST(${S.p} AS BIGINT) AS yes_bid_cents,
+         |CAST(${S.p} - 1 AS BIGINT) AS yes_ask_cents,
+         |CAST(99 - ${S.p} AS BIGINT) AS no_bid_cents,
+         |CAST(98 - ${S.p} AS BIGINT) AS no_ask_cents,
+         |$kYes AS yes_bid
+         |FROM events WHERE ${S.isKalshi}
+         |ORDER BY ts_us, snapshot_id""".stripMargin,
+
+    "topofbook" ->
+      s"""SELECT ${S.tsUs} AS ts_us, event_id AS snapshot_id,
+         |${S.conditionId} AS ticker,
+         |$pBid AS best_bid, $pAsk AS best_ask,
+         |CAST(2 AS INTEGER) AS bid_levels, CAST(2 AS INTEGER) AS ask_levels,
+         |($pBid + $pAsk) / 2.0 AS midpoint, $pAsk - $pBid AS spread
+         |FROM events WHERE NOT ${S.isKalshi}
+         |ORDER BY ts_us, snapshot_id""".stripMargin,
+
+    "fill_walk" ->
+      s"""SELECT ${S.tsUs} AS ts_us, event_id AS snapshot_id,
+         |${S.market} AS ticker,
+         |CASE WHEN ${S.q1} + ${S.q2} < 25 THEN CAST(0.0 AS DOUBLE)
+         |     ELSE CAST(LEAST(${S.q1}, 25) * ${S.p}
+         |            + LEAST(${S.q2}, 25 - LEAST(${S.q1}, 25)) * (${S.p} - 1)
+         |            AS DOUBLE) / (CAST(100 AS DOUBLE) * CAST(25 AS DOUBLE))
+         |END AS avg_fill_price
+         |FROM events WHERE ${S.isKalshi}
+         |ORDER BY ts_us, snapshot_id""".stripMargin,
+
+    "latency_chain" ->
+      s"""SELECT ${S.tsUs} AS ts_us, event_id AS snapshot_id,
+         |${S.source} AS source,
+         |((event_id % 500) + 20) * 1000 AS api_latency_us,
+         |(user_id % 50) + 1 AS ingest_ms,
+         |((event_id % 500) + 20) + ((user_id % 50) + 1)
+         |  + ((event_id % 200) + 5) AS e2e_ms
+         |FROM events ORDER BY ts_us, snapshot_id""".stripMargin)
+
+  private def downsampleOracle(unit: String): String =
+    s"""SELECT epoch_us(date_trunc('$unit', ts)) AS bucket_us,
+       |${S.tsUs} AS ts_us, event_id AS snapshot_id,
+       |$kYes AS yes, 1.0 - $kYes AS no
+       |FROM events WHERE ${S.isKalshi} AND user_id % 8 = 3
+       |QUALIFY row_number() OVER (PARTITION BY date_trunc('$unit', ts)
+       |  ORDER BY ts DESC, event_id DESC) = 1
+       |ORDER BY bucket_us""".stripMargin
+}

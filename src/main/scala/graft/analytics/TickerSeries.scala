@@ -1,0 +1,97 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Books
+
+/** The reference's user-facing analytics API (`etl/query.py:78-263`),
+  * restated Spark-first: filter → optional time-bucket downsample(last) →
+  * per-venue book normalization → yes/no series sorted by time.
+  *
+  * Everything is a single declarative plan: the ticker/source/range filters
+  * sit directly above the parquet scan (predicate pushdown + partition
+  * pruning at scale), the downsample is one hash aggregate keyed by
+  * (bucket), and normalization is codegen'd HOF arithmetic — no UDFs, no
+  * driver-side loops. At 100 TB with the snapshot store partitioned by
+  * (source, date), the same plan prunes to one series' files.
+  */
+object TickerSeries {
+
+  /** Distinct (ticker, source) pairs — `get_available_tickers`
+    * (ref `etl/query.py:22-75`, Flux `unique(column:"ticker")`). */
+  def availableTickers(snapshots: DataFrame): DataFrame =
+    snapshots.select("ticker", "source").distinct()
+
+  /** Normalize one venue-shaped JSON book row into (yes, no) dollar prices.
+    * Kalshi: yes = max(yes level cents)/100, no = 1 − yes
+    * (ref `etl/query.py:186-202`). Polymarket: mid of best bid/ask,
+    * direction-swapped when mid > 0.5 (ref `etl/query.py:204-238`).
+    * Malformed/empty books yield null and are dropped by the caller
+    * (ref `etl/query.py:240-241` skip semantics). */
+  private def normalized(source: Column, raw: Column): Column = {
+    val k = Books.parseKalshi(raw)
+    val kYes = Books.centsToDollars(Books.kalshiBestBidCents(k.getField("yes")))
+    val kalshi = when(size(k.getField("yes")) > 0,
+      struct(kYes.as("yes"), Books.complement(kYes).as("no")))
+
+    val pb = Books.parsePoly(raw).getField("orderbook")
+    val bid = Books.polyBestBid(pb.getField("bids"))
+    val ask = Books.polyBestAsk(pb.getField("asks"))
+    val yesMid = Books.midpoint(bid, ask)
+    val poly = when(
+      size(pb.getField("bids")) > 0 && size(pb.getField("asks")) > 0,
+      Books.directionSwap(yesMid, Books.complement(yesMid)))
+
+    when(source === "kalshi", kalshi).otherwise(poly)
+  }
+
+  /** `get_ticker_data(ticker, exchange, start, end, period)` — the raw
+    * (undownsampled) variant when `period` is None. Output:
+    * (ts_us, snapshot_id, ticker, yes, no) sorted by time. */
+  def raw(snapshots: DataFrame, ticker: String, exchange: String,
+          startUs: Option[Long] = None, endUs: Option[Long] = None): DataFrame = {
+    val ranged = Seq(
+      startUs.map(col("ts_us") >= _),
+      endUs.map(col("ts_us") < _))
+      .flatten.foldLeft(
+        snapshots.filter(col("ticker") === ticker && col("source") === exchange)
+      )(_ filter _)
+    ranged
+      .withColumn("px", normalized(col("source"), col("full_orderbook")))
+      .filter(col("px").isNotNull)
+      .select(
+        col("ts_us"), col("snapshot_id"), col("ticker"),
+        col("px.yes").as("yes"), col("px.no").as("no"))
+      .orderBy("ts_us", "snapshot_id")
+  }
+
+  /** Downsampled variant: `aggregateWindow(every: period, fn: last,
+    * createEmpty: false)` (ref `etl/query.py:146-157`) — last snapshot per
+    * tumbling bucket, then normalize. "last" is made deterministic by
+    * (ts_us, snapshot_id) ordering via max_by over a struct, exactly the
+    * posture a 100 TB backfill needs (one hash aggregate, no window sort). */
+  def downsampled(snapshots: DataFrame, ticker: String, exchange: String,
+                  period: String): DataFrame = {
+    val last = snapshots
+      .filter(col("ticker") === ticker && col("source") === exchange)
+      .groupBy(window(col("ts"), period).as("w"))
+      .agg(max_by(
+        struct(col("ts_us"), col("snapshot_id"), col("source"),
+          col("full_orderbook")),
+        struct(col("ts_us"), col("snapshot_id"))).as("s"))
+      .select(
+        unix_micros(col("w.start")).as("bucket_us"),
+        col("s.ts_us").as("ts_us"),
+        col("s.snapshot_id").as("snapshot_id"),
+        col("s.source").as("source"),
+        col("s.full_orderbook").as("full_orderbook"))
+    last
+      .withColumn("px", normalized(col("source"), col("full_orderbook")))
+      .filter(col("px").isNotNull)
+      .select(
+        col("bucket_us"), col("ts_us"), col("snapshot_id"),
+        col("px.yes").as("yes"), col("px.no").as("no"))
+      .orderBy("bucket_us")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Orderbook column functions — the semantic core of the engine.
+  *
+  * The reference carries orderbooks as venue-shaped JSON strings
+  * (Kalshi `{"yes":[[price_cents,qty],...],"no":[...]}`, ref
+  * `database/models/influx.py:330`; Polymarket
+  * `{"orderbook":{"bids":[{"price":f,"size":f}],"asks":[...]}}`, ref
+  * `ireland/api/data_feed.py:116-146`, `etl/query.py:205-216`) and
+  * normalizes them imperatively per record (`etl/query.py:186-238`,
+  * `virginia/logic/opportunity_scanner.py:159-164`).
+  *
+  * Here every operation is a Catalyst built-in / higher-order function —
+  * fully codegen'd, no UDFs, so whole-stage codegen spans the entire
+  * normalize → best-price → margin pipeline and scales by partitioning
+  * alone (nothing is driver-side).
+  */
+object Books {
+
+  /** Kalshi raw book: yes/no sides of [price_cents, qty] pairs. */
+  val kalshiSchema: StructType = StructType(Seq(
+    StructField("yes", ArrayType(ArrayType(LongType))),
+    StructField("no", ArrayType(ArrayType(LongType)))))
+
+  /** Polymarket enriched wrapper (Virginia-side shape,
+    * ref `virginia/coordinator.py:496-517`). */
+  val polySchema: StructType = StructType(Seq(
+    StructField("condition_id", StringType),
+    StructField("yes_price", DoubleType),
+    StructField("no_price", DoubleType),
+    StructField("orderbook", StructType(Seq(
+      StructField("bids", ArrayType(StructType(Seq(
+        StructField("price", DoubleType), StructField("size", DoubleType))))),
+      StructField("asks", ArrayType(StructType(Seq(
+        StructField("price", DoubleType), StructField("size", DoubleType))))))))))
+
+  /** Parse a raw Kalshi JSON book column into its typed struct. */
+  def parseKalshi(raw: Column): Column = from_json(raw, kalshiSchema)
+
+  /** Parse a raw Polymarket JSON wrapper into its typed struct. */
+  def parsePoly(raw: Column): Column = from_json(raw, polySchema)
+
+  /** Best (max) price over a Kalshi side, in cents.
+    * Ref `virginia/logic/opportunity_scanner.py:161`: `max(level[0])`. */
+  def kalshiBestBidCents(side: Column): Column =
+    array_max(transform(side, l => element_at(l, 1)))
+
+  /** Worst (min) price over a Kalshi side, in cents (the "ask" analog,
+    * ref `virginia/logic/opportunity_scanner.py:162`). */
+  def kalshiBestAskCents(side: Column): Column =
+    array_min(transform(side, l => element_at(l, 1)))
+
+  /** cents → dollars (F1, ref `etl/query.py:191`). Double division so it
+    * bit-matches the reference's `level[0] / 100`. */
+  def centsToDollars(cents: Column): Column = cents.cast(DoubleType) / lit(100.0)
+
+  /** Highest bid over a Polymarket side (F3/A1, ref `etl/query.py:211-216`). */
+  def polyBestBid(bids: Column): Column =
+    array_max(transform(bids, b => b.getField("price")))
+
+  /** Lowest ask over a Polymarket side. */
+  def polyBestAsk(asks: Column): Column =
+    array_min(transform(asks, a => a.getField("price")))
+
+  /** NO price as complement of YES (F2, ref `etl/query.py:195,220`). */
+  def complement(yes: Column): Column = lit(1.0) - yes
+
+  /** Midpoint (F3, ref `ireland/api/data_feed.py:91`). */
+  def midpoint(bid: Column, ask: Column): Column = (bid + ask) / lit(2.0)
+
+  /** Spread (F3, ref `ireland/api/data_feed.py:93`). */
+  def spread(bid: Column, ask: Column): Column = ask - bid
+
+  /** Contract-direction swap (F4, ref `etl/query.py:223-231`): if the
+    * Polymarket midpoint is above 0.5 the venue is trading the opposite
+    * contract, so yes/no are swapped. Returns struct(yes, no). */
+  def directionSwap(yesMid: Column, noMid: Column): Column =
+    when(yesMid > lit(0.5),
+      struct(noMid.as("yes"), yesMid.as("no")))
+      .otherwise(struct(yesMid.as("yes"), noMid.as("no")))
+
+  /** Profit margin `(sell_bid − buy_price) / buy_price` (F5, ref
+    * `virginia/logic/opportunity_scanner.py:240-244`). */
+  def profitMargin(sellBid: Column, buyPrice: Column): Column =
+    (sellBid - buyPrice) / buyPrice
+
+  /** bps conversion (F6, ref `database/models/postgres.py:92,327`). */
+  def toBps(fraction: Column): Column = fraction * lit(10000.0)
+
+  /** Weighted fill-price book walk (F16, ref `virginia/api/data_feed.py:99-126`):
+    * consume levels in order until `shares` are filled; return the average
+    * fill price in dollars, or 0.0 if the book is too thin.
+    *
+    * Implemented as an `aggregate` HOF with a (remaining, cost_cents)
+    * accumulator — integer arithmetic throughout, one final double division,
+    * so results are exact and deterministic. Levels are [price_cents, qty].
+    */
+  def fillWalkAvgPriceDollars(levels: Column, shares: Column): Column = {
+    val walked = aggregate(
+      levels,
+      struct(shares.cast(LongType).as("remaining"), lit(0L).as("cost")),
+      (acc, level) => {
+        val take = least(acc.getField("remaining"), element_at(level, 2))
+        struct(
+          (acc.getField("remaining") - take).as("remaining"),
+          (acc.getField("cost") + take * element_at(level, 1)).as("cost"))
+      })
+    // Book too thin → 0.0 (ref data_feed.py:123-124); else avg in dollars.
+    when(walked.getField("remaining") > lit(0L), lit(0.0))
+      .otherwise(walked.getField("cost").cast(DoubleType) /
+        (lit(100.0) * shares.cast(DoubleType)))
+  }
+
+  /** Top-of-book derivation (A10, ref `ireland/api/data_feed.py:70-93`):
+    * element_at of the best level, level counts, midpoint/spread. Assumes
+    * bids sorted desc and asks asc (first element = best), as the reference
+    * does after its sort. */
+  def topOfBook(bids: Column, asks: Column): Column = {
+    val bestBid = element_at(bids, 1).getField("price")
+    val bestAsk = element_at(asks, 1).getField("price")
+    struct(
+      bestBid.as("best_bid"),
+      bestAsk.as("best_ask"),
+      size(bids).as("bid_levels"),
+      size(asks).as("ask_levels"),
+      midpoint(bestBid, bestAsk).as("midpoint"),
+      spread(bestBid, bestAsk).as("spread"))
+  }
+}

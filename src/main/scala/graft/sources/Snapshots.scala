@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic `market_snapshot` view derived from the driver's `events`
+  * fixture.
+  *
+  * The reference's central table is an InfluxDB measurement with tags
+  * (`source`, `ticker`), one JSON-string field `full_orderbook`, and an
+  * ns-epoch timing chain (ref `database/models/influx.py:20-103`). The
+  * driver fixtures don't ship that table, so we derive one — purely
+  * column-arithmetically — from `events`, so the DuckDB oracle can
+  * recompute every downstream result independently from the same parquet.
+  *
+  * Derivation (all integer arithmetic, reproducible in ANSI SQL):
+  *   - source   = event_id % 2 == 0 ? "kalshi" : "polymarket"
+  *   - market   = "T" || (user_id % 8)                  (8 markets)
+  *   - ticker   = market (kalshi) | "0x"||md5(market) (polymarket
+  *                condition_id — the venue-native series key, as the
+  *                reference tags poly snapshots by condition_id)
+  *   - p        = floor(value)::int % 95 + 2             (price cents, 2..96)
+  *   - q1       = (event_id % 50)*10 + 10; q2 = (user_id % 30)*5 + 5; q3 = 17
+  *   - kalshi book = {"yes":[[p,q1],[p-1,q2]],"no":[[99-p,q3],[98-p,q1]]}
+  *   - poly book   = bids [p-1,p-2]/100 (desc), asks [p+1,p+2]/100 (asc)
+  *   - timing chain: api_call_start_ns .. data_server_stored_ns offsets of
+  *     the event-time ns epoch (ref `database/models/influx.py:44-63`)
+  *
+  * The JSON string is built with `to_json` and parsed back by the queries
+  * with `from_json` (F7) — the same store-as-JSON-blob shape the reference
+  * uses, exercised end-to-end.
+  */
+object Snapshots {
+
+  /** Market id 0..7 for a row of `events`. */
+  private def mkt: Column = col("user_id") % 8
+
+  /** Price in cents, 2..96. */
+  private def p: Column = (floor(col("value")).cast("int") % 95 + 2).cast("long")
+
+  private def q1: Column = (col("event_id") % 50) * 10 + 10
+  private def q2: Column = (col("user_id") % 30) * 5 + 5
+  private def q3: Column = lit(17L)
+
+  def frame(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+
+    val isKalshi = col("event_id") % 2 === 0
+    val market = concat(lit("T"), mkt.cast("string"))
+    val conditionId = concat(lit("0x"), md5(market))
+
+    val kalshiBook = to_json(struct(
+      array(array(p, q1), array(p - 1, q2)).as("yes"),
+      array(array(lit(99L) - p, q3), array(lit(98L) - p, q1)).as("no")))
+
+    val lvl = (price: Column, sz: Column) =>
+      struct((price.cast("double") / lit(100.0)).as("price"),
+        sz.cast("double").as("size"))
+    val polyBook = to_json(struct(
+      conditionId.as("condition_id"),
+      (p.cast("double") / lit(100.0)).as("yes_price"),
+      (lit(1.0) - p.cast("double") / lit(100.0)).as("no_price"),
+      struct(
+        array(lvl(p - 1, q1), lvl(p - 2, q2)).as("bids"),
+        array(lvl(p + 1, q3), lvl(p + 2, q1)).as("asks")).as("orderbook")))
+
+    // µs-aligned ns epoch: the fixture carries sub-µs nanos that a
+    // µs-precision reader (the DuckDB oracle) cannot see, so the engine
+    // pins the chain to µs alignment — integer division (ts_ns ~1.7e18
+    // exceeds double's 53-bit mantissa; float divide would corrupt it).
+    ev.withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("ns0", col("ts_us") * 1000L)
+      .select(
+        col("event_id").as("snapshot_id"),
+        col("ts"),
+        col("ns0").as("ts_ns"),
+        col("ts_us"),
+        when(isKalshi, lit("kalshi")).otherwise(lit("polymarket")).as("source"),
+        market.as("market"),
+        when(isKalshi, market).otherwise(conditionId).as("ticker"),
+        when(isKalshi, kalshiBook).otherwise(polyBook).as("full_orderbook"),
+        // ns timing chain (F11/F18): deterministic offsets of event time.
+        (col("ns0") - ((col("event_id") % 500) + 20) * 1000000L)
+          .as("api_call_start_ns"),
+        col("ns0").as("api_response_ns"),
+        (col("ns0") + ((col("user_id") % 50) + 1) * 1000000L)
+          .as("virginia_received_ns"),
+        (col("ns0") + ((col("user_id") % 50) + 1) * 1000000L
+          + ((col("event_id") % 200) + 5) * 1000000L)
+          .as("data_server_stored_ns"))
+  }
+
+  /** SQL fragments for the DuckDB oracle — the same derivation in ANSI SQL
+    * over `events`, kept adjacent to the Scala so they can't drift apart.
+    * `p`, `q1`, `q2` mirror the private columns above. */
+  object sql {
+    val p = "(CAST(FLOOR(value) AS INTEGER) % 95 + 2)"
+    val q1 = "((event_id % 50) * 10 + 10)"
+    val q2 = "((user_id % 30) * 5 + 5)"
+    val q3 = "17"
+    val isKalshi = "(event_id % 2 = 0)"
+    val market = "('T' || CAST(user_id % 8 AS VARCHAR))"
+    val conditionId = s"('0x' || md5($market))"
+    val source = s"(CASE WHEN $isKalshi THEN 'kalshi' ELSE 'polymarket' END)"
+    val ticker = s"(CASE WHEN $isKalshi THEN $market ELSE $conditionId END)"
+    val tsUs = "epoch_us(ts)"
+  }
+
+  /** The `arb_pairs` routing dimension (ref
+    * `virginia/database/read_from.py:31-42,134-141`), generated from the 8
+    * market ids — a small broadcast-able dimension, exactly the posture the
+    * scanner needs at scale. */
+  def pairs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(8).toDF("k").select(
+      (col("k") + 1).cast("int").as("id"),
+      concat(lit("T"), col("k").cast("string")).as("kalshi_ticker"),
+      concat(lit("0x"), md5(concat(lit("T"), col("k").cast("string"))))
+        .as("polymarket_condition_id"),
+      date_add(lit(java.sql.Date.valueOf("2024-02-15")),
+        (col("k") * 7).cast("int")).as("expiration_date"),
+      concat(lit("pair for T"), col("k").cast("string"))
+        .as("pair_description"),
+      (col("k") =!= 7).as("is_active"))
+  }
+
+  /** Oracle-side arb_pairs as a derived-table SQL fragment. */
+  val pairsSql: String =
+    """(SELECT CAST(k + 1 AS INTEGER) AS id,
+      |        'T' || CAST(k AS VARCHAR) AS kalshi_ticker,
+      |        '0x' || md5('T' || CAST(k AS VARCHAR)) AS polymarket_condition_id,
+      |        DATE '2024-02-15' + CAST(k * 7 AS INTEGER) AS expiration_date,
+      |        'pair for T' || CAST(k AS VARCHAR) AS pair_description,
+      |        k <> 7 AS is_active
+      | FROM range(8) t(k))""".stripMargin.replace("\n", " ")
+}

@@ -15,10 +15,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.AnalyticsQueries.queries
+    analytics.AnalyticsQueries.queries ++
+      relational.RelationalQueries.queries ++
+      scanner.PairScan.queries ++
+      ledger.Ledger.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    analytics.AnalyticsQueries.oracle
+    analytics.AnalyticsQueries.oracle ++
+      relational.RelationalQueries.oracle ++
+      scanner.PairScan.oracle ++
+      ledger.Ledger.oracle
 }

@@ -1,0 +1,114 @@
+package graft.ledger
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Trade-ledger aggregations — the PostgreSQL writer surface of the
+  * reference (`database/postgres/writer.py`), restated as append-only-log
+  * recomputation: where the reference mutates rows in place (incremental
+  * weighted fill average, pair-performance counters), the engine derives
+  * the identical final state from the full fills log in one aggregation —
+  * the only posture that scales and parallelizes.
+  *
+  * Fixture mapping: `lineitem` is the fills log (one row = one fill of
+  * order `l_orderkey`, quantity `l_quantity`, notional `l_extendedprice`),
+  * `orders` is the ticket table. All money sums go through DECIMAL so the
+  * aggregate is exact and order-independent; the final per-key division to
+  * DOUBLE is deterministic.
+  */
+object Ledger {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** A5: incremental weighted fill average, recomputed from the log
+    * (ref `database/models/postgres.py:184-211`,
+    * `database/postgres/writer.py:246-283`):
+    * avg = Σ(q·p)/Σq, first/last fill stamps, status from filled quantity. */
+  def fillAverages(fills: DataFrame, orderedQty: Int = 100): DataFrame =
+    fills.groupBy(col("l_orderkey").as("trade_id"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("executed_quantity"),
+        (sum(dec(col("l_quantity")) * dec(col("l_extendedprice")))
+          .cast("double") /
+          sum(dec(col("l_quantity"))).cast("double")).as("avg_fill_price"),
+        min(col("l_shipdate")).as("first_fill_at"),
+        max(col("l_shipdate")).as("last_fill_at"),
+        count(lit(1)).as("fill_count"))
+      .withColumn("status",
+        when(col("executed_quantity") >= orderedQty, lit("filled"))
+          .when(col("executed_quantity") > 0, lit("partially_filled"))
+          .otherwise(lit("pending")))
+
+  /** A6: pair performance rollup (ref `database/postgres/writer.py:409-468`):
+    * counters and profit sums per pair, derived not mutated. */
+  def pairRollup(fills: DataFrame): DataFrame =
+    fills.groupBy((col("l_suppkey") % 7 + 1).as("pair_id"))
+      .agg(
+        count(lit(1)).as("total_trades"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("total_volume"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("total_profit"),
+        (sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double") / count(lit(1))).as("avg_profit_per_trade"))
+
+  /** J6: fill→ticket correlation — aggregate the fills log once, then an
+    * equi-join against the ticket table (ref point-lookup + recompute,
+    * `database/postgres/writer.py:232-247`). */
+  def fillTicketJoin(fills: DataFrame, tickets: DataFrame): DataFrame =
+    fillAverages(fills)
+      .join(tickets, col("trade_id") === tickets("o_orderkey"))
+      .filter(col("o_orderstatus") === "O")
+      .select(col("trade_id"), col("o_totalprice"),
+        col("executed_quantity"), col("avg_fill_price"), col("status"))
+
+  val queries: Map[String, Q] = Map(
+    "fill_avg" -> ((s, d) =>
+      fillAverages(Tables(s, d, "lineitem")).orderBy("trade_id")),
+    "pair_rollup" -> ((s, d) =>
+      pairRollup(Tables(s, d, "lineitem")).orderBy("pair_id")),
+    "fill_ticket_join" -> ((s, d) =>
+      fillTicketJoin(Tables(s, d, "lineitem"), Tables(s, d, "orders"))
+        .orderBy("trade_id")))
+
+  private val sumQ = "sum(CAST(l_quantity AS DECIMAL(18,2)))"
+  private val sumQP =
+    "sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))"
+  private val fillAvgSql =
+    s"""SELECT l_orderkey AS trade_id,
+       |CAST($sumQ AS DOUBLE) AS executed_quantity,
+       |CAST($sumQP AS DOUBLE) / CAST($sumQ AS DOUBLE) AS avg_fill_price,
+       |min(l_shipdate) AS first_fill_at,
+       |max(l_shipdate) AS last_fill_at,
+       |count(*) AS fill_count,
+       |CASE WHEN CAST($sumQ AS DOUBLE) >= 100 THEN 'filled'
+       |     WHEN CAST($sumQ AS DOUBLE) > 0 THEN 'partially_filled'
+       |     ELSE 'pending' END AS status
+       |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "fill_avg" -> s"$fillAvgSql ORDER BY trade_id",
+
+    "pair_rollup" ->
+      """SELECT l_suppkey % 7 + 1 AS pair_id,
+        |count(*) AS total_trades,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS total_volume,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_profit,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  AS avg_profit_per_trade
+        |FROM lineitem GROUP BY 1 ORDER BY pair_id""".stripMargin,
+
+    "fill_ticket_join" ->
+      s"""SELECT f.trade_id, o.o_totalprice, f.executed_quantity,
+         |f.avg_fill_price, f.status
+         |FROM ($fillAvgSql) f
+         |JOIN orders o ON f.trade_id = o.o_orderkey
+         |WHERE o.o_orderstatus = 'O'
+         |ORDER BY f.trade_id""".stripMargin)
+}

@@ -1,0 +1,195 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.{Snapshots, Tables}
+
+/** Relational/reporting queries — the PostgreSQL-side surface of the
+  * reference (`database/postgres/writer.py`, `virginia/database/read_from.py`)
+  * restated over the driver's TPC-H-ish fixtures.
+  *
+  * Determinism posture (oracle hash-matching): every SUM over money
+  * columns goes through DECIMAL(18,2) so the aggregate is exact and
+  * order-independent (double summation order varies across partitions);
+  * the final cast back to DOUBLE is a single deterministic conversion.
+  * "NOW()"-relative windows (P6/F12) are anchored to max(date) in the
+  * data — a broadcast one-row scalar, not wall-clock — so engine and
+  * oracle see the same cutoff.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, Q] = Map(
+    // A4 + P6 + F12 + F20: trade summary report over the last 30 days of
+    // activity (ref `database/postgres/writer.py:551-589`). Status mapping:
+    // 'F' = filled, 'P' = cancelled-analog, 'O' = open.
+    "trade_summary" -> ((s, d) => {
+      val orders = Tables(s, d, "orders")
+      val mx = orders.agg(max("o_orderdate").as("mx"))
+      orders.crossJoin(broadcast(mx))
+        .filter(col("o_orderdate") >= col("mx") - expr("INTERVAL 30 DAYS"))
+        .agg(
+          count(lit(1)).as("total_trades"),
+          count(when(col("o_orderstatus") === "F", 1)).as("filled_trades"),
+          count(when(col("o_orderstatus") === "P", 1)).as("cancelled_trades"),
+          sum(when(col("o_orderstatus") === "F",
+            dec(coalesce(col("o_totalprice"), lit(0))))
+            .otherwise(dec(lit(0)))).cast("double").as("total_volume"),
+          (sum(dec(coalesce(col("o_totalprice"), lit(0)))).cast("double") /
+            count(lit(1))).as("avg_price"))
+    }),
+
+    // A8: status-breakdown count (ref `virginia/api/connection.py:294-299`).
+    "status_breakdown" -> ((s, d) =>
+      Tables(s, d, "orders").groupBy("o_orderstatus").count()
+        .orderBy("o_orderstatus")),
+
+    // W3: ORDER BY + LIMIT top-k (ref `database/postgres/client.py:489-494`).
+    // Tie-broken by key so the result set is unique.
+    "top_orders" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(100)),
+
+    // P3: active-pair predicate (ref `virginia/database/read_from.py:134-141`).
+    "active_pairs" -> ((s, _) =>
+      Snapshots.pairs(s)
+        .filter(col("is_active") &&
+          col("expiration_date") > lit(java.sql.Date.valueOf("2024-02-20")))
+        .orderBy("id")),
+
+    // P4: expiring-soon predicate (ref `virginia/database/read_from.py:260-268`).
+    "expiring_pairs" -> ((s, _) =>
+      Snapshots.pairs(s)
+        .filter(col("expiration_date") <=
+          date_add(lit(java.sql.Date.valueOf("2024-02-20")), 14))
+        .orderBy("id")),
+
+    // P1 + P2 + P6 + P7: tag/field filters, projection, recency window,
+    // isin membership — the Flux-filter surface (ref `etl/query.py:160-169`,
+    // `virginia/database/read_from.py:319-335`).
+    "recent_lineitems" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val mx = li.agg(max("l_shipdate").as("mx"))
+      li.crossJoin(broadcast(mx))
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= col("mx") - expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // SET1: key-set algebra — intersect (ref subscription diff
+    // `virginia/api/data_feed.py:185-198`).
+    "custkeys_with_orders" -> ((s, d) =>
+      Tables(s, d, "customer").select(col("c_custkey").as("custkey"))
+        .intersect(Tables(s, d, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    // SET1: except side (`removed = old − new`).
+    "custkeys_without_orders" -> ((s, d) =>
+      Tables(s, d, "customer").select(col("c_custkey").as("custkey"))
+        .except(Tables(s, d, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    // F13 + F9 + F14: deterministic id generation (md5-based stand-in for
+    // the reference's `trade_{uuid[:12]}`, ref
+    // `database/models/postgres.py:58-59`), ISO-8601 formatting, interval
+    // offsets (ref `etl/query.py:109-133`).
+    "order_ids" -> ((s, d) =>
+      Tables(s, d, "orders").select(
+        col("o_orderkey"),
+        concat(lit("trade_"),
+          substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 12))
+          .as("trade_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .as("order_iso"),
+        (col("o_orderdate") + expr("INTERVAL 3 HOURS")).as("order_plus_3h"))
+        .orderBy("o_orderkey")),
+
+    // W1: latest-per-key over the events stream table (ref LIFO freshest-
+    // first caches, `virginia/logic/opportunity_scanner.py:78-84`).
+    // One hash aggregate (max_by of a struct) — no window sort, the
+    // 100 TB-safe latest-value pattern.
+    "events_latest_per_key" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("event_id"), col("event_type"), col("value"),
+            col("ts_ns")),
+          struct(col("ts_ns"), col("event_id"))).as("last"))
+        .select(
+          col("user_id"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_event_type"),
+          col("last.value").as("last_value"),
+          expr("last.ts_ns DIV 1000").as("last_ts_us"))
+        .orderBy("user_id")))
+
+  val oracle: Map[String, String] = Map(
+    "trade_summary" ->
+      """SELECT count(*) AS total_trades,
+        |count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS filled_trades,
+        |count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cancelled_trades,
+        |CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |  THEN CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2))
+        |  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_volume,
+        |CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE)
+        |  / count(*) AS avg_price
+        |FROM orders
+        |WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders)
+        |  - INTERVAL 30 DAY""".stripMargin,
+
+    "status_breakdown" ->
+      "SELECT o_orderstatus, count(*) AS count FROM orders GROUP BY 1 ORDER BY 1",
+
+    "top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "active_pairs" ->
+      s"""SELECT * FROM ${Snapshots.pairsSql} p
+         |WHERE is_active AND expiration_date > DATE '2024-02-20'
+         |ORDER BY id""".stripMargin,
+
+    "expiring_pairs" ->
+      s"""SELECT * FROM ${Snapshots.pairsSql} p
+         |WHERE expiration_date <= DATE '2024-02-20' + 14
+         |ORDER BY id""".stripMargin,
+
+    "recent_lineitems" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_quantity
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate >= (SELECT max(l_shipdate) FROM lineitem)
+        |    - INTERVAL 90 DAY
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "custkeys_with_orders" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+
+    "custkeys_without_orders" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+
+    "order_ids" ->
+      """SELECT o_orderkey,
+        |'trade_' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS trade_id,
+        |strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS order_iso,
+        |o_orderdate + INTERVAL 3 HOUR AS order_plus_3h
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "events_latest_per_key" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |event_type AS last_event_type, value AS last_value,
+        |epoch_us(ts) AS last_ts_us
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin)
+}

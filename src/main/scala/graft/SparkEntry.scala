@@ -18,7 +18,8 @@ object SparkEntry {
     analytics.AnalyticsQueries.queries ++
       relational.RelationalQueries.queries ++
       scanner.PairScan.queries ++
-      ledger.Ledger.queries
+      ledger.Ledger.queries ++
+      text.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     analytics.AnalyticsQueries.oracle ++
       relational.RelationalQueries.oracle ++
       scanner.PairScan.oracle ++
-      ledger.Ledger.oracle
+      ledger.Ledger.oracle ++
+      text.TextOps.oracle
 }

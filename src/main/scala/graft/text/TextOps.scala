@@ -1,0 +1,167 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language-ID heuristic, quality scoring,
+  * token counting, fingerprinting, exact dedup).
+  *
+  * Every operator is per-row narrow work (codegen'd string/array
+  * expressions) except dedup, which is a single hash aggregate on the
+  * content hash — the 100 TB-safe posture: no sort, no window over the
+  * whole corpus, no driver-side state. All regex/array semantics are
+  * mirrored exactly in the DuckDB oracle (same patterns, same collation
+  * on ASCII tokens).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace-collapsed lowercase normalization. */
+  def norm(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  private def tokens(n: Column): Column = split(n, " ")
+
+  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is", "on",
+    "for", "with")
+  private val esStop = Seq("el", "la", "de", "que", "y", "en", "un", "los",
+    "se", "por")
+  private val frStop = Seq("le", "les", "et", "des", "une", "du", "est",
+    "dans", "pour", "au")
+
+  private def stopHits(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(stop)))
+
+  /** Deterministic document fingerprint: hash of the sorted distinct token
+    * set (word-shingle analog of a rolling-hash fingerprint). */
+  def fingerprint(n: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(n)))).cast("binary"))
+
+  val queries: Map[String, Q] = Map(
+    // Normalization + content hash — the dedup key derivation.
+    "text_normalize" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        md5(norm(col("text")).cast("binary")).as("content_hash"),
+        length(norm(col("text"))).as("n_chars_norm"))
+        .orderBy("doc_id")),
+
+    // Exact dedup: one hash aggregate per content hash — keeper = min id,
+    // duplicate multiplicity alongside. Scales by partitioning alone.
+    "dedup_exact" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), md5(norm(col("text")).cast("binary")).as("h"))
+        .groupBy(col("h").as("content_hash"))
+        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
+        .orderBy("keep_doc_id")),
+
+    // Token counting: whitespace tokens + a BPE-ish regex segment count.
+    "token_count" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("n", norm(col("text")))
+        .select(
+          col("doc_id"),
+          size(tokens(col("n"))).as("ws_tokens"),
+          regexp_count(col("n"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+            .as("bpe_segments"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: length/avg-token-length/stopword-ratio features and
+    // a composite score.
+    "quality_score" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("n", norm(col("text")))
+        .withColumn("toks", tokens(col("n")))
+        .select(
+          col("doc_id"),
+          length(col("n")).as("n_chars"),
+          size(col("toks")).as("n_tokens"),
+          (length(col("n")).cast("double") / size(col("toks")))
+            .as("avg_token_len"),
+          (stopHits(col("toks"), enStop).cast("double") / size(col("toks")))
+            .as("stopword_ratio"),
+          (least(size(col("toks")).cast("double") / lit(100.0), lit(1.0)) *
+            (lit(1.0) - stopHits(col("toks"), enStop).cast("double") /
+              size(col("toks")))).as("quality"))
+        .orderBy("doc_id")),
+
+    // Language ID: stopword-hit argmax across candidate languages
+    // (n-gram-heuristic stand-in; deterministic tiebreak en > es > fr).
+    "lang_id" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("toks", tokens(norm(col("text"))))
+        .select(
+          col("doc_id"),
+          stopHits(col("toks"), enStop).as("en_hits"),
+          stopHits(col("toks"), esStop).as("es_hits"),
+          stopHits(col("toks"), frStop).as("fr_hits"))
+        .withColumn("predicted_lang",
+          when(col("en_hits") >= col("es_hits") &&
+            col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+            .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+            .when(col("fr_hits") > 0, "fr")
+            .otherwise("und"))
+        .orderBy("doc_id")),
+
+    // Document fingerprint over the sorted distinct token set.
+    "doc_fingerprint" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), fingerprint(norm(col("text"))).as("fingerprint"))
+        .orderBy("doc_id")))
+
+  private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private def inList(l: Seq[String]) = l.map("'" + _ + "'").mkString("(", ",", ")")
+  private def hits(l: Seq[String]) =
+    s"len(list_filter(string_split($N, ' '), t -> t IN ${inList(l)}))"
+
+  val oracle: Map[String, String] = Map(
+    "text_normalize" ->
+      s"""SELECT doc_id, md5($N) AS content_hash,
+         |length($N) AS n_chars_norm
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      s"""SELECT md5($N) AS content_hash, min(doc_id) AS keep_doc_id,
+         |count(*) AS dup_count
+         |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+
+    "token_count" ->
+      s"""SELECT doc_id, len(string_split($N, ' ')) AS ws_tokens,
+         |len(regexp_extract_all($N, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+         |  AS bpe_segments
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      s"""SELECT doc_id, length($N) AS n_chars,
+         |len(string_split($N, ' ')) AS n_tokens,
+         |CAST(length($N) AS DOUBLE) / len(string_split($N, ' '))
+         |  AS avg_token_len,
+         |CAST(${hits(enStop)} AS DOUBLE) / len(string_split($N, ' '))
+         |  AS stopword_ratio,
+         |least(CAST(len(string_split($N, ' ')) AS DOUBLE) / 100.0, 1.0)
+         |  * (1.0 - CAST(${hits(enStop)} AS DOUBLE)
+         |      / len(string_split($N, ' '))) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""SELECT doc_id,
+         |${hits(enStop)} AS en_hits, ${hits(esStop)} AS es_hits,
+         |${hits(frStop)} AS fr_hits,
+         |CASE WHEN ${hits(enStop)} >= ${hits(esStop)}
+         |       AND ${hits(enStop)} >= ${hits(frStop)}
+         |       AND ${hits(enStop)} > 0 THEN 'en'
+         |     WHEN ${hits(esStop)} >= ${hits(frStop)}
+         |       AND ${hits(esStop)} > 0 THEN 'es'
+         |     WHEN ${hits(frStop)} > 0 THEN 'fr'
+         |     ELSE 'und' END AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |md5(array_to_string(list_sort(list_distinct(
+         |  string_split($N, ' '))), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

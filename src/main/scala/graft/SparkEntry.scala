@@ -19,7 +19,9 @@ object SparkEntry {
       relational.RelationalQueries.queries ++
       scanner.PairScan.queries ++
       ledger.Ledger.queries ++
-      text.TextOps.queries
+      text.TextOps.queries ++
+      text.NearDup.queries ++
+      ann.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +30,7 @@ object SparkEntry {
       relational.RelationalQueries.oracle ++
       scanner.PairScan.oracle ++
       ledger.Ledger.oracle ++
-      text.TextOps.oracle
+      text.TextOps.oracle ++
+      text.NearDup.oracle ++
+      ann.Similarity.oracle
 }

@@ -1,0 +1,139 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * Two paths:
+  *   - `ann_topk`: brute-force cosine top-k — broadcast the (small) query
+  *     set against a full corpus scan. The corpus is never shuffled; at
+  *     100 TB this is one pass, embarrassingly parallel.
+  *   - `ann_ivf`: coarse-quantized variant (sign-bit bucket on the leading
+  *     dimensions) — queries only probe their own bucket, the IVF posture
+  *     that prunes the scan at scale.
+  *
+  * Determinism: embeddings are quantized to integer fixed-point
+  * (round(x·1000)), so dot products and squared norms are exact integer
+  * aggregates (order-independent); the single cosine division afterwards is
+  * one deterministic double op mirrored in the oracle.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed-point quantized copy of the embedding. */
+  private def quantized(e: Column): Column =
+    transform(e, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), quantized(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+
+  private def cosineTopK(corpus: DataFrame, queries: DataFrame,
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.join(broadcast(queries),
+      col("vec_id") =!= col("query_id"))
+    val scored = joined.withColumn("cosine",
+      dot(col("v"), col("qv")).cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Brute-force exact cosine top-k for a bounded query set. */
+  def annTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+              k: Int = 10): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    cosineTopK(c, q, k)
+  }
+
+  /** Sign-bit coarse bucket over the first three quantized dims. */
+  private def bucket(v: Column): Column =
+    (element_at(v, 1) > 0).cast("int") * 4 +
+      (element_at(v, 2) > 0).cast("int") * 2 +
+      (element_at(v, 3) > 0).cast("int")
+
+  /** IVF-style bucketed ANN: probe only the query's own coarse cell. */
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 5,
+             k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir).withColumn("bucket", bucket(col("v")))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("bucket").as("qbucket"))
+    val joined = c.join(broadcast(q),
+      col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+    joined
+      .withColumn("cosine",
+        dot(col("v"), col("qv")).cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ann_topk" -> ((s, d) => annTopK(s, d)),
+    "ann_ivf" -> ((s, d) => annIvf(s, d)))
+
+  // --- oracle -------------------------------------------------------------
+
+  private val qCte =
+    """n AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v,
+      |    list_sum(list_transform(generate_series(1, len(v)),
+      |      i -> v[i] * v[i])) AS n2
+      |  FROM n)""".stripMargin
+
+  private def topkSql(bucketed: Boolean): String = {
+    val bucketJoin =
+      if (bucketed)
+        s"""AND (CAST(a.v[1] > 0 AS INTEGER) * 4 + CAST(a.v[2] > 0 AS INTEGER) * 2
+           |  + CAST(a.v[3] > 0 AS INTEGER))
+           |  = (CAST(q.v[1] > 0 AS INTEGER) * 4 + CAST(q.v[2] > 0 AS INTEGER) * 2
+           |  + CAST(q.v[3] > 0 AS INTEGER))""".stripMargin
+      else ""
+    s"""WITH $qCte
+       |SELECT q.vec_id AS query_id, a.vec_id,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+       |        i -> a.v[i] * q.v[i])) AS DOUBLE)
+       |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) DESC,
+       |      a.vec_id ASC) AS rank,
+       |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+       |      i -> a.v[i] * q.v[i])) AS DOUBLE)
+       |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cosine
+       |FROM m a JOIN m q ON q.vec_id < 5 AND a.vec_id <> q.vec_id
+       |$bucketJoin
+       |QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk" -> topkSql(bucketed = false),
+    "ann_ivf" -> topkSql(bucketed = true))
+}

@@ -1,0 +1,168 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.TextOps.norm
+
+/** Near-duplicate detection over `documents` — the LSH family a
+  * training-data pipeline needs at 100 TB.
+  *
+  * MinHash+LSH is the scale path: per-doc signatures (narrow, codegen'd),
+  * band-bucket explode, and a bucket equi-join — candidate pairs are only
+  * ever generated *within* a bucket, never all-pairs. SimHash gives a
+  * per-doc 16-bit fingerprint (hamming-comparable). The n-gram Jaccard
+  * query exercises the exact set-similarity kernel on a linear pair set.
+  *
+  * Cross-engine determinism: "hash function j" is the lexicographic MIN of
+  * `md5(j || ':' || shingle)` hex strings — identical in Spark and DuckDB,
+  * no engine-specific hash algorithm anywhere.
+  */
+object NearDup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 8 // minhash functions
+  private val B = 4 // bands (rows per band R = K/B = 2)
+
+  /** Distinct 3-word shingles of the normalized text (docs with <3 tokens
+    * carry no shingles and are excluded). */
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(norm(col("text")), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - 2), i =>
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+      .select(col("doc_id"), col("shingles"))
+
+  private def minhash(j: Int): Column =
+    array_min(transform(col("shingles"), s =>
+      md5(concat(lit(s"$j:"), s).cast("binary"))))
+
+  /** MinHash/LSH candidate pairs with exact Jaccard verification.
+    * Emits every bucket-colliding pair (doc_a < doc_b) with its true
+    * 3-shingle Jaccard — callers threshold downstream. */
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val sh = withShingles(docs)
+    val bands = sh.select(
+      col("doc_id"),
+      explode(array((0 until B).map(b =>
+        struct(lit(b).as("band"),
+          concat(minhash(2 * b), minhash(2 * b + 1)).as("bsig"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val oddNibbles = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+
+  /** 16-bit SimHash over the distinct token set: bit k is the sign of the
+    * ±1 vote sum where token t votes +1 iff hex nibble k of md5(t) is odd. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toksd = array_distinct(split(norm(col("text")), " "))
+    val d = docs.withColumn("l", toksd).withColumn("n", size(col("l")))
+    val sig = (1 to 16).map { k =>
+      val votes = size(filter(col("l"), t =>
+        substring(md5(t.cast("binary")), k, 1).isInCollection(oddNibbles)))
+      when(votes * 2 - col("n") > 0, lit(1L << (k - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    d.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Exact word-bigram Jaccard between consecutive doc ids — the
+    * set-similarity kernel on a linear (non-cartesian) pair set. */
+  def bigramJaccard(docs: DataFrame): DataFrame = {
+    val bg = docs.withColumn("toks", split(norm(col("text")), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("bigrams"))
+    bg.as("a").join(bg.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.bigrams"), col("b.bigrams"))).cast("double") /
+          size(array_union(col("a.bigrams"), col("b.bigrams")))).as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_near_lsh" -> ((s, d) => minhashLsh(Tables(s, d, "documents"))),
+    "simhash" -> ((s, d) => simhash(Tables(s, d, "documents")).orderBy("doc_id")),
+    "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
+
+  // --- oracle -------------------------------------------------------------
+
+  private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private val shinglesCte =
+    s"""sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(l) - 2),
+       |    i -> array_to_string(l[i:i+2], ' '))) AS shingles
+       |  FROM (SELECT doc_id, string_split($N, ' ') AS l FROM documents)
+       |  WHERE len(l) >= 3)""".stripMargin
+
+  private val simhashTerms = (1 to 16).map { k =>
+    val odd = oddNibbles.map("'" + _ + "'").mkString("(", ",", ")")
+    s"""CASE WHEN 2 * len(list_filter(l, t -> substr(md5(t), $k, 1) IN $odd))
+       |  - len(l) > 0 THEN ${1L << (k - 1)} ELSE 0 END""".stripMargin
+  }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_near_lsh" ->
+      s"""WITH $shinglesCte,
+         |mh AS (
+         |  SELECT doc_id, shingles, list_transform(generate_series(0, ${K - 1}),
+         |    j -> list_min(list_transform(shingles, s -> md5(j || ':' || s))))
+         |    AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS bsig
+         |  FROM mh, (SELECT unnest(generate_series(0, ${B - 1})) AS b)),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+         |    AS jaccard
+         |FROM cands c
+         |JOIN sh sa ON sa.doc_id = c.doc_a
+         |JOIN sh sb ON sb.doc_id = c.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "simhash" ->
+      s"""SELECT doc_id, $simhashTerms AS simhash
+         |FROM (SELECT doc_id, list_distinct(string_split($N, ' ')) AS l
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(l) - 1),
+         |    i -> array_to_string(l[i:i+1], ' '))) AS bigrams
+         |  FROM (SELECT doc_id, string_split($N, ' ') AS l FROM documents)
+         |  WHERE len(l) >= 2)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.bigrams, b.bigrams)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.bigrams, b.bigrams))) AS jaccard
+         |FROM bg a JOIN bg b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin)
+}

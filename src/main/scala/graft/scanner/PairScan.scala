@@ -29,8 +29,17 @@ object PairScan {
     * `virginia/utils/config.py:269-274`). */
   def scan(spark: SparkSession, dir: String,
            maxStalenessSec: Long = 60,
-           minProfitThreshold: Double = 0.02): DataFrame = {
-    val snaps = Snapshots.frame(spark, dir)
+           minProfitThreshold: Double = 0.02): DataFrame =
+    scanFrames(Snapshots.frame(spark, dir),
+      Snapshots.pairs(spark).filter(col("is_active")),
+      maxStalenessSec, minProfitThreshold)
+
+  /** Frame-based core, testable on in-memory snapshots/pairs.
+    * `snapshots` needs (ticker, source, ts_us, snapshot_id, full_orderbook);
+    * `activePairs` needs (id, kalshi_ticker, polymarket_condition_id). */
+  def scanFrames(snaps: DataFrame, activePairs: DataFrame,
+                 maxStalenessSec: Long,
+                 minProfitThreshold: Double): DataFrame = {
 
     // Latest kalshi snapshot per ticker (W1): deterministic argmax by
     // (ts_us, snapshot_id).
@@ -58,7 +67,7 @@ object PairScan {
       .select(col("condition_id"), col("p_ts_us"),
         col("pb.yes_price").as("p_yes"), col("pb.no_price").as("p_no"))
 
-    val pairs = Snapshots.pairs(spark).filter(col("is_active"))
+    val pairs = activePairs
 
     val joined = broadcast(pairs)
       .join(k, pairs("kalshi_ticker") === k("ticker"))

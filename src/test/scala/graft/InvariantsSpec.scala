@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Books
+
+/** Property tests for the invariants the reference encodes implicitly
+  * (SURVEY §5): complement sums to 1, fill-walk is 0 iff liquidity is
+  * insufficient and never prices outside the book's range, downsample(last)
+  * equals the naive per-bucket last. Generators are sampled with fixed
+  * seeds so runs are reproducible (scalatest+scalacheck bridge is not in
+  * the offline cache; sampling directly is equivalent here).
+  */
+class InvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val priceGen = Gen.chooseNum(1L, 98L)
+  private val qtyGen = Gen.chooseNum(1L, 200L)
+  private val bookGen = Gen.nonEmptyListOf(Gen.zip(priceGen, qtyGen))
+    .map(_.take(6))
+
+  test("yes + no == 1 for every normalized kalshi price") {
+    val rows = samples(priceGen, 40).map(Tuple1(_)).toDF("c")
+      .select(Books.centsToDollars($"c").as("yes"))
+      .select($"yes", Books.complement($"yes").as("no"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) + r.getDouble(1) - 1.0) < 1e-12)
+    }
+  }
+
+  test("fill walk returns 0 iff total liquidity < requested shares") {
+    val cases = samples(Gen.zip(bookGen, Gen.chooseNum(1L, 500L)), 60)
+    assert(cases.size >= 40)
+    val df = cases.zipWithIndex.map { case ((book, shares), i) =>
+      val json = book.map { case (p, q) => s"[$p,$q]" }
+        .mkString("""{"yes":[""", ",", """],"no":[]}""")
+      (i.toLong, json, shares)
+    }.toDF("i", "raw", "shares")
+    val out = df
+      .select($"i", Books.fillWalkAvgPriceDollars(
+        Books.parseKalshi($"raw").getField("yes"), $"shares").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cases.zipWithIndex.foreach { case ((book, shares), i) =>
+      val v = out(i.toLong)
+      val liquidity = book.map(_._2).sum
+      if (liquidity < shares) assert(v === 0.0, s"case $i: thin book must be 0")
+      else {
+        val prices = book.map(_._1.toDouble / 100)
+        assert(v >= prices.min - 1e-12 && v <= prices.max + 1e-12,
+          s"case $i: vwap outside book range")
+      }
+    }
+  }
+
+  test("downsample(last) equals naive per-bucket last") {
+    import java.sql.Timestamp
+    val tsGen = Gen.listOfN(12, Gen.chooseNum(0L, 300L)).map(_.distinct)
+    samples(tsGen, 20).filter(_.nonEmpty).foreach { secs =>
+      val rows = secs.zipWithIndex.map { case (s, i) =>
+        (new Timestamp(s * 1000L), s * 1000000L, i.toLong, "kalshi", "T1",
+          s"""{"yes":[[${(i % 97) + 1},10]],"no":[]}""")
+      }
+      val out = graft.analytics.TickerSeries.downsampled(
+        rows.toDF("ts", "ts_us", "snapshot_id", "source", "ticker",
+          "full_orderbook"),
+        "T1", "kalshi", "1 minute").collect()
+      val expected = secs.zipWithIndex
+        .groupBy(_._1 / 60)
+        .map { case (b, xs) => b -> xs.maxBy(_._1)._2 }
+      assert(out.length === expected.size)
+      out.foreach { r =>
+        val bucket = r.getAs[Long]("bucket_us") / 60000000L
+        assert(r.getAs[Long]("snapshot_id") === expected(bucket).toLong)
+      }
+    }
+  }
+}

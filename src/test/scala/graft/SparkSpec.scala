@@ -1,0 +1,13 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (one JVM-wide session, cheap). */
+object SparkTestSession {
+  lazy val spark: SparkSession = graft.sources.Tables.session("local[4]", 4)
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+}

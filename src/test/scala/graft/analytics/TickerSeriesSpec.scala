@@ -1,0 +1,59 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class TickerSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  // (ts, ts_us, snapshot_id, source, ticker, full_orderbook)
+  private def frame(rows: (Timestamp, Long, Long, String, String, String)*) =
+    rows.toDF("ts", "ts_us", "snapshot_id", "source", "ticker",
+      "full_orderbook")
+
+  private val k45 = """{"yes":[[45,10],[44,20]],"no":[[54,5]]}"""
+  private val k60 = """{"yes":[[60,10]],"no":[[39,5]]}"""
+  private val empty = """{"yes":[],"no":[]}"""
+
+  test("raw series normalizes kalshi books: yes = max/100, no = 1 - yes") {
+    val out = TickerSeries.raw(
+      frame((ts(0), 0L, 1L, "kalshi", "T1", k45)), "T1", "kalshi").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("yes") === 0.45)
+    assert(math.abs(out.head.getAs[Double]("no") - 0.55) < 1e-15)
+  }
+
+  test("malformed/empty books are dropped (ref etl/query.py:240-241)") {
+    val out = TickerSeries.raw(
+      frame((ts(0), 0L, 1L, "kalshi", "T1", empty),
+        (ts(1), 1000000L, 2L, "kalshi", "T1", "not json"),
+        (ts(2), 2000000L, 3L, "kalshi", "T1", k45)),
+      "T1", "kalshi").collect()
+    assert(out.map(_.getAs[Long]("snapshot_id")).toSeq === Seq(3L))
+  }
+
+  test("downsample keeps the last snapshot per bucket (A2, fn: last)") {
+    val out = TickerSeries.downsampled(
+      frame(
+        (ts(10), 10000000L, 1L, "kalshi", "T1", k45),
+        (ts(50), 50000000L, 2L, "kalshi", "T1", k60), // last in minute 0
+        (ts(70), 70000000L, 3L, "kalshi", "T1", k45)), // minute 1
+      "T1", "kalshi", "1 minute").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("snapshot_id") === 2L)
+    assert(out(0).getAs[Double]("yes") === 0.60)
+    assert(out(1).getAs[Long]("snapshot_id") === 3L)
+  }
+
+  test("series filters by both ticker and source (P1)") {
+    val out = TickerSeries.raw(
+      frame((ts(0), 0L, 1L, "kalshi", "T1", k45),
+        (ts(1), 1000000L, 2L, "kalshi", "T2", k60),
+        (ts(2), 2000000L, 3L, "polymarket", "T1", k45)),
+      "T1", "kalshi").collect()
+    assert(out.map(_.getAs[Long]("snapshot_id")).toSeq === Seq(1L))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BooksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val kalshiJson =
+    """{"yes":[[45,100],[44,50]],"no":[[54,17],[53,30]]}"""
+  private val polyJson =
+    """{"condition_id":"0xabc","yes_price":0.42,"no_price":0.58,
+      |"orderbook":{"bids":[{"price":0.41,"size":10},{"price":0.40,"size":5}],
+      |"asks":[{"price":0.43,"size":7},{"price":0.44,"size":9}]}}"""
+      .stripMargin.replace("\n", "")
+
+  test("kalshi best bid/ask in cents over a side") {
+    val row = Seq(kalshiJson).toDF("raw")
+      .select(Books.parseKalshi($"raw").as("b"))
+      .select(
+        Books.kalshiBestBidCents($"b.yes").as("bid"),
+        Books.kalshiBestAskCents($"b.yes").as("ask"))
+      .head()
+    assert(row.getLong(0) === 45L)
+    assert(row.getLong(1) === 44L)
+  }
+
+  test("cents to dollars matches reference /100 semantics") {
+    val v = Seq(45L).toDF("c").select(Books.centsToDollars($"c")).head().getDouble(0)
+    assert(v === 0.45)
+  }
+
+  test("poly best bid is max bid price, best ask is min ask price") {
+    val row = Seq(polyJson).toDF("raw")
+      .select(Books.parsePoly($"raw").getField("orderbook").as("ob"))
+      .select(Books.polyBestBid($"ob.bids").as("b"),
+        Books.polyBestAsk($"ob.asks").as("a"))
+      .head()
+    assert(row.getDouble(0) === 0.41)
+    assert(row.getDouble(1) === 0.43)
+  }
+
+  test("complement: no = 1 - yes") {
+    val v = Seq(0.42).toDF("y").select(Books.complement($"y")).head().getDouble(0)
+    assert(math.abs(v - 0.58) < 1e-15)
+  }
+
+  test("direction swap fires only above 0.5 midpoint") {
+    val df = Seq(0.6, 0.4).toDF("mid")
+      .select($"mid", Books.directionSwap($"mid", Books.complement($"mid")).as("s"))
+      .select($"mid", $"s.yes", $"s.no")
+      .collect()
+    val high = df.find(_.getDouble(0) == 0.6).get
+    assert(math.abs(high.getDouble(1) - 0.4) < 1e-15) // swapped
+    val low = df.find(_.getDouble(0) == 0.4).get
+    assert(math.abs(low.getDouble(1) - 0.4) < 1e-15) // unswapped
+  }
+
+  test("fill walk: full fill across two levels is the weighted average") {
+    // 25 shares: 10 @ 45c + 15 @ 44c = (450 + 660)/2500 dollars
+    val v = Seq("""{"yes":[[45,10],[44,90]],"no":[]}""").toDF("raw")
+      .select(Books.parseKalshi($"raw").as("b"))
+      .select(Books.fillWalkAvgPriceDollars($"b.yes", lit(25L)))
+      .head().getDouble(0)
+    assert(math.abs(v - (45 * 10 + 44 * 15) / (100.0 * 25)) < 1e-15)
+  }
+
+  test("fill walk: book too thin returns 0.0 (ref data_feed.py:123-124)") {
+    val v = Seq("""{"yes":[[45,10],[44,5]],"no":[]}""").toDF("raw")
+      .select(Books.parseKalshi($"raw").as("b"))
+      .select(Books.fillWalkAvgPriceDollars($"b.yes", lit(25L)))
+      .head().getDouble(0)
+    assert(v === 0.0)
+  }
+
+  test("top of book derives best levels, counts, midpoint and spread") {
+    val row = Seq(polyJson).toDF("raw")
+      .select(Books.parsePoly($"raw").getField("orderbook").as("ob"))
+      .select(Books.topOfBook($"ob.bids", $"ob.asks").as("t"))
+      .select($"t.best_bid", $"t.best_ask", $"t.bid_levels", $"t.ask_levels",
+        $"t.midpoint", $"t.spread")
+      .head()
+    assert(row.getDouble(0) === 0.41)
+    assert(row.getDouble(1) === 0.43)
+    assert(row.getInt(2) === 2)
+    assert(row.getInt(3) === 2)
+    assert(math.abs(row.getDouble(4) - 0.42) < 1e-15)
+    assert(math.abs(row.getDouble(5) - 0.02) < 1e-12)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ledger
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class LedgerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  // fills log shaped like lineitem: (orderkey, suppkey, quantity, price, discount, shipdate)
+  private def fills(rows: (Long, Long, Double, Double, Double, Timestamp)*) =
+    rows.toDF("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_shipdate")
+
+  test("fill average is the quantity-weighted mean (A5)") {
+    val out = Ledger.fillAverages(
+      fills((1L, 1L, 10.0, 5.0, 0.0, ts(100)),
+        (1L, 1L, 30.0, 9.0, 0.0, ts(200))),
+      orderedQty = 100).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // (10*5 + 30*9) / 40 = 8.0
+    assert(r.getAs[Double]("avg_fill_price") === 8.0)
+    assert(r.getAs[Double]("executed_quantity") === 40.0)
+    assert(r.getAs[Timestamp]("first_fill_at") === ts(100))
+    assert(r.getAs[Timestamp]("last_fill_at") === ts(200))
+    assert(r.getAs[String]("status") === "partially_filled")
+  }
+
+  test("status flips to filled at the ordered quantity (ref models:184-211)") {
+    val out = Ledger.fillAverages(
+      fills((1L, 1L, 100.0, 5.0, 0.0, ts(100))), orderedQty = 100).collect()
+    assert(out.head.getAs[String]("status") === "filled")
+  }
+
+  test("pair rollup sums volume/profit and derives the per-trade average") {
+    val out = Ledger.pairRollup(
+      fills((1L, 0L, 1.0, 100.0, 0.10, ts(1)),
+        (2L, 0L, 1.0, 200.0, 0.20, ts(2)),
+        (3L, 1L, 1.0, 50.0, 0.10, ts(3)))).collect()
+    val byPair = out.map(r => r.getAs[Long]("pair_id") -> r).toMap
+    val p1 = byPair(1L) // suppkey 0 -> pair 1
+    assert(p1.getAs[Long]("total_trades") === 2L)
+    assert(p1.getAs[Double]("total_volume") === 300.0)
+    assert(p1.getAs[Double]("total_profit") === 50.0)
+    assert(p1.getAs[Double]("avg_profit_per_trade") === 25.0)
+  }
+}

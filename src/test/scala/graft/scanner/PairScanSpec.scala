@@ -1,0 +1,75 @@
+package graft.scanner
+
+import graft.SparkSpec
+
+class PairScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kBook(bidCents: Long): String =
+    s"""{"yes":[[$bidCents,100]],"no":[[${99 - bidCents},100]]}"""
+  private def pBook(yes: Double): String =
+    s"""{"condition_id":"0xc1","yes_price":$yes,"no_price":${1.0 - yes},"orderbook":{"bids":[],"asks":[]}}"""
+
+  // (ticker, source, ts_us, snapshot_id, full_orderbook)
+  private def snaps(rows: (String, String, Long, Long, String)*) =
+    rows.toDF("ticker", "source", "ts_us", "snapshot_id", "full_orderbook")
+
+  private val pairs = Seq((1, "K1", "0xc1")).toDF(
+    "id", "kalshi_ticker", "polymarket_condition_id")
+
+  test("detects a yes-side opportunity and computes the margin") {
+    // kalshi yes bid 45c = 0.45; poly yes 0.40 -> margin (0.45-0.40)/0.40
+    val out = PairScan.scanFrames(
+      snaps(("K1", "kalshi", 1000L, 1L, kBook(45)),
+        ("0xc1", "polymarket", 2000L, 2L, pBook(0.40))),
+      pairs, maxStalenessSec = 60, minProfitThreshold = 0.02).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("direction") === "yes")
+    assert(math.abs(r.getAs[Double]("profit_margin") - 0.125) < 1e-12)
+    assert(r.getAs[Double]("buy_price") === 0.40)
+    assert(r.getAs[Double]("sell_price") === 0.45)
+  }
+
+  test("uses only the latest snapshot per leg") {
+    // older kalshi snapshot had a huge margin; latest has none
+    val out = PairScan.scanFrames(
+      snaps(("K1", "kalshi", 1000L, 1L, kBook(90)),
+        ("K1", "kalshi", 5000L, 2L, kBook(40)),
+        ("0xc1", "polymarket", 2000L, 3L, pBook(0.40))),
+      pairs, 60, minProfitThreshold = -10.0).collect()
+    assert(out.length === 1)
+    // latest kalshi book (40c) gives margin 0, not the stale book's 1.25
+    assert(math.abs(out.head.getAs[Double]("profit_margin")) < 1e-12)
+    assert(out.head.getAs[Double]("sell_price") === 0.40)
+  }
+
+  test("freshness gate drops stale pairs (P5, 60s pair_complete)") {
+    val out = PairScan.scanFrames(
+      snaps(("K1", "kalshi", 1000L, 1L, kBook(45)),
+        ("0xc1", "polymarket", 1000L + 61L * 1000000L, 2L, pBook(0.40))),
+      pairs, 60, 0.02).collect()
+    assert(out.isEmpty)
+  }
+
+  test("margins below the threshold are not emitted (F5)") {
+    // kalshi 41c vs poly 0.40 -> margin 0.025 >= 0.02 emitted;
+    // threshold 0.03 suppresses it
+    val s = snaps(("K1", "kalshi", 1000L, 1L, kBook(41)),
+      ("0xc1", "polymarket", 2000L, 2L, pBook(0.40)))
+    assert(PairScan.scanFrames(s, pairs, 60, 0.02).count() === 1)
+    assert(PairScan.scanFrames(s, pairs, 60, 0.03).count() === 0)
+  }
+
+  test("no-side direction wins when the no margin is larger") {
+    // kalshi yes bid 10c -> no bid 89c; poly yes 0.80 -> no 0.20
+    // m_yes = (0.10-0.80)/0.80 < 0; m_no = (0.89-0.20)/0.20 = 3.45
+    val out = PairScan.scanFrames(
+      snaps(("K1", "kalshi", 1000L, 1L, kBook(10)),
+        ("0xc1", "polymarket", 2000L, 2L, pBook(0.80))),
+      pairs, 60, 0.02).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("direction") === "no")
+    assert(math.abs(out.head.getAs[Double]("profit_margin") - 3.45) < 1e-12)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("norm lowercases, trims, and collapses whitespace") {
+    val v = Seq("  Hello   WORLD \t x ").toDF("t")
+      .select(TextOps.norm($"t")).head().getString(0)
+    assert(v === "hello world x")
+  }
+
+  test("fingerprint is invariant to token order and duplication") {
+    val df = Seq("a b c", "c b a a", "a b d").toDF("t")
+      .select(TextOps.fingerprint(TextOps.norm($"t")).as("f")).collect()
+    assert(df(0).getString(0) === df(1).getString(0))
+    assert(df(0).getString(0) !== df(2).getString(0))
+  }
+
+  test("LSH flags identical documents with jaccard 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text")
+    val out = NearDup.minhashLsh(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("doc_a") === 1L)
+    assert(out.head.getAs[Long]("doc_b") === 2L)
+    assert(out.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("simhash of identical token sets is equal, differs otherwise") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // same token set
+      (3L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val m = NearDup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(3L))
+  }
+
+  test("bigram jaccard of identical adjacent docs is 1.0") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val m = NearDup.bigramJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 2L)) === 1.0)
+    assert(m((2L, 3L)) === 0.0)
+  }
+}

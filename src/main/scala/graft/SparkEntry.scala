@@ -16,6 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.AnalyticsQueries.queries ++
+      analytics.WindowStats.queries ++
       relational.RelationalQueries.queries ++
       scanner.PairScan.queries ++
       ledger.Ledger.queries ++
@@ -27,6 +28,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     analytics.AnalyticsQueries.oracle ++
+      analytics.WindowStats.oracle ++
       relational.RelationalQueries.oracle ++
       scanner.PairScan.oracle ++
       ledger.Ledger.oracle ++

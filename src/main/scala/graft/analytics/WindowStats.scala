@@ -1,0 +1,170 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{Snapshots, Tables}
+import graft.sources.Snapshots.{sql => S}
+
+/** Window-function operators (A7, W4, W5) and the remaining scalar surface
+  * (F7 JSON round-trip, F10 timezone conversion, J4 array semi-join,
+  * J5 explode).
+  *
+  * Rolling aggregates are written as window SUM/COUNT of exact integers
+  * with one final double division — the windowed mean itself is then
+  * bit-deterministic regardless of evaluation order, which a windowed
+  * AVG over doubles would not be. Each window query shuffles once on its
+  * partition key; at 100 TB, per-key history is bounded (the reference
+  * keeps 50-100 samples), so no partition outgrows an executor.
+  */
+object WindowStats {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A7: rolling mean over the last 50 latency samples per source
+    * (ref `database/influx/writer.py:386-392`). */
+  def rollingLatency(snaps: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ts_us"), col("snapshot_id"))
+      .rowsBetween(-49, 0)
+    snaps
+      .withColumn("api_latency_us",
+        expr("(api_response_ns - api_call_start_ns) DIV 1000"))
+      .select(col("ts_us"), col("snapshot_id"), col("source"),
+        col("api_latency_us"),
+        (sum(col("api_latency_us")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("rolling_avg_latency_us"))
+      .orderBy("source", "ts_us", "snapshot_id")
+  }
+
+  /** W4: retention window — keep the last N rows per key
+    * (ref last-100 opportunities, `opportunity_scanner.py:519-521`). */
+  def retainLastN(events: DataFrame, n: Int): DataFrame =
+    events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns").desc, col("event_id").desc)))
+      .filter(col("rn") <= n)
+      .select(col("user_id"), col("event_id"), col("rn"),
+        expr("ts_ns DIV 1000").as("ts_us"))
+      .orderBy("user_id", "rn")
+
+  /** W5: last normalized value per series (Flux `last()` per tag set,
+    * ref `database/influx/client.py:382-388`). */
+  def lastPerSeries(snaps: DataFrame): DataFrame =
+    snaps.groupBy(col("ticker"), col("source"))
+      .agg(max_by(struct(col("ts_us"), col("snapshot_id"),
+        col("full_orderbook")),
+        struct(col("ts_us"), col("snapshot_id"))).as("s"))
+      .select(col("ticker"), col("source"),
+        col("s.ts_us").as("last_ts_us"),
+        col("s.snapshot_id").as("last_snapshot_id"))
+      .orderBy("ticker", "source")
+
+  val queries: Map[String, Q] = Map(
+    "rolling_latency" -> ((s, d) => rollingLatency(Snapshots.frame(s, d))),
+
+    "retention_window" -> ((s, d) => retainLastN(Tables.events(s, d), 20)),
+
+    "last_per_series" -> ((s, d) => lastPerSeries(Snapshots.frame(s, d))),
+
+    // J4: snapshot-correlation semi-join — containment on a collected id
+    // array (ref `database/postgres/writer.py:470-497`). The collect_set
+    // is per-order (bounded), the filter is an array_contains.
+    "order_parts_semijoin" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("partkeys"))
+        .filter(array_contains(col("partkeys"), lit(1L)))
+        .select(col("l_orderkey"), size(col("partkeys")).as("n_parts"))
+        .orderBy("l_orderkey")),
+
+    // J5: token-discovery explode (ref `ireland/api/data_feed.py:251-313`):
+    // collected id list flattened back to rows.
+    "token_explode" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("token_ids"))
+        .select(col("l_orderkey"), explode(col("token_ids")).as("token_id"))
+        .orderBy("l_orderkey", "token_id")),
+
+    // F7: JSON decode of a real JSON column via from_json (the engine-side
+    // operator; the oracle parses with a regex — semantics, not plumbing,
+    // are compared).
+    "json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", from_json(col("props"),
+          StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+        .filter(col("k") > 50)
+        .groupBy("k").count()
+        .orderBy("k")),
+
+    // F10: UTC → America/Chicago conversion (ref `etl/query.py:107,178`),
+    // emitted as a formatted string so the comparison is tz-type-agnostic.
+    "tz_chicago" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") % 100 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("utc_time"),
+          date_format(from_utc_timestamp(col("ts"), "America/Chicago"),
+            "yyyy-MM-dd HH:mm:ss").as("chicago_time"))
+        .orderBy("event_id")))
+
+  val oracle: Map[String, String] = Map(
+    "rolling_latency" ->
+      s"""SELECT epoch_us(ts) AS ts_us, event_id AS snapshot_id,
+         |${S.source} AS source,
+         |((event_id % 500) + 20) * 1000 AS api_latency_us,
+         |CAST(sum(((event_id % 500) + 20) * 1000) OVER w AS DOUBLE)
+         |  / count(*) OVER w AS rolling_avg_latency_us
+         |FROM events
+         |WINDOW w AS (PARTITION BY ${S.source} ORDER BY ts, event_id
+         |  ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+         |ORDER BY source, ts_us, snapshot_id""".stripMargin,
+
+    "retention_window" ->
+      """SELECT user_id, event_id,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+        |  event_id DESC) AS rn,
+        |epoch_us(ts) AS ts_us
+        |FROM events
+        |QUALIFY rn <= 20
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "last_per_series" ->
+      s"""SELECT ${S.ticker} AS ticker, ${S.source} AS source,
+         |epoch_us(ts) AS last_ts_us, event_id AS last_snapshot_id
+         |FROM events
+         |QUALIFY row_number() OVER (PARTITION BY ${S.ticker}, ${S.source}
+         |  ORDER BY ts DESC, event_id DESC) = 1
+         |ORDER BY ticker, source""".stripMargin,
+
+    "order_parts_semijoin" ->
+      """SELECT l_orderkey, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING bool_or(l_partkey = 1)
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "token_explode" ->
+      """SELECT DISTINCT l_orderkey, l_partkey AS token_id
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, token_id""".stripMargin,
+
+    "json_props" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
+        |count(*) AS count
+        |FROM events
+        |WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) > 50
+        |GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "tz_chicago" ->
+      """SELECT event_id,
+        |strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_time,
+        |strftime(timezone('America/Chicago', ts AT TIME ZONE 'UTC'),
+        |  '%Y-%m-%d %H:%M:%S') AS chicago_time
+        |FROM events WHERE event_id % 100 = 0
+        |ORDER BY event_id""".stripMargin)
+}

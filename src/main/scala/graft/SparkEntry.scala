@@ -22,7 +22,8 @@ object SparkEntry {
       ledger.Ledger.queries ++
       text.TextOps.queries ++
       text.NearDup.queries ++
-      ann.Similarity.queries
+      ann.Similarity.queries ++
+      multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       ledger.Ledger.oracle ++
       text.TextOps.oracle ++
       text.NearDup.oracle ++
-      ann.Similarity.oracle
+      ann.Similarity.oracle ++
+      multimodal.Multimodal.oracle
 }

@@ -1,0 +1,129 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal (binary) column plumbing — images/audio/video carried as
+  * opaque `binary` payloads with typed metadata, processed batch-wise per
+  * partition.
+  *
+  * The decode kernels run through `Dataset.mapPartitions` over typed rows
+  * (the Scala analog of `mapInPandas`: one iterator per partition, so a
+  * real codec would amortize its init across the batch and never touch the
+  * driver). The actual pixel/sample decode is a DETERMINISTIC FAKE —
+  * byte-level statistics standing in for a codec this container doesn't
+  * ship — but the schema, Encoder round-trip, partition batching, and
+  * per-asset fan-out (frame sampling) are the real 100 TB plumbing:
+  * narrow transforms, no shuffle, no driver-side collection.
+  *
+  * Fixture: payloads are the UTF-8 bytes of `documents.text`; metadata
+  * (dims, frame counts, media type) derives arithmetically from doc_id so
+  * the DuckDB oracle can recompute every output independently.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  case class MediaAsset(doc_id: Long, media_type: String,
+                        payload: Array[Byte], width: Int, height: Int,
+                        n_frames: Int)
+  case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Int,
+                           checksum: Long, mean_byte_x1000: Long)
+  case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int,
+                   frame_len: Int)
+
+  private val mediaTypes = Seq("image", "audio", "video")
+
+  /** Typed asset table derived from `documents`. */
+  def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        element_at(typedLit(mediaTypes), (col("doc_id") % 3 + 1).cast("int"))
+          .as("media_type"),
+        col("text").cast("binary").as("payload"),
+        ((col("doc_id") % 8) * 40 + 64).cast("int").as("width"),
+        ((col("doc_id") % 5) * 30 + 48).cast("int").as("height"),
+        (col("doc_id") % 7 + 1).cast("int").as("n_frames"))
+      .as[MediaAsset]
+  }
+
+  /** Batch "decode": per-partition iterator, one pass over each payload.
+    * A real implementation would hand `a.payload` to a codec here; the
+    * byte statistics below are its deterministic stand-in. */
+  def decodeFeatures(ds: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { a =>
+        var sum = 0L
+        var i = 0
+        while (i < a.payload.length) { sum += a.payload(i) & 0xff; i += 1 }
+        MediaFeatures(a.doc_id, a.media_type, a.payload.length, sum,
+          if (a.payload.length == 0) 0L else sum * 1000L / a.payload.length)
+      }
+    }
+  }
+
+  /** Frame sampling: fan each asset out into its n_frames equal-width
+    * byte windows (the video-keyframe access pattern). */
+  def frameSample(ds: Dataset[MediaAsset]): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { a =>
+      val flen = a.payload.length / a.n_frames
+      (0 until a.n_frames).map(i => Frame(a.doc_id, i, i * flen, flen))
+    }
+  }
+
+  /** Metadata-level resize to fit a square bounding box, aspect preserved
+    * (integer math; the pixel resample would live in the decode kernel). */
+  def resizeMeta(ds: Dataset[MediaAsset], maxDim: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map { a =>
+      val m = math.max(a.width, a.height)
+      (a.doc_id, a.width, a.height,
+        a.width * maxDim / m, a.height * maxDim / m)
+    }.toDF("doc_id", "width", "height", "new_width", "new_height")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "media_features" -> ((s, d) =>
+      decodeFeatures(assets(s, d)).toDF().orderBy("doc_id")),
+    "frame_sample" -> ((s, d) =>
+      frameSample(assets(s, d)).toDF().orderBy("doc_id", "frame_idx")),
+    "resize_meta" -> ((s, d) => resizeMeta(assets(s, d), 128).orderBy("doc_id")))
+
+  private val mt =
+    "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)]"
+  private val byteSum =
+    "list_sum(list_transform(string_split(text, ''), c -> ascii(c)))"
+
+  val oracle: Map[String, String] = Map(
+    "media_features" ->
+      s"""SELECT doc_id, $mt AS media_type,
+         |CAST(length(text) AS INTEGER) AS byte_len,
+         |CAST($byteSum AS BIGINT) AS checksum,
+         |CAST($byteSum AS BIGINT) * 1000 // length(text) AS mean_byte_x1000
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "frame_sample" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |CAST(i * (length(text) // (doc_id % 7 + 1)) AS INTEGER) AS frame_off,
+        |CAST(length(text) // (doc_id % 7 + 1) AS INTEGER) AS frame_len
+        |FROM documents,
+        |  unnest(generate_series(0, CAST(doc_id % 7 AS INTEGER))) t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "resize_meta" ->
+      """SELECT doc_id,
+        |CAST((doc_id % 8) * 40 + 64 AS INTEGER) AS width,
+        |CAST((doc_id % 5) * 30 + 48 AS INTEGER) AS height,
+        |CAST(((doc_id % 8) * 40 + 64) * 128
+        |  // greatest((doc_id % 8) * 40 + 64, (doc_id % 5) * 30 + 48)
+        |  AS INTEGER) AS new_width,
+        |CAST(((doc_id % 5) * 30 + 48) * 128
+        |  // greatest((doc_id % 8) * 40 + 64, (doc_id % 5) * 30 + 48)
+        |  AS INTEGER) AS new_height
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

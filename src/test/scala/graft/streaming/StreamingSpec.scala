@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+case class Snap(ts: Timestamp, snapshot_id: Long, ticker: String,
+                source: String, full_orderbook: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+  private def snap(sec: Long, id: Long, ticker: String = "T1",
+                   source: String = "kalshi") =
+    Snap(ts(sec), id, ticker, source, s"""{"yes":[[$id,1]],"no":[]}""")
+
+  test("ST5: streaming latest-per-key equals the batch max_by result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Snap]
+    val q = StreamingLanes.latestPerKey(mem.toDF())
+      .writeStream.format("memory").queryName("latest_t")
+      .outputMode("complete").start()
+    try {
+      mem.addData(snap(10, 1), snap(50, 2), snap(30, 3))
+      q.processAllAvailable()
+      val streaming = spark.table("latest_t")
+        .select("ticker", "source", "snapshot_id").collect()
+      assert(streaming.length === 1)
+      assert(streaming.head.getAs[Long]("snapshot_id") === 2L)
+
+      // batch-equivalence: identical plan fragment over the same rows
+      val batch = StreamingLanes.latestPerKey(
+        Seq(snap(10, 1), snap(50, 2), snap(30, 3)).toDF())
+        .select("snapshot_id").head().getLong(0)
+      assert(batch === 2L)
+    } finally q.stop()
+  }
+
+  test("ST2: rows behind the watermark are dropped (60s late-data cutoff)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Snap]
+    // append-mode windowed agg: a bucket only emits once the watermark
+    // passes its end, and late rows behind the watermark never revive it
+    val q = StreamingLanes.windowedCounts(mem.toDF(), "1 minute", "60 seconds")
+      .writeStream.format("memory").queryName("wm_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(snap(10, 1), snap(20, 2)) // bucket [0,60)
+      q.processAllAvailable()
+      mem.addData(snap(200, 3)) // watermark -> 140s, closes [0,60)
+      q.processAllAvailable()
+      mem.addData(snap(15, 99)) // 125s late: behind watermark, dropped
+      q.processAllAvailable()
+      mem.addData(snap(400, 4)) // close [180,240) too
+      q.processAllAvailable()
+      val rows = spark.table("wm_t")
+        .select(col("bucket").cast("long"), col("n"), col("last_snapshot_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // bucket 0 emitted with n=2 (snap 99 NOT counted), bucket 180 n=1
+      assert(rows.contains((0L, 2L, 2L)))
+      assert(rows.contains((180L, 1L, 3L)))
+      assert(!rows.exists(r => r._1 == 0L && r._2 == 3L))
+    } finally q.stop()
+  }
+
+  test("ST1/S6: foreachBatch bifurcation feeds both lanes, storage partitioned") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Snap]
+    val outDir = Files.createTempDirectory("graft_storage").toString
+    val ckDir = Files.createTempDirectory("graft_ck").toString
+    var tradingRows = 0L
+    val q = StreamingLanes.bifurcated(
+      mem.toDF(), outDir,
+      tradingLane = (df, _) => tradingRows += df.count(),
+      trigger = Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir).start()
+    try {
+      mem.addData(
+        Snap(Timestamp.valueOf("2024-01-01 10:00:00"), 1, "T1", "kalshi", "{}"),
+        Snap(Timestamp.valueOf("2024-01-02 10:00:00"), 2, "0xc1", "polymarket", "{}"))
+      q.awaitTermination(60000)
+
+      assert(tradingRows === 2L) // trading lane saw every row
+      val stored = spark.read.parquet(outDir)
+      assert(stored.count() === 2L)
+      // storage lane layout: partitioned by (source, date) for pruning
+      assert(stored.select("source", "date").distinct().count() === 2L)
+      val f = new java.io.File(outDir).listFiles().map(_.getName)
+      assert(f.exists(_.startsWith("source=kalshi")))
+      assert(f.exists(_.startsWith("source=polymarket")))
+      // timing enrichment (F18) applied at the batch boundary
+      assert(stored.schema.fieldNames.contains("virginia_received_ns"))
+    } finally q.stop()
+  }
+
+  test("ST8: last-write-wins view over replayed storage matches latest state") {
+    // two "writes" of the same series key at different event times: the
+    // read-side view (latestPerKey in batch) is the LWW state
+    val df = Seq(snap(10, 1), snap(20, 2)).toDF()
+    val lww = StreamingLanes.latestPerKey(df).collect()
+    assert(lww.length === 1)
+    assert(lww.head.getAs[Long]("snapshot_id") === 2L)
+  }
+}

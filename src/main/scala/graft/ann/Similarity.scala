@@ -91,9 +91,29 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates only within the
+    * same coarse bucket (never all-pairs), kept when cosine clears the
+    * threshold — the embedding analog of MinHash near-dedup. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.95): DataFrame = {
+    val c = corpus(spark, dir).withColumn("bucket", bucket(col("v")))
+    val a = c.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("n2").as("na"), col("bucket"))
+    val b = c.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("n2").as("nb"), col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dot(col("va"), col("vb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_topk" -> ((s, d) => annTopK(s, d)),
-    "ann_ivf" -> ((s, d) => annIvf(s, d)))
+    "ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)))
 
   // --- oracle -------------------------------------------------------------
 
@@ -135,5 +155,21 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "ann_topk" -> topkSql(bucketed = false),
-    "ann_ivf" -> topkSql(bucketed = true))
+    "ann_ivf" -> topkSql(bucketed = true),
+    "dedup_embedding" ->
+      s"""WITH $qCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM m a JOIN m b ON a.vec_id < b.vec_id
+         |  AND (CAST(a.v[1] > 0 AS INTEGER) * 4 + CAST(a.v[2] > 0 AS INTEGER) * 2
+         |    + CAST(a.v[3] > 0 AS INTEGER))
+         |    = (CAST(b.v[1] > 0 AS INTEGER) * 4 + CAST(b.v[2] > 0 AS INTEGER) * 2
+         |    + CAST(b.v[3] > 0 AS INTEGER))
+         |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |    i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -111,6 +111,44 @@ object RelationalQueries {
         (col("o_orderdate") + expr("INTERVAL 3 HOURS")).as("order_plus_3h"))
         .orderBy("o_orderkey")),
 
+    // S9: point lookup — filter → orderBy desc → limit 1 (ref
+    // `get_snapshot_by_id`, `database/influx/client.py:370-395`). Spark
+    // plans this as TakeOrderedAndProject: no global sort, one reduce.
+    "point_lookup" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") === 42)
+        .orderBy(desc("ts_ns"), desc("event_id"))
+        .limit(1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts_ns DIV 1000").as("ts_us"))),
+
+    // S2: bulk market scan — wide projection + status filter + derived
+    // display fields (ref `virginia/api/connection.py:223-304`); includes
+    // F15 prefix truncation and F20 numeric defaults.
+    "market_scan" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .filter(col("o_orderstatus").isin("O", "F"))
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          coalesce(col("o_totalprice"), lit(0.0)).as("total_price"),
+          col("o_orderdate"), col("o_orderpriority"),
+          concat(substring(col("o_orderpriority"), 1, 3), lit("..."))
+            .as("priority_display"),
+          year(col("o_orderdate")).as("order_year"),
+          quarter(col("o_orderdate")).as("order_quarter"))
+        .orderBy("o_orderkey")),
+
+    // F17: deterministic outcome heuristic — the reference hashes the
+    // token id and takes parity (`ireland/coordinator.py:285-293`); md5
+    // nibble parity is the engine-portable equivalent.
+    "outcome_heuristic" -> ((s, d) =>
+      Tables(s, d, "customer")
+        .select(col("c_custkey"),
+          when(substring(md5(col("c_custkey").cast("string").cast("binary")),
+            1, 1).isInCollection(Seq("1", "3", "5", "7", "9", "b", "d", "f")),
+            lit("YES")).otherwise(lit("NO")).as("outcome"))
+        .orderBy("c_custkey")),
+
     // W1: latest-per-key over the events stream table (ref LIFO freshest-
     // first caches, `virginia/logic/opportunity_scanner.py:78-84`).
     // One hash aggregate (max_by of a struct) — no window sort, the
@@ -183,6 +221,28 @@ object RelationalQueries {
         |strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS order_iso,
         |o_orderdate + INTERVAL 3 HOUR AS order_plus_3h
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "point_lookup" ->
+      """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |FROM events WHERE user_id = 42
+        |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+
+    "market_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |coalesce(o_totalprice, 0.0) AS total_price,
+        |o_orderdate, o_orderpriority,
+        |substr(o_orderpriority, 1, 3) || '...' AS priority_display,
+        |CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter
+        |FROM orders WHERE o_orderstatus IN ('O', 'F')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "outcome_heuristic" ->
+      """SELECT c_custkey,
+        |CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+        |  IN ('1','3','5','7','9','b','d','f') THEN 'YES' ELSE 'NO' END
+        |  AS outcome
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "events_latest_per_key" ->
       """SELECT user_id, event_id AS last_event_id,

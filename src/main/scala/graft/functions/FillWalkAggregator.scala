@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** U1 (SURVEY §2.9): the weighted fill-price book walk as a typed
+  * `Aggregator` over one-row-per-level input — the row-aggregate twin of
+  * `Books.fillWalkAvgPriceDollars` (which walks an array column).
+  *
+  * Input rows must arrive best-price-first per the book's side ordering
+  * (the reference walks levels in book order, `virginia/api/data_feed.py:
+  * 99-126`). Levels are (price_cents, qty); the walk consumes until
+  * `shares` are filled and yields the average price in dollars, 0.0 if
+  * the book is too thin.
+  *
+  * Note: a distributed aggregate has no row order guarantee, so this
+  * Aggregator is for sorted-within-group use (e.g. after
+  * `sortWithinPartitions` with one book per partition-group, or over
+  * `collect_list`-preserved order); the array HOF form is the
+  * order-safe default.
+  */
+class FillWalkAggregator(shares: Long)
+  extends Aggregator[(Long, Long), (Long, Long), Double] {
+
+  def zero: (Long, Long) = (shares, 0L) // (remaining, cost_cents)
+
+  def reduce(acc: (Long, Long), level: (Long, Long)): (Long, Long) = {
+    val (remaining, cost) = acc
+    val (priceCents, qty) = level
+    val take = math.min(remaining, qty)
+    (remaining - take, cost + take * priceCents)
+  }
+
+  def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) = {
+    // consumed = shares - remaining; combine the two partial walks
+    val consumed = (shares - a._1) + (shares - b._1)
+    val over = math.max(0L, consumed - shares)
+    // partial walks never overlap when groups are single-partition; if
+    // both sides filled beyond the target, clamp (defensive)
+    (math.max(0L, shares - consumed + over), a._2 + b._2)
+  }
+
+  def finish(acc: (Long, Long)): Double =
+    if (acc._1 > 0) 0.0 else acc._2.toDouble / (100.0 * shares)
+
+  def bufferEncoder: Encoder[(Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

@@ -1,0 +1,53 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S7: the relational sink surface — append-only writes plus the
+  * reference's UPDATE semantics re-expressed as merge-on-read /
+  * compact-on-write (ref `database/postgres/client.py:335-458`).
+  *
+  * The reference mutates rows in place (`UPDATE trade_tickets SET ...
+  * WHERE trade_id = $1`). An engine at 100 TB can't: the scalable
+  * restatement is an append-only change log + a last-write-wins view
+  * keyed by (key, version), optionally compacted by rewriting a
+  * partition. Exactly-once comes from idempotent batch ids, not
+  * transactions.
+  */
+object RelationalSink {
+
+  /** Append a batch to a keyed parquet table (partitioned by `partitionCol`
+    * when given). */
+  def append(df: DataFrame, path: String,
+             partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** Last-write-wins merge view over an append log: latest `versionCol`
+    * row per `keyCols` — the read-side of UPDATE. One hash aggregate
+    * (max_by), no window sort. */
+  def mergeView(log: DataFrame, keyCols: Seq[String],
+                versionCol: String): DataFrame = {
+    val others = log.columns.filterNot(c => keyCols.contains(c))
+    log.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(versionCol)).as("s"))
+      .select(keyCols.map(col) ++ others.map(c => col(s"s.$c").as(c)): _*)
+  }
+
+  /** Compaction: rewrite the log as its merged state (the write-side of
+    * UPDATE, amortized). Reads the log, resolves LWW, overwrites. */
+  def compact(spark: SparkSession, path: String, keyCols: Seq[String],
+              versionCol: String): Unit = {
+    val merged = mergeView(spark.read.parquet(path), keyCols, versionCol)
+    // write to a temp location then swap would be the production move; a
+    // single overwrite is enough for the engine surface here
+    merged.persist()
+    merged.count()
+    merged.write.mode("overwrite").parquet(path)
+    merged.unpersist()
+    ()
+  }
+}

@@ -1,0 +1,21 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class FillWalkAggregatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("typed aggregator walks the book like the HOF form") {
+    val agg = new FillWalkAggregator(25L).toColumn
+    // one book, levels in book order: 10 @ 45c, then 90 @ 44c
+    val v = Seq((45L, 10L), (44L, 90L)).toDS().coalesce(1)
+      .select(agg).head()
+    assert(math.abs(v - (45 * 10 + 44 * 15) / (100.0 * 25)) < 1e-15)
+  }
+
+  test("typed aggregator returns 0.0 on a thin book") {
+    val agg = new FillWalkAggregator(25L).toColumn
+    val v = Seq((45L, 10L), (44L, 5L)).toDS().coalesce(1).select(agg).head()
+    assert(v === 0.0)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class RelationalSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  // change log rows: (trade_id, version, status, qty)
+  private def log(rows: (Long, Long, String, Double)*) =
+    rows.toDF("trade_id", "version", "status", "qty")
+
+  test("mergeView resolves last-write-wins per key (UPDATE semantics)") {
+    val out = RelationalSink.mergeView(
+      log((1L, 1L, "pending", 0.0), (1L, 2L, "partially_filled", 10.0),
+        (1L, 3L, "filled", 100.0), (2L, 1L, "pending", 0.0)),
+      Seq("trade_id"), "version").collect()
+      .map(r => r.getAs[Long]("trade_id") ->
+        (r.getAs[String]("status"), r.getAs[Double]("qty"))).toMap
+    assert(out(1L) === ("filled", 100.0))
+    assert(out(2L) === ("pending", 0.0))
+  }
+
+  test("append + compact: log rewrites to its merged state") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    RelationalSink.append(log((1L, 1L, "pending", 0.0)), dir)
+    RelationalSink.append(log((1L, 2L, "filled", 50.0)), dir)
+    assert(spark.read.parquet(dir).count() === 2L) // raw log
+    RelationalSink.compact(spark, dir, Seq("trade_id"), "version")
+    val rows = spark.read.parquet(dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("status") === "filled")
+  }
+
+  test("append partitions by the requested columns") {
+    val dir = Files.createTempDirectory("graft_sink_p").toString
+    RelationalSink.append(
+      Seq((1L, "kalshi", 1.0), (2L, "polymarket", 2.0))
+        .toDF("id", "source", "v"),
+      dir, Seq("source"))
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.exists(_ == "source=kalshi"))
+    assert(names.exists(_ == "source=polymarket"))
+  }
+}

@@ -90,6 +90,45 @@ object WindowStats {
         .select(col("l_orderkey"), explode(col("token_ids")).as("token_id"))
         .orderBy("l_orderkey", "token_id")),
 
+    // S3/J5: token-discovery lookup join — condition_id → [token_id]
+    // mapping flattened to the fetch list (ref `ireland/api/data_feed.py:
+    // 251-313`): each pair fans out to its YES/NO clob tokens.
+    "token_discovery" -> ((s, _) =>
+      Snapshots.pairs(s)
+        .filter(col("is_active"))
+        .select(col("kalshi_ticker"),
+          col("polymarket_condition_id").as("condition_id"),
+          explode(array(
+            concat(col("polymarket_condition_id"), lit("-Y")),
+            concat(col("polymarket_condition_id"), lit("-N"))))
+            .as("token_id"))
+        .withColumn("outcome",
+          when(col("token_id").endsWith("-Y"), lit("YES")).otherwise(lit("NO")))
+        .orderBy("kalshi_ticker", "token_id")),
+
+    // F8: InfluxDB line-protocol formatting at the sink boundary (ref
+    // `database/models/influx.py:105-146`): tag escaping, string-field
+    // escaping, integer `i` suffix, ns timestamp.
+    // (kalshi rows only: the book JSON is all-integer, so the oracle can
+    // rebuild the byte-exact line; float rendering would be engine-specific)
+    "line_protocol" -> ((s, d) =>
+      Snapshots.frame(s, d)
+        .filter(col("snapshot_id") % 100 === 0 && col("source") === "kalshi")
+        .select(col("snapshot_id"), concat(
+          lit("market_snapshot,source="),
+          regexp_replace(regexp_replace(regexp_replace(col("source"),
+            ",", "\\\\,"), "=", "\\\\="), " ", "\\\\ "),
+          lit(",ticker="),
+          regexp_replace(regexp_replace(regexp_replace(col("ticker"),
+            ",", "\\\\,"), "=", "\\\\="), " ", "\\\\ "),
+          lit(" full_orderbook=\""),
+          regexp_replace(regexp_replace(col("full_orderbook"),
+            "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+          lit("\",api_call_start_ns="), col("api_call_start_ns"), lit("i"),
+          lit(",virginia_received_ns="), col("virginia_received_ns"), lit("i"),
+          lit(" "), col("ts_ns")).as("line"))
+        .orderBy("snapshot_id")),
+
     // F7: JSON decode of a real JSON column via from_json (the engine-side
     // operator; the oracle parses with a regex — semantics, not plumbing,
     // are compared).
@@ -152,6 +191,30 @@ object WindowStats {
       """SELECT DISTINCT l_orderkey, l_partkey AS token_id
         |FROM lineitem WHERE l_orderkey <= 100
         |ORDER BY l_orderkey, token_id""".stripMargin,
+
+    "token_discovery" ->
+      s"""SELECT kalshi_ticker, polymarket_condition_id AS condition_id,
+         |polymarket_condition_id || t.suffix AS token_id, t.outcome
+         |FROM ${Snapshots.pairsSql} p,
+         |  (VALUES ('-Y', 'YES'), ('-N', 'NO')) t(suffix, outcome)
+         |WHERE is_active
+         |ORDER BY kalshi_ticker, token_id""".stripMargin,
+
+    "line_protocol" ->
+      s"""SELECT event_id AS snapshot_id,
+         |'market_snapshot,source=kalshi,ticker=' || ${S.market}
+         ||| ' full_orderbook="'
+         ||| '{\\"yes\\":[[' || CAST(${S.p} AS VARCHAR) || ',' || CAST(${S.q1} AS VARCHAR)
+         ||| '],[' || CAST(${S.p} - 1 AS VARCHAR) || ',' || CAST(${S.q2} AS VARCHAR)
+         ||| ']],\\"no\\":[[' || CAST(99 - ${S.p} AS VARCHAR) || ',17],['
+         ||| CAST(98 - ${S.p} AS VARCHAR) || ',' || CAST(${S.q1} AS VARCHAR) || ']]}'
+         ||| '",api_call_start_ns='
+         ||| CAST(epoch_us(ts) * 1000 - ((event_id % 500) + 20) * 1000000 AS VARCHAR)
+         ||| 'i,virginia_received_ns='
+         ||| CAST(epoch_us(ts) * 1000 + ((user_id % 50) + 1) * 1000000 AS VARCHAR)
+         ||| 'i ' || CAST(epoch_us(ts) * 1000 AS VARCHAR) AS line
+         |FROM events WHERE event_id % 100 = 0 AND ${S.isKalshi}
+         |ORDER BY snapshot_id""".stripMargin,
 
     "json_props" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** S1-analog replay source: a rate-limited file stream over a snapshot
+  * store, plus the per-micro-batch dimension re-read (ST9).
+  *
+  * The reference polls venue APIs on a 1 s loop with a concurrency cap
+  * (`virginia/api/data_feed.py:352-398`, Semaphore(8)); the engine's
+  * equivalent ingestion discipline is a file source with
+  * `maxFilesPerTrigger` (ST7 backpressure) under a processing-time
+  * trigger. Tests replay a fixture directory through it and assert the
+  * pacing.
+  */
+object Replay {
+
+  /** Stage a batch frame as a multi-file parquet directory (one file per
+    * `slices` split) so a file stream can replay it incrementally. */
+  def stage(df: DataFrame, dir: String, slices: Int): Unit =
+    df.repartition(slices).write.mode("overwrite").parquet(dir)
+
+  /** Open the staged directory as a paced stream: at most
+    * `maxFilesPerTrigger` files enter each micro-batch. */
+  def paced(spark: SparkSession, dir: String, schema: StructType,
+            maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** ST9: per-batch dimension re-read — the streaming side of the pairs
+    * routing join (J2). `dimension` is re-evaluated lazily inside each
+    * micro-batch plan, so subscription changes land without restart
+    * (the reference's `ticker_refresh_interval` loop,
+    * `virginia/coordinator.py:1035-1054`). */
+  def withRoutingDimension(stream: DataFrame, dimension: () => DataFrame,
+                           streamKey: String, dimKey: String): DataFrame = {
+    val dim = dimension()
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed managed tables — the co-location layout for the engine's
+  * hot joins at 100 TB.
+  *
+  * The reference's big repeated join is fills→tickets / snapshots→pairs
+  * by key; on a cluster, re-shuffling both sides on every query is the
+  * dominant cost. Writing both tables bucketed (and sorted) by the join
+  * key makes the join a zero-shuffle zip of co-located buckets: Spark
+  * plans a SortMergeJoin with no Exchange on either side.
+  *
+  * Bucket count is a layout-time choice: pick it once per table family
+  * (same count on both sides!) sized so a bucket's largest partition fits
+  * an executor (~128-512 MB of parquet per bucket at target scale).
+  */
+object BucketedStore {
+
+  /** Write `df` as a managed parquet table bucketed+sorted by `key`. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — shuffle-free. */
+  def cozyJoin(spark: SparkSession, left: String, right: String,
+               leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
+}

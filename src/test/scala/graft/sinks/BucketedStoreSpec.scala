@@ -1,0 +1,31 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class BucketedStoreSpec extends SparkSpec {
+
+  test("same-bucketed tables join with zero shuffle exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    BucketedStore.writeBucketed(
+      Tables(spark, dir, "lineitem"), "b_lineitem", "l_orderkey", 8)
+    BucketedStore.writeBucketed(
+      Tables(spark, dir, "orders"), "b_orders", "o_orderkey", 8)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = BucketedStore.cozyJoin(spark, "b_lineitem", "b_orders",
+        "l_orderkey", "o_orderkey")
+      assert(joined.count() === Tables(spark, dir, "lineitem").count())
+
+      val plan = joined.queryExecution.executedPlan.toString
+      val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+      assert(shuffles === 0, s"expected shuffle-free co-located join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Books
+
+/** Streaming form of the opportunity scanner (SURVEY §7.1 step 6): the
+  * 60 s `pair_complete` gate becomes a watermarked stream-stream
+  * time-interval join — Spark's state store holds each leg for exactly
+  * the freshness window, then evicts.
+  *
+  * Shape: kalshi leg ⋈ polymarket leg on the pair key with
+  * `p.ts BETWEEN k.ts - W AND k.ts + W`; watermarks on both legs bound
+  * state (ST2), margins and thresholds are the same codegen'd arithmetic
+  * as the batch scanner, so streaming and batch scans agree row-for-row
+  * on the same inputs.
+  */
+object StreamScanner {
+
+  /** Kalshi leg: (kalshi_ticker, k_ts, k_yes_bid, k_no_bid). */
+  def kalshiLeg(snaps: DataFrame, lateness: String = "60 seconds"): DataFrame =
+    snaps.filter(col("source") === "kalshi")
+      .withColumn("book", Books.parseKalshi(col("full_orderbook")))
+      .select(col("ticker").as("kalshi_ticker"), col("ts").as("k_ts"),
+        Books.centsToDollars(Books.kalshiBestBidCents(col("book.yes")))
+          .as("k_yes_bid"),
+        Books.centsToDollars(Books.kalshiBestBidCents(col("book.no")))
+          .as("k_no_bid"))
+      .withWatermark("k_ts", lateness)
+
+  /** Polymarket leg keyed by condition_id. */
+  def polyLeg(snaps: DataFrame, lateness: String = "60 seconds"): DataFrame =
+    snaps.filter(col("source") === "polymarket")
+      .withColumn("pb", Books.parsePoly(col("full_orderbook")))
+      .select(col("ticker").as("condition_id"), col("ts").as("p_ts"),
+        col("pb.yes_price").as("p_yes"), col("pb.no_price").as("p_no"))
+      .withWatermark("p_ts", lateness)
+
+  /** Stream-stream scan: join legs through the (broadcast) pairs
+    * dimension key mapping with a ±`windowSec` event-time bound, emit
+    * thresholded best-side opportunities. `pairs` maps kalshi_ticker ↔
+    * polymarket_condition_id (static dimension). */
+  def scan(kalshi: DataFrame, poly: DataFrame, pairs: DataFrame,
+           windowSec: Long = 60, minProfitThreshold: Double = 0.02)
+  : DataFrame = {
+    // route the poly leg onto the kalshi ticker via the dimension (J2/J3)
+    val routedPoly = poly.join(broadcast(pairs),
+      col("condition_id") === col("polymarket_condition_id"))
+      .select(col("kalshi_ticker").as("p_kalshi_ticker"),
+        col("condition_id"), col("p_ts"), col("p_yes"), col("p_no"))
+
+    val joined = kalshi.join(routedPoly,
+      col("kalshi_ticker") === col("p_kalshi_ticker") &&
+        col("p_ts") >= col("k_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("p_ts") <= col("k_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+
+    joined
+      .withColumn("m_yes", (col("k_yes_bid") - col("p_yes")) / col("p_yes"))
+      .withColumn("m_no", (col("k_no_bid") - col("p_no")) / col("p_no"))
+      .withColumn("direction",
+        when(col("m_yes") >= col("m_no"), lit("yes")).otherwise(lit("no")))
+      .withColumn("profit_margin", greatest(col("m_yes"), col("m_no")))
+      .filter(col("profit_margin") >= minProfitThreshold)
+      .select(col("kalshi_ticker"), col("condition_id"), col("k_ts"),
+        col("p_ts"), col("direction"), col("profit_margin"))
+  }
+
+  // --- ST5 with explicit TTL state: flatMapGroupsWithState ---------------
+
+  case class SnapIn(ticker: String, source: String, ts: Timestamp,
+                    snapshot_id: Long, full_orderbook: String)
+  case class LatestOut(ticker: String, source: String, ts: Timestamp,
+                       snapshot_id: Long)
+
+  /** Latest-value cache with an idle TTL — the explicit-state twin of
+    * `StreamingLanes.latestPerKey` for when eviction must be time-driven
+    * (the reference's 30 s orderbook cache max-age,
+    * `ireland/coordinator.py:295-322`). */
+  def latestWithTtl(ds: Dataset[SnapIn], ttlMs: Long)
+  : Dataset[LatestOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(s => (s.ticker, s.source))
+      .flatMapGroupsWithState[LatestOut, LatestOut](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case ((ticker, source), rows, state: GroupState[LatestOut]) =>
+          if (state.hasTimedOut) {
+            state.remove() // stale series evicted (max-age semantics)
+            Iterator.empty
+          } else {
+            val candidates = rows.toSeq
+            val newest = (state.getOption.toSeq ++ candidates.map(s =>
+              LatestOut(ticker, source, s.ts, s.snapshot_id)))
+              .maxBy(o => (o.ts.getTime, o.snapshot_id))
+            state.update(newest)
+            state.setTimeoutDuration(ttlMs)
+            Iterator.single(newest)
+          }
+      }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+import graft.streaming.StreamScanner.SnapIn
+
+class StreamScannerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+  private def kSnap(sec: Long, id: Long, bidCents: Long) =
+    Snap(ts(sec), id, "K1", "kalshi",
+      s"""{"yes":[[$bidCents,100]],"no":[[${99 - bidCents},100]]}""")
+  private def pSnap(sec: Long, id: Long, yes: Double) =
+    Snap(ts(sec), id, "0xc1", "polymarket",
+      s"""{"condition_id":"0xc1","yes_price":$yes,"no_price":${1.0 - yes},"orderbook":{"bids":[],"asks":[]}}""")
+
+  private val pairs =
+    Seq(("K1", "0xc1")).toDF("kalshi_ticker", "polymarket_condition_id")
+
+  test("stream-stream pair scan joins fresh legs and emits the margin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Snap]
+    // all data enqueued up front; AvailableNow drains it in bounded
+    // batches and terminates (no unbounded no-data micro-batching)
+    mem.addData(
+      kSnap(100, 1, 45), pSnap(110, 2, 0.40), // fresh: 10s apart -> joins
+      kSnap(400, 3, 45), pSnap(700, 4, 0.40), // 300s apart: outside ±60s
+      // watermark advancers on tickers outside the pairs dimension
+      Snap(ts(5000), 9, "KX", "kalshi", """{"yes":[[1,1]],"no":[[98,1]]}"""),
+      Snap(ts(5000), 10, "0xdead", "polymarket",
+        """{"condition_id":"0xdead","yes_price":0.5,"no_price":0.5,"orderbook":{"bids":[],"asks":[]}}"""))
+    val df = mem.toDF()
+    val out = StreamScanner.scan(
+      StreamScanner.kalshiLeg(df), StreamScanner.polyLeg(df), pairs)
+    val q = out.writeStream.format("memory").queryName("ss_scan")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(180000) finally q.stop()
+
+    val rows = spark.table("ss_scan")
+      .filter($"kalshi_ticker" === "K1" && $"profit_margin" > 0.1)
+      .select("direction", "profit_margin").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "yes")
+    assert(math.abs(rows.head.getDouble(1) - 0.125) < 1e-12)
+    // the 300s-apart pair never joined
+    val all = spark.table("ss_scan").collect()
+    assert(!all.exists(r => r.getAs[Timestamp]("k_ts") == ts(400)))
+  }
+
+  test("flatMapGroupsWithState keeps the newest value per series (TTL state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SnapIn]
+    mem.addData(
+      SnapIn("T1", "kalshi", ts(10), 1, "{}"),
+      SnapIn("T1", "kalshi", ts(50), 2, "{}"),
+      SnapIn("T2", "kalshi", ts(20), 3, "{}"),
+      SnapIn("T1", "kalshi", ts(30), 4, "{}")) // out-of-order, must lose
+    val q = StreamScanner.latestWithTtl(mem.toDS(), ttlMs = 60000)
+      .writeStream.format("memory").queryName("ttl_latest")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(180000) finally q.stop()
+
+    val last = spark.table("ttl_latest")
+      .groupBy("ticker").agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.col("snapshot_id"),
+        org.apache.spark.sql.functions.col("ts")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last("T1") === 2L) // id 2 (ts 50) beats the late id 4 (ts 30)
+    assert(last("T2") === 3L)
+  }
+}

@@ -19,7 +19,7 @@ object AnalyticsQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def snaps(spark: SparkSession, dir: String): DataFrame =
-    Snapshots.frame(spark, dir)
+    Snapshots.store(spark, dir)
 
   // Polymarket condition_id of market Tk — the venue-native series key.
   private[graft] def condId(market: String): String =

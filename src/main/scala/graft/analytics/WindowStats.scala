@@ -63,11 +63,11 @@ object WindowStats {
       .orderBy("ticker", "source")
 
   val queries: Map[String, Q] = Map(
-    "rolling_latency" -> ((s, d) => rollingLatency(Snapshots.frame(s, d))),
+    "rolling_latency" -> ((s, d) => rollingLatency(Snapshots.store(s, d))),
 
     "retention_window" -> ((s, d) => retainLastN(Tables.events(s, d), 20)),
 
-    "last_per_series" -> ((s, d) => lastPerSeries(Snapshots.frame(s, d))),
+    "last_per_series" -> ((s, d) => lastPerSeries(Snapshots.store(s, d))),
 
     // J4: snapshot-correlation semi-join — containment on a collected id
     // array (ref `database/postgres/writer.py:470-497`). The collect_set
@@ -112,7 +112,7 @@ object WindowStats {
     // (kalshi rows only: the book JSON is all-integer, so the oracle can
     // rebuild the byte-exact line; float rendering would be engine-specific)
     "line_protocol" -> ((s, d) =>
-      Snapshots.frame(s, d)
+      Snapshots.store(s, d)
         .filter(col("snapshot_id") % 100 === 0 && col("source") === "kalshi")
         .select(col("snapshot_id"), concat(
           lit("market_snapshot,source="),

@@ -30,7 +30,7 @@ object PairScan {
   def scan(spark: SparkSession, dir: String,
            maxStalenessSec: Long = 60,
            minProfitThreshold: Double = 0.02): DataFrame =
-    scanFrames(Snapshots.frame(spark, dir),
+    scanFrames(Snapshots.store(spark, dir),
       Snapshots.pairs(spark).filter(col("is_active")),
       maxStalenessSec, minProfitThreshold)
 

@@ -140,6 +140,31 @@ object WindowStats {
         .groupBy("k").count()
         .orderBy("k")),
 
+    // ST3 (batch twin): tumbling-window counts per event type — the
+    // oracle-checkable form of StreamingLanes.windowedCounts.
+    "events_per_minute" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("bucket_us"),
+          col("event_type"), col("n"))
+        .orderBy("bucket_us", "event_type")),
+
+    // Corpus-level rollup over documents: per-source token/char totals and
+    // mean quality inputs (exact integer sums, one final division).
+    "corpus_stats" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("n", graft.text.TextOps.norm(col("text")))
+        .withColumn("toks", size(split(col("n"), " ")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("toks")).as("total_tokens"),
+          sum(length(col("n"))).as("total_chars"),
+          (sum(col("toks")).cast("double") / count(lit(1)))
+            .as("avg_tokens_per_doc"))
+        .orderBy("source")),
+
     // F10: UTC → America/Chicago conversion (ref `etl/query.py:107,178`),
     // emitted as a formatted string so the comparison is tz-type-agnostic.
     "tz_chicago" -> ((s, d) =>
@@ -150,6 +175,8 @@ object WindowStats {
           date_format(from_utc_timestamp(col("ts"), "America/Chicago"),
             "yyyy-MM-dd HH:mm:ss").as("chicago_time"))
         .orderBy("event_id")))
+
+  private val NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
     "rolling_latency" ->
@@ -222,6 +249,20 @@ object WindowStats {
         |FROM events
         |WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) > 50
         |GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "events_per_minute" ->
+      """SELECT epoch_us(date_trunc('minute', ts)) AS bucket_us,
+        |event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY bucket_us, event_type""".stripMargin,
+
+    "corpus_stats" ->
+      s"""SELECT source, count(*) AS docs,
+         |sum(len(string_split($NORM, ' '))) AS total_tokens,
+         |sum(length($NORM)) AS total_chars,
+         |CAST(sum(len(string_split($NORM, ' '))) AS DOUBLE) / count(*)
+         |  AS avg_tokens_per_doc
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "tz_chicago" ->
       """SELECT event_id,

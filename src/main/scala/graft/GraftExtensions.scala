@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extensions — registered on every session via
+  * `spark.sql.extensions=graft.GraftExtensions` (see `Tables.session`).
+  * Currently one native function: `long_dot` (integer array dot product,
+  * `functions/LongDotProduct.scala`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[functions.LongDotProduct].getName,
+        null, "long_dot", "long_dot(a, b) - integer dot product of two bigint arrays",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "long_dot takes exactly 2 arguments")
+        functions.LongDotProduct(children.head, children(1))
+      }))
+  }
+}

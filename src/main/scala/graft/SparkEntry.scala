@@ -9,9 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    // the driver may hand us a session built without Tables.session's
+    // confs; events.parquet is TIMESTAMP(NANOS) and unreadable without this
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     analytics.AnalyticsQueries.queries("ticker_series_raw")(
       spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

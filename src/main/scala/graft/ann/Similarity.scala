@@ -27,9 +27,11 @@ object Similarity {
   private def quantized(e: Column): Column =
     transform(e, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd `long_dot` expression (no per-pair array allocation,
+    * `functions/LongDotProduct.scala`), registered by GraftExtensions. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    call_function("long_dot", a, b)
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")

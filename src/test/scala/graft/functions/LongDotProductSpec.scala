@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LongDotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("long_dot equals the composable HOF dot product") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-2L, 7L), Seq(3L, -1L)),
+      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    val rows = df.select(
+      call_function("long_dot", $"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L),
+        (acc, v) => acc + v).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(rows(0).getLong(0) === 32L)
+    assert(rows(1).getLong(0) === -13L)
+    assert(rows(2).getLong(0) === 0L)
+  }
+
+  test("long_dot is usable from SQL (extension-registered)") {
+    val v = spark.sql("SELECT long_dot(array(2L, 3L), array(10L, 100L)) AS d")
+      .head().getLong(0)
+    assert(v === 320L)
+  }
+
+  test("null array yields null; null elements contribute zero") {
+    val rows = spark.sql(
+      """SELECT long_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS a,
+        |       long_dot(array(1L, NULL, 3L), array(5L, 7L, 11L)) AS b"""
+        .stripMargin).head()
+    assert(rows.isNullAt(0))
+    assert(rows.getLong(1) === 38L)
+  }
+
+  test("interpreted eval matches codegen") {
+    val e = LongDotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(3L, 4L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(5L, 6L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) === 39L)
+  }
+}

@@ -36,21 +36,32 @@ object NearDup {
             element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
       .select(col("doc_id"), col("shingles"))
 
-  private def minhash(j: Int): Column =
-    array_min(transform(col("shingles"), s =>
-      md5(concat(lit(s"$j:"), s).cast("binary"))))
+  /** Minhash j over pre-hashed shingles: the 8 hash functions are the 8
+    * disjoint 8-hex-char slices of TWO md5s per shingle (prefixes "a:",
+    * "b:") — 4× fewer digest computations than one md5 per function, same
+    * banding quality (32-bit slices, candidates are Jaccard-verified
+    * anyway). `ha`/`hb` are computed once per doc and reused. */
+  private def minhash(j: Int): Column = {
+    val hashes = if (j < 4) col("ha") else col("hb")
+    array_min(transform(hashes, h => substring(h, 8 * (j % 4) + 1, 8)))
+  }
 
   /** MinHash/LSH candidate pairs with exact Jaccard verification.
     * Emits every bucket-colliding pair (doc_a < doc_b) with its true
     * 3-shingle Jaccard — callers threshold downstream. */
   def minhashLsh(docs: DataFrame): DataFrame = {
     val sh = withShingles(docs)
-    val bands = sh.select(
-      col("doc_id"),
-      explode(array((0 until B).map(b =>
-        struct(lit(b).as("band"),
-          concat(minhash(2 * b), minhash(2 * b + 1)).as("bsig"))): _*))
-        .as("bb"))
+    val bands = sh
+      .withColumn("ha", transform(col("shingles"), s =>
+        md5(concat(lit("a:"), s).cast("binary"))))
+      .withColumn("hb", transform(col("shingles"), s =>
+        md5(concat(lit("b:"), s).cast("binary"))))
+      .select(
+        col("doc_id"),
+        explode(array((0 until B).map(b =>
+          struct(lit(b).as("band"),
+            concat(minhash(2 * b), minhash(2 * b + 1)).as("bsig"))): _*))
+          .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
 
     val cands = bands.as("x")
@@ -76,9 +87,11 @@ object NearDup {
   def simhash(docs: DataFrame): DataFrame = {
     val toksd = array_distinct(split(norm(col("text")), " "))
     val d = docs.withColumn("l", toksd).withColumn("n", size(col("l")))
+      // one digest per token; the 16 bit-votes slice this precomputed array
+      .withColumn("lh", transform(col("l"), t => md5(t.cast("binary"))))
     val sig = (1 to 16).map { k =>
-      val votes = size(filter(col("l"), t =>
-        substring(md5(t.cast("binary")), k, 1).isInCollection(oddNibbles)))
+      val votes = size(filter(col("lh"), h =>
+        substring(h, k, 1).isInCollection(oddNibbles)))
       when(votes * 2 - col("n") > 0, lit(1L << (k - 1))).otherwise(lit(0L))
     }.reduce(_ + _)
     d.select(col("doc_id"), sig.as("simhash"))
@@ -119,18 +132,24 @@ object NearDup {
 
   private val simhashTerms = (1 to 16).map { k =>
     val odd = oddNibbles.map("'" + _ + "'").mkString("(", ",", ")")
-    s"""CASE WHEN 2 * len(list_filter(l, t -> substr(md5(t), $k, 1) IN $odd))
+    s"""CASE WHEN 2 * len(list_filter(lh, h -> substr(h, $k, 1) IN $odd))
        |  - len(l) > 0 THEN ${1L << (k - 1)} ELSE 0 END""".stripMargin
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
     "dedup_near_lsh" ->
       s"""WITH $shinglesCte,
+         |hh AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(shingles, s -> md5('a:' || s)) AS ha,
+         |    list_transform(shingles, s -> md5('b:' || s)) AS hb
+         |  FROM sh),
          |mh AS (
          |  SELECT doc_id, shingles, list_transform(generate_series(0, ${K - 1}),
-         |    j -> list_min(list_transform(shingles, s -> md5(j || ':' || s))))
-         |    AS sig
-         |  FROM sh),
+         |    j -> list_min(list_transform(
+         |      CASE WHEN j < 4 THEN ha ELSE hb END,
+         |      h -> substr(h, 8 * (j % 4) + 1, 8)))) AS sig
+         |  FROM hh),
          |bands AS (
          |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS bsig
          |  FROM mh, (SELECT unnest(generate_series(0, ${B - 1})) AS b)),
@@ -149,8 +168,10 @@ object NearDup {
 
     "simhash" ->
       s"""SELECT doc_id, $simhashTerms AS simhash
-         |FROM (SELECT doc_id, list_distinct(string_split($N, ' ')) AS l
-         |      FROM documents)
+         |FROM (SELECT doc_id, l, list_transform(l, t -> md5(t)) AS lh
+         |      FROM (SELECT doc_id,
+         |              list_distinct(string_split($N, ' ')) AS l
+         |            FROM documents))
          |ORDER BY doc_id""".stripMargin,
 
     "ngram_jaccard" ->

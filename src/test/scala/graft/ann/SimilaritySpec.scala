@@ -1,0 +1,45 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k ranks an identical vector first") {
+    val out = Similarity.annTopK(spark, "/root/testdata/sf0.001", nQueries = 3,
+      k = 5).collect()
+    assert(out.nonEmpty)
+    // ranks are 1..5 per query, cosine non-increasing within a query
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to sorted.length))
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos === cos.sorted.reverse)
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("IVF results are a subset of brute-force candidates, same scoring") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = Similarity.annTopK(spark, dir, nQueries = 3, k = 500)
+      .select("query_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.annIvf(spark, dir, nQueries = 3, k = 10).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      // every IVF hit exists in the exhaustive ranking with the same score
+      assert(brute.contains(key))
+      assert(math.abs(brute(key) - r.getAs[Double]("cosine")) < 1e-15)
+    }
+  }
+
+  test("self-pairs are excluded") {
+    val out = Similarity.annTopK(spark, "/root/testdata/sf0.001", nQueries = 2,
+      k = 3).collect()
+    assert(!out.exists(r =>
+      r.getAs[Long]("query_id") == r.getAs[Long]("vec_id")))
+  }
+}

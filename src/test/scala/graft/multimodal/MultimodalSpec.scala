@@ -1,0 +1,49 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decode features: checksum and mean derive from the payload bytes") {
+    val assets = Multimodal.assets(spark, dir)
+    val feats = Multimodal.decodeFeatures(assets).collect()
+    val byId = assets.collect().map(a => a.doc_id -> a).toMap
+    assert(feats.nonEmpty)
+    feats.take(20).foreach { f =>
+      val payload = byId(f.doc_id).payload
+      assert(f.byte_len === payload.length)
+      assert(f.checksum === payload.map(_ & 0xff).map(_.toLong).sum)
+      assert(f.mean_byte_x1000 === f.checksum * 1000L / f.byte_len)
+    }
+  }
+
+  test("frame sampling covers each asset with its n_frames windows") {
+    val assets = Multimodal.assets(spark, dir)
+    val frames = Multimodal.frameSample(assets).collect()
+      .groupBy(_.doc_id)
+    assets.collect().take(20).foreach { a =>
+      val fs = frames(a.doc_id).sortBy(_.frame_idx)
+      assert(fs.length === a.n_frames)
+      assert(fs.map(_.frame_idx).toSeq === (0 until a.n_frames))
+      val flen = a.payload.length / a.n_frames
+      assert(fs.forall(_.frame_len == flen))
+      assert(fs.map(_.frame_off).toSeq === (0 until a.n_frames).map(_ * flen))
+    }
+  }
+
+  test("resize preserves aspect ratio within integer truncation") {
+    val out = Multimodal.resizeMeta(Multimodal.assets(spark, dir), 128)
+      .collect()
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (nw, nh) = (r.getAs[Int]("new_width"), r.getAs[Int]("new_height"))
+      assert(math.max(nw, nh) === 128)
+      // exact integer-floor scaling against the longer edge
+      val m = math.max(w, h)
+      assert(nw === w * 128 / m)
+      assert(nh === h * 128 / m)
+    }
+  }
+}

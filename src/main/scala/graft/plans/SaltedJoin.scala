@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation join: salt the skewed (large) side, replicate the
+  * small side per salt, join on (key, salt).
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default in `Tables.session`) splits oversized sort-merge partitions at
+  * runtime and is the first line of defense. Explicit salting remains the
+  * tool when (a) the skewed side feeds a chain of same-key aggregations
+  * that AQE can't re-split, or (b) the layout must be stable across
+  * queries (pre-salted storage). At 100 TB a single hot series key (one
+  * heavily-traded market) is the expected skew shape in this engine.
+  *
+  * The salt is derived from a uniqueness column (snapshot_id / event_id),
+  * so it is deterministic and reproducible — never `rand()`, which breaks
+  * retry idempotency and test reproducibility.
+  */
+object SaltedJoin {
+
+  /** Deterministic salt in [0, salts) from a per-row unique column. */
+  def salt(uniqueCol: Column, salts: Int): Column =
+    pmod(xxhash64(uniqueCol), lit(salts.toLong))
+
+  /** Equi-join `big ⋈ small` on `bigKey === smallKey` with `salts`-way
+    * salting of the big side; `bigUnique` is any column unique per big
+    * row. Result equals the unsalted join, but the shuffle of `big`
+    * spreads each hot key over `salts` partitions. */
+  def join(big: DataFrame, small: DataFrame, bigKey: String,
+           smallKey: String, bigUnique: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt", salt(col(bigUnique), salts))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedBig
+      .join(replicatedSmall,
+        saltedBig(bigKey) === replicatedSmall(smallKey) &&
+          saltedBig("__salt") === replicatedSmall("__salt"))
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,37 @@
+package graft.plans
+
+import graft.SparkSpec
+
+class SaltedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the rows of the plain join") {
+    // heavily skewed big side: 900 of 1000 rows share one key
+    val big = (0 until 1000).map(i =>
+      (if (i < 900) "HOT" else s"k$i", i.toLong, i * 2.0))
+      .toDF("key", "uid", "v")
+    val small = Seq(("HOT", "hot dim"), ("k950", "cold dim"))
+      .toDF("skey", "label")
+
+    val salted = SaltedJoin.join(big, small, "key", "skey", "uid", salts = 8)
+      .select("key", "uid", "label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val plain = big.join(small, $"key" === $"skey")
+      .select("key", "uid", "label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+
+    assert(salted === plain)
+    assert(plain.count(_._1 == "HOT") === 900)
+  }
+
+  test("salt is deterministic and spreads the hot key") {
+    val df = (0 until 64).map(_.toLong).toDF("uid")
+    val salts = df.select(SaltedJoin.salt($"uid", 8).as("s")).collect()
+      .map(_.getLong(0))
+    assert(salts.forall(s => s >= 0 && s < 8))
+    assert(salts.distinct.length === 8) // every salt bucket hit
+    val again = df.select(SaltedJoin.salt($"uid", 8).as("s")).collect()
+      .map(_.getLong(0))
+    assert(salts.toSeq === again.toSeq) // reproducible
+  }
+}

@@ -26,6 +26,7 @@ object SparkEntry {
       ledger.Ledger.queries ++
       text.TextOps.queries ++
       text.NearDup.queries ++
+      text.Curation.queries ++
       ann.Similarity.queries ++
       multimodal.Multimodal.queries
 
@@ -39,6 +40,7 @@ object SparkEntry {
       ledger.Ledger.oracle ++
       text.TextOps.oracle ++
       text.NearDup.oracle ++
+      text.Curation.oracle ++
       ann.Similarity.oracle ++
       multimodal.Multimodal.oracle
 }

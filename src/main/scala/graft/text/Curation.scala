@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.TextOps.norm
+
+/** Training-data curation operators over `documents`: deterministic
+  * stratified sampling, benchmark decontamination, and PII scrubbing —
+  * the selection/hygiene stages of a large-scale pipeline.
+  *
+  * Sampling keys off md5 hex-prefix comparison (uniform in [0,1) per key,
+  * identical in any engine — never `rand()`); decontamination joins on
+  * exploded shingles so the benchmark side stays broadcast-small and the
+  * corpus side streams through one shuffle-free semi-join probe.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-source sampling rates as md5-prefix thresholds: a doc is kept iff
+    * the first two hex chars of md5("s:"+doc_id) sort below the stratum's
+    * threshold ("40" ≈ 25%, "80" ≈ 50%). */
+  def sampleStratified(docs: DataFrame): DataFrame = {
+    val tag = substring(md5(concat(lit("s:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 2)
+    val threshold = when(
+      pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(2L))
+        === 0, lit("80")).otherwise(lit("40"))
+    docs.filter(tag < threshold)
+      .select(col("doc_id"), col("source"), tag.as("sample_tag"),
+        threshold.as("stratum_threshold"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any 5-token
+    * shingle with the benchmark set (here: doc_id < 10). The benchmark
+    * shingle set is tiny → broadcast; corpus shingles explode and probe. */
+  def decontaminate(docs: DataFrame, benchmarkMaxId: Long = 10): DataFrame = {
+    def shingled(df: DataFrame): DataFrame =
+      df.withColumn("toks", split(norm(col("text")), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("toks")) - 4), i =>
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
+              element_at(col("toks"), i + 3), element_at(col("toks"), i + 4))))
+          .as("sh"))
+    val bench = shingled(docs.filter(col("doc_id") < benchmarkMaxId))
+      .select(col("sh")).distinct()
+    shingled(docs.filter(col("doc_id") >= benchmarkMaxId))
+      .join(broadcast(bench), "sh")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+      .orderBy("doc_id")
+  }
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+  private val initialRe = "\\b[a-z]\\b"
+
+  /** PII scrub: redact emails, phone numbers, and single-letter initials;
+    * emit the scrubbed-content hash and per-class redaction counts. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val n = norm(col("text"))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(n,
+      emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), initialRe, "<I>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(n, lit(emailRe)).as("emails"),
+      regexp_count(n, lit(phoneRe)).as("phones"),
+      regexp_count(n, lit(initialRe)).as("initials"),
+      md5(scrubbed.cast("binary")).as("scrubbed_hash"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sample_stratified" -> ((s, d) =>
+      sampleStratified(Tables(s, d, "documents"))),
+    "decontaminate" -> ((s, d) => decontaminate(Tables(s, d, "documents"))),
+    "pii_scrub" -> ((s, d) => piiScrub(Tables(s, d, "documents"))))
+
+  private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  val oracle: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT doc_id, source,
+        |substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2) AS sample_tag,
+        |CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 0
+        |  THEN '80' ELSE '40' END AS stratum_threshold
+        |FROM documents
+        |WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |  < CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 0
+        |      THEN '80' ELSE '40' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(l) - 4),
+         |    i -> array_to_string(l[i:i+4], ' '))) AS sh
+         |  FROM (SELECT doc_id, string_split($N, ' ') AS l FROM documents)
+         |  WHERE len(l) >= 5)
+         |SELECT DISTINCT d.doc_id, true AS contaminated
+         |FROM sh d
+         |JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id < 10) b ON d.sh = b.sh
+         |WHERE d.doc_id >= 10
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      s"""SELECT doc_id,
+         |len(regexp_extract_all($N, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+         |  AS emails,
+         |len(regexp_extract_all($N, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS phones,
+         |len(regexp_extract_all($N, '\\b[a-z]\\b')) AS initials,
+         |md5(regexp_replace(regexp_replace(regexp_replace($N,
+         |  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |  '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
+         |  '\\b[a-z]\\b', '<I>', 'g')) AS scrubbed_hash
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

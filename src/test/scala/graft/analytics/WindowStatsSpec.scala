@@ -1,0 +1,32 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+class WindowStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling latency averages exactly the trailing window") {
+    // snapshots shape: constant source, latencies 10,20,30,40 in ts order
+    val snaps = Seq(
+      (1000L, 1L, "kalshi", 0L, 10000L),
+      (2000L, 2L, "kalshi", 0L, 20000L),
+      (3000L, 3L, "kalshi", 0L, 30000L),
+      (4000L, 4L, "kalshi", 0L, 40000L))
+      .toDF("ts_us", "snapshot_id", "source", "api_call_start_ns",
+        "api_response_ns")
+      .withColumn("api_response_ns",
+        org.apache.spark.sql.functions.col("api_response_ns") * 1000)
+    val out = WindowStats.rollingLatency(snaps).collect()
+    // latency_us = (resp_ns - 0)/1000 = 10000, 20000, 30000, 40000
+    val rolling = out.map(_.getAs[Double]("rolling_avg_latency_us")).toSeq
+    assert(rolling === Seq(10000.0, 15000.0, 20000.0, 25000.0))
+  }
+
+  test("retainLastN keeps exactly the newest N per key in rank order") {
+    val events = (1 to 10).map(i =>
+      (1L, i.toLong, i * 1000000000L)).toDF("user_id", "event_id", "ts_ns")
+    val out = WindowStats.retainLastN(events, 3).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq === Seq(10L, 9L, 8L))
+    assert(out.map(_.getAs[Int]("rn")).toSeq === Seq(1, 2, 3))
+  }
+}

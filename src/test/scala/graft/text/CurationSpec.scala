@@ -1,0 +1,53 @@
+package graft.text
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii scrub redacts emails, phones, and initials") {
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.com or call +1 (555) 123-4567 now"),
+      (2L, "a clean sentence with a single letter a and b here"))
+      .toDF("doc_id", "text")
+    val out = Curation.piiScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("emails") === 1)
+    assert(out(1L).getAs[Int]("phones") === 1)
+    assert(out(2L).getAs[Int]("emails") === 0)
+    assert(out(2L).getAs[Int]("initials") === 4) // 'a' three times + 'b'
+    // scrubbing changes the content hash only when something was redacted
+    val rescrub = Curation.piiScrub(
+      Seq((3L, "nothing sensitive here at all")).toDF("doc_id", "text"))
+      .head()
+    assert(rescrub.getAs[Int]("emails") + rescrub.getAs[Int]("phones") +
+      rescrub.getAs[Int]("initials") === 0)
+  }
+
+  test("decontamination flags docs sharing a 5-shingle with the benchmark") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // benchmark
+      (11L, "prefix words alpha beta gamma delta epsilon suffix"), // overlaps
+      (12L, "completely unrelated content with different words entirely"))
+      .toDF("doc_id", "text")
+    val flagged = Curation.decontaminate(docs, benchmarkMaxId = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged === Set(11L))
+  }
+
+  test("stratified sampling is deterministic and respects per-stratum rates") {
+    val docs = (0 until 400).map(i =>
+      (i.toLong, s"text $i", s"src${i % 4}")).toDF("doc_id", "text", "source")
+    val once = Curation.sampleStratified(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val twice = Curation.sampleStratified(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(once === twice) // no rand() anywhere
+    // even strata (~50%) should keep roughly 2x the odd strata (~25%)
+    val bySrc = Curation.sampleStratified(docs).collect()
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    val even = bySrc.getOrElse("src0", 0) + bySrc.getOrElse("src2", 0)
+    val odd = bySrc.getOrElse("src1", 0) + bySrc.getOrElse("src3", 0)
+    assert(even > odd)
+  }
+}

@@ -24,14 +24,21 @@ object Tables {
     *                        `spark.sql.legacy.parquet.nanosAsLong`)
     *   - `ts`     Timestamp — micros-precision event time for window/watermark ops
     *
-    * Handles both the nanosAsLong=true (LongType) and native TimestampType read
-    * paths so callers never branch on the physical schema.
+    * Expected read path is nanosAsLong=true (set by `session`; Spark 4
+    * refuses TIMESTAMP(NANOS) without it). The TimestampType branch covers
+    * sessions that read the column as a native timestamp (e.g. a future
+    * fixture at micros precision); any other physical type fails loudly.
+    * `DIV 1000` truncates toward zero — exact floor only for the
+    * post-epoch timestamps this fixture guarantees (seed-42, 2024 data).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
     val tsNs = raw.schema("ts").dataType match {
-      case LongType => col("ts")
-      case _        => unix_micros(col("ts")) * lit(1000L)
+      case LongType      => col("ts")
+      case TimestampType => unix_micros(col("ts")) * lit(1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other; " +
+          "create the session via Tables.session (sets nanosAsLong)")
     }
     raw
       .withColumn("ts_ns", tsNs)

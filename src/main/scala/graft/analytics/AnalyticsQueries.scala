@@ -38,6 +38,13 @@ object AnalyticsQueries {
     "ticker_series_poly" -> ((s, d) =>
       TickerSeries.raw(snaps(s, d), condId("T3"), "polymarket")),
 
+    // range-bounded variant (ref start/end handling, `etl/query.py:109-143`):
+    // Jan 10-20 of the fixture's Jan 2024 window
+    "ticker_series_range" -> ((s, d) =>
+      TickerSeries.raw(snaps(s, d), "T3", "kalshi",
+        startUs = Some(1704844800000000L),  // 2024-01-10T00:00:00Z
+        endUs = Some(1705708800000000L))),  // 2024-01-20T00:00:00Z
+
     "ticker_series_1m" -> ((s, d) =>
       TickerSeries.downsampled(snaps(s, d), "T3", "kalshi", "1 minute")),
 
@@ -118,6 +125,14 @@ object AnalyticsQueries {
          |CASE WHEN $pMid > 0.5 THEN 1.0 - $pMid ELSE $pMid END AS yes,
          |CASE WHEN $pMid > 0.5 THEN $pMid ELSE 1.0 - $pMid END AS no
          |FROM events WHERE NOT ${S.isKalshi} AND user_id % 8 = 3
+         |ORDER BY ts_us, snapshot_id""".stripMargin,
+
+    "ticker_series_range" ->
+      s"""SELECT ${S.tsUs} AS ts_us, event_id AS snapshot_id, 'T3' AS ticker,
+         |$kYes AS yes, 1.0 - $kYes AS no
+         |FROM events WHERE ${S.isKalshi} AND user_id % 8 = 3
+         |  AND epoch_us(ts) >= 1704844800000000
+         |  AND epoch_us(ts) < 1705708800000000
          |ORDER BY ts_us, snapshot_id""".stripMargin,
 
     "ticker_series_1m" -> downsampleOracle("minute"),

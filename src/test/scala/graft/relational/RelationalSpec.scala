@@ -1,0 +1,42 @@
+package graft.relational
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("trade summary aggregates are internally consistent") {
+    val r = RelationalQueries.queries("trade_summary")(spark, dir).head()
+    val total = r.getAs[Long]("total_trades")
+    val filled = r.getAs[Long]("filled_trades")
+    val cancelled = r.getAs[Long]("cancelled_trades")
+    assert(total > 0)
+    assert(filled + cancelled <= total)
+    assert(r.getAs[Double]("total_volume") >= 0.0)
+    assert(r.getAs[Double]("avg_price") > 0.0)
+  }
+
+  test("set algebra partitions the customer key space") {
+    val withO = RelationalQueries.queries("custkeys_with_orders")(spark, dir)
+      .count()
+    val withoutO = RelationalQueries.queries("custkeys_without_orders")(
+      spark, dir).count()
+    val customers = graft.sources.Tables(spark, dir, "customer")
+      .select("c_custkey").distinct().count()
+    assert(withO + withoutO === customers)
+  }
+
+  test("point lookup returns the single newest row for the key") {
+    val dir = "/root/testdata/sf0.01" // user_id 42 exists at this scale
+    val rows = RelationalQueries.queries("point_lookup")(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("user_id") === 42L)
+    val maxTs = graft.sources.Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("user_id") === 42)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.expr("ts_ns DIV 1000")))
+      .head().getLong(0)
+    assert(rows.head.getAs[Long]("ts_us") === maxTs)
+  }
+}

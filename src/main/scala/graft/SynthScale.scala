@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: synthesize an N×-replicated copy of a fixture directory
+  * (all join keys shifted consistently per replica, timestamps preserved)
+  * so Bench can run at 10× the largest fixture and scaling behavior —
+  * linear scan/agg vs quadratic bucket-pair growth — is measured, not
+  * guessed.
+  *
+  * Usage: runMain graft.SynthScale <srcDir> <dstDir> <copies>
+  */
+object SynthScale {
+
+  // per-table key columns to shift by replica * stride (stride far above
+  // any real key so replicas never collide or cross-join)
+  private val stride = 100000000L
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq(),
+    "nation" -> Seq(),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def replicate(df: DataFrame, keys: Seq[String], copies: Int): DataFrame = {
+    val withR = df.crossJoin(
+      df.sparkSession.range(copies).toDF("__r"))
+    keys.foldLeft(withR) { (acc, k) =>
+      acc.withColumn(k, col(k) + col("__r") * stride)
+    }.drop("__r")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, copiesStr) = args
+    val copies = copiesStr.toInt
+    val spark = sources.Tables.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    keyCols.foreach { case (table, keys) =>
+      val in = spark.read.parquet(s"$src/$table.parquet")
+      val out = if (keys.isEmpty) in else replicate(in, keys, copies)
+      out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"[synth] $table: ${out.count()} rows")
+    }
+    spark.stop()
+  }
+}

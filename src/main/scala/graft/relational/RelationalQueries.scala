@@ -111,6 +111,23 @@ object RelationalQueries {
         (col("o_orderdate") + expr("INTERVAL 3 HOURS")).as("order_plus_3h"))
         .orderBy("o_orderkey")),
 
+    // P6+W3 combined: recent analysis records — last-24h window anchored
+    // to the data's max timestamp, newest-first, limit 100 (ref
+    // `database/postgres/writer.py:525-543`).
+    "recent_analysis" -> ((s, d) => {
+      // µs-level times throughout: the oracle's reader truncates nanos to
+      // micros, so ordering/filtering on raw ns could disagree at edges
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      val mx = ev.agg(max("ts_us").as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .filter(col("ts_us") >= col("mx") - lit(86400L * 1000000L))
+        .orderBy(desc("ts_us"), desc("event_id"))
+        .limit(100)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+    }),
+
     // S9: point lookup — filter → orderBy desc → limit 1 (ref
     // `get_snapshot_by_id`, `database/influx/client.py:370-395`). Spark
     // plans this as TakeOrderedAndProject: no global sort, one reduce.
@@ -221,6 +238,12 @@ object RelationalQueries {
         |strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS order_iso,
         |o_orderdate + INTERVAL 3 HOUR AS order_plus_3h
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "recent_analysis" ->
+      """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
+        |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
 
     "point_lookup" ->
       """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us

@@ -40,77 +40,83 @@ object TextOps {
   def fingerprint(n: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(n)))).cast("binary"))
 
-  val queries: Map[String, Q] = Map(
-    // Normalization + content hash — the dedup key derivation.
-    "text_normalize" -> ((s, d) =>
-      Tables(s, d, "documents").select(
+  /** Normalization + content hash — the dedup key derivation. */
+  def normalized(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(norm(col("text")).cast("binary")).as("content_hash"),
+      length(norm(col("text"))).as("n_chars_norm"))
+      .orderBy("doc_id")
+
+  /** Exact dedup: one hash aggregate per content hash — keeper = min id,
+    * duplicate multiplicity alongside. Scales by partitioning alone. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(norm(col("text")).cast("binary")).as("h"))
+      .groupBy(col("h").as("content_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
+      .orderBy("keep_doc_id")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segment count. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n", norm(col("text")))
+      .select(
         col("doc_id"),
-        md5(norm(col("text")).cast("binary")).as("content_hash"),
-        length(norm(col("text"))).as("n_chars_norm"))
-        .orderBy("doc_id")),
+        size(tokens(col("n"))).as("ws_tokens"),
+        regexp_count(col("n"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .as("bpe_segments"))
+      .orderBy("doc_id")
 
-    // Exact dedup: one hash aggregate per content hash — keeper = min id,
-    // duplicate multiplicity alongside. Scales by partitioning alone.
-    "dedup_exact" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .select(col("doc_id"), md5(norm(col("text")).cast("binary")).as("h"))
-        .groupBy(col("h").as("content_hash"))
-        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
-        .orderBy("keep_doc_id")),
+  /** Quality scoring: length/avg-token-length/stopword-ratio features and
+    * the composite `min(tokens/100, 1) · (1 − stopword_ratio)`. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n", norm(col("text")))
+      .withColumn("toks", tokens(col("n")))
+      .select(
+        col("doc_id"),
+        length(col("n")).as("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        (length(col("n")).cast("double") / size(col("toks")))
+          .as("avg_token_len"),
+        (stopHits(col("toks"), enStop).cast("double") / size(col("toks")))
+          .as("stopword_ratio"),
+        (least(size(col("toks")).cast("double") / lit(100.0), lit(1.0)) *
+          (lit(1.0) - stopHits(col("toks"), enStop).cast("double") /
+            size(col("toks")))).as("quality"))
+      .orderBy("doc_id")
 
-    // Token counting: whitespace tokens + a BPE-ish regex segment count.
-    "token_count" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .withColumn("n", norm(col("text")))
-        .select(
-          col("doc_id"),
-          size(tokens(col("n"))).as("ws_tokens"),
-          regexp_count(col("n"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
-            .as("bpe_segments"))
-        .orderBy("doc_id")),
+  /** Language ID: stopword-hit argmax across candidate languages
+    * (n-gram-heuristic stand-in; deterministic tiebreak en > es > fr). */
+  def langId(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens(norm(col("text"))))
+      .select(
+        col("doc_id"),
+        stopHits(col("toks"), enStop).as("en_hits"),
+        stopHits(col("toks"), esStop).as("es_hits"),
+        stopHits(col("toks"), frStop).as("fr_hits"))
+      .withColumn("predicted_lang",
+        when(col("en_hits") >= col("es_hits") &&
+          col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+          .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+          .when(col("fr_hits") > 0, "fr")
+          .otherwise("und"))
+      .orderBy("doc_id")
 
-    // Quality scoring: length/avg-token-length/stopword-ratio features and
-    // a composite score.
-    "quality_score" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .withColumn("n", norm(col("text")))
-        .withColumn("toks", tokens(col("n")))
-        .select(
-          col("doc_id"),
-          length(col("n")).as("n_chars"),
-          size(col("toks")).as("n_tokens"),
-          (length(col("n")).cast("double") / size(col("toks")))
-            .as("avg_token_len"),
-          (stopHits(col("toks"), enStop).cast("double") / size(col("toks")))
-            .as("stopword_ratio"),
-          (least(size(col("toks")).cast("double") / lit(100.0), lit(1.0)) *
-            (lit(1.0) - stopHits(col("toks"), enStop).cast("double") /
-              size(col("toks")))).as("quality"))
-        .orderBy("doc_id")),
+  /** Document fingerprint over the sorted distinct token set. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(norm(col("text"))).as("fingerprint"))
+      .orderBy("doc_id")
 
-    // Language ID: stopword-hit argmax across candidate languages
-    // (n-gram-heuristic stand-in; deterministic tiebreak en > es > fr).
-    "lang_id" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .withColumn("toks", tokens(norm(col("text"))))
-        .select(
-          col("doc_id"),
-          stopHits(col("toks"), enStop).as("en_hits"),
-          stopHits(col("toks"), esStop).as("es_hits"),
-          stopHits(col("toks"), frStop).as("fr_hits"))
-        .withColumn("predicted_lang",
-          when(col("en_hits") >= col("es_hits") &&
-            col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
-            .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
-            .when(col("fr_hits") > 0, "fr")
-            .otherwise("und"))
-        .orderBy("doc_id")),
-
-    // Document fingerprint over the sorted distinct token set.
-    "doc_fingerprint" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .select(col("doc_id"), fingerprint(norm(col("text"))).as("fingerprint"))
-        .orderBy("doc_id")))
+  val queries: Map[String, Q] = Map(
+    "text_normalize" -> ((s, d) => normalized(Tables(s, d, "documents"))),
+    "dedup_exact" -> ((s, d) => dedupExact(Tables(s, d, "documents"))),
+    "token_count" -> ((s, d) => tokenCounts(Tables(s, d, "documents"))),
+    "quality_score" -> ((s, d) => qualityScore(Tables(s, d, "documents"))),
+    "lang_id" -> ((s, d) => langId(Tables(s, d, "documents"))),
+    "doc_fingerprint" -> ((s, d) => fingerprints(Tables(s, d, "documents"))))
 
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private def inList(l: Seq[String]) = l.map("'" + _ + "'").mkString("(", ",", ")")

@@ -45,6 +45,38 @@ class TextSpec extends SparkSpec {
     assert(m(1L) !== m(3L))
   }
 
+  test("lang id scores stopword hits and picks the argmax language") {
+    val docs = Seq(
+      (1L, "the house of the king is on the hill with a view"),
+      (2L, "el rey de la casa se fue por un camino en los montes"),
+      (3L, "xyzzy qwerty plugh"))
+      .toDF("doc_id", "text")
+    val out = TextOps.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang"))
+      .toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "und")
+  }
+
+  test("quality score formula matches the documented definition") {
+    // 4 tokens, 1 stopword ('the'): quality = min(4/100, 1) * (1 - 1/4)
+    val r = TextOps.qualityScore(
+      Seq((1L, "the quick brown fox")).toDF("doc_id", "text")).head()
+    assert(r.getAs[Int]("n_tokens") === 4)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.25) < 1e-15)
+    assert(math.abs(r.getAs[Double]("quality") - 0.04 * 0.75) < 1e-15)
+  }
+
+  test("exact dedup keeps the lowest doc_id per normalized content") {
+    val out = TextOps.dedupExact(Seq(
+      (5L, "Same   Text here"), (2L, "same text HERE"), (9L, "different"))
+      .toDF("doc_id", "text")).collect()
+    assert(out.length === 2)
+    val dup = out.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keep_doc_id") === 2L)
+  }
+
   test("bigram jaccard of identical adjacent docs is 1.0") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
       .toDF("doc_id", "text")

@@ -65,11 +65,15 @@ object Similarity {
     cosineTopK(c, q, k)
   }
 
-  /** Sign-bit coarse bucket over the first three quantized dims. */
-  private def bucket(v: Column): Column =
-    (element_at(v, 1) > 0).cast("int") * 4 +
-      (element_at(v, 2) > 0).cast("int") * 2 +
-      (element_at(v, 3) > 0).cast("int")
+  /** Sign-bit coarse bucket over the first `bits` quantized dims
+    * (2^bits cells). Cell population is N/2^bits on centered data, and
+    * pair work inside a cell is quadratic in that population — pick
+    * `bits` ≈ log2(N / target_cell_size) as the corpus grows (the 10×
+    * scale probe in SCALING.md is the measured motivation). */
+  private def bucket(v: Column, bits: Int = 3): Column =
+    (1 to bits).map(i =>
+      (element_at(v, i) > 0).cast("int") * (1 << (bits - i)))
+      .reduce(_ + _)
 
   /** IVF-style bucketed ANN: probe only the query's own coarse cell. */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 5,
@@ -97,8 +101,10 @@ object Similarity {
     * same coarse bucket (never all-pairs), kept when cosine clears the
     * threshold — the embedding analog of MinHash near-dedup. */
   def embeddingNearDup(spark: SparkSession, dir: String,
-                       threshold: Double = 0.95): DataFrame = {
-    val c = corpus(spark, dir).withColumn("bucket", bucket(col("v")))
+                       threshold: Double = 0.95,
+                       bucketBits: Int = 3): DataFrame = {
+    val c = corpus(spark, dir)
+      .withColumn("bucket", bucket(col("v"), bucketBits))
     val a = c.select(col("vec_id").as("id_a"), col("v").as("va"),
       col("n2").as("na"), col("bucket"))
     val b = c.select(col("vec_id").as("id_b"), col("v").as("vb"),

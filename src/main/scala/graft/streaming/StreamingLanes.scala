@@ -41,12 +41,15 @@ object StreamingLanes {
         col("s.snapshot_id").as("snapshot_id"),
         col("s.full_orderbook").as("full_orderbook"))
 
-  /** ST3: tumbling-window counts per source with watermark — the
-    * aggregate shape of the reference's per-interval stats reports. */
+  /** ST3/ST4: windowed counts per source with watermark — tumbling by
+    * default, sliding when `slide` < `every` (the rolling-rate shape of
+    * the reference's stats reports, `virginia/broker/receiver.py:499-504`). */
   def windowedCounts(df: DataFrame, every: String = "1 minute",
-                     lateness: String = "60 seconds"): DataFrame =
+                     lateness: String = "60 seconds",
+                     slide: Option[String] = None): DataFrame =
     df.withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), every).as("w"), col("source"))
+      .groupBy(window(col("ts"), every, slide.getOrElse(every)).as("w"),
+        col("source"))
       .agg(count(lit(1)).as("n"),
         max_by(col("snapshot_id"), struct(col("ts"), col("snapshot_id")))
           .as("last_snapshot_id"))

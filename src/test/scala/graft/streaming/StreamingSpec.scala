@@ -69,6 +69,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST4: sliding windows overlap and each row lands in every/slide windows") {
+    // batch form of the same plan fragment: 2-minute window sliding by 1
+    val df = Seq(snap(30, 1), snap(90, 2)).toDF()
+    val out = StreamingLanes.windowedCounts(df, "2 minutes", "60 seconds",
+      slide = Some("1 minute")).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("bucket").getTime / 1000 ->
+        r.getAs[Long]("n")).toMap
+    // row@30s -> windows [-60,60) and [0,120); row@90s -> [0,120) and [60,180)
+    assert(out(-60L) === 1L)
+    assert(out(0L) === 2L)
+    assert(out(60L) === 1L)
+  }
+
   test("ST1/S6: foreachBatch bifurcation feeds both lanes, storage partitioned") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Snap]

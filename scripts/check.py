@@ -41,6 +41,12 @@ for name, sql in sorted(oracle.items()):
         fail += 1
         continue
     eng, ora = eng[ecols], ora[ocols]
+    dt = [(c, str(eng[c].dtype), str(ora[c].dtype)) for c in ecols
+          if str(eng[c].dtype) != str(ora[c].dtype)]
+    if dt:
+        print(f"FAIL {name}: dtype mismatch {dt}")
+        fail += 1
+        continue
     if len(eng) != len(ora):
         print(f"FAIL {name}: rows engine={len(eng)} oracle={len(ora)}")
         fail += 1

@@ -192,8 +192,8 @@ object WindowStats {
 
     "retention_window" ->
       """SELECT user_id, event_id,
-        |row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
-        |  event_id DESC) AS rn,
+        |CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+        |  event_id DESC) AS INTEGER) AS rn,
         |epoch_us(ts) AS ts_us
         |FROM events
         |QUALIFY rn <= 20
@@ -208,7 +208,7 @@ object WindowStats {
          |ORDER BY ticker, source""".stripMargin,
 
     "order_parts_semijoin" ->
-      """SELECT l_orderkey, count(DISTINCT l_partkey) AS n_parts
+      """SELECT l_orderkey, CAST(count(DISTINCT l_partkey) AS INTEGER) AS n_parts
         |FROM lineitem
         |GROUP BY l_orderkey
         |HAVING bool_or(l_partkey = 1)
@@ -258,8 +258,8 @@ object WindowStats {
 
     "corpus_stats" ->
       s"""SELECT source, count(*) AS docs,
-         |sum(len(string_split($NORM, ' '))) AS total_tokens,
-         |sum(length($NORM)) AS total_chars,
+         |CAST(sum(len(string_split($NORM, ' '))) AS BIGINT) AS total_tokens,
+         |CAST(sum(length($NORM)) AS BIGINT) AS total_chars,
          |CAST(sum(len(string_split($NORM, ' '))) AS DOUBLE) / count(*)
          |  AS avg_tokens_per_doc
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,

@@ -147,11 +147,11 @@ object Similarity {
       else ""
     s"""WITH $qCte
        |SELECT q.vec_id AS query_id, a.vec_id,
-       |  row_number() OVER (PARTITION BY q.vec_id
+       |  CAST(row_number() OVER (PARTITION BY q.vec_id
        |    ORDER BY CAST(list_sum(list_transform(generate_series(1, len(a.v)),
        |        i -> a.v[i] * q.v[i])) AS DOUBLE)
        |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) DESC,
-       |      a.vec_id ASC) AS rank,
+       |      a.vec_id ASC) AS INTEGER) AS rank,
        |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
        |      i -> a.v[i] * q.v[i])) AS DOUBLE)
        |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cosine

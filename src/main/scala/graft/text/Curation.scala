@@ -109,10 +109,11 @@ object Curation {
 
     "pii_scrub" ->
       s"""SELECT doc_id,
-         |len(regexp_extract_all($N, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
-         |  AS emails,
-         |len(regexp_extract_all($N, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS phones,
-         |len(regexp_extract_all($N, '\\b[a-z]\\b')) AS initials,
+         |CAST(len(regexp_extract_all($N, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+         |  AS INTEGER) AS emails,
+         |CAST(len(regexp_extract_all($N, '\\+?[0-9][0-9()\\- ]{7,}[0-9]'))
+         |  AS INTEGER) AS phones,
+         |CAST(len(regexp_extract_all($N, '\\b[a-z]\\b')) AS INTEGER) AS initials,
          |md5(regexp_replace(regexp_replace(regexp_replace($N,
          |  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
          |  '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),

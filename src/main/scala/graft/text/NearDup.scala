@@ -167,7 +167,7 @@ object NearDup {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "simhash" ->
-      s"""SELECT doc_id, $simhashTerms AS simhash
+      s"""SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
          |FROM (SELECT doc_id, l, list_transform(l, t -> md5(t)) AS lh
          |      FROM (SELECT doc_id,
          |              list_distinct(string_split($N, ' ')) AS l

@@ -126,7 +126,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "text_normalize" ->
       s"""SELECT doc_id, md5($N) AS content_hash,
-         |length($N) AS n_chars_norm
+         |CAST(length($N) AS INTEGER) AS n_chars_norm
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
@@ -135,14 +135,14 @@ object TextOps {
          |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
 
     "token_count" ->
-      s"""SELECT doc_id, len(string_split($N, ' ')) AS ws_tokens,
-         |len(regexp_extract_all($N, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
-         |  AS bpe_segments
+      s"""SELECT doc_id, CAST(len(string_split($N, ' ')) AS INTEGER) AS ws_tokens,
+         |CAST(len(regexp_extract_all($N, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+         |  AS INTEGER) AS bpe_segments
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "quality_score" ->
-      s"""SELECT doc_id, length($N) AS n_chars,
-         |len(string_split($N, ' ')) AS n_tokens,
+      s"""SELECT doc_id, CAST(length($N) AS INTEGER) AS n_chars,
+         |CAST(len(string_split($N, ' ')) AS INTEGER) AS n_tokens,
          |CAST(length($N) AS DOUBLE) / len(string_split($N, ' '))
          |  AS avg_token_len,
          |CAST(${hits(enStop)} AS DOUBLE) / len(string_split($N, ' '))
@@ -154,8 +154,9 @@ object TextOps {
 
     "lang_id" ->
       s"""SELECT doc_id,
-         |${hits(enStop)} AS en_hits, ${hits(esStop)} AS es_hits,
-         |${hits(frStop)} AS fr_hits,
+         |CAST(${hits(enStop)} AS INTEGER) AS en_hits,
+         |CAST(${hits(esStop)} AS INTEGER) AS es_hits,
+         |CAST(${hits(frStop)} AS INTEGER) AS fr_hits,
          |CASE WHEN ${hits(enStop)} >= ${hits(esStop)}
          |       AND ${hits(enStop)} >= ${hits(frStop)}
          |       AND ${hits(enStop)} > 0 THEN 'en'

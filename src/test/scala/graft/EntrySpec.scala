@@ -1,0 +1,19 @@
+package graft
+
+/** The driver smoke-checks `SparkEntry.entry(spark)` with a session IT
+  * builds — possibly without Tables.session's confs. entry() must
+  * self-provision what it needs (nanosAsLong for the TIMESTAMP(NANOS)
+  * events fixture). Simulated here by actively unsetting the conf on the
+  * shared session before the call. */
+class EntrySpec extends SparkSpec {
+
+  test("entry self-provisions nanosAsLong and returns rows") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try {
+      val n = SparkEntry.entry(spark).count()
+      assert(n > 0)
+    } finally {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+  }
+}

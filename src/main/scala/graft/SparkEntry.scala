@@ -21,6 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.AnalyticsQueries.queries ++
       analytics.WindowStats.queries ++
+      analytics.EventAnalytics.queries ++
+      text.Vocab.queries ++
       relational.RelationalQueries.queries ++
       scanner.PairScan.queries ++
       ledger.Ledger.queries ++
@@ -35,6 +37,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     analytics.AnalyticsQueries.oracle ++
       analytics.WindowStats.oracle ++
+      analytics.EventAnalytics.oracle ++
+      text.Vocab.oracle ++
       relational.RelationalQueries.oracle ++
       scanner.PairScan.oracle ++
       ledger.Ledger.oracle ++

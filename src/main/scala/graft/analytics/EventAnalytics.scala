@@ -1,0 +1,93 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Behavioral analytics over the `events` stream table — sessionization
+  * and funnel conversion, the canonical large-scale clickstream shapes.
+  *
+  * Sessionization is one window pass per user (lag → gap flag → running
+  * sum); at scale it shuffles once on `user_id` and each user's history
+  * sorts within a partition — no global sort. The funnel is conditional
+  * `min` aggregates, one shuffle, map-side partial.
+  */
+object EventAnalytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Split each user's event stream into sessions at `gapMinutes` idle
+    * gaps; emit per-event session indices. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs).cast("int"))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser).cast("int"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("session_idx"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Per-user funnel: first time each stage was reached, and whether the
+    * stages happened in order (view → click → purchase). */
+  def funnel(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us")))
+          .as("first_view_us"),
+        min(when(col("event_type") === "click", col("ts_us")))
+          .as("first_click_us"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("first_purchase_us"))
+      .withColumn("converted",
+        col("first_view_us").isNotNull &&
+          col("first_click_us").isNotNull &&
+          col("first_purchase_us").isNotNull &&
+          col("first_view_us") < col("first_click_us") &&
+          col("first_click_us") < col("first_purchase_us"))
+      .orderBy("user_id")
+
+  val queries: Map[String, Q] = Map(
+    "sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
+    "funnel" -> ((s, d) => funnel(Tables.events(s, d))))
+
+  val oracle: Map[String, String] = Map(
+    "sessionize" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |CAST(sum(CASE WHEN prev_us IS NULL
+        |  OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER)
+        |  AS session_idx
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "funnel" ->
+      """SELECT user_id,
+        |min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |  AS first_view_us,
+        |min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |  AS first_click_us,
+        |min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |  AS first_purchase_us,
+        |coalesce(
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |    < min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |  AND min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |    < min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END),
+        |  false) AS converted
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

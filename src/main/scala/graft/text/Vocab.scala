@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.TextOps.norm
+
+/** Corpus vocabulary statistics — term frequencies and length
+  * distributions, the profiling stage of a training-data pipeline.
+  *
+  * The token explode shuffles once into a partial-aggregated count (the
+  * classic word-count shape: map-side combine keeps shuffle volume at
+  * O(vocabulary), not O(tokens)); the histogram is one bucketed
+  * aggregate.
+  */
+object Vocab {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Top-k corpus terms by document frequency and total count,
+    * tie-broken by token for determinism. */
+  def topTerms(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(desc("occurrences"), desc("doc_freq"), asc("token"))
+      .limit(k)
+
+  /** Token-count histogram in buckets of `width`. */
+  def lengthHistogram(docs: DataFrame, width: Int = 10): DataFrame =
+    docs
+      .select((size(split(norm(col("text")), " "))
+        .cast("long")./(width)).cast("long").*(width).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("docs"))
+      .orderBy("bucket")
+
+  val queries: Map[String, Q] = Map(
+    "vocab_topk" -> ((s, d) => topTerms(Tables(s, d, "documents"), 50)),
+    "length_histogram" -> ((s, d) =>
+      lengthHistogram(Tables(s, d, "documents"))))
+
+  private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  val oracle: Map[String, String] = Map(
+    "vocab_topk" ->
+      s"""SELECT token, count(*) AS occurrences,
+         |count(DISTINCT doc_id) AS doc_freq
+         |FROM (SELECT doc_id, unnest(string_split($N, ' ')) AS token
+         |      FROM documents)
+         |GROUP BY token
+         |ORDER BY occurrences DESC, doc_freq DESC, token ASC
+         |LIMIT 50""".stripMargin,
+
+    "length_histogram" ->
+      s"""SELECT (len(string_split($N, ' ')) // 10) * 10 AS bucket,
+         |count(*) AS docs
+         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin)
+}

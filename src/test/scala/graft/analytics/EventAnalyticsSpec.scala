@@ -1,0 +1,38 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(user: Long, id: Long, sec: Long, typ: String = "view") =
+    (user, id, sec * 1000000000L, typ)
+
+  private def frame(rows: (Long, Long, Long, String)*) =
+    rows.toDF("user_id", "event_id", "ts_ns", "event_type")
+
+  test("sessionize splits at idle gaps over the threshold") {
+    val out = EventAnalytics.sessionize(frame(
+      ev(1, 1, 0), ev(1, 2, 60), // session 1 (1 min apart)
+      ev(1, 3, 60 + 31 * 60), // 31 min gap -> session 2
+      ev(1, 4, 60 + 31 * 60 + 10),
+      ev(2, 5, 0)), gapMinutes = 30) // other user -> own session 1
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("session_idx"))
+      .toMap
+    assert(out === Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1))
+  }
+
+  test("funnel converts only when stages occur in order") {
+    val out = EventAnalytics.funnel(frame(
+      ev(1, 1, 10, "view"), ev(1, 2, 20, "click"), ev(1, 3, 30, "purchase"),
+      ev(2, 4, 30, "purchase"), ev(2, 5, 40, "view"), ev(2, 6, 50, "click"),
+      ev(3, 7, 10, "view")))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Boolean]("converted"))
+      .toMap
+    assert(out(1L) === true) // in order
+    assert(out(2L) === false) // purchase before view
+    assert(out(3L) === false) // never clicked
+  }
+}

@@ -60,8 +60,9 @@ for name, sql in sorted(oracle.items()):
             import pandas as pd
             if ev.dtype.kind == 'f' or ov.dtype.kind == 'f':
                 import numpy as np
-                bad = ~(np.isclose(ev.astype(float), ov.astype(float),
-                                   rtol=0, atol=0, equal_nan=True))
+                bad = pd.Series(~(np.isclose(ev.astype(float),
+                                             ov.astype(float),
+                                             rtol=0, atol=0, equal_nan=True)))
             else:
                 bad = ev.astype(str) != ov.astype(str)
             if bad.any():

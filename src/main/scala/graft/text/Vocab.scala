@@ -36,8 +36,36 @@ object Vocab {
       .groupBy("bucket").agg(count(lit(1)).as("docs"))
       .orderBy("bucket")
 
+  /** TF-IDF: top `k` terms per document (docs below `maxDocId`), score =
+    * tf · ln(N/df). Exact integer tf/df; the single ln(N/df) division is
+    * the only float op, mirrored verbatim in the oracle. */
+  def tfidfTopK(docs: DataFrame, maxDocId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(split(norm(col("text")), " ")).as("token"))
+    val tf = toks.filter(col("doc_id") < maxDocId)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    // ln() is libm-dependent (JVM vs DuckDB differ by 1 ulp), so the score
+    // is rounded to 6 decimals before it is ranked or emitted; rounding
+    // ties fall to the token tiebreak identically in both engines
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        log(col("n").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "vocab_topk" -> ((s, d) => topTerms(Tables(s, d, "documents"), 50)),
+    "tfidf_topk" -> ((s, d) => tfidfTopK(Tables(s, d, "documents"), 20, 3)),
     "length_histogram" -> ((s, d) =>
       lengthHistogram(Tables(s, d, "documents"))))
 
@@ -52,6 +80,28 @@ object Vocab {
          |GROUP BY token
          |ORDER BY occurrences DESC, doc_freq DESC, token ASC
          |LIMIT 50""".stripMargin,
+
+    "tfidf_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($N, ' ')) AS token
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM toks
+         |  WHERE doc_id < 20 GROUP BY doc_id, token),
+         |dfreq AS (
+         |  SELECT token, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT tf.doc_id, CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |    ORDER BY round(CAST(tf.tf AS DOUBLE)
+         |      * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) DESC,
+         |      tf.token ASC) AS INTEGER) AS rank,
+         |  tf.token, tf.tf, dfreq.df,
+         |  round(CAST(tf.tf AS DOUBLE)
+         |    * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
+         |FROM tf JOIN dfreq USING (token), n
+         |QUALIFY rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
 
     "length_histogram" ->
       s"""SELECT (len(string_split($N, ' ')) // 10) * 10 AS bucket,

@@ -11,9 +11,11 @@ import org.apache.spark.sql.Row
   *
   * The reference's ZeroMQ topology collapses into Spark's micro-batch
   * model: the trading lane and storage lane are the two writes of one
-  * `foreachBatch` (same data, no broker, exactly-once via checkpoint —
-  * a strict upgrade over the reference's HWM-drop + retry-queue delivery,
-  * ref `virginia/coordinator.py:539-576`, `database/influx/writer.py`).
+  * `foreachBatch` (same data, no broker; checkpointed offsets give
+  * no-loss at-least-once delivery with batch_id-tagged output for exact
+  * dedup on read — a strict upgrade over the reference's HWM-drop +
+  * retry-queue delivery, ref `virginia/coordinator.py:539-576`,
+  * `database/influx/writer.py`).
   *
   * Every transform here takes and returns DataFrames so the identical
   * plan fragments run in batch mode — the streaming specs assert
@@ -72,10 +74,14 @@ object StreamingLanes {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val enriched = withIngestStamps(batch, batchId)
           .withColumn("date", to_date(col("ts")))
+          .withColumn("batch_id", lit(batchId))
         enriched.persist()
         try {
-          // storage lane: partitioned append (idempotent under retry
-          // because foreachBatch replays the same batchId)
+          // storage lane: partitioned append. A replayed batch (failure
+          // between the append and the checkpoint commit) re-appends —
+          // at-least-once, like the reference's retry queue; the carried
+          // batch_id lets readers deduplicate exactly, and the LWW merge
+          // view (RelationalSink.mergeView) absorbs duplicates anyway.
           enriched.write.mode("append")
             .partitionBy("source", "date")
             .parquet(storageDir)

@@ -10,13 +10,28 @@ object Verify {
     // unreadable in Spark 4 without it), UTC, AQE — same conf as tests/Bench.
     val spark = graft.sources.Tables.session(s"local[$cpus]", cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // stage the shared snapshot store once before fanning out
+    try graft.sources.Snapshots.store(spark, sfDir)
+    catch { case _: Throwable => () }
+    // run queries on a small thread pool: each result is an independent
+    // Spark job and a single small output file, so concurrency just keeps
+    // the 32 local cores busy across job boundaries
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val runs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      Future {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
+    Await.result(Future.sequence(runs), Duration.Inf)
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

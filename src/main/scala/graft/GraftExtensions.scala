@@ -19,5 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "long_dot takes exactly 2 arguments")
         functions.LongDotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("count_in"),
+      new ExpressionInfo(classOf[functions.CountInSet].getName,
+        null, "count_in",
+        "count_in(arr, 'a', 'b', ...) - count of arr elements in the constant set",
+        ""),
+      (children: Seq[Expression]) => functions.CountInSet(children)))
   }
 }

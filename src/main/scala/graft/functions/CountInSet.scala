@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count of elements of a string array that belong to a constant set:
+  * `count_in(arr, 'a', 'b', ...)`.
+  *
+  * The composable form — `size(filter(arr, t -> t IN (...)))` — routes
+  * through a higher-order `LambdaFunction`, which is interpreted
+  * (CodegenFallback) and allocates an intermediate filtered array per
+  * row. This expression is a generated loop over the `ArrayData` against
+  * a hash set built once per plan — the stopword-scoring hot path of
+  * `quality_score`/`lang_id` stays inside whole-stage codegen.
+  *
+  * Null array → null; null elements count 0. Registered by
+  * `GraftExtensions` as SQL function `count_in`.
+  */
+case class CountInSet(children: Seq[Expression]) extends Expression {
+
+  private def arr: Expression = children.head
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arrOk = arr.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (!arrOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> as first argument")
+    else if (children.tail.isEmpty ||
+      !children.tail.forall(e => e.foldable && e.dataType == StringType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires one or more constant string set members")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = arr.nullable
+  override def prettyName: String = "count_in"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    children.tail.foreach { e =>
+      val v = e.eval(null)
+      if (v != null) s.add(v.asInstanceOf[UTF8String])
+    }
+    s
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = arr.eval(input)
+    if (a == null) null
+    else {
+      val data = a.asInstanceOf[ArrayData]
+      var c = 0
+      var i = 0
+      val n = data.numElements()
+      while (i < n) {
+        if (!data.isNullAt(i) && set.contains(data.getUTF8String(i))) c += 1
+        i += 1
+      }
+      c
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("set", set,
+      classOf[java.util.HashSet[UTF8String]].getName)
+    val a = arr.genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val c = ctx.freshName("c")
+    val code =
+      code"""
+        |${a.code}
+        |boolean ${ev.isNull} = ${a.isNull};
+        |int ${ev.value} = 0;
+        |if (!${ev.isNull}) {
+        |  int $n = ${a.value}.numElements();
+        |  int $c = 0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if (!${a.value}.isNullAt($i)
+        |        && $setRef.contains(${a.value}.getUTF8String($i))) {
+        |      $c++;
+        |    }
+        |  }
+        |  ${ev.value} = $c;
+        |}
+       """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountInSet =
+    copy(children = newChildren)
+}

@@ -32,8 +32,11 @@ object TextOps {
   private val frStop = Seq("le", "les", "et", "des", "une", "du", "est",
     "dans", "pour", "au")
 
+  /** Stopword-hit count via the native codegen'd `count_in` expression
+    * (`functions/CountInSet.scala`) — the HOF form
+    * `size(filter(toks, _ IN set))` is interpreted and allocates. */
   private def stopHits(toks: Column, stop: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(stop)))
+    call_function("count_in", toks +: stop.map(lit): _*)
 
   /** Deterministic document fingerprint: hash of the sorted distinct token
     * set (word-shingle analog of a rolling-hash fingerprint). */

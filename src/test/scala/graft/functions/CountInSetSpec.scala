@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CountInSetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("count_in equals the composable filter form, duplicates included") {
+    val df = Seq(
+      Seq("the", "cat", "the", "dog"),
+      Seq("x", "y"),
+      Seq.empty[String]).toDF("a")
+    val rows = df.select(
+      call_function("count_in", $"a", lit("the"), lit("dog")).as("native"),
+      size(filter($"a", t => t.isInCollection(Seq("the", "dog")))).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    assert(rows(0).getInt(0) === 3)
+    assert(rows(1).getInt(0) === 0)
+    assert(rows(2).getInt(0) === 0)
+  }
+
+  test("count_in from SQL, null array yields null") {
+    val r = spark.sql(
+      """SELECT count_in(array('a','b','a'), 'a') AS c,
+        |count_in(CAST(NULL AS ARRAY<STRING>), 'a') AS n""".stripMargin)
+      .head()
+    assert(r.getInt(0) === 2)
+    assert(r.isNullAt(1))
+  }
+
+  test("non-constant set members are rejected at analysis") {
+    val e = intercept[Exception] {
+      Seq((Seq("a"), "a")).toDF("arr", "s")
+        .select(call_function("count_in", $"arr", $"s")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("constant"))
+  }
+}

@@ -62,5 +62,15 @@ class PipelineIntegrationSpec extends SparkSpec {
       .select("id", "direction", "profit_margin").collect().toSet
     assert(fromStore === fromSource)
     assert(fromStore.nonEmpty)
+
+    // (source, date) layout gives real partition pruning: a filtered read
+    // carries partition filters, not a full scan
+    val pruned = spark.read.parquet(storage)
+      .filter(col("source") === "kalshi" &&
+        col("date") === java.sql.Date.valueOf("2024-01-05"))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      (scan.contains("isnotnull(source") || scan.contains("source#")),
+      s"expected partition filters in:\n$scan")
   }
 }

@@ -63,6 +63,23 @@ object WindowStats {
       .orderBy("ticker", "source")
 
   val queries: Map[String, Q] = Map(
+    // Exact latency percentiles per source (the reference reports avg
+    // latencies; p50/p95/p99 are the production-grade summary). Spark's
+    // exact `percentile` and DuckDB's `quantile_cont` share the same
+    // linear-interpolation arithmetic — verified bit-identical.
+    "latency_quantiles" -> ((s, d) =>
+      Snapshots.store(s, d)
+        .withColumn("api_latency_us",
+          expr("(api_response_ns - api_call_start_ns) DIV 1000"))
+        .groupBy("source")
+        .agg(expr("percentile(api_latency_us, array(0.5D, 0.95D, 0.99D))")
+          .as("q"))
+        .select(col("source"),
+          element_at(col("q"), 1).as("p50"),
+          element_at(col("q"), 2).as("p95"),
+          element_at(col("q"), 3).as("p99"))
+        .orderBy("source")),
+
     "rolling_latency" -> ((s, d) => rollingLatency(Snapshots.store(s, d))),
 
     "retention_window" -> ((s, d) => retainLastN(Tables.events(s, d), 20)),
@@ -179,6 +196,13 @@ object WindowStats {
   private val NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "latency_quantiles" ->
+      s"""SELECT ${S.source} AS source,
+         |quantile_cont(((event_id % 500) + 20) * 1000, 0.5) AS p50,
+         |quantile_cont(((event_id % 500) + 20) * 1000, 0.95) AS p95,
+         |quantile_cont(((event_id % 500) + 20) * 1000, 0.99) AS p99
+         |FROM events GROUP BY 1 ORDER BY source""".stripMargin,
+
     "rolling_latency" ->
       s"""SELECT epoch_us(ts) AS ts_us, event_id AS snapshot_id,
          |${S.source} AS source,

@@ -166,6 +166,30 @@ object RelationalQueries {
             lit("YES")).otherwise(lit("NO")).as("outcome"))
         .orderBy("c_custkey")),
 
+    // Pearson correlation of quantity vs unit price across fills, built
+    // from exact DECIMAL power sums (built-in corr() accumulates doubles
+    // order-dependently and cannot hash-match an independent engine; the
+    // five exact sums + one closed-form evaluation can).
+    "price_qty_corr" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val sums = li.agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sx"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity")))
+          .cast("double").as("sxx"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
+          .cast("double").as("syy"),
+        sum(dec(col("l_quantity")) * dec(col("l_extendedprice")))
+          .cast("double").as("sxy"))
+      sums.select(
+        col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+    }),
+
     // W1: latest-per-key over the events stream table (ref LIFO freshest-
     // first caches, `virginia/logic/opportunity_scanner.py:78-84`).
     // One hash aggregate (max_by of a struct) — no window sort, the
@@ -266,6 +290,24 @@ object RelationalQueries {
         |  IN ('1','3','5','7','9','b','d','f') THEN 'YES' ELSE 'NO' END
         |  AS outcome
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "price_qty_corr" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem)
+        |SELECT n,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |  AS corr_qty_price
+        |FROM s""".stripMargin,
 
     "events_latest_per_key" ->
       """SELECT user_id, event_id AS last_event_id,

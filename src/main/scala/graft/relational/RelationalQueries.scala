@@ -182,11 +182,14 @@ object RelationalQueries {
           .cast("double").as("syy"),
         sum(dec(col("l_quantity")) * dec(col("l_extendedprice")))
           .cast("double").as("sxy"))
+      // power sums above 2^53 round in the decimal→double cast, and that
+      // conversion is engine-dependent in the last ulp — round the final
+      // scalar to 12 decimals (same posture as the tfidf ln rounding)
       sums.select(
         col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 12)
           .as("corr_qty_price"))
     }),
 
@@ -304,8 +307,8 @@ object RelationalQueries {
         |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
         |  FROM lineitem)
         |SELECT n,
-        |  (n * sxy - sx * sy) /
-        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
         |  AS corr_qty_price
         |FROM s""".stripMargin,
 

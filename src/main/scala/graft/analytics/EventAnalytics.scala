@@ -57,9 +57,21 @@ object EventAnalytics {
           col("first_click_us") < col("first_purchase_us"))
       .orderBy("user_id")
 
+  /** Per-user-cohort event-type crosstab via pivot (fixed column set so
+    * the plan is a single aggregate, no distinct-values pre-pass). */
+  def typePivot(events: DataFrame): DataFrame =
+    events
+      .withColumn("cohort", col("user_id") % 10)
+      .groupBy("cohort")
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy("cohort")
+
   val queries: Map[String, Q] = Map(
     "sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
-    "funnel" -> ((s, d) => funnel(Tables.events(s, d))))
+    "funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+    "event_type_pivot" -> ((s, d) => typePivot(Tables.events(s, d))))
 
   val oracle: Map[String, String] = Map(
     "sessionize" ->
@@ -74,6 +86,15 @@ object EventAnalytics {
         |      ORDER BY ts, event_id) AS prev_us
         |  FROM events)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "event_type_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     "funnel" ->
       """SELECT user_id,

@@ -1,0 +1,24 @@
+package graft.ledger
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class LedgerJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fill->ticket join keeps only open tickets with their fill state") {
+    val fills = Seq(
+      (1L, 1L, 100.0, 5.0, 0.0, new Timestamp(1000L)),
+      (2L, 1L, 10.0, 7.0, 0.0, new Timestamp(2000L)))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+    val tickets = Seq((1L, "O", 500.0), (2L, "F", 70.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val out = Ledger.fillTicketJoin(fills, tickets).collect()
+    assert(out.length === 1) // only order 1 is open
+    assert(out.head.getAs[Long]("trade_id") === 1L)
+    assert(out.head.getAs[String]("status") === "filled") // 100 >= 100
+    assert(out.head.getAs[Double]("avg_fill_price") === 5.0)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Books
+
+class SnapshotsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("derived kalshi books parse and respect price-complement structure") {
+    val k = Snapshots.frame(spark, dir)
+      .filter(col("source") === "kalshi")
+      .withColumn("b", Books.parseKalshi(col("full_orderbook")))
+      .select(
+        Books.kalshiBestBidCents(col("b.yes")).as("yes_bid"),
+        Books.kalshiBestBidCents(col("b.no")).as("no_bid"))
+      .collect()
+    assert(k.nonEmpty)
+    k.foreach { r =>
+      // fixture construction: no_bid = 99 - yes_bid, both in (1, 97)
+      assert(r.getLong(0) + r.getLong(1) === 99L)
+      assert(r.getLong(0) >= 2L && r.getLong(0) <= 96L)
+    }
+  }
+
+  test("derived poly books carry complement prices and sorted sides") {
+    val p = Snapshots.frame(spark, dir)
+      .filter(col("source") === "polymarket")
+      .withColumn("pb", Books.parsePoly(col("full_orderbook")))
+      .select(col("pb.yes_price"), col("pb.no_price"),
+        col("pb.orderbook.bids").getField("price").as("bids"),
+        col("pb.orderbook.asks").getField("price").as("asks"))
+      .collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      assert(math.abs(r.getDouble(0) + r.getDouble(1) - 1.0) < 1e-12)
+      val bids = r.getSeq[Double](2)
+      val asks = r.getSeq[Double](3)
+      assert(bids === bids.sorted.reverse) // best bid first
+      assert(asks === asks.sorted) // best ask first
+    }
+  }
+
+  test("store round-trips the frame (partitioned by source)") {
+    val frame = Snapshots.frame(spark, dir)
+    val store = Snapshots.store(spark, dir)
+    assert(store.count() === frame.count())
+    assert(store.columns.sorted === frame.columns.sorted)
+  }
+}

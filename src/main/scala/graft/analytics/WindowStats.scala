@@ -39,15 +39,18 @@ object WindowStats {
   }
 
   /** W4: retention window — keep the last N rows per key
-    * (ref last-100 opportunities, `opportunity_scanner.py:519-521`). */
+    * (ref last-100 opportunities, `opportunity_scanner.py:519-521`).
+    * Ranked on µs-truncated time + event_id: the oracle's reader only
+    * sees µs, so raw-ns ordering could disagree whenever two same-key
+    * rows share a µs. */
   def retainLastN(events: DataFrame, n: Int): DataFrame =
     events
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"))
-          .orderBy(col("ts_ns").desc, col("event_id").desc)))
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
       .filter(col("rn") <= n)
-      .select(col("user_id"), col("event_id"), col("rn"),
-        expr("ts_ns DIV 1000").as("ts_us"))
+      .select(col("user_id"), col("event_id"), col("rn"), col("ts_us"))
       .orderBy("user_id", "rn")
 
   /** W5: last normalized value per series (Flux `last()` per tag set,

@@ -32,12 +32,21 @@ class FillWalkAggregator(shares: Long)
   }
 
   def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) = {
-    // consumed = shares - remaining; combine the two partial walks
+    // consumed = shares - remaining; combine the two partial walks.
+    // Exact when the combined take fits in `shares`: neither partial hit
+    // its clamp, so cost is a plain sum of disjoint level takes. When the
+    // combined take overshoots, the excess was taken at prices only the
+    // level order knows — a silently "clamped" cost would be wrong, so
+    // fail loudly instead (the group spanned partitions; use the
+    // order-safe array-HOF walk, or one partition per book).
     val consumed = (shares - a._1) + (shares - b._1)
-    val over = math.max(0L, consumed - shares)
-    // partial walks never overlap when groups are single-partition; if
-    // both sides filled beyond the target, clamp (defensive)
-    (math.max(0L, shares - consumed + over), a._2 + b._2)
+    if (consumed > shares)
+      throw new IllegalStateException(
+        s"FillWalkAggregator.merge: partial walks consumed $consumed > " +
+          s"$shares shares; the group spans partitions with clamped takes " +
+          "— results would be order-dependent. Keep each book's levels in " +
+          "one partition or use Books.fillWalkAvgPriceDollars.")
+    (shares - consumed, a._2 + b._2)
   }
 
   def finish(acc: (Long, Long)): Double =

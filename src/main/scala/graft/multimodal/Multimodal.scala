@@ -96,24 +96,32 @@ object Multimodal {
 
   private val mt =
     "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)]"
+  // UTF-8 BYTE semantics, not characters: the engine's payload is the
+  // UTF-8 encoding of `text`, so byte_len is octet_length and the
+  // checksum is the unsigned-byte sum, recovered from hex(encode(text))
+  // two nibbles at a time. Empty payloads are guarded (engine yields 0).
+  private val bLen = "octet_length(encode(text))"
   private val byteSum =
-    "list_sum(list_transform(string_split(text, ''), c -> ascii(c)))"
+    s"""list_sum(list_transform(generate_series(1, $bLen),
+       |  i -> (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1)) - 1) * 16
+       |     + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)) - 1)))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "media_features" ->
       s"""SELECT doc_id, $mt AS media_type,
-         |CAST(length(text) AS INTEGER) AS byte_len,
-         |CAST($byteSum AS BIGINT) AS checksum,
-         |CAST($byteSum AS BIGINT) * 1000 // length(text) AS mean_byte_x1000
+         |CAST($bLen AS INTEGER) AS byte_len,
+         |CAST(CASE WHEN $bLen = 0 THEN 0 ELSE $byteSum END AS BIGINT) AS checksum,
+         |CASE WHEN $bLen = 0 THEN 0
+         |  ELSE CAST($byteSum AS BIGINT) * 1000 // $bLen END AS mean_byte_x1000
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "frame_sample" ->
-      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-        |CAST(i * (length(text) // (doc_id % 7 + 1)) AS INTEGER) AS frame_off,
-        |CAST(length(text) // (doc_id % 7 + 1) AS INTEGER) AS frame_len
-        |FROM documents,
-        |  unnest(generate_series(0, CAST(doc_id % 7 AS INTEGER))) t(i)
-        |ORDER BY doc_id, frame_idx""".stripMargin,
+      s"""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+         |CAST(i * ($bLen // (doc_id % 7 + 1)) AS INTEGER) AS frame_off,
+         |CAST($bLen // (doc_id % 7 + 1) AS INTEGER) AS frame_len
+         |FROM documents,
+         |  unnest(generate_series(0, CAST(doc_id % 7 AS INTEGER))) t(i)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "resize_meta" ->
       """SELECT doc_id,

@@ -131,13 +131,18 @@ object RelationalQueries {
     // S9: point lookup — filter → orderBy desc → limit 1 (ref
     // `get_snapshot_by_id`, `database/influx/client.py:370-395`). Spark
     // plans this as TakeOrderedAndProject: no global sort, one reduce.
+    // Ordering is on µs-truncated time + event_id: the oracle's reader
+    // only sees µs, so ordering on raw ns could pick a different row
+    // whenever two same-key events share a µs (same posture as
+    // recent_analysis).
     "point_lookup" -> ((s, d) =>
       Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
         .filter(col("user_id") === 42)
-        .orderBy(desc("ts_ns"), desc("event_id"))
+        .orderBy(desc("ts_us"), desc("event_id"))
         .limit(1)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), expr("ts_ns DIV 1000").as("ts_us"))),
+          col("value"), col("ts_us"))),
 
     // S2: bulk market scan — wide projection + status filter + derived
     // display fields (ref `virginia/api/connection.py:223-304`); includes
@@ -196,20 +201,23 @@ object RelationalQueries {
     // W1: latest-per-key over the events stream table (ref LIFO freshest-
     // first caches, `virginia/logic/opportunity_scanner.py:78-84`).
     // One hash aggregate (max_by of a struct) — no window sort, the
-    // 100 TB-safe latest-value pattern.
+    // 100 TB-safe latest-value pattern. max_by keys on µs-truncated time
+    // (+ event_id tiebreak): the oracle only sees µs precision, so a raw-ns
+    // key could disagree when two same-key events share a µs.
     "events_latest_per_key" -> ((s, d) =>
       Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
         .groupBy("user_id")
         .agg(max_by(
           struct(col("event_id"), col("event_type"), col("value"),
-            col("ts_ns")),
-          struct(col("ts_ns"), col("event_id"))).as("last"))
+            col("ts_us")),
+          struct(col("ts_us"), col("event_id"))).as("last"))
         .select(
           col("user_id"),
           col("last.event_id").as("last_event_id"),
           col("last.event_type").as("last_event_type"),
           col("last.value").as("last_value"),
-          expr("last.ts_ns DIV 1000").as("last_ts_us"))
+          col("last.ts_us").as("last_ts_us"))
         .orderBy("user_id")))
 
   val oracle: Map[String, String] = Map(

@@ -97,15 +97,32 @@ object Snapshots {
     * become partition pruning, exactly as on a production cluster, and
     * (b) benchmarks measure operator work, not fixture derivation. */
   def store(spark: SparkSession, dir: String): DataFrame = {
+    // stage path carries a fixture fingerprint (size+mtime of
+    // events.parquet): a regenerated fixture at the same path gets a fresh
+    // stage instead of silently reusing a stale one
+    val src = new java.io.File(dir, "events.parquet")
+    val fp = java.lang.Long.toHexString(src.length * 31 + src.lastModified)
     val stage = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_snapshots_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
-    val marker = new java.io.File(stage, "_GRAFT_STAGED")
+      "graft_snapshots_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + fp)
     this.synchronized {
-      if (!marker.exists()) {
+      if (!stage.exists()) {
+        // write to a temp sibling, then atomic rename: concurrent JVMs
+        // (Bench + Verify) either see the complete store or stage their
+        // own copy — never a half-written directory
+        val tmp = new java.io.File(stage.getParentFile,
+          stage.getName + ".tmp." + java.util.UUID.randomUUID)
         frame(spark, dir).write.mode("overwrite")
-          .partitionBy("source").parquet(stage.toString)
-        marker.createNewFile()
+          .partitionBy("source").parquet(tmp.toString)
+        try
+          java.nio.file.Files.move(tmp.toPath, stage.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another process won the race — its store is complete; drop ours
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException =>
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        }
       }
     }
     spark.read.parquet(stage.toString)

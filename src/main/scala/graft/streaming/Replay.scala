@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.StructType
 
 /** S1-analog replay source: a rate-limited file stream over a snapshot
@@ -30,14 +31,24 @@ object Replay {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Routing join against a snapshot of the dimension: composes ONE plan
+    * with the dimension as evaluated now. For per-batch dimension refresh
+    * use [[routedStream]] — composing this once outside `foreachBatch`
+    * would freeze the dimension for the query's lifetime. */
+  def withRoutingDimension(stream: DataFrame, dimension: DataFrame,
+                           streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dimension), stream(streamKey) === dimension(dimKey))
+
   /** ST9: per-batch dimension re-read — the streaming side of the pairs
-    * routing join (J2). `dimension` is re-evaluated lazily inside each
-    * micro-batch plan, so subscription changes land without restart
-    * (the reference's `ticker_refresh_interval` loop,
+    * routing join (J2). The `dimension` thunk is invoked inside EVERY
+    * micro-batch, so subscription changes land without restart (the
+    * reference's `ticker_refresh_interval` loop,
     * `virginia/coordinator.py:1035-1054`). */
-  def withRoutingDimension(stream: DataFrame, dimension: () => DataFrame,
-                           streamKey: String, dimKey: String): DataFrame = {
-    val dim = dimension()
-    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey))
-  }
+  def routedStream(stream: DataFrame, dimension: () => DataFrame,
+                   streamKey: String, dimKey: String)
+                  (process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      process(withRoutingDimension(batch, dimension(), streamKey, dimKey),
+        batchId)
+    }
 }

@@ -18,4 +18,24 @@ class FillWalkAggregatorSpec extends SparkSpec {
     val v = Seq((45L, 10L), (44L, 5L)).toDS().coalesce(1).select(agg).head()
     assert(v === 0.0)
   }
+
+  test("merge fails loudly when clamped partials overshoot the target") {
+    // two partials, each fat enough to fill the walk alone: the merged
+    // consumption overshoots and the cost is order-dependent — the
+    // aggregator must refuse rather than return a plausible wrong price
+    val agg = new FillWalkAggregator(25L)
+    val pa = agg.reduce(agg.zero, (45L, 90L)) // consumed all 25 at 45c
+    val pb = agg.reduce(agg.zero, (44L, 90L)) // consumed all 25 at 44c
+    val e = intercept[IllegalStateException] { agg.merge(pa, pb) }
+    assert(e.getMessage.contains("order-dependent"))
+  }
+
+  test("merge is exact when the combined take fits the target") {
+    // 2 partitions, combined consumption 10+15 = 25 = shares: no clamp on
+    // either side, merged cost is the exact disjoint sum
+    val agg = new FillWalkAggregator(25L).toColumn
+    val v = Seq((45L, 10L), (44L, 15L)).toDS().repartition(2)
+      .select(agg).head()
+    assert(math.abs(v - (45 * 10 + 44 * 15) / (100.0 * 25)) < 1e-15)
+  }
 }

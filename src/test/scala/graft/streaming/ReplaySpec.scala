@@ -42,22 +42,27 @@ class ReplaySpec extends SparkSpec {
     val schema = spark.read.parquet(dir).schema
 
     var matched = 0L
-    val q = Replay.paced(spark, dir, schema, maxFilesPerTrigger = 1)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        // dimension re-read on every batch: only active pairs route
-        val routed = Replay.withRoutingDimension(
-          df, () => Snapshots.pairs(spark)
-            .filter(org.apache.spark.sql.functions.col("is_active")),
-          "ticker", "kalshi_ticker")
+    var dimReads = 0
+    val q = Replay.routedStream(
+      Replay.paced(spark, dir, schema, maxFilesPerTrigger = 1),
+      // dimension re-read on every batch: only active pairs route
+      () => {
+        dimReads += 1
+        Snapshots.pairs(spark)
+          .filter(org.apache.spark.sql.functions.col("is_active"))
+      },
+      "ticker", "kalshi_ticker") { (routed, _) =>
         matched += routed.count()
         ()
       }
+      .trigger(Trigger.AvailableNow())
       .option("checkpointLocation",
         Files.createTempDirectory("graft_replay2_ck").toString)
       .start()
     q.awaitTermination(120000)
+    // the thunk must have been invoked once per micro-batch (2 slices,
+    // maxFilesPerTrigger=1 → ≥2 batches), not once at composition time
+    assert(dimReads >= 2, s"dimension read $dimReads times, expected per-batch")
 
     // T7 is the inactive pair: its snapshots must not route
     val expected = snaps

@@ -26,5 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "count_in(arr, 'a', 'b', ...) - count of arr elements in the constant set",
         ""),
       (children: Seq[Expression]) => functions.CountInSet(children)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[functions.SimHash16].getName,
+        null, "simhash16",
+        "simhash16(arr) - 16-bit nibble-majority SimHash of an array of hex digests",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash16 takes exactly 1 argument")
+        functions.SimHash16(children.head)
+      }))
   }
 }

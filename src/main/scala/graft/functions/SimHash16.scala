@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** 16-bit SimHash signature from an array of hex digest strings:
+  * `simhash16(arr)` — bit k (1-indexed, value 2^(k-1)) is set iff a strict
+  * majority of the array's elements have an odd hex nibble at position k.
+  *
+  * Semantically identical to the composable form
+  * `sum over k of CASE WHEN 2*size(filter(arr, h -> substr(h,k,1) IN
+  * ('1','3',...))) - size(arr) > 0 THEN 2^(k-1) END`, but that form walks
+  * the array through 16 interpreted `ArrayFilter` passes (CodegenFallback,
+  * one intermediate array each) — the round-2 bench's slowest query. This
+  * expression accumulates all 16 vote counters in ONE generated pass over
+  * the `ArrayData`, staying inside whole-stage codegen.
+  *
+  * Null array → null; null elements count toward the population n but
+  * never vote (they cannot occur in the md5-built caller). Elements
+  * shorter than 16 chars vote only on the nibbles they have. Registered
+  * by `GraftExtensions` as SQL function `simhash16`.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(input: Any): Any = {
+    val data = input.asInstanceOf[ArrayData]
+    val n = data.numElements()
+    val votes = new Array[Int](16)
+    var i = 0
+    while (i < n) {
+      if (!data.isNullAt(i)) {
+        val s = data.getUTF8String(i)
+        val m = math.min(16, s.numBytes())
+        var k = 0
+        while (k < m) {
+          val c = s.getByte(k)
+          // hex nibble value parity: '0'-'9' → c-48, 'a'-'f' → c-87
+          val v = if (c <= '9') c - '0' else c - ('a' - 10)
+          if ((v & 1) == 1) votes(k) += 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 16) {
+      if (2 * votes(k) - n > 0) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val v = ctx.freshName("v")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $votes = new int[16];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |    int $m = Math.min(16, $s.numBytes());
+         |    for (int $k = 0; $k < $m; $k++) {
+         |      byte $c = $s.getByte($k);
+         |      int $v = $c <= '9' ? $c - '0' : $c - ('a' - 10);
+         |      if (($v & 1) == 1) $votes[$k]++;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $k = 0; $k < 16; $k++) {
+         |  if (2 * $votes[$k] - $n > 0) $sig |= 1L << $k;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}

@@ -3,13 +3,22 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{Staging, Tables}
 
 /** Multimodal (binary) column plumbing — images/audio/video carried as
-  * opaque `binary` payloads with typed metadata, processed batch-wise per
-  * partition.
+  * opaque `binary` payloads with TYPED METADATA captured at ingest,
+  * processed batch-wise per partition.
   *
-  * The decode kernels run through `Dataset.mapPartitions` over typed rows
+  * The asset table is a staged parquet store whose schema separates the
+  * fat `payload` column from its narrow metadata (dims, frame counts,
+  * media type, byte_len). That split is the whole point at 100 TB:
+  * metadata-only queries (`frame_sample`, `resize_meta`) are pure column
+  * expressions whose scans PRUNE the payload column at the parquet reader
+  * (assert via `.explain` ReadSchema — MultimodalSpec does), while the
+  * decode kernel (`media_features`) is the one consumer that legitimately
+  * reads payload bytes.
+  *
+  * The decode kernel runs through `Dataset.mapPartitions` over typed rows
   * (the Scala analog of `mapInPandas`: one iterator per partition, so a
   * real codec would amortize its init across the batch and never touch the
   * driver). The actual pixel/sample decode is a DETERMINISTIC FAKE —
@@ -27,17 +36,16 @@ object Multimodal {
 
   case class MediaAsset(doc_id: Long, media_type: String,
                         payload: Array[Byte], width: Int, height: Int,
-                        n_frames: Int)
+                        n_frames: Int, byte_len: Int)
   case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Int,
                            checksum: Long, mean_byte_x1000: Long)
-  case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int,
-                   frame_len: Int)
 
   private val mediaTypes = Seq("image", "audio", "video")
 
-  /** Typed asset table derived from `documents`. */
-  def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
-    import spark.implicits._
+  /** The asset frame derived from `documents` — payload plus ingest-time
+    * metadata (byte_len is recorded here exactly so downstream metadata
+    * queries never touch the payload column). */
+  def assetFrame(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(
         col("doc_id"),
@@ -46,13 +54,27 @@ object Multimodal {
         col("text").cast("binary").as("payload"),
         ((col("doc_id") % 8) * 40 + 64).cast("int").as("width"),
         ((col("doc_id") % 5) * 30 + 48).cast("int").as("height"),
-        (col("doc_id") % 7 + 1).cast("int").as("n_frames"))
-      .as[MediaAsset]
+        (col("doc_id") % 7 + 1).cast("int").as("n_frames"),
+        octet_length(col("text")).as("byte_len"))
+
+  /** Staged asset store: the binary table as it would exist in a lake —
+    * a parquet scan of THIS store can prune the payload column, which the
+    * derived-on-the-fly frame cannot (its payload derives from `text`). */
+  def assetStore(spark: SparkSession, dir: String): DataFrame =
+    Staging.stageFrame(spark, s"media_assets_$dir",
+      new java.io.File(dir, "documents.parquet"),
+      assetFrame(spark, dir))
+
+  /** Typed view for the decode kernel. */
+  def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    assetStore(spark, dir).as[MediaAsset]
   }
 
   /** Batch "decode": per-partition iterator, one pass over each payload.
     * A real implementation would hand `a.payload` to a codec here; the
-    * byte statistics below are its deterministic stand-in. */
+    * byte statistics below are its deterministic stand-in. This is the
+    * ONE query that reads the payload column — by design. */
   def decodeFeatures(ds: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
@@ -67,32 +89,36 @@ object Multimodal {
   }
 
   /** Frame sampling: fan each asset out into its n_frames equal-width
-    * byte windows (the video-keyframe access pattern). */
-  def frameSample(ds: Dataset[MediaAsset]): Dataset[Frame] = {
-    import ds.sparkSession.implicits._
-    ds.flatMap { a =>
-      val flen = a.payload.length / a.n_frames
-      (0 until a.n_frames).map(i => Frame(a.doc_id, i, i * flen, flen))
-    }
-  }
+    * byte windows (the video-keyframe access pattern). Pure column
+    * arithmetic over ingest metadata — the payload column is pruned at
+    * the scan (only its recorded byte_len is consulted). */
+  def frameSample(store: DataFrame): DataFrame =
+    store
+      .select(col("doc_id"), col("n_frames"),
+        (col("byte_len") / col("n_frames")).cast("int").as("frame_len"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+        col("frame_len"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * col("frame_len")).as("frame_off"),
+        col("frame_len"))
 
   /** Metadata-level resize to fit a square bounding box, aspect preserved
-    * (integer math; the pixel resample would live in the decode kernel). */
-  def resizeMeta(ds: Dataset[MediaAsset], maxDim: Int): DataFrame = {
-    import ds.sparkSession.implicits._
-    ds.map { a =>
-      val m = math.max(a.width, a.height)
-      (a.doc_id, a.width, a.height,
-        a.width * maxDim / m, a.height * maxDim / m)
-    }.toDF("doc_id", "width", "height", "new_width", "new_height")
+    * (integer math; the pixel resample would live in the decode kernel).
+    * Touches only the dims metadata — payload AND byte_len pruned. */
+  def resizeMeta(store: DataFrame, maxDim: Int): DataFrame = {
+    val m = greatest(col("width"), col("height"))
+    store.select(col("doc_id"), col("width"), col("height"),
+      (col("width") * maxDim / m).cast("int").as("new_width"),
+      (col("height") * maxDim / m).cast("int").as("new_height"))
   }
 
   val queries: Map[String, Q] = Map(
     "media_features" -> ((s, d) =>
       decodeFeatures(assets(s, d)).toDF().orderBy("doc_id")),
     "frame_sample" -> ((s, d) =>
-      frameSample(assets(s, d)).toDF().orderBy("doc_id", "frame_idx")),
-    "resize_meta" -> ((s, d) => resizeMeta(assets(s, d), 128).orderBy("doc_id")))
+      frameSample(assetStore(s, d)).orderBy("doc_id", "frame_idx")),
+    "resize_meta" -> ((s, d) => resizeMeta(assetStore(s, d), 128).orderBy("doc_id")))
 
   private val mt =
     "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)]"

@@ -96,37 +96,10 @@ object Snapshots {
     * partition layout. Queries read this store, so (a) source filters
     * become partition pruning, exactly as on a production cluster, and
     * (b) benchmarks measure operator work, not fixture derivation. */
-  def store(spark: SparkSession, dir: String): DataFrame = {
-    // stage path carries a fixture fingerprint (size+mtime of
-    // events.parquet): a regenerated fixture at the same path gets a fresh
-    // stage instead of silently reusing a stale one
-    val src = new java.io.File(dir, "events.parquet")
-    val fp = java.lang.Long.toHexString(src.length * 31 + src.lastModified)
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_snapshots_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + fp)
-    this.synchronized {
-      if (!stage.exists()) {
-        // write to a temp sibling, then atomic rename: concurrent JVMs
-        // (Bench + Verify) either see the complete store or stage their
-        // own copy — never a half-written directory
-        val tmp = new java.io.File(stage.getParentFile,
-          stage.getName + ".tmp." + java.util.UUID.randomUUID)
-        frame(spark, dir).write.mode("overwrite")
-          .partitionBy("source").parquet(tmp.toString)
-        try
-          java.nio.file.Files.move(tmp.toPath, stage.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          // another process won the race — its store is complete; drop ours
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.AccessDeniedException =>
-            org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-        }
-      }
-    }
-    spark.read.parquet(stage.toString)
-  }
+  def store(spark: SparkSession, dir: String): DataFrame =
+    Staging.stageFrame(spark, s"snapshots_$dir",
+      new java.io.File(dir, "events.parquet"),
+      frame(spark, dir), partitionCols = Seq("source"))
 
   /** SQL fragments for the DuckDB oracle — the same derivation in ANSI SQL
     * over `events`, kept adjacent to the Scala so they can't drift apart.

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Stage-once parquet materialization for fixture-derived stores.
+  *
+  * The stage path carries a fingerprint of the source fixture (size+mtime),
+  * so a regenerated fixture never silently reuses a stale stage; the write
+  * goes to a temp sibling then an atomic rename, so concurrent JVMs
+  * (Bench + Verify) either see a complete store or stage their own copy.
+  */
+object Staging {
+
+  /** Returns the staged directory for `key`, writing it via `write` if this
+    * is the first time this (key, fixture-fingerprint) is seen. */
+  def stage(key: String, fingerprintFile: java.io.File)
+           (write: String => Unit): String = {
+    val fp = java.lang.Long.toHexString(
+      fingerprintFile.length * 31 + fingerprintFile.lastModified)
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_" + key.replaceAll("[^a-zA-Z0-9]", "_") + "_" + fp)
+    this.synchronized {
+      if (!dir.exists()) {
+        val tmp = new java.io.File(dir.getParentFile,
+          dir.getName + ".tmp." + java.util.UUID.randomUUID)
+        write(tmp.toString)
+        try
+          java.nio.file.Files.move(tmp.toPath, dir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another process won the race — its store is complete; drop ours
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException =>
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        }
+      }
+    }
+    dir.toString
+  }
+
+  def stageFrame(spark: SparkSession, key: String,
+                 fingerprintFile: java.io.File,
+                 frame: => DataFrame,
+                 partitionCols: Seq[String] = Nil): DataFrame = {
+    val dir = stage(key, fingerprintFile) { tmp =>
+      val w = frame.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp)
+    }
+    spark.read.parquet(dir)
+  }
+}

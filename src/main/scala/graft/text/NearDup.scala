@@ -83,18 +83,17 @@ object NearDup {
   private val oddNibbles = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
   /** 16-bit SimHash over the distinct token set: bit k is the sign of the
-    * ±1 vote sum where token t votes +1 iff hex nibble k of md5(t) is odd. */
+    * ±1 vote sum where token t votes +1 iff hex nibble k of md5(t) is odd.
+    * All 16 vote counters accumulate in ONE codegen'd pass over the digest
+    * array (`functions/SimHash16.scala`) — the composable 16×`filter()`
+    * form is interpreted (CodegenFallback) and was the round-2 bench's
+    * slowest query at 8× the suite median. */
   def simhash(docs: DataFrame): DataFrame = {
     val toksd = array_distinct(split(norm(col("text")), " "))
-    val d = docs.withColumn("l", toksd).withColumn("n", size(col("l")))
-      // one digest per token; the 16 bit-votes slice this precomputed array
+    docs.withColumn("l", toksd)
+      // one digest per token; simhash16 slices the 16 nibble votes from it
       .withColumn("lh", transform(col("l"), t => md5(t.cast("binary"))))
-    val sig = (1 to 16).map { k =>
-      val votes = size(filter(col("lh"), h =>
-        substring(h, k, 1).isInCollection(oddNibbles)))
-      when(votes * 2 - col("n") > 0, lit(1L << (k - 1))).otherwise(lit(0L))
-    }.reduce(_ + _)
-    d.select(col("doc_id"), sig.as("simhash"))
+      .select(col("doc_id"), call_function("simhash16", col("lh")).as("simhash"))
   }
 
   /** Exact word-bigram Jaccard between consecutive doc ids — the

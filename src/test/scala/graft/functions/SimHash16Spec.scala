@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimHash16Spec extends SparkSpec {
+
+  private val oddNibbles = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+
+  test("simhash16 matches the composable 16-pass HOF form on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("l", array_distinct(
+        split(graft.text.TextOps.norm(col("text")), " ")))
+      .withColumn("n", size(col("l")))
+      .withColumn("lh", transform(col("l"), t => md5(t.cast("binary"))))
+    val hof = (1 to 16).map { k =>
+      val votes = size(filter(col("lh"), h =>
+        substring(h, k, 1).isInCollection(oddNibbles)))
+      when(votes * 2 - col("n") > 0, lit(1L << (k - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val diff = docs
+      .select(call_function("simhash16", col("lh")).as("fast"), hof.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("simhash16 edge cases: null array, empty array, short elements") {
+    val df = spark.sql(
+      """SELECT simhash16(CAST(NULL AS ARRAY<STRING>)) AS a,
+        |       simhash16(CAST(array() AS ARRAY<STRING>)) AS b,
+        |       simhash16(array('f')) AS c,
+        |       simhash16(array('31', '11', '20')) AS d""".stripMargin)
+    val r = df.head()
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) === 0L)          // no elements, no majorities
+    assert(r.getLong(2) === 1L)          // single 'f' (odd) at nibble 1 only
+    // nibble 1: votes {3,1,2}→2 odd of 3 → majority → bit 1
+    // nibble 2: votes {1,1,0}→2 odd of 3 → majority → bit 2
+    assert(r.getLong(3) === 3L)
+  }
+}

@@ -1,10 +1,18 @@
 package graft.multimodal
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
 import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+
+  private def readSchemas(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.requiredSchema.fieldNames.toSeq
+    }.map(_.mkString(","))
 
   test("decode features: checksum and mean derive from the payload bytes") {
     val assets = Multimodal.assets(spark, dir)
@@ -20,21 +28,23 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("frame sampling covers each asset with its n_frames windows") {
-    val assets = Multimodal.assets(spark, dir)
-    val frames = Multimodal.frameSample(assets).collect()
-      .groupBy(_.doc_id)
-    assets.collect().take(20).foreach { a =>
-      val fs = frames(a.doc_id).sortBy(_.frame_idx)
+    val assets = Multimodal.assets(spark, dir).collect()
+    val frames = Multimodal.frameSample(Multimodal.assetStore(spark, dir))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assets.take(20).foreach { a =>
+      val fs = frames(a.doc_id).sortBy(_.getAs[Int]("frame_idx"))
       assert(fs.length === a.n_frames)
-      assert(fs.map(_.frame_idx).toSeq === (0 until a.n_frames))
+      assert(fs.map(_.getAs[Int]("frame_idx")).toSeq === (0 until a.n_frames))
       val flen = a.payload.length / a.n_frames
-      assert(fs.forall(_.frame_len == flen))
-      assert(fs.map(_.frame_off).toSeq === (0 until a.n_frames).map(_ * flen))
+      assert(fs.forall(_.getAs[Int]("frame_len") == flen))
+      assert(fs.map(_.getAs[Int]("frame_off")).toSeq ===
+        (0 until a.n_frames).map(_ * flen))
     }
   }
 
   test("resize preserves aspect ratio within integer truncation") {
-    val out = Multimodal.resizeMeta(Multimodal.assets(spark, dir), 128)
+    val out = Multimodal.resizeMeta(Multimodal.assetStore(spark, dir), 128)
       .collect()
     out.foreach { r =>
       val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
@@ -45,5 +55,23 @@ class MultimodalSpec extends SparkSpec {
       assert(nw === w * 128 / m)
       assert(nh === h * 128 / m)
     }
+  }
+
+  test("metadata queries prune the payload column at the scan") {
+    // the 100 TB contract: frame_sample/resize_meta never read the fat
+    // binary column — their parquet scans' ReadSchema excludes payload
+    val fs = readSchemas(
+      Multimodal.frameSample(Multimodal.assetStore(spark, dir)))
+    val rm = readSchemas(
+      Multimodal.resizeMeta(Multimodal.assetStore(spark, dir), 128))
+    assert(fs.nonEmpty && rm.nonEmpty)
+    assert(fs.forall(!_.contains("payload")), s"frame_sample reads: $fs")
+    assert(rm.forall(!_.contains("payload")), s"resize_meta reads: $rm")
+    // resize_meta needs only the dims — byte_len is pruned too
+    assert(rm.forall(!_.contains("byte_len")), s"resize_meta reads: $rm")
+    // the decode kernel is the one legitimate payload consumer
+    val mf = readSchemas(
+      Multimodal.decodeFeatures(Multimodal.assets(spark, dir)).toDF())
+    assert(mf.exists(_.contains("payload")))
   }
 }

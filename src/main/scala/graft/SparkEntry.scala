@@ -30,7 +30,8 @@ object SparkEntry {
       text.NearDup.queries ++
       text.Curation.queries ++
       ann.Similarity.queries ++
-      multimodal.Multimodal.queries
+      multimodal.Multimodal.queries ++
+      sinks.SinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       text.NearDup.oracle ++
       text.Curation.oracle ++
       ann.Similarity.oracle ++
-      multimodal.Multimodal.oracle
+      multimodal.Multimodal.oracle ++
+      sinks.SinkQueries.oracle
 }

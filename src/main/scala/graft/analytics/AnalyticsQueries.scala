@@ -45,11 +45,18 @@ object AnalyticsQueries {
         startUs = Some(1704844800000000L),  // 2024-01-10T00:00:00Z
         endUs = Some(1705708800000000L))),  // 2024-01-20T00:00:00Z
 
+    // the reference's full period set is 1m/5m/1h/24h (`etl/query.py:146-157`)
     "ticker_series_1m" -> ((s, d) =>
       TickerSeries.downsampled(snaps(s, d), "T3", "kalshi", "1 minute")),
 
+    "ticker_series_5m" -> ((s, d) =>
+      TickerSeries.downsampled(snaps(s, d), "T3", "kalshi", "5 minutes")),
+
     "ticker_series_1h" -> ((s, d) =>
       TickerSeries.downsampled(snaps(s, d), "T3", "kalshi", "1 hour")),
+
+    "ticker_series_24h" -> ((s, d) =>
+      TickerSeries.downsampled(snaps(s, d), "T3", "kalshi", "24 hours")),
 
     "best_price" -> ((s, d) => {
       val k = snaps(s, d).filter(col("source") === "kalshi")
@@ -135,8 +142,13 @@ object AnalyticsQueries {
          |  AND epoch_us(ts) < 1705708800000000
          |ORDER BY ts_us, snapshot_id""".stripMargin,
 
-    "ticker_series_1m" -> downsampleOracle("minute"),
-    "ticker_series_1h" -> downsampleOracle("hour"),
+    "ticker_series_1m" -> downsampleOracle("date_trunc('minute', ts)"),
+    // Spark's window() and DuckDB's time_bucket both align sub-day buckets
+    // to the unix epoch, so 5-minute bucket starts agree exactly
+    "ticker_series_5m" ->
+      downsampleOracle("time_bucket(INTERVAL '5 minutes', ts)"),
+    "ticker_series_1h" -> downsampleOracle("date_trunc('hour', ts)"),
+    "ticker_series_24h" -> downsampleOracle("date_trunc('day', ts)"),
 
     "best_price" ->
       s"""SELECT ${S.tsUs} AS ts_us, event_id AS snapshot_id,
@@ -178,12 +190,12 @@ object AnalyticsQueries {
          |  + ((event_id % 200) + 5) AS e2e_ms
          |FROM events ORDER BY ts_us, snapshot_id""".stripMargin)
 
-  private def downsampleOracle(unit: String): String =
-    s"""SELECT epoch_us(date_trunc('$unit', ts)) AS bucket_us,
+  private def downsampleOracle(bucketExpr: String): String =
+    s"""SELECT epoch_us($bucketExpr) AS bucket_us,
        |${S.tsUs} AS ts_us, event_id AS snapshot_id,
        |$kYes AS yes, 1.0 - $kYes AS no
        |FROM events WHERE ${S.isKalshi} AND user_id % 8 = 3
-       |QUALIFY row_number() OVER (PARTITION BY date_trunc('$unit', ts)
+       |QUALIFY row_number() OVER (PARTITION BY $bucketExpr
        |  ORDER BY ts DESC, event_id DESC) = 1
        |ORDER BY bucket_us""".stripMargin
 }

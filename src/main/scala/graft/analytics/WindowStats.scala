@@ -100,6 +100,65 @@ object WindowStats {
         .select(col("l_orderkey"), size(col("partkeys")).as("n_parts"))
         .orderBy("l_orderkey")),
 
+    // J4 exact shape: trades-using-a-snapshot is a disjunction of the
+    // direct key AND array containment — `executed_snapshot_id = $1 OR
+    // analyzed_snapshot_ids @> [$1]` (ref `database/postgres/writer.py:
+    // 482-489`). Derived trades frame: executed id is key arithmetic,
+    // analyzed ids are the collected partkeys.
+    "snapshot_correlation" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey")))
+          .as("analyzed_snapshot_ids"))
+        .withColumn("executed_snapshot_id", (col("l_orderkey") * 7) % 3000)
+        .filter(col("executed_snapshot_id") === 42 ||
+          array_contains(col("analyzed_snapshot_ids"), lit(42L)))
+        .select(col("l_orderkey"), col("executed_snapshot_id"),
+          size(col("analyzed_snapshot_ids")).as("n_analyzed"),
+          array_contains(col("analyzed_snapshot_ids"), lit(42L))
+            .as("used_in_analysis"))
+        .orderBy("l_orderkey")),
+
+    // SET1 completion: `array_union` dedup-on-append — the reference's
+    // add_analyzed_snapshot appends an id only if absent
+    // (ref `database/models/postgres.py:165-168`). Existing vs incoming
+    // id sets per order, merged with exact set semantics.
+    "snapshot_append" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          collect_set(when(col("l_linenumber") <= 3, col("l_partkey")))
+            .as("existing"),
+          collect_set(when(col("l_linenumber") > 3, col("l_partkey")))
+            .as("incoming"))
+        .select(col("l_orderkey"),
+          size(col("existing")).as("n_existing"),
+          size(array_union(col("existing"), col("incoming"))).as("n_merged"),
+          aggregate(array_union(col("existing"), col("incoming")),
+            lit(0L), _ + _).as("id_sum"))
+        .orderBy("l_orderkey")),
+
+    // A7 rate form: msgs/sec over the trailing 100-message span per source
+    // — the deque-based rate tracker (ref `virginia/broker/receiver.py:
+    // 499-504`): rate = (n-1) / (t_newest - t_oldest). Exact integer
+    // numerator/denominator, one double division.
+    "msg_rate" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("ts_us"), col("snapshot_id"))
+        .rowsBetween(-99, 0)
+      Snapshots.store(s, d)
+        .select(col("ts_us"), col("snapshot_id"), col("source"),
+          count(lit(1)).over(w).as("n_win"),
+          min(col("ts_us")).over(w).as("t0_us"))
+        .filter(col("snapshot_id") % 50 === 0)
+        .select(col("ts_us"), col("snapshot_id"), col("source"),
+          when(col("ts_us") > col("t0_us"),
+            ((col("n_win") - 1) * 1000000L).cast("double") /
+              (col("ts_us") - col("t0_us")))
+            .otherwise(lit(0.0)).as("msgs_per_sec"))
+        .orderBy("source", "ts_us", "snapshot_id")
+    }),
+
     // J5: token-discovery explode (ref `ireland/api/data_feed.py:251-313`):
     // collected id list flattened back to rows.
     "token_explode" -> ((s, d) =>
@@ -240,6 +299,40 @@ object WindowStats {
         |GROUP BY l_orderkey
         |HAVING bool_or(l_partkey = 1)
         |ORDER BY l_orderkey""".stripMargin,
+
+    "snapshot_correlation" ->
+      """SELECT l_orderkey,
+        |CAST((l_orderkey * 7) % 3000 AS BIGINT) AS executed_snapshot_id,
+        |CAST(count(DISTINCT l_partkey) AS INTEGER) AS n_analyzed,
+        |bool_or(l_partkey = 42) AS used_in_analysis
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING (l_orderkey * 7) % 3000 = 42 OR bool_or(l_partkey = 42)
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "snapshot_append" ->
+      """SELECT l_orderkey,
+        |CAST(count(DISTINCT CASE WHEN l_linenumber <= 3 THEN l_partkey END)
+        |  AS INTEGER) AS n_existing,
+        |CAST(count(DISTINCT l_partkey) AS INTEGER) AS n_merged,
+        |CAST(sum(DISTINCT l_partkey) AS BIGINT) AS id_sum
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "msg_rate" ->
+      s"""SELECT * FROM (
+         |  SELECT epoch_us(ts) AS ts_us, event_id AS snapshot_id,
+         |  ${S.source} AS source,
+         |  CASE WHEN epoch_us(ts) > min(epoch_us(ts)) OVER w
+         |    THEN CAST((count(*) OVER w - 1) * 1000000 AS DOUBLE)
+         |      / (epoch_us(ts) - min(epoch_us(ts)) OVER w)
+         |    ELSE 0.0 END AS msgs_per_sec
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY ${S.source} ORDER BY ts, event_id
+         |    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW))
+         |WHERE snapshot_id % 50 = 0
+         |ORDER BY source, ts_us, snapshot_id""".stripMargin,
 
     "token_explode" ->
       """SELECT DISTINCT l_orderkey, l_partkey AS token_id

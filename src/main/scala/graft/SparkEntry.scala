@@ -31,7 +31,8 @@ object SparkEntry {
       text.Curation.queries ++
       ann.Similarity.queries ++
       multimodal.Multimodal.queries ++
-      sinks.SinkQueries.queries
+      sinks.SinkQueries.queries ++
+      schema.SchemaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       text.Curation.oracle ++
       ann.Similarity.oracle ++
       multimodal.Multimodal.oracle ++
-      sinks.SinkQueries.oracle
+      sinks.SinkQueries.oracle ++
+      schema.SchemaQueries.oracle
 }

@@ -1,0 +1,177 @@
+package graft.schema
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact-precision relational schemas — the engine-side declaration of the
+  * reference's PostgreSQL DDL (`database/models/postgres.py:377-544`):
+  * `trade_tickets`, `analysis_records`, `arbitrage_pairs` with the DDL's
+  * DECIMAL precisions (prices/sizes DECIMAL(15,6), bps DECIMAL(10,2),
+  * latencies DECIMAL(10,3), risk DECIMAL(10,4), win_rate DECIMAL(5,4)) and
+  * the enum-valued string fields (`postgres.py:18-46`).
+  *
+  * Posture: the StructType is the source of truth (Scala types cannot carry
+  * decimal precision); `conform` casts any compatible DataFrame onto it and
+  * fails loudly on enum violations — the Spark analogue of the DDL's
+  * VARCHAR-enum columns plus the dataclass validation the reference does in
+  * Python. JSONB list columns (`analyzed_snapshot_ids`) become
+  * ARRAY<STRING>, TIMESTAMP WITH TIME ZONE becomes TimestampType (session
+  * TZ pinned to UTC by `Tables.session`).
+  */
+object Schemas {
+  // DDL decimal families (postgres.py:396-440,519-530)
+  val Price: DecimalType = DecimalType(15, 6) // quantities, prices, costs
+  val Bps: DecimalType = DecimalType(10, 2) // basis-point thresholds
+  val LatencyMs: DecimalType = DecimalType(10, 3) // stage latencies
+  val Risk: DecimalType = DecimalType(10, 4) // risk_score
+  val WinRate: DecimalType = DecimalType(5, 4) // win_rate
+
+  // Enum domains (postgres.py:18-46)
+  val TradeStatus: Set[String] = Set(
+    "pending", "submitted", "partially_filled", "filled",
+    "cancelled", "rejected", "failed")
+  val TradeSide: Set[String] = Set("buy", "sell")
+  val TradeVenue: Set[String] = Set("kalshi", "polymarket")
+  val ArbitrageType: Set[String] = Set(
+    "kalshi_yes_polymarket_no", "kalshi_no_polymarket_yes",
+    "kalshi_polymarket_spread")
+
+  private def f(name: String, t: DataType, nullable: Boolean = true) =
+    StructField(name, t, nullable)
+
+  /** `trade_tickets` (postgres.py:379-445). */
+  val tradeTickets: StructType = StructType(Seq(
+    f("trade_id", StringType, nullable = false),
+    f("arbitrage_id", StringType, nullable = false),
+    f("kalshi_ticker", StringType, nullable = false),
+    f("polymarket_condition_id", StringType, nullable = false),
+    f("pair_id", StringType, nullable = false),
+    f("market_title", StringType),
+    f("venue", StringType, nullable = false),
+    f("side", StringType, nullable = false),
+    f("outcome", StringType, nullable = false),
+    f("order_type", StringType),
+    f("quantity", Price, nullable = false),
+    f("limit_price", Price),
+    f("status", StringType, nullable = false),
+    f("executed_quantity", Price),
+    f("executed_price", Price),
+    f("average_fill_price", Price),
+    f("total_cost", Price),
+    f("fees", Price),
+    f("external_order_id", StringType),
+    f("execution_report_id", StringType),
+    f("arbitrage_type", StringType, nullable = false),
+    f("expected_profit", Price),
+    f("expected_profit_bps", Bps),
+    f("leg_number", IntegerType),
+    f("related_trade_id", StringType),
+    f("analyzed_snapshot_ids", ArrayType(StringType)),
+    f("executed_snapshot_id", StringType),
+    f("kalshi_bid_at_decision", Price),
+    f("kalshi_ask_at_decision", Price),
+    f("polymarket_bid_at_decision", Price),
+    f("polymarket_ask_at_decision", Price),
+    f("spread_at_decision", Price),
+    f("opportunity_detected_at", TimestampType),
+    f("decision_made_at", TimestampType),
+    f("order_submitted_at", TimestampType),
+    f("first_fill_at", TimestampType),
+    f("last_fill_at", TimestampType),
+    f("order_completed_at", TimestampType),
+    f("decision_latency_ms", LatencyMs),
+    f("submission_latency_ms", LatencyMs),
+    f("fill_latency_ms", LatencyMs),
+    f("position_size_before", Price),
+    f("position_size_after", Price),
+    f("portfolio_exposure_before", Price),
+    f("portfolio_exposure_after", Price),
+    f("risk_score", Risk),
+    f("created_at", TimestampType),
+    f("updated_at", TimestampType),
+    f("created_by", StringType),
+    f("notes", StringType)))
+
+  /** `analysis_records` (postgres.py:461-500). */
+  val analysisRecords: StructType = StructType(Seq(
+    f("analysis_id", StringType, nullable = false),
+    f("kalshi_ticker", StringType, nullable = false),
+    f("polymarket_condition_id", StringType, nullable = false),
+    f("pair_id", StringType, nullable = false),
+    f("arbitrage_type", StringType, nullable = false),
+    f("potential_profit", Price),
+    f("potential_profit_bps", Bps),
+    f("rejection_reason", StringType, nullable = false),
+    f("rejection_details", StringType),
+    f("analyzed_snapshot_ids", ArrayType(StringType)),
+    f("kalshi_bid", Price),
+    f("kalshi_ask", Price),
+    f("kalshi_bid_size", Price),
+    f("kalshi_ask_size", Price),
+    f("polymarket_bid", Price),
+    f("polymarket_ask", Price),
+    f("polymarket_bid_size", Price),
+    f("polymarket_ask_size", Price),
+    f("cross_market_spread", Price),
+    f("required_minimum_spread", Price),
+    f("analyzed_at", TimestampType),
+    f("analysis_duration_ms", LatencyMs),
+    f("created_by", StringType),
+    f("notes", StringType)))
+
+  /** `arbitrage_pairs` (postgres.py:507-544). */
+  val arbitragePairs: StructType = StructType(Seq(
+    f("pair_id", StringType, nullable = false),
+    f("kalshi_ticker", StringType, nullable = false),
+    f("polymarket_condition_id", StringType, nullable = false),
+    f("market_title", StringType, nullable = false),
+    f("description", StringType),
+    f("is_active", BooleanType),
+    f("min_spread_bps", Bps),
+    f("max_position_size", Price),
+    f("max_trade_size", Price),
+    f("max_exposure", Price),
+    f("stop_loss_bps", Bps),
+    f("total_trades", IntegerType),
+    f("total_volume", Price),
+    f("total_profit", Price),
+    f("win_rate", WinRate),
+    f("average_profit_per_trade", Price),
+    f("created_at", TimestampType),
+    f("updated_at", TimestampType),
+    f("expiration_date", TimestampType)))
+
+  /** Enum domain per column name, shared by all three tables. */
+  val enumDomains: Map[String, Set[String]] = Map(
+    "status" -> TradeStatus,
+    "side" -> TradeSide,
+    "venue" -> TradeVenue,
+    "arbitrage_type" -> ArbitrageType)
+
+  /** Enum-validated column: passes valid (or null) values through, raises
+    * at execution time otherwise — the engine-side CHECK constraint. Stays
+    * codegen'd (`when`/`isin`/`raise_error` are all native expressions). */
+  def validEnum(c: Column, domain: Set[String], colName: String): Column =
+    when(c.isNull || c.isin(domain.toSeq: _*), c)
+      .otherwise(raise_error(concat(
+        lit(s"invalid enum value for $colName: "), c)))
+
+  /** Cast a compatible DataFrame onto the declared schema: every declared
+    * column present (missing nullable columns filled with typed nulls),
+    * cast to its exact DDL type, enum domains validated. Column-level
+    * `select` only — prunes and stays inside whole-stage codegen. */
+  def conform(df: DataFrame, schema: StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(schema.fields.map { fld =>
+      val base =
+        if (present(fld.name)) col(fld.name).cast(fld.dataType)
+        else lit(null).cast(fld.dataType)
+      val checked = enumDomains.get(fld.name) match {
+        case Some(domain) => validEnum(base, domain, fld.name)
+        case None => base
+      }
+      checked.as(fld.name)
+    }.toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.schema
+
+import java.math.{BigDecimal => JBigDecimal}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Exact-precision schema module (SURVEY §7.1 step 1): DDL decimal
+  * precisions survive a typed Dataset → conform → parquet round trip, and
+  * enum validation fails loudly on out-of-domain values.
+  */
+class SchemaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pair(id: String, winRate: String, profit: String) =
+    ArbitragePair(
+      pair_id = id, kalshi_ticker = s"KX-$id",
+      polymarket_condition_id = s"cond_$id", market_title = s"Market $id",
+      description = None, is_active = Some(true),
+      min_spread_bps = Some(new JBigDecimal("100.00")),
+      max_position_size = Some(new JBigDecimal("1000.000000")),
+      max_trade_size = Some(new JBigDecimal("100.000000")),
+      max_exposure = None, stop_loss_bps = None,
+      total_trades = Some(7),
+      total_volume = Some(new JBigDecimal(profit).multiply(new JBigDecimal(100))),
+      total_profit = Some(new JBigDecimal(profit)),
+      win_rate = Some(new JBigDecimal(winRate)),
+      average_profit_per_trade = Some(new JBigDecimal(profit)),
+      created_at = Some(Timestamp.valueOf("2024-01-01 00:00:00")),
+      updated_at = None, expiration_date = None)
+
+  test("arbitrage_pairs round-trip pins exact DDL decimal types") {
+    val ds = Seq(
+      pair("p1", "0.7143", "12.345678"),
+      pair("p2", "0.0625", "-3.000001")).toDS()
+    // typed encoder gives (38,18); conform pins the DDL precisions
+    val conformed = Schemas.conform(ds.toDF(), Schemas.arbitragePairs)
+    assert(conformed.schema("win_rate").dataType === DecimalType(5, 4))
+    assert(conformed.schema("min_spread_bps").dataType === DecimalType(10, 2))
+    assert(conformed.schema("total_volume").dataType === DecimalType(15, 6))
+
+    val dir = java.nio.file.Files.createTempDirectory("schema_rt").toString
+    conformed.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // physical parquet schema preserves the precisions exactly
+    assert(back.schema("win_rate").dataType === DecimalType(5, 4))
+    assert(back.schema("total_profit").dataType === DecimalType(15, 6))
+    val rates = back.orderBy("pair_id").select("win_rate")
+      .as[JBigDecimal].collect().map(_.toPlainString)
+    assert(rates.toSeq === Seq("0.7143", "0.0625"))
+  }
+
+  test("trade_tickets conform fills absent nullable columns with typed nulls") {
+    val sparse = Seq(("trade_1", "arb_1", "buy")).toDF(
+      "trade_id", "arbitrage_id", "side")
+    val conformed = Schemas.conform(sparse, Schemas.tradeTickets)
+    assert(conformed.schema.fieldNames.toSeq ===
+      Schemas.tradeTickets.fieldNames.toSeq)
+    assert(conformed.schema("quantity").dataType === DecimalType(15, 6))
+    assert(conformed.schema("decision_latency_ms").dataType ===
+      DecimalType(10, 3))
+    val row = conformed.head()
+    assert(row.getAs[String]("trade_id") === "trade_1")
+    assert(row.isNullAt(row.fieldIndex("quantity")))
+  }
+
+  test("enum validation raises on out-of-domain values, passes valid + null") {
+    val bad = Seq(("t1", "teleported")).toDF("trade_id", "status")
+    // raise_error surfaces as SparkRuntimeException (private[spark] in the
+    // Scala signature, so intercept by its public supertype)
+    val ex = intercept[RuntimeException] {
+      Schemas.conform(bad, Schemas.tradeTickets).collect()
+    }
+    assert(ex.getMessage.contains("invalid enum value for status"))
+
+    val ok = Seq(("t1", "filled"), ("t2", null))
+      .toDF("trade_id", "status")
+    val out = Schemas.conform(ok, Schemas.tradeTickets)
+      .select("status").as[Option[String]].collect().toSet
+    assert(out === Set(Some("filled"), None))
+  }
+
+  test("typed TradeTicket Dataset encodes and conforms (50-field arity)") {
+    val t = TradeTicket(
+      trade_id = "trade_9", arbitrage_id = "arb_9",
+      kalshi_ticker = "KX-9", polymarket_condition_id = "cond_9",
+      pair_id = "pair_2", market_title = None,
+      venue = "kalshi", side = "sell", outcome = "no",
+      order_type = Some("market"),
+      quantity = new JBigDecimal("25.000000"),
+      limit_price = None, status = "partially_filled",
+      executed_quantity = Some(new JBigDecimal("10.500000")),
+      executed_price = None,
+      average_fill_price = Some(new JBigDecimal("0.421357")),
+      total_cost = Some(new JBigDecimal("4.424249")),
+      fees = None, external_order_id = None, execution_report_id = None,
+      arbitrage_type = "kalshi_polymarket_spread",
+      expected_profit = None,
+      expected_profit_bps = Some(new JBigDecimal("142.50")),
+      leg_number = Some(1), related_trade_id = None,
+      analyzed_snapshot_ids = Some(Seq("snap_1", "snap_2")),
+      executed_snapshot_id = Some("snap_2"),
+      kalshi_bid_at_decision = None, kalshi_ask_at_decision = None,
+      polymarket_bid_at_decision = None, polymarket_ask_at_decision = None,
+      spread_at_decision = None,
+      opportunity_detected_at = None, decision_made_at = None,
+      order_submitted_at = None, first_fill_at = None, last_fill_at = None,
+      order_completed_at = None,
+      decision_latency_ms = Some(new JBigDecimal("12.345")),
+      submission_latency_ms = None, fill_latency_ms = None,
+      position_size_before = None, position_size_after = None,
+      portfolio_exposure_before = None, portfolio_exposure_after = None,
+      risk_score = Some(new JBigDecimal("0.1234")),
+      created_at = None, updated_at = None,
+      created_by = Some("arbitrage_system"), notes = None)
+    val conformed = Schemas.conform(Seq(t).toDS().toDF(),
+      Schemas.tradeTickets)
+    val row = conformed.head()
+    assert(row.getAs[JBigDecimal]("average_fill_price").toPlainString ===
+      "0.421357")
+    assert(row.getAs[JBigDecimal]("decision_latency_ms").toPlainString ===
+      "12.345")
+    assert(row.getAs[Seq[String]]("analyzed_snapshot_ids") ===
+      Seq("snap_1", "snap_2"))
+  }
+
+  test("ticket_rollup derivation validates every enum value it emits") {
+    val orders = spark.range(1, 101).select(
+      col("id").as("o_orderkey"),
+      (col("id") * 7 % 31).as("o_custkey"),
+      element_at(array(lit("O"), lit("F"), lit("P")),
+        (col("id") % 3 + 1).cast("int")).as("o_orderstatus"),
+      (col("id") * lit(1.5)).as("o_totalprice"),
+      lit(Timestamp.valueOf("2024-03-01 00:00:00")).as("o_orderdate"))
+    val rollup = SchemaQueries.ticketRollup(
+      SchemaQueries.deriveTickets(orders))
+    val rows = rollup.collect()
+    // 2 venues × 3 statuses, every group non-empty for 100 orders
+    assert(rows.length === 6)
+    assert(rows.map(_.getAs[Long]("total_trades")).sum === 100L)
+  }
+}

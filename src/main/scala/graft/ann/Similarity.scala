@@ -38,6 +38,14 @@ object Similarity {
       .select(col("vec_id"), quantized(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
 
+  /** Score → rank → keep k. The rank window partitions by `query_id`
+    * (few partitions when the query set is small), but the plan never
+    * funnels the scored corpus through them: the literal `rank <= k`
+    * filter triggers Catalyst's InferWindowGroupLimit, which inserts a
+    * Partial-mode WindowGroupLimit below the exchange — each input
+    * partition pre-reduces to its local top-k per query, so the shuffle
+    * carries #partitions·k rows per query, not the corpus. Plan shape is
+    * pinned by SimilaritySpec ("pre-reduces per partition"). */
   private def cosineTopK(corpus: DataFrame, queries: DataFrame,
                          k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -48,8 +48,20 @@ object NearDup {
 
   /** MinHash/LSH candidate pairs with exact Jaccard verification.
     * Emits every bucket-colliding pair (doc_a < doc_b) with its true
-    * 3-shingle Jaccard — callers threshold downstream. */
-  def minhashLsh(docs: DataFrame): DataFrame = {
+    * 3-shingle Jaccard — callers threshold downstream.
+    *
+    * `maxBucket` is the bucket-size cap (SCALING.md "what breaks first" #2):
+    * a templated/boilerplate corpus can put thousands of docs behind one
+    * band signature, turning the candidate join quadratic in that bucket.
+    * Buckets above the cap are SUB-SALTED — split into ceil(n/cap)
+    * deterministic sub-buckets — so per-bucket pair work drops from O(n²)
+    * to O(n·cap). Within-sub-bucket duplicates are still found (each
+    * sub-bucket keeps one representative after downstream dedup); the
+    * bounded loss is cross-sub-bucket pairs of an already-near-identical
+    * cluster. Oversized-bucket detection is one partial-agg count whose
+    * result (only the oversized buckets) is broadcast back — no extra
+    * full-data shuffle. */
+  def minhashLsh(docs: DataFrame, maxBucket: Int = 256): DataFrame = {
     val sh = withShingles(docs)
     val bands = sh
       .withColumn("ha", transform(col("shingles"), s =>
@@ -64,9 +76,21 @@ object NearDup {
           .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
 
-    val cands = bands.as("x")
-      .join(bands.as("y"),
+    // only buckets over the cap survive this aggregate — tiny by definition
+    val oversized = bands.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+    val salted = bands.join(broadcast(oversized), Seq("band", "bsig"), "left")
+      .withColumn("salt",
+        when(col("bn").isNull, lit(0L)).otherwise(
+          pmod(xxhash64(col("doc_id")),
+            expr(s"(bn + ${maxBucket - 1}) DIV $maxBucket"))))
+      .drop("bn")
+
+    val cands = salted.as("x")
+      .join(salted.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.salt") === col("y.salt") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()

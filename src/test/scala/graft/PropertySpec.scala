@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.Books
+import graft.sinks.RelationalSink
+import graft.text.NearDup
+
+/** ScalaCheck property tests (SURVEY §5 item 3) over the engine's semantic
+  * kernels. Each forAll sample is a whole generated corpus (one Spark job
+  * per sample), so 10 samples exercise hundreds of cases per property.
+  * Plain ScalaCheck (`Test.check`) inside funsuite — the scalatest/
+  * scalacheck bridge artifact is not a declared dependency.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(label: String, prop: Prop, samples: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(samples).withWorkers(1), prop)
+    assert(res.passed, s"$label: ${res.status}")
+  }
+
+  // --- yes/no complement ----------------------------------------------------
+
+  test("property: yes + complement(yes) == 1 within 1 ulp for prices in [0,1]") {
+    val prices = Gen.listOfN(50, Gen.chooseNum(0, 1000000).map(_ / 1e6))
+    check("complement", Prop.forAll(prices) { ps =>
+      val rows = ps.toDF("yes")
+        .select(col("yes"), Books.complement(col("yes")).as("no"))
+        .collect()
+      rows.forall { r =>
+        val s = r.getDouble(0) + r.getDouble(1)
+        math.abs(s - 1.0) <= math.ulp(1.0)
+      }
+    })
+  }
+
+  // --- fill walk ------------------------------------------------------------
+
+  private case class Book(levels: List[(Long, Long)], shares: Long)
+
+  private val genBook: Gen[Book] = for {
+    n <- Gen.chooseNum(0, 8)
+    levels <- Gen.listOfN(n, Gen.zip(
+      Gen.chooseNum(1L, 99L), Gen.chooseNum(0L, 50L)))
+    shares <- Gen.chooseNum(1L, 120L)
+  } yield Book(levels, shares)
+
+  /** The reference walk (`virginia/api/data_feed.py:99-126`) modeled
+    * directly: consume in order, 0.0 iff the book can't fill `shares`. */
+  private def naiveWalk(b: Book): Double = {
+    var remaining = b.shares
+    var cost = 0L
+    b.levels.foreach { case (price, qty) =>
+      val take = math.min(remaining, qty)
+      remaining -= take
+      cost += take * price
+    }
+    if (remaining > 0) 0.0 else cost.toDouble / (100.0 * b.shares)
+  }
+
+  test("property: fill-walk == naive walk; 0 exactly iff insufficient liquidity") {
+    val corpus = Gen.listOfN(25, genBook)
+    check("fillWalk", Prop.forAll(corpus) { books =>
+      val df = books.zipWithIndex
+        .map { case (b, i) =>
+          (i.toLong, b.levels.map(l => Array(l._1, l._2)).toArray, b.shares)
+        }
+        .toDF("id", "levels", "shares")
+        .select(col("id"),
+          Books.fillWalkAvgPriceDollars(col("levels"), col("shares"))
+            .as("avg"))
+      val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      books.zipWithIndex.forall { case (b, i) =>
+        val expect = naiveWalk(b)
+        val liquidity = b.levels.map(_._2).sum
+        // prices are >= 1 cent, so a filled walk always has cost > 0:
+        // the 0.0 sentinel fires exactly when liquidity can't cover shares
+        got(i.toLong) == expect &&
+          (expect == 0.0) == (liquidity < b.shares)
+      }
+    })
+  }
+
+  // --- downsample(last) -----------------------------------------------------
+
+  private case class Snap(tsUs: Long, snapshotId: String, cents: Long)
+
+  test("property: downsample(last) picks exactly the max (ts_us, snapshot_id) per bucket") {
+    val genSnaps = Gen.listOfN(40, for {
+      tsUs <- Gen.chooseNum(0L, 600L).map(_ * 1000000L) // 10 min of seconds
+      sid <- Gen.chooseNum(100, 999).map(n => s"s$n")
+      cents <- Gen.chooseNum(1L, 99L)
+    } yield Snap(tsUs, sid, cents))
+    check("downsample", Prop.forAll(genSnaps) { snaps =>
+      val df = snaps
+        .map(s => ("T", "kalshi", s.tsUs, s.snapshotId,
+          s"""{"yes":[[${s.cents},5]],"no":[]}"""))
+        .toDF("ticker", "source", "ts_us", "snapshot_id", "full_orderbook")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val got = analytics.TickerSeries
+        .downsampled(df, "T", "kalshi", "1 minute")
+        .select("bucket_us", "snapshot_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = snaps
+        .groupBy(s => s.tsUs / 60000000L * 60000000L)
+        .map { case (b, ss) => b -> ss.maxBy(s => (s.tsUs, s.snapshotId)).snapshotId }
+      got == expect
+    })
+  }
+
+  // --- LSH recall on exact duplicates --------------------------------------
+
+  test("property: LSH always pairs docs with identical shingle sets, jaccard 1.0") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val genDoc = for {
+      n <- Gen.chooseNum(3, 8)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val genCorpus = for {
+      base <- Gen.listOfN(12, genDoc)
+      dupIdx <- Gen.listOfN(6, Gen.chooseNum(0, 11))
+    } yield base ++ dupIdx.map(base)
+    check("lsh-recall", Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val found = NearDup.minhashLsh(docs).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+      // model: docs sharing an identical 3-shingle set MUST be flagged
+      def shingles(t: String): Set[String] = {
+        val toks = t.split(" ").toList
+        toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
+      val byShingles = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, shingles(t)) }
+        .filter(_._2.nonEmpty)
+        .groupBy(_._2).values.filter(_.length > 1)
+      byShingles.forall { group =>
+        val ids = group.map(_._1).sorted
+        ids.combinations(2).forall { case Seq(a, b) =>
+          found.get((a, b)).contains(1.0)
+        }
+      }
+    }, samples = 8)
+  }
+
+  // --- LWW merge view -------------------------------------------------------
+
+  test("property: mergeView == naive last-write-wins for unique versions") {
+    val genLog = Gen.listOfN(60, for {
+      key <- Gen.chooseNum(1L, 10L)
+      value <- Gen.chooseNum(-1000, 1000)
+    } yield (key, value)).map(_.zipWithIndex.map { case ((k, v), i) =>
+      (k, i.toLong, v) // position = unique, monotone version
+    })
+    check("mergeView", Prop.forAll(genLog) { log =>
+      val got = RelationalSink
+        .mergeView(log.toDF("key", "version", "value"),
+          keyCols = Seq("key"), versionCol = "version")
+        .collect()
+        .map(r => r.getAs[Long]("key") ->
+          (r.getAs[Long]("version"), r.getAs[Int]("value"))).toMap
+      val expect = log.groupBy(_._1).map { case (k, rows) =>
+        val last = rows.maxBy(_._2)
+        k -> (last._2, last._3)
+      }
+      got == expect
+    })
+  }
+
+  // --- schema conform idempotence -------------------------------------------
+
+  test("property: conform is idempotent and always lands the declared schema") {
+    import graft.schema.Schemas
+    val colPool = Seq("pair_id", "kalshi_ticker", "win_rate", "total_trades",
+      "min_spread_bps", "market_title")
+    val genCols = Gen.someOf(colPool).map(_.toList)
+    check("conform", Prop.forAll(genCols) { cols =>
+      val base = Seq(("p1", "KX-1", "0.5", 3, "100.0", "m"))
+        .toDF("pair_id", "kalshi_ticker", "win_rate", "total_trades",
+          "min_spread_bps", "market_title")
+        .select(cols.map(col).toSeq: _*)
+      val once = Schemas.conform(base, Schemas.arbitragePairs)
+      val twice = Schemas.conform(once, Schemas.arbitragePairs)
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).toSeq
+      shape(once.schema) == shape(Schemas.arbitragePairs) &&
+        shape(twice.schema) == shape(once.schema) &&
+        once.collect().toSeq == twice.collect().toSeq
+    }, samples = 6)
+  }
+}

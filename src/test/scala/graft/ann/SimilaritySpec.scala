@@ -36,6 +36,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("top-k plan pre-reduces per partition before the per-query exchange") {
+    // Scale posture: the per-query rank window runs on #queries partitions,
+    // so the plan MUST bound what reaches it. Catalyst's InferWindowGroupLimit
+    // inserts a Partial WindowGroupLimit (per-partition top-k) BELOW the
+    // rank exchange — shuffle volume is #partitions·k per query, never the
+    // scored corpus. This assertion pins that shape: it fails if the filter
+    // ever stops matching the rank-limit pattern (e.g. a renamed rank column
+    // or a non-literal k) and the full corpus starts crossing the wire.
+    val plan = Similarity.annTopK(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("WindowGroupLimit")
+    assert(partialIdx >= 0 && plan.substring(partialIdx).contains("Partial"),
+      s"expected a Partial WindowGroupLimit in:\n$plan")
+    // the Partial instance must sit below (after, in tree print order) the
+    // shuffle that feeds the Final window rank
+    val finalWindowIdx = plan.indexOf("Window ")
+    val partialLine = plan.linesIterator.toSeq
+      .filter(_.contains("WindowGroupLimit")).last
+    assert(partialLine.contains("Partial"),
+      s"bottom-most WindowGroupLimit must be Partial mode:\n$plan")
+    assert(finalWindowIdx >= 0)
+  }
+
   test("self-pairs are excluded") {
     val out = Similarity.annTopK(spark, "/root/testdata/sf0.001", nQueries = 2,
       k = 3).collect()

@@ -33,6 +33,34 @@ class TextSpec extends SparkSpec {
     assert(out.head.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("LSH bucket cap bounds candidate blowup on boilerplate corpora") {
+    // 120 identical boilerplate docs share every band signature: uncapped
+    // pair count is C(120,2) = 7140. With maxBucket=10 the bucket splits
+    // into 12 sub-buckets → ≈ 12·C(10,2) = 540 pairs: linear in n, not
+    // quadratic. A genuinely distinct near-dup pair in a small bucket is
+    // unaffected by the cap.
+    val boiler = (1L to 120L).map(i =>
+      (i, "subscribe to our newsletter for daily updates and offers"))
+    val distinct = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog again"),
+      (201L, "the quick brown fox jumps over the lazy dog again"))
+    val docs = (boiler ++ distinct).toDF("doc_id", "text")
+
+    val capped = NearDup.minhashLsh(docs, maxBucket = 10).collect()
+    val boilerPairs = capped.count(_.getAs[Long]("doc_a") <= 120L)
+    assert(boilerPairs > 0 && boilerPairs <= 1200,
+      s"expected bounded boilerplate pairs, got $boilerPairs")
+    // every boilerplate pair the cap keeps is still an exact duplicate
+    assert(capped.filter(_.getAs[Long]("doc_a") <= 120L)
+      .forall(_.getAs[Double]("jaccard") === 1.0))
+    // the small-bucket near-dup pair survives the cap untouched
+    assert(capped.exists(r => r.getAs[Long]("doc_a") === 200L &&
+      r.getAs[Long]("doc_b") === 201L))
+
+    val uncapped = NearDup.minhashLsh(docs).collect()
+    assert(uncapped.count(_.getAs[Long]("doc_a") <= 120L) === 120 * 119 / 2)
+  }
+
   test("simhash of identical token sets is equal, differs otherwise") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),

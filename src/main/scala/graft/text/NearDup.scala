@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 import graft.text.TextOps.norm
@@ -24,6 +25,7 @@ object NearDup {
 
   private val K = 8 // minhash functions
   private val B = 4 // bands (rows per band R = K/B = 2)
+  private val MaxBucket = 256 // default bucket-size cap (sub-salt threshold)
 
   /** Distinct 3-word shingles of the normalized text (docs with <3 tokens
     * carry no shingles and are excluded). */
@@ -46,6 +48,16 @@ object NearDup {
     array_min(transform(hashes, h => substring(h, 8 * (j % 4) + 1, 8)))
   }
 
+  /** Deterministic sub-bucket salt, identical in Spark and DuckDB: two
+    * ascii codes of the md5 hex of the doc id (values 48..102, ~14 bits of
+    * spread) — enough to split an oversized bucket evenly, and expressible
+    * as the same `ascii(substr(md5(...)))` arithmetic in the oracle SQL
+    * (unlike xxhash64, which DuckDB doesn't have). */
+  private def saltHash(id: Column): Column = {
+    val m = md5(id.cast("string").cast("binary"))
+    (ascii(substring(m, 1, 1)) * 256 + ascii(substring(m, 2, 1))).cast("long")
+  }
+
   /** MinHash/LSH candidate pairs with exact Jaccard verification.
     * Emits every bucket-colliding pair (doc_a < doc_b) with its true
     * 3-shingle Jaccard — callers threshold downstream.
@@ -58,22 +70,35 @@ object NearDup {
     * to O(n·cap). Within-sub-bucket duplicates are still found (each
     * sub-bucket keeps one representative after downstream dedup); the
     * bounded loss is cross-sub-bucket pairs of an already-near-identical
-    * cluster. Oversized-bucket detection is one partial-agg count whose
-    * result (only the oversized buckets) is broadcast back — no extra
-    * full-data shuffle. */
-  def minhashLsh(docs: DataFrame, maxBucket: Int = 256): DataFrame = {
-    val sh = withShingles(docs)
-    val bands = sh
+    * cluster. The salt is md5-derived so the DuckDB oracle reproduces the
+    * capped semantics exactly. Oversized-bucket detection is one
+    * partial-agg count whose result (only the oversized buckets) is
+    * broadcast back — no extra full-data shuffle.
+    *
+    * The expensive lineage — per-shingle double md5 + normalize — is
+    * materialized ONCE in the narrow per-doc signature frame `sigs`
+    * (persisted MEMORY_AND_DISK) before the cap aggregate and the two
+    * self-join sides branch off it. Round 3 shipped this unpersisted and
+    * evaluated the md5 banding three times (21.7 s at sf0.1, 7× the
+    * round-2 cost); on a cluster that is 3× the scan+hash cost of the
+    * corpus. Everything downstream of the cache is cheap: band explode,
+    * a broadcast join, and the bounded candidate join. */
+  def minhashLsh(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val sigs = withShingles(docs)
       .withColumn("ha", transform(col("shingles"), s =>
         md5(concat(lit("a:"), s).cast("binary"))))
       .withColumn("hb", transform(col("shingles"), s =>
         md5(concat(lit("b:"), s).cast("binary"))))
-      .select(
-        col("doc_id"),
-        explode(array((0 until B).map(b =>
-          struct(lit(b).as("band"),
-            concat(minhash(2 * b), minhash(2 * b + 1)).as("bsig"))): _*))
-          .as("bb"))
+      .select(col("doc_id"), col("shingles"),
+        array((0 until B).map(b =>
+          concat(minhash(2 * b), minhash(2 * b + 1))): _*).as("bsigs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(array((0 until B).map(b =>
+        struct(lit(b).as("band"), element_at(col("bsigs"), b + 1).as("bsig"))): _*))
+        .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
 
     // only buckets over the cap survive this aggregate — tiny by definition
@@ -83,7 +108,7 @@ object NearDup {
     val salted = bands.join(broadcast(oversized), Seq("band", "bsig"), "left")
       .withColumn("salt",
         when(col("bn").isNull, lit(0L)).otherwise(
-          pmod(xxhash64(col("doc_id")),
+          pmod(saltHash(col("doc_id")),
             expr(s"(bn + ${maxBucket - 1}) DIV $maxBucket"))))
       .drop("bn")
 
@@ -96,8 +121,8 @@ object NearDup {
       .distinct()
 
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb")))).as("jaccard"))
@@ -176,10 +201,23 @@ object NearDup {
          |bands AS (
          |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS bsig
          |  FROM mh, (SELECT unnest(generate_series(0, ${B - 1})) AS b)),
+         |over_cap AS (
+         |  SELECT b, bsig, count(*) AS bn FROM bands GROUP BY b, bsig
+         |  HAVING count(*) > $MaxBucket),
+         |salted AS (
+         |  SELECT bands.doc_id, bands.b, bands.bsig,
+         |    CASE WHEN o.bn IS NULL THEN 0
+         |         ELSE (ascii(substr(md5(CAST(bands.doc_id AS VARCHAR)), 1, 1)) * 256
+         |             + ascii(substr(md5(CAST(bands.doc_id AS VARCHAR)), 2, 1)))
+         |           % ((o.bn + ${MaxBucket - 1}) // $MaxBucket)
+         |    END AS salt
+         |  FROM bands LEFT JOIN over_cap o
+         |    ON bands.b = o.b AND bands.bsig = o.bsig),
          |cands AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
+         |  FROM salted x JOIN salted y
+         |    ON x.b = y.b AND x.bsig = y.bsig AND x.salt = y.salt
+         |    AND x.doc_id < y.doc_id)
          |SELECT c.doc_a, c.doc_b,
          |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
          |    / len(list_distinct(list_concat(sa.shingles, sb.shingles)))

@@ -98,6 +98,38 @@ object AnalyticsQueries {
         .orderBy("ts_us", "snapshot_id")
     }),
 
+    // U1: the typed-Aggregator twin of fill_walk. One row per book level
+    // (posexplode carries book order), grouped per snapshot and walked by
+    // FillWalkAggregator's zero/reduce/finish over the per-group iterator
+    // that `flatMapSortedGroups` guarantees sorted by level position — the
+    // only aggregation API whose within-group row order is a contract.
+    // (A udaf() form was tried first and FillWalkAggregator.merge failed
+    // loudly, exactly as designed: ObjectHashAggregateExec falls back to
+    // sort-based aggregation past 128 distinct groups, which both splits a
+    // group across partial buffers and re-sorts rows by grouping key only,
+    // so no hash-aggregate plan can promise level order.) The oracle is
+    // fill_walk's closed form — a green row proves the typed-Aggregator
+    // walk agrees with the order-safe array-HOF walk.
+    "fill_walk_agg" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.FillWalkAggregator(25L)
+      snaps(s, d).filter(col("source") === "kalshi")
+        .withColumn("book", Books.parseKalshi(col("full_orderbook")))
+        .select(col("ts_us"), col("snapshot_id"), col("ticker"),
+          posexplode(col("book.yes")).as(Seq("pos", "lvl")))
+        .select(col("ts_us"), col("snapshot_id"), col("ticker"), col("pos"),
+          element_at(col("lvl"), 1).as("price"),
+          element_at(col("lvl"), 2).as("qty"))
+        .as[(Long, Long, String, Int, Long, Long)]
+        .groupByKey(r => (r._1, r._2, r._3))
+        .flatMapSortedGroups(col("pos")) { (key, rows) =>
+          val acc = rows.foldLeft(agg.zero)((a, r) => agg.reduce(a, (r._5, r._6)))
+          Iterator((key._1, key._2, key._3, agg.finish(acc)))
+        }
+        .toDF("ts_us", "snapshot_id", "ticker", "avg_fill_price")
+        .orderBy("ts_us", "snapshot_id")
+    }),
+
     "latency_chain" -> ((s, d) =>
       snaps(s, d).select(
         col("ts_us"), col("snapshot_id"), col("source"),
@@ -171,6 +203,18 @@ object AnalyticsQueries {
          |ORDER BY ts_us, snapshot_id""".stripMargin,
 
     "fill_walk" ->
+      s"""SELECT ${S.tsUs} AS ts_us, event_id AS snapshot_id,
+         |${S.market} AS ticker,
+         |CASE WHEN ${S.q1} + ${S.q2} < 25 THEN CAST(0.0 AS DOUBLE)
+         |     ELSE CAST(LEAST(${S.q1}, 25) * ${S.p}
+         |            + LEAST(${S.q2}, 25 - LEAST(${S.q1}, 25)) * (${S.p} - 1)
+         |            AS DOUBLE) / (CAST(100 AS DOUBLE) * CAST(25 AS DOUBLE))
+         |END AS avg_fill_price
+         |FROM events WHERE ${S.isKalshi}
+         |ORDER BY ts_us, snapshot_id""".stripMargin,
+
+    // identical closed form to fill_walk: the Aggregator must agree
+    "fill_walk_agg" ->
       s"""SELECT ${S.tsUs} AS ts_us, event_id AS snapshot_id,
          |${S.market} AS ticker,
          |CASE WHEN ${S.q1} + ${S.q2} < 25 THEN CAST(0.0 AS DOUBLE)

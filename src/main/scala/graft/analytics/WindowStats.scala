@@ -229,6 +229,19 @@ object WindowStats {
           col("event_type"), col("n"))
         .orderBy("bucket_us", "event_type")),
 
+    // ST4 (batch twin): sliding-window counts — 5-minute window, 1-minute
+    // slide — through the SAME transform the streaming lane runs
+    // (StreamingLanes.windowedCounts with slide < every; the rolling-rate
+    // shape of the reference's stats reports, `virginia/broker/receiver.py:
+    // 499-504`). Each row lands in exactly 5 windows; the oracle
+    // regenerates the window starts as minute-truncated bucket offsets.
+    "events_sliding" -> ((s, d) =>
+      graft.streaming.StreamingLanes.windowedCounts(
+        Snapshots.store(s, d), every = "5 minutes", slide = Some("1 minute"))
+        .select(unix_micros(col("bucket")).as("bucket_us"), col("source"),
+          col("n"), col("last_snapshot_id"))
+        .orderBy("bucket_us", "source")),
+
     // Corpus-level rollup over documents: per-source token/char totals and
     // mean quality inputs (exact integer sums, one final division).
     "corpus_stats" -> ((s, d) =>
@@ -375,6 +388,22 @@ object WindowStats {
         |event_type, count(*) AS n
         |FROM events GROUP BY 1, 2
         |ORDER BY bucket_us, event_type""".stripMargin,
+
+    // every event belongs to the 5 sliding windows whose start is its
+    // minute-truncated time minus k minutes, k=0..4 (slide-aligned starts
+    // in (ts - 5min, ts]); the HUGEINT composite reproduces Spark's
+    // max_by(snapshot_id, struct(ts, snapshot_id)) tiebreak exactly
+    "events_sliding" ->
+      s"""WITH w AS (
+         |  SELECT epoch_us(date_trunc('minute', ts) - (k * INTERVAL 1 MINUTE))
+         |    AS bucket_us,
+         |  ${S.source} AS source, epoch_us(ts) AS ts_us, event_id
+         |  FROM events, (SELECT unnest(generate_series(0, 4)) AS k))
+         |SELECT bucket_us, source, count(*) AS n,
+         |  arg_max(event_id, CAST(ts_us AS HUGEINT) * 1000000000 + event_id)
+         |    AS last_snapshot_id
+         |FROM w GROUP BY bucket_us, source
+         |ORDER BY bucket_us, source""".stripMargin,
 
     "corpus_stats" ->
       s"""SELECT source, count(*) AS docs,

@@ -9,6 +9,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Currently one native function: `long_dot` (integer array dot product,
   * `functions/LongDotProduct.scala`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Wrong-arity calls surface as the same AnalysisException (error class
+    * WRONG_NUM_ARGS) users get from builtin functions during resolution —
+    * not a raw IllegalArgumentException from a require. */
+  private def checkArity(name: String, expected: Int,
+                         children: Seq[Expression]): Unit =
+    if (children.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("long_dot"),
@@ -16,7 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         null, "long_dot", "long_dot(a, b) - integer dot product of two bigint arrays",
         ""),
       (children: Seq[Expression]) => {
-        require(children.length == 2, "long_dot takes exactly 2 arguments")
+        checkArity("long_dot", 2, children)
         functions.LongDotProduct(children.head, children(1))
       }))
     ext.injectFunction((
@@ -33,7 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash16(arr) - 16-bit nibble-majority SimHash of an array of hex digests",
         ""),
       (children: Seq[Expression]) => {
-        require(children.length == 1, "simhash16 takes exactly 1 argument")
+        checkArity("simhash16", 1, children)
         functions.SimHash16(children.head)
       }))
   }

@@ -38,16 +38,27 @@ object RelationalSink {
   }
 
   /** Compaction: rewrite the log as its merged state (the write-side of
-    * UPDATE, amortized). Reads the log, resolves LWW, overwrites. */
+    * UPDATE, amortized). The merged state is written to a temp sibling
+    * first, then swapped in with atomic renames (the same posture as
+    * `sources.Staging`) — a crash at any point leaves a complete readable
+    * store on disk (the original log, the aside copy, or the compacted
+    * result), never a half-overwritten one. */
   def compact(spark: SparkSession, path: String, keyCols: Seq[String],
               versionCol: String): Unit = {
-    val merged = mergeView(spark.read.parquet(path), keyCols, versionCol)
-    // write to a temp location then swap would be the production move; a
-    // single overwrite is enough for the engine surface here
-    merged.persist()
-    merged.count()
-    merged.write.mode("overwrite").parquet(path)
-    merged.unpersist()
-    ()
+    import java.nio.file.{Files, StandardCopyOption}
+    val dir = new java.io.File(path).getAbsoluteFile
+    val stamp = java.util.UUID.randomUUID.toString
+    val tmp = new java.io.File(dir.getParentFile, dir.getName + ".compact." + stamp)
+    mergeView(spark.read.parquet(path), keyCols, versionCol)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val aside = new java.io.File(dir.getParentFile, dir.getName + ".old." + stamp)
+    Files.move(dir.toPath, aside.toPath, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable =>
+      // restore the original log before propagating — never zero copies
+      Files.move(aside.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+      throw e
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(aside)
   }
 }

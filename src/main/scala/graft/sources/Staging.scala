@@ -15,6 +15,10 @@ object Staging {
     * is the first time this (key, fixture-fingerprint) is seen. */
   def stage(key: String, fingerprintFile: java.io.File)
            (write: String => Unit): String = {
+    // a missing fixture would yield length=0/lastModified=0 — a stable
+    // bogus fingerprint that silently defeats stale-stage detection
+    require(fingerprintFile.exists(),
+      s"stage($key): fingerprint file $fingerprintFile does not exist")
     val fp = java.lang.Long.toHexString(
       fingerprintFile.length * 31 + fingerprintFile.lastModified)
     val dir = new java.io.File(
@@ -29,10 +33,14 @@ object Staging {
           java.nio.file.Files.move(tmp.toPath, dir.toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
-          // another process won the race — its store is complete; drop ours
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.AccessDeniedException =>
+          // another process won the race — its store is complete; drop
+          // ours. Platform-dependent surfacing: rename(2) onto an existing
+          // dir can raise FileAlreadyExists, AccessDenied, or (Linux
+          // ENOTEMPTY) DirectoryNotEmpty — all FileSystemException. Any
+          // other move failure with no winner present is a real error.
+          case e: java.nio.file.FileSystemException =>
             org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+            if (!dir.exists()) throw e
         }
       }
     }

@@ -26,6 +26,17 @@ class SimHash16Spec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("wrong arity raises AnalysisException like a builtin, not a raw require") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash16(array('a'), 2)").collect()
+    }
+    assert(e.getCondition === "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT long_dot(array(1L))").collect()
+    }
+    assert(e2.getCondition === "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+  }
+
   test("simhash16 edge cases: null array, empty array, short elements") {
     val df = spark.sql(
       """SELECT simhash16(CAST(NULL AS ARRAY<STRING>)) AS a,

@@ -33,6 +33,29 @@ class RelationalSinkSpec extends SparkSpec {
     assert(rows.head.getAs[String]("status") === "filled")
   }
 
+  test("compact interrupted mid-write leaves the log readable and retryable") {
+    val dir = Files.createTempDirectory("graft_sink_i").toString
+    RelationalSink.append(log((1L, 1L, "pending", 0.0)), dir)
+    RelationalSink.append(log((1L, 2L, "filled", 50.0)), dir)
+    // simulate a crash after the temp write but before the swap: a stale
+    // .compact.* sibling is on disk, the log itself untouched
+    val stale = new java.io.File(
+      new java.io.File(dir).getParentFile,
+      new java.io.File(dir).getName + ".compact.deadbeef")
+    assert(stale.mkdirs())
+    assert(spark.read.parquet(dir).count() === 2L) // log intact
+    // the retry compacts normally despite the leftover
+    RelationalSink.compact(spark, dir, Seq("trade_id"), "version")
+    val rows = spark.read.parquet(dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("status") === "filled")
+    assert(rows.head.getAs[Double]("qty") === 50.0)
+    // and the swap left no aside copy behind
+    val leftovers = new java.io.File(dir).getParentFile.listFiles()
+      .map(_.getName).filter(_.startsWith(new java.io.File(dir).getName + ".old"))
+    assert(leftovers.isEmpty)
+  }
+
   test("append partitions by the requested columns") {
     val dir = Files.createTempDirectory("graft_sink_p").toString
     RelationalSink.append(

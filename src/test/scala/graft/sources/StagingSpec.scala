@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class StagingSpec extends SparkSpec {
+
+  test("stage writes once per fingerprint and reuses the store") {
+    val fixture = Files.createTempFile("graft_fp", ".parquet").toFile
+    Files.writeString(fixture.toPath, "x")
+    var writes = 0
+    val d1 = Staging.stage("staging_spec_once", fixture) { tmp =>
+      writes += 1
+      assert(new java.io.File(tmp).mkdirs() ||
+        new java.io.File(tmp).isDirectory)
+    }
+    val d2 = Staging.stage("staging_spec_once", fixture) { _ => writes += 1 }
+    assert(d1 === d2)
+    assert(writes === 1)
+  }
+
+  test("missing fingerprint file fails loudly instead of staging stale") {
+    val e = intercept[IllegalArgumentException] {
+      Staging.stage("staging_spec_missing",
+        new java.io.File("/nonexistent/fixture.parquet"))(_ => ())
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("losing a cross-JVM rename race reuses the winner's complete store") {
+    val fixture = Files.createTempFile("graft_fp2", ".parquet").toFile
+    Files.writeString(fixture.toPath, "y")
+    // first stage wins and creates the store
+    val winner = Staging.stage("staging_spec_race", fixture) { tmp =>
+      val d = new java.io.File(tmp); d.mkdirs()
+      Files.writeString(new java.io.File(d, "part-0").toPath, "data")
+    }
+    // simulate the loser: its move lands on the existing non-empty dir —
+    // on Linux that's ENOTEMPTY (DirectoryNotEmptyException), which must
+    // be treated as "other process won", not crash
+    val src = Files.createTempDirectory("graft_loser").toFile
+    Files.writeString(new java.io.File(src, "part-0").toPath, "mine")
+    val thrown = intercept[java.nio.file.FileSystemException] {
+      java.nio.file.Files.move(src.toPath, new java.io.File(winner).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // precondition of the scenario holds on this platform
+    assert(thrown != null)
+    // the staged path still serves the winner's complete store
+    val again = Staging.stage("staging_spec_race", fixture) { _ =>
+      fail("must not restage: winner's store is present")
+    }
+    assert(again === winner)
+    assert(Files.readString(
+      new java.io.File(winner, "part-0").toPath) === "data")
+  }
+}

@@ -73,4 +73,54 @@ class PipelineIntegrationSpec extends SparkSpec {
       (scan.contains("isnotnull(source") || scan.contains("source#")),
       s"expected partition filters in:\n$scan")
   }
+
+  test("stream-stream interval scan over a replayed store == batch PairScan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val replayDir = Files.createTempDirectory("graft_e2e_scan_in").toString
+    val ck = Files.createTempDirectory("graft_e2e_scan_ck").toString
+
+    val snaps = Snapshots.frame(spark, sfDir)
+    // the same latest-per-key reduction the batch scanner starts from,
+    // staged as a multi-file replay source so the kalshi and poly legs of
+    // a pair arrive in DIFFERENT micro-batches — the interval join's state
+    // store has to hold one leg across batches to find the match
+    val latest = StreamingLanes.latestPerKey(snaps)
+    Replay.stage(latest, replayDir, slices = 5)
+    val schema = spark.read.parquet(replayDir).schema
+
+    val stream = Replay.paced(spark, replayDir, schema, maxFilesPerTrigger = 1)
+    // lateness covers the fixture's event-time spread (~1 month): an
+    // out-of-order leg arriving in a later micro-batch must not be
+    // watermark-dropped, or the streaming scan would diverge from batch
+    val pairs = Snapshots.pairs(spark).filter(col("is_active"))
+    val opportunities = StreamScanner.scan(
+      StreamScanner.kalshiLeg(stream, lateness = "40 days"),
+      StreamScanner.polyLeg(stream, lateness = "40 days"),
+      pairs, windowSec = 86400L, minProfitThreshold = 0.02)
+
+    val q = opportunities.writeStream.format("memory")
+      .queryName("stream_scan_out").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .start()
+    q.awaitTermination(180000)
+
+    val streamed = spark.table("stream_scan_out")
+      .select(col("kalshi_ticker"), col("condition_id"),
+        unix_micros(col("k_ts")).as("k_ts_us"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        col("direction"), col("profit_margin"))
+      .collect().toSet
+
+    // SURVEY §3.2 step 6: the streaming scan must emit exactly the batch
+    // scanner's opportunities on the same inputs — same keys, same event
+    // times, same direction, bit-identical margins
+    val batch = graft.scanner.PairScan.scanFrames(snaps, pairs, 86400L, 0.02)
+      .select(col("kalshi_ticker"), col("condition_id"), col("k_ts_us"),
+        col("p_ts_us"), col("direction"), col("profit_margin"))
+      .collect().toSet
+
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }

@@ -144,21 +144,75 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts_us"))),
 
-    // S2: bulk market scan — wide projection + status filter + derived
-    // display fields (ref `virginia/api/connection.py:223-304`); includes
-    // F15 prefix truncation and F20 numeric defaults.
-    "market_scan" -> ((s, d) =>
+    // S2: bulk market scan — the reference's ~35-field per-market
+    // projection (ref `virginia/api/connection.py:247-289`: prices, title,
+    // volume/OI/liquidity, open/close/expiration times, strike/settlement
+    // metadata) derived deterministically from the orders fixture, plus
+    // the status filter, F15 prefix truncation, and F20 numeric defaults.
+    // The quote ladder follows the snapshot convention (best_price):
+    // p = key%95+2 cents; yes p/p+1, no mirrored at 98-p/99-p.
+    "market_scan" -> ((s, d) => {
+      val p = (col("o_orderkey") % 95 + 2).cast("long")
+      val key = col("o_orderkey").cast("string")
+      val iso = (c: Column) => date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      val vol = coalesce(col("o_totalprice"), lit(0.0))
       Tables(s, d, "orders")
         .filter(col("o_orderstatus").isin("O", "F"))
         .select(
           col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          coalesce(col("o_totalprice"), lit(0.0)).as("total_price"),
+          vol.as("total_price"),
           col("o_orderdate"), col("o_orderpriority"),
           concat(substring(col("o_orderpriority"), 1, 3), lit("..."))
             .as("priority_display"),
           year(col("o_orderdate")).as("order_year"),
-          quarter(col("o_orderdate")).as("order_quarter"))
-        .orderBy("o_orderkey")),
+          quarter(col("o_orderdate")).as("order_quarter"),
+          concat(lit("MKT-"), key).as("ticker"),
+          concat(lit("Market "), key, lit(" ["), col("o_orderpriority"),
+            lit("]")).as("title"),
+          p.cast("double").as("yes_bid"),
+          (p + 1).cast("double").as("yes_ask"),
+          (lit(98L) - p).cast("double").as("no_bid"),
+          (lit(99L) - p).cast("double").as("no_ask"),
+          ((p * 2 + 1).cast("double") / 2.0).as("last_price"),
+          vol.as("volume"),
+          (vol / 30.0).as("volume_24h"),
+          iso(col("o_orderdate")).as("open_time"),
+          iso(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("close_time"),
+          iso(col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("expiration_time"),
+          iso(col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("expected_expiration_time"),
+          iso(col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+            .as("latest_expiration_time"),
+          (col("o_orderkey") % 2 === 0).as("can_close_early"),
+          concat(lit("EV-"), (col("o_custkey") % 100).cast("string"))
+            .as("event_ticker"),
+          lit("binary").as("market_type"),
+          col("o_orderpriority").as("subtitle"),
+          lit("Yes").as("yes_sub_title"),
+          lit("No").as("no_sub_title"),
+          ((col("o_orderkey") % 24) * 3600).cast("int")
+            .as("settlement_timer_seconds"),
+          lit("usd_cent").as("response_price_units"),
+          lit(100).as("notional_value"),
+          lit(1).as("tick_size"),
+          (p - 1).cast("double").as("previous_yes_bid"),
+          p.cast("double").as("previous_yes_ask"),
+          ((p * 2 - 1).cast("double") / 2.0).as("previous_price"),
+          (col("o_custkey") * 10).as("liquidity"),
+          ((col("o_orderkey") % 1000) * 5).as("open_interest"),
+          when(col("o_orderstatus") === "F", lit("yes")).otherwise(lit(""))
+            .as("result"),
+          lit("").as("expiration_value"),
+          concat(lit("Pri-"), substring(col("o_orderpriority"), 1, 1))
+            .as("category"),
+          lit(2500000L).as("risk_limit_cents"),
+          lit("structured").as("strike_type"),
+          concat(lit("Resolves YES if market "), key,
+            lit(" settles by expiration")).as("rules_primary"),
+          lit("").as("rules_secondary"))
+        .orderBy("o_orderkey")
+    }),
 
     // F17: deterministic outcome heuristic — the reference hashes the
     // token id and takes parity (`ireland/coordinator.py:285-293`); md5
@@ -291,7 +345,49 @@ object RelationalQueries {
         |o_orderdate, o_orderpriority,
         |substr(o_orderpriority, 1, 3) || '...' AS priority_display,
         |CAST(year(o_orderdate) AS INTEGER) AS order_year,
-        |CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter
+        |CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+        |'MKT-' || CAST(o_orderkey AS VARCHAR) AS ticker,
+        |'Market ' || CAST(o_orderkey AS VARCHAR) || ' [' || o_orderpriority
+        |  || ']' AS title,
+        |CAST(o_orderkey % 95 + 2 AS DOUBLE) AS yes_bid,
+        |CAST(o_orderkey % 95 + 3 AS DOUBLE) AS yes_ask,
+        |CAST(96 - o_orderkey % 95 AS DOUBLE) AS no_bid,
+        |CAST(97 - o_orderkey % 95 AS DOUBLE) AS no_ask,
+        |CAST((o_orderkey % 95 + 2) * 2 + 1 AS DOUBLE) / 2.0 AS last_price,
+        |coalesce(o_totalprice, 0.0) AS volume,
+        |coalesce(o_totalprice, 0.0) / 30.0 AS volume_24h,
+        |strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS open_time,
+        |strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%dT%H:%M:%SZ')
+        |  AS close_time,
+        |strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%dT%H:%M:%SZ')
+        |  AS expiration_time,
+        |strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%dT%H:%M:%SZ')
+        |  AS expected_expiration_time,
+        |strftime(o_orderdate + INTERVAL 120 DAY, '%Y-%m-%dT%H:%M:%SZ')
+        |  AS latest_expiration_time,
+        |o_orderkey % 2 = 0 AS can_close_early,
+        |'EV-' || CAST(o_custkey % 100 AS VARCHAR) AS event_ticker,
+        |'binary' AS market_type,
+        |o_orderpriority AS subtitle,
+        |'Yes' AS yes_sub_title,
+        |'No' AS no_sub_title,
+        |CAST((o_orderkey % 24) * 3600 AS INTEGER) AS settlement_timer_seconds,
+        |'usd_cent' AS response_price_units,
+        |CAST(100 AS INTEGER) AS notional_value,
+        |CAST(1 AS INTEGER) AS tick_size,
+        |CAST(o_orderkey % 95 + 1 AS DOUBLE) AS previous_yes_bid,
+        |CAST(o_orderkey % 95 + 2 AS DOUBLE) AS previous_yes_ask,
+        |CAST((o_orderkey % 95 + 2) * 2 - 1 AS DOUBLE) / 2.0 AS previous_price,
+        |CAST(o_custkey * 10 AS BIGINT) AS liquidity,
+        |CAST((o_orderkey % 1000) * 5 AS BIGINT) AS open_interest,
+        |CASE WHEN o_orderstatus = 'F' THEN 'yes' ELSE '' END AS result,
+        |'' AS expiration_value,
+        |'Pri-' || substr(o_orderpriority, 1, 1) AS category,
+        |CAST(2500000 AS BIGINT) AS risk_limit_cents,
+        |'structured' AS strike_type,
+        |'Resolves YES if market ' || CAST(o_orderkey AS VARCHAR)
+        |  || ' settles by expiration' AS rules_primary,
+        |'' AS rules_secondary
         |FROM orders WHERE o_orderstatus IN ('O', 'F')
         |ORDER BY o_orderkey""".stripMargin,
 

@@ -163,6 +163,12 @@ object NearDup {
 
   val queries: Map[String, Q] = Map(
     "dedup_near_lsh" -> ((s, d) => minhashLsh(Tables(s, d, "documents"))),
+    // cap low enough (2) that real fixture buckets (size-3 duplicate
+    // clusters exist at sf0.01) split into sub-buckets — the capped
+    // semantics and the oracle's mirrored salt are exercised on data,
+    // not just by the unit test
+    "dedup_near_lsh_capped" -> ((s, d) =>
+      minhashLsh(Tables(s, d, "documents"), maxBucket = 2)),
     "simhash" -> ((s, d) => simhash(Tables(s, d, "documents")).orderBy("doc_id")),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
@@ -184,48 +190,54 @@ object NearDup {
        |  - len(l) > 0 THEN ${1L << (k - 1)} ELSE 0 END""".stripMargin
   }.mkString(" + ")
 
+  /** The full banding + capped-salting + Jaccard-verify pipeline in DuckDB
+    * SQL, parameterized by the bucket cap — mirrors `minhashLsh` exactly,
+    * including the md5-ascii sub-salt of oversized buckets. */
+  private def lshOracle(cap: Int): String =
+    s"""WITH $shinglesCte,
+       |hh AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(shingles, s -> md5('a:' || s)) AS ha,
+       |    list_transform(shingles, s -> md5('b:' || s)) AS hb
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, shingles, list_transform(generate_series(0, ${K - 1}),
+       |    j -> list_min(list_transform(
+       |      CASE WHEN j < 4 THEN ha ELSE hb END,
+       |      h -> substr(h, 8 * (j % 4) + 1, 8)))) AS sig
+       |  FROM hh),
+       |bands AS (
+       |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS bsig
+       |  FROM mh, (SELECT unnest(generate_series(0, ${B - 1})) AS b)),
+       |over_cap AS (
+       |  SELECT b, bsig, count(*) AS bn FROM bands GROUP BY b, bsig
+       |  HAVING count(*) > $cap),
+       |salted AS (
+       |  SELECT bands.doc_id, bands.b, bands.bsig,
+       |    CASE WHEN o.bn IS NULL THEN 0
+       |         ELSE (ascii(substr(md5(CAST(bands.doc_id AS VARCHAR)), 1, 1)) * 256
+       |             + ascii(substr(md5(CAST(bands.doc_id AS VARCHAR)), 2, 1)))
+       |           % ((o.bn + ${cap - 1}) // $cap)
+       |    END AS salt
+       |  FROM bands LEFT JOIN over_cap o
+       |    ON bands.b = o.b AND bands.bsig = o.bsig),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM salted x JOIN salted y
+       |    ON x.b = y.b AND x.bsig = y.bsig AND x.salt = y.salt
+       |    AND x.doc_id < y.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+       |    AS jaccard
+       |FROM cands c
+       |JOIN sh sa ON sa.doc_id = c.doc_a
+       |JOIN sh sb ON sb.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "dedup_near_lsh" ->
-      s"""WITH $shinglesCte,
-         |hh AS (
-         |  SELECT doc_id, shingles,
-         |    list_transform(shingles, s -> md5('a:' || s)) AS ha,
-         |    list_transform(shingles, s -> md5('b:' || s)) AS hb
-         |  FROM sh),
-         |mh AS (
-         |  SELECT doc_id, shingles, list_transform(generate_series(0, ${K - 1}),
-         |    j -> list_min(list_transform(
-         |      CASE WHEN j < 4 THEN ha ELSE hb END,
-         |      h -> substr(h, 8 * (j % 4) + 1, 8)))) AS sig
-         |  FROM hh),
-         |bands AS (
-         |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS bsig
-         |  FROM mh, (SELECT unnest(generate_series(0, ${B - 1})) AS b)),
-         |over_cap AS (
-         |  SELECT b, bsig, count(*) AS bn FROM bands GROUP BY b, bsig
-         |  HAVING count(*) > $MaxBucket),
-         |salted AS (
-         |  SELECT bands.doc_id, bands.b, bands.bsig,
-         |    CASE WHEN o.bn IS NULL THEN 0
-         |         ELSE (ascii(substr(md5(CAST(bands.doc_id AS VARCHAR)), 1, 1)) * 256
-         |             + ascii(substr(md5(CAST(bands.doc_id AS VARCHAR)), 2, 1)))
-         |           % ((o.bn + ${MaxBucket - 1}) // $MaxBucket)
-         |    END AS salt
-         |  FROM bands LEFT JOIN over_cap o
-         |    ON bands.b = o.b AND bands.bsig = o.bsig),
-         |cands AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM salted x JOIN salted y
-         |    ON x.b = y.b AND x.bsig = y.bsig AND x.salt = y.salt
-         |    AND x.doc_id < y.doc_id)
-         |SELECT c.doc_a, c.doc_b,
-         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
-         |    AS jaccard
-         |FROM cands c
-         |JOIN sh sa ON sa.doc_id = c.doc_a
-         |JOIN sh sb ON sb.doc_id = c.doc_b
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_near_lsh" -> lshOracle(MaxBucket),
+    "dedup_near_lsh_capped" -> lshOracle(2),
 
     "simhash" ->
       s"""SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash

@@ -61,6 +61,20 @@ class TextSpec extends SparkSpec {
     assert(uncapped.count(_.getAs[Long]("doc_a") <= 120L) === 120 * 119 / 2)
   }
 
+  test("LSH plan consumes the persisted signature frame, not re-derivations") {
+    // guards the round-4 fix: the md5-banding lineage must be materialized
+    // once (InMemoryTableScan at every consumer: the cap aggregate, both
+    // candidate-join sides, and the two Jaccard-verify joins) instead of
+    // re-evaluated per branch (the round-3 3x regression)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val plan = NearDup.minhashLsh(docs).queryExecution.executedPlan.toString
+    val scans = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(scans >= 3, s"expected >=3 cached signature scans, got $scans in:\n$plan")
+  }
+
   test("simhash of identical token sets is equal, differs otherwise") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),

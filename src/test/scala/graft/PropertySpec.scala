@@ -149,6 +149,59 @@ class PropertySpec extends SparkSpec {
     }, samples = 8)
   }
 
+  // --- LSH bucket cap -------------------------------------------------------
+
+  test("property: capped LSH emits a non-empty subset of uncapped pairs") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val genDoc = for {
+      n <- Gen.chooseNum(3, 8)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val genCorpus = for {
+      nBoiler <- Gen.chooseNum(5, 16) // one oversized bucket, every band
+      others <- Gen.listOfN(4, genDoc)
+    } yield List.fill(nBoiler)(
+      "subscribe to our newsletter for daily updates and offers") ++ others
+    check("lsh-cap-subset", Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      val capped = pairs(NearDup.minhashLsh(docs, maxBucket = 3))
+      val uncapped = pairs(NearDup.minhashLsh(docs))
+      // the cap only ever drops pairs (cross-sub-bucket ones); pigeonhole
+      // over ceil(n/cap) sub-buckets guarantees some pairs survive
+      capped.subsetOf(uncapped) && capped.nonEmpty
+    }, samples = 6)
+  }
+
+  // --- typed-Aggregator fill walk -------------------------------------------
+
+  test("property: typed-Aggregator walk over sorted groups == reference walk") {
+    val corpus = Gen.listOfN(15, genBook)
+    check("fillWalkAgg", Prop.forAll(corpus) { books =>
+      val agg = new graft.functions.FillWalkAggregator(25L)
+      val rows = books.zipWithIndex.flatMap { case (b, i) =>
+        b.levels.zipWithIndex.map { case ((p, q), pos) =>
+          (i.toLong, pos, p, q)
+        }
+      }
+      val got = rows.toDF("book_id", "pos", "price", "qty")
+        .repartition(4) // books scattered across partitions on purpose
+        .as[(Long, Int, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("pos")) { (id, it) =>
+          val acc = it.foldLeft(agg.zero)((a, r) => agg.reduce(a, (r._3, r._4)))
+          Iterator(id -> agg.finish(acc))
+        }.collect().toMap
+      books.zipWithIndex.forall { case (b, i) =>
+        if (b.levels.isEmpty) !got.contains(i.toLong) // no rows, no group
+        else got(i.toLong) == naiveWalk(b.copy(shares = 25L))
+      }
+    }, samples = 8)
+  }
+
   // --- LWW merge view -------------------------------------------------------
 
   test("property: mergeView == naive last-write-wins for unique versions") {

@@ -392,7 +392,9 @@ object WindowStats {
     // every event belongs to the 5 sliding windows whose start is its
     // minute-truncated time minus k minutes, k=0..4 (slide-aligned starts
     // in (ts - 5min, ts]); the HUGEINT composite reproduces Spark's
-    // max_by(snapshot_id, struct(ts, snapshot_id)) tiebreak exactly
+    // max_by(snapshot_id, struct(ts, snapshot_id)) tiebreak exactly —
+    // the 1e12 multiplier keeps event_id in its own digits even for
+    // SynthScale-shifted keys (stride 1e8 × up to 10k replicas)
     "events_sliding" ->
       s"""WITH w AS (
          |  SELECT epoch_us(date_trunc('minute', ts) - (k * INTERVAL 1 MINUTE))
@@ -400,7 +402,7 @@ object WindowStats {
          |  ${S.source} AS source, epoch_us(ts) AS ts_us, event_id
          |  FROM events, (SELECT unnest(generate_series(0, 4)) AS k))
          |SELECT bucket_us, source, count(*) AS n,
-         |  arg_max(event_id, CAST(ts_us AS HUGEINT) * 1000000000 + event_id)
+         |  arg_max(event_id, CAST(ts_us AS HUGEINT) * 1000000000000 + event_id)
          |    AS last_snapshot_id
          |FROM w GROUP BY bucket_us, source
          |ORDER BY bucket_us, source""".stripMargin,

@@ -44,7 +44,7 @@ class PipelineIntegrationSpec extends SparkSpec {
       },
       trigger = Trigger.AvailableNow())
       .option("checkpointLocation", ck).start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "streaming query did not finish in time")
     assert(tradingBatches >= 2)
 
     // the storage lane is a (source, date)-partitioned store; the batch
@@ -103,7 +103,7 @@ class PipelineIntegrationSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ck)
       .start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "streaming query did not finish in time")
 
     val streamed = spark.table("stream_scan_out")
       .select(col("kalshi_ticker"), col("condition_id"),

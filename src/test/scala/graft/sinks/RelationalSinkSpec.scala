@@ -50,10 +50,31 @@ class RelationalSinkSpec extends SparkSpec {
     assert(rows.length === 1)
     assert(rows.head.getAs[String]("status") === "filled")
     assert(rows.head.getAs[Double]("qty") === 50.0)
-    // and the swap left no aside copy behind
+    // and the swap swept the stale temp and left no aside copy behind
+    val name = new java.io.File(dir).getName
     val leftovers = new java.io.File(dir).getParentFile.listFiles()
-      .map(_.getName).filter(_.startsWith(new java.io.File(dir).getName + ".old"))
-    assert(leftovers.isEmpty)
+      .map(_.getName)
+      .filter(n => n.startsWith(name + ".old") || n.startsWith(name + ".compact"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+  }
+
+  test("compact crashed between the swap renames recovers from the aside copy") {
+    val dir = Files.createTempDirectory("graft_sink_r").toString
+    RelationalSink.append(log((1L, 1L, "pending", 0.0)), dir)
+    RelationalSink.append(log((1L, 2L, "filled", 50.0)), dir)
+    // simulate the one non-atomic instant: the log was moved aside but the
+    // compacted temp never landed — path is missing, data lives in .old
+    val d = new java.io.File(dir)
+    val aside = new java.io.File(d.getParentFile, d.getName + ".old")
+    java.nio.file.Files.move(d.toPath, aside.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(!d.exists())
+    // the retry restores the aside and compacts normally
+    RelationalSink.compact(spark, dir, Seq("trade_id"), "version")
+    val rows = spark.read.parquet(dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("status") === "filled")
+    assert(!aside.exists())
   }
 
   test("append partitions by the requested columns") {

@@ -93,13 +93,22 @@ object Snapshots {
   /** Materialized snapshot store: the derived frame staged once per run as
     * parquet partitioned by `source` — the reference's "tags: source+ticker
     * only" cardinality design (`database/models/influx.py:5-12`) as a
-    * partition layout. Queries read this store, so (a) source filters
-    * become partition pruning, exactly as on a production cluster, and
-    * (b) benchmarks measure operator work, not fixture derivation. */
+    * partition layout. Within each partition the data is clustered by
+    * (ticker, ts_us): ticker is deliberately NOT a partition column
+    * (10⁵ tickers × 10³ days of small files would be a namenode killer),
+    * but clustering gives each parquet row group a tight ticker min/max,
+    * so a single-series query prunes partitions on `source` and then
+    * row-group-skips on `ticker` — the SCALING.md read path, physically.
+    * Queries read this store, so (a) source filters become partition
+    * pruning exactly as on a production cluster, and (b) benchmarks
+    * measure operator work, not fixture derivation. */
   def store(spark: SparkSession, dir: String): DataFrame =
-    Staging.stageFrame(spark, s"snapshots_$dir",
+    Staging.stageFrame(spark, s"snapshots_v2_$dir", // v2 = clustered layout
       new java.io.File(dir, "events.parquet"),
-      frame(spark, dir), partitionCols = Seq("source"))
+      frame(spark, dir)
+        .repartition(col("source"), col("ticker"))
+        .sortWithinPartitions("source", "ticker", "ts_us"),
+      partitionCols = Seq("source"))
 
   /** SQL fragments for the DuckDB oracle — the same derivation in ANSI SQL
     * over `events`, kept adjacent to the Scala so they can't drift apart.

@@ -51,5 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("simhash16", 1, children)
         functions.SimHash16(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[functions.ArrayJaccard].getName,
+        null, "jaccard_sim",
+        "jaccard_sim(a, b) - set-semantics Jaccard similarity of two string arrays",
+        ""),
+      (children: Seq[Expression]) => {
+        checkArity("jaccard_sim", 2, children)
+        functions.ArrayJaccard(children.head, children(1))
+      }))
   }
 }

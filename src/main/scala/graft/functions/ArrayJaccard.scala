@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native set-semantics Jaccard similarity of two `array<string>` columns
+  * in a single hash pass.
+  *
+  * The composable form
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` builds TWO
+  * intermediate arrays and THREE hash tables per pair; the engine runs it
+  * on every LSH candidate pair (`text/NearDup`), where the verify join is
+  * the post-banding hot path. This expression builds one set from `a`,
+  * streams `b` through it counting intersection and novel elements, and
+  * divides — no intermediate arrays, one small allocation per row, inside
+  * whole-stage codegen.
+  *
+  * Exactness: intersection/union counts are exact ints; the final IEEE
+  * double division is identical to the composable form's
+  * `cast(int)/int` division, so results are bit-identical (including the
+  * empty∕empty → NaN edge). Null elements are ignored; a null array
+  * yields null (standard BinaryExpression semantics). Registered as SQL
+  * function `jaccard_sim` by `graft.GraftExtensions`.
+  */
+case class ArrayJaccard(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ArrayJaccard.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayJaccard {
+  /** One-pass |A∩B| / |A∪B| with set semantics (duplicates and null
+    * elements in either array are ignored). Called from generated code. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val sa = new java.util.HashSet[UTF8String](Math.max(8, na * 2))
+    var i = 0
+    while (i < na) {
+      if (!a.isNullAt(i)) sa.add(a.getUTF8String(i))
+      i += 1
+    }
+    val nb = b.numElements()
+    val seen = new java.util.HashSet[UTF8String](Math.max(8, nb * 2))
+    var inter = 0
+    var extra = 0
+    var j = 0
+    while (j < nb) {
+      if (!b.isNullAt(j)) {
+        val u = b.getUTF8String(j)
+        if (seen.add(u)) {
+          if (sa.contains(u)) inter += 1 else extra += 1
+        }
+      }
+      j += 1
+    }
+    inter.toDouble / (sa.size + extra)
+  }
+}

@@ -148,9 +148,11 @@ object NearDup {
     cands
       .join(sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      // fused one-pass set Jaccard (functions/ArrayJaccard) — bit-identical
+      // to size(array_intersect)/size(array_union) without materializing
+      // the two intermediate arrays per candidate pair
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+        call_function("jaccard_sim", col("sa"), col("sb")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -181,8 +183,8 @@ object NearDup {
             element_at(col("toks"), i + 1)))).as("bigrams"))
     bg.as("a").join(bg.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.bigrams"), col("b.bigrams"))).cast("double") /
-          size(array_union(col("a.bigrams"), col("b.bigrams")))).as("jaccard"))
+        call_function("jaccard_sim", col("a.bigrams"), col("b.bigrams"))
+          .as("jaccard"))
       .orderBy("doc_a")
   }
 

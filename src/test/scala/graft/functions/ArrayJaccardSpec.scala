@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ArrayJaccardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jaccard_sim matches the composable intersect/union form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("toks", array_distinct(
+        split(graft.text.TextOps.norm(col("text")), " ")))
+    val pairs = docs.as("a")
+      .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+    val diff = pairs.select(
+      call_function("jaccard_sim", col("a.toks"), col("b.toks")).as("fast"),
+      (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+        size(array_union(col("a.toks"), col("b.toks")))).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("set semantics: duplicates and null elements are ignored") {
+    val r = spark.sql(
+      """SELECT jaccard_sim(array('a','b','a'), array('b','b','c')) AS x,
+        |       jaccard_sim(array('a', NULL), array('a')) AS y,
+        |       jaccard_sim(array('a'), array('a')) AS z,
+        |       jaccard_sim(CAST(NULL AS ARRAY<STRING>), array('a')) AS n
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 1.0 / 3.0) // {a,b} vs {b,c}
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getDouble(2) === 1.0)
+    assert(r.isNullAt(3))
+  }
+
+  test("empty vs empty is NaN, exactly like the composable double division") {
+    val r = spark.sql(
+      """SELECT jaccard_sim(CAST(array() AS ARRAY<STRING>),
+        |                   CAST(array() AS ARRAY<STRING>)) AS e,
+        |       jaccard_sim(CAST(array() AS ARRAY<STRING>), array('a')) AS h
+        |""".stripMargin).head()
+    assert(r.getDouble(0).isNaN)
+    assert(r.getDouble(1) === 0.0)
+  }
+}

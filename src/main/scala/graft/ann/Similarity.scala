@@ -105,6 +105,38 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Multi-probe IVF: each query probes its own cell plus the `bits`
+    * Hamming-1 neighbor cells (one sign bit flipped) — the standard
+    * `nprobe` recall knob. Sign-bit cells mis-bucket vectors that sit
+    * near a quantization hyperplane; probing the adjacent cells recovers
+    * them while still scanning only ~(bits+1)/2^bits of the corpus. The
+    * probe fan-out explodes the (tiny, broadcast) query side, never the
+    * corpus; each corpus vector lives in exactly one cell, so no pair is
+    * scored twice. */
+  def annIvfProbe(spark: SparkSession, dir: String, nQueries: Int = 5,
+                  k: Int = 10, bits: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir).withColumn("bucket", bucket(col("v"), bits))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("bucket").as("qbucket"))
+    val probed = q.select(col("query_id"), col("qv"), col("qn2"),
+      explode(array(col("qbucket") +: (0 until bits).map(j =>
+        col("qbucket").bitwiseXOR(lit(1 << j))): _*)).as("pbucket"))
+    val joined = c.join(broadcast(probed),
+      col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
+    joined
+      .withColumn("cosine",
+        dot(col("v"), col("qv")).cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates only within the
     * same coarse bucket (never all-pairs), kept when cosine clears the
     * threshold — the embedding analog of MinHash near-dedup. */
@@ -129,6 +161,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "ann_topk" -> ((s, d) => annTopK(s, d)),
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "ann_ivf_probe" -> ((s, d) => annIvfProbe(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)))
 
   // --- oracle -------------------------------------------------------------
@@ -145,14 +178,12 @@ object Similarity {
       |      i -> v[i] * v[i])) AS n2
       |  FROM n)""".stripMargin
 
-  private def topkSql(bucketed: Boolean): String = {
-    val bucketJoin =
-      if (bucketed)
-        s"""AND (CAST(a.v[1] > 0 AS INTEGER) * 4 + CAST(a.v[2] > 0 AS INTEGER) * 2
-           |  + CAST(a.v[3] > 0 AS INTEGER))
-           |  = (CAST(q.v[1] > 0 AS INTEGER) * 4 + CAST(q.v[2] > 0 AS INTEGER) * 2
-           |  + CAST(q.v[3] > 0 AS INTEGER))""".stripMargin
-      else ""
+  /** 3-bit sign bucket of alias'd vector — mirrors `bucket(v, 3)`. */
+  private def bucketSql(a: String): String =
+    s"""(CAST($a.v[1] > 0 AS INTEGER) * 4 + CAST($a.v[2] > 0 AS INTEGER) * 2
+       |  + CAST($a.v[3] > 0 AS INTEGER))""".stripMargin
+
+  private def topkSql(joinExtra: String): String =
     s"""WITH $qCte
        |SELECT q.vec_id AS query_id, a.vec_id,
        |  CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -164,14 +195,18 @@ object Similarity {
        |      i -> a.v[i] * q.v[i])) AS DOUBLE)
        |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cosine
        |FROM m a JOIN m q ON q.vec_id < 5 AND a.vec_id <> q.vec_id
-       |$bucketJoin
+       |$joinExtra
        |QUALIFY rank <= 10
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   val oracle: Map[String, String] = Map(
-    "ann_topk" -> topkSql(bucketed = false),
-    "ann_ivf" -> topkSql(bucketed = true),
+    "ann_topk" -> topkSql(""),
+    "ann_ivf" -> topkSql(s"AND ${bucketSql("a")} = ${bucketSql("q")}"),
+    // probe list = own cell (xor 0) + each sign bit flipped (xor 1/2/4);
+    // a corpus vector lives in exactly one cell, so no duplicate pairs
+    "ann_ivf_probe" -> topkSql(
+      s"""JOIN (VALUES (0), (1), (2), (4)) p(o)
+         |  ON ${bucketSql("a")} = xor(${bucketSql("q")}, p.o)""".stripMargin),
     "dedup_embedding" ->
       s"""WITH $qCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -36,6 +36,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe IVF recall >= single-cell IVF recall against brute force") {
+    val dir = "/root/testdata/sf0.001"
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = hits(Similarity.annTopK(spark, dir, nQueries = 3, k = 10))
+    val ivf = hits(Similarity.annIvf(spark, dir, nQueries = 3, k = 10))
+    val probed = hits(Similarity.annIvfProbe(spark, dir, nQueries = 3, k = 10))
+    // probing Hamming-1 neighbor cells can only add candidates: recall
+    // against the exhaustive top-k must not decrease
+    assert((probed & exact).size >= (ivf & exact).size)
+    assert(probed.nonEmpty)
+  }
+
   test("top-k plan pre-reduces per partition before the per-query exchange") {
     // Scale posture: the per-query rank window runs on #queries partitions,
     // so the plan MUST bound what reaches it. Catalyst's InferWindowGroupLimit

@@ -61,5 +61,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("jaccard_sim", 2, children)
         functions.ArrayJaccard(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[functions.WordShingles].getName,
+        null, "word_shingles",
+        "word_shingles(text) - distinct 3-word shingles of a normalized string",
+        ""),
+      (children: Seq[Expression]) => {
+        checkArity("word_shingles", 1, children)
+        functions.WordShingles(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[functions.MinhashBands].getName,
+        null, "minhash_bands",
+        "minhash_bands(shingles) - the 4 LSH band signatures (8 md5-slice minhashes)",
+        ""),
+      (children: Seq[Expression]) => {
+        checkArity("minhash_bands", 1, children)
+        functions.MinhashBands(children.head)
+      }))
   }
 }

@@ -1,0 +1,151 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd kernels for the MinHash/LSH signature pipeline
+  * (`text/NearDup`). Spark's higher-order functions (`transform`,
+  * `sequence`, `array_distinct` lambdas) are CodegenFallback — evaluated
+  * interpreted per row with per-element Column-tree walks and
+  * intermediate array materialization. These two expressions do the same
+  * work as tight loops (the same reasoning that took `simhash16` from
+  * 5.07 s to 0.41 s in round 3):
+  *
+  *  - `word_shingles(norm_text)`: distinct 3-word shingles of a
+  *    whitespace-normalized string, first-occurrence order — replaces
+  *    `array_distinct(transform(sequence(...), concat_ws(element_at×3)))`.
+  *  - `minhash_bands(shingles)`: the 4 LSH band signatures — per shingle
+  *    TWO md5 digests (prefixes "a:"/"b:"), 8 disjoint 8-hex-char slices,
+  *    running MIN per slice kept as an unsigned 32-bit int (hex-lexicographic
+  *    order == unsigned numeric order for fixed-width lowercase hex), band
+  *    sig = concat of its two slice minima. Bit-identical to the
+  *    `transform(md5) + array_min(substring)` composition and to the
+  *    DuckDB oracle's `list_min(list_transform(...))`.
+  */
+object TextShingles {
+
+  /** Distinct 3-word shingles, first-occurrence order. Called from
+    * generated code. */
+  def shingles(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(' ')
+    if (toks.length < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i + 2 < toks.length) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  private val hex = "0123456789abcdef".toCharArray
+
+  /** Unsigned 32-bit big-endian int of digest bytes [4k, 4k+4) — equals
+    * the numeric value of hex chars [8k, 8k+8) of the hex digest, so
+    * min over these ints == lexicographic min over the hex slices. */
+  private def slice(d: Array[Byte], k: Int): Long =
+    ((d(4 * k) & 0xffL) << 24) | ((d(4 * k + 1) & 0xffL) << 16) |
+      ((d(4 * k + 2) & 0xffL) << 8) | (d(4 * k + 3) & 0xffL)
+
+  private def hex8(v: Long, out: Array[Char], off: Int): Unit = {
+    var i = 0
+    while (i < 8) {
+      out(off + i) = hex(((v >>> (28 - 4 * i)) & 0xf).toInt)
+      i += 1
+    }
+  }
+
+  /** The 4 band signatures (K=8 minhash slices, R=2 per band) of a
+    * non-empty shingle array. Called from generated code. */
+  def bands(shinglesArr: ArrayData): ArrayData = {
+    val n = shinglesArr.numElements()
+    if (n == 0) return null // no shingles, no signature (callers filter first)
+    val mins = Array.fill(8)(0xffffffffL + 1) // above any uint32
+    val md = md5.get()
+    var i = 0
+    while (i < n) {
+      val s = shinglesArr.getUTF8String(i).getBytes
+      md.reset(); md.update('a'.toByte); md.update(':'.toByte); md.update(s)
+      val da = md.digest()
+      md.reset(); md.update('b'.toByte); md.update(':'.toByte); md.update(s)
+      val db = md.digest()
+      var j = 0
+      while (j < 4) {
+        val va = slice(da, j)
+        if (va < mins(j)) mins(j) = va
+        val vb = slice(db, j)
+        if (vb < mins(4 + j)) mins(4 + j) = vb
+        j += 1
+      }
+      i += 1
+    }
+    // band b = slices (2b, 2b+1) of the logical [ha0..ha3, hb0..hb3] order
+    val out = new Array[Any](4)
+    var b = 0
+    while (b < 4) {
+      val cs = new Array[Char](16)
+      hex8(mins(2 * b), cs, 0)
+      hex8(mins(2 * b + 1), cs, 8)
+      out(b) = UTF8String.fromString(new String(cs))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `word_shingles(norm_text)` — see [[TextShingles.shingles]]. */
+case class WordShingles(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextShingles.shingles(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextShingles.shingles($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `minhash_bands(shingles)` — see [[TextShingles.bands]]. */
+case class MinhashBands(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextShingles.bands(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextShingles.bands($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBands =
+    copy(child = newChild)
+}

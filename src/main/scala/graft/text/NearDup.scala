@@ -28,25 +28,15 @@ object NearDup {
   private val MaxBucket = 256 // default bucket-size cap (sub-salt threshold)
 
   /** Distinct 3-word shingles of the normalized text (docs with <3 tokens
-    * carry no shingles and are excluded). */
+    * carry no shingles and are excluded) — the native one-pass
+    * `word_shingles` expression (`functions/TextShingles.scala`); the
+    * composable `array_distinct(transform(sequence, concat_ws))` form is
+    * CodegenFallback-interpreted and materializes two intermediate
+    * arrays per doc. */
   private def withShingles(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", split(norm(col("text")), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", array_distinct(
-        transform(sequence(lit(1), size(col("toks")) - 2), i =>
-          concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
-      .select(col("doc_id"), col("shingles"))
-
-  /** Minhash j over pre-hashed shingles: the 8 hash functions are the 8
-    * disjoint 8-hex-char slices of TWO md5s per shingle (prefixes "a:",
-    * "b:") — 4× fewer digest computations than one md5 per function, same
-    * banding quality (32-bit slices, candidates are Jaccard-verified
-    * anyway). `ha`/`hb` are computed once per doc and reused. */
-  private def minhash(j: Int): Column = {
-    val hashes = if (j < 4) col("ha") else col("hb")
-    array_min(transform(hashes, h => substring(h, 8 * (j % 4) + 1, 8)))
-  }
+    docs.select(col("doc_id"),
+      call_function("word_shingles", norm(col("text"))).as("shingles"))
+      .filter(size(col("shingles")) > 0)
 
   /** Deterministic sub-bucket salt, identical in Spark and DuckDB: the
     * first 6 hex nibbles of md5(doc_id) Horner-composed into a 24-bit
@@ -104,16 +94,17 @@ object NearDup {
     minhashLshFromSigs(signatures(docs), maxBucket)
 
   /** The narrow persisted per-doc signature frame
-    * (doc_id, shingles, band sigs) — all the md5 work, computed once. */
+    * (doc_id, shingles, band sigs) — all the md5 work, computed once.
+    * `minhash_bands` (`functions/TextShingles.scala`) fuses the two
+    * md5 digests per shingle + 8 slice-minima + band concat into one
+    * codegen'd pass; the 8 hash functions are the 8 disjoint
+    * 8-hex-char slices of TWO md5s per shingle (prefixes "a:"/"b:") —
+    * 4× fewer digests than one md5 per function, same banding quality
+    * (32-bit slices, candidates are Jaccard-verified anyway). */
   def signatures(docs: DataFrame): DataFrame =
     withShingles(docs)
-      .withColumn("ha", transform(col("shingles"), s =>
-        md5(concat(lit("a:"), s).cast("binary"))))
-      .withColumn("hb", transform(col("shingles"), s =>
-        md5(concat(lit("b:"), s).cast("binary"))))
       .select(col("doc_id"), col("shingles"),
-        array((0 until B).map(b =>
-          concat(minhash(2 * b), minhash(2 * b + 1))): _*).as("bsigs"))
+        call_function("minhash_bands", col("shingles")).as("bsigs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   def minhashLshFromSigs(sigs: DataFrame, maxBucket: Int): DataFrame = {

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextShinglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("word_shingles matches the composable HOF form on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("n", graft.text.TextOps.norm(col("text")))
+      .withColumn("toks", split(col("n"), " "))
+      .filter(size(col("toks")) >= 3)
+    val diff = docs.select(
+      call_function("word_shingles", col("n")).as("fast"),
+      array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - 2), i =>
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("word_shingles yields empty for short docs, null for null") {
+    val r = spark.sql(
+      """SELECT word_shingles('a b') AS s, word_shingles('') AS e,
+        |       word_shingles(CAST(NULL AS STRING)) AS n,
+        |       word_shingles('x y z') AS one
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0).isEmpty)
+    assert(r.getSeq[String](1).isEmpty)
+    assert(r.isNullAt(2))
+    assert(r.getSeq[String](3) === Seq("x y z"))
+  }
+
+  test("minhash_bands matches the composable md5-slice-min form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("sh",
+        call_function("word_shingles", graft.text.TextOps.norm(col("text"))))
+      .filter(size(col("sh")) > 0)
+      .withColumn("ha", transform(col("sh"), s =>
+        md5(concat(lit("a:"), s).cast("binary"))))
+      .withColumn("hb", transform(col("sh"), s =>
+        md5(concat(lit("b:"), s).cast("binary"))))
+    def mh(j: Int) = array_min(transform(
+      if (j < 4) col("ha") else col("hb"),
+      h => substring(h, 8 * (j % 4) + 1, 8)))
+    val slow = array((0 until 4).map(b =>
+      concat(mh(2 * b), mh(2 * b + 1))): _*)
+    val diff = docs.select(
+      call_function("minhash_bands", col("sh")).as("fast"), slow.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff === 0)
+  }
+}

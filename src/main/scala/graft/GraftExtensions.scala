@@ -68,8 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_shingles(text) - distinct 3-word shingles of a normalized string",
         ""),
       (children: Seq[Expression]) => {
-        checkArity("word_shingles", 1, children)
-        functions.WordShingles(children.head)
+        if (children.length != 1 && children.length != 2)
+          checkArity("word_shingles", 1, children) // reports via WRONG_NUM_ARGS
+        functions.WordShingles(children.head,
+          children.drop(1).headOption.getOrElse(
+            org.apache.spark.sql.catalyst.expressions.Literal(3)))
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_bands"),

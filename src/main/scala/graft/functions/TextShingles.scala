@@ -30,15 +30,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextShingles {
 
-  /** Distinct 3-word shingles, first-occurrence order. Called from
+  /** Distinct n-word shingles, first-occurrence order. Called from
     * generated code. */
-  def shingles(text: UTF8String): ArrayData = {
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    if (n < 1) return null
     val toks = text.toString.split(' ')
-    if (toks.length < 3) return new GenericArrayData(Array.empty[Any])
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder
     var i = 0
-    while (i + 2 < toks.length) {
-      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+    while (i + n - 1 < toks.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
       i += 1
     }
     val out = new Array[Any](seen.size)
@@ -108,25 +117,30 @@ object TextShingles {
   }
 }
 
-/** `word_shingles(norm_text)` — see [[TextShingles.shingles]]. */
-case class WordShingles(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string argument, got ${t.catalogString}")
-  }
+/** `word_shingles(norm_text[, n])` (n defaults to 3 at registration) —
+  * see [[TextShingles.shingles]]. */
+case class WordShingles(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int) arguments, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override protected def nullSafeEval(t: Any): Any =
-    TextShingles.shingles(t.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    TextShingles.shingles(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.functions.TextShingles.shingles($t);")
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.TextShingles.shingles($t, $n);")
 
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `minhash_bands(shingles)` — see [[TextShingles.bands]]. */

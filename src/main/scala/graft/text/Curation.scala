@@ -35,16 +35,15 @@ object Curation {
 
   /** Benchmark decontamination: flag corpus docs sharing any 5-token
     * shingle with the benchmark set (here: doc_id < 10). The benchmark
-    * shingle set is tiny → broadcast; corpus shingles explode and probe. */
+    * shingle set is tiny → broadcast; corpus shingles explode and probe.
+    * Shingling via the native one-pass `word_shingles` kernel
+    * (`functions/TextShingles.scala`); it emits DISTINCT shingles, which
+    * only thins the exploded probe stream — both sides of the join
+    * de-duplicate downstream, so results are unchanged. */
   def decontaminate(docs: DataFrame, benchmarkMaxId: Long = 10): DataFrame = {
     def shingled(df: DataFrame): DataFrame =
-      df.withColumn("toks", split(norm(col("text")), " "))
-        .filter(size(col("toks")) >= 5)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(1), size(col("toks")) - 4), i =>
-            concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
-              element_at(col("toks"), i + 3), element_at(col("toks"), i + 4))))
+      df.select(col("doc_id"),
+        explode(call_function("word_shingles", norm(col("text")), lit(5)))
           .as("sh"))
     val bench = shingled(docs.filter(col("doc_id") < benchmarkMaxId))
       .select(col("sh")).distinct()

@@ -36,6 +36,17 @@ class TextShinglesSpec extends SparkSpec {
     assert(r.getSeq[String](3) === Seq("x y z"))
   }
 
+  test("word_shingles width parameter: 5-grams, distinct, order-preserving") {
+    val r = spark.sql(
+      """SELECT word_shingles('a b c d e f', 5) AS five,
+        |       word_shingles('a b a b a b', 2) AS dup,
+        |       word_shingles('a b c', 5) AS short
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0) === Seq("a b c d e", "b c d e f"))
+    assert(r.getSeq[String](1) === Seq("a b", "b a"))
+    assert(r.getSeq[String](2).isEmpty)
+  }
+
   test("minhash_bands matches the composable md5-slice-min form") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("sh",

@@ -164,14 +164,14 @@ object NearDup {
   }
 
   /** Exact word-bigram Jaccard between consecutive doc ids — the
-    * set-similarity kernel on a linear (non-cartesian) pair set. */
+    * set-similarity kernel on a linear (non-cartesian) pair set.
+    * Bigrams via the native `word_shingles(_, 2)` kernel; similarity via
+    * the fused one-pass `jaccard_sim`. */
   def bigramJaccard(docs: DataFrame): DataFrame = {
-    val bg = docs.withColumn("toks", split(norm(col("text")), " "))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), size(col("toks")) - 1), i =>
-          concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1)))).as("bigrams"))
+    val bg = docs
+      .select(col("doc_id"),
+        call_function("word_shingles", norm(col("text")), lit(2)).as("bigrams"))
+      .filter(size(col("bigrams")) > 0)
     bg.as("a").join(bg.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         call_function("jaccard_sim", col("a.bigrams"), col("b.bigrams"))

@@ -84,5 +84,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("minhash_bands", 1, children)
         functions.MinhashBands(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("norm_text"),
+      new ExpressionInfo(classOf[functions.NormText].getName,
+        null, "norm_text",
+        "norm_text(s) - lower + trim + collapse whitespace runs to one space",
+        ""),
+      (children: Seq[Expression]) => {
+        checkArity("norm_text", 1, children)
+        functions.NormText(children.head)
+      }))
   }
 }

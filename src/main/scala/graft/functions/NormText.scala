@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native whitespace normalization — byte-exact twin of
+  * `regexp_replace(lower(trim(text)), "\s+", " ")`, the `norm` every
+  * text-family operator starts with. The regex engine recompiles-matches
+  * per row over multi-KB documents; this is one linear byte pass after
+  * `toLowerCase.trim` (both the exact primitives the composable form
+  * uses: Spark's `lower` is `UTF8String.toLowerCase`, `trim` strips
+  * 0x20 only). Java's `\s` = [ \t\n\x0B\f\r] — all single ASCII bytes,
+  * so a byte loop is UTF-8-safe (multi-byte sequences never contain
+  * bytes < 0x80). Registered as SQL function `norm_text`.
+  */
+case class NormText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "norm_text"
+
+  override protected def nullSafeEval(t: Any): Any =
+    NormText.norm(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.NormText.norm($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormText =
+    copy(child = newChild)
+}
+
+object NormText {
+  /** Java-regex `\s`: space, tab, LF, VT, FF, CR. */
+  @inline private def isWs(b: Byte): Boolean = b == 32 || (b >= 9 && b <= 13)
+
+  /** lower → trim(' ') → collapse `\s+` runs to one space. Called from
+    * generated code. */
+  def norm(t: UTF8String): UTF8String = {
+    val bytes = t.toLowerCase.trim().getBytes
+    val out = new Array[Byte](bytes.length)
+    var i = 0
+    var j = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (isWs(b)) {
+        out(j) = ' '
+        j += 1
+        while (i < bytes.length && isWs(bytes(i))) i += 1
+      } else {
+        out(j) = b
+        j += 1
+        i += 1
+      }
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, j))
+  }
+}

@@ -19,9 +19,12 @@ import graft.sources.Tables
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Whitespace-collapsed lowercase normalization. */
-  def norm(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+  /** Whitespace-collapsed lowercase normalization — the native one-pass
+    * `norm_text` kernel (`functions/NormText.scala`), byte-exact with
+    * `regexp_replace(lower(trim(text)), "\\s+", " ")` (NormTextSpec
+    * compares them on fixture docs and adversarial strings) and with the
+    * DuckDB oracles' regex form. */
+  def norm(text: Column): Column = call_function("norm_text", text)
 
   private def tokens(n: Column): Column = split(n, " ")
 

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NormTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def composable(c: org.apache.spark.sql.Column) =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  test("norm_text is byte-exact with the regex form on fixture docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+      call_function("norm_text", col("text")).as("fast"),
+      composable(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow") ||
+        col("fast").isNull =!= col("slow").isNull)
+      .count()
+    assert(diff === 0)
+  }
+
+  test("norm_text edge cases match the regex form") {
+    val edges = Seq(
+      "", " ", "  ", "a", " a ", "A\tB", "a\t\t b", "\ta b\t",
+      "a\nb\rc\fde", "ÉL Ñiño  STRAßE", "多  空\t格", "a  b   c",
+      "", "x \t\n y")
+    val df = edges.toDF("t")
+    val rows = df.select(
+      call_function("norm_text", col("t")).as("fast"),
+      composable(col("t")).as("slow")).collect()
+    rows.zip(edges).foreach { case (r, in) =>
+      assert(r.getString(0) === r.getString(1), s"input: ${in.map(_.toInt)}")
+    }
+  }
+}

@@ -13,16 +13,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   /** Wrong-arity calls surface as the same AnalysisException (error class
     * WRONG_NUM_ARGS) users get from builtin functions during resolution —
     * not a raw IllegalArgumentException from a require. */
+  private def wrongNumArgs(name: String, expected: String, actual: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> expected,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
   private def checkArity(name: String, expected: Int,
                          children: Seq[Expression]): Unit =
     if (children.length != expected)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> s"`$name`",
-          "expectedNum" -> expected.toString,
-          "actualNum" -> children.length.toString,
-          "docroot" -> "https://spark.apache.org/docs/latest"))
+      wrongNumArgs(name, expected.toString, children.length)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -69,7 +72,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) => {
         if (children.length != 1 && children.length != 2)
-          checkArity("word_shingles", 1, children) // reports via WRONG_NUM_ARGS
+          wrongNumArgs("word_shingles", "1 or 2", children.length)
         functions.WordShingles(children.head,
           children.drop(1).headOption.getOrElse(
             org.apache.spark.sql.catalyst.expressions.Literal(3)))

@@ -21,10 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Exactness: intersection/union counts are exact ints; the final IEEE
   * double division is identical to the composable form's
-  * `cast(int)/int` division, so results are bit-identical (including the
-  * empty∕empty → NaN edge). Null elements are ignored; a null array
-  * yields null (standard BinaryExpression semantics). Registered as SQL
-  * function `jaccard_sim` by `graft.GraftExtensions`.
+  * `cast(int)/int` division, so results are bit-identical for arrays
+  * WITHOUT null elements (including the empty∕empty → NaN edge) — the
+  * engine's shingle arrays are containsNull=false. Null-element
+  * semantics intentionally differ: this expression ignores null
+  * elements, while `array_intersect`/`array_union` treat NULL as a set
+  * member (so `jaccard_sim(array('a', NULL), array('a'))` is 1.0 where
+  * the composable form gives 0.5). A null ARRAY yields null (standard
+  * BinaryExpression semantics). Registered as SQL function
+  * `jaccard_sim` by `graft.GraftExtensions`.
   */
 case class ArrayJaccard(left: Expression, right: Expression)
   extends BinaryExpression {

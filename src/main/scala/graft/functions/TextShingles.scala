@@ -33,7 +33,11 @@ object TextShingles {
   /** Distinct n-word shingles, first-occurrence order. Called from
     * generated code. */
   def shingles(text: UTF8String, n: Int): ArrayData = {
-    if (n < 1) return null
+    // a bad width is a caller error: fail the same way in interpreted and
+    // codegen paths (returning Java null would violate the codegen null
+    // contract — nullSafeCodeGen never re-checks ev.value)
+    if (n < 1) throw new IllegalArgumentException(
+      s"word_shingles: shingle width must be >= 1, got $n")
     val toks = text.toString.split(' ')
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
@@ -80,29 +84,36 @@ object TextShingles {
   }
 
   /** The 4 band signatures (K=8 minhash slices, R=2 per band) of a
-    * non-empty shingle array. Called from generated code. */
+    * shingle array; null elements are ignored, and an array with no
+    * usable shingles yields SQL NULL (a minhash of the empty set is
+    * undefined). Called from generated code — the NULL case is surfaced
+    * through `MinhashBands.doGenCode`'s explicit isNull assignment.  */
   def bands(shinglesArr: ArrayData): ArrayData = {
     val n = shinglesArr.numElements()
-    if (n == 0) return null // no shingles, no signature (callers filter first)
     val mins = Array.fill(8)(0xffffffffL + 1) // above any uint32
     val md = md5.get()
+    var used = 0
     var i = 0
     while (i < n) {
-      val s = shinglesArr.getUTF8String(i).getBytes
-      md.reset(); md.update('a'.toByte); md.update(':'.toByte); md.update(s)
-      val da = md.digest()
-      md.reset(); md.update('b'.toByte); md.update(':'.toByte); md.update(s)
-      val db = md.digest()
-      var j = 0
-      while (j < 4) {
-        val va = slice(da, j)
-        if (va < mins(j)) mins(j) = va
-        val vb = slice(db, j)
-        if (vb < mins(4 + j)) mins(4 + j) = vb
-        j += 1
+      if (!shinglesArr.isNullAt(i)) {
+        used += 1
+        val s = shinglesArr.getUTF8String(i).getBytes
+        md.reset(); md.update('a'.toByte); md.update(':'.toByte); md.update(s)
+        val da = md.digest()
+        md.reset(); md.update('b'.toByte); md.update(':'.toByte); md.update(s)
+        val db = md.digest()
+        var j = 0
+        while (j < 4) {
+          val va = slice(da, j)
+          if (va < mins(j)) mins(j) = va
+          val vb = slice(db, j)
+          if (vb < mins(4 + j)) mins(4 + j) = vb
+          j += 1
+        }
       }
       i += 1
     }
+    if (used == 0) return null
     // band b = slices (2b, 2b+1) of the logical [ha0..ha3, hb0..hb3] order
     val out = new Array[Any](4)
     var b = 0
@@ -143,7 +154,11 @@ case class WordShingles(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `minhash_bands(shingles)` — see [[TextShingles.bands]]. */
+/** `minhash_bands(shingles)` — see [[TextShingles.bands]]. Yields NULL
+  * for an input with no usable (non-null) shingles, so the expression is
+  * always nullable and the generated code re-checks the computed value —
+  * `nullSafeCodeGen` alone never would, and a Java null behind
+  * isNull=false NPEs downstream consumers. */
 case class MinhashBands(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -151,6 +166,7 @@ case class MinhashBands(child: Expression) extends UnaryExpression {
       s"$prettyName requires an array<string> argument, got ${t.catalogString}")
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_bands"
 
   override protected def nullSafeEval(a: Any): Any =
@@ -158,7 +174,10 @@ case class MinhashBands(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.TextShingles.bands($a);")
+      s"""
+         |${ev.value} = graft.functions.TextShingles.bands($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinhashBands =
     copy(child = newChild)

@@ -47,6 +47,28 @@ class TextShinglesSpec extends SparkSpec {
     assert(r.getSeq[String](2).isEmpty)
   }
 
+  test("minhash_bands: empty / all-null arrays yield NULL under codegen; bad width throws") {
+    // real rows (not foldable literals) so the whole-stage-codegen path
+    // runs — a computed Java null must surface as SQL NULL, not an NPE
+    val out = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("a b c")),
+      (3L, Seq[String](null)))
+      .toDF("id", "sh")
+      .select(col("id"), call_function("minhash_bands", col("sh")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) === true)
+    assert(out(2L) === false)
+    assert(out(3L) === true)
+
+    val e = intercept[Exception] {
+      Seq("a b c").toDF("t")
+        .select(call_function("word_shingles", col("t"), lit(0))).collect()
+    }
+    assert(e.getMessage.contains("width must be >= 1") ||
+      Option(e.getCause).exists(_.getMessage.contains("width must be >= 1")))
+  }
+
   test("minhash_bands matches the composable md5-slice-min form") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("sh",

@@ -147,6 +147,58 @@ object NearDup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the thresholded
+    * LSH pair graph by iterative min-label propagation — the "keep one
+    * representative per duplicate cluster" operator a dedup stage
+    * actually ships. cluster_id = the minimum doc_id in the component;
+    * `is_keeper` marks the representative.
+    *
+    * Scale posture: each iteration is ONE shuffle (neighbor-min
+    * aggregate + label join) over the vertex set; iterations needed =
+    * component diameter, and near-dup components are boilerplate
+    * clusters with tiny diameter (pairs come from shared band buckets),
+    * so the loop converges in a handful of rounds. The per-iteration
+    * `count` is a scalar convergence probe, not a data collect. Labels
+    * persist per iteration and unpersist as soon as superseded. */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+                    threshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val bi = edges.unionByName(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = docs.select(col("doc_id"))
+      .withColumn("label", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neigh = bi.join(labels, bi("doc_b") === labels("doc_id"))
+        .groupBy(bi("doc_a").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels.as("l")
+        .join(neigh.as("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("l.label"), coalesce(col("n.nlabel"), col("l.label")))
+            .as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.as("u")
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    bi.unpersist()
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   private val oddNibbles = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
   /** 16-bit SimHash over the distinct token set: bit k is the sign of the
@@ -195,6 +247,11 @@ object NearDup {
     // not just by the unit test
     "dedup_near_lsh_capped" -> ((s, d) =>
       minhashLshFromSigs(docSigs(s, d), maxBucket = 2)),
+    // connected-components clustering over the (default-cap) pair graph;
+    // every doc appears, singletons are their own cluster
+    "dedup_clusters" -> ((s, d) =>
+      dedupClusters(Tables(s, d, "documents"),
+        minhashLshFromSigs(docSigs(s, d), MaxBucket))),
     "simhash" -> ((s, d) => simhash(Tables(s, d, "documents")).orderBy("doc_id")),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
@@ -216,11 +273,13 @@ object NearDup {
        |  - len(l) > 0 THEN ${1L << (k - 1)} ELSE 0 END""".stripMargin
   }.mkString(" + ")
 
-  /** The full banding + capped-salting + Jaccard-verify pipeline in DuckDB
-    * SQL, parameterized by the bucket cap — mirrors `minhashLsh` exactly,
-    * including the md5-ascii sub-salt of oversized buckets. */
-  private def lshOracle(cap: Int): String =
-    s"""WITH $shinglesCte,
+  /** The full banding + capped-salting + Jaccard-verify pipeline as a
+    * DuckDB CTE chain ending in `lsh_pairs(doc_a, doc_b, jaccard)` —
+    * mirrors `minhashLsh` exactly, including the md5-nibble sub-salt of
+    * oversized buckets. Shared by the pair-list oracles and the
+    * connected-components clustering oracle. */
+  private def lshCtes(cap: Int): String =
+    s"""$shinglesCte,
        |hh AS (
        |  SELECT doc_id, shingles,
        |    list_transform(shingles, s -> md5('a:' || s)) AS ha,
@@ -250,19 +309,41 @@ object NearDup {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM salted x JOIN salted y
        |    ON x.b = y.b AND x.bsig = y.bsig AND x.salt = y.salt
-       |    AND x.doc_id < y.doc_id)
-       |SELECT c.doc_a, c.doc_b,
-       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
-       |    AS jaccard
-       |FROM cands c
-       |JOIN sh sa ON sa.doc_id = c.doc_a
-       |JOIN sh sb ON sb.doc_id = c.doc_b
+       |    AND x.doc_id < y.doc_id),
+       |lsh_pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+       |      AS jaccard
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  private def lshOracle(cap: Int): String =
+    s"""WITH ${lshCtes(cap)}
+       |SELECT doc_a, doc_b, jaccard FROM lsh_pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_near_lsh" -> lshOracle(MaxBucket),
     "dedup_near_lsh_capped" -> lshOracle(2),
+
+    // components via recursive reachability: reach(id, r) holds every id
+    // reachable from r over the (bidirectional) thresholded pair graph;
+    // min(r) per id = the component's minimum doc_id — exactly the
+    // engine's min-label fixpoint
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${lshCtes(MaxBucket)},
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs WHERE jaccard >= 0.8
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM lsh_pairs WHERE jaccard >= 0.8),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_keeper
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "simhash" ->
       s"""SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash

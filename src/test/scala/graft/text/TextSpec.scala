@@ -61,6 +61,27 @@ class TextSpec extends SparkSpec {
     assert(uncapped.count(_.getAs[Long]("doc_a") <= 120L) === 120 * 119 / 2)
   }
 
+  test("dedup clusters: min-label components with one keeper per cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (5L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "pack my box with five dozen liquor jugs today ok"),
+      (7L, "pack my box with five dozen liquor jugs today ok"),
+      (9L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text")
+    val out = NearDup.dedupClusters(docs, NearDup.minhashLsh(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_keeper"))).toMap
+    assert(out(1L) === (1L, true))
+    assert(out(2L) === (1L, false))
+    assert(out(5L) === (1L, false))
+    assert(out(3L) === (3L, true))
+    assert(out(7L) === (3L, false))
+    assert(out(9L) === (9L, true)) // singleton keeps itself
+    assert(out.values.count(_._2) === 3)
+  }
+
   test("LSH plan consumes the persisted signature frame, not re-derivations") {
     // guards the round-4 fix: the md5-banding lineage must be materialized
     // once (InMemoryTableScan at every consumer: the cap aggregate, both

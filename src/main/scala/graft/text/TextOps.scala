@@ -116,13 +116,32 @@ object TextOps {
     docs.select(col("doc_id"), fingerprint(norm(col("text"))).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Within-document repetition: 1 − distinct/total 3-word shingles —
+    * high for templated/boilerplate text (the per-doc analog of the
+    * corpus-level LSH dedup). Docs with <3 tokens carry no shingles and
+    * are excluded, mirroring the LSH family. */
+  def repetition(docs: DataFrame): DataFrame =
+    docs.withColumn("n", norm(col("text")))
+      .withColumn("toks", tokens(col("n")))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        (size(col("toks")) - 2).as("total_shingles"),
+        size(call_function("word_shingles", col("n"), lit(3)))
+          .as("distinct_shingles"),
+        (lit(1.0) -
+          size(call_function("word_shingles", col("n"), lit(3))).cast("double")
+            / (size(col("toks")) - 2)).as("repetition_ratio"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "text_normalize" -> ((s, d) => normalized(Tables(s, d, "documents"))),
     "dedup_exact" -> ((s, d) => dedupExact(Tables(s, d, "documents"))),
     "token_count" -> ((s, d) => tokenCounts(Tables(s, d, "documents"))),
     "quality_score" -> ((s, d) => qualityScore(Tables(s, d, "documents"))),
     "lang_id" -> ((s, d) => langId(Tables(s, d, "documents"))),
-    "doc_fingerprint" -> ((s, d) => fingerprints(Tables(s, d, "documents"))))
+    "doc_fingerprint" -> ((s, d) => fingerprints(Tables(s, d, "documents"))),
+    "doc_repetition" -> ((s, d) => repetition(Tables(s, d, "documents"))))
 
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private def inList(l: Seq[String]) = l.map("'" + _ + "'").mkString("(", ",", ")")
@@ -176,5 +195,20 @@ object TextOps {
       s"""SELECT doc_id,
          |md5(array_to_string(list_sort(list_distinct(
          |  string_split($N, ' '))), ' ')) AS fingerprint
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_repetition" ->
+      s"""SELECT doc_id,
+         |CAST(len(l) - 2 AS INTEGER) AS total_shingles,
+         |CAST(len(list_distinct(list_transform(
+         |  generate_series(1, len(l) - 2),
+         |  i -> array_to_string(l[i:i+2], ' ')))) AS INTEGER)
+         |  AS distinct_shingles,
+         |1.0 - CAST(len(list_distinct(list_transform(
+         |  generate_series(1, len(l) - 2),
+         |  i -> array_to_string(l[i:i+2], ' ')))) AS DOUBLE) / (len(l) - 2)
+         |  AS repetition_ratio
+         |FROM (SELECT doc_id, string_split($N, ' ') AS l FROM documents)
+         |WHERE len(l) >= 3
+         |ORDER BY doc_id""".stripMargin)
 }

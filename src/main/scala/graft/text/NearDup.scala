@@ -168,27 +168,28 @@ object NearDup {
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = docs.select(col("doc_id"))
+    // one persisted joined frame per iteration serves BOTH the
+    // convergence count and the next label set — one join + one scalar
+    // action per round, nothing recomputed
+    var prev = docs.select(col("doc_id"))
       .withColumn("label", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = prev
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neigh = bi.join(labels, bi("doc_b") === labels("doc_id"))
         .groupBy(bi("doc_a").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
-      val updated = labels.as("l")
-        .join(neigh.as("n"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("l.label"), coalesce(col("n.nlabel"), col("l.label")))
-            .as("label"))
+      val j = labels.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("next"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.as("u")
-        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .filter(col("label") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = updated
+      val changed = j.filter(col("next") =!= col("label")).count()
+      prev.unpersist()
+      prev = j
+      labels = j.select(col("doc_id"), col("next").as("label"))
       converged = changed == 0
       iter += 1
     }

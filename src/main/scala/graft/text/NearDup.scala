@@ -92,6 +92,7 @@ object NearDup {
     * a broadcast join, and the bounded candidate join. */
   def minhashLsh(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
     minhashLshFromSigs(signatures(docs), maxBucket)
+      .orderBy("doc_a", "doc_b")
 
   /** The narrow persisted per-doc signature frame
     * (doc_id, shingles, band sigs) — all the md5 work, computed once.
@@ -141,36 +142,44 @@ object NearDup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
       // fused one-pass set Jaccard (functions/ArrayJaccard) — bit-identical
       // to size(array_intersect)/size(array_union) without materializing
-      // the two intermediate arrays per candidate pair
+      // the two intermediate arrays per candidate pair. No sort here: the
+      // pair-list queries order for presentation; graph consumers
+      // (dedupClusters) must not pay a wasted global sort exchange.
       .select(col("doc_a"), col("doc_b"),
         call_function("jaccard_sim", col("sa"), col("sb")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Near-duplicate CLUSTERS: connected components over the thresholded
-    * LSH pair graph by iterative min-label propagation — the "keep one
-    * representative per duplicate cluster" operator a dedup stage
-    * actually ships. cluster_id = the minimum doc_id in the component;
-    * `is_keeper` marks the representative.
+    * LSH pair graph by iterative min-label propagation WITH pointer
+    * jumping — the "keep one representative per duplicate cluster"
+    * operator a dedup stage actually ships. cluster_id = the minimum
+    * doc_id in the component; `is_keeper` marks the representative.
     *
-    * Scale posture: each iteration is ONE shuffle (neighbor-min
-    * aggregate + label join) over the vertex set; iterations needed =
-    * component diameter, and near-dup components are boilerplate
-    * clusters with tiny diameter (pairs come from shared band buckets),
-    * so the loop converges in a handful of rounds. The per-iteration
-    * `count` is a scalar convergence probe, not a data collect. Labels
-    * persist per iteration and unpersist as soon as superseded. */
+    * Scale posture: each round is a bounded number of shuffles
+    * (neighbor-min aggregate + label self-join) over the vertex set.
+    * Pointer jumping (`label ← label(label)`) doubles the effective
+    * propagation distance per round, so rounds = O(log diameter):
+    * `maxIter` = 25 covers any component a real corpus can produce. If
+    * the loop still hasn't converged it FAILS LOUDLY — a silently
+    * truncated fixpoint would split clusters and keep duplicates (and
+    * diverge from the exact recursive-CTE oracle). The per-round
+    * `count` is a scalar convergence probe, not a data collect.
+    *
+    * NOTE this function is necessarily EAGER: constructing the result
+    * runs the propagation loop (an iterative fixpoint cannot be one
+    * lazy plan). The returned frame is backed by one lineage-truncated
+    * in-memory copy of the final (doc_id, label) table — two longs per
+    * doc — and all per-round caches are released before returning. */
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
-                    threshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
+                    threshold: Double = 0.8, maxIter: Int = 25): DataFrame = {
     val edges = pairs.filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
     val bi = edges.unionByName(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // one persisted joined frame per iteration serves BOTH the
-    // convergence count and the next label set — one join + one scalar
-    // action per round, nothing recomputed
+    // one persisted frame per round serves BOTH the convergence count
+    // and the next label set — nothing recomputed
     var prev = docs.select(col("doc_id"))
       .withColumn("label", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -181,10 +190,17 @@ object NearDup {
       val neigh = bi.join(labels, bi("doc_b") === labels("doc_id"))
         .groupBy(bi("doc_a").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
-      val j = labels.join(neigh, Seq("doc_id"), "left")
+      // pointer jump: the label of my label (labels only ever hold ids
+      // from the same component, so the jump never crosses components)
+      val jump = labels.select(col("doc_id").as("label"),
+        col("label").as("jlabel"))
+      val j = labels
+        .join(neigh, Seq("doc_id"), "left")
+        .join(jump, Seq("label"), "left")
         .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("next"))
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("jlabel"), col("label"))).as("next"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = j.filter(col("next") =!= col("label")).count()
       prev.unpersist()
@@ -193,8 +209,19 @@ object NearDup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged) {
+      prev.unpersist(); bi.unpersist()
+      throw new IllegalStateException(
+        s"dedupClusters: min-label propagation did not converge in " +
+          s"$maxIter rounds — component diameter exceeds 2^$maxIter, " +
+          "which no near-dup pair graph should produce; returning a " +
+          "truncated fixpoint would split clusters and keep duplicates.")
+    }
+    // lineage-truncated final copy, then release every loop cache
+    val result = labels.localCheckpoint(true)
+    prev.unpersist()
     bi.unpersist()
-    labels
+    result
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_keeper"))
       .orderBy("doc_id")
@@ -241,15 +268,19 @@ object NearDup {
     sigMemo.getOrElseUpdate((s, d), signatures(Tables(s, d, "documents")))
 
   val queries: Map[String, Q] = Map(
-    "dedup_near_lsh" -> ((s, d) => minhashLshFromSigs(docSigs(s, d), MaxBucket)),
+    "dedup_near_lsh" -> ((s, d) =>
+      minhashLshFromSigs(docSigs(s, d), MaxBucket).orderBy("doc_a", "doc_b")),
     // cap low enough (2) that real fixture buckets (size-3 duplicate
     // clusters exist at sf0.01) split into sub-buckets — the capped
     // semantics and the oracle's mirrored salt are exercised on data,
     // not just by the unit test
     "dedup_near_lsh_capped" -> ((s, d) =>
-      minhashLshFromSigs(docSigs(s, d), maxBucket = 2)),
-    // connected-components clustering over the (default-cap) pair graph;
-    // every doc appears, singletons are their own cluster
+      minhashLshFromSigs(docSigs(s, d), maxBucket = 2)
+        .orderBy("doc_a", "doc_b")),
+    // connected-components clustering over the (default-cap, unsorted)
+    // pair graph; every doc appears, singletons are their own cluster.
+    // NOTE: constructing this frame RUNS the propagation loop (see
+    // dedupClusters — an iterative fixpoint cannot be one lazy plan).
     "dedup_clusters" -> ((s, d) =>
       dedupClusters(Tables(s, d, "documents"),
         minhashLshFromSigs(docSigs(s, d), MaxBucket))),

@@ -124,14 +124,14 @@ object TextOps {
     docs.withColumn("n", norm(col("text")))
       .withColumn("toks", tokens(col("n")))
       .filter(size(col("toks")) >= 3)
+      .withColumn("distinct_sh",
+        size(call_function("word_shingles", col("n"), lit(3))))
       .select(
         col("doc_id"),
         (size(col("toks")) - 2).as("total_shingles"),
-        size(call_function("word_shingles", col("n"), lit(3)))
-          .as("distinct_shingles"),
-        (lit(1.0) -
-          size(call_function("word_shingles", col("n"), lit(3))).cast("double")
-            / (size(col("toks")) - 2)).as("repetition_ratio"))
+        col("distinct_sh").as("distinct_shingles"),
+        (lit(1.0) - col("distinct_sh").cast("double")
+          / (size(col("toks")) - 2)).as("repetition_ratio"))
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(

@@ -137,6 +137,41 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding outlier detection — the curation stage that flags
+    * mis-embedded/mislabeled vectors: cosine of each vector to its label
+    * group's centroid, bottom-k least-central per label. Cosine is
+    * scale-invariant, so the centroid is represented by the EXACT integer
+    * sum vector (cos(v, mean) == cos(v, sum)) — the aggregate never
+    * divides, every sum is a long, and the one double division per vector
+    * is mirrored in the oracle. The per-label sum vectors are a tiny
+    * broadcast; the corpus is scanned once and pre-reduced per partition
+    * by the rank window (same InferWindowGroupLimit shape as ann_topk). */
+  def embeddingOutliers(spark: SparkSession, dir: String,
+                        k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val sumVecs = c
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("val")).as("sval"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sval")))),
+        x => x.getField("sval")).as("sv"))
+      .withColumn("s2", dot(col("sv"), col("sv")))
+    c.join(broadcast(sumVecs), "label")
+      .withColumn("centroid_cos",
+        dot(col("v"), col("sv")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("s2").cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("centroid_cos").asc, col("vec_id").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("vec_id"), col("rank"), col("centroid_cos"))
+      .orderBy("label", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates only within the
     * same coarse bucket (never all-pairs), kept when cosine clears the
     * threshold — the embedding analog of MinHash near-dedup. */
@@ -162,6 +197,7 @@ object Similarity {
     "ann_topk" -> ((s, d) => annTopK(s, d)),
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
     "ann_ivf_probe" -> ((s, d) => annIvfProbe(s, d)),
+    "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)))
 
   // --- oracle -------------------------------------------------------------
@@ -207,6 +243,42 @@ object Similarity {
     "ann_ivf_probe" -> topkSql(
       s"""JOIN (VALUES (0), (1), (2), (4)) p(o)
          |  ON ${bucketSql("a")} = xor(${bucketSql("q")}, p.o)""".stripMargin),
+
+    // per-label exact sum vector (HUGEINT sums equal Spark's long sums —
+    // all magnitudes < 2^53, so the double casts agree bit-exactly),
+    // cosine to it, bottom-5 per label
+    "embedding_outliers" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, label, v,
+        |    list_sum(list_transform(generate_series(1, len(v)),
+        |      i -> v[i] * v[i])) AS n2
+        |  FROM n),
+        |d AS (
+        |  SELECT label, i AS pos, sum(v[i]) AS sval
+        |  FROM n, (SELECT unnest(generate_series(1, 64)) AS i)
+        |  GROUP BY label, i),
+        |s AS (
+        |  SELECT label, list(sval ORDER BY pos) AS sv,
+        |    sum(sval * sval) AS s2
+        |  FROM d GROUP BY label)
+        |SELECT m.label, m.vec_id,
+        |  CAST(row_number() OVER (PARTITION BY m.label
+        |    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64),
+        |        i -> m.v[i] * s.sv[i])) AS DOUBLE)
+        |      / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(s.s2 AS DOUBLE))) ASC,
+        |      m.vec_id ASC) AS INTEGER) AS rank,
+        |  CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> m.v[i] * s.sv[i])) AS DOUBLE)
+        |    / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(s.s2 AS DOUBLE)))
+        |    AS centroid_cos
+        |FROM m JOIN s USING (label)
+        |QUALIFY rank <= 5
+        |ORDER BY label, rank""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $qCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -176,6 +176,42 @@ class PropertySpec extends SparkSpec {
     }, samples = 6)
   }
 
+  // --- dedup clustering vs union-find ---------------------------------------
+
+  test("property: dedupClusters == union-find over the same pair graph") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val genDoc = for {
+      n <- Gen.chooseNum(3, 7)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val genCorpus = for {
+      base <- Gen.listOfN(8, genDoc)
+      dupIdx <- Gen.listOfN(6, Gen.chooseNum(0, 7))
+    } yield base ++ dupIdx.map(base)
+    check("cluster-vs-unionfind", Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val pairs = NearDup.minhashLsh(docs)
+      val got = NearDup.dedupClusters(docs, pairs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      // model: plain union-find over the identical thresholded pair list
+      val parent = scala.collection.mutable.Map(
+        texts.indices.map(i => i.toLong -> i.toLong): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.filter(col("jaccard") >= 0.8).select("doc_a", "doc_b").collect()
+        .foreach { r =>
+          val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (a != b) parent(math.max(a, b)) = math.min(a, b)
+        }
+      val expect = texts.indices
+        .map(i => i.toLong -> find(i.toLong)).toMap
+      got == expect
+    }, samples = 5)
+  }
+
   // --- typed-Aggregator fill walk -------------------------------------------
 
   test("property: typed-Aggregator walk over sorted groups == reference walk") {

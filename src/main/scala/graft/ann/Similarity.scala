@@ -33,9 +33,11 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     call_function("long_dot", a, b)
 
+  /** Quantized corpus (vec_id, label, v, n2). `label` is pruned from the
+    * scan by Catalyst for the queries that never reference it. */
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), quantized(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
 
   /** Score → rank → keep k. The rank window partitions by `query_id`
@@ -144,14 +146,14 @@ object Similarity {
     * sum vector (cos(v, mean) == cos(v, sum)) — the aggregate never
     * divides, every sum is a long, and the one double division per vector
     * is mirrored in the oracle. The per-label sum vectors are a tiny
-    * broadcast; the corpus is scanned once and pre-reduced per partition
-    * by the rank window (same InferWindowGroupLimit shape as ann_topk). */
+    * broadcast; the corpus takes two narrow column-pruned passes (one to
+    * build the label sums, one to score) and the scoring pass is
+    * pre-reduced per partition by the rank window (same
+    * InferWindowGroupLimit shape as ann_topk). */
   def embeddingOutliers(spark: SparkSession, dir: String,
                         k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("v"))
-      .withColumn("n2", dot(col("v"), col("v")))
+    val c = corpus(spark, dir)
     val sumVecs = c
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))
       .groupBy(col("label"), col("pos"))
@@ -166,7 +168,7 @@ object Similarity {
           (sqrt(col("n2").cast("double")) * sqrt(col("s2").cast("double"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("label"))
-          .orderBy(col("centroid_cos").asc, col("vec_id").asc)).cast("int"))
+          .orderBy(col("centroid_cos").asc, col("vec_id").asc)))
       .filter(col("rank") <= k)
       .select(col("label"), col("vec_id"), col("rank"), col("centroid_cos"))
       .orderBy("label", "rank")
@@ -260,7 +262,7 @@ object Similarity {
         |  FROM n),
         |d AS (
         |  SELECT label, i AS pos, sum(v[i]) AS sval
-        |  FROM n, (SELECT unnest(generate_series(1, 64)) AS i)
+        |  FROM n, unnest(generate_series(1, len(v))) AS t(i)
         |  GROUP BY label, i),
         |s AS (
         |  SELECT label, list(sval ORDER BY pos) AS sv,
@@ -268,11 +270,11 @@ object Similarity {
         |  FROM d GROUP BY label)
         |SELECT m.label, m.vec_id,
         |  CAST(row_number() OVER (PARTITION BY m.label
-        |    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64),
+        |    ORDER BY CAST(list_sum(list_transform(generate_series(1, len(m.v)),
         |        i -> m.v[i] * s.sv[i])) AS DOUBLE)
         |      / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(s.s2 AS DOUBLE))) ASC,
         |      m.vec_id ASC) AS INTEGER) AS rank,
-        |  CAST(list_sum(list_transform(generate_series(1, 64),
+        |  CAST(list_sum(list_transform(generate_series(1, len(m.v)),
         |      i -> m.v[i] * s.sv[i])) AS DOUBLE)
         |    / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(s.s2 AS DOUBLE)))
         |    AS centroid_cos

@@ -174,6 +174,9 @@ class PropertySpec extends SparkSpec {
       // over ceil(n/cap) sub-buckets guarantees some pairs survive
       capped.subsetOf(uncapped) && capped.nonEmpty
     }, samples = 6)
+    // each sample persisted two signature frames; don't pin them for the
+    // rest of the shared-session suite
+    spark.catalog.clearCache()
   }
 
   // --- dedup clustering vs union-find ---------------------------------------
@@ -210,6 +213,9 @@ class PropertySpec extends SparkSpec {
         .map(i => i.toLong -> find(i.toLong)).toMap
       got == expect
     }, samples = 5)
+    // each sample persisted a signature frame and checkpointed a label
+    // table; don't pin them for the rest of the shared-session suite
+    spark.catalog.clearCache()
   }
 
   // --- typed-Aggregator fill walk -------------------------------------------

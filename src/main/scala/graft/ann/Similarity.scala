@@ -40,23 +40,22 @@ object Similarity {
       .select(col("vec_id"), col("label"), quantized(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
 
-  /** Score → rank → keep k. The rank window partitions by `query_id`
-    * (few partitions when the query set is small), but the plan never
-    * funnels the scored corpus through them: the literal `rank <= k`
-    * filter triggers Catalyst's InferWindowGroupLimit, which inserts a
-    * Partial-mode WindowGroupLimit below the exchange — each input
-    * partition pre-reduces to its local top-k per query, so the shuffle
-    * carries #partitions·k rows per query, not the corpus. Plan shape is
-    * pinned by SimilaritySpec ("pre-reduces per partition"). */
-  private def cosineTopK(corpus: DataFrame, queries: DataFrame,
-                         k: Int): DataFrame = {
+  /** Score → rank → keep k over a (corpus row × query) join. The rank
+    * window partitions by `query_id` (few partitions when the query set
+    * is small), but the plan never funnels the scored corpus through
+    * them: the literal `rank <= k` filter triggers Catalyst's
+    * InferWindowGroupLimit, which inserts a Partial-mode WindowGroupLimit
+    * below the exchange — each input partition pre-reduces to its local
+    * top-k per query, so the shuffle carries #partitions·k rows per
+    * query, not the corpus. Plan shape is pinned by SimilaritySpec
+    * ("pre-reduces per partition"). Shared by all three ANN variants —
+    * they differ only in the candidate join. */
+  private def scoreRankLimit(joined: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = corpus.join(broadcast(queries),
-      col("vec_id") =!= col("query_id"))
-    val scored = joined.withColumn("cosine",
-      dot(col("v"), col("qv")).cast("double") /
-        (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
-    scored
+    joined
+      .withColumn("cosine",
+        dot(col("v"), col("qv")).cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("vec_id").asc)))
@@ -64,6 +63,11 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("rank"), col("cosine"))
       .orderBy("query_id", "rank")
   }
+
+  private def cosineTopK(corpus: DataFrame, queries: DataFrame,
+                         k: Int): DataFrame =
+    scoreRankLimit(
+      corpus.join(broadcast(queries), col("vec_id") =!= col("query_id")), k)
 
   /** Brute-force exact cosine top-k for a bounded query set. */
   def annTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
@@ -88,23 +92,12 @@ object Similarity {
   /** IVF-style bucketed ANN: probe only the query's own coarse cell. */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 5,
              k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus(spark, dir).withColumn("bucket", bucket(col("v")))
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("bucket").as("qbucket"))
-    val joined = c.join(broadcast(q),
-      col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-    joined
-      .withColumn("cosine",
-        dot(col("v"), col("qv")).cast("double") /
-          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("rank"), col("cosine"))
-      .orderBy("query_id", "rank")
+    scoreRankLimit(c.join(broadcast(q),
+      col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id")), k)
   }
 
   /** Multi-probe IVF: each query probes its own cell plus the `bits`
@@ -117,7 +110,6 @@ object Similarity {
     * scored twice. */
   def annIvfProbe(spark: SparkSession, dir: String, nQueries: Int = 5,
                   k: Int = 10, bits: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus(spark, dir).withColumn("bucket", bucket(col("v"), bits))
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -125,18 +117,8 @@ object Similarity {
     val probed = q.select(col("query_id"), col("qv"), col("qn2"),
       explode(array(col("qbucket") +: (0 until bits).map(j =>
         col("qbucket").bitwiseXOR(lit(1 << j))): _*)).as("pbucket"))
-    val joined = c.join(broadcast(probed),
-      col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
-    joined
-      .withColumn("cosine",
-        dot(col("v"), col("qv")).cast("double") /
-          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("rank"), col("cosine"))
-      .orderBy("query_id", "rank")
+    scoreRankLimit(c.join(broadcast(probed),
+      col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id")), k)
   }
 
   /** Embedding outlier detection — the curation stage that flags

@@ -38,7 +38,11 @@ object TextShingles {
     // contract — nullSafeCodeGen never re-checks ev.value)
     if (n < 1) throw new IllegalArgumentException(
       s"word_shingles: shingle width must be >= 1, got $n")
-    val toks = text.toString.split(' ')
+    // limit -1 keeps trailing empty tokens, matching Spark's split() and
+    // DuckDB's string_split — Java's default split drops them, which
+    // would silently shrink the token count for text whose normalized
+    // form ends in a space (raw text ending in non-0x20 whitespace)
+    val toks = text.toString.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
     val sb = new java.lang.StringBuilder

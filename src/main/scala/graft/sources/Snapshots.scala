@@ -102,13 +102,21 @@ object Snapshots {
     * Queries read this store, so (a) source filters become partition
     * pruning exactly as on a production cluster, and (b) benchmarks
     * measure operator work, not fixture derivation. */
-  def store(spark: SparkSession, dir: String): DataFrame =
+  def store(spark: SparkSession, dir: String): DataFrame = {
+    // sweep the obsolete pre-clustering v1 staged layout, which nothing
+    // references anymore (rounds don't overlap, so no concurrent reader)
+    val v1Prefix = "graft_" + s"snapshots_$dir".replaceAll("[^a-zA-Z0-9]", "_")
+    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(v1Prefix + "_"))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     Staging.stageFrame(spark, s"snapshots_v2_$dir", // v2 = clustered layout
       new java.io.File(dir, "events.parquet"),
       frame(spark, dir)
         .repartition(col("source"), col("ticker"))
         .sortWithinPartitions("source", "ticker", "ts_us"),
       partitionCols = Seq("source"))
+  }
 
   /** SQL fragments for the DuckDB oracle — the same derivation in ANSI SQL
     * over `events`, kept adjacent to the Scala so they can't drift apart.

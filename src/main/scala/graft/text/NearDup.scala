@@ -96,6 +96,10 @@ object NearDup {
 
   /** The narrow persisted per-doc signature frame
     * (doc_id, shingles, band sigs) — all the md5 work, computed once.
+    * NOTE each call registers one MEMORY_AND_DISK cache with no automatic
+    * unpersist (the laziness contract leaves no completion hook); callers
+    * invoking this (or `minhashLsh`) in a loop own the cleanup, e.g.
+    * `spark.catalog.clearCache()` — the property suites do exactly that.
     * `minhash_bands` (`functions/TextShingles.scala`) fuses the two
     * md5 digests per shingle + 8 slice-minima + band concat into one
     * codegen'd pass; the 8 hash functions are the 8 disjoint
@@ -264,8 +268,14 @@ object NearDup {
     * of the corpus signatures. */
   private val sigMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def docSigs(s: SparkSession, d: String): DataFrame =
-    sigMemo.getOrElseUpdate((s, d), signatures(Tables(s, d, "documents")))
+  private def docSigs(s: SparkSession, d: String): DataFrame = {
+    val df = sigMemo.getOrElseUpdate((s, d), signatures(Tables(s, d, "documents")))
+    // an intervening clearCache() would silently drop the persistence and
+    // reintroduce the per-branch banding recomputation — re-pin if lost
+    if (df.storageLevel == StorageLevel.NONE)
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 
   val queries: Map[String, Q] = Map(
     "dedup_near_lsh" -> ((s, d) =>

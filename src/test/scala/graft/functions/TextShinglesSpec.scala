@@ -36,6 +36,19 @@ class TextShinglesSpec extends SparkSpec {
     assert(r.getSeq[String](3) === Seq("x y z"))
   }
 
+  test("word_shingles keeps trailing empty tokens like Spark split / DuckDB") {
+    // raw text ending in non-space whitespace normalizes to a trailing
+    // space: "a b\n" -> "a b " -> tokens ["a","b",""] -> shingle "a b "
+    // (matching Spark split / DuckDB string_split, which keep the empty)
+    val rows = Seq("a b\n", "a b", "x y z\r").toDF("t")
+      .select(call_function("word_shingles",
+        graft.text.TextOps.norm(col("t")), lit(3)).as("fast"))
+      .collect()
+    assert(rows(0).getSeq[String](0) === Seq("a b ")) // 3 tokens incl. ""
+    assert(rows(1).getSeq[String](0).isEmpty)         // only 2 tokens
+    assert(rows(2).getSeq[String](0) === Seq("x y z", "y z "))
+  }
+
   test("word_shingles width parameter: 5-grams, distinct, order-preserving") {
     val r = spark.sql(
       """SELECT word_shingles('a b c d e f', 5) AS five,

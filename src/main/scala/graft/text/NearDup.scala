@@ -65,7 +65,11 @@ object NearDup {
     (1 to 6).map(nib).reduceLeft((acc, t) => s"(($acc) * 16 + $t)")
   }
 
-  /** MinHash/LSH candidate pairs with exact Jaccard verification.
+  /** MinHash/LSH candidate pairs with exact Jaccard verification — the
+    * public entry. Signature caching is routed through [[memoSignatures]],
+    * so repeat calls over the same docs plan (a bench loop, the property
+    * suites) share ONE persisted signature frame instead of each pinning
+    * a new cache.
     * Emits every bucket-colliding pair (doc_a < doc_b) with its true
     * 3-shingle Jaccard — callers threshold downstream.
     *
@@ -91,15 +95,16 @@ object NearDup {
     * corpus. Everything downstream of the cache is cheap: band explode,
     * a broadcast join, and the bounded candidate join. */
   def minhashLsh(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
-    minhashLshFromSigs(signatures(docs), maxBucket)
+    minhashLshFromSigs(memoSignatures(docs), maxBucket)
       .orderBy("doc_a", "doc_b")
 
   /** The narrow persisted per-doc signature frame
     * (doc_id, shingles, band sigs) — all the md5 work, computed once.
     * NOTE each call registers one MEMORY_AND_DISK cache with no automatic
-    * unpersist (the laziness contract leaves no completion hook); callers
-    * invoking this (or `minhashLsh`) in a loop own the cleanup, e.g.
-    * `spark.catalog.clearCache()` — the property suites do exactly that.
+    * unpersist (the laziness contract leaves no completion hook); prefer
+    * [[memoSignatures]] (what `minhashLsh` uses), which shares and
+    * eventually releases the cache. Direct callers in a loop own the
+    * cleanup, e.g. `spark.catalog.clearCache()`.
     * `minhash_bands` (`functions/TextShingles.scala`) fuses the two
     * md5 digests per shingle + 8 slice-minima + band concat into one
     * codegen'd pass; the 8 hash functions are the 8 disjoint

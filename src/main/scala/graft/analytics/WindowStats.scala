@@ -108,15 +108,19 @@ object WindowStats {
     "snapshot_correlation" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey")))
-          .as("analyzed_snapshot_ids"))
+        // the output only needs the distinct COUNT and a membership FLAG,
+        // so the id-set disjunction (`executed = $1 OR analyzed @> [$1]`)
+        // is computed without ever materializing the per-order array —
+        // collect_set buffers are the one agg shape whose memory is
+        // unbounded in group size, exactly what a 100 TB shuffle can't
+        // carry. bool_or(l_partkey = 42) ≡ array_contains(set, 42).
+        .agg(
+          count_distinct(col("l_partkey")).cast("int").as("n_analyzed"),
+          bool_or(col("l_partkey") === 42).as("used_in_analysis"))
         .withColumn("executed_snapshot_id", (col("l_orderkey") * 7) % 3000)
-        .filter(col("executed_snapshot_id") === 42 ||
-          array_contains(col("analyzed_snapshot_ids"), lit(42L)))
+        .filter(col("executed_snapshot_id") === 42 || col("used_in_analysis"))
         .select(col("l_orderkey"), col("executed_snapshot_id"),
-          size(col("analyzed_snapshot_ids")).as("n_analyzed"),
-          array_contains(col("analyzed_snapshot_ids"), lit(42L))
-            .as("used_in_analysis"))
+          col("n_analyzed"), col("used_in_analysis"))
         .orderBy("l_orderkey")),
 
     // SET1 completion: `array_union` dedup-on-append — the reference's

@@ -183,13 +183,38 @@ object NearDup {
                     threshold: Double = 0.8, maxIter: Int = 25): DataFrame = {
     val edges = pairs.filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    val bi = edges.unionByName(
+    val biRaw = edges.unionByName(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // size the loop's parallelism from the MEASURED edge count (the
+    // count also materializes the persisted edge set): a fixpoint over
+    // a few thousand edges should run single-task rounds — 32-partition
+    // exchanges on near-empty frames made scheduling, not data, the
+    // dominant round cost — while a billion-edge graph still spreads at
+    // ~2M directed edges per partition. Pre-hash bi on the join key so
+    // the cached partitioning is reused by every round's neighbor join.
+    val maxParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(maxParts.toLong,
+      biRaw.count() / 2000000L + 1)).toInt
+    val bi = biRaw.repartition(parts, col("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count() // materialize from the biRaw cache, then drop the raw copy
+    biRaw.unpersist()
+
+    // propagate ONLY over edge-endpoint vertices: every doc with no
+    // near-dup edge is a singleton cluster by construction and rejoins
+    // after the fixpoint. Loop work is proportional to the DUPLICATE
+    // population, not the corpus — at 100 TB the near-dup graph is
+    // orders of magnitude smaller than the document set, and dragging
+    // a billion isolated vertices through every iteration's joins was
+    // pure overhead in the round-4 shape.
+    val verts = bi.select(col("doc_a").as("doc_id"))
+      .repartition(parts, col("doc_id")).distinct()
+
     // one persisted frame per round serves BOTH the convergence count
     // and the next label set — nothing recomputed
-    var prev = docs.select(col("doc_id"))
+    var prev = verts
       .withColumn("label", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = prev
@@ -230,9 +255,16 @@ object NearDup {
     val result = labels.localCheckpoint(true)
     prev.unpersist()
     bi.unpersist()
-    result
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        (col("doc_id") === col("label")).as("is_keeper"))
+    // singletons (docs with no edge) never entered the loop; every one is
+    // its own keeper. left join against the tiny converged label table —
+    // isolated docs take the coalesce default without shuffling the
+    // corpus through the fixpoint.
+    docs.select(col("doc_id"))
+      .join(result.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("label"), col("doc_id")) === col("doc_id"))
+          .as("is_keeper"))
       .orderBy("doc_id")
   }
 

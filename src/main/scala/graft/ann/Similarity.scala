@@ -128,21 +128,30 @@ object Similarity {
     * sum vector (cos(v, mean) == cos(v, sum)) — the aggregate never
     * divides, every sum is a long, and the one double division per vector
     * is mirrored in the oracle. The per-label sum vectors are a tiny
-    * broadcast; the corpus takes two narrow column-pruned passes (one to
-    * build the label sums, one to score) and the scoring pass is
+    * broadcast; the corpus takes two narrow column-pruned passes (one
+    * single-shuffle aggregate to build the label sums, one to score)
+    * and the scoring pass is
     * pre-reduced per partition by the rank window (same
     * InferWindowGroupLimit shape as ann_topk). */
   def embeddingOutliers(spark: SparkSession, dir: String,
-                        k: Int = 5): DataFrame = {
+                        k: Int = 5, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus(spark, dir)
+    // per-label sum vector as ONE hash aggregate of `dim` long sums —
+    // no posexplode (a dim× row blowup), no second shuffle, no
+    // collect_list/sort array rebuild; partial aggregation means the
+    // exchange carries labels×dim longs per map partition regardless of
+    // corpus size. `dim` is a pipeline constant; the assert_true guard
+    // fails the job loudly on a mismatched vector instead of letting
+    // element_at's null silently drop a dimension from the centroid.
     val sumVecs = c
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("val")).as("sval"))
+      .select(col("label"),
+        when(assert_true(size(col("v")) === dim,
+          lit(s"embeddingOutliers: expected $dim-dim vector")).isNull,
+          col("v")).as("v"))
       .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sval")))),
-        x => x.getField("sval")).as("sv"))
+      .agg(array((1 to dim).map(i => sum(element_at(col("v"), i))): _*)
+        .as("sv"))
       .withColumn("s2", dot(col("sv"), col("sv")))
     c.join(broadcast(sumVecs), "label")
       .withColumn("centroid_cos",

@@ -117,13 +117,19 @@ object NearDup {
         call_function("minhash_bands", col("shingles")).as("bsigs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-  def minhashLshFromSigs(sigs: DataFrame, maxBucket: Int): DataFrame = {
-    val bands = sigs.select(
+  /** (doc_id, band, bsig) band-bucket rows of a signature frame — the
+    * unit both the self-join dedup and the incremental (batch-vs-corpus)
+    * dedup bucket on. */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(
       col("doc_id"),
       explode(array((0 until B).map(b =>
         struct(lit(b).as("band"), element_at(col("bsigs"), b + 1).as("bsig"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+
+  def minhashLshFromSigs(sigs: DataFrame, maxBucket: Int): DataFrame = {
+    val bands = bandsOf(sigs)
 
     // only buckets over the cap survive this aggregate — bounded by the
     // number of over-cap duplicate clusters, not by corpus size (unique
@@ -156,6 +162,52 @@ object NearDup {
       // (dedupClusters) must not pay a wasted global sort exchange.
       .select(col("doc_a"), col("doc_b"),
         call_function("jaccard_sim", col("sa"), col("sb")).as("jaccard"))
+  }
+
+  /** Incremental dedup: which INCOMING docs are near-duplicates of the
+    * EXISTING corpus — the shape every production ingestion pipeline
+    * runs per batch (a daily increment is orders of magnitude smaller
+    * than the accumulated corpus). Emits one row per incoming doc:
+    * `n_dups` existing near-duplicates (band-bucket collision verified
+    * at `jaccard >= threshold`) and `is_new = n_dups == 0`.
+    *
+    * Scale posture: the corpus side is ONE pass — its signature frame is
+    * scanned, band-exploded, and hash-joined against the BROADCAST
+    * incoming bands; the corpus is never shuffled and never self-joined.
+    * Candidate verification joins shingles back on both sides (the
+    * incoming side broadcast again), so total cost is linear in corpus
+    * size plus collisions. `broadcastIncoming = false` drops the hint
+    * for a batch too large to broadcast — the bucket join then shuffles
+    * both sides on (band, bsig), which AQE sizes.
+    *
+    * Within-batch duplicates are out of scope by design (run
+    * [[minhashLsh]] over the batch for those); docs with no shingles
+    * (<3 tokens) cannot collide and come out `is_new`. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+                       threshold: Double = 0.8,
+                       broadcastIncoming: Boolean = true): DataFrame = {
+    val esigs = memoSignatures(existing)
+    val isigs = memoSignatures(incoming)
+    def bc(df: DataFrame): DataFrame = if (broadcastIncoming) broadcast(df) else df
+    val cand = bandsOf(esigs)
+      .join(bc(bandsOf(isigs).select(col("doc_id").as("inc_id"),
+        col("band"), col("bsig"))), Seq("band", "bsig"))
+      .select(col("doc_id").as("ex_id"), col("inc_id"))
+      .distinct()
+    val dups = cand
+      .join(esigs.select(col("doc_id").as("ex_id"), col("shingles").as("se")),
+        "ex_id")
+      .join(bc(isigs.select(col("doc_id").as("inc_id"),
+        col("shingles").as("si"))), "inc_id")
+      .filter(call_function("jaccard_sim", col("se"), col("si")) >= threshold)
+      .groupBy(col("inc_id")).agg(count_distinct(col("ex_id")).as("nd"))
+    incoming.select(col("doc_id"))
+      .join(dups.select(col("inc_id").as("doc_id"), col("nd")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nd"), lit(0L)).cast("int").as("n_dups"),
+        (coalesce(col("nd"), lit(0L)) === 0).as("is_new"))
+      .orderBy("doc_id")
   }
 
   /** Near-duplicate CLUSTERS: connected components over the thresholded
@@ -212,12 +264,16 @@ object NearDup {
     val verts = bi.select(col("doc_a").as("doc_id"))
       .repartition(parts, col("doc_id")).distinct()
 
-    // one persisted frame per round serves BOTH the convergence count
-    // and the next label set — nothing recomputed
-    var prev = verts
-      .withColumn("label", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = prev
+    // each round ends in an EAGER localCheckpoint: the round's result is
+    // materialized to a cached RDD and its logical plan truncated to a
+    // flat scan. Without this the plan nests one join tree per round and
+    // Catalyst re-optimizes the whole growing tree every iteration —
+    // planning, not data, dominated the loop (~2 s/round on a
+    // 100-edge graph). One checkpoint job + one cached-scan count per
+    // round; superseded round RDDs are tiny (two longs per vertex) and
+    // reclaimed by the ContextCleaner as references drop.
+    var labels = verts.withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -231,29 +287,25 @@ object NearDup {
       val j = labels
         .join(neigh, Seq("doc_id"), "left")
         .join(jump, Seq("label"), "left")
-        .select(col("doc_id"), col("label"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"),
             coalesce(col("nlabel"), col("label")),
-            coalesce(col("jlabel"), col("label"))).as("next"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = j.filter(col("next") =!= col("label")).count()
-      prev.unpersist()
-      prev = j
-      labels = j.select(col("doc_id"), col("next").as("label"))
+            coalesce(col("jlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = j.filter(col("label") =!= col("old")).count()
+      labels = j.select(col("doc_id"), col("label"))
       converged = changed == 0
       iter += 1
     }
     if (!converged) {
-      prev.unpersist(); bi.unpersist()
+      bi.unpersist()
       throw new IllegalStateException(
         s"dedupClusters: min-label propagation did not converge in " +
           s"$maxIter rounds — component diameter exceeds 2^$maxIter, " +
           "which no near-dup pair graph should produce; returning a " +
           "truncated fixpoint would split clusters and keep duplicates.")
     }
-    // lineage-truncated final copy, then release every loop cache
-    val result = labels.localCheckpoint(true)
-    prev.unpersist()
+    val result = labels
     bi.unpersist()
     // singletons (docs with no edge) never entered the loop; every one is
     // its own keeper. left join against the tiny converged label table —
@@ -343,9 +395,46 @@ object NearDup {
   private def docSigs(s: SparkSession, d: String): DataFrame =
     memoSignatures(Tables(s, d, "documents"))
 
+  /** One cluster assignment per (session, fixture): `dedup_clusters` and
+    * `dedup_keep_best` share a single propagation run. dedupClusters is
+    * EAGER and its result is a small lineage-truncated frame, so a memo
+    * hit skips the whole fixpoint. getOrElseUpdate may double-evaluate
+    * under concurrency — harmless here beyond a redundant run (the
+    * function is idempotent and the loser frame is just dropped). */
+  private val clusterMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def fixtureClusters(s: SparkSession, d: String): DataFrame = {
+    clusterMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(clusterMemo.remove)
+    clusterMemo.getOrElseUpdate((s, d),
+      dedupClusters(Tables(s, d, "documents"),
+        minhashLshFromSigs(docSigs(s, d), MaxBucket)))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_near_lsh" -> ((s, d) =>
       minhashLshFromSigs(docSigs(s, d), MaxBucket).orderBy("doc_a", "doc_b")),
+    // incremental ingestion dedup: the 80% of docs with doc_id%10 < 8 are
+    // the accumulated corpus, the rest are the incoming batch
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      incrementalDedup(docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8))
+    }),
+    // cluster representative chosen by QUALITY (ties to the smaller
+    // doc_id), not min id — what a curation stage actually keeps
+    "dedup_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      fixtureClusters(s, d).select(col("doc_id"), col("cluster_id"))
+        .join(TextOps.qualityScore(Tables(s, d, "documents"))
+          .select(col("doc_id"), col("quality")), "doc_id")
+        .withColumn("keeper_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).as("is_keeper"))
+        .orderBy("doc_id")
+    }),
     // cap low enough (2) that real fixture buckets (size-3 duplicate
     // clusters exist at sf0.01) split into sub-buckets — the capped
     // semantics and the oracle's mirrored salt are exercised on data,
@@ -357,9 +446,7 @@ object NearDup {
     // pair graph; every doc appears, singletons are their own cluster.
     // NOTE: constructing this frame RUNS the propagation loop (see
     // dedupClusters — an iterative fixpoint cannot be one lazy plan).
-    "dedup_clusters" -> ((s, d) =>
-      dedupClusters(Tables(s, d, "documents"),
-        minhashLshFromSigs(docSigs(s, d), MaxBucket))),
+    "dedup_clusters" -> ((s, d) => fixtureClusters(s, d)),
     "simhash" -> ((s, d) => simhash(Tables(s, d, "documents")).orderBy("doc_id")),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
@@ -386,7 +473,10 @@ object NearDup {
     * mirrors `minhashLsh` exactly, including the md5-nibble sub-salt of
     * oversized buckets. Shared by the pair-list oracles and the
     * connected-components clustering oracle. */
-  private def lshCtes(cap: Int): String =
+  /** sh → hh → mh → bands: per-doc shingles, double-md5 minhash
+    * signatures, and band-bucket rows — the uncapped prefix shared by
+    * the self-join oracles and the incremental (batch-vs-corpus) one. */
+  private val bandsCtes: String =
     s"""$shinglesCte,
        |hh AS (
        |  SELECT doc_id, shingles,
@@ -401,7 +491,10 @@ object NearDup {
        |  FROM hh),
        |bands AS (
        |  SELECT doc_id, b, sig[2*b+1] || sig[2*b+2] AS bsig
-       |  FROM mh, (SELECT unnest(generate_series(0, ${B - 1})) AS b)),
+       |  FROM mh, (SELECT unnest(generate_series(0, ${B - 1})) AS b))""".stripMargin
+
+  private def lshCtes(cap: Int): String =
+    s"""$bandsCtes,
        |over_cap AS (
        |  SELECT b, bsig, count(*) AS bn FROM bands GROUP BY b, bsig
        |  HAVING count(*) > $cap),
@@ -432,9 +525,60 @@ object NearDup {
        |SELECT doc_a, doc_b, jaccard FROM lsh_pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Thresholded exact-Jaccard verification of a candidate pair —
+    * identical arithmetic to the engine's `jaccard_sim`. */
+  private val jaccardSql =
+    """CAST(len(list_intersect(se.shingles, si.shingles)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(se.shingles, si.shingles)))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_near_lsh" -> lshOracle(MaxBucket),
     "dedup_near_lsh_capped" -> lshOracle(2),
+
+    // signatures are per-doc, so banding ALL docs once then splitting by
+    // the id predicate is identical to banding each side separately
+    "dedup_incremental" ->
+      s"""WITH $bandsCtes,
+         |cand AS (
+         |  SELECT DISTINCT e.doc_id AS ex_id, i.doc_id AS inc_id
+         |  FROM bands e JOIN bands i ON e.b = i.b AND e.bsig = i.bsig
+         |  WHERE e.doc_id % 10 < 8 AND i.doc_id % 10 >= 8),
+         |ver AS (
+         |  SELECT c.inc_id, count(DISTINCT c.ex_id) AS nd
+         |  FROM cand c
+         |  JOIN sh se ON se.doc_id = c.ex_id
+         |  JOIN sh si ON si.doc_id = c.inc_id
+         |  WHERE $jaccardSql >= 0.8
+         |  GROUP BY c.inc_id)
+         |SELECT d.doc_id, CAST(coalesce(v.nd, 0) AS INTEGER) AS n_dups,
+         |  coalesce(v.nd, 0) = 0 AS is_new
+         |FROM documents d LEFT JOIN ver v ON v.inc_id = d.doc_id
+         |WHERE d.doc_id % 10 >= 8
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the dedup_clusters fixpoint, re-ranked: the kept representative is
+    // the highest-QUALITY member (ties to the smaller doc_id)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE ${lshCtes(MaxBucket)},
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs WHERE jaccard >= 0.8
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM lsh_pairs WHERE jaccard >= 0.8),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |clusters AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, ${TextOps.qualityExprSql} AS quality
+         |      FROM documents)
+         |SELECT c.doc_id, c.cluster_id,
+         |  first_value(c.doc_id) OVER w AS keeper_id,
+         |  first_value(c.doc_id) OVER w = c.doc_id AS is_keeper
+         |FROM clusters c JOIN q ON q.doc_id = c.doc_id
+         |WINDOW w AS (PARTITION BY c.cluster_id
+         |  ORDER BY q.quality DESC, c.doc_id ASC)
+         |ORDER BY c.doc_id""".stripMargin,
 
     // components via recursive reachability: reach(id, r) holds every id
     // reachable from r over the (bidirectional) thresholded pair graph;

@@ -148,6 +148,14 @@ object TextOps {
   private def hits(l: Seq[String]) =
     s"len(list_filter(string_split($N, ' '), t -> t IN ${inList(l)}))"
 
+  /** The `quality` column of qualityScore as DuckDB SQL over a `documents`
+    * row — single source for every oracle that ranks by quality
+    * (quality_score itself, NearDup's dedup_keep_best). */
+  private[text] val qualityExprSql: String =
+    s"""least(CAST(len(string_split($N, ' ')) AS DOUBLE) / 100.0, 1.0)
+       |  * (1.0 - CAST(${hits(enStop)} AS DOUBLE)
+       |      / len(string_split($N, ' ')))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_normalize" ->
       s"""SELECT doc_id, md5($N) AS content_hash,
@@ -172,9 +180,7 @@ object TextOps {
          |  AS avg_token_len,
          |CAST(${hits(enStop)} AS DOUBLE) / len(string_split($N, ' '))
          |  AS stopword_ratio,
-         |least(CAST(len(string_split($N, ' ')) AS DOUBLE) / 100.0, 1.0)
-         |  * (1.0 - CAST(${hits(enStop)} AS DOUBLE)
-         |      / len(string_split($N, ' '))) AS quality
+         |$qualityExprSql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->

@@ -82,6 +82,65 @@ class TextSpec extends SparkSpec {
     assert(out.values.count(_._2) === 3)
   }
 
+  test("incremental dedup flags incoming near-dups of the corpus only") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "pack my box with five dozen liquor jugs today ok"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again"), // dup of 1
+      (11L, "completely different words about spark query engines here"),
+      (12L, "pack my box with five dozen liquor jugs today ok"),  // dup of 2
+      (13L, "tiny")) // <3 tokens: no shingles, can never collide
+      .toDF("doc_id", "text")
+    val out = NearDup.incrementalDedup(existing, incoming).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_dups"), r.getAs[Boolean]("is_new"))).toMap
+    assert(out === Map(
+      10L -> (1, false), 11L -> (0, true),
+      12L -> (1, false), 13L -> (0, true)))
+  }
+
+  test("incremental dedup ignores duplicates WITHIN the incoming batch") {
+    val existing = Seq(
+      (1L, "pack my box with five dozen liquor jugs today ok"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again"),
+      (11L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val out = NearDup.incrementalDedup(existing, incoming).collect()
+    assert(out.forall(_.getAs[Boolean]("is_new")),
+      "within-batch duplicates are out of scope by contract")
+  }
+
+  test("keep-best representative is the highest-quality cluster member") {
+    // doc 2 repeats a stopword-free doc 1 but pads to a longer token
+    // count -> higher quality score; the min-id keeper (1) and the
+    // best-quality keeper (2) must differ for the test to bite
+    val d1 = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val docs = Seq(
+      (1L, d1),
+      (2L, d1 + " juliet kilo lima mike november oscar papa quebec"),
+      (9L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.minhashLsh(docs, maxBucket = 256)
+    // threshold low enough that the padded variant still pairs with d1
+    val clusters = NearDup.dedupClusters(docs, pairs, threshold = 0.3)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val out = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality")),
+        "doc_id")
+      .withColumn("keeper_id", first(col("doc_id")).over(w))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    assert(out(1L) === 2L, "cluster {1,2} must keep the higher-quality doc 2")
+    assert(out(2L) === 2L)
+    assert(out(9L) === 9L)
+  }
+
   test("LSH plan consumes the persisted signature frame, not re-derivations") {
     // guards the round-4 fix: the md5-banding lineage must be materialized
     // once (InMemoryTableScan at every consumer: the cap aggregate, both

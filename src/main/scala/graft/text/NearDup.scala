@@ -171,14 +171,16 @@ object NearDup {
     * `n_dups` existing near-duplicates (band-bucket collision verified
     * at `jaccard >= threshold`) and `is_new = n_dups == 0`.
     *
-    * Scale posture: the corpus side is ONE pass — its signature frame is
-    * scanned, band-exploded, and hash-joined against the BROADCAST
-    * incoming bands; the corpus is never shuffled and never self-joined.
-    * Candidate verification joins shingles back on both sides (the
-    * incoming side broadcast again), so total cost is linear in corpus
-    * size plus collisions. `broadcastIncoming = false` drops the hint
-    * for a batch too large to broadcast — the bucket join then shuffles
-    * both sides on (band, bsig), which AQE sizes.
+    * Scale posture: the corpus side is ONE pass and ZERO exchanges — its
+    * signature frame is scanned, band-exploded WITH the shingles carried
+    * along, and hash-joined against the BROADCAST incoming bands, so a
+    * collision emerges verify-ready (no join back to the corpus by id,
+    * which would shuffle the corpus signatures). A pair colliding in
+    * multiple bands is Jaccard-checked once per collision (≤ B times);
+    * count_distinct dedups — bounded redundant scalar work, traded for
+    * never exchanging the corpus. `broadcastIncoming = false` drops the
+    * hints for a batch too large to broadcast — the joins then shuffle
+    * on their keys, which AQE sizes.
     *
     * Within-batch duplicates are out of scope by design (run
     * [[minhashLsh]] over the batch for those); docs with no shingles
@@ -189,20 +191,24 @@ object NearDup {
     val esigs = memoSignatures(existing)
     val isigs = memoSignatures(incoming)
     def bc(df: DataFrame): DataFrame = if (broadcastIncoming) broadcast(df) else df
-    val cand = bandsOf(esigs)
+    val ebands = esigs.select(
+      col("doc_id").as("ex_id"), col("shingles").as("se"),
+      explode(array((0 until B).map(b =>
+        struct(lit(b).as("band"), element_at(col("bsigs"), b + 1).as("bsig"))): _*))
+        .as("bb"))
+      .select(col("ex_id"), col("se"),
+        col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val dups = ebands
       .join(bc(bandsOf(isigs).select(col("doc_id").as("inc_id"),
         col("band"), col("bsig"))), Seq("band", "bsig"))
-      .select(col("doc_id").as("ex_id"), col("inc_id"))
-      .distinct()
-    val dups = cand
-      .join(esigs.select(col("doc_id").as("ex_id"), col("shingles").as("se")),
-        "ex_id")
       .join(bc(isigs.select(col("doc_id").as("inc_id"),
         col("shingles").as("si"))), "inc_id")
       .filter(call_function("jaccard_sim", col("se"), col("si")) >= threshold)
       .groupBy(col("inc_id")).agg(count_distinct(col("ex_id")).as("nd"))
     incoming.select(col("doc_id"))
-      .join(dups.select(col("inc_id").as("doc_id"), col("nd")),
+      // dups is bounded by the incoming count, so the same broadcast
+      // contract applies — the output join must not shuffle either side
+      .join(bc(dups.select(col("inc_id").as("doc_id"), col("nd"))),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("nd"), lit(0L)).cast("int").as("n_dups"),

@@ -114,6 +114,23 @@ class TextSpec extends SparkSpec {
       "within-batch duplicates are out of scope by contract")
   }
 
+  test("incremental dedup never shuffles the corpus side") {
+    // the whole point of the operator: the existing-corpus signatures are
+    // one scan feeding broadcast joins — no SortMergeJoin anywhere, no
+    // join that exchanges the corpus by doc id
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val plan = NearDup.incrementalDedup(existing, incoming)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-shuffling join in incremental dedup plan:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan)
+  }
+
   test("keep-best representative is the highest-quality cluster member") {
     // doc 2 repeats a stopword-free doc 1 but pads to a longer token
     // count -> higher quality score; the min-id keeper (1) and the

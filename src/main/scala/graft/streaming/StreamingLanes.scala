@@ -58,6 +58,24 @@ object StreamingLanes {
       .select(col("w.start").as("bucket"), col("source"), col("n"),
         col("last_snapshot_id"))
 
+  /** Streaming exact dedup — the ingestion-lane half of the dedup
+    * family: drop any document whose normalized content hash was already
+    * emitted within the watermark horizon. The key derivation is
+    * IDENTICAL to the batch operator's (`TextOps.normalized`:
+    * md5 of `norm_text`), so a doc passed by this lane and later caught
+    * by the batch dedup sweep agrees on its hash.
+    * `dropDuplicatesWithinWatermark` keys state by content hash and
+    * evicts entries once the watermark passes — state is bounded by the
+    * dedup horizon × ingest rate, not by history; full-retention exact
+    * dedup stays a batch job (`dedup_exact`) by design. */
+  def dedupDocStream(docs: DataFrame,
+                     lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash",
+        md5(call_function("norm_text", col("text")).cast("binary")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** S5/S6: dual-lane bifurcation — one foreachBatch, two sinks. The
     * storage lane appends Parquet partitioned by (source, date) (the
     * low-cardinality layout the reference chose for series pruning); the

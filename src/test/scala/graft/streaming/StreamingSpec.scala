@@ -9,6 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
 
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 case class Snap(ts: Timestamp, snapshot_id: Long, ticker: String,
                 source: String, full_orderbook: String)
 
@@ -109,6 +110,32 @@ class StreamingSpec extends SparkSpec {
       assert(f.exists(_.startsWith("source=polymarket")))
       // timing enrichment (F18) applied at the batch boundary
       assert(stored.schema.fieldNames.contains("virginia_received_ns"))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated content within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingLanes.dedupDocStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Doc(ts(10), 1L, "the quick brown fox"),
+        Doc(ts(20), 2L, "THE  quick   Brown fox"), // same normalized content
+        Doc(ts(30), 3L, "a different document entirely"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_t").select("doc_id").collect()
+        .map(_.getLong(0)).sorted
+      assert(out.toSeq === Seq(1L, 3L),
+        "normalization-equal duplicate must be dropped, distinct doc kept")
+
+      // the streaming key derivation must agree with the batch dedup key
+      val batchHashes = graft.text.TextOps.normalized(
+        Seq((1L, "the quick brown fox"), (2L, "THE  quick   Brown fox"))
+          .toDF("doc_id", "text"))
+        .select("content_hash").collect().map(_.getString(0))
+      assert(batchHashes(0) === batchHashes(1))
     } finally q.stop()
   }
 

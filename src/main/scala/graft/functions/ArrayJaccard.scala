@@ -32,18 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `jaccard_sim` by `graft.GraftExtensions`.
   */
 case class ArrayJaccard(left: Expression, right: Expression)
-  extends BinaryExpression {
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<string> arguments, got " +
-        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
-  }
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  // builtin-parity coercion (e.g. array<varchar> variants) instead of a
+  // bare type-check failure with no cast attempt
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
 

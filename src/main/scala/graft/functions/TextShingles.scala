@@ -135,14 +135,11 @@ object TextShingles {
 /** `word_shingles(norm_text[, n])` (n defaults to 3 at registration) —
   * see [[TextShingles.shingles]]. */
 case class WordShingles(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (string, int) arguments, got " +
-          s"${l.catalogString}, ${r.catalogString}")
-    }
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  // builtin-parity coercion: word_shingles(text, 3L) or a varchar-typed
+  // column gets the same implicit casts a builtin function would
+  override def inputTypes = Seq(StringType, IntegerType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
@@ -163,12 +160,9 @@ case class WordShingles(left: Expression, right: Expression)
   * always nullable and the generated code re-checks the computed value —
   * `nullSafeCodeGen` alone never would, and a Java null behind
   * isNull=false NPEs downstream consumers. */
-case class MinhashBands(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires an array<string> argument, got ${t.catalogString}")
-  }
+case class MinhashBands(child: Expression) extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_bands"

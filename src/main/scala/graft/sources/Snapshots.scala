@@ -31,6 +31,11 @@ import org.apache.spark.sql.functions._
   * uses, exercised end-to-end.
   */
 object Snapshots {
+  /** Fixture dirs whose obsolete v1 staged layout was already swept this
+    * JVM (see [[store]]). */
+  private val v1Swept =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
 
   /** Market id 0..7 for a row of `events`. */
   private def mkt: Column = col("user_id") % 8
@@ -104,12 +109,19 @@ object Snapshots {
     * measure operator work, not fixture derivation. */
   def store(spark: SparkSession, dir: String): DataFrame = {
     // sweep the obsolete pre-clustering v1 staged layout, which nothing
-    // references anymore (rounds don't overlap, so no concurrent reader)
-    val v1Prefix = "graft_" + s"snapshots_$dir".replaceAll("[^a-zA-Z0-9]", "_")
-    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(v1Prefix + "_"))
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    // references anymore (rounds don't overlap, so no concurrent reader).
+    // Anchored to '<key>_<16-hex fingerprint>' so a fixture whose
+    // sanitized name extends this one is never matched, and run once per
+    // JVM — the v1 dirs can't reappear within a process lifetime.
+    if (v1Swept.add(dir)) {
+      val v1Pat = ("\\Q" + "graft_" +
+        s"snapshots_$dir".replaceAll("[^a-zA-Z0-9]", "_") +
+        "\\E_[0-9a-f]{16}").r
+      Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && v1Pat.matches(f.getName))
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    }
     Staging.stageFrame(spark, s"snapshots_v2_$dir", // v2 = clustered layout
       new java.io.File(dir, "events.parquet"),
       frame(spark, dir)

@@ -149,6 +149,46 @@ class PropertySpec extends SparkSpec {
     }, samples = 8)
   }
 
+  // --- incremental vs self-join dedup equivalence ---------------------------
+
+  test("property: incremental dedup agrees with the self-join LSH pair set") {
+    // two completely different plan shapes (broadcast batch-vs-corpus
+    // join with no cap vs capped self-join) must agree on which incoming
+    // docs have an existing near-duplicate, as long as the cap never
+    // binds (corpus small enough for every bucket to stay under 256)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val genDoc = for {
+      n <- Gen.chooseNum(3, 8)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val genCorpus = for {
+      base <- Gen.listOfN(10, genDoc)
+      dupIdx <- Gen.listOfN(5, Gen.chooseNum(0, 9))
+    } yield base ++ dupIdx.map(base)
+    check("incremental-vs-selfjoin", Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      val flagged = NearDup.incrementalDedup(existing, incoming).collect()
+        .filter(!_.getAs[Boolean]("is_new")).map(_.getAs[Long]("doc_id")).toSet
+      // model: the self-join pair set over ALL docs, kept at >= 0.8,
+      // restricted to pairs crossing the even/odd split
+      val expected = NearDup.minhashLsh(docs).collect()
+        .filter(_.getAs[Double]("jaccard") >= 0.8)
+        .flatMap { r =>
+          val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+          (a % 2, b % 2) match {
+            case (0, 1) => Some(b)
+            case (1, 0) => Some(a)
+            case _ => None
+          }
+        }.toSet
+      flagged == expected
+    }, samples = 8)
+  }
+
   // --- LSH bucket cap -------------------------------------------------------
 
   test("property: capped LSH emits a non-empty subset of uncapped pairs") {

@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "actualNum" -> actual.toString,
         "docroot" -> "https://spark.apache.org/docs/latest"))
 
+  /** Non-deprecated ExpressionInfo construction (the short usage-only
+    * constructor was deprecated in 3.0; the primary wants every field). */
+  private def info(className: String, name: String,
+                   usage: String): ExpressionInfo =
+    new ExpressionInfo(className, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
   private def checkArity(name: String, expected: Int,
                          children: Seq[Expression]): Unit =
     if (children.length != expected)
@@ -30,46 +37,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("long_dot"),
-      new ExpressionInfo(classOf[functions.LongDotProduct].getName,
-        null, "long_dot", "long_dot(a, b) - integer dot product of two bigint arrays",
-        ""),
+      info(classOf[functions.LongDotProduct].getName,
+        "long_dot", "long_dot(a, b) - integer dot product of two bigint arrays"),
       (children: Seq[Expression]) => {
         checkArity("long_dot", 2, children)
         functions.LongDotProduct(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("count_in"),
-      new ExpressionInfo(classOf[functions.CountInSet].getName,
-        null, "count_in",
-        "count_in(arr, 'a', 'b', ...) - count of arr elements in the constant set",
-        ""),
+      info(classOf[functions.CountInSet].getName,
+        "count_in", "count_in(arr, 'a', 'b', ...) - count of arr elements in the constant set"),
       (children: Seq[Expression]) => functions.CountInSet(children)))
     ext.injectFunction((
       FunctionIdentifier("simhash16"),
-      new ExpressionInfo(classOf[functions.SimHash16].getName,
-        null, "simhash16",
-        "simhash16(arr) - 16-bit nibble-majority SimHash of an array of hex digests",
-        ""),
+      info(classOf[functions.SimHash16].getName,
+        "simhash16", "simhash16(arr) - 16-bit nibble-majority SimHash of an array of hex digests"),
       (children: Seq[Expression]) => {
         checkArity("simhash16", 1, children)
         functions.SimHash16(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("jaccard_sim"),
-      new ExpressionInfo(classOf[functions.ArrayJaccard].getName,
-        null, "jaccard_sim",
-        "jaccard_sim(a, b) - set-semantics Jaccard similarity of two string arrays",
-        ""),
+      info(classOf[functions.ArrayJaccard].getName,
+        "jaccard_sim", "jaccard_sim(a, b) - set-semantics Jaccard similarity of two string arrays"),
       (children: Seq[Expression]) => {
         checkArity("jaccard_sim", 2, children)
         functions.ArrayJaccard(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
-      new ExpressionInfo(classOf[functions.WordShingles].getName,
-        null, "word_shingles",
-        "word_shingles(text) - distinct 3-word shingles of a normalized string",
-        ""),
+      info(classOf[functions.WordShingles].getName,
+        "word_shingles", "word_shingles(text) - distinct 3-word shingles of a normalized string"),
       (children: Seq[Expression]) => {
         if (children.length != 1 && children.length != 2)
           wrongNumArgs("word_shingles", "1 or 2", children.length)
@@ -79,20 +77,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_bands"),
-      new ExpressionInfo(classOf[functions.MinhashBands].getName,
-        null, "minhash_bands",
-        "minhash_bands(shingles) - the 4 LSH band signatures (8 md5-slice minhashes)",
-        ""),
+      info(classOf[functions.MinhashBands].getName,
+        "minhash_bands", "minhash_bands(shingles) - the 4 LSH band signatures (8 md5-slice minhashes)"),
       (children: Seq[Expression]) => {
         checkArity("minhash_bands", 1, children)
         functions.MinhashBands(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("norm_text"),
-      new ExpressionInfo(classOf[functions.NormText].getName,
-        null, "norm_text",
-        "norm_text(s) - lower + trim + collapse whitespace runs to one space",
-        ""),
+      info(classOf[functions.NormText].getName,
+        "norm_text", "norm_text(s) - lower + trim + collapse whitespace runs to one space"),
       (children: Seq[Expression]) => {
         checkArity("norm_text", 1, children)
         functions.NormText(children.head)

@@ -417,6 +417,51 @@ object NearDup {
         minhashLshFromSigs(docSigs(s, d), MaxBucket)))
   }
 
+  /** (doc_id, cluster_id, keeper_id, is_keeper) with the keeper chosen by
+    * quality (ties to the smaller doc_id) — shared by the dedup_keep_best
+    * query and the curated-export sink. */
+  private def keepBestFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    fixtureClusters(s, d).select(col("doc_id"), col("cluster_id"))
+      .join(TextOps.qualityScore(Tables(s, d, "documents"))
+        .select(col("doc_id"), col("quality")), "doc_id")
+      .withColumn("keeper_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_keeper"))
+  }
+
+  /** Curated-corpus EXPORT: the quality-keeper docs written to
+    * hash-sharded parquet (deterministic md5-nibble shard of doc_id, a
+    * `partitionBy` layout any downstream trainer can list and read
+    * shard-parallel), then read BACK and rolled up per shard — the
+    * round-trip proves the write path, the partition layout, and value
+    * fidelity, not just the plan. Staged once per (fixture, shards)
+    * like the snapshot store; the v1 key guards against stale staging
+    * if keeper semantics ever change. */
+  def exportCurated(spark: SparkSession, dir: String,
+                    shards: Int = 8): DataFrame = {
+    val keepers = keepBestFrame(spark, dir)
+      .filter(col("is_keeper")).select(col("doc_id"))
+    val curated = Tables(spark, dir, "documents")
+      .join(keepers, "doc_id")
+      .withColumn("shard",
+        pmod(saltHash(col("doc_id")), lit(shards.toLong)).cast("int"))
+    val path = graft.sources.Staging.stage(
+      s"curated_export_v1_${shards}_$dir",
+      new java.io.File(dir, "documents.parquet")) { tmp =>
+      curated.write.partitionBy("shard").parquet(tmp)
+    }
+    spark.read.parquet(path)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(size(split(norm(col("text")), " "))).cast("bigint")
+          .as("sum_tokens"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_near_lsh" -> ((s, d) =>
       minhashLshFromSigs(docSigs(s, d), MaxBucket).orderBy("doc_a", "doc_b")),
@@ -429,18 +474,19 @@ object NearDup {
     }),
     // cluster representative chosen by QUALITY (ties to the smaller
     // doc_id), not min id — what a curation stage actually keeps
-    "dedup_keep_best" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("quality").desc, col("doc_id").asc)
+    "dedup_keep_best" -> ((s, d) => keepBestFrame(s, d).orderBy("doc_id")),
+    // cluster-aware train/eval assignment: the split is a deterministic
+    // hash of the CLUSTER, so no near-duplicate pair can straddle
+    // train/eval — the leakage a per-doc split invites
+    "split_leakage_free" -> ((s, d) =>
       fixtureClusters(s, d).select(col("doc_id"), col("cluster_id"))
-        .join(TextOps.qualityScore(Tables(s, d, "documents"))
-          .select(col("doc_id"), col("quality")), "doc_id")
-        .withColumn("keeper_id", first(col("doc_id")).over(w))
-        .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
-          (col("doc_id") === col("keeper_id")).as("is_keeper"))
-        .orderBy("doc_id")
-    }),
+        .withColumn("split",
+          when(pmod(saltHash(col("cluster_id")), lit(10L)) < 9, lit("train"))
+            .otherwise(lit("eval")))
+        .orderBy("doc_id")),
+    // quality-keeper docs round-tripped through the hash-sharded
+    // partitioned export, rolled up per shard
+    "curated_export" -> ((s, d) => exportCurated(s, d)),
     // cap low enough (2) that real fixture buckets (size-3 duplicate
     // clusters exist at sf0.01) split into sub-buckets — the capped
     // semantics and the oracle's mirrored salt are exercised on data,
@@ -537,9 +583,55 @@ object NearDup {
     """CAST(len(list_intersect(se.shingles, si.shingles)) AS DOUBLE)
       |      / len(list_distinct(list_concat(se.shingles, si.shingles)))""".stripMargin
 
+  /** lsh_pairs → bidirectional thresholded edges → recursive reachability
+    * → `clusters(doc_id, cluster_id)` — min(r) per id is exactly the
+    * engine's min-label fixpoint. Shared by every cluster-family oracle. */
+  private val clustersCtes: String =
+    s"""${lshCtes(MaxBucket)},
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs WHERE jaccard >= 0.8
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM lsh_pairs WHERE jaccard >= 0.8),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |clusters AS (
+       |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)"""
+      .stripMargin
+
+  /** clusters joined with quality, keeper_id ranked by (quality DESC,
+    * doc_id ASC) — the keep-best CTE suffix. */
+  private val keepCtes: String =
+    s"""q AS (SELECT doc_id, ${TextOps.qualityExprSql} AS quality
+       |      FROM documents),
+       |ranked AS (
+       |  SELECT c.doc_id, c.cluster_id,
+       |    first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.quality DESC, c.doc_id ASC) AS keeper_id
+       |  FROM clusters c JOIN q ON q.doc_id = c.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_near_lsh" -> lshOracle(MaxBucket),
     "dedup_near_lsh_capped" -> lshOracle(2),
+
+    "split_leakage_free" ->
+      s"""WITH RECURSIVE $clustersCtes
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN (${saltHashSql("cluster_id")}) % 10 < 9
+         |       THEN 'train' ELSE 'eval' END AS split
+         |FROM clusters ORDER BY doc_id""".stripMargin,
+
+    "curated_export" ->
+      s"""WITH RECURSIVE $clustersCtes,
+         |$keepCtes,
+         |keep AS (SELECT doc_id FROM ranked WHERE doc_id = keeper_id)
+         |SELECT CAST((${saltHashSql("d.doc_id")}) % 8 AS INTEGER) AS shard,
+         |  CAST(count(*) AS INTEGER) AS n_docs,
+         |  CAST(sum(len(string_split($N, ' '))) AS BIGINT) AS sum_tokens,
+         |  min(d.doc_id) AS min_doc_id
+         |FROM documents d JOIN keep ON keep.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // signatures are per-doc, so banding ALL docs once then splitting by
     // the id predicate is identical to banding each side separately
@@ -565,43 +657,17 @@ object NearDup {
     // the dedup_clusters fixpoint, re-ranked: the kept representative is
     // the highest-QUALITY member (ties to the smaller doc_id)
     "dedup_keep_best" ->
-      s"""WITH RECURSIVE ${lshCtes(MaxBucket)},
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs WHERE jaccard >= 0.8
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM lsh_pairs WHERE jaccard >= 0.8),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-         |clusters AS (
-         |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |q AS (SELECT doc_id, ${TextOps.qualityExprSql} AS quality
-         |      FROM documents)
-         |SELECT c.doc_id, c.cluster_id,
-         |  first_value(c.doc_id) OVER w AS keeper_id,
-         |  first_value(c.doc_id) OVER w = c.doc_id AS is_keeper
-         |FROM clusters c JOIN q ON q.doc_id = c.doc_id
-         |WINDOW w AS (PARTITION BY c.cluster_id
-         |  ORDER BY q.quality DESC, c.doc_id ASC)
-         |ORDER BY c.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clustersCtes,
+         |$keepCtes
+         |SELECT doc_id, cluster_id, keeper_id,
+         |  keeper_id = doc_id AS is_keeper
+         |FROM ranked ORDER BY doc_id""".stripMargin,
 
-    // components via recursive reachability: reach(id, r) holds every id
-    // reachable from r over the (bidirectional) thresholded pair graph;
-    // min(r) per id = the component's minimum doc_id — exactly the
-    // engine's min-label fixpoint
+    // components via recursive reachability — see clustersCtes
     "dedup_clusters" ->
-      s"""WITH RECURSIVE ${lshCtes(MaxBucket)},
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs WHERE jaccard >= 0.8
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM lsh_pairs WHERE jaccard >= 0.8),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
-         |SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_keeper
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clustersCtes
+         |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_keeper
+         |FROM clusters ORDER BY doc_id""".stripMargin,
 
     "simhash" ->
       s"""SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash

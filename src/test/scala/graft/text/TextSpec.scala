@@ -158,6 +158,28 @@ class TextSpec extends SparkSpec {
     assert(out(9L) === 9L)
   }
 
+  test("leakage-free split never separates a near-dup pair") {
+    val d1 = "the quick brown fox jumps over the lazy dog again"
+    val d2 = "pack my box with five dozen liquor jugs today ok"
+    // duplicates deliberately given ids that a per-doc parity split
+    // would send to different sides
+    val docs = Seq((1L, d1), (2L, d1), (3L, d2), (6L, d2),
+      (9L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text")
+    val clusters = NearDup.dedupClusters(docs, NearDup.minhashLsh(docs))
+    val split = clusters.select(col("doc_id"), col("cluster_id"))
+      .withColumn("split", col("cluster_id") % 2) // ANY per-cluster rule
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getLong(2)).toMap
+    val pairs = NearDup.minhashLsh(docs).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.8)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b),
+        s"near-dup pair ($a,$b) straddles the split")
+    }
+  }
+
   test("LSH plan consumes the persisted signature frame, not re-derivations") {
     // guards the round-4 fix: the md5-banding lineage must be materialized
     // once (InMemoryTableScan at every consumer: the cap aggregate, both

@@ -73,11 +73,59 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Greedy sequential token packing: docs in doc_id order are binned
+    * into fixed-budget packs — `pack_id = floor(cum_tokens_before /
+    * budget)` — the sequence-forming step between curation and training.
+    *
+    * The naive form (`sum OVER (ORDER BY doc_id)`) is a SINGLE-partition
+    * window: the whole corpus funnels through one task. This is the
+    * scale-correct two-phase distributed prefix sum instead:
+    * range-partition by doc_id (global order preserved across partition
+    * boundaries), per-partition token sums — ONE row per partition — are
+    * collected and cumulated on the driver (P values, metadata not data;
+    * at 32k partitions this is a 256 KB array), then broadcast back as
+    * offsets so each partition computes its running total independently
+    * under a partition-LOCAL window. Wall-clock is two narrow passes,
+    * no global funnel. */
+  def packTokens(docs: DataFrame, budget: Long = 512): DataFrame = {
+    require(budget > 0, s"packTokens: budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // eager localCheckpoint (not persist): one materialization feeds both
+    // the partition-sum pass and the final join, lineage stays flat, and
+    // the backing RDD is reclaimed by the ContextCleaner when the result
+    // frame is dropped — no pinned cache left behind
+    val counts = docs
+      .select(col("doc_id"),
+        size(split(norm(col("text")), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    // P rows of metadata: (partition, its token sum), cumulated into the
+    // "tokens before this partition" exclusive offset
+    val sums = counts.groupBy(col("pid")).agg(sum(col("n_tokens")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) =>
+      val o = (pid, acc); acc += s; o
+    }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    counts.join(broadcast(offDf), "pid")
+      .withColumn("cum_before",
+        col("offset") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before DIV $budget").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_stratified" -> ((s, d) =>
       sampleStratified(Tables(s, d, "documents"))),
     "decontaminate" -> ((s, d) => decontaminate(Tables(s, d, "documents"))),
-    "pii_scrub" -> ((s, d) => piiScrub(Tables(s, d, "documents"))))
+    "pii_scrub" -> ((s, d) => piiScrub(Tables(s, d, "documents"))),
+    "token_pack" -> ((s, d) => packTokens(Tables(s, d, "documents"))))
 
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -105,6 +153,15 @@ object Curation {
          |JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id < 10) b ON d.sh = b.sh
          |WHERE d.doc_id >= 10
          |ORDER BY d.doc_id""".stripMargin,
+
+    // the oracle is the NAIVE single-window form — the point of the
+    // comparison: the two-phase distributed prefix sum must equal it
+    "token_pack" ->
+      s"""SELECT doc_id,
+         |CAST(len(string_split($N, ' ')) AS BIGINT) AS n_tokens,
+         |CAST((sum(len(string_split($N, ' '))) OVER (ORDER BY doc_id)
+         |  - len(string_split($N, ' '))) // 512 AS BIGINT) AS pack_id
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pii_scrub" ->
       s"""SELECT doc_id,

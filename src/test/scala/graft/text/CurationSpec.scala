@@ -35,6 +35,28 @@ class CurationSpec extends SparkSpec {
     assert(flagged === Set(11L))
   }
 
+  test("token packing equals the naive cumulative-sum model") {
+    // ids deliberately sparse/unordered-by-insert so the range partition
+    // must globally order them; texts of varying token counts
+    val docs = Seq(37L, 2L, 911L, 40L, 5L, 100L, 63L, 8L).map { id =>
+      (id, (1 to (id % 7 + 1).toInt).map(k => s"w$k").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Curation.packTokens(docs, budget = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // model: plain running total in doc_id order
+    var cum = 0L
+    val expect = got.map(_._1).sorted.map { id =>
+      val n = id % 7 + 1
+      val pack = cum / 5
+      cum += n
+      (id, n, pack)
+    }
+    assert(got.toSeq === expect.toSeq)
+    // a pack never starts mid-budget: first doc of each pack begins at a
+    // multiple-of-budget boundary or continues an overflowing doc
+    assert(got.map(_._3).distinct.sorted === got.map(_._3).distinct)
+  }
+
   test("stratified sampling is deterministic and respects per-stratum rates") {
     val docs = (0 until 400).map(i =>
       (i.toLong, s"text $i", s"src${i % 4}")).toDF("doc_id", "text", "source")

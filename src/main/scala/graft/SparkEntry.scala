@@ -29,6 +29,8 @@ object SparkEntry {
       text.TextOps.queries ++
       text.NearDup.queries ++
       text.Curation.queries ++
+      text.Boilerplate.queries ++
+      operators.TemporalJoins.queries ++
       ann.Similarity.queries ++
       multimodal.Multimodal.queries ++
       sinks.SinkQueries.queries ++
@@ -47,6 +49,8 @@ object SparkEntry {
       text.TextOps.oracle ++
       text.NearDup.oracle ++
       text.Curation.oracle ++
+      text.Boilerplate.oracle ++
+      operators.TemporalJoins.oracle ++
       ann.Similarity.oracle ++
       multimodal.Multimodal.oracle ++
       sinks.SinkQueries.oracle ++

@@ -71,7 +71,13 @@ object EventAnalytics {
   val queries: Map[String, Q] = Map(
     "sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "funnel" -> ((s, d) => funnel(Tables.events(s, d))),
-    "event_type_pivot" -> ((s, d) => typePivot(Tables.events(s, d))))
+    "event_type_pivot" -> ((s, d) => typePivot(Tables.events(s, d))),
+    // the streaming session-window lane's batch twin: identical plan
+    // fragment (graft.streaming.StreamingLanes.sessionWindows), oracled
+    // against DuckDB's lag/gap-sum formulation of the same semantics
+    "session_windows" -> ((s, d) =>
+      graft.streaming.StreamingLanes.sessionWindows(Tables.events(s, d))
+        .orderBy("user_id", "session_start_us")))
 
   val oracle: Map[String, String] = Map(
     "sessionize" ->
@@ -95,6 +101,27 @@ object EventAnalytics {
         |count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |count(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    // session_window(ts, 30m): events merge while the gap to the previous
+    // event is < 30 min; window end = last event + 30 min. The lag/gap-sum
+    // restatement below is an independent formulation of that semantics.
+    "session_windows" ->
+      """WITH l AS (
+        |  SELECT user_id, epoch_us(ts) AS u, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, u, value,
+        |    sum(CASE WHEN prev IS NULL OR u - prev >= 1800000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY u ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l)
+        |SELECT user_id, min(u) AS session_start_us,
+        |  max(u) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events, sum(value) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "funnel" ->
       """SELECT user_id,

@@ -58,6 +58,24 @@ object StreamingLanes {
       .select(col("w.start").as("bucket"), col("source"), col("n"),
         col("last_snapshot_id"))
 
+  /** Session windows per user key — gap-based activity grouping as a
+    * native streaming aggregate (`session_window`: windows merge while
+    * successive events arrive within `gap`; a session closes, and in
+    * append mode emits, once the watermark passes its end). The same
+    * plan fragment runs in batch — `session_windows` in
+    * `EventAnalytics` oracles it against DuckDB's lag/gap-sum
+    * formulation. State per key is one open session, bounded by key
+    * cardinality, not history. */
+  def sessionWindows(df: DataFrame, gap: String = "30 minutes",
+                     lateness: String = "60 seconds"): DataFrame =
+    df.withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup — the ingestion-lane half of the dedup
     * family: drop any document whose normalized content hash was already
     * emitted within the watermark horizon. The key derivation is

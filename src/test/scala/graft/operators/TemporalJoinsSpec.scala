@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TemporalJoinsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  import spark.implicits._
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val left = Seq(
+      ("a", 100L, "l1"),
+      ("a", 200L, "l2"),
+      ("a", 50L, "l0"), // before any right row -> unmatched
+      ("b", 100L, "l3") // key with no right rows at all
+    ).toDF("k", "ts", "lv")
+    val right = Seq(
+      ("a", 100L, 1.0), // equal ts: matches l1 (inclusive)
+      ("a", 150L, 2.0),
+      ("a", 999L, 9.0) // after everything: matches nothing
+    ).toDF("k", "ts", "rv")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "m_")
+      .orderBy("k", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq === Seq(
+      ("a", 50L, "l0", None, None),
+      ("a", 100L, "l1", Some(100L), Some(1.0)),
+      ("a", 200L, "l2", Some(150L), Some(2.0)),
+      ("b", 100L, "l3", None, None)))
+  }
+
+  test("asofJoin: a NULL right payload does not fall back to an older row") {
+    val left = Seq(("a", 300L)).toDF("k", "ts")
+    val right = Seq(
+      ("a", 100L, Some(1.0)),
+      ("a", 200L, None) // the match; its null value must survive
+    ).toDF("k", "ts", "rv")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "m_")
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("m_ts") === 200L)
+    assert(out(0).isNullAt(out(0).fieldIndex("m_rv")))
+  }
+
+  test("rangeJoinBucketed counts (start, start+width] with bucket crossing") {
+    val width = 100L
+    // range starting at 250 spans buckets 2 and 3: points at 251..350 hit
+    val ranges = Seq((1L, "u", 250L)).toDF("rid", "k", "start")
+    val points = Seq(
+      ("u", 250L), // == start: excluded
+      ("u", 251L), // in, same bucket as start
+      ("u", 300L), // in, next bucket boundary
+      ("u", 350L), // == start+width: included
+      ("u", 351L), // out
+      ("v", 300L) // other key: out
+    ).toDF("k", "pt")
+    val out = TemporalJoins.rangeJoinBucketed(
+      points, ranges, Seq("k"), "pt", "start", width).collect()
+    assert(out.toSeq === Seq(Row(1L, "u", 250L, 3L)))
+  }
+
+  test("rangeJoinBucketed keeps zero-match ranges with count 0") {
+    val ranges = Seq((1L, "u", 1000L)).toDF("rid", "k", "start")
+    val points = Seq(("u", 10L)).toDF("k", "pt")
+    val out = TemporalJoins.rangeJoinBucketed(
+      points, ranges, Seq("k"), "pt", "start", 100L).collect()
+    assert(out.toSeq === Seq(Row(1L, "u", 1000L, 0L)))
+  }
+
+  test("asofJoin plans one exchange per side family, no nested loop") {
+    val left = Seq(("a", 1L, "x")).toDF("k", "ts", "lv")
+    val right = Seq(("a", 1L, 1.0)).toDF("k", "ts", "rv")
+    val plan = TemporalJoins.asofJoin(left, right, Seq("k"), "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.text
+
+import graft.SparkSpec
+
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three docs sharing one 3-gram ("a b c"), one doc too short to shingle
+  private def docs = Seq(
+    (1L, "a b c d"),
+    (2L, "a b c e"),
+    (3L, "x a b c"),
+    (4L, "t u")
+  ).toDF("doc_id", "text")
+
+  test("boilerplateNgrams finds the corpus-frequent gram with its df") {
+    val out = Boilerplate.boilerplateNgrams(docs, n = 3, minDf = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a b c", 3L)))
+  }
+
+  test("boilerplateFraction is frequent-grams over all grams, per doc") {
+    val out = Boilerplate.boilerplateFraction(docs, n = 3, minDf = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // each 4-token doc has 2 distinct 3-grams, one of which ("a b c") is
+    // frequent; the 2-token doc has no grams and is absent
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 1L, 0.5)))
+  }
+
+  test("contamOverlap scores corpus docs against the benchmark shingles") {
+    val corpus = Seq(
+      (1L, "p q r s"), // benchmark
+      (10L, "p q r zz"), // one of two grams matches
+      (11L, "m n o p") // no overlap
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.contamOverlap(corpus, benchmarkMaxId = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // word_shingles is 5-gram in contamOverlap -> these 4-token docs have
+    // no 5-grams; use longer text instead
+    assert(out.isEmpty)
+  }
+
+  test("contamOverlap with 5-gram-able docs") {
+    val corpus = Seq(
+      (1L, "p q r s t u"), // benchmark: grams "p q r s t", "q r s t u"
+      (10L, "p q r s t zz"), // grams "p q r s t"(hit), "q r s t zz"(miss)
+      (11L, "m n o p q r") // no benchmark gram
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.contamOverlap(corpus, benchmarkMaxId = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((10L, 2L, 1L, 0.5), (11L, 2L, 0L, 0.0)))
+  }
+}

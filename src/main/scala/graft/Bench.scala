@@ -29,8 +29,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // name-sorted execution: Map hash order reshuffles whenever a query
+    // is added, silently re-attributing residual warm-up cost to
+    // different queries each round and making per-query times
+    // incomparable across rounds
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

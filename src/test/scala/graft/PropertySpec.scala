@@ -308,6 +308,40 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // --- as-of join -----------------------------------------------------------
+
+  test("property: asofJoin == per-row latest-right-at-or-before scan") {
+    import graft.operators.TemporalJoins
+    val genRows = for {
+      nl <- Gen.chooseNum(0, 25)
+      nr <- Gen.chooseNum(0, 25)
+      // small key/ts domains force key collisions, ties, and equal-ts
+      // left/right collisions — the edge cases that matter
+      lefts <- Gen.listOfN(nl, Gen.zip(
+        Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 20L)))
+      rights <- Gen.listOfN(nr, Gen.zip(
+        Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 20L)))
+    } yield (lefts.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      // unique right rows per (key, ts): payload = ts so dedup is a no-op
+      rights.distinct.map { case (k, t) => (k, t, t.toDouble) })
+    check("asof", Prop.forAll(genRows) { case (lefts, rights) =>
+      val out = TemporalJoins.asofJoin(
+        lefts.toDF("k", "ts", "lid"),
+        rights.toDF("k", "ts", "rv"), Seq("k"), "ts", "m_")
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("lid")) ->
+          (Option(r.get(r.fieldIndex("m_ts"))).map(_.asInstanceOf[Long]),
+            Option(r.get(r.fieldIndex("m_rv"))).map(_.asInstanceOf[Double]))))
+        .toMap
+      val expect = lefts.map { case (k, t, lid) =>
+        val m = rights.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption
+        lid -> (m.map(_._2), m.map(_._3))
+      }.toMap
+      out == expect
+    })
+  }
+
   // --- schema conform idempotence -------------------------------------------
 
   test("property: conform is idempotent and always lands the declared schema") {

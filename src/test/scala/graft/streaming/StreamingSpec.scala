@@ -12,6 +12,7 @@ import graft.SparkSpec
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
 case class Snap(ts: Timestamp, snapshot_id: Long, ticker: String,
                 source: String, full_orderbook: String)
+case class Evt(ts: Timestamp, user_id: Long, value: Double)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -136,6 +137,47 @@ class StreamingSpec extends SparkSpec {
           .toDF("doc_id", "text"))
         .select("content_hash").collect().map(_.getString(0))
       assert(batchHashes(0) === batchHashes(1))
+    } finally q.stop()
+  }
+
+  test("session windows close on watermark and emit merged gap groups") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    // 10 s gap so the fixture stays small; append mode emits a session
+    // only after the watermark (max ts - 60 s) passes its end
+    val q = StreamingLanes.sessionWindows(mem.toDF(), gap = "10 seconds")
+      .writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 s apart (one session), then one 30 s later
+      // (second session); user 2: one event
+      mem.addData(Evt(ts(100), 1L, 1.0), Evt(ts(105), 1L, 2.0),
+        Evt(ts(135), 1L, 4.0), Evt(ts(100), 2L, 8.0))
+      q.processAllAvailable()
+      mem.addData(Evt(ts(300), 2L, 0.0)) // advance watermark past all ends
+      q.processAllAvailable()
+      val out = spark.table("sess_t")
+        .select("user_id", "session_start_us", "session_end_us",
+          "n_events", "total_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(out.contains((1L, 100000000L, 115000000L, 2L, 3.0)),
+        s"merged 2-event session missing from $out")
+      assert(out.contains((1L, 135000000L, 145000000L, 1L, 4.0)))
+      assert(out.contains((2L, 100000000L, 110000000L, 1L, 8.0)))
+
+      // batch twin: identical plan fragment over the same rows
+      val batch = StreamingLanes.sessionWindows(
+        Seq(Evt(ts(100), 1L, 1.0), Evt(ts(105), 1L, 2.0),
+          Evt(ts(135), 1L, 4.0), Evt(ts(100), 2L, 8.0)).toDF(),
+        gap = "10 seconds")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      // the watermark-advancing event's own session never emits in
+      // append mode, so the streamed set equals the batch of the rest
+      assert(batch === out, "batch and streaming session sets must agree")
     } finally q.stop()
   }
 

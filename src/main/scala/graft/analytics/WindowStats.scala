@@ -261,6 +261,28 @@ object WindowStats {
             .as("avg_tokens_per_doc"))
         .orderBy("source")),
 
+    // Sketch-based corpus telemetry — the form the exact rollup takes at
+    // 100 TB: HyperLogLog++ distinct counts and a mergeable quantile
+    // sketch, both fixed-size aggregation buffers with map-side partial
+    // merge (an exact distinct or exact percentile would shuffle every
+    // value). Sketch estimates are engine-specific, so this query has no
+    // DuckDB oracle row (driver rows-only check); the error bound vs the
+    // exact aggregate is asserted in WindowStatsSpec instead.
+    "approx_corpus_stats" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("h",
+          md5(graft.text.TextOps.norm(col("text")).cast("binary")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          approx_count_distinct(col("h")).as("approx_distinct_docs"),
+          approx_count_distinct(col("lang")).as("approx_distinct_langs"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(10000))
+            .as("p50_chars"),
+          percentile_approx(col("n_chars"), lit(0.95), lit(10000))
+            .as("p95_chars"))
+        .orderBy("source")),
+
     // F10: UTC → America/Chicago conversion (ref `etl/query.py:107,178`),
     // emitted as a formatted string so the comparison is tz-type-agnostic.
     "tz_chicago" -> ((s, d) =>

@@ -44,7 +44,8 @@ object TemporalJoins {
     * otherwise, or ties resolve nondeterministically.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      tsCol: String, payloadPrefix: String = "matched_"): DataFrame = {
+      tsCol: String, payloadPrefix: String = "matched_",
+      toleranceUs: Option[Long] = None): DataFrame = {
     val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
     // one struct carrying (ts, payload...) — atomic per right row
@@ -62,14 +63,24 @@ object TemporalJoins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = last(col("__r"), ignoreNulls = true).over(w)
     val outCols: Seq[Column] =
       (keys :+ tsCol).map(col) ++ leftOnly.map(col) ++
         (tsCol +: rightPayload.toSeq)
           .map(c => col(s"__m.$c").as(s"$payloadPrefix$c"))
+    // staleness gate (the reference's 60 s pair-freshness cutoff,
+    // `virginia/logic/opportunity_scanner.py` pair_complete): a match
+    // older than the tolerance is discarded ATOMICALLY (the whole
+    // struct nulled, never a partial payload), applied to the already-
+    // materialized window result so the window evaluates once
+    val gate = toleranceUs match {
+      case Some(tol) =>
+        when(col(tsCol) - col(s"__m.$tsCol") <= lit(tol), col("__m"))
+      case None => col("__m")
+    }
     l2.unionByName(r2)
-      .withColumn("__m", matched)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .withColumn("__m", gate)
       .select(outCols: _*)
   }
 
@@ -132,8 +143,28 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** `asof_join_fresh`: the same attribution with the reference's 60 s
+    * staleness cutoff — a view older than 60 s before the purchase is no
+    * match at all. */
+  private def asofFreshQuery(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns DIV 1000").as("ts_us"),
+        col("value").as("purchase_value"))
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"))
+      .agg(max_by(col("value"), col("event_id")).as("view_value"))
+    asofJoin(purchases, views, Seq("user_id"), "ts_us", "view_",
+      toleranceUs = Some(60000000L))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("purchase_value"), col("view_ts_us"), col("view_view_value")
+          .as("view_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "asof_join" -> ((s, d) => asofQuery(Tables.events(s, d))),
+    "asof_join_fresh" -> ((s, d) => asofFreshQuery(Tables.events(s, d))),
     "range_join_bucketed" -> ((s, d) => rangeQuery(Tables.events(s, d))))
 
   val oracle: Map[String, String] = Map(
@@ -150,6 +181,24 @@ object TemporalJoins {
         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, p.ts_us, p.purchase_value,
         |       v.ts_us AS view_ts_us, v.view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "asof_join_fresh" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |         value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         arg_max(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_us, p.purchase_value,
+        |  CASE WHEN p.ts_us - v.ts_us <= 60000000
+        |    THEN v.ts_us END AS view_ts_us,
+        |  CASE WHEN p.ts_us - v.ts_us <= 60000000
+        |    THEN v.view_value END AS view_value
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
         |ORDER BY p.event_id""".stripMargin,

@@ -29,4 +29,30 @@ class WindowStatsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("event_id")).toSeq === Seq(10L, 9L, 8L))
     assert(out.map(_.getAs[Int]("rn")).toSeq === Seq(1, 2, 3))
   }
+
+  test("approx corpus sketches land within error bounds of the exact values") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = WindowStats.queries("approx_corpus_stats")(spark, sf).collect()
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .withColumn("h", md5(graft.text.TextOps.norm(col("text"))
+        .cast("binary")))
+    val exact = docs.groupBy("source")
+      .agg(count_distinct(col("h")).as("d"),
+        count_distinct(col("lang")).as("l"),
+        expr("percentile(n_chars, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (d, l, p50) = exact(r.getString(0))
+      // HLL++ at default rsd=5%: allow 3 rsd; langs are tiny so exact
+      assert(math.abs(r.getAs[Long]("approx_distinct_docs") - d)
+        <= math.max(1L, (0.15 * d).toLong))
+      assert(r.getAs[Long]("approx_distinct_langs") === l)
+      // percentile_approx at accuracy 10000 over a few hundred rows is
+      // rank-exact up to interpolation: within 10% of the exact median
+      assert(math.abs(r.getAs[Long]("p50_chars") - p50) <= 0.1 * p50 + 1)
+    }
+  }
 }

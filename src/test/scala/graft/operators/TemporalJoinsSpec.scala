@@ -45,6 +45,19 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(0).isNullAt(out(0).fieldIndex("m_rv")))
   }
 
+  test("asofJoin tolerance nulls stale matches atomically") {
+    val left = Seq(("a", 100L), ("a", 200L)).toDF("k", "ts")
+    val right = Seq(("a", 90L, 7.0)).toDF("k", "ts", "rv")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "m_",
+      toleranceUs = Some(50L))
+      .orderBy("ts").collect()
+    // ts=100: age 10 <= 50 -> kept; ts=200: age 110 > 50 -> both nulled
+    assert(out(0).getAs[Long]("m_ts") === 90L)
+    assert(out(0).getAs[Double]("m_rv") === 7.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("m_ts")))
+    assert(out(1).isNullAt(out(1).fieldIndex("m_rv")))
+  }
+
   test("rangeJoinBucketed counts (start, start+width] with bucket crossing") {
     val width = 100L
     // range starting at 250 spans buckets 2 and 3: points at 251..350 hit

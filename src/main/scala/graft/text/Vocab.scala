@@ -63,7 +63,58 @@ object Vocab {
       .orderBy("doc_id", "rank")
   }
 
+  /** Add-one-smoothed bigram language-model score per document — the
+    * perplexity-style quality filter of a pretraining pipeline:
+    * P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V), score = mean log-prob over the
+    * doc's bigram occurrences (occurrences, not distinct — an LM counts
+    * every transition).
+    *
+    * Determinism discipline: a per-doc SUM of raw double logs is
+    * order-dependent across engines, so each bigram's log-prob is
+    * quantized to an integer (round(ln·10⁶)) BEFORE summing — integer
+    * sums are exact in any order; the one double division happens once
+    * per doc at the end. (tfidf_topk established that ln + round-6
+    * reproduces bit-identically against DuckDB.)
+    *
+    * Scale shape: 4 linear exchanges — bigram-count window co-partitioned
+    * on (w1,w2), a join keyed on w1 against the unigram counts, the
+    * per-doc aggregate, and the presentation sort. The two scalar
+    * corpus constants (V, and nothing else) broadcast as one-row frames.
+    */
+  def lmBigramScore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toked = docs
+      .select(col("doc_id"), split(norm(col("text")), " ").as("toks"))
+    val uni = toked.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.select(count(lit(1)).as("v"))
+    val bi = toked
+      .filter(size(col("toks")) >= 2)
+      .withColumn("a", slice(col("toks"), lit(1), size(col("toks")) - 1))
+      .withColumn("b", slice(col("toks"), lit(2), size(col("toks")) - 1))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("a"), col("b"))).as("z"))
+      .select(col("doc_id"), col("z.a").as("w1"), col("z.b").as("w2"))
+    val withC2 = bi.withColumn("c2",
+      count(lit(1)).over(Window.partitionBy(col("w1"), col("w2"))))
+    withC2
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("q",
+        round(log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")) * 1000000.0, 0)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("logprob_e6"))
+      .withColumn("avg_logprob",
+        col("logprob_e6").cast("double") /
+          (lit(1000000.0) * col("n_bigrams").cast("double")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "lm_bigram_score" -> ((s, d) =>
+      lmBigramScore(Tables(s, d, "documents"))),
     "vocab_topk" -> ((s, d) => topTerms(Tables(s, d, "documents"), 50)),
     "tfidf_topk" -> ((s, d) => tfidfTopK(Tables(s, d, "documents"), 20, 3)),
     "length_histogram" -> ((s, d) =>
@@ -72,6 +123,35 @@ object Vocab {
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    // aligned-slice zip-unnest generates per-occurrence bigrams; the
+    // quantize-then-sum discipline mirrors the engine exactly
+    "lm_bigram_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split($N, ' ') AS l
+         |           FROM documents),
+         |uni AS (
+         |  SELECT w, count(*) AS c1
+         |  FROM (SELECT unnest(l) AS w FROM t) GROUP BY w),
+         |vocab AS (SELECT count(*) AS v FROM uni),
+         |bi AS (
+         |  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1,
+         |         unnest(l[2:len(l)]) AS w2
+         |  FROM t WHERE len(l) >= 2),
+         |c AS (
+         |  SELECT doc_id, w1, w2,
+         |    count(*) OVER (PARTITION BY w1, w2) AS c2
+         |  FROM bi),
+         |q AS (
+         |  SELECT c.doc_id,
+         |    CAST(round(ln(CAST(c.c2 + 1 AS DOUBLE)
+         |      / CAST(uni.c1 + vocab.v AS DOUBLE)) * 1000000.0)
+         |      AS BIGINT) AS q
+         |  FROM c JOIN uni ON c.w1 = uni.w, vocab)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(q) AS BIGINT) AS logprob_e6,
+         |  CAST(sum(q) AS DOUBLE) / (1000000.0 * count(*))
+         |    AS avg_logprob
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "vocab_topk" ->
       s"""SELECT token, count(*) AS occurrences,
          |count(DISTINCT doc_id) AS doc_freq

@@ -1,0 +1,36 @@
+package graft.text
+
+import graft.SparkSpec
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lmBigramScore: add-one bigram LM, hand-computed") {
+    // corpus: doc1 = "a b a", doc2 = "a b"
+    // unigrams: a:3 b:2, V=2; bigram counts: (a,b):2 (b,a):1
+    // q(a,b) = round(ln((2+1)/(3+2)) * 1e6) = round(ln(0.6)e6) = -510826
+    // q(b,a) = round(ln((1+1)/(2+2)) * 1e6) = round(ln(0.5)e6) = -693147
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Vocab.lmBigramScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, -510826L - 693147L, (-510826.0 - 693147.0) / 2e6),
+      (2L, 1L, -510826L, -510826.0 / 1e6)))
+  }
+
+  test("lmBigramScore: single-token and empty docs contribute no bigrams") {
+    val docs = Seq((1L, "solo"), (2L, "x y")).toDF("doc_id", "text")
+    val out = Vocab.lmBigramScore(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("repeated identical docs score higher than a novel one") {
+    // 5 copies of the same text make its transitions corpus-frequent;
+    // the odd doc out scores lower (more negative)
+    val docs = ((1 to 5).map(i => (i.toLong, "the cat sat on the mat")) :+
+      (6L, "zyx wvu tsr qpo")).toDF("doc_id", "text")
+    val scores = Vocab.lmBigramScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(1L) > scores(6L))
+  }
+}

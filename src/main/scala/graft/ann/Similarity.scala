@@ -121,6 +121,70 @@ object Similarity {
       col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id")), k)
   }
 
+  /** Trained IVF: a k-means coarse quantizer (2 Lloyd iterations) instead
+    * of sign-bit cells — the index build a real IVF runs at scale.
+    *
+    * Every arithmetic step is exact-integer so the training is
+    * bit-reproducible against the oracle: vectors are the quantized long
+    * lattice, centroids are re-quantized to longs after each mean update
+    * (one double division + round per dimension — product-quantization
+    * style), and distances are `n2 − 2·long_dot(v,c) + c2`, all longs.
+    * Ties pick the lowest cell id (struct array_min ordering).
+    *
+    * Scale shape: the corpus is NEVER shuffled — assignment is a narrow
+    * per-row argmin against a one-row broadcast of the (k × dim)
+    * centroid array; each Lloyd round costs one corpus pass plus one
+    * tiny hash aggregate whose exchange carries k·dim longs per map
+    * partition. Query probing joins on the trained cell id exactly like
+    * `annIvf`. */
+  def annIvfTrained(spark: SparkSession, dir: String, kCells: Int = 8,
+                    nQueries: Int = 5, k: Int = 10,
+                    dim: Int = 64): DataFrame = {
+    val c = corpus(spark, dir)
+
+    // one-row frame carrying the whole centroid set, broadcast to make
+    // assignment a narrow map (no join, no shuffle of the corpus)
+    def packed(cents: DataFrame): DataFrame =
+      cents
+        .withColumn("c2", dot(col("c"), col("c")))
+        .agg(sort_array(collect_list(
+          struct(col("cell"), col("c"), col("c2")))).as("cents"))
+
+    // nearest cell by exact integer distance; ties -> lowest cell id
+    def assigned(df: DataFrame, centsRow: DataFrame): DataFrame =
+      df.crossJoin(broadcast(centsRow))
+        .withColumn("cell", array_min(transform(col("cents"), x =>
+          struct(
+            (col("n2") - lit(2L) * dot(col("v"), x.getField("c"))
+              + x.getField("c2")).as("d"),
+            x.getField("cell").as("cell")))).getField("cell"))
+        .drop("cents")
+
+    // Lloyd update: exact long sums per (cell, dim), ONE double division
+    // + round per dimension back onto the integer lattice
+    def updated(assignedDf: DataFrame): DataFrame =
+      assignedDf.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"),
+          array((1 to dim).map(i => sum(element_at(col("v"), i))): _*)
+            .as("sv"))
+        .select(col("cell"),
+          transform(col("sv"),
+            s => round(s.cast("double") / col("cnt"), 0).cast("long"))
+            .as("c"))
+
+    val c0 = c.filter(col("vec_id") < kCells)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("c"))
+    val c1 = updated(assigned(c, packed(c0)))
+    val trainedRow = packed(c1)
+
+    val corpusCells = assigned(c, trainedRow)
+    val q = assigned(c.filter(col("vec_id") < nQueries), trainedRow)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell").as("qcell"))
+    scoreRankLimit(corpusCells.join(broadcast(q),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id")), k)
+  }
+
   /** Embedding outlier detection — the curation stage that flags
     * mis-embedded/mislabeled vectors: cosine of each vector to its label
     * group's centroid, bottom-k least-central per label. Cosine is
@@ -190,6 +254,7 @@ object Similarity {
     "ann_topk" -> ((s, d) => annTopK(s, d)),
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
     "ann_ivf_probe" -> ((s, d) => annIvfProbe(s, d)),
+    "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)))
 
@@ -236,6 +301,70 @@ object Similarity {
     "ann_ivf_probe" -> topkSql(
       s"""JOIN (VALUES (0), (1), (2), (4)) p(o)
          |  ON ${bucketSql("a")} = xor(${bucketSql("q")}, p.o)""".stripMargin),
+
+    // the 2-iteration Lloyd training replayed exactly: integer-lattice
+    // vectors, centroids re-quantized to longs after each mean update,
+    // all distances exact longs, ties to the lowest cell id
+    "ann_ivf_trained" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_sum(list_transform(generate_series(1, len(v)),
+        |      i -> v[i] * v[i])) AS n2
+        |  FROM n),
+        |s0 AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
+        |    list_sum(list_transform(generate_series(1, len(v)),
+        |      i -> v[i] * v[i])) AS c2
+        |  FROM n WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT m.vec_id, m.v, s.cell,
+        |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+        |        m.n2 - 2 * list_sum(list_transform(
+        |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
+        |          + s.c2, s.cell) AS rn
+        |    FROM m, s0 s) WHERE rn = 1),
+        |d1 AS (
+        |  SELECT cell, i AS pos, sum(v[i]) AS sv, count(*) AS cnt
+        |  FROM a1, unnest(generate_series(1, len(v))) AS t(i)
+        |  GROUP BY cell, i),
+        |c1 AS (
+        |  SELECT cell, list(CAST(round(sv / cnt) AS BIGINT) ORDER BY pos)
+        |    AS c
+        |  FROM d1 GROUP BY cell),
+        |s1 AS (
+        |  SELECT cell, c,
+        |    list_sum(list_transform(generate_series(1, len(c)),
+        |      i -> c[i] * c[i])) AS c2
+        |  FROM c1),
+        |a2 AS (
+        |  SELECT vec_id, v, n2, cell FROM (
+        |    SELECT m.vec_id, m.v, m.n2, s.cell,
+        |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+        |        m.n2 - 2 * list_sum(list_transform(
+        |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
+        |          + s.c2, s.cell) AS rn
+        |    FROM m, s1 s) WHERE rn = 1)
+        |SELECT q.vec_id AS query_id, a.vec_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY CAST(list_sum(list_transform(
+        |        generate_series(1, len(a.v)), i -> a.v[i] * q.v[i]))
+        |        AS DOUBLE)
+        |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+        |      DESC, a.vec_id ASC) AS INTEGER) AS rank,
+        |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+        |      i -> a.v[i] * q.v[i])) AS DOUBLE)
+        |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+        |    AS cosine
+        |FROM a2 a JOIN a2 q
+        |  ON q.vec_id < 5 AND a.cell = q.cell AND a.vec_id <> q.vec_id
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // per-label exact sum vector (HUGEINT sums equal Spark's long sums —
     // all magnitudes < 2^53, so the double casts agree bit-exactly),

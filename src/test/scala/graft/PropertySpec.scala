@@ -342,6 +342,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: rangeJoinBucketed == naive per-range interval count") {
+    import graft.operators.TemporalJoins
+    val genData = for {
+      np <- Gen.chooseNum(0, 40)
+      nr <- Gen.chooseNum(1, 10)
+      pts <- Gen.listOfN(np, Gen.zip(
+        Gen.oneOf("a", "b"), Gen.chooseNum(0L, 500L)))
+      rng <- Gen.listOfN(nr, Gen.zip(
+        Gen.oneOf("a", "b"), Gen.chooseNum(0L, 500L)))
+    } yield (pts, rng.zipWithIndex.map { case ((k, s), i) => (i.toLong, k, s) })
+    val width = 100L
+    check("rangejoin", Prop.forAll(genData) { case (pts, ranges) =>
+      val out = TemporalJoins.rangeJoinBucketed(
+        pts.toDF("k", "pt"), ranges.toDF("rid", "k", "start"),
+        Seq("k"), "pt", "start", width)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val expect = ranges.map { case (rid, k, s) =>
+        rid -> pts.count(p => p._1 == k && p._2 > s && p._2 <= s + width)
+          .toLong
+      }.toMap
+      out == expect
+    })
+  }
+
   // --- schema conform idempotence -------------------------------------------
 
   test("property: conform is idempotent and always lands the declared schema") {

@@ -36,6 +36,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trained IVF scores match the exhaustive ranking and train deterministically") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = Similarity.annTopK(spark, dir, nQueries = 3, k = 500)
+      .select("query_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val t1 = Similarity.annIvfTrained(spark, dir, nQueries = 3, k = 10)
+      .collect()
+    assert(t1.nonEmpty)
+    t1.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      assert(brute.contains(key))
+      assert(math.abs(brute(key) - r.getAs[Double]("cosine")) < 1e-15)
+    }
+    // integer-lattice Lloyd training has no FP ordering anywhere: a
+    // second run must reproduce the index (and thus the hits) exactly
+    val t2 = Similarity.annIvfTrained(spark, dir, nQueries = 3, k = 10)
+      .collect()
+    assert(t1.map(_.toSeq).toSeq === t2.map(_.toSeq).toSeq)
+  }
+
   test("multi-probe IVF recall >= single-cell IVF recall against brute force") {
     val dir = "/root/testdata/sf0.001"
     def hits(df: org.apache.spark.sql.DataFrame) =

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.{Snapshots, Tables}
+import graft.streaming.{Replay, StreamingLanes}
+
+/** Streaming ingest throughput probe: replays the sf snapshot store
+  * through the full dual-lane pipeline (paced file stream → timing
+  * enrichment → partitioned parquet storage lane + trading-lane count)
+  * and prints one JSON line with rows/second.
+  *
+  * This is the engine-side number to hold against the reference's
+  * operational baseline (BASELINE.md: 8M+ messages/24h ≈ 93 msg/s
+  * sustained, batch_size 1000 / 5 s flush): the same at-least-once
+  * delivery discipline (checkpointed offsets + batch-id-tagged output),
+  * measured end-to-end including the storage write.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.StreamBench
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Tables.session(s"local[$cpus]", cpus)
+
+    val work = Files.createTempDirectory("graft_streambench").toString
+    // the real ingest data model: the staged market-snapshot store
+    val snaps = Snapshots.store(spark, sfDir)
+    val total = snaps.count()
+    Replay.stage(snaps, s"$work/in", slices = 64)
+    val schema = spark.read.parquet(s"$work/in").schema
+
+    var tradingRows = 0L
+    val stream = Replay.paced(spark, s"$work/in", schema,
+      maxFilesPerTrigger = 8)
+    val t0 = System.nanoTime()
+    val q = StreamingLanes.bifurcated(
+      stream, s"$work/store",
+      tradingLane = (df, _) => tradingRows += df.count(),
+      trigger = Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ck")
+      .start()
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val stored = spark.read.parquet(s"$work/store").count()
+    require(tradingRows == total && stored == total,
+      s"lane drift: staged $total, trading saw $tradingRows, stored $stored")
+    println(
+      s"""{"metric":"stream_ingest_rows_per_sec","value":${total / secs},""" +
+        s""""unit":"rows/sec","rows":$total,"secs":$secs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -31,6 +31,7 @@ object SparkEntry {
       text.Curation.queries ++
       text.Boilerplate.queries ++
       operators.TemporalJoins.queries ++
+      plans.PlanQueries.queries ++
       ann.Similarity.queries ++
       multimodal.Multimodal.queries ++
       sinks.SinkQueries.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       text.Curation.oracle ++
       text.Boilerplate.oracle ++
       operators.TemporalJoins.oracle ++
+      plans.PlanQueries.oracle ++
       ann.Similarity.oracle ++
       multimodal.Multimodal.oracle ++
       sinks.SinkQueries.oracle ++

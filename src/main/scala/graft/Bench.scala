@@ -28,6 +28,13 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // bucketed_join stages its tables on first touch (layout
+    // materialization, not operator work) — same warm-up treatment as
+    // the snapshot store
+    SparkEntry.queries.get("bucketed_join").foreach { fn =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     // name-sorted execution: Map hash order reshuffles whenever a query
     // is added, silently re-attributing residual warm-up cost to

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Books
@@ -86,6 +86,66 @@ object AnalyticsQueries {
         col("tob.midpoint").as("midpoint"),
         col("tob.spread").as("spread"))
         .orderBy("ts_us", "snapshot_id")
+    }),
+
+    // Microstructure: order-book depth imbalance per Polymarket snapshot
+    // — (bid_depth − ask_depth) / (bid_depth + ask_depth), the standard
+    // pressure signal. Depths are HOF sums over the parsed book arrays
+    // (sequential element-order adds of exact-integer-valued doubles, so
+    // bit-reproducible); one division at the end.
+    "depth_imbalance" -> ((s, d) => {
+      val depth = (side: Column) =>
+        aggregate(side, lit(0.0), (acc, x) => acc + x.getField("size"))
+      val p = snaps(s, d).filter(col("source") === "polymarket")
+        .withColumn("ob",
+          Books.parsePoly(col("full_orderbook")).getField("orderbook"))
+        .withColumn("bid_depth", depth(col("ob.bids")))
+        .withColumn("ask_depth", depth(col("ob.asks")))
+      p.select(col("ts_us"), col("snapshot_id"), col("ticker"),
+        col("bid_depth"), col("ask_depth"),
+        ((col("bid_depth") - col("ask_depth")) /
+          (col("bid_depth") + col("ask_depth"))).as("imbalance"))
+        .orderBy("ts_us", "snapshot_id")
+    }),
+
+    // Cross-venue price correlation per market: both legs downsampled to
+    // 1-minute last-price series (µs+id max_by, the engine's canonical
+    // downsample), joined on (market, bucket), Pearson over the buckets
+    // via exact LONG power sums (prices are cents ≤ 96; sums stay far
+    // under 2^53) with the closed form evaluated once and rounded to 12 —
+    // the price_qty_corr determinism discipline. The kalshi leg reads the
+    // book's best yes bid; the poly leg recovers cents from yes_price.
+    "venue_correlation" -> ((s, d) => {
+      val base = snaps(s, d)
+        .withColumn("bucket", expr("ts_us DIV 60000000"))
+      val k = base.filter(col("source") === "kalshi")
+        .withColumn("book", Books.parseKalshi(col("full_orderbook")))
+        .withColumn("cents", Books.kalshiBestBidCents(col("book.yes")))
+        .groupBy(col("market"), col("bucket"))
+        .agg(max_by(col("cents"), struct(col("ts_us"), col("snapshot_id")))
+          .as("kp"))
+      val pl = base.filter(col("source") === "polymarket")
+        .withColumn("cents",
+          round(Books.parsePoly(col("full_orderbook"))
+            .getField("yes_price") * 100.0, 0).cast("long"))
+        .groupBy(col("market"), col("bucket"))
+        .agg(max_by(col("cents"), struct(col("ts_us"), col("snapshot_id")))
+          .as("pp"))
+      k.join(pl, Seq("market", "bucket"))
+        .groupBy(col("market"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("kp")).cast("double").as("sx"),
+          sum(col("pp")).cast("double").as("sy"),
+          sum(col("kp") * col("kp")).cast("double").as("sxx"),
+          sum(col("pp") * col("pp")).cast("double").as("syy"),
+          sum(col("kp") * col("pp")).cast("double").as("sxy"))
+        .select(col("market").as("ticker"), col("n_buckets"),
+          round((col("n_buckets") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n_buckets") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n_buckets") * col("syy") - col("sy") * col("sy"))),
+            12).as("venue_corr"))
+        .orderBy("ticker")
     }),
 
     "fill_walk" -> ((s, d) => {
@@ -205,6 +265,48 @@ object AnalyticsQueries {
          |($pBid + $pAsk) / 2.0 AS midpoint, $pAsk - $pBid AS spread
          |FROM events WHERE NOT ${S.isKalshi}
          |ORDER BY ts_us, snapshot_id""".stripMargin,
+
+    // bids carry (q1, q2), asks (17, q1); the engine's HOF depth sums add
+    // exact-integer-valued doubles in element order, so the closed-form
+    // integer sums cast to double are bit-identical
+    "depth_imbalance" ->
+      s"""SELECT ${S.tsUs} AS ts_us, event_id AS snapshot_id,
+         |${S.conditionId} AS ticker,
+         |CAST(${S.q1} + ${S.q2} AS DOUBLE) AS bid_depth,
+         |CAST(17 + ${S.q1} AS DOUBLE) AS ask_depth,
+         |(CAST(${S.q1} + ${S.q2} AS DOUBLE) - CAST(17 + ${S.q1} AS DOUBLE))
+         |  / (CAST(${S.q1} + ${S.q2} AS DOUBLE)
+         |     + CAST(17 + ${S.q1} AS DOUBLE)) AS imbalance
+         |FROM events WHERE NOT ${S.isKalshi}
+         |ORDER BY ts_us, snapshot_id""".stripMargin,
+
+    "venue_correlation" ->
+      s"""WITH e AS (
+         |  SELECT ${S.market} AS m, ${S.tsUs} // 60000000 AS b,
+         |    ${S.tsUs} AS u, event_id, ${S.p} AS p, ${S.isKalshi} AS ik
+         |  FROM events),
+         |k AS (
+         |  SELECT m, b, CAST(p AS BIGINT) AS kp FROM (
+         |    SELECT m, b, p, row_number() OVER (PARTITION BY m, b
+         |      ORDER BY u DESC, event_id DESC) AS rn
+         |    FROM e WHERE ik) WHERE rn = 1),
+         |pl AS (
+         |  SELECT m, b, CAST(p AS BIGINT) AS pp FROM (
+         |    SELECT m, b, p, row_number() OVER (PARTITION BY m, b
+         |      ORDER BY u DESC, event_id DESC) AS rn
+         |    FROM e WHERE NOT ik) WHERE rn = 1),
+         |s AS (
+         |  SELECT m, count(*) AS n,
+         |    CAST(sum(kp) AS DOUBLE) AS sx, CAST(sum(pp) AS DOUBLE) AS sy,
+         |    CAST(sum(kp * kp) AS DOUBLE) AS sxx,
+         |    CAST(sum(pp * pp) AS DOUBLE) AS syy,
+         |    CAST(sum(kp * pp) AS DOUBLE) AS sxy
+         |  FROM k JOIN pl USING (m, b) GROUP BY m)
+         |SELECT m AS ticker, n AS n_buckets,
+         |  round((n * sxy - sx * sy) /
+         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+         |  AS venue_corr
+         |FROM s ORDER BY ticker""".stripMargin,
 
     "fill_walk" ->
       s"""SELECT ${S.tsUs} AS ts_us, event_id AS snapshot_id,

@@ -44,20 +44,38 @@ object PlanQueries {
   /** lineitem ⋈ orders through the bucketed layout: both sides staged
     * once per fixture as 8-bucket tables on the order key, joined
     * shuffle-free, rolled up per status. */
+  /** Stage a bucketed table if this session doesn't have it. The default
+    * session catalog is in-memory (no Hive), so a table from a PREVIOUS
+    * JVM is gone from the catalog while its warehouse directory
+    * survives — sweep the orphaned location before re-creating, or
+    * saveAsTable fails with LOCATION_ALREADY_EXISTS. */
+  private def ensureBucketed(spark: SparkSession, table: String)
+                            (write: => Unit): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .replaceFirst("^file:", "")
+      val loc = new java.io.File(wh, table.toLowerCase)
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      write
+    }
+
   def bucketedRollup(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val liT = s"li_bkt_$tag"
     val ordT = s"ord_bkt_$tag"
-    if (!spark.catalog.tableExists(liT))
+    ensureBucketed(spark, liT) {
       BucketedStore.writeBucketed(
         Tables(spark, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity")),
         liT, "l_orderkey", buckets = 8)
-    if (!spark.catalog.tableExists(ordT))
+    }
+    ensureBucketed(spark, ordT) {
       BucketedStore.writeBucketed(
         Tables(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus")),
         ordT, "o_orderkey", buckets = 8)
+    }
     BucketedStore.cozyJoin(spark, liT, ordT, "l_orderkey", "o_orderkey")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_items"), sumQty(col("l_quantity")).as("sum_qty"))

@@ -140,11 +140,16 @@ object AnalyticsQueries {
           sum(col("kp") * col("kp")).cast("double").as("sxx"),
           sum(col("pp") * col("pp")).cast("double").as("syy"),
           sum(col("kp") * col("pp")).cast("double").as("sxy"))
+        .withColumn("den",
+          sqrt(col("n_buckets") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n_buckets") * col("syy") - col("sy") * col("sy")))
+        // zero-variance leg (constant price at small scale) -> undefined
+        // correlation, emitted as NULL, never a divide error
         .select(col("market").as("ticker"), col("n_buckets"),
-          round((col("n_buckets") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n_buckets") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n_buckets") * col("syy") - col("sy") * col("sy"))),
-            12).as("venue_corr"))
+          when(col("den") === 0.0, lit(null).cast("double"))
+            .otherwise(round(
+              (col("n_buckets") * col("sxy") - col("sx") * col("sy")) /
+                col("den"), 12)).as("venue_corr"))
         .orderBy("ticker")
     }),
 
@@ -303,9 +308,11 @@ object AnalyticsQueries {
          |    CAST(sum(kp * pp) AS DOUBLE) AS sxy
          |  FROM k JOIN pl USING (m, b) GROUP BY m)
          |SELECT m AS ticker, n AS n_buckets,
-         |  round((n * sxy - sx * sy) /
-         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
-         |  AS venue_corr
+         |  CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) = 0
+         |    THEN NULL
+         |    ELSE round((n * sxy - sx * sy) /
+         |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+         |  END AS venue_corr
          |FROM s ORDER BY ticker""".stripMargin,
 
     "fill_walk" ->

@@ -94,6 +94,24 @@ object StreamingLanes {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming near-duplicate gate: each micro-batch of documents is
+    * checked against the accumulated corpus with
+    * `NearDup.incrementalDedup` — the corpus side is re-read per batch
+    * (the `corpus` thunk, same posture as `Replay.routedStream`'s
+    * dimension refresh) and never shuffled; only the small batch
+    * broadcasts. `process` receives each batch's per-doc verdict frame
+    * (`doc_id`, `n_dups`, `is_new`) — in production it routes
+    * `is_new` docs to the store the thunk reads, closing the loop. */
+  def nearDupLane(docs: DataFrame, corpus: () => DataFrame,
+                  threshold: Double = 0.8)
+                 (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      process(
+        graft.text.NearDup.incrementalDedup(corpus(), batch, threshold),
+        batchId)
+    }
+
   /** S5/S6: dual-lane bifurcation — one foreachBatch, two sinks. The
     * storage lane appends Parquet partitioned by (source, date) (the
     * low-cardinality layout the reference chose for series pruning); the

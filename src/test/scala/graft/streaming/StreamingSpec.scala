@@ -181,6 +181,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate flags batch docs against the growing corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    // mutable corpus the thunk re-reads per batch — the production loop
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the dog",
+      2L -> "completely unrelated text about spark plans here",
+      3L -> "completely unrelated text about spark plans here")
+    var corpusDocs = Seq((100L, "the quick brown fox jumps over the dog"))
+    def corpus() = corpusDocs.toDF("doc_id", "text")
+    val verdicts = scala.collection.mutable.Map[Long, Boolean]()
+    val q = StreamingLanes.nearDupLane(mem.toDF()
+      .select(col("doc_id"), col("text")), corpus _)(
+      (batch, _) => batch.collect().foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val isNew = r.getAs[Boolean]("is_new")
+        verdicts(id) = isNew
+        if (isNew) corpusDocs :+= (id -> texts(id))
+      }).start()
+    try {
+      // near-dup of the corpus doc vs a genuinely new doc
+      mem.addData(
+        Doc(ts(10), 1L, "the quick brown fox jumps over the dog"),
+        Doc(ts(20), 2L, "completely unrelated text about spark plans here"))
+      q.processAllAvailable()
+      assert(verdicts(1L) === false, "duplicate of the corpus must be flagged")
+      assert(verdicts(2L) === true, "novel doc must pass the gate")
+
+      // doc 2 entered the corpus; its duplicate in a LATER batch is caught
+      mem.addData(Doc(ts(30), 3L, "completely unrelated text about spark plans here"))
+      q.processAllAvailable()
+      assert(verdicts(3L) === false,
+        "per-batch corpus re-read must see docs admitted by earlier batches")
+    } finally q.stop()
+  }
+
   test("ST8: last-write-wins view over replayed storage matches latest state") {
     // two "writes" of the same series key at different event times: the
     // read-side view (latestPerKey in batch) is the LWW state

@@ -84,6 +84,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.MinhashBands(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("nearest_cell"),
+      info(classOf[functions.NearestCell].getName,
+        "nearest_cell", "nearest_cell(v, flat, cells, c2s) - IVF cell argmin by exact integer distance"),
+      (children: Seq[Expression]) => {
+        checkArity("nearest_cell", 4, children)
+        functions.NearestCell(children.head, children(1), children(2),
+          children(3))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("norm_text"),
       info(classOf[functions.NormText].getName,
         "norm_text", "norm_text(s) - lower + trim + collapse whitespace runs to one space"),

@@ -142,23 +142,28 @@ object Similarity {
                     dim: Int = 64): DataFrame = {
     val c = corpus(spark, dir)
 
-    // one-row frame carrying the whole centroid set, broadcast to make
-    // assignment a narrow map (no join, no shuffle of the corpus)
+    // one-row frame carrying the whole centroid set (cell ids ascending,
+    // matrix flattened row-major), broadcast to make assignment a narrow
+    // map (no join, no shuffle of the corpus)
     def packed(cents: DataFrame): DataFrame =
       cents
         .withColumn("c2", dot(col("c"), col("c")))
         .agg(sort_array(collect_list(
-          struct(col("cell"), col("c"), col("c2")))).as("cents"))
+          struct(col("cell"), col("c"), col("c2")))).as("cs"))
+        .select(
+          transform(col("cs"), x => x.getField("cell")).as("cells"),
+          flatten(transform(col("cs"), x => x.getField("c"))).as("flat"),
+          transform(col("cs"), x => x.getField("c2")).as("c2s"))
 
-    // nearest cell by exact integer distance; ties -> lowest cell id
+    // nearest cell by exact integer distance (the ‖v‖² term cancels in
+    // the argmin); ties -> lowest cell id. One codegen'd loop per row
+    // (`functions/NearestCell.scala`) — the HOF form ran k×dim work
+    // interpreted inside the lambda
     def assigned(df: DataFrame, centsRow: DataFrame): DataFrame =
       df.crossJoin(broadcast(centsRow))
-        .withColumn("cell", array_min(transform(col("cents"), x =>
-          struct(
-            (col("n2") - lit(2L) * dot(col("v"), x.getField("c"))
-              + x.getField("c2")).as("d"),
-            x.getField("cell").as("cell")))).getField("cell"))
-        .drop("cents")
+        .withColumn("cell", call_function("nearest_cell",
+          col("v"), col("flat"), col("cells"), col("c2s")))
+        .drop("cells", "flat", "c2s")
 
     // Lloyd update: exact long sums per (cell, dim), ONE double division
     // + round per dimension back onto the integer lattice

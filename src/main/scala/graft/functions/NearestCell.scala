@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd IVF cell assignment: the argmin over k centroids of
+  * the exact integer distance `c2 − 2·⟨v,c⟩` (the ‖v‖² term is constant
+  * per row and cancels in the argmin).
+  *
+  * `nearest_cell(v, flat, cells, c2s)` where `flat` is the k×dim
+  * centroid matrix flattened row-major, `cells` the cell ids in the same
+  * order, `c2s` their squared norms. Ties keep the FIRST minimal entry —
+  * callers pass cells sorted ascending, making ties resolve to the
+  * lowest cell id (the oracle's `ORDER BY d, cell`).
+  *
+  * This is the assignment kernel of `ann/Similarity.annIvfTrained`: the
+  * composable form (`array_min` over a `transform` computing per-cell
+  * struct distances, with `long_dot` re-entered per element) runs
+  * interpreted inside the HOF lambda — k×dim work per row outside
+  * whole-stage codegen. This expression is one flat loop in generated
+  * code, the same reasoning as `simhash16`/`long_dot`.
+  *
+  * Precondition (engine-internal kernel): arrays carry no null elements;
+  * a null in any ARGUMENT yields null (standard null-intolerant
+  * semantics). Registered as SQL function `nearest_cell`.
+  */
+case class NearestCell(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def longs(t: DataType) = t match {
+      case ArrayType(LongType, _) => true; case _ => false
+    }
+    val ok = longs(first.dataType) && longs(second.dataType) &&
+      (third.dataType match {
+        case ArrayType(IntegerType, _) => true; case _ => false
+      }) && longs(fourth.dataType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint> v, array<bigint> flat, " +
+        s"array<int> cells, array<bigint> c2s), got " +
+        children.map(_.dataType.catalogString).mkString(", "))
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val flat = b.asInstanceOf[ArrayData]
+    val cells = c.asInstanceOf[ArrayData]
+    val c2s = d.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val k = cells.numElements()
+    var best = Long.MaxValue
+    var bestCell = -1
+    var ci = 0
+    while (ci < k) {
+      var dot = 0L
+      var i = 0
+      val off = ci * dim
+      while (i < dim) {
+        dot += v.getLong(i) * flat.getLong(off + i)
+        i += 1
+      }
+      val dist = c2s.getLong(ci) - 2L * dot
+      if (dist < best) { best = dist; bestCell = cells.getInt(ci) }
+      ci += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, flat, cells, c2s) => {
+      val dim = ctx.freshName("dim")
+      val k = ctx.freshName("k")
+      val best = ctx.freshName("best")
+      val bestCell = ctx.freshName("bestCell")
+      val ci = ctx.freshName("ci")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      val dist = ctx.freshName("dist")
+      s"""
+         |int $dim = $v.numElements();
+         |int $k = $cells.numElements();
+         |long $best = Long.MAX_VALUE;
+         |int $bestCell = -1;
+         |for (int $ci = 0; $ci < $k; $ci++) {
+         |  long $dot = 0L;
+         |  int $off = $ci * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $dot += $v.getLong($i) * $flat.getLong($off + $i);
+         |  }
+         |  long $dist = $c2s.getLong($ci) - 2L * $dot;
+         |  if ($dist < $best) { $best = $dist; $bestCell = $cells.getInt($ci); }
+         |}
+         |${ev.value} = $bestCell;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): NearestCell =
+    copy(first = f, second = s, third = t, fourth = q)
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NearestCellSpec extends SparkSpec {
+  import spark.implicits._
+
+  // centroids: cell 0 = (0,0), cell 1 = (10,0), cell 2 = (10,10)
+  private val cells = Seq(0, 1, 2)
+  private val flat = Seq(0L, 0L, 10L, 0L, 10L, 10L)
+  private val c2s = Seq(0L, 100L, 200L)
+
+  private def assignSql(v: Seq[Long]): Int =
+    Seq((v, flat, cells, c2s)).toDF("v", "flat", "cells", "c2s")
+      .select(call_function("nearest_cell",
+        $"v", $"flat", $"cells", $"c2s").as("cell"))
+      .head().getInt(0)
+
+  test("picks the geometrically nearest centroid") {
+    assert(assignSql(Seq(1L, 1L)) === 0)
+    assert(assignSql(Seq(9L, 1L)) === 1)
+    assert(assignSql(Seq(9L, 9L)) === 2)
+  }
+
+  test("ties resolve to the first (lowest) cell id") {
+    // (5, 0) is equidistant from cells 0 and 1
+    assert(assignSql(Seq(5L, 0L)) === 0)
+  }
+
+  test("matches the argmin of full distances including the cancelled term") {
+    val vs = (for (x <- -3L to 12L; y <- -3L to 12L) yield Seq(x, y)).toSeq
+    val cents = Seq((0, Seq(0L, 0L)), (1, Seq(10L, 0L)), (2, Seq(10L, 10L)))
+    val got = vs.map(v => (v, flat, cells, c2s))
+      .toDF("v", "flat", "cells", "c2s")
+      .select($"v", call_function("nearest_cell",
+        $"v", $"flat", $"cells", $"c2s").as("cell"))
+      .collect().map(r => r.getSeq[Long](0) -> r.getInt(1)).toMap
+    vs.foreach { v =>
+      def d2(c: Seq[Long]) =
+        v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      val expect = cents.minBy { case (id, c) => (d2(c), id) }._1
+      assert(got(v) === expect, s"at $v")
+    }
+  }
+
+  test("null argument yields null") {
+    val r = spark.sql(
+      """SELECT nearest_cell(CAST(NULL AS ARRAY<BIGINT>), array(1L),
+        |array(0), array(1L)) AS c""".stripMargin).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("interpreted eval matches the SQL/codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val e = NearestCell(
+      Literal.create(Seq(9L, 1L), ArrayType(LongType)),
+      Literal.create(flat, ArrayType(LongType)),
+      Literal.create(cells, ArrayType(IntegerType)),
+      Literal.create(c2s, ArrayType(LongType)))
+    assert(e.eval(null) === 1)
+  }
+}

@@ -366,6 +366,85 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // --- session windows ------------------------------------------------------
+
+  test("property: sessionWindows == naive gap grouping per user") {
+    import graft.streaming.StreamingLanes
+    val genEvents = Gen.listOfN(30, Gen.zip(
+      Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 400L), Gen.chooseNum(0, 9)))
+    val gapSec = 60L
+    check("sessions", Prop.forAll(genEvents) { evs0 =>
+      // distinct (user, second) so both formulations see one event per
+      // instant — merge order within an instant is not the semantics
+      // under test
+      val evs = evs0.map { case (u, s, v) => (u, s, v.toDouble) }
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toList
+      val df = evs.map { case (u, s, v) =>
+        (new java.sql.Timestamp(s * 1000L), u, v)
+      }.toDF("ts", "user_id", "value")
+      val got = StreamingLanes.sessionWindows(df, gap = "60 seconds")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      val expect = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.sortBy(_._2)
+        // split at gaps >= 60 s, emit (user, start, last+gap, n, sum)
+        val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Double)]]) {
+          case (acc, e) => acc match {
+            case cur :: rest if e._2 - cur.head._2 < gapSec =>
+              (e :: cur) :: rest // cur.head is the session's LAST event
+            case _ => List(e) :: acc
+          }
+        }
+        sessions.map { s =>
+          val ts = s.map(_._2)
+          (u, ts.min * 1000000L, (ts.max + gapSec) * 1000000L,
+            s.size.toLong, s.map(_._3).sum)
+        }
+      }.toSet
+      got == expect
+    })
+  }
+
+  // --- bigram LM score ------------------------------------------------------
+
+  test("property: lmBigramScore == naive add-one bigram model") {
+    import graft.text.Vocab
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val genDocs = Gen.listOfN(8,
+      Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, word)))
+      .map(_.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) })
+    check("lm", Prop.forAll(genDocs) { docs =>
+      val got = Vocab.lmBigramScore(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+      // naive model over the same corpus (texts are already normalized)
+      val toks = docs.map { case (id, t) =>
+        id -> (if (t.isEmpty) Array("") else t.split(" ", -1)) }
+      val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      val vocabV = uni.size
+      val bi = toks.flatMap { case (_, ws) => ws.sliding(2).filter(_.size == 2) }
+        .map(p => (p(0), p(1))).groupBy(identity).view.mapValues(_.size).toMap
+      val expect = toks.flatMap { case (id, ws) =>
+        val bs = ws.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toList
+        if (bs.isEmpty) None else {
+          // HALF_UP away from zero — Scala's math.round floors toward
+          // +inf on negative .5 boundaries, Spark/DuckDB round away
+          val qs = bs.map { case (w1, w2) =>
+            BigDecimal(math.log((bi((w1, w2)) + 1).toDouble /
+              (uni(w1) + vocabV).toDouble) * 1000000.0)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          }
+          Some(id -> (bs.size.toLong, qs.sum,
+            qs.sum.toDouble / (1000000.0 * bs.size)))
+        }
+      }.toMap
+      got == expect
+    })
+  }
+
   // --- schema conform idempotence -------------------------------------------
 
   test("property: conform is idempotent and always lands the declared schema") {

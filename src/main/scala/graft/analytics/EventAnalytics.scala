@@ -103,8 +103,10 @@ object EventAnalytics {
         |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     // session_window(ts, 30m): events merge while the gap to the previous
-    // event is < 30 min; window end = last event + 30 min. The lag/gap-sum
-    // restatement below is an independent formulation of that semantics.
+    // event is <= 30 min INCLUSIVE (probed empirically: two events exactly
+    // gap apart merge — touching windows coalesce); window end = last
+    // event + 30 min. The lag/gap-sum restatement below is an independent
+    // formulation of that semantics; PropertySpec pins the boundary.
     "session_windows" ->
       """WITH l AS (
         |  SELECT user_id, epoch_us(ts) AS u, value,
@@ -113,7 +115,7 @@ object EventAnalytics {
         |  FROM events),
         |s AS (
         |  SELECT user_id, u, value,
-        |    sum(CASE WHEN prev IS NULL OR u - prev >= 1800000000
+        |    sum(CASE WHEN prev IS NULL OR u - prev > 1800000000
         |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
         |      ORDER BY u ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM l)

@@ -60,7 +60,8 @@ object StreamingLanes {
 
   /** Session windows per user key — gap-based activity grouping as a
     * native streaming aggregate (`session_window`: windows merge while
-    * successive events arrive within `gap`; a session closes, and in
+    * successive events arrive within `gap`, INCLUSIVE of the exact
+    * boundary — touching windows coalesce; a session closes, and in
     * append mode emits, once the watermark passes its end). The same
     * plan fragment runs in batch — `session_windows` in
     * `EventAnalytics` oracles it against DuckDB's lag/gap-sum

@@ -388,10 +388,11 @@ class PropertySpec extends SparkSpec {
           r.getDouble(4))).toSet
       val expect = evs.groupBy(_._1).flatMap { case (u, es) =>
         val sorted = es.sortBy(_._2)
-        // split at gaps >= 60 s, emit (user, start, last+gap, n, sum)
+        // split at gaps STRICTLY > 60 s — session_window merges events
+        // exactly gap apart (touching windows coalesce, probed above)
         val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Double)]]) {
           case (acc, e) => acc match {
-            case cur :: rest if e._2 - cur.head._2 < gapSec =>
+            case cur :: rest if e._2 - cur.head._2 <= gapSec =>
               (e :: cur) :: rest // cur.head is the session's LAST event
             case _ => List(e) :: acc
           }

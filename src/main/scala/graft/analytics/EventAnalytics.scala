@@ -57,6 +57,30 @@ object EventAnalytics {
           col("first_click_us") < col("first_purchase_us"))
       .orderBy("user_id")
 
+  /** Cohort retention: users grouped by first-seen date, retention =
+    * share of the cohort active again `offset` days later (offsets
+    * 0..max). Three linear exchanges — user_id (first-seen agg + the
+    * co-partitioned activity join), (cohort, offset) aggregate, and the
+    * cohort window for the base size; activity is distinct (user, day)
+    * first, so the shuffles carry at most one row per user-day. */
+  def retentionCohorts(events: DataFrame, maxOffset: Int = 7): DataFrame = {
+    val a = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val f = a.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    val g = a.join(f, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort")))
+      .filter(col("day_offset").between(0, maxOffset))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    g.withColumn("base",
+      max(when(col("day_offset") === 0, col("n_users")))
+        .over(Window.partitionBy(col("cohort"))))
+      .select(col("cohort"), col("day_offset"), col("n_users"),
+        (col("n_users").cast("double") / col("base").cast("double"))
+          .as("retention"))
+      .orderBy("cohort", "day_offset")
+  }
+
   /** Per-user-cohort event-type crosstab via pivot (fixed column set so
     * the plan is a single aggregate, no distinct-values pre-pass). */
   def typePivot(events: DataFrame): DataFrame =
@@ -77,7 +101,9 @@ object EventAnalytics {
     // against DuckDB's lag/gap-sum formulation of the same semantics
     "session_windows" -> ((s, d) =>
       graft.streaming.StreamingLanes.sessionWindows(Tables.events(s, d))
-        .orderBy("user_id", "session_start_us")))
+        .orderBy("user_id", "session_start_us")),
+    "retention_cohorts" -> ((s, d) =>
+      retentionCohorts(Tables.events(s, d))))
 
   val oracle: Map[String, String] = Map(
     "sessionize" ->
@@ -124,6 +150,23 @@ object EventAnalytics {
         |  count(*) AS n_events, sum(value) AS total_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM a GROUP BY user_id),
+        |g AS (
+        |  SELECT f.cohort,
+        |    CAST(a.day - f.cohort AS INTEGER) AS day_offset,
+        |    count(DISTINCT a.user_id) AS n_users
+        |  FROM a JOIN f USING (user_id)
+        |  WHERE a.day - f.cohort BETWEEN 0 AND 7
+        |  GROUP BY 1, 2)
+        |SELECT cohort, day_offset, n_users,
+        |  CAST(n_users AS DOUBLE) /
+        |    CAST(max(CASE WHEN day_offset = 0 THEN n_users END)
+        |      OVER (PARTITION BY cohort) AS DOUBLE) AS retention
+        |FROM g ORDER BY cohort, day_offset""".stripMargin,
 
     "funnel" ->
       """SELECT user_id,

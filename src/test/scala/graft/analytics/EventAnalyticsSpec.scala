@@ -23,6 +23,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out === Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1))
   }
 
+  test("retention cohorts: day-offset return rates per first-seen date") {
+    import org.apache.spark.sql.functions._
+    val day = 86400L
+    // u1: days 0,1 ; u2: day 0 only ; u3: days 1,3
+    val df = frame(
+      ev(1, 1, 0), ev(1, 2, day + 10),
+      ev(2, 3, 20),
+      ev(3, 4, day + 30), ev(3, 5, 3 * day + 5))
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val out = EventAnalytics.retentionCohorts(df).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(
+      ("1970-01-01", 0) -> (2L, 1.0), // cohort day0: u1, u2
+      ("1970-01-01", 1) -> (1L, 0.5), // u1 returns next day
+      ("1970-01-02", 0) -> (1L, 1.0), // cohort day1: u3
+      ("1970-01-02", 2) -> (1L, 1.0))) // u3 returns two days later
+  }
+
   test("funnel converts only when stages occur in order") {
     val out = EventAnalytics.funnel(frame(
       ev(1, 1, 10, "view"), ev(1, 2, 20, "click"), ev(1, 3, 30, "purchase"),

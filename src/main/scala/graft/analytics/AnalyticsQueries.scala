@@ -88,6 +88,30 @@ object AnalyticsQueries {
         .orderBy("ts_us", "snapshot_id")
     }),
 
+    // OHLC candles: the canonical financial downsample the reference's
+    // last-only series imply — per 1 h bucket: open (first by µs+id),
+    // high, low, close (last by µs+id), tick count. ONE hash aggregate
+    // with map-side partial min_by/max_by/min/max — never a window sort
+    // over the series; the same latest-per-key discipline as W1.
+    "ohlc_1h" -> ((s, d) => {
+      val k = snaps(s, d)
+        .filter(col("source") === "kalshi" && col("ticker") === "T3")
+        .withColumn("book", Books.parseKalshi(col("full_orderbook")))
+        .withColumn("p", Books.kalshiBestBidCents(col("book.yes")))
+        .withColumn("bucket_us",
+          expr("ts_us DIV 3600000000 * 3600000000"))
+      k.groupBy(col("bucket_us"))
+        .agg(
+          min_by(col("p"), struct(col("ts_us"), col("snapshot_id")))
+            .as("open"),
+          max(col("p")).as("high"),
+          min(col("p")).as("low"),
+          max_by(col("p"), struct(col("ts_us"), col("snapshot_id")))
+            .as("close"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy("bucket_us")
+    }),
+
     // Microstructure: order-book depth imbalance per Polymarket snapshot
     // — (bid_depth − ask_depth) / (bid_depth + ask_depth), the standard
     // pressure signal. Depths are HOF sums over the parsed book arrays
@@ -270,6 +294,29 @@ object AnalyticsQueries {
          |($pBid + $pAsk) / 2.0 AS midpoint, $pAsk - $pBid AS spread
          |FROM events WHERE NOT ${S.isKalshi}
          |ORDER BY ts_us, snapshot_id""".stripMargin,
+
+    "ohlc_1h" ->
+      s"""WITH e AS (
+         |  SELECT ${S.tsUs} AS u, event_id AS id,
+         |    CAST(${S.p} AS BIGINT) AS p,
+         |    ${S.tsUs} // 3600000000 * 3600000000 AS bucket_us
+         |  FROM events
+         |  WHERE ${S.isKalshi} AND ${S.market} = 'T3'),
+         |o AS (
+         |  SELECT bucket_us, p AS open FROM (
+         |    SELECT bucket_us, p, row_number() OVER (PARTITION BY bucket_us
+         |      ORDER BY u, id) AS rn FROM e) WHERE rn = 1),
+         |c AS (
+         |  SELECT bucket_us, p AS close FROM (
+         |    SELECT bucket_us, p, row_number() OVER (PARTITION BY bucket_us
+         |      ORDER BY u DESC, id DESC) AS rn FROM e) WHERE rn = 1),
+         |hl AS (
+         |  SELECT bucket_us, max(p) AS high, min(p) AS low,
+         |    count(*) AS n_ticks
+         |  FROM e GROUP BY bucket_us)
+         |SELECT bucket_us, open, high, low, close, n_ticks
+         |FROM hl JOIN o USING (bucket_us) JOIN c USING (bucket_us)
+         |ORDER BY bucket_us""".stripMargin,
 
     // bids carry (q1, q2), asks (17, q1); the engine's HOF depth sums add
     // exact-integer-valued doubles in element order, so the closed-form

@@ -112,7 +112,45 @@ object Vocab {
       .orderBy("doc_id")
   }
 
+  /** Domain-discriminative vocabulary: per source, the tokens with the
+    * highest add-one log-odds ratio vs the REST of the corpus (the
+    * Monroe-style "what words characterize this domain" signal used for
+    * source weighting and contamination triage).
+    *
+    * All counts are exact integers built on one (source, token) hash
+    * aggregate plus two co-partitioned count windows; the single ln per
+    * row is rounded to 6 (the tfidf discipline) and RANKING uses the
+    * rounded value, so ordering can't differ across engines in the last
+    * ulp. */
+  def sourceLogOdds(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("source"),
+      explode(split(norm(col("text")), " ")).as("w"))
+    val cws = toks.groupBy("source", "w").agg(count(lit(1)).as("cws"))
+    val tall = toks.agg(count(lit(1)).as("tall"))
+    val scored = cws
+      .withColumn("cw", sum(col("cws")).over(Window.partitionBy(col("w"))))
+      .withColumn("ts",
+        sum(col("cws")).over(Window.partitionBy(col("source"))))
+      .crossJoin(broadcast(tall))
+      .withColumn("lor", round(
+        log(((col("cws") + 1).cast("double") /
+          (col("ts") - col("cws") + 1).cast("double")) /
+          ((col("cw") - col("cws") + 1).cast("double") /
+            (col("tall") - col("ts") - col("cw") + col("cws") + 1)
+              .cast("double"))), 6))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("lor").desc, col("w").asc)))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank").cast("int").as("rank"),
+        col("w").as("token"), col("cws").as("n_in_source"), col("lor"))
+      .orderBy("source", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "source_logodds" -> ((s, d) =>
+      sourceLogOdds(Tables(s, d, "documents"))),
     "lm_bigram_score" -> ((s, d) =>
       lmBigramScore(Tables(s, d, "documents"))),
     "vocab_topk" -> ((s, d) => topTerms(Tables(s, d, "documents"), 50)),
@@ -123,6 +161,34 @@ object Vocab {
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "source_logodds" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split($N, ' ')) AS w
+         |  FROM documents),
+         |cws AS (
+         |  SELECT source, w, count(*) AS cws FROM toks GROUP BY 1, 2),
+         |tall AS (SELECT count(*) AS tall FROM toks),
+         |scored AS (
+         |  SELECT source, w, cws,
+         |    CAST(sum(cws) OVER (PARTITION BY w) AS BIGINT) AS cw,
+         |    CAST(sum(cws) OVER (PARTITION BY source) AS BIGINT) AS ts,
+         |    tall.tall
+         |  FROM cws, tall),
+         |l AS (
+         |  SELECT source, w, cws,
+         |    round(ln((CAST(cws + 1 AS DOUBLE)
+         |        / CAST(ts - cws + 1 AS DOUBLE))
+         |      / (CAST(cw - cws + 1 AS DOUBLE)
+         |        / CAST(tall - ts - cw + cws + 1 AS DOUBLE))), 6) AS lor
+         |  FROM scored)
+         |SELECT source,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY lor DESC, w ASC) AS INTEGER) AS rank,
+         |  w AS token, cws AS n_in_source, lor
+         |FROM l
+         |QUALIFY rank <= 3
+         |ORDER BY source, rank""".stripMargin,
+
     // aligned-slice zip-unnest generates per-occurrence bigrams; the
     // quantize-then-sum discipline mirrors the engine exactly
     "lm_bigram_score" ->

@@ -112,6 +112,47 @@ object AnalyticsQueries {
         .orderBy("bucket_us")
     }),
 
+    // Large-move detector: snapshots where the best bid jumped >= 5 cents
+    // vs the previous snapshot of the SAME market — the trigger shape of
+    // the reference's opportunity re-evaluation. One lag window per
+    // market key (shuffle on market, sort within); integer deltas.
+    "price_jumps" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("market"))
+        .orderBy(col("ts_us"), col("snapshot_id"))
+      snaps(s, d).filter(col("source") === "kalshi")
+        .withColumn("book", Books.parseKalshi(col("full_orderbook")))
+        .withColumn("p", Books.kalshiBestBidCents(col("book.yes")))
+        .withColumn("prev_p", lag(col("p"), 1).over(w))
+        .withColumn("delta", col("p") - col("prev_p"))
+        .filter(abs(col("delta")) >= 5)
+        .select(col("market"), col("ts_us"), col("snapshot_id"),
+          col("p"), col("prev_p"), col("delta"))
+        .orderBy("market", "ts_us", "snapshot_id")
+    }),
+
+    // Per-market hourly volatility from exact integer power sums: one
+    // hash aggregate carrying (n, Σp, Σp²); sample stddev evaluated once
+    // from the sums and rounded to 6 (the price_qty_corr discipline),
+    // NULL for single-tick buckets.
+    "volatility_1h" -> ((s, d) => {
+      val k = snaps(s, d).filter(col("source") === "kalshi")
+        .withColumn("book", Books.parseKalshi(col("full_orderbook")))
+        .withColumn("p", Books.kalshiBestBidCents(col("book.yes")))
+        .withColumn("bucket_us",
+          expr("ts_us DIV 3600000000 * 3600000000"))
+      k.groupBy(col("market"), col("bucket_us"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p")).cast("double").as("sx"),
+          sum(col("p") * col("p")).cast("double").as("sxx"))
+        .select(col("market"), col("bucket_us"), col("n"),
+          when(col("n") < 2, lit(null).cast("double"))
+            .otherwise(round(sqrt(
+              (col("n") * col("sxx") - col("sx") * col("sx")) /
+                (col("n") * (col("n") - 1))), 6)).as("stddev_cents"))
+        .orderBy("market", "bucket_us")
+    }),
+
     // Microstructure: order-book depth imbalance per Polymarket snapshot
     // — (bid_depth − ask_depth) / (bid_depth + ask_depth), the standard
     // pressure signal. Depths are HOF sums over the parsed book arrays
@@ -294,6 +335,37 @@ object AnalyticsQueries {
          |($pBid + $pAsk) / 2.0 AS midpoint, $pAsk - $pBid AS spread
          |FROM events WHERE NOT ${S.isKalshi}
          |ORDER BY ts_us, snapshot_id""".stripMargin,
+
+    "price_jumps" ->
+      s"""SELECT * FROM (
+         |  SELECT ${S.market} AS market, ${S.tsUs} AS ts_us,
+         |    event_id AS snapshot_id,
+         |    CAST(${S.p} AS BIGINT) AS p,
+         |    lag(CAST(${S.p} AS BIGINT)) OVER (PARTITION BY ${S.market}
+         |      ORDER BY ${S.tsUs}, event_id) AS prev_p,
+         |    CAST(${S.p} AS BIGINT) - lag(CAST(${S.p} AS BIGINT))
+         |      OVER (PARTITION BY ${S.market}
+         |        ORDER BY ${S.tsUs}, event_id) AS delta
+         |  FROM events WHERE ${S.isKalshi})
+         |WHERE abs(delta) >= 5
+         |ORDER BY market, ts_us, snapshot_id""".stripMargin,
+
+    "volatility_1h" ->
+      s"""WITH e AS (
+         |  SELECT ${S.market} AS market,
+         |    ${S.tsUs} // 3600000000 * 3600000000 AS bucket_us,
+         |    CAST(${S.p} AS BIGINT) AS p
+         |  FROM events WHERE ${S.isKalshi}),
+         |g AS (
+         |  SELECT market, bucket_us, count(*) AS n,
+         |    CAST(sum(p) AS DOUBLE) AS sx,
+         |    CAST(sum(p * p) AS DOUBLE) AS sxx
+         |  FROM e GROUP BY 1, 2)
+         |SELECT market, bucket_us, n,
+         |  CASE WHEN n < 2 THEN NULL
+         |    ELSE round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6)
+         |  END AS stddev_cents
+         |FROM g ORDER BY market, bucket_us""".stripMargin,
 
     "ohlc_1h" ->
       s"""WITH e AS (

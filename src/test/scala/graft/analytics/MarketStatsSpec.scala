@@ -1,0 +1,86 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Cross-checks the round-6 market-stats queries against each other and
+  * against recomputation from the `best_price` series — the queries are
+  * oracle-checked for exact values; these specs pin the semantic
+  * invariants that survive refactors. */
+class MarketStatsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  // (market, ts_us, snapshot_id, p) for every kalshi snapshot
+  private lazy val series: Seq[(String, Long, Long, Long)] =
+    q("best_price").collect().map { r =>
+      // best_price is T-series-wide: ticker == market for kalshi rows
+      (r.getAs[String]("ticker"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("snapshot_id"), r.getAs[Long]("yes_bid_cents"))
+    }.toSeq
+
+  test("ohlc candles bound their bucket and count every tick") {
+    val t3 = series.filter(_._1 == "T3")
+    val rows = q("ohlc_1h").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Long]("open"), r.getAs[Long]("high"),
+        r.getAs[Long]("low"), r.getAs[Long]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h && l <= h)
+    }
+    assert(rows.map(_.getAs[Long]("n_ticks")).sum === t3.size)
+    // first bucket's open is the first tick of the whole T3 series
+    val first = t3.minBy(t => (t._2, t._3))
+    assert(rows.minBy(_.getAs[Long]("bucket_us"))
+      .getAs[Long]("open") === first._4)
+  }
+
+  test("price_jumps equals a recompute from the ordered series") {
+    val expect = series.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(t => (t._2, t._3))
+      sorted.zip(sorted.drop(1)).collect {
+        case (prev, cur) if math.abs(cur._4 - prev._4) >= 5 =>
+          (cur._1, cur._3, cur._4, prev._4, cur._4 - prev._4)
+      }
+    }.toSet
+    val got = q("price_jumps").collect().map { r =>
+      (r.getAs[String]("market"), r.getAs[Long]("snapshot_id"),
+        r.getAs[Long]("p"), r.getAs[Long]("prev_p"),
+        r.getAs[Long]("delta"))
+    }.toSet
+    assert(got === expect)
+    assert(got.forall(t => math.abs(t._5) >= 5))
+  }
+
+  test("volatility is null exactly for single-tick buckets, else matches") {
+    val rows = q("volatility_1h").collect()
+    assert(rows.nonEmpty)
+    val byBucket = series.groupBy(t =>
+      (t._1, t._2 / 3600000000L * 3600000000L))
+    rows.foreach { r =>
+      val key = (r.getAs[String]("market"), r.getAs[Long]("bucket_us"))
+      val ps = byBucket(key).map(_._4.toDouble)
+      assert(r.getAs[Long]("n") === ps.size)
+      if (ps.size < 2) assert(r.isNullAt(r.fieldIndex("stddev_cents")))
+      else {
+        val mean = ps.sum / ps.size
+        val std = math.sqrt(
+          ps.map(p => (p - mean) * (p - mean)).sum / (ps.size - 1))
+        assert(math.abs(r.getAs[Double]("stddev_cents") - std) < 1e-4)
+      }
+    }
+  }
+
+  test("source_logodds ranks are dense 1..k per source") {
+    val rows = q("source_logodds").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq ===
+        (1 to rs.length))
+      // ranked by descending (rounded) log-odds
+      val lors = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("lor"))
+      assert(lors.zip(lors.drop(1)).forall { case (a, b) => a >= b })
+    }
+  }
+}

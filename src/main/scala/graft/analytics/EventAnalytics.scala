@@ -59,10 +59,12 @@ object EventAnalytics {
 
   /** Cohort retention: users grouped by first-seen date, retention =
     * share of the cohort active again `offset` days later (offsets
-    * 0..max). Three linear exchanges — user_id (first-seen agg + the
-    * co-partitioned activity join), (cohort, offset) aggregate, and the
-    * cohort window for the base size; activity is distinct (user, day)
-    * first, so the shuffles carry at most one row per user-day. */
+    * 0..max). Plan shape (audited): activity shuffles ONCE on
+    * (user, day) for the distinct; the first-seen dimension is one row
+    * per user, so it broadcasts under AQE (co-shuffles on user_id at
+    * scale); then the two-phase count-distinct on (cohort, offset) and
+    * a cohort window for the base size. Every exchange carries at most
+    * one row per user-day. */
   def retentionCohorts(events: DataFrame, maxOffset: Int = 7): DataFrame = {
     val a = events.select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()

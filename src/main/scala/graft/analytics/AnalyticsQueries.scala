@@ -112,6 +112,29 @@ object AnalyticsQueries {
         .orderBy("bucket_us")
     }),
 
+    // Ingestion-efficiency rollup: share of snapshots whose book is
+    // byte-identical to the same series' previous snapshot (the
+    // reference stores every poll; at scale this ratio is what retention
+    // and change-only storage get tuned on). One lag window per
+    // (source, ticker) series comparing the RAW book payload; the oracle
+    // compares the (p, q1, q2) tuple that fully determines the book.
+    "snapshot_redundancy" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"), col("ticker"))
+        .orderBy(col("ts_us"), col("snapshot_id"))
+      snaps(s, d)
+        .withColumn("prev_book", lag(col("full_orderbook"), 1).over(w))
+        .withColumn("changed", col("prev_book").isNull ||
+          col("full_orderbook") =!= col("prev_book"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_snapshots"),
+          sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"))
+        .withColumn("redundancy_ratio",
+          lit(1.0) - col("n_changed").cast("double") /
+            col("n_snapshots").cast("double"))
+        .orderBy("source")
+    }),
+
     // Large-move detector: snapshots where the best bid jumped >= 5 cents
     // vs the previous snapshot of the SAME market — the trigger shape of
     // the reference's opportunity re-evaluation. One lag window per
@@ -335,6 +358,30 @@ object AnalyticsQueries {
          |($pBid + $pAsk) / 2.0 AS midpoint, $pAsk - $pBid AS spread
          |FROM events WHERE NOT ${S.isKalshi}
          |ORDER BY ts_us, snapshot_id""".stripMargin,
+
+    // book identity ⟺ (p, q1, q2) identity: both venue book templates
+    // are injective in those three fields within a series
+    "snapshot_redundancy" ->
+      s"""WITH e AS (
+         |  SELECT ${S.source} AS source, ${S.ticker} AS ticker,
+         |    ${S.tsUs} AS u, event_id AS id,
+         |    ${S.p} AS p, ${S.q1} AS q1, ${S.q2} AS q2
+         |  FROM events),
+         |l AS (
+         |  SELECT source,
+         |    lag(p) OVER w AS pp, lag(q1) OVER w AS pq1,
+         |    lag(q2) OVER w AS pq2, p, q1, q2
+         |  FROM e WINDOW w AS (PARTITION BY source, ticker
+         |    ORDER BY u, id)),
+         |g AS (
+         |  SELECT source, count(*) AS n_snapshots,
+         |    CAST(sum(CASE WHEN pp IS NULL OR p <> pp OR q1 <> pq1
+         |      OR q2 <> pq2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+         |  FROM l GROUP BY source)
+         |SELECT source, n_snapshots, n_changed,
+         |  1.0 - CAST(n_changed AS DOUBLE) / CAST(n_snapshots AS DOUBLE)
+         |    AS redundancy_ratio
+         |FROM g ORDER BY source""".stripMargin,
 
     "price_jumps" ->
       s"""SELECT * FROM (

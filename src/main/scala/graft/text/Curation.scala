@@ -120,7 +120,35 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The end-to-end curation pipeline as ONE composed plan: normalize →
+    * exact dedup (keep the smallest doc_id per content hash) → quality
+    * gate → greedy token packing over the survivors. Each stage is the
+    * already-certified operator — the value here is proving they compose
+    * into a single Catalyst plan (one optimizer pass sees the whole
+    * lineage; stages don't re-materialize between steps except the
+    * packing checkpoint that bounds ITS lineage). */
+  def curationPipeline(docs: DataFrame,
+                       minQuality: Double = 0.4): DataFrame = {
+    val hashed = docs
+      .withColumn("content_hash", md5(norm(col("text")).cast("binary")))
+    val keep = hashed.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id"))
+    val gated = hashed
+      .join(keep, Seq("content_hash", "doc_id"))
+      .join(TextOps.qualityScore(docs)
+        .select(col("doc_id"), col("quality")), "doc_id")
+      .filter(col("quality") >= minQuality)
+    val packed = packTokens(gated.select(col("doc_id"), col("text")))
+    packed.join(gated.select(col("doc_id"), col("content_hash"),
+        col("quality")), "doc_id")
+      .select(col("doc_id"), col("content_hash"), col("quality"),
+        col("n_tokens"), col("pack_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "curation_pipeline" -> ((s, d) =>
+      curationPipeline(Tables(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
       sampleStratified(Tables(s, d, "documents"))),
     "decontaminate" -> ((s, d) => decontaminate(Tables(s, d, "documents"))),
@@ -130,6 +158,22 @@ object Curation {
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "curation_pipeline" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, md5($N) AS content_hash,
+         |    ${TextOps.qualityExprSql} AS quality,
+         |    CAST(len(string_split($N, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |k AS (SELECT content_hash, min(doc_id) AS doc_id FROM d
+         |      GROUP BY content_hash),
+         |g AS (
+         |  SELECT d.* FROM d JOIN k USING (content_hash, doc_id)
+         |  WHERE d.quality >= 0.4)
+         |SELECT doc_id, content_hash, quality, n_tokens,
+         |  CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 512
+         |    AS BIGINT) AS pack_id
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "sample_stratified" ->
       """SELECT doc_id, source,
         |substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2) AS sample_tag,

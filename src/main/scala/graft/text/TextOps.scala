@@ -141,7 +141,24 @@ object TextOps {
     "quality_score" -> ((s, d) => qualityScore(Tables(s, d, "documents"))),
     "lang_id" -> ((s, d) => langId(Tables(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => fingerprints(Tables(s, d, "documents"))),
-    "doc_repetition" -> ((s, d) => repetition(Tables(s, d, "documents"))))
+    "doc_repetition" -> ((s, d) => repetition(Tables(s, d, "documents"))),
+    // the SQL surface itself: a user-written spark.sql statement over a
+    // registered view, calling the extension-registered native kernels
+    // (norm_text, word_shingles, jaccard_sim) by name — certifies the
+    // GraftExtensions registration end-to-end through the oracle, not
+    // just through Column-API call_function plumbing
+    "sql_surface" -> ((s, d) => {
+      Tables(s, d, "documents").createOrReplaceTempView("graft_documents")
+      s.sql(
+        """SELECT doc_id,
+          |  size(word_shingles(norm_text(text), 3)) AS n_shingles,
+          |  jaccard_sim(word_shingles(norm_text(text), 3),
+          |    word_shingles(norm_text(substring(text, 1, 200)), 3))
+          |    AS prefix_jaccard
+          |FROM graft_documents
+          |WHERE size(word_shingles(norm_text(text), 3)) > 0
+          |ORDER BY doc_id""".stripMargin)
+    }))
 
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private def inList(l: Seq[String]) = l.map("'" + _ + "'").mkString("(", ",", ")")
@@ -156,7 +173,29 @@ object TextOps {
        |  * (1.0 - CAST(${hits(enStop)} AS DOUBLE)
        |      / len(string_split($N, ' ')))""".stripMargin
 
+  private val NP =
+    "regexp_replace(lower(trim(substr(text, 1, 200))), '\\s+', ' ', 'g')"
+
   val oracle: Map[String, String] = Map(
+    "sql_surface" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(l) - 2),
+         |    i -> array_to_string(l[i:i+2], ' '))) AS sh
+         |  FROM (SELECT doc_id, string_split($N, ' ') AS l FROM documents)
+         |  WHERE len(l) >= 3),
+         |p AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(lp) - 2, 0)),
+         |    i -> array_to_string(lp[i:i+2], ' '))) AS shp
+         |  FROM (SELECT doc_id, string_split($NP, ' ') AS lp
+         |        FROM documents))
+         |SELECT f.doc_id, CAST(len(f.sh) AS INTEGER) AS n_shingles,
+         |  CAST(len(list_intersect(f.sh, p.shp)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(f.sh, p.shp)))
+         |    AS prefix_jaccard
+         |FROM f JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "text_normalize" ->
       s"""SELECT doc_id, md5($N) AS content_hash,
          |CAST(length($N) AS INTEGER) AS n_chars_norm

@@ -76,8 +76,22 @@ object SinkQueries {
         expr(s"($ReceivedNs - ts_us * 1000) DIV 1000"))
       .orderBy("event_id")
 
+  /** Time-travel read of the versioned store: the LWW state AS OF a
+    * version horizon — filter the append log to `version <= asOf`, then
+    * the same one-aggregate merge. At `asOf = 1` every v2 update
+    * disappears and the original pending state is reconstructed; the
+    * append-only posture makes every historical state recomputable. */
+  def mergeViewAsOf(spark: SparkSession, dir: String,
+                    asOf: Long): DataFrame =
+    RelationalSink.mergeView(
+      baseLog(spark, dir).unionByName(updateLog(spark, dir))
+        .filter(col("version") <= asOf),
+      keyCols = Seq("trade_id"), versionCol = "version")
+      .orderBy("trade_id")
+
   val queries: Map[String, Q] = Map(
     "merge_view" -> mergeViewQuery,
+    "merge_view_asof" -> ((s, d) => mergeViewAsOf(s, d, asOf = 1L)),
     "sink_roundtrip" -> sinkRoundTrip,
     "ingest_stamps" -> ingestStamps)
 
@@ -91,6 +105,12 @@ object SinkQueries {
 
   val oracle: Map[String, String] = Map(
     "merge_view" -> mergedSql,
+    // as-of version 1: the v2 updates vanish, originals reconstruct
+    "merge_view_asof" ->
+      """SELECT event_id AS trade_id, 'pending' AS status,
+        |value AS price, CAST(1 AS BIGINT) AS version
+        |FROM events WHERE event_id % 20 = 0
+        |ORDER BY trade_id""".stripMargin,
     "sink_roundtrip" -> mergedSql,
     "ingest_stamps" ->
       s"""SELECT event_id, epoch_us(ts) AS ts_us,

@@ -446,6 +446,74 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // --- as-of tolerance decomposition ----------------------------------------
+
+  test("property: tolerant asofJoin == untolerant asofJoin + staleness filter") {
+    import graft.operators.TemporalJoins
+    val genRows = for {
+      lefts <- Gen.listOfN(15, Gen.zip(
+        Gen.oneOf("a", "b"), Gen.chooseNum(0L, 30L)))
+      rights <- Gen.listOfN(15, Gen.zip(
+        Gen.oneOf("a", "b"), Gen.chooseNum(0L, 30L)))
+      tol <- Gen.chooseNum(0L, 10L)
+    } yield (lefts.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      rights.distinct.map { case (k, t) => (k, t, t.toDouble) }, tol)
+    check("asof-tol", Prop.forAll(genRows) { case (lefts, rights, tol) =>
+      val ldf = lefts.toDF("k", "ts", "lid")
+      val rdf = rights.toDF("k", "ts", "rv")
+      def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(r.fieldIndex("lid")) ->
+          (Option(r.get(r.fieldIndex("m_ts"))).map(_.asInstanceOf[Long]),
+            Option(r.get(r.fieldIndex("m_rv"))).map(_.asInstanceOf[Double])))
+        .toMap
+      val gated = rowsOf(TemporalJoins.asofJoin(
+        ldf, rdf, Seq("k"), "ts", "m_", toleranceUs = Some(tol)))
+      // decomposition: the gate is a pure post-filter on match age
+      val manual = rowsOf(TemporalJoins.asofJoin(ldf, rdf, Seq("k"), "ts", "m_"))
+        .map { case (lid, (mts, mrv)) =>
+          val lts = lefts.find(_._3 == lid).get._2
+          if (mts.exists(t => lts - t <= tol)) lid -> (mts, mrv)
+          else lid -> (None, None)
+        }
+      gated == manual
+    })
+  }
+
+  // --- curation pipeline composition ----------------------------------------
+
+  test("property: curationPipeline == composing its certified stages") {
+    import graft.text.{Curation, TextOps}
+    val word = Gen.oneOf("the", "of", "zz", "qq", "ww", "rr")
+    val genDocs = Gen.listOfN(10,
+      Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)))
+      .map(_.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) })
+    check("pipeline", Prop.forAll(genDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = Curation.curationPipeline(df, minQuality = 0.01)
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+        .toSeq
+      // compose the stages independently: exact-dedup keepers that pass
+      // the quality gate, packed greedily in doc_id order
+      val hashes = TextOps.normalized(df)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val keepers = hashes.groupBy(_._2).map(_._2.keys.min).toSet
+      val quality = TextOps.qualityScore(df)
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+      val nTokens = TextOps.qualityScore(df)
+        .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_tokens")).toMap
+      var acc = 0L
+      val expect = docs.map(_._1).sorted
+        .filter(id => keepers(id) && quality(id) >= 0.01)
+        .map { id =>
+          val row = (id, nTokens(id).toLong, acc / 512)
+          acc += nTokens(id)
+          row
+        }
+      got == expect
+    })
+  }
+
   // --- schema conform idempotence -------------------------------------------
 
   test("property: conform is idempotent and always lands the declared schema") {

@@ -514,6 +514,87 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // --- boilerplate / contamination ------------------------------------------
+
+  private def naiveGrams(text: String, n: Int): Set[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("property: boilerplateFraction == naive df-threshold fraction") {
+    import graft.text.Boilerplate
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val genDocs = Gen.listOfN(8,
+      Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, word)))
+      .map(_.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) })
+    check("boilerplate", Prop.forAll(genDocs) { docs =>
+      val got = Boilerplate
+        .boilerplateFraction(docs.toDF("doc_id", "text"), n = 3, minDf = 2)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val grams = docs.map { case (id, t) => id -> naiveGrams(t, 3) }.toMap
+      val df = grams.values.flatten.groupBy(identity).view.mapValues(_.size)
+      val expect = grams.collect { case (id, gs) if gs.nonEmpty =>
+        id -> (gs.size.toLong, gs.count(g => df(g) >= 2).toLong)
+      }.toMap
+      got == expect
+    })
+  }
+
+  test("property: contamOverlap == naive benchmark-intersection counts") {
+    import graft.text.Boilerplate
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val genDocs = Gen.listOfN(10,
+      Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, word)))
+      .map(_.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) })
+    check("contam", Prop.forAll(genDocs) { docs =>
+      val got = Boilerplate
+        .contamOverlap(docs.toDF("doc_id", "text"), benchmarkMaxId = 3)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val bench = docs.filter(_._1 < 3)
+        .flatMap(d => naiveGrams(d._2, 5)).toSet
+      val expect = docs.filter(_._1 >= 3).collect {
+        case (id, t) if naiveGrams(t, 5).nonEmpty =>
+          val gs = naiveGrams(t, 5)
+          id -> (gs.size.toLong, gs.count(bench).toLong)
+      }.toMap
+      got == expect
+    })
+  }
+
+  // --- OHLC -----------------------------------------------------------------
+
+  test("property: one-agg OHLC == naive per-bucket scan") {
+    import org.apache.spark.sql.functions._
+    val genTicks = Gen.listOfN(40, Gen.zip(
+      Gen.chooseNum(0L, 500L), Gen.chooseNum(2L, 96L)))
+    check("ohlc", Prop.forAll(genTicks) { ticks0 =>
+      // unique (ts, id) per tick; bucket width 100
+      val ticks = ticks0.zipWithIndex.map { case ((t, p), i) =>
+        (t, i.toLong, p) }
+      val got = ticks.toDF("ts_us", "snapshot_id", "p")
+        .withColumn("bucket", expr("ts_us DIV 100"))
+        .groupBy("bucket")
+        .agg(
+          min_by(col("p"), struct(col("ts_us"), col("snapshot_id")))
+            .as("open"),
+          max(col("p")).as("high"), min(col("p")).as("low"),
+          max_by(col("p"), struct(col("ts_us"), col("snapshot_id")))
+            .as("close"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val expect = ticks.groupBy(_._1 / 100).map { case (b, ts) =>
+        val sorted = ts.sortBy(t => (t._1, t._2))
+        b -> (sorted.head._3, ts.map(_._3).max, ts.map(_._3).min,
+          sorted.last._3)
+      }
+      got == expect
+    })
+  }
+
   // --- schema conform idempotence -------------------------------------------
 
   test("property: conform is idempotent and always lands the declared schema") {

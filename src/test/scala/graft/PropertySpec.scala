@@ -595,6 +595,38 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // --- retention cohorts ----------------------------------------------------
+
+  test("property: retentionCohorts == naive first-seen/offset fold") {
+    import org.apache.spark.sql.functions._
+    import graft.analytics.EventAnalytics
+    val genEvents = Gen.listOfN(40, Gen.zip(
+      Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 12L)))
+    check("retention", Prop.forAll(genEvents) { evs =>
+      val df = evs.map { case (u, day) =>
+        (u, new java.sql.Timestamp(day * 86400L * 1000L))
+      }.toDF("user_id", "ts")
+      val got = EventAnalytics.retentionCohorts(df, maxOffset = 7)
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val firstSeen = evs.groupBy(_._1).view.mapValues(_.map(_._2).min)
+      // naive: per (cohortDay, offset): distinct users
+      val perCell = evs
+        .map { case (u, day) => (firstSeen(u), day - firstSeen(u), u) }
+        .filter { case (_, off, _) => off >= 0 && off <= 7 }
+        .distinct
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).toSet.size)
+        .toMap
+      val bases = perCell.collect { case ((c, 0L), n) => c -> n }
+      val naive = perCell.map { case ((c, off), n) =>
+        (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(c)).toString,
+          off.toInt) -> (n.toLong, n.toDouble / bases(c))
+      }
+      got == naive
+    })
+  }
+
   // --- schema conform idempotence -------------------------------------------
 
   test("property: conform is idempotent and always lands the declared schema") {

@@ -627,6 +627,50 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // --- source log-odds ------------------------------------------------------
+
+  test("property: sourceLogOdds == naive add-one log-odds model") {
+    import graft.text.Vocab
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val genDocs = for {
+      n <- Gen.chooseNum(4, 10)
+      docs <- Gen.listOfN(n, Gen.zip(
+        Gen.oneOf("s0", "s1"),
+        Gen.chooseNum(1, 8).flatMap(m => Gen.listOfN(m, word))))
+    } yield docs.zipWithIndex.map { case ((src, ws), i) =>
+      (i.toLong, src, ws.mkString(" ")) }
+    check("logodds", Prop.forAll(genDocs) { docs =>
+      val got = Vocab.sourceLogOdds(
+        docs.toDF("doc_id", "source", "text"), k = 3)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getString(2), r.getLong(3), r.getDouble(4))).toMap
+      // naive model with the same round-half-away-from-zero at 6 digits
+      val occ = docs.flatMap { case (_, s, t) =>
+        t.split(" ", -1).map(w => (s, w)) }
+      val cws = occ.groupBy(identity).view.mapValues(_.size).toMap
+      val cw = occ.groupBy(_._2).view.mapValues(_.size).toMap
+      val ts = occ.groupBy(_._1).view.mapValues(_.size).toMap
+      val tall = occ.size
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val naive = cws.keys.toSeq.map { case (s, w) =>
+        val a = cws((s, w)) + 1
+        val b = ts(s) - cws((s, w)) + 1
+        val c = cw(w) - cws((s, w)) + 1
+        val d = tall - ts(s) - cw(w) + cws((s, w)) + 1
+        (s, w, cws((s, w)).toLong,
+          r6(math.log((a.toDouble / b.toDouble) / (c.toDouble / d.toDouble))))
+      }
+      val expect = naive.groupBy(_._1).flatMap { case (s, rows) =>
+        rows.sortBy(r => (-r._4, r._2)).take(3).zipWithIndex.map {
+          case ((_, w, n, lor), i) => (s, i + 1) -> (w, n, lor)
+        }
+      }.toMap
+      got == expect
+    })
+  }
+
   // --- schema conform idempotence -------------------------------------------
 
   test("property: conform is idempotent and always lands the declared schema") {

@@ -21,6 +21,26 @@ object AnalyticsQueries {
   private def snaps(spark: SparkSession, dir: String): DataFrame =
     Snapshots.store(spark, dir)
 
+  /** Per-source redundancy of a snapshot frame: rows whose
+    * `full_orderbook` is byte-identical to the same (source, ticker)
+    * series' previous row, as a share. See `snapshot_redundancy`. */
+  def bookRedundancy(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("ticker"))
+      .orderBy(col("ts_us"), col("snapshot_id"))
+    frames
+      .withColumn("prev_book", lag(col("full_orderbook"), 1).over(w))
+      .withColumn("changed", col("prev_book").isNull ||
+        col("full_orderbook") =!= col("prev_book"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_snapshots"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"))
+      .withColumn("redundancy_ratio",
+        lit(1.0) - col("n_changed").cast("double") /
+          col("n_snapshots").cast("double"))
+      .orderBy("source")
+  }
+
   // Polymarket condition_id of market Tk — the venue-native series key.
   private[graft] def condId(market: String): String =
     "0x" + java.security.MessageDigest.getInstance("MD5")
@@ -118,22 +138,7 @@ object AnalyticsQueries {
     // and change-only storage get tuned on). One lag window per
     // (source, ticker) series comparing the RAW book payload; the oracle
     // compares the (p, q1, q2) tuple that fully determines the book.
-    "snapshot_redundancy" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source"), col("ticker"))
-        .orderBy(col("ts_us"), col("snapshot_id"))
-      snaps(s, d)
-        .withColumn("prev_book", lag(col("full_orderbook"), 1).over(w))
-        .withColumn("changed", col("prev_book").isNull ||
-          col("full_orderbook") =!= col("prev_book"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_snapshots"),
-          sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"))
-        .withColumn("redundancy_ratio",
-          lit(1.0) - col("n_changed").cast("double") /
-            col("n_snapshots").cast("double"))
-        .orderBy("source")
-    }),
+    "snapshot_redundancy" -> ((s, d) => bookRedundancy(snaps(s, d))),
 
     // Large-move detector: snapshots where the best bid jumped >= 5 cents
     // vs the previous snapshot of the SAME market — the trigger shape of

@@ -671,6 +671,32 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // --- snapshot redundancy --------------------------------------------------
+
+  test("property: bookRedundancy == naive per-series lag scan") {
+    import graft.analytics.AnalyticsQueries
+    val genSnaps = Gen.listOfN(30, Gen.zip(
+      Gen.oneOf("kalshi", "polymarket"), Gen.oneOf("T1", "T2"),
+      Gen.chooseNum(0L, 20L), Gen.oneOf("bookA", "bookB")))
+    check("redundancy", Prop.forAll(genSnaps) { snaps0 =>
+      val snaps = snaps0.zipWithIndex.map { case ((s, t, u, b), i) =>
+        (s, t, u, i.toLong, b) }
+      val got = AnalyticsQueries.bookRedundancy(
+        snaps.toDF("source", "ticker", "ts_us", "snapshot_id",
+          "full_orderbook"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val expect = snaps.groupBy(_._1).map { case (src, rows) =>
+        val changed = rows.groupBy(_._2).values.map { series =>
+          val sorted = series.sortBy(r => (r._3, r._4)).map(_._5)
+          1 + sorted.zip(sorted.drop(1)).count { case (a, b) => a != b }
+        }.sum
+        src -> (rows.size.toLong, changed.toLong)
+      }
+      got == expect
+    })
+  }
+
   // --- schema conform idempotence -------------------------------------------
 
   test("property: conform is idempotent and always lands the declared schema") {

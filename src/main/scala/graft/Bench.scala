@@ -18,23 +18,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Tables.session(s"local[$cpus]", cpus)
 
-    // Warm-up: stage the snapshot store (one-time fixture materialization,
-    // not operator work) and run one query so JIT/codegen/class-loading
-    // cost isn't attributed to whichever query happens to run first.
-    try graft.sources.Snapshots.store(spark, sfDir).write.format("noop")
-      .mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Warm-up: stage the fixture materializations (snapshot store,
+    // bucketed tables) and run one query so JIT/codegen/class-loading
+    // and layout-build cost isn't attributed to whichever staged query
+    // happens to run first.
+    def warm(df: => org.apache.spark.sql.DataFrame): Unit =
+      try df.write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    warm(graft.sources.Snapshots.store(spark, sfDir))
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-    // bucketed_join stages its tables on first touch (layout
-    // materialization, not operator work) — same warm-up treatment as
-    // the snapshot store
-    SparkEntry.queries.get("bucketed_join").foreach { fn =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
+      warm(fn(spark, sfDir)) }
+    SparkEntry.queries.get("bucketed_join").foreach(fn =>
+      warm(fn(spark, sfDir)))
 
     // name-sorted execution: Map hash order reshuffles whenever a query
     // is added, silently re-attributing residual warm-up cost to

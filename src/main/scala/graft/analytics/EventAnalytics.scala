@@ -137,7 +137,7 @@ object EventAnalytics {
     // formulation of that semantics; PropertySpec pins the boundary.
     "session_windows" ->
       """WITH l AS (
-        |  SELECT user_id, epoch_us(ts) AS u, value,
+        |  SELECT user_id, event_id, epoch_us(ts) AS u, value,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id) AS prev
         |  FROM events),
@@ -145,11 +145,12 @@ object EventAnalytics {
         |  SELECT user_id, u, value,
         |    sum(CASE WHEN prev IS NULL OR u - prev > 1800000000
         |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
-        |      ORDER BY u ROWS UNBOUNDED PRECEDING) AS sid
+        |      ORDER BY u, event_id ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM l)
         |SELECT user_id, min(u) AS session_start_us,
         |  max(u) + 1800000000 AS session_end_us,
-        |  count(*) AS n_events, sum(value) AS total_value
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
 

@@ -183,7 +183,9 @@ object Similarity {
     val trainedRow = packed(c1)
 
     val corpusCells = assigned(c, trainedRow)
-    val q = assigned(c.filter(col("vec_id") < nQueries), trainedRow)
+    // queries are a filter of the already-assigned corpus (same
+    // centroids, deterministic argmin) — no second assignment pass
+    val q = corpusCells.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("cell").as("qcell"))
     scoreRankLimit(corpusCells.join(broadcast(q),

@@ -88,6 +88,11 @@ object TemporalJoins {
     * keyed; zero-match ranges are kept with count 0. Bucket width ==
     * range width, so every range spans at most two buckets and every
     * point matches a range through exactly one bucket.
+    *
+    * Preconditions: `startCol` must be non-null (a NULL start produces
+    * an empty bucket sequence and the range row vanishes rather than
+    * counting 0) and range rows must be unique (full-row duplicates
+    * collapse in the rollup).
     */
   def rangeJoinBucketed(points: DataFrame, ranges: DataFrame,
       keys: Seq[String], pointTs: String, startCol: String,
@@ -109,10 +114,13 @@ object TemporalJoins {
 
   // --- registered queries --------------------------------------------------
 
-  /** `asof_join`: each purchase event picks up the latest prior (or
-    * simultaneous) view by the same user — value-at-decision attribution,
-    * the reference's snapshot-at-execution pattern over the events table. */
-  private def asofQuery(events: DataFrame): DataFrame = {
+  /** `asof_join` / `asof_join_fresh`: each purchase event picks up the
+    * latest prior (or simultaneous) view by the same user —
+    * value-at-decision attribution, the reference's
+    * snapshot-at-execution pattern over the events table; the fresh
+    * variant discards matches older than the tolerance. */
+  private def asofQuery(events: DataFrame,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
         expr("ts_ns DIV 1000").as("ts_us"),
@@ -121,7 +129,8 @@ object TemporalJoins {
     val views = events.filter(col("event_type") === "view")
       .groupBy(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"))
       .agg(max_by(col("value"), col("event_id")).as("view_value"))
-    asofJoin(purchases, views, Seq("user_id"), "ts_us", "view_")
+    asofJoin(purchases, views, Seq("user_id"), "ts_us", "view_",
+      toleranceUs)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("purchase_value"), col("view_ts_us"), col("view_view_value")
           .as("view_value"))
@@ -143,28 +152,10 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
-  /** `asof_join_fresh`: the same attribution with the reference's 60 s
-    * staleness cutoff — a view older than 60 s before the purchase is no
-    * match at all. */
-  private def asofFreshQuery(events: DataFrame): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"),
-        expr("ts_ns DIV 1000").as("ts_us"),
-        col("value").as("purchase_value"))
-    val views = events.filter(col("event_type") === "view")
-      .groupBy(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"))
-      .agg(max_by(col("value"), col("event_id")).as("view_value"))
-    asofJoin(purchases, views, Seq("user_id"), "ts_us", "view_",
-      toleranceUs = Some(60000000L))
-      .select(col("event_id"), col("user_id"), col("ts_us"),
-        col("purchase_value"), col("view_ts_us"), col("view_view_value")
-          .as("view_value"))
-      .orderBy("event_id")
-  }
-
   val queries: Map[String, Q] = Map(
     "asof_join" -> ((s, d) => asofQuery(Tables.events(s, d))),
-    "asof_join_fresh" -> ((s, d) => asofFreshQuery(Tables.events(s, d))),
+    "asof_join_fresh" -> ((s, d) =>
+      asofQuery(Tables.events(s, d), toleranceUs = Some(60000000L))),
     "range_join_bucketed" -> ((s, d) => rangeQuery(Tables.events(s, d))))
 
   val oracle: Map[String, String] = Map(

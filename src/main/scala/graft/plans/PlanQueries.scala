@@ -44,21 +44,11 @@ object PlanQueries {
   /** lineitem ⋈ orders through the bucketed layout: both sides staged
     * once per fixture as 8-bucket tables on the order key, joined
     * shuffle-free, rolled up per status. */
-  /** Stage a bucketed table if this session doesn't have it. The default
-    * session catalog is in-memory (no Hive), so a table from a PREVIOUS
-    * JVM is gone from the catalog while its warehouse directory
-    * survives — sweep the orphaned location before re-creating, or
-    * saveAsTable fails with LOCATION_ALREADY_EXISTS. */
+  /** Stage a bucketed table once per session; `writeBucketed` itself
+    * sweeps an orphaned warehouse location from a previous JVM. */
   private def ensureBucketed(spark: SparkSession, table: String)
                             (write: => Unit): Unit =
-    if (!spark.catalog.tableExists(table)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-        .replaceFirst("^file:", "")
-      val loc = new java.io.File(wh, table.toLowerCase)
-      if (loc.exists())
-        org.apache.commons.io.FileUtils.deleteDirectory(loc)
-      write
-    }
+    if (!spark.catalog.tableExists(table)) write
 
   def bucketedRollup(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")

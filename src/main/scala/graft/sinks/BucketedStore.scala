@@ -17,14 +17,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedStore {
 
-  /** Write `df` as a managed parquet table bucketed+sorted by `key`. */
+  /** Write `df` as a managed parquet table bucketed+sorted by `key`.
+    *
+    * The default session catalog is in-memory (no Hive): a table created
+    * by a PREVIOUS JVM is gone from the catalog while its warehouse
+    * directory survives, and `saveAsTable` then fails with
+    * LOCATION_ALREADY_EXISTS. Sweep the orphaned location first so
+    * every caller inherits cross-JVM restageability. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .replaceFirst("^file:", "")
+      val loc = new java.io.File(wh, table.toLowerCase)
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — shuffle-free. */
   def cozyJoin(spark: SparkSession, left: String, right: String,

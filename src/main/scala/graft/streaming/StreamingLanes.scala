@@ -71,7 +71,12 @@ object StreamingLanes {
                      lateness: String = "60 seconds"): DataFrame =
     df.withWatermark("ts", lateness)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      // exact DECIMAL sum, one final double cast: a raw double sum is
+      // accumulation-order-dependent and cannot hash-match an
+      // independent engine (the repo-wide determinism discipline)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
       .select(col("user_id"),
         unix_micros(col("w.start")).as("session_start_us"),
         unix_micros(col("w.end")).as("session_end_us"),

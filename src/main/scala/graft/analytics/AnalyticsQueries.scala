@@ -21,6 +21,14 @@ object AnalyticsQueries {
   private def snaps(spark: SparkSession, dir: String): DataFrame =
     Snapshots.store(spark, dir)
 
+  /** Kalshi best-bid tick series — the shared derivation of the market
+    * stats family (OHLC, jumps, volatility, venue correlation): filter
+    * the venue, parse the book, extract the best yes bid in cents. */
+  private def kalshiTicks(spark: SparkSession, dir: String): DataFrame =
+    snaps(spark, dir).filter(col("source") === "kalshi")
+      .withColumn("book", Books.parseKalshi(col("full_orderbook")))
+      .withColumn("p", Books.kalshiBestBidCents(col("book.yes")))
+
   /** Per-source redundancy of a snapshot frame: rows whose
     * `full_orderbook` is byte-identical to the same (source, ticker)
     * series' previous row, as a share. See `snapshot_redundancy`. */
@@ -114,10 +122,7 @@ object AnalyticsQueries {
     // with map-side partial min_by/max_by/min/max — never a window sort
     // over the series; the same latest-per-key discipline as W1.
     "ohlc_1h" -> ((s, d) => {
-      val k = snaps(s, d)
-        .filter(col("source") === "kalshi" && col("ticker") === "T3")
-        .withColumn("book", Books.parseKalshi(col("full_orderbook")))
-        .withColumn("p", Books.kalshiBestBidCents(col("book.yes")))
+      val k = kalshiTicks(s, d).filter(col("ticker") === "T3")
         .withColumn("bucket_us",
           expr("ts_us DIV 3600000000 * 3600000000"))
       k.groupBy(col("bucket_us"))
@@ -148,9 +153,7 @@ object AnalyticsQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("market"))
         .orderBy(col("ts_us"), col("snapshot_id"))
-      snaps(s, d).filter(col("source") === "kalshi")
-        .withColumn("book", Books.parseKalshi(col("full_orderbook")))
-        .withColumn("p", Books.kalshiBestBidCents(col("book.yes")))
+      kalshiTicks(s, d)
         .withColumn("prev_p", lag(col("p"), 1).over(w))
         .withColumn("delta", col("p") - col("prev_p"))
         .filter(abs(col("delta")) >= 5)
@@ -164,9 +167,7 @@ object AnalyticsQueries {
     // from the sums and rounded to 6 (the price_qty_corr discipline),
     // NULL for single-tick buckets.
     "volatility_1h" -> ((s, d) => {
-      val k = snaps(s, d).filter(col("source") === "kalshi")
-        .withColumn("book", Books.parseKalshi(col("full_orderbook")))
-        .withColumn("p", Books.kalshiBestBidCents(col("book.yes")))
+      val k = kalshiTicks(s, d)
         .withColumn("bucket_us",
           expr("ts_us DIV 3600000000 * 3600000000"))
       k.groupBy(col("market"), col("bucket_us"))
@@ -209,15 +210,14 @@ object AnalyticsQueries {
     // the price_qty_corr determinism discipline. The kalshi leg reads the
     // book's best yes bid; the poly leg recovers cents from yes_price.
     "venue_correlation" -> ((s, d) => {
-      val base = snaps(s, d)
+      val k = kalshiTicks(s, d)
         .withColumn("bucket", expr("ts_us DIV 60000000"))
-      val k = base.filter(col("source") === "kalshi")
-        .withColumn("book", Books.parseKalshi(col("full_orderbook")))
-        .withColumn("cents", Books.kalshiBestBidCents(col("book.yes")))
         .groupBy(col("market"), col("bucket"))
-        .agg(max_by(col("cents"), struct(col("ts_us"), col("snapshot_id")))
+        .agg(max_by(col("p"), struct(col("ts_us"), col("snapshot_id")))
           .as("kp"))
-      val pl = base.filter(col("source") === "polymarket")
+      val pl = snaps(s, d)
+        .withColumn("bucket", expr("ts_us DIV 60000000"))
+        .filter(col("source") === "polymarket")
         .withColumn("cents",
           round(Books.parsePoly(col("full_orderbook"))
             .getField("yes_price") * 100.0, 0).cast("long"))

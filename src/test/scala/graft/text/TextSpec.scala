@@ -131,6 +131,76 @@ class TextSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan)
   }
 
+  test("staged incremental dedup reads signed state and matches in-session") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "pack my box with five dozen liquor jugs today ok"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again"),
+      (11L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text")
+    val fp = java.io.File.createTempFile("sigstore_fp", ".txt")
+    fp.deleteOnExit()
+    val path = SignatureStore.stagedCorpus(
+      "spec_" + java.util.UUID.randomUUID, fp, existing)
+
+    // the store side is a parquet scan of signed state — the corpus is
+    // never re-shingled or re-hashed in the staged plan
+    val store = SignatureStore.read(spark, path)
+    val storePlan = store.queryExecution.executedPlan.toString
+    assert(storePlan.contains("parquet"), storePlan)
+    assert(!storePlan.contains("minhash_bands") &&
+      !storePlan.contains("word_shingles"),
+      s"staged corpus side re-derives signatures:\n$storePlan")
+
+    val staged = NearDup.incrementalDedupFromSigs(store, incoming)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val inSession = NearDup.incrementalDedup(existing, incoming)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(staged.sorted === inSession.sorted)
+  }
+
+  test("appending survivors makes a replayed batch all-duplicate") {
+    val existing = Seq(
+      (1L, "pack my box with five dozen liquor jugs today ok"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again"),
+      (11L, "tiny")) // <3 tokens: never signed, stays is_new forever
+      .toDF("doc_id", "text")
+    val fp = java.io.File.createTempFile("sigstore_fp", ".txt")
+    fp.deleteOnExit()
+    val path = SignatureStore.stagedCorpus(
+      "spec_" + java.util.UUID.randomUUID, fp, existing)
+
+    val round1 = NearDup.incrementalDedupFromSigs(
+      SignatureStore.read(spark, path), batch)
+    assert(round1.collect().forall(_.getAs[Boolean]("is_new")))
+    SignatureStore.appendSurvivors(path, batch, round1)
+
+    // the store now carries doc 10's signatures: replaying the same batch
+    // flags it as a duplicate of the (grown) corpus
+    val round2 = NearDup.incrementalDedupFromSigs(
+      SignatureStore.read(spark, path), batch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_new")).toMap
+    assert(round2(10L) === false, "appended survivor not found on replay")
+    assert(round2(11L) === true, "unshingled doc can never collide")
+  }
+
+  test("registered dedup_incremental_staged query scans the parquet store") {
+    val dir = "/root/testdata/sf0.001"
+    val q = NearDup.queries("dedup_incremental_staged")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sig_store"),
+      s"corpus side does not read the staged signature store:\n$plan")
+    // and it agrees with the in-session variant on the fixture
+    val staged = q.collect().map(_.toSeq)
+    val inSession = NearDup.queries("dedup_incremental")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(staged === inSession)
+  }
+
   test("keep-best representative is the highest-quality cluster member") {
     // doc 2 repeats a stopword-free doc 1 but pads to a longer token
     // count -> higher quality score; the min-id keeper (1) and the

@@ -65,6 +65,33 @@ object WindowStats {
         col("s.snapshot_id").as("last_snapshot_id"))
       .orderBy("ticker", "source")
 
+  /** Per-source sketch estimates WITH their exact twins — HLL++ distinct
+    * counts and approx percentiles next to exact count_distinct and
+    * rank-window percentiles. The registered `approx_corpus_stats` query
+    * projects engine-independent agreement booleans from this frame; the
+    * raw estimates stay available for telemetry and for the error-bound
+    * assertions in WindowStatsSpec. The exact twins exist for
+    * certification — at 100 TB production reads the sketch columns
+    * (fixed-size mergeable buffers), not the exact ones. */
+  def approxCorpusSketches(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .withColumn("h",
+        md5(graft.text.TextOps.norm(col("text")).cast("binary")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        count_distinct(col("h")).as("exact_distinct_docs"),
+        approx_count_distinct(col("h")).as("approx_distinct_docs"),
+        approx_count_distinct(col("lang")).as("approx_distinct_langs"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000))
+          .as("p50_chars"),
+        percentile_approx(col("n_chars"), lit(0.95), lit(10000))
+          .as("p95_chars"),
+        expr("percentile(n_chars, 0.45)").as("p45_exact"),
+        expr("percentile(n_chars, 0.55)").as("p55_exact"),
+        expr("percentile(n_chars, 0.90)").as("p90_exact"),
+        expr("percentile(n_chars, 1.0)").as("p100_exact"))
+
   val queries: Map[String, Q] = Map(
     // Exact latency percentiles per source (the reference reports avg
     // latencies; p50/p95/p99 are the production-grade summary). Spark's
@@ -261,26 +288,30 @@ object WindowStats {
             .as("avg_tokens_per_doc"))
         .orderBy("source")),
 
-    // Sketch-based corpus telemetry — the form the exact rollup takes at
-    // 100 TB: HyperLogLog++ distinct counts and a mergeable quantile
-    // sketch, both fixed-size aggregation buffers with map-side partial
-    // merge (an exact distinct or exact percentile would shuffle every
-    // value). Sketch estimates are engine-specific, so this query has no
-    // DuckDB oracle row (driver rows-only check); the error bound vs the
-    // exact aggregate is asserted in WindowStatsSpec instead.
+    // Sketch-based corpus telemetry, emitted in its CERTIFIABLE form:
+    // the engine computes both the sketches (HyperLogLog++ distincts, a
+    // mergeable quantile sketch — the fixed-size map-side-partial
+    // buffers the rollup uses at 100 TB) and their exact twins, and
+    // emits sketch-vs-exact agreement as booleans the DuckDB oracle can
+    // recompute and hash (raw sketch estimates are engine-specific and
+    // would never hash-match; the agreement bound is engine-independent).
+    // Raw estimates: [[approxCorpusSketches]] (bounds also asserted in
+    // WindowStatsSpec).
     "approx_corpus_stats" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .withColumn("h",
-          md5(graft.text.TextOps.norm(col("text")).cast("binary")))
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("docs"),
-          approx_count_distinct(col("h")).as("approx_distinct_docs"),
-          approx_count_distinct(col("lang")).as("approx_distinct_langs"),
-          percentile_approx(col("n_chars"), lit(0.5), lit(10000))
-            .as("p50_chars"),
-          percentile_approx(col("n_chars"), lit(0.95), lit(10000))
-            .as("p95_chars"))
+      approxCorpusSketches(s, d)
+        .select(col("source"), col("docs"), col("exact_distinct_docs"),
+          // HLL++ at default rsd 5%: |est − exact| ≤ 3·rsd·exact (and
+          // small groups resolve in exact sparse mode, so ±1 floors it)
+          (abs(col("approx_distinct_docs") - col("exact_distinct_docs"))
+            <= greatest(lit(1L), col("exact_distinct_docs") * 0.15))
+            .as("hll_within_5pct"),
+          // percentile_approx at accuracy 10000 returns an element whose
+          // rank is within 1/10000 of the target — bounded by the exact
+          // rank-window [p−0.05, p+0.05] percentiles
+          col("p50_chars").between(col("p45_exact"), col("p55_exact"))
+            .as("p50_within_bounds"),
+          col("p95_chars").between(col("p90_exact"), col("p100_exact"))
+            .as("p95_within_bounds"))
         .orderBy("source")),
 
     // F10: UTC → America/Chicago conversion (ref `etl/query.py:107,178`),
@@ -297,6 +328,18 @@ object WindowStats {
   private val NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    // the oracle recomputes the EXACT columns and expects every
+    // sketch-agreement boolean to hold — the sketches themselves are
+    // engine-specific and never hashed
+    "approx_corpus_stats" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS docs,
+         |  CAST(count(DISTINCT md5($NORM)) AS BIGINT)
+         |    AS exact_distinct_docs,
+         |  true AS hll_within_5pct,
+         |  true AS p50_within_bounds,
+         |  true AS p95_within_bounds
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "latency_quantiles" ->
       s"""SELECT ${S.source} AS source,
          |quantile_cont(((event_id % 500) + 20) * 1000, 0.5) AS p50,

@@ -33,7 +33,7 @@ class WindowStatsSpec extends SparkSpec {
   test("approx corpus sketches land within error bounds of the exact values") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
-    val out = WindowStats.queries("approx_corpus_stats")(spark, sf).collect()
+    val out = WindowStats.approxCorpusSketches(spark, sf).collect()
     val docs = graft.sources.Tables(spark, sf, "documents")
       .withColumn("h", md5(graft.text.TextOps.norm(col("text"))
         .cast("binary")))
@@ -53,6 +53,15 @@ class WindowStatsSpec extends SparkSpec {
       // percentile_approx at accuracy 10000 over a few hundred rows is
       // rank-exact up to interpolation: within 10% of the exact median
       assert(math.abs(r.getAs[Long]("p50_chars") - p50) <= 0.1 * p50 + 1)
+    }
+    // the registered query certifies the same agreement as booleans the
+    // DuckDB oracle recomputes — every one must hold
+    val cert = WindowStats.queries("approx_corpus_stats")(spark, sf).collect()
+    assert(cert.nonEmpty)
+    cert.foreach { r =>
+      assert(r.getAs[Boolean]("hll_within_5pct"), r.toString)
+      assert(r.getAs[Boolean]("p50_within_bounds"), r.toString)
+      assert(r.getAs[Boolean]("p95_within_bounds"), r.toString)
     }
   }
 }

@@ -257,7 +257,40 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF recall telemetry: recall@k of the bucketed variants against the
+    * exact brute-force truth, per query and per `nprobe` (1 = own cell
+    * only, `bits`+1 = multi-probe). This is THE tuning number an
+    * operator reads at 100 TB — how much recall each probed cell buys
+    * against the fraction of corpus scanned — quantifying what
+    * SimilaritySpec only asserts qualitatively. All three inputs are
+    * deterministic, so the oracle replays the whole computation exactly.
+    *
+    * Scale shape: the per-variant membership check is a left-semi join
+    * of two k·|queries|-row frames (tiny — both sides are top-k
+    * results), then one small aggregate; the corpus passes are the ones
+    * the underlying ANN queries already make. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val truth = annTopK(spark, dir, k = k)
+      .select(col("query_id"), col("vec_id"))
+    val qids = truth.select(col("query_id")).distinct()
+    Seq(1 -> annIvf(spark, dir, k = k), 4 -> annIvfProbe(spark, dir, k = k))
+      .map { case (np, approx) =>
+        val hits = truth
+          .join(approx.select(col("query_id"), col("vec_id")),
+            Seq("query_id", "vec_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+        qids.join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), lit(np).as("nprobe"),
+            coalesce(col("h"), lit(0L)).cast("int").as("hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / k)
+              .as("recall_at_k"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("nprobe", "query_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ann_recall" -> ((s, d) => annRecall(s, d)),
     "ann_topk" -> ((s, d) => annTopK(s, d)),
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
     "ann_ivf_probe" -> ((s, d) => annIvfProbe(s, d)),
@@ -284,9 +317,11 @@ object Similarity {
     s"""(CAST($a.v[1] > 0 AS INTEGER) * 4 + CAST($a.v[2] > 0 AS INTEGER) * 2
        |  + CAST($a.v[3] > 0 AS INTEGER))""".stripMargin
 
-  private def topkSql(joinExtra: String): String =
-    s"""WITH $qCte
-       |SELECT q.vec_id AS query_id, a.vec_id,
+  /** The scored top-10 SELECT (no WITH, no final ORDER BY) so the same
+    * text serves both the standalone oracles and the recall oracle's
+    * CTE composition. */
+  private def topkCore(joinExtra: String): String =
+    s"""SELECT q.vec_id AS query_id, a.vec_id,
        |  CAST(row_number() OVER (PARTITION BY q.vec_id
        |    ORDER BY CAST(list_sum(list_transform(generate_series(1, len(a.v)),
        |        i -> a.v[i] * q.v[i])) AS DOUBLE)
@@ -297,10 +332,42 @@ object Similarity {
        |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cosine
        |FROM m a JOIN m q ON q.vec_id < 5 AND a.vec_id <> q.vec_id
        |$joinExtra
-       |QUALIFY rank <= 10
+       |QUALIFY rank <= 10""".stripMargin
+
+  private def topkSql(joinExtra: String): String =
+    s"""WITH $qCte
+       |${topkCore(joinExtra)}
        |ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // recall@10 of each IVF variant vs the brute-force truth, replayed
+    // exactly: truth/ivf/probe are the same deterministic top-k CTEs
+    "ann_recall" ->
+      s"""WITH $qCte,
+         |truth AS (${topkCore("")}),
+         |ivf AS (${topkCore(s"AND ${bucketSql("a")} = ${bucketSql("q")}")}),
+         |probe AS (${topkCore(
+        s"""JOIN (VALUES (0), (1), (2), (4)) p(o)
+           |  ON ${bucketSql("a")} = xor(${bucketSql("q")}, p.o)""".stripMargin)}),
+         |qids AS (SELECT DISTINCT query_id FROM truth),
+         |h1 AS (
+         |  SELECT t.query_id, count(*) AS h FROM truth t
+         |  JOIN ivf i ON i.query_id = t.query_id AND i.vec_id = t.vec_id
+         |  GROUP BY t.query_id),
+         |h4 AS (
+         |  SELECT t.query_id, count(*) AS h FROM truth t
+         |  JOIN probe p ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+         |  GROUP BY t.query_id)
+         |SELECT query_id, nprobe, CAST(coalesce(h, 0) AS INTEGER) AS hits,
+         |  CAST(coalesce(h, 0) AS DOUBLE) / 10 AS recall_at_k
+         |FROM (
+         |  SELECT q.query_id, 1 AS nprobe, h1.h
+         |  FROM qids q LEFT JOIN h1 ON h1.query_id = q.query_id
+         |  UNION ALL
+         |  SELECT q.query_id, 4 AS nprobe, h4.h
+         |  FROM qids q LEFT JOIN h4 ON h4.query_id = q.query_id)
+         |ORDER BY nprobe, query_id""".stripMargin,
+
     "ann_topk" -> topkSql(""),
     "ann_ivf" -> topkSql(s"AND ${bucketSql("a")} = ${bucketSql("q")}"),
     // probe list = own cell (xor 0) + each sign bit flipped (xor 1/2/4);

@@ -70,6 +70,24 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.nonEmpty)
   }
 
+  test("ann_recall quantifies the recall/nprobe knob per query") {
+    val out = Similarity.annRecall(spark, "/root/testdata/sf0.001").collect()
+    val byProbe = out.groupBy(_.getAs[Int]("nprobe"))
+    assert(byProbe.keySet === Set(1, 4))
+    // one row per (query, nprobe); recall in [0,1] and consistent with hits
+    out.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec === r.getAs[Int]("hits") / 10.0)
+    }
+    // more probed cells can only add candidates: mean recall must not drop
+    def mean(np: Int) = {
+      val rs = byProbe(np).map(_.getAs[Double]("recall_at_k"))
+      rs.sum / rs.length
+    }
+    assert(mean(4) >= mean(1))
+  }
+
   test("top-k plan pre-reduces per partition before the per-query exchange") {
     // Scale posture: the per-query rank window runs on #queries partitions,
     // so the plan MUST bound what reaches it. Catalyst's InferWindowGroupLimit

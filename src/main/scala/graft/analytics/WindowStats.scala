@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -221,23 +221,51 @@ object WindowStats {
     // escaping, integer `i` suffix, ns timestamp.
     // (kalshi rows only: the book JSON is all-integer, so the oracle can
     // rebuild the byte-exact line; float rendering would be engine-specific)
-    "line_protocol" -> ((s, d) =>
-      Snapshots.store(s, d)
+    // F8: InfluxDB line-protocol rendering covering all four field types
+    // of the reference's renderer (ref `database/models/influx.py:105-146`
+    // + the flag-update path `database/influx/client.py:424-455`): tag
+    // values escape `,`/`=`/space, string fields escape `"` and newline
+    // (exactly the reference's two replacements — backslashes pass
+    // through, as there), ints carry the `i` suffix, floats render bare,
+    // bools lowercase. Kalshi rows exercise the int+string branches;
+    // polymarket rows add the float branch (yes/no price) and a bool
+    // flag. The float TEXT is extracted verbatim from the stored JSON
+    // (`get_json_object` returns the number's source text, written by
+    // the same double-to-shortest-digits rendering) — render equals
+    // storage byte-for-byte.
+    "line_protocol" -> ((s, d) => {
+      def tagEsc(c: Column) =
+        regexp_replace(regexp_replace(regexp_replace(c,
+          ",", "\\\\,"), "=", "\\\\="), " ", "\\\\ ")
+      def strEsc(c: Column) =
+        regexp_replace(regexp_replace(c, "\"", "\\\\\""), "\n", "\\\\n")
+      val store = Snapshots.store(s, d)
+      val head = Seq[Column](
+        lit("market_snapshot,source="), tagEsc(col("source")),
+        lit(",ticker="), tagEsc(col("ticker")),
+        lit(" full_orderbook=\""), strEsc(col("full_orderbook")))
+      val timing = Seq[Column](
+        lit(",api_call_start_ns="), col("api_call_start_ns"), lit("i"),
+        lit(",virginia_received_ns="), col("virginia_received_ns"), lit("i"),
+        lit(" "), col("ts_ns"))
+      val kalshi = store
         .filter(col("snapshot_id") % 100 === 0 && col("source") === "kalshi")
-        .select(col("snapshot_id"), concat(
-          lit("market_snapshot,source="),
-          regexp_replace(regexp_replace(regexp_replace(col("source"),
-            ",", "\\\\,"), "=", "\\\\="), " ", "\\\\ "),
-          lit(",ticker="),
-          regexp_replace(regexp_replace(regexp_replace(col("ticker"),
-            ",", "\\\\,"), "=", "\\\\="), " ", "\\\\ "),
-          lit(" full_orderbook=\""),
-          regexp_replace(regexp_replace(col("full_orderbook"),
-            "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
-          lit("\",api_call_start_ns="), col("api_call_start_ns"), lit("i"),
-          lit(",virginia_received_ns="), col("virginia_received_ns"), lit("i"),
-          lit(" "), col("ts_ns")).as("line"))
-        .orderBy("snapshot_id")),
+        .select(col("snapshot_id"),
+          concat(head ++ (lit("\"") +: timing): _*).as("line"))
+      val poly = store
+        .filter(col("snapshot_id") % 100 === 1 &&
+          col("source") === "polymarket")
+        .select(col("snapshot_id"),
+          concat(head ++ Seq[Column](
+            lit("\",yes_price="),
+            get_json_object(col("full_orderbook"), "$.yes_price"),
+            lit(",no_price="),
+            get_json_object(col("full_orderbook"), "$.no_price"),
+            lit(",executed="),
+            when(col("ts_us") % 2 === 0, lit("true")).otherwise(lit("false"))
+          ) ++ timing: _*).as("line"))
+      kalshi.unionByName(poly).orderBy("snapshot_id")
+    }),
 
     // F7: JSON decode of a real JSON column via from_json (the engine-side
     // operator; the oracle parses with a regex — semantics, not plumbing,
@@ -429,7 +457,22 @@ object WindowStats {
          |WHERE is_active
          |ORDER BY kalshi_ticker, token_id""".stripMargin,
 
-    "line_protocol" ->
+    "line_protocol" -> {
+      // the timing-int suffix shared by both row sets. Single-line on
+      // purpose: this fragment is interpolated into a stripMargin
+      // template, which would strip the leading `|` of a line-initial
+      // `||` concatenation
+      val timingSql =
+        "',api_call_start_ns=' || " +
+          "CAST(epoch_us(ts) * 1000 - ((event_id % 500) + 20) * 1000000 AS VARCHAR) || " +
+          "'i,virginia_received_ns=' || " +
+          "CAST(epoch_us(ts) * 1000 + ((user_id % 50) + 1) * 1000000 AS VARCHAR) || " +
+          "'i ' || CAST(epoch_us(ts) * 1000 AS VARCHAR)"
+      // shortest-roundtrip double text, matching the engine's stored JSON
+      def d(expr: String) = s"CAST(CAST($expr AS DOUBLE) AS VARCHAR)"
+      def cents(expr: String) = d(s"CAST($expr AS DOUBLE) / 100")
+      val yes = cents(S.p)
+      val no = d(s"CAST(1 AS DOUBLE) - CAST(${S.p} AS DOUBLE) / 100")
       s"""SELECT event_id AS snapshot_id,
          |'market_snapshot,source=kalshi,ticker=' || ${S.market}
          ||| ' full_orderbook="'
@@ -437,13 +480,29 @@ object WindowStats {
          ||| '],[' || CAST(${S.p} - 1 AS VARCHAR) || ',' || CAST(${S.q2} AS VARCHAR)
          ||| ']],\\"no\\":[[' || CAST(99 - ${S.p} AS VARCHAR) || ',17],['
          ||| CAST(98 - ${S.p} AS VARCHAR) || ',' || CAST(${S.q1} AS VARCHAR) || ']]}'
-         ||| '",api_call_start_ns='
-         ||| CAST(epoch_us(ts) * 1000 - ((event_id % 500) + 20) * 1000000 AS VARCHAR)
-         ||| 'i,virginia_received_ns='
-         ||| CAST(epoch_us(ts) * 1000 + ((user_id % 50) + 1) * 1000000 AS VARCHAR)
-         ||| 'i ' || CAST(epoch_us(ts) * 1000 AS VARCHAR) AS line
+         ||| '"' || $timingSql AS line
          |FROM events WHERE event_id % 100 = 0 AND ${S.isKalshi}
-         |ORDER BY snapshot_id""".stripMargin,
+         |UNION ALL
+         |SELECT event_id AS snapshot_id,
+         |'market_snapshot,source=polymarket,ticker=' || ${S.conditionId}
+         ||| ' full_orderbook="'
+         ||| '{\\"condition_id\\":\\"' || ${S.conditionId}
+         ||| '\\",\\"yes_price\\":' || $yes
+         ||| ',\\"no_price\\":' || $no
+         ||| ',\\"orderbook\\":{\\"bids\\":[{\\"price\\":' || ${cents(s"${S.p} - 1")}
+         ||| ',\\"size\\":' || ${d(S.q1)}
+         ||| '},{\\"price\\":' || ${cents(s"${S.p} - 2")}
+         ||| ',\\"size\\":' || ${d(S.q2)}
+         ||| '}],\\"asks\\":[{\\"price\\":' || ${cents(s"${S.p} + 1")}
+         ||| ',\\"size\\":17.0},{\\"price\\":' || ${cents(s"${S.p} + 2")}
+         ||| ',\\"size\\":' || ${d(S.q1)} || '}]}}'
+         ||| '",yes_price=' || $yes || ',no_price=' || $no
+         ||| ',executed=' || CASE WHEN epoch_us(ts) % 2 = 0
+         |                        THEN 'true' ELSE 'false' END
+         ||| $timingSql AS line
+         |FROM events WHERE event_id % 100 = 1 AND NOT ${S.isKalshi}
+         |ORDER BY snapshot_id""".stripMargin
+    },
 
     "json_props" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,

@@ -71,22 +71,38 @@ object Multimodal {
     assetStore(spark, dir).as[MediaAsset]
   }
 
-  /** Batch "decode": per-partition iterator, one pass over each payload.
-    * A real implementation would hand `a.payload` to a codec here; the
-    * byte statistics below are its deterministic stand-in. This is the
-    * ONE query that reads the payload column — by design. */
-  def decodeFeatures(ds: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+  /** The deterministic stand-in decoder: byte statistics in place of a
+    * codec this container doesn't ship. Registered queries and the
+    * DuckDB oracle stay pinned to this default. */
+  val byteStatsDecoder: MediaAsset => MediaFeatures = { a =>
+    var sum = 0L
+    var i = 0
+    while (i < a.payload.length) { sum += a.payload(i) & 0xff; i += 1 }
+    MediaFeatures(a.doc_id, a.media_type, a.payload.length, sum,
+      if (a.payload.length == 0) 0L else sum * 1000L / a.payload.length)
+  }
+
+  /** Batch decode through a PLUGGABLE decoder: `init` runs once per
+    * partition (where a real codec constructs itself, loads a model,
+    * pins native buffers — amortized across the batch, the reason this
+    * is `mapPartitions` and not a per-row UDF), and the function it
+    * returns once per asset. The closure ships to executors, so `init`
+    * must be serializable; anything expensive it builds stays
+    * executor-local and is never collected. This is the ONE path that
+    * reads the payload column — by design. */
+  def decodeFeaturesWith(ds: Dataset[MediaAsset])
+                        (init: () => MediaAsset => MediaFeatures)
+      : Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      it.map { a =>
-        var sum = 0L
-        var i = 0
-        while (i < a.payload.length) { sum += a.payload(i) & 0xff; i += 1 }
-        MediaFeatures(a.doc_id, a.media_type, a.payload.length, sum,
-          if (a.payload.length == 0) 0L else sum * 1000L / a.payload.length)
-      }
+      val decode = init()
+      it.map(decode)
     }
   }
+
+  /** Batch "decode" with the default stand-in decoder. */
+  def decodeFeatures(ds: Dataset[MediaAsset]): Dataset[MediaFeatures] =
+    decodeFeaturesWith(ds)(() => byteStatsDecoder)
 
   /** Frame sampling: fan each asset out into its n_frames equal-width
     * byte windows (the video-keyframe access pattern). Pure column

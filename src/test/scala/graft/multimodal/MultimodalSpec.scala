@@ -27,6 +27,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("a custom decoder drives the same partition-amortized path") {
+    val assets = Multimodal.assets(spark, dir)
+    // counts CODEC CONSTRUCTIONS (init calls), not decoded rows — the
+    // amortization contract is init-once-per-partition
+    val inits = spark.sparkContext.longAccumulator("decoder_inits")
+    val feats = Multimodal.decodeFeaturesWith(assets) { () =>
+      inits.add(1)
+      a => Multimodal.MediaFeatures(a.doc_id, a.media_type,
+        a.payload.length, a.payload.length * 2L, -1L)
+    }.collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.checksum === f.byte_len * 2L, "custom decode not applied")
+      assert(f.mean_byte_x1000 === -1L)
+    }
+    val nParts = assets.rdd.getNumPartitions
+    assert(inits.value === nParts,
+      s"decoder built ${inits.value} times for $nParts partitions — " +
+        "init must amortize once per partition, not per row")
+    assert(feats.length > nParts)
+  }
+
   test("frame sampling covers each asset with its n_frames windows") {
     val assets = Multimodal.assets(spark, dir).collect()
     val frames = Multimodal.frameSample(Multimodal.assetStore(spark, dir))

@@ -140,7 +140,15 @@ object Similarity {
   def annIvfTrained(spark: SparkSession, dir: String, kCells: Int = 8,
                     nQueries: Int = 5, k: Int = 10,
                     dim: Int = 64): DataFrame = {
+    // `updated` builds centroid sums via element_at(v, 1..dim): a vector
+    // shorter than `dim` would yield NULL centroid elements that
+    // nearest_cell then reads as undefined values — fail loudly instead
+    // (same guard pattern as embeddingOutliers)
     val c = corpus(spark, dir)
+      .withColumn("v",
+        when(assert_true(size(col("v")) === dim,
+          lit(s"annIvfTrained: expected $dim-dim vector")).isNull,
+          col("v")))
 
     // one-row frame carrying the whole centroid set (cell ids ascending,
     // matrix flattened row-major), broadcast to make assignment a narrow

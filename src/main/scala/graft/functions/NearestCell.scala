@@ -23,9 +23,14 @@ import org.apache.spark.sql.types._
   * whole-stage codegen. This expression is one flat loop in generated
   * code, the same reasoning as `simhash16`/`long_dot`.
   *
-  * Precondition (engine-internal kernel): arrays carry no null elements;
-  * a null in any ARGUMENT yields null (standard null-intolerant
-  * semantics). Registered as SQL function `nearest_cell`.
+  * Preconditions (engine-internal kernel): arrays carry no null
+  * elements; a null in any ARGUMENT yields null (standard
+  * null-intolerant semantics). Shape consistency — non-empty `cells`,
+  * `flat` of exactly k×dim, `c2s` of exactly k — is ENFORCED with a
+  * loud IllegalArgumentException in both eval paths: with
+  * UnsafeArrayData an out-of-bounds read returns garbage silently, and
+  * an empty cell set would surface the -1 sentinel as a cell id.
+  * Registered as SQL function `nearest_cell`.
   */
 case class NearestCell(first: Expression, second: Expression,
                        third: Expression, fourth: Expression)
@@ -56,6 +61,13 @@ case class NearestCell(first: Expression, second: Expression,
     val c2s = d.asInstanceOf[ArrayData]
     val dim = v.numElements()
     val k = cells.numElements()
+    // documented preconditions enforced: with UnsafeArrayData an
+    // out-of-bounds getLong reads garbage silently, and an empty cell
+    // set would return the -1 sentinel as if it were a real cell id
+    if (k == 0 || flat.numElements() != k * dim || c2s.numElements() != k)
+      throw new IllegalArgumentException(
+        s"nearest_cell: inconsistent centroid arrays (k=$k, dim=$dim, " +
+          s"flat=${flat.numElements()}, c2s=${c2s.numElements()})")
     var best = Long.MaxValue
     var bestCell = -1
     var ci = 0
@@ -88,6 +100,13 @@ case class NearestCell(first: Expression, second: Expression,
       s"""
          |int $dim = $v.numElements();
          |int $k = $cells.numElements();
+         |if ($k == 0 || $flat.numElements() != $k * $dim
+         |    || $c2s.numElements() != $k) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_cell: inconsistent centroid arrays (k=" + $k +
+         |    ", dim=" + $dim + ", flat=" + $flat.numElements() +
+         |    ", c2s=" + $c2s.numElements() + ")");
+         |}
          |long $best = Long.MAX_VALUE;
          |int $bestCell = -1;
          |for (int $ci = 0; $ci < $k; $ci++) {

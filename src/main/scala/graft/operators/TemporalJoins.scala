@@ -42,10 +42,25 @@ object TemporalJoins {
     *
     * `right` must be unique per (keys, tsCol) — pre-aggregate it
     * otherwise, or ties resolve nondeterministically.
+    *
+    * NULL preconditions (matching DuckDB ASOF would require filtering,
+    * which this operator deliberately leaves to the caller): `keys` and
+    * `tsCol` should be non-null on both sides. NULL keys co-group under
+    * SQL grouping semantics — null-key left rows CAN match null-key
+    * right rows, where DuckDB ASOF's equality predicate would reject
+    * them; a NULL left ts sorts first in its partition and never
+    * matches. Filter nulls out beforehand if ANSI join-key semantics
+    * are required. Input columns named `__r`/`__side`/`__m` are
+    * reserved and rejected loudly.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadPrefix: String = "matched_",
       toleranceUs: Option[Long] = None): DataFrame = {
+    val reserved = Set("__r", "__side", "__m")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asofJoin: input columns ${clash.mkString(", ")} collide with " +
+        "reserved internal names __r/__side/__m — rename them first")
     val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
     // one struct carrying (ts, payload...) — atomic per right row
@@ -92,7 +107,10 @@ object TemporalJoins {
     * Preconditions: `startCol` must be non-null (a NULL start produces
     * an empty bucket sequence and the range row vanishes rather than
     * counting 0) and range rows must be unique (full-row duplicates
-    * collapse in the rollup).
+    * collapse in the rollup). The point side is pruned to (keys, ts)
+    * before the join — the operator counts, so point payload columns
+    * are dead weight in the shuffle AND a groupBy-ambiguity hazard when
+    * they share a name with a range column; pruning removes both.
     */
   def rangeJoinBucketed(points: DataFrame, ranges: DataFrame,
       keys: Seq[String], pointTs: String, startCol: String,
@@ -102,7 +120,7 @@ object TemporalJoins {
         expr(s"$startCol DIV $widthUs"),
         expr(s"($startCol + $widthUs) DIV $widthUs"))))
     val pb = points
-      .withColumnRenamed(pointTs, "__pt")
+      .select(keys.map(col) :+ col(pointTs).as("__pt"): _*)
       .withColumn("__bucket", expr(s"__pt DIV $widthUs"))
     val hit = col("__pt").isNotNull &&
       col("__pt") > col(startCol) &&

@@ -23,22 +23,37 @@ object BucketedStore {
     * by a PREVIOUS JVM is gone from the catalog while its warehouse
     * directory survives, and `saveAsTable` then fails with
     * LOCATION_ALREADY_EXISTS. Sweep the orphaned location first so
-    * every caller inherits cross-JVM restageability. */
+    * every caller inherits cross-JVM restageability. The location is
+    * resolved through the session catalog's own `defaultTablePath`
+    * (string-munging warehouse.dir broke on non-file URIs and
+    * URI-encoded paths) and deleted through the Hadoop FileSystem of
+    * that URI, so non-local warehouses sweep correctly too. A
+    * concurrent JVM staging the same table between sweep and save
+    * surfaces as AnalysisException; one re-sweep + retry resolves the
+    * race (rounds don't overlap, so the loser's rewrite is benign). */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     val spark = df.sparkSession
-    if (!spark.catalog.tableExists(table)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-        .replaceFirst("^file:", "")
-      val loc = new java.io.File(wh, table.toLowerCase)
-      if (loc.exists())
-        org.apache.commons.io.FileUtils.deleteDirectory(loc)
-    }
-    df.write.mode("overwrite")
+    def sweepOrphan(): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        val uri = spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        val path = new org.apache.hadoop.fs.Path(uri)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(path)) fs.delete(path, true)
+      }
+    def save(): Unit = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+    sweepOrphan()
+    try save()
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        sweepOrphan()
+        save()
+    }
   }
 
   /** Join two same-bucketed tables on their bucket key — shuffle-free. */

@@ -118,6 +118,46 @@ object StreamingLanes {
         batchId)
     }
 
+  /** Store-backed near-duplicate ingestion lane — the full production
+    * loop over PERSISTED state: each micro-batch is checked against the
+    * parquet [[graft.text.SignatureStore]] (a scan of signed state —
+    * the corpus is never re-shingled, never shuffled; only the small
+    * batch broadcasts), then the batch's surviving (`is_new`)
+    * signatures are APPENDED to the store before the verdict is handed
+    * to `process`. Cross-batch dedup state therefore lives in the
+    * store, not in memory: a restart resumes against everything every
+    * earlier batch admitted — the reference's own "persist derived
+    * state, re-read per refresh" posture
+    * (`virginia/database/read_from.py:129-167`) with the signing cost
+    * paid exactly once per document ever admitted.
+    *
+    * At-least-once caveat (same contract as [[bifurcated]]'s storage
+    * lane): a batch replayed after a failure between append and
+    * checkpoint commit re-appends its survivors. Duplicate signature
+    * rows are semantically harmless — they can only re-flag what they
+    * already flag — and `count_distinct(ex_id)` keeps the dup counts
+    * exact. */
+  def nearDupStoreLane(docs: DataFrame, storePath: String,
+                       threshold: Double = 0.8)
+                      (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.text.{NearDup, SignatureStore}
+      // EAGER localCheckpoint: the verdict is materialized and its
+      // lineage truncated BEFORE the survivor append mutates the store.
+      // A lazily-shared plan would re-list the store on its second
+      // consumer and see the batch's own just-appended signatures —
+      // every survivor would then re-judge itself a duplicate (observed:
+      // persist() alone does not pin the scan's file listing across the
+      // append). The verdict is two longs + a bool per batch doc — tiny.
+      val verdict = NearDup.incrementalDedupFromSigs(
+        SignatureStore.read(batch.sparkSession, storePath),
+        batch, threshold).localCheckpoint(true)
+      SignatureStore.appendSurvivors(storePath, batch, verdict)
+      process(verdict, batchId)
+      ()
+    }
+
   /** S5/S6: dual-lane bifurcation — one foreachBatch, two sinks. The
     * storage lane appends Parquet partitioned by (source, date) (the
     * low-cardinality layout the reference chose for series pruning); the

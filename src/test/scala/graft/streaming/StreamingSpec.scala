@@ -217,6 +217,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("store-backed near-dup lane persists admitted signatures across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.SignatureStore
+    val mem = MemoryStream[Doc]
+    // seed the store with one corpus doc, signed once
+    val fp = java.io.File.createTempFile("lane_fp", ".txt")
+    fp.deleteOnExit()
+    val store = SignatureStore.stagedCorpus(
+      "lane_" + java.util.UUID.randomUUID, fp,
+      Seq((100L, "the quick brown fox jumps over the dog"))
+        .toDF("doc_id", "text"))
+    val verdicts = scala.collection.mutable.Map[Long, Boolean]()
+    val q = StreamingLanes.nearDupStoreLane(
+      mem.toDF().select(col("doc_id"), col("text")), store)(
+      (batch, _) => batch.collect().foreach { r =>
+        verdicts(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("is_new")
+      }).start()
+    try {
+      mem.addData(
+        Doc(ts(10), 1L, "the quick brown fox jumps over the dog"),
+        Doc(ts(20), 2L, "completely unrelated text about spark plans here"))
+      q.processAllAvailable()
+      assert(verdicts(1L) === false, "duplicate of the seeded store")
+      assert(verdicts(2L) === true, "novel doc must pass the gate")
+
+      // doc 2's signatures were appended to the STORE (not session
+      // memory): a later batch's duplicate of it is caught from disk
+      mem.addData(Doc(ts(30), 3L,
+        "completely unrelated text about spark plans here"))
+      q.processAllAvailable()
+      assert(verdicts(3L) === false,
+        "later batch must dedup against survivors persisted by earlier ones")
+      // the rejected duplicates were NOT appended — store carries only
+      // the seed + the one admitted doc
+      val ids = SignatureStore.read(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(100L, 2L))
+    } finally q.stop()
+  }
+
   test("ST8: last-write-wins view over replayed storage matches latest state") {
     // two "writes" of the same series key at different event times: the
     // read-side view (latestPerKey in batch) is the LWW state

@@ -28,14 +28,35 @@ object TickerSeries {
     * (ref `etl/query.py:186-202`). Polymarket: mid of best bid/ask,
     * direction-swapped when mid > 0.5 (ref `etl/query.py:204-238`).
     * Malformed/empty books yield null and are dropped by the caller
-    * (ref `etl/query.py:240-241` skip semantics). */
-  private def normalized(source: Column, raw: Column): Column = {
-    val k = Books.parseKalshi(raw)
+    * (ref `etl/query.py:240-241` skip semantics).
+    *
+    * Split into parse-then-derive ON PURPOSE: `withParsedBooks` aliases
+    * exactly ONE source-gated `from_json` per row, and `normalized`
+    * consumes the parsed structs. Inlining the parse into this CASE (the
+    * pre-r7 shape) re-parsed the JSON at EVERY field access — ~10
+    * interpreted `from_json` calls per row once the null-filter pushed
+    * down and each yes/no/swap branch re-derived its input
+    * (CodegenFallback, so none of it in whole-stage codegen; measured
+    * ~10 s for one poly series at the 10× probe, ~1 s after). Aliases
+    * survive because CollapseProject refuses to duplicate non-cheap
+    * expressions — field extraction over the alias is what gets inlined,
+    * which is exactly the cheap part. */
+  private[analytics] def withParsedBooks(df: DataFrame): DataFrame =
+    df
+      .withColumn("__kb",
+        when(col("source") === "kalshi",
+          Books.parseKalshi(col("full_orderbook"))))
+      .withColumn("__pb",
+        when(col("source") === "polymarket",
+          Books.parsePoly(col("full_orderbook")).getField("orderbook")))
+
+  private def normalized(source: Column): Column = {
+    val k = col("__kb")
     val kYes = Books.centsToDollars(Books.kalshiBestBidCents(k.getField("yes")))
     val kalshi = when(size(k.getField("yes")) > 0,
       struct(kYes.as("yes"), Books.complement(kYes).as("no")))
 
-    val pb = Books.parsePoly(raw).getField("orderbook")
+    val pb = col("__pb")
     val bid = Books.polyBestBid(pb.getField("bids"))
     val ask = Books.polyBestAsk(pb.getField("asks"))
     val yesMid = Books.midpoint(bid, ask)
@@ -57,8 +78,8 @@ object TickerSeries {
       .flatten.foldLeft(
         snapshots.filter(col("ticker") === ticker && col("source") === exchange)
       )(_ filter _)
-    ranged
-      .withColumn("px", normalized(col("source"), col("full_orderbook")))
+    withParsedBooks(ranged)
+      .withColumn("px", normalized(col("source")))
       .filter(col("px").isNotNull)
       .select(
         col("ts_us"), col("snapshot_id"), col("ticker"),
@@ -86,8 +107,8 @@ object TickerSeries {
         col("s.snapshot_id").as("snapshot_id"),
         col("s.source").as("source"),
         col("s.full_orderbook").as("full_orderbook"))
-    last
-      .withColumn("px", normalized(col("source"), col("full_orderbook")))
+    withParsedBooks(last)
+      .withColumn("px", normalized(col("source")))
       .filter(col("px").isNotNull)
       .select(
         col("bucket_us"), col("ts_us"), col("snapshot_id"),

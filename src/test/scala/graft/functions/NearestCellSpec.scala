@@ -29,6 +29,21 @@ class NearestCellSpec extends SparkSpec {
     assert(assignSql(Seq(5L, 0L)) === 0)
   }
 
+  test("inconsistent centroid arrays fail loudly, empty cells included") {
+    // flat carries 3 centroids' worth of dims for only 2 cells
+    def bad(cs: Seq[Int], fl: Seq[Long], c2: Seq[Long]) =
+      intercept[Exception] {
+        Seq((Seq(1L, 1L), fl, cs, c2)).toDF("v", "flat", "cells", "c2s")
+          .select(call_function("nearest_cell",
+            $"v", $"flat", $"cells", $"c2s")).head()
+      }
+    assert(bad(Seq(0, 1), flat, Seq(0L, 100L)).getMessage
+      .contains("inconsistent centroid arrays"))
+    // an empty cell set must not surface the -1 sentinel as a cell id
+    assert(bad(Seq.empty, Seq.empty, Seq.empty).getMessage
+      .contains("inconsistent centroid arrays"))
+  }
+
   test("matches the argmin of full distances including the cancelled term") {
     val vs = (for (x <- -3L to 12L; y <- -3L to 12L) yield Seq(x, y)).toSeq
     val cents = Seq((0, Seq(0L, 0L)), (1, Seq(10L, 0L)), (2, Seq(10L, 10L)))

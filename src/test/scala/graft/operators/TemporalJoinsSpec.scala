@@ -32,6 +32,27 @@ class TemporalJoinsSpec extends SparkSpec {
       ("b", 100L, "l3", None, None)))
   }
 
+  test("asofJoin rejects inputs using reserved internal column names") {
+    val l = Seq(("a", 1L, 1)).toDF("k", "ts", "__side")
+    val r = Seq(("a", 1L, 1.0)).toDF("k", "ts", "rv")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(l, r, Seq("k"), "ts")
+    }
+    assert(e.getMessage.contains("__side"))
+  }
+
+  test("rangeJoinBucketed tolerates point columns that shadow range columns") {
+    // pre-r7 the shared non-key name made the post-join groupBy ambiguous;
+    // the point side is now pruned to (keys, ts) before the join
+    val ranges = Seq((1L, "u1", 100L)).toDF("event_id", "user_id", "start_us")
+    val points = Seq(("u1", 150L, 7L), ("u1", 999L, 8L))
+      .toDF("user_id", "pt_us", "event_id") // event_id shadows ranges'
+    val out = TemporalJoins.rangeJoinBucketed(points, ranges,
+      Seq("user_id"), "pt_us", "start_us", 300L).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_in_range") === 1L)
+  }
+
   test("asofJoin: a NULL right payload does not fall back to an older row") {
     val left = Seq(("a", 300L)).toDF("k", "ts")
     val right = Seq(

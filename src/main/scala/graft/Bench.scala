@@ -34,9 +34,13 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       warm(fn(spark, sfDir)) }
     // ann_topk warms the ANN family's shared machinery (long_dot codegen,
-    // broadcast + window-group-limit shapes) that otherwise lands on
-    // whichever ANN query runs first alphabetically
-    Seq("bucketed_join", "media_features", "ann_topk").foreach(q =>
+    // broadcast + window-group-limit shapes, the staged quantized corpus)
+    // that otherwise lands on whichever ANN query runs first
+    // alphabetically; dedup_incremental_staged warms the one-time
+    // signature-store staging so the measured run is the steady-state
+    // store scan
+    Seq("bucketed_join", "media_features", "ann_topk",
+      "dedup_incremental_staged").foreach(q =>
       SparkEntry.queries.get(q).foreach(fn => warm(fn(spark, sfDir))))
 
     // name-sorted execution: Map hash order reshuffles whenever a query

@@ -305,6 +305,32 @@ object Similarity {
       .orderBy("nprobe", "query_id")
   }
 
+  /** The documented cell-sizing rule, executable: bits ≈
+    * log2(N / targetCell) with a floor of 3, so expected cell population
+    * stays ~targetCell as the corpus grows and the in-cell quadratic
+    * pair work stays bounded. The count is a metadata-cheap scalar probe
+    * of the staged corpus (same class of driver-side scalar as
+    * dedupClusters' convergence count — not a data collect).
+    * Integer-exact on purpose: `ceil(log2(ceil(n/target)))` via bit
+    * length, because a float log2 disagrees with the oracle's at exact
+    * power-of-two cell counts (ln-ratio rounding). The identity
+    * ceil(log2 x) == ceil(log2 ceil(x)) for x > 1 makes the integer
+    * form equal to the real-valued sizing rule. */
+  private[ann] def autoBits(n: Long, targetCell: Int = 256): Int = {
+    val cells = (n + targetCell - 1) / targetCell
+    if (cells <= 1) 3
+    else math.max(3, 64 - java.lang.Long.numberOfLeadingZeros(cells - 1))
+  }
+
+  /** [[embeddingNearDup]] with the quantizer auto-sized from the corpus
+    * count — the mitigation SCALING.md prescribes for the measured
+    * quadratic in-cell growth, wired in rather than left as a manual
+    * knob. The oracle derives the same bits from its own count. */
+  def embeddingNearDupAuto(spark: SparkSession, dir: String,
+                           threshold: Double = 0.5): DataFrame =
+    embeddingNearDup(spark, dir, threshold,
+      bucketBits = autoBits(corpus(spark, dir).count()))
+
   val queries: Map[String, Q] = Map(
     "ann_recall" -> ((s, d) => annRecall(s, d)),
     "ann_topk" -> ((s, d) => annTopK(s, d)),
@@ -312,7 +338,8 @@ object Similarity {
     "ann_ivf_probe" -> ((s, d) => annIvfProbe(s, d)),
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
-    "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)))
+    "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)),
+    "dedup_embedding_auto" -> ((s, d) => embeddingNearDupAuto(s, d)))
 
   // --- oracle -------------------------------------------------------------
 
@@ -491,6 +518,34 @@ object Similarity {
         |FROM m JOIN s USING (label)
         |QUALIFY rank <= 5
         |ORDER BY label, rank""".stripMargin,
+    // the auto-sized twin: bits = max(3, ceil(log2(ceil(N/256)))),
+    // derived from the oracle's own count exactly like the engine's
+    // integer bit-length formula (log2 of a BIGINT power of two is
+    // exact in libm, so CEIL agrees with the engine's bit arithmetic)
+    "dedup_embedding_auto" ->
+      s"""WITH $qCte,
+         |nb AS (
+         |  SELECT GREATEST(3, CAST(CEIL(LOG2(
+         |    CAST(CEIL(count(*) / 256.0) AS BIGINT))) AS INTEGER)) AS bits
+         |  FROM embeddings),
+         |bkt AS (
+         |  SELECT vec_id, v, n2,
+         |    list_sum(list_transform(generate_series(1, nb.bits),
+         |      i -> CAST(v[i] > 0 AS BIGINT) * (CAST(1 AS BIGINT) << (nb.bits - i))))
+         |      AS bucket
+         |  FROM m, nb)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id
+         |  AND a.bucket = b.bucket
+         |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |    i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH $qCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -70,6 +70,26 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.nonEmpty)
   }
 
+  test("auto bucket bits follow the cell-sizing rule, integer-exact") {
+    // cells = ceil(n/256); bits = max(3, ceil(log2(cells)))
+    assert(Similarity.autoBits(1L) === 3)
+    assert(Similarity.autoBits(256L) === 3)       // 1 cell
+    assert(Similarity.autoBits(2048L) === 3)      // 8 cells, exact power
+    assert(Similarity.autoBits(2049L) === 4)      // 9 cells
+    assert(Similarity.autoBits(20000L) === 7)     // 79 cells
+    assert(Similarity.autoBits(100000000L) === 19) // the 10^8 posture
+  }
+
+  test("auto-sized embedding dedup equals the fixed form at small N") {
+    val dir = "/root/testdata/sf0.01"
+    // small corpus -> floor of 3 bits -> byte-identical to the manual form
+    val auto = Similarity.embeddingNearDupAuto(spark, dir).collect().map(_.toSeq)
+    val fixed = Similarity.embeddingNearDup(spark, dir, threshold = 0.5)
+      .collect().map(_.toSeq)
+    assert(auto === fixed)
+    assert(auto.nonEmpty)
+  }
+
   test("ann_recall quantifies the recall/nprobe knob per query") {
     val out = Similarity.annRecall(spark, "/root/testdata/sf0.001").collect()
     val byProbe = out.groupBy(_.getAs[Int]("nprobe"))

@@ -5,7 +5,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.functions.Books
 import graft.sinks.RelationalSink
-import graft.text.NearDup
+import graft.text.{NearDup, SignatureStore}
 
 /** ScalaCheck property tests (SURVEY §5 item 3) over the engine's semantic
   * kernels. Each forAll sample is a whole generated corpus (one Spark job
@@ -187,6 +187,38 @@ class PropertySpec extends SparkSpec {
         }.toSet
       flagged == expected
     }, samples = 8)
+  }
+
+  test("property: staged signature store reproduces in-session dedup exactly") {
+    // the corpus signatures survive a parquet round-trip (shingle arrays,
+    // band digests) bit-exactly: dedup against the STORE must equal dedup
+    // against the in-session derivation for arbitrary corpora
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val genDoc = for {
+      n <- Gen.chooseNum(1, 8) // incl. <3-token docs (no shingles)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val genCorpus = for {
+      base <- Gen.listOfN(8, genDoc)
+      dupIdx <- Gen.listOfN(4, Gen.chooseNum(0, 7))
+    } yield base ++ dupIdx.map(base)
+    check("staged-vs-insession", Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      val fp = java.io.File.createTempFile("prop_fp", ".txt")
+      fp.deleteOnExit()
+      val store = SignatureStore.stagedCorpus(
+        "prop_" + java.util.UUID.randomUUID, fp, existing)
+      val staged = NearDup.incrementalDedupFromSigs(
+        SignatureStore.read(spark, store), incoming)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      val inSession = NearDup.incrementalDedup(existing, incoming)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      staged.sorted.sameElements(inSession.sorted)
+    }, samples = 6)
   }
 
   // --- LSH bucket cap -------------------------------------------------------

@@ -70,6 +70,26 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.nonEmpty)
   }
 
+  test("ANN queries scan the staged quantized corpus, label pruned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = Similarity.annTopK(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    val scans = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case s: FileSourceScanExec => s.requiredSchema.fieldNames.toSeq
+      }
+      case s: FileSourceScanExec => Seq(s.requiredSchema.fieldNames.toSeq)
+    }.flatten
+    assert(scans.nonEmpty)
+    // pre-quantized longs only: the float embedding column is never read,
+    // and label is pruned for queries that don't reference it
+    scans.foreach { cols =>
+      assert(!cols.contains("embedding"), s"re-derives from floats: $cols")
+      assert(!cols.contains("label"), s"label not pruned: $cols")
+    }
+  }
+
   test("auto bucket bits follow the cell-sizing rule, integer-exact") {
     // cells = ceil(n/256); bits = max(3, ceil(log2(cells)))
     assert(Similarity.autoBits(1L) === 3)

@@ -66,8 +66,11 @@ object Ledger {
         col("executed_quantity"), col("avg_fill_price"), col("status"))
 
   val queries: Map[String, Q] = Map(
-    "fill_avg" -> ((s, d) =>
-      fillAverages(Tables(s, d, "lineitem")).orderBy("trade_id")),
+    // no global sort: per-order rows at ledger scale are the second-
+    // largest result set in the suite, the reference's writer keys by
+    // trade_id without ordering, and the driver compare sorts rows
+    // itself (same contract as market_scan)
+    "fill_avg" -> ((s, d) => fillAverages(Tables(s, d, "lineitem"))),
     "pair_rollup" -> ((s, d) =>
       pairRollup(Tables(s, d, "lineitem")).orderBy("pair_id")),
     "fill_ticket_join" -> ((s, d) =>

@@ -211,7 +211,11 @@ object RelationalQueries {
           concat(lit("Resolves YES if market "), key,
             lit(" settles by expiration")).as("rules_primary"),
           lit("").as("rules_secondary"))
-        .orderBy("o_orderkey")
+      // NO global sort, on purpose: the reference's bulk scan returns
+      // unordered pages, the driver's compare sorts rows itself, and at
+      // 100 TB a global range-exchange of the 45-column projection was
+      // the single largest avoidable cost in this query (the 10x probe
+      // measured the sort at ~half its wall time; SCALING.md "market_scan")
     }),
 
     // F17: deterministic outcome heuristic — the reference hashes the

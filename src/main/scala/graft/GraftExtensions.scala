@@ -100,5 +100,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("norm_text", 1, children)
         functions.NormText(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("kalshi_max_cents"),
+      info(classOf[functions.KalshiExtremeCents].getName,
+        "kalshi_max_cents",
+        "kalshi_max_cents(json, side) - best (max) integer-cent price of a Kalshi book side"),
+      (children: Seq[Expression]) => {
+        checkArity("kalshi_max_cents", 2, children)
+        functions.KalshiExtremeCents(children.head, children(1), isMax = true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kalshi_min_cents"),
+      info(classOf[functions.KalshiExtremeCents].getName,
+        "kalshi_min_cents",
+        "kalshi_min_cents(json, side) - worst (min) integer-cent price of a Kalshi book side"),
+      (children: Seq[Expression]) => {
+        checkArity("kalshi_min_cents", 2, children)
+        functions.KalshiExtremeCents(children.head, children(1), isMax = false)
+      }))
   }
 }

@@ -24,10 +24,13 @@ object AnalyticsQueries {
   /** Kalshi best-bid tick series — the shared derivation of the market
     * stats family (OHLC, jumps, volatility, venue correlation): filter
     * the venue, parse the book, extract the best yes bid in cents. */
+  // best yes bid via the native scan kernel — the market-stats family
+  // reads ONE extreme per row, so materializing the whole parsed book
+  // (from_json is CodegenFallback) was pure overhead
   private def kalshiTicks(spark: SparkSession, dir: String): DataFrame =
     snaps(spark, dir).filter(col("source") === "kalshi")
-      .withColumn("book", Books.parseKalshi(col("full_orderbook")))
-      .withColumn("p", Books.kalshiBestBidCents(col("book.yes")))
+      .withColumn("p",
+        call_function("kalshi_max_cents", col("full_orderbook"), lit("yes")))
 
   /** Per-source redundancy of a snapshot frame: rows whose
     * `full_orderbook` is byte-identical to the same (source, ticker)
@@ -87,16 +90,19 @@ object AnalyticsQueries {
       TickerSeries.downsampled(snaps(s, d), "T3", "kalshi", "24 hours")),
 
     "best_price" -> ((s, d) => {
+      // four independent extremes per row: four linear kernel scans stay
+      // inside whole-stage codegen vs one interpreted from_json that
+      // materializes the full nested book
+      def ext(fn: String, side: String) =
+        call_function(fn, col("full_orderbook"), lit(side))
       val k = snaps(s, d).filter(col("source") === "kalshi")
-        .withColumn("book", Books.parseKalshi(col("full_orderbook")))
       k.select(
         col("ts_us"), col("snapshot_id"), col("ticker"),
-        Books.kalshiBestBidCents(col("book.yes")).as("yes_bid_cents"),
-        Books.kalshiBestAskCents(col("book.yes")).as("yes_ask_cents"),
-        Books.kalshiBestBidCents(col("book.no")).as("no_bid_cents"),
-        Books.kalshiBestAskCents(col("book.no")).as("no_ask_cents"),
-        Books.centsToDollars(Books.kalshiBestBidCents(col("book.yes")))
-          .as("yes_bid"))
+        ext("kalshi_max_cents", "yes").as("yes_bid_cents"),
+        ext("kalshi_min_cents", "yes").as("yes_ask_cents"),
+        ext("kalshi_max_cents", "no").as("no_bid_cents"),
+        ext("kalshi_min_cents", "no").as("no_ask_cents"),
+        Books.centsToDollars(ext("kalshi_max_cents", "yes")).as("yes_bid"))
         .orderBy("ts_us", "snapshot_id")
     }),
 

@@ -43,17 +43,20 @@ object TickerSeries {
     * which is exactly the cheap part. */
   private[analytics] def withParsedBooks(df: DataFrame): DataFrame =
     df
-      .withColumn("__kb",
+      // the kalshi branch needs ONE extreme, so the native scan kernel
+      // replaces the from_json parse outright (null == empty/absent yes
+      // side == the old size(yes) > 0 gate)
+      .withColumn("__ky",
         when(col("source") === "kalshi",
-          Books.parseKalshi(col("full_orderbook"))))
+          call_function("kalshi_max_cents", col("full_orderbook"),
+            lit("yes"))))
       .withColumn("__pb",
         when(col("source") === "polymarket",
           Books.parsePoly(col("full_orderbook")).getField("orderbook")))
 
   private def normalized(source: Column): Column = {
-    val k = col("__kb")
-    val kYes = Books.centsToDollars(Books.kalshiBestBidCents(k.getField("yes")))
-    val kalshi = when(size(k.getField("yes")) > 0,
+    val kYes = Books.centsToDollars(col("__ky"))
+    val kalshi = when(col("__ky").isNotNull,
       struct(kYes.as("yes"), Books.complement(kYes).as("no")))
 
     val pb = col("__pb")

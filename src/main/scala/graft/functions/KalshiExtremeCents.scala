@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native best/worst-price extraction over one side of a Kalshi book
+  * JSON: `kalshi_max_cents(json, 'yes')` equals
+  * `array_max(transform(from_json(json).yes, l -> l[1]))` for integer-
+  * cent books (`kalshi_min_cents` the `array_min` twin) — without the
+  * Jackson parse. `from_json` (JsonToStructs) is CodegenFallback: it
+  * drops the whole projection out of whole-stage codegen and
+  * materializes the full nested book just to read one extreme, which
+  * the 10× probe measured as the dominant cost of the kalshi
+  * price-path queries. This is one linear char scan that never
+  * allocates the book.
+  *
+  * Contract (mirrors the composable form's malformed→null semantics):
+  * null when the side key is absent (e.g. a Polymarket payload), its
+  * array is empty, or the scan hits anything but integer-priced pairs.
+  * Books with null/float price elements — which neither venue emits,
+  * prices are integer cents (ref `etl/query.py:186-202`) — count as
+  * malformed here, where `from_json` would null the element and
+  * `array_max` skip it; the narrower contract is documented rather
+  * than replicated. The key is matched as the literal `"side"` token:
+  * a book whose STRING VALUES could contain that token needs the
+  * general parser, not this kernel.
+  */
+case class KalshiExtremeCents(left: Expression, right: Expression,
+                              isMax: Boolean) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, StringType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a foldable side-name literal")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string json, string side), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (isMax) "kalshi_max_cents" else "kalshi_min_cents"
+
+  override protected def nullSafeEval(json: Any, side: Any): Any = {
+    val r = KalshiExtremeCents.extreme(
+      json.asInstanceOf[UTF8String], side.asInstanceOf[UTF8String], isMax)
+    if (r == Long.MinValue) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (json, side) =>
+      s"""
+         |long ${ev.value}_r = graft.functions.KalshiExtremeCents.extreme(
+         |  $json, $side, $isMax);
+         |${ev.isNull} = ${ev.value}_r == Long.MIN_VALUE;
+         |${ev.value} = ${ev.value}_r;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KalshiExtremeCents =
+    copy(left = newLeft, right = newRight)
+}
+
+object KalshiExtremeCents {
+
+  @inline private def skipWs(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && { val c = s.charAt(i)
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' }) i += 1
+    i
+  }
+
+  /** Max (or min) of the first element of each pair under `"side":[...]`.
+    * Long.MinValue encodes null (absent key / empty side / malformed) —
+    * called from generated code, so sentinel instead of a box. */
+  def extreme(json: UTF8String, side: UTF8String, isMax: Boolean): Long = {
+    val s = json.toString
+    val key = "\"" + side.toString + "\""
+    var i = s.indexOf(key)
+    if (i < 0) return Long.MinValue
+    i = skipWs(s, i + key.length)
+    if (i >= s.length || s.charAt(i) != ':') return Long.MinValue
+    i = skipWs(s, i + 1)
+    if (i >= s.length || s.charAt(i) != '[') return Long.MinValue
+    i = skipWs(s, i + 1)
+    if (i < s.length && s.charAt(i) == ']') return Long.MinValue // empty
+    var best = if (isMax) Long.MinValue else Long.MaxValue
+    var found = false
+    while (i < s.length) {
+      if (s.charAt(i) != '[') return Long.MinValue
+      i = skipWs(s, i + 1)
+      var neg = false
+      if (i < s.length && s.charAt(i) == '-') { neg = true; i += 1 }
+      var v = 0L
+      var digits = 0
+      while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
+        v = v * 10 + (s.charAt(i) - '0'); digits += 1; i += 1
+      }
+      if (digits == 0) return Long.MinValue
+      if (neg) v = -v
+      if (if (isMax) v > best else v < best) best = v
+      found = true
+      // the quantity (and any further elements) are irrelevant: skip to
+      // the pair's closing bracket
+      val close = s.indexOf(']', i)
+      if (close < 0) return Long.MinValue
+      i = skipWs(s, close + 1)
+      if (i >= s.length) return Long.MinValue
+      s.charAt(i) match {
+        case ',' => i = skipWs(s, i + 1)
+        case ']' => return if (found) best else Long.MinValue
+        case _ => return Long.MinValue
+      }
+    }
+    Long.MinValue
+  }
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class KalshiExtremeCentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def maxYes(json: String): Option[Long] =
+    Option(Seq(json).toDF("j")
+      .select(call_function("kalshi_max_cents", $"j", lit("yes")))
+      .head().get(0)).map(_.asInstanceOf[Long])
+
+  private def minNo(json: String): Option[Long] =
+    Option(Seq(json).toDF("j")
+      .select(call_function("kalshi_min_cents", $"j", lit("no")))
+      .head().get(0)).map(_.asInstanceOf[Long])
+
+  test("extracts the side extreme from a compact book") {
+    val j = """{"yes":[[55,100],[54,50]],"no":[[44,17],[43,200]]}"""
+    assert(maxYes(j) === Some(55L))
+    assert(minNo(j) === Some(43L))
+  }
+
+  test("whitespace-tolerant, missing side and empty side are null") {
+    assert(maxYes("""{ "yes" : [ [ 7 , 1 ] , [ 9 , 2 ] ] }""") === Some(9L))
+    assert(maxYes("""{"no":[[1,2]]}""") === None) // absent key
+    assert(maxYes("""{"yes":[],"no":[[1,2]]}""") === None) // empty side
+    assert(maxYes("""{"yes":[[,2]]}""") === None) // malformed
+    assert(maxYes("""not json at all""") === None)
+    // polymarket payloads carry yes_price, not a "yes" key -> null
+    assert(maxYes("""{"yes_price":0.55,"no_price":0.45}""") === None)
+  }
+
+  test("agrees with the composable from_json form on fixture books") {
+    val books = graft.sources.Snapshots
+      .store(spark, "/root/testdata/sf0.001")
+      .filter(col("source") === "kalshi")
+      .select(col("full_orderbook").as("j"))
+    val both = books.select(
+      call_function("kalshi_max_cents", col("j"), lit("yes")).as("native"),
+      Books.kalshiBestBidCents(
+        Books.parseKalshi(col("j")).getField("yes")).as("composed"),
+      call_function("kalshi_min_cents", col("j"), lit("no")).as("native_min"),
+      Books.kalshiBestAskCents(
+        Books.parseKalshi(col("j")).getField("no")).as("composed_min"))
+    assert(both.filter(col("native") =!= col("composed") ||
+      col("native").isNull =!= col("composed").isNull ||
+      col("native_min") =!= col("composed_min")).count() === 0)
+    assert(both.count() > 0)
+  }
+
+  test("property: matches composable form on generated integer books") {
+    val rnd = new scala.util.Random(42)
+    val jsons = (1 to 200).map { _ =>
+      val n = rnd.nextInt(4) // 0..3 levels: exercises the empty-side null
+      val yes = (0 until n).map(_ =>
+        s"[${rnd.nextInt(99) + 1},${rnd.nextInt(500) + 1}]")
+        .mkString("[", ",", "]")
+      val no = (0 until rnd.nextInt(3)).map(_ =>
+        s"[${rnd.nextInt(99) + 1},${rnd.nextInt(500) + 1}]")
+        .mkString("[", ",", "]")
+      s"""{"yes":$yes,"no":$no}"""
+    }
+    val df = jsons.toDF("j").select(
+      call_function("kalshi_max_cents", $"j", lit("yes")).as("n1"),
+      Books.kalshiBestBidCents(
+        Books.parseKalshi($"j").getField("yes")).as("c1"),
+      call_function("kalshi_min_cents", $"j", lit("yes")).as("n2"),
+      Books.kalshiBestAskCents(
+        Books.parseKalshi($"j").getField("yes")).as("c2"))
+    assert(df.filter(
+      col("n1") <=> col("c1") === false ||
+        col("n2") <=> col("c2") === false).count() === 0)
+  }
+}

@@ -118,5 +118,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("kalshi_min_cents", 2, children)
         functions.KalshiExtremeCents(children.head, children(1), isMax = false)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("poly_max_price"),
+      info(classOf[functions.PolyExtremePrice].getName,
+        "poly_max_price",
+        "poly_max_price(json, side) - best (max) price of a Polymarket book side"),
+      (children: Seq[Expression]) => {
+        checkArity("poly_max_price", 2, children)
+        functions.PolyExtremePrice(children.head, children(1), isMax = true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("poly_min_price"),
+      info(classOf[functions.PolyExtremePrice].getName,
+        "poly_min_price",
+        "poly_min_price(json, side) - worst (min) price of a Polymarket book side"),
+      (children: Seq[Expression]) => {
+        checkArity("poly_min_price", 2, children)
+        functions.PolyExtremePrice(children.head, children(1), isMax = false)
+      }))
   }
 }

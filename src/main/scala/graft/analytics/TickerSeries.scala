@@ -30,17 +30,17 @@ object TickerSeries {
     * Malformed/empty books yield null and are dropped by the caller
     * (ref `etl/query.py:240-241` skip semantics).
     *
-    * Split into parse-then-derive ON PURPOSE: `withParsedBooks` aliases
-    * exactly ONE source-gated `from_json` per row, and `normalized`
-    * consumes the parsed structs. Inlining the parse into this CASE (the
-    * pre-r7 shape) re-parsed the JSON at EVERY field access — ~10
-    * interpreted `from_json` calls per row once the null-filter pushed
-    * down and each yes/no/swap branch re-derived its input
-    * (CodegenFallback, so none of it in whole-stage codegen; measured
-    * ~10 s for one poly series at the 10× probe, ~1 s after). Aliases
-    * survive because CollapseProject refuses to duplicate non-cheap
-    * expressions — field extraction over the alias is what gets inlined,
-    * which is exactly the cheap part. */
+    * Split into extract-then-derive ON PURPOSE: `withParsedBooks`
+    * aliases the source-gated native extreme kernels
+    * (`kalshi_max_cents`, `poly_max_price`/`poly_min_price`) — the
+    * series family reads only side extremes, so no `from_json` book
+    * materialization remains in this path at all. History: the pre-r7
+    * shape inlined `from_json` into the normalize CASE and re-parsed
+    * the JSON at EVERY field access — ~10 interpreted calls per row
+    * once the null-filter pushed down (measured ~10 s for one poly
+    * series at the 10× probe; ~3 s with one aliased parse; ~1 s with
+    * the kernels). Aliases survive because CollapseProject refuses to
+    * duplicate non-cheap expressions. */
   private[analytics] def withParsedBooks(df: DataFrame): DataFrame =
     df
       // the kalshi branch needs ONE extreme, so the native scan kernel
@@ -50,21 +50,24 @@ object TickerSeries {
         when(col("source") === "kalshi",
           call_function("kalshi_max_cents", col("full_orderbook"),
             lit("yes"))))
-      .withColumn("__pb",
+      .withColumn("__pbid",
         when(col("source") === "polymarket",
-          Books.parsePoly(col("full_orderbook")).getField("orderbook")))
+          call_function("poly_max_price", col("full_orderbook"),
+            lit("bids"))))
+      .withColumn("__pask",
+        when(col("source") === "polymarket",
+          call_function("poly_min_price", col("full_orderbook"),
+            lit("asks"))))
 
   private def normalized(source: Column): Column = {
     val kYes = Books.centsToDollars(col("__ky"))
     val kalshi = when(col("__ky").isNotNull,
       struct(kYes.as("yes"), Books.complement(kYes).as("no")))
 
-    val pb = col("__pb")
-    val bid = Books.polyBestBid(pb.getField("bids"))
-    val ask = Books.polyBestAsk(pb.getField("asks"))
+    val bid = col("__pbid")
+    val ask = col("__pask")
     val yesMid = Books.midpoint(bid, ask)
-    val poly = when(
-      size(pb.getField("bids")) > 0 && size(pb.getField("asks")) > 0,
+    val poly = when(bid.isNotNull && ask.isNotNull,
       Books.directionSwap(yesMid, Books.complement(yesMid)))
 
     when(source === "kalshi", kalshi).otherwise(poly)

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native best/worst-price extraction over one side of a Polymarket
+  * book JSON: `poly_max_price(json, 'bids')` equals
+  * `array_max(transform(orderbook.bids, l -> l.price))` over the
+  * `from_json`-parsed book (`poly_min_price` the `array_min` twin) —
+  * the double-valued sibling of [[KalshiExtremeCents]], motivating and
+  * contract identical: `from_json` is CodegenFallback and materializes
+  * the whole nested book to read one extreme. Number text is parsed
+  * with `Double.parseDouble`, the same value Jackson produces for a
+  * JSON number, so results are bit-identical to the composable form.
+  *
+  * Null when the side key is absent, its array is empty, or the scan
+  * hits a level object without a numeric `"price"` (malformed →
+  * null, like the composable form; see the KalshiExtremeCents note on
+  * the narrower malformed contract). Level objects are FLAT
+  * (`{"price":p,"size":s}`, any key order) — an object nesting braces
+  * would need the general parser.
+  */
+case class PolyExtremePrice(left: Expression, right: Expression,
+                            isMax: Boolean) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, StringType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a foldable side-name literal")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string json, string side), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (isMax) "poly_max_price" else "poly_min_price"
+
+  override protected def nullSafeEval(json: Any, side: Any): Any = {
+    val r = PolyExtremePrice.extreme(
+      json.asInstanceOf[UTF8String], side.asInstanceOf[UTF8String], isMax)
+    if (r.isNaN) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (json, side) =>
+      s"""
+         |double ${ev.value}_r = graft.functions.PolyExtremePrice.extreme(
+         |  $json, $side, $isMax);
+         |${ev.isNull} = Double.isNaN(${ev.value}_r);
+         |${ev.value} = ${ev.value}_r;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PolyExtremePrice =
+    copy(left = newLeft, right = newRight)
+}
+
+object PolyExtremePrice {
+
+  @inline private def skipWs(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && { val c = s.charAt(i)
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' }) i += 1
+    i
+  }
+
+  @inline private def isNumChar(c: Char): Boolean =
+    (c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.' ||
+      c == 'e' || c == 'E'
+
+  /** Max (or min) `"price"` under `"side":[{...},...]`. NaN encodes
+    * null (absent key / empty side / malformed) — prices are real
+    * numbers, NaN cannot collide. Called from generated code. */
+  def extreme(json: UTF8String, side: UTF8String, isMax: Boolean): Double = {
+    val s = json.toString
+    val key = "\"" + side.toString + "\""
+    var i = s.indexOf(key)
+    if (i < 0) return Double.NaN
+    i = skipWs(s, i + key.length)
+    if (i >= s.length || s.charAt(i) != ':') return Double.NaN
+    i = skipWs(s, i + 1)
+    if (i >= s.length || s.charAt(i) != '[') return Double.NaN
+    i = skipWs(s, i + 1)
+    if (i < s.length && s.charAt(i) == ']') return Double.NaN // empty
+    var best = if (isMax) Double.NegativeInfinity
+               else Double.PositiveInfinity
+    var found = false
+    while (i < s.length) {
+      if (s.charAt(i) != '{') return Double.NaN
+      val objEnd = s.indexOf('}', i)
+      if (objEnd < 0) return Double.NaN
+      // any key order within the flat level object
+      val pk = s.indexOf("\"price\"", i)
+      if (pk < 0 || pk > objEnd) return Double.NaN
+      var j = skipWs(s, pk + 7)
+      if (j >= s.length || s.charAt(j) != ':') return Double.NaN
+      j = skipWs(s, j + 1)
+      val numStart = j
+      while (j < s.length && isNumChar(s.charAt(j))) j += 1
+      if (j == numStart) return Double.NaN
+      val v =
+        try java.lang.Double.parseDouble(s.substring(numStart, j))
+        catch { case _: NumberFormatException => return Double.NaN }
+      if (if (isMax) v > best else v < best) best = v
+      found = true
+      i = skipWs(s, objEnd + 1)
+      if (i >= s.length) return Double.NaN
+      s.charAt(i) match {
+        case ',' => i = skipWs(s, i + 1)
+        case ']' => return if (found) best else Double.NaN
+        case _ => return Double.NaN
+      }
+    }
+    Double.NaN
+  }
+}

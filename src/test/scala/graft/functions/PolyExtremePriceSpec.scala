@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PolyExtremePriceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(fn: String, side: String, json: String): Option[Double] =
+    Option(Seq(json).toDF("j")
+      .select(call_function(fn, $"j", lit(side)))
+      .head().get(0)).map(_.asInstanceOf[Double])
+
+  test("extracts side extremes, any key order, whitespace-tolerant") {
+    val j =
+      """{"condition_id":"0x1","yes_price":0.55,"no_price":0.45,
+        |"orderbook":{"bids":[{"price":0.54,"size":10.0},
+        |{"size":5.0,"price":0.53}],
+        |"asks":[ { "price" : 0.56 , "size" : 17.0 } ]}}""".stripMargin
+    assert(one("poly_max_price", "bids", j) === Some(0.54))
+    assert(one("poly_min_price", "bids", j) === Some(0.53))
+    assert(one("poly_min_price", "asks", j) === Some(0.56))
+  }
+
+  test("absent side, empty side, and malformed levels are null") {
+    assert(one("poly_max_price", "bids",
+      """{"yes":[[55,100]]}""") === None) // a kalshi book
+    assert(one("poly_max_price", "bids",
+      """{"orderbook":{"bids":[],"asks":[{"price":0.5,"size":1.0}]}}""")
+      === None)
+    assert(one("poly_max_price", "bids",
+      """{"orderbook":{"bids":[{"size":1.0}]}}""") === None) // no price
+    assert(one("poly_max_price", "bids", "garbage") === None)
+  }
+
+  test("agrees with the composable from_json form on fixture books") {
+    val books = graft.sources.Snapshots
+      .store(spark, "/root/testdata/sf0.001")
+      .filter(col("source") === "polymarket")
+      .select(col("full_orderbook").as("j"))
+    val pb = Books.parsePoly(col("j")).getField("orderbook")
+    val both = books.select(
+      call_function("poly_max_price", col("j"), lit("bids")).as("nb"),
+      Books.polyBestBid(pb.getField("bids")).as("cb"),
+      call_function("poly_min_price", col("j"), lit("asks")).as("na"),
+      Books.polyBestAsk(pb.getField("asks")).as("ca"))
+    assert(both.filter(
+      col("nb") <=> col("cb") === false ||
+        col("na") <=> col("ca") === false).count() === 0)
+    assert(both.count() > 0)
+  }
+}

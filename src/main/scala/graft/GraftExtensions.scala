@@ -76,6 +76,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.catalyst.expressions.Literal(3)))
       }))
     ext.injectFunction((
+      FunctionIdentifier("word_shingles_all"),
+      info(classOf[functions.WordShinglesAll].getName,
+        "word_shingles_all",
+        "word_shingles_all(text, n) - ALL n-word shingles in positional order"),
+      (children: Seq[Expression]) => {
+        checkArity("word_shingles_all", 2, children)
+        functions.WordShinglesAll(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_bands"),
       info(classOf[functions.MinhashBands].getName,
         "minhash_bands", "minhash_bands(shingles) - the 4 LSH band signatures (8 md5-slice minhashes)"),

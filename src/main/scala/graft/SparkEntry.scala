@@ -30,6 +30,7 @@ object SparkEntry {
       text.NearDup.queries ++
       text.Curation.queries ++
       text.Boilerplate.queries ++
+      text.SpanDedup.queries ++
       operators.TemporalJoins.queries ++
       plans.PlanQueries.queries ++
       ann.Similarity.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       text.NearDup.oracle ++
       text.Curation.oracle ++
       text.Boilerplate.oracle ++
+      text.SpanDedup.oracle ++
       operators.TemporalJoins.oracle ++
       plans.PlanQueries.oracle ++
       ann.Similarity.oracle ++

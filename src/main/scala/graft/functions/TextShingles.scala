@@ -65,6 +65,33 @@ object TextShingles {
     new GenericArrayData(out)
   }
 
+  /** ALL n-word shingles in positional order (non-distinct) — the
+    * window stream the exact-substring dedup family (`text/SpanDedup`)
+    * posexplodes into (pos, gram) rows. Same tokenization contract as
+    * [[shingles]]; only the dedup set is dropped, so element i covers
+    * tokens [i, i+n). Called from generated code. */
+  def shinglesAll(text: UTF8String, n: Int): ArrayData = {
+    if (n < 1) throw new IllegalArgumentException(
+      s"word_shingles_all: shingle width must be >= 1, got $n")
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n - 1 < toks.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val md5 = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest =
       MessageDigest.getInstance("MD5")
@@ -152,6 +179,27 @@ case class WordShingles(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `word_shingles_all(norm_text, n)` — positional (non-distinct)
+  * variant; see [[TextShingles.shinglesAll]]. */
+case class WordShinglesAll(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles_all"
+
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    TextShingles.shinglesAll(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.TextShingles.shinglesAll($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShinglesAll =
     copy(left = newLeft, right = newRight)
 }
 

@@ -1,0 +1,214 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.TextOps.norm
+
+/** Exact-substring (duplicated-span) deduplication — the positional
+  * complement of the MinHash family (`text/NearDup`) and the
+  * document-frequency family (`text/Boilerplate`): find runs of W
+  * consecutive tokens that occur more than once ANYWHERE in the corpus,
+  * merge adjacent duplicated windows into maximal spans, and optionally
+  * strip every non-canonical occurrence (keep exactly one copy,
+  * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+  * Better" — the suffix-array ExactSubstr operation re-expressed as
+  * window-hash joins, which is the shape that distributes).
+  *
+  * Scale shape: the window stream is the native one-pass
+  * `word_shingles_all` kernel posexploded to (doc_id, pos, gram) rows —
+  * rows ≈ corpus token count, never pairs. Corpus-wide duplicate
+  * detection and canonical-occurrence election are window functions
+  * over ONE gram exchange (count + row_number share the partition);
+  * span merging is gaps-and-islands over ONE doc_id exchange whose
+  * grouping keys extend the partitioning (no extra shuffle). Nothing
+  * in the plan is quadratic and nothing is broadcast-unbounded. At
+  * 100 TB the gram string in the shuffle key would be hashed first
+  * (xxhash64) and W raised toward the 50-token literature setting;
+  * both are parameter changes, not plan changes (the string key is
+  * kept here because the DuckDB oracle must replay it byte-exact).
+  */
+object SpanDedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Window width in tokens. The corpus is short-document synthetic
+    * text, so 8 (vs the 50-BPE-token literature setting) keeps span
+    * statistics non-degenerate; see the scaladoc on scale posture. */
+  val W = 8
+
+  /** ALL positional W-token windows: (doc_id, pos, gram), pos 1-based
+    * over the normalized token stream; docs shorter than W tokens
+    * contribute no windows. */
+  private def windows(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(call_function("word_shingles_all",
+          norm(col("text")), lit(w))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col").as("gram"))
+
+  /** Per-document duplicated-span statistics: of the doc's windows, how
+    * many are duplicated (same W tokens occur >= minCount times corpus-
+    * wide), merged into maximal contiguous spans. Docs shorter than W
+    * tokens have no windows and drop out (no 0/0 rows; mirrors
+    * `Boilerplate.boilerplateFraction`). */
+  def dupSpans(docs: DataFrame, w: Int = W, minCount: Long = 2): DataFrame = {
+    val win = windows(docs, w)
+    val marked = win
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .withColumn("is_dup", col("c") >= minCount)
+      // running dup count makes pos - drn constant within a contiguous
+      // dup run (gaps-and-islands without a second window pass)
+      .withColumn("drn",
+        sum(when(col("is_dup"), 1L).otherwise(0L)).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .withColumn("isl", when(col("is_dup"), col("pos") - col("drn")))
+    // isl = null collects the non-duplicated windows; its group carries
+    // them into the per-doc totals without a separate scan branch
+    val spans = marked.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
+        count(lit(1)).as("nw"))
+    spans.groupBy(col("doc_id"))
+      .agg(
+        sum(col("nw")).as("n_windows"),
+        sum(when(col("isl").isNotNull, col("nw")).otherwise(0L))
+          .as("n_dup_windows"),
+        count(when(col("isl").isNotNull, lit(1))).as("n_spans"),
+        coalesce(max(when(col("isl").isNotNull,
+          col("e") - col("s") + lit(w))), lit(0))
+          .cast("long").as("max_span_tokens"))
+      .withColumn("dup_frac",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** Keep-one-copy span removal: a window occurrence is removable when
+    * its W tokens occur >= minCount times corpus-wide and it is NOT the
+    * canonical (first by (doc_id, pos)) occurrence; a token is removed
+    * when any removable window covers it. Emits per-doc counts plus an
+    * md5 of the cleaned (space-joined surviving tokens) text, so the
+    * oracle value-checks the reconstructed content without shipping it. */
+  def spanClean(docs: DataFrame, w: Int = W, minCount: Long = 2): DataFrame = {
+    val gw = Window.partitionBy(col("gram"))
+    val removable = windows(docs, w)
+      .withColumn("c", count(lit(1)).over(gw))
+      .withColumn("rn", row_number().over(
+        gw.orderBy(col("doc_id"), col("pos"))))
+      .filter(col("c") >= minCount && col("rn") > 1)
+    val covered = removable
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1)))
+          .as("tok_idx"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(norm(col("text")), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("tok_idx"),
+        col("col").as("tok"))
+    val cleaned = toks
+      .join(covered, Seq("doc_id", "tok_idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tok_idx"), col("tok")))),
+          _.getField("tok"))).cast("binary")).as("cleaned_hash"))
+    docs
+      .select(col("doc_id"),
+        size(split(norm(col("text")), " ")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        // a fully-covered doc has no surviving tokens: hash of ""
+        coalesce(col("cleaned_hash"),
+          md5(lit("").cast("binary"))).as("cleaned_hash"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dup_spans" -> ((s, d) => dupSpans(Tables(s, d, "documents"))),
+    "dedup_span_clean" -> ((s, d) => spanClean(Tables(s, d, "documents"))))
+
+  private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Positional W-token windows (1-based pos), mirroring
+    * `word_shingles_all(norm, W)` + posexplode. */
+  private val winCte =
+    s"""g AS (
+       |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(l) - ${W - 1}),
+       |      i -> struct_pack(pos := i,
+       |        gram := array_to_string(l[i:i+${W - 2}], ' ')))) AS u
+       |    FROM (SELECT doc_id, string_split($N, ' ') AS l FROM documents)
+       |    WHERE len(l) >= $W))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dup_spans" ->
+      s"""WITH $winCte,
+         |m AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY gram) >= 2 AS is_dup
+         |  FROM g),
+         |r AS (
+         |  SELECT doc_id, pos, is_dup,
+         |    sum(CASE WHEN is_dup THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY pos) AS drn
+         |  FROM m),
+         |s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN is_dup THEN pos - drn END AS isl,
+         |    min(pos) AS s, max(pos) AS e, count(*) AS nw
+         |  FROM r GROUP BY doc_id, 2)
+         |SELECT doc_id,
+         |  CAST(sum(nw) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN isl IS NOT NULL THEN nw ELSE 0 END)
+         |    AS BIGINT) AS n_dup_windows,
+         |  CAST(count(CASE WHEN isl IS NOT NULL THEN 1 END) AS BIGINT)
+         |    AS n_spans,
+         |  CAST(coalesce(max(CASE WHEN isl IS NOT NULL
+         |    THEN e - s + $W END), 0) AS BIGINT) AS max_span_tokens,
+         |  sum(CASE WHEN isl IS NOT NULL THEN nw ELSE 0 END)::DOUBLE
+         |    / sum(nw)::DOUBLE AS dup_frac
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_span_clean" ->
+      s"""WITH $winCte,
+         |cw AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY gram) AS c,
+         |    row_number() OVER (
+         |      PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |  FROM g),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, tok_idx FROM (
+         |    SELECT doc_id,
+         |      unnest(generate_series(pos, pos + ${W - 1})) AS tok_idx
+         |    FROM cw WHERE c >= 2 AND rn > 1)),
+         |tk AS (
+         |  SELECT doc_id, u.i AS tok_idx, u.t AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(l)),
+         |      i -> struct_pack(i := i, t := l[i]))) AS u
+         |    FROM (SELECT doc_id, string_split($N, ' ') AS l
+         |          FROM documents))),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.tok_idx, tk.tok
+         |  FROM tk ANTI JOIN cov
+         |    ON tk.doc_id = cov.doc_id AND tk.tok_idx = cov.tok_idx),
+         |cl AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    md5(array_to_string(array_agg(tok ORDER BY tok_idx), ' '))
+         |      AS h
+         |  FROM kept GROUP BY doc_id),
+         |base AS (
+         |  SELECT doc_id, len(string_split($N, ' ')) AS n_tokens
+         |  FROM documents)
+         |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(b.n_tokens - coalesce(cl.n_kept, 0) AS BIGINT)
+         |    AS n_removed,
+         |  coalesce(cl.h, md5('')) AS cleaned_hash
+         |FROM base b LEFT JOIN cl ON b.doc_id = cl.doc_id
+         |ORDER BY b.doc_id""".stripMargin)
+}

@@ -24,6 +24,31 @@ class TextShinglesSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("word_shingles_all matches the positional HOF form on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("n", graft.text.TextOps.norm(col("text")))
+      .withColumn("toks", split(col("n"), " "))
+      .filter(size(col("toks")) >= 8)
+    val diff = docs.select(
+      call_function("word_shingles_all", col("n"), lit(8)).as("fast"),
+      transform(sequence(lit(0), size(col("toks")) - 8), i =>
+        concat_ws(" ", slice(col("toks"), i + 1, lit(8)))).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("word_shingles_all keeps duplicates positionally; empty/null edges") {
+    val r = spark.sql(
+      """SELECT word_shingles_all('a b a b a b', 2) AS dup,
+        |       word_shingles_all('a b', 3) AS short,
+        |       word_shingles_all(CAST(NULL AS STRING), 2) AS n
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0) === Seq("a b", "b a", "a b", "b a", "a b"))
+    assert(r.getSeq[String](1).isEmpty)
+    assert(r.isNullAt(2))
+  }
+
   test("word_shingles yields empty for short docs, null for null") {
     val r = spark.sql(
       """SELECT word_shingles('a b') AS s, word_shingles('') AS e,

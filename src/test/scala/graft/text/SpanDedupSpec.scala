@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // docs 1 and 2 share the 6-token run "a b c d e f" (three contiguous
+  // 4-windows); doc 3 is unique text; doc 4 is too short to window
+  private def docs = Seq(
+    (1L, "a b c d e f x y"),
+    (2L, "q a b c d e f r"),
+    (3L, "m n o p s t u v"),
+    (4L, "t u")
+  ).toDF("doc_id", "text")
+
+  test("dupSpans merges adjacent duplicated windows into one span") {
+    val out = SpanDedup.dupSpans(docs, w = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // 8-token docs have 5 positional 4-windows; the shared 6-token run
+    // is 3 consecutive duplicated windows = ONE span of 6 tokens
+    assert(out.toSeq === Seq(
+      (1L, 5L, 3L, 1L, 6L, 0.6),
+      (2L, 5L, 3L, 1L, 6L, 0.6),
+      (3L, 5L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpans splits non-adjacent duplicated windows into two spans") {
+    val two = Seq(
+      (1L, "a b c d zz zz zz e f g h"),
+      (2L, "a b c d yy yy yy e f g h")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.dupSpans(two, w = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // both 4-runs duplicate; the zz/yy middles differ, so each doc has
+    // exactly two 1-window spans of 4 tokens
+    assert(out.toSeq === Seq((1L, 2L, 2L, 4L), (2L, 2L, 2L, 4L)))
+  }
+
+  test("spanClean keeps the canonical occurrence and strips the copy") {
+    val out = SpanDedup.spanClean(docs, w = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.map(t => t._1 -> t).toMap
+    // doc 1 owns the canonical "a b c d e f" windows -> nothing removed
+    assert(byDoc(1L)._3 === 0L)
+    // doc 2 loses exactly the 6 covered tokens
+    assert(byDoc(2L)._3 === 6L)
+    // unique and too-short docs are untouched
+    assert(byDoc(3L)._3 === 0L)
+    assert(byDoc(4L)._3 === 0L)
+    // doc 2's cleaned text is "q r": hash must equal md5 of that string
+    val exp = spark.sql("SELECT md5(CAST('q r' AS BINARY))").head.getString(0)
+    assert(byDoc(2L)._4 === exp)
+    // untouched docs hash to their full normalized text
+    val full = spark.sql(
+      "SELECT md5(CAST('m n o p s t u v' AS BINARY))").head.getString(0)
+    assert(byDoc(3L)._4 === full)
+  }
+
+  test("spanClean hashes a fully-covered doc as empty text") {
+    val sub = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.spanClean(sub, w = 4).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val empty = spark.sql("SELECT md5(CAST('' AS BINARY))").head.getString(0)
+    assert(out(0) === ((1L, 0L, spark.sql(
+      "SELECT md5(CAST('a b c d' AS BINARY))").head.getString(0))))
+    assert(out(1) === ((2L, 4L, empty)))
+  }
+
+  test("the two-exchange plan: one gram shuffle, one doc shuffle") {
+    val plan = SpanDedup.dupSpans(docs, w = 4)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    // gram window + doc window; the two groupBys extend the doc
+    // partitioning and the final orderBy is a range exchange (excluded)
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got:\n$plan")
+  }
+}

@@ -345,6 +345,55 @@ object NearDup {
       .orderBy("doc_id")
   }
 
+  /** LSH candidate recall vs exact Jaccard ground truth, per 0.1
+    * similarity bucket, on the deterministic `doc_id % sampleMod == 0`
+    * sample — the dedup-side twin of `ann_recall`: banding trades
+    * candidate volume against missed near-duplicates along an S-curve,
+    * and this is the query an operator reads before moving the
+    * bands×rows knob at 100 TB. Truth pairs are enumerated by shingle
+    * co-occurrence (a pair below any threshold shares >= 1 shingle, so
+    * nothing is missed; never an all-pairs cartesian) and verified with
+    * the fused `jaccard_sim` kernel; candidates are the UNCAPPED band
+    * buckets (the bucket cap is a perf knob measured elsewhere — recall
+    * here isolates the banding itself). Cost is quadratic in per-shingle
+    * sample document frequency, so the sample fraction is the budget
+    * knob: at production scale pin a fixed-SIZE sample (mod chosen from
+    * the corpus count), not a fixed fraction. */
+  def lshRecall(sigs: DataFrame, sampleMod: Long = 2,
+      minJaccard: Double = 0.25): DataFrame = {
+    val sample = sigs.filter(col("doc_id") % sampleMod === 0)
+    val sh = sample.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val pairs = sh.as("x")
+      .join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val truth = pairs
+      .join(sample.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sa")), "doc_a")
+      .join(sample.select(col("doc_id").as("doc_b"),
+        col("shingles").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        call_function("jaccard_sim", col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= minJaccard)
+    val bands = bandsOf(sample)
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    truth
+      .join(cands.withColumn("__hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket", floor(col("j") * 10) / lit(10.0))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_truth").cast("double"))
+      .orderBy("bucket")
+  }
+
   private val oddNibbles = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
   /** 16-bit SimHash over the distinct token set: bit k is the sign of the
@@ -529,6 +578,8 @@ object NearDup {
     // NOTE: constructing this frame RUNS the propagation loop (see
     // dedupClusters — an iterative fixpoint cannot be one lazy plan).
     "dedup_clusters" -> ((s, d) => fixtureClusters(s, d)),
+    // banding recall telemetry on the mod-2 sample — see lshRecall
+    "lsh_recall" -> ((s, d) => lshRecall(docSigs(s, d))),
     "simhash" -> ((s, d) => simhash(Tables(s, d, "documents")).orderBy("doc_id")),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
@@ -665,6 +716,37 @@ object NearDup {
 
   val oracle: Map[String, String] = Map(
     "dedup_near_lsh" -> lshOracle(MaxBucket),
+
+    // truth side is all-pairs over the small sample (oracle-side only;
+    // the engine enumerates by shingle co-occurrence): a truth pair has
+    // intersection > 0, so the two formulations see identical pairs
+    "lsh_recall" ->
+      s"""WITH $bandsCtes,
+         |sp AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+         |tr AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(x.shingles, y.shingles)))
+         |      AS j
+         |  FROM sp x JOIN sp y ON x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.shingles, y.shingles)) > 0
+         |    AND CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(x.shingles, y.shingles)))
+         |      >= 0.25),
+         |cd AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+         |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 0)
+         |SELECT floor(tr.j * 10) / 10 AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN cd.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  sum(CASE WHEN cd.doc_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE AS recall
+         |FROM tr LEFT JOIN cd
+         |  ON tr.doc_a = cd.doc_a AND tr.doc_b = cd.doc_b
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "dedup_near_lsh_capped" -> lshOracle(2),
 
     "split_leakage_free" ->

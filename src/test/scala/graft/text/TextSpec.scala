@@ -61,6 +61,34 @@ class TextSpec extends SparkSpec {
     assert(uncapped.count(_.getAs[Long]("doc_a") <= 120L) === 120 * 119 / 2)
   }
 
+  test("lshRecall buckets truth pairs and scores banding hit rate") {
+    val docs = Seq(
+      // identical pair, both in the mod-2 sample: truth j=1.0 and every
+      // band signature matches -> always a candidate (recall 1.0)
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (4L, "the quick brown fox jumps over the lazy dog again"),
+      // moderate-overlap pair in-sample: lands in a sub-1.0 bucket;
+      // candidate status depends on the hashes, recall just must be valid
+      (6L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (8L, "alpha beta gamma delta epsilon zeta nu xi"),
+      // identical to doc 2 but ODD id: excluded from the sample
+      (3L, "the quick brown fox jumps over the lazy dog again"),
+      (10L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text")
+    val out = NearDup.lshRecall(NearDup.signatureFrame(docs))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val byBucket = out.map(t => t._1 -> t).toMap
+    assert(byBucket(1.0) === ((1.0, 1L, 1L, 1.0)))
+    // the moderate pair is in exactly one other bucket with sane recall
+    val others = out.filterNot(_._1 == 1.0)
+    assert(others.length === 1 && others.head._2 === 1L)
+    assert(others.head._4 >= 0.0 && others.head._4 <= 1.0)
+    // nothing involving odd doc_ids leaked in: 2 truth pairs total
+    assert(out.map(_._2).sum === 2L)
+  }
+
   test("dedup clusters: min-label components with one keeper per cluster") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again"),

@@ -363,18 +363,27 @@ object NearDup {
       minJaccard: Double = 0.25): DataFrame = {
     val sample = sigs.filter(col("doc_id") % sampleMod === 0)
     val sh = sample.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val pairs = sh.as("x")
+    // the co-occurrence join ALREADY yields one row per shared shingle,
+    // so counting it per pair IS the intersection size — never re-attach
+    // the shingle arrays to pair rows (arrays × pairs dominated the
+    // first cut of this query); |union| = na + nb − inter, and the two
+    // size lookups broadcast (the sample is fixed-size by design)
+    val inter = sh.as("x")
       .join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val truth = pairs
-      .join(sample.select(col("doc_id").as("doc_a"),
-        col("shingles").as("sa")), "doc_a")
-      .join(sample.select(col("doc_id").as("doc_b"),
-        col("shingles").as("sb")), "doc_b")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sample.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("n"))
+    val truth = inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+        col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+        col("n").as("nb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        call_function("jaccard_sim", col("sa"), col("sb")).as("j"))
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("j"))
       .filter(col("j") >= minJaccard)
     val bands = bandsOf(sample)
     val cands = bands.as("x")

@@ -356,10 +356,20 @@ object NearDup {
     * the fused `jaccard_sim` kernel; candidates are the UNCAPPED band
     * buckets (the bucket cap is a perf knob measured elsewhere — recall
     * here isolates the banding itself). Cost is quadratic in per-shingle
-    * sample document frequency, so the sample fraction is the budget
-    * knob: at production scale pin a fixed-SIZE sample (mod chosen from
-    * the corpus count), not a fixed fraction. */
-  def lshRecall(sigs: DataFrame, sampleMod: Long = 2,
+    * sample document frequency, so the sample must be fixed-SIZE, not
+    * fixed-fraction — a mod-k sample of a 10× corpus costs ~100× (the
+    * first cut of this query measured exactly that: 7.2× at the 10×
+    * probe). [[lshRecall]] derives the modulus from the corpus count so
+    * telemetry cost stays flat at any scale; the oracle re-derives the
+    * same modulus from its own per-doc CTE. */
+  def lshRecall(sigs: DataFrame, targetSample: Long = 2500,
+      minJaccard: Double = 0.25): DataFrame =
+    // the count is eager: pass the MEMOIZED signature frame (docSigs) so
+    // it materializes the shared cache rather than computing sigs twice
+    lshRecallMod(sigs, math.max(2L, sigs.count() / targetSample), minJaccard)
+
+  /** [[lshRecall]] with an explicit sample modulus. */
+  def lshRecallMod(sigs: DataFrame, sampleMod: Long,
       minJaccard: Double = 0.25): DataFrame = {
     val sample = sigs.filter(col("doc_id") % sampleMod === 0)
     val sh = sample.select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -587,7 +597,7 @@ object NearDup {
     // NOTE: constructing this frame RUNS the propagation loop (see
     // dedupClusters — an iterative fixpoint cannot be one lazy plan).
     "dedup_clusters" -> ((s, d) => fixtureClusters(s, d)),
-    // banding recall telemetry on the mod-2 sample — see lshRecall
+    // banding recall telemetry on the count-sized sample — see lshRecall
     "lsh_recall" -> ((s, d) => lshRecall(docSigs(s, d))),
     "simhash" -> ((s, d) => simhash(Tables(s, d, "documents")).orderBy("doc_id")),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
@@ -728,10 +738,13 @@ object NearDup {
 
     // truth side is all-pairs over the small sample (oracle-side only;
     // the engine enumerates by shingle co-occurrence): a truth pair has
-    // intersection > 0, so the two formulations see identical pairs
+    // intersection > 0, so the two formulations see identical pairs.
+    // The sample modulus mirrors lshRecall's count-derived sizing, and
+    // counts sh (qualifying docs) exactly like sigs.count() does.
     "lsh_recall" ->
       s"""WITH $bandsCtes,
-         |sp AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+         |md AS (SELECT greatest(2, count(*) // 2500) AS m FROM sh),
+         |sp AS (SELECT sh.* FROM sh, md WHERE doc_id % md.m = 0),
          |tr AS (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
@@ -745,8 +758,9 @@ object NearDup {
          |cd AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y
-         |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id
-         |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 0)
+         |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id,
+         |    md
+         |  WHERE x.doc_id % md.m = 0 AND y.doc_id % md.m = 0)
          |SELECT floor(tr.j * 10) / 10 AS bucket,
          |  CAST(count(*) AS BIGINT) AS n_truth,
          |  CAST(sum(CASE WHEN cd.doc_a IS NOT NULL THEN 1 ELSE 0 END)

@@ -33,20 +33,30 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     call_function("long_dot", a, b)
 
-  /** Quantized corpus (vec_id, label, v, n2), STAGED once per fixture
-    * (r7): the fixed-point quantization and squared norms are derived
-    * state — sign-once posture, like the snapshot store and the MinHash
-    * signature store — so the six ANN queries (plus the recall probe's
-    * three passes) scan pre-quantized longs instead of each re-deriving
-    * them from the float embeddings. `label` is pruned from the staged
-    * scan by Catalyst for the queries that never reference it. */
+  /** Quantized corpus (vec_id, label, v, n2, cv, cn2), STAGED once per
+    * fixture (r7): the fixed-point quantization and squared norms are
+    * derived state — sign-once posture, like the snapshot store and the
+    * MinHash signature store — so the six ANN queries (plus the recall
+    * probe's three passes) scan pre-quantized longs instead of each
+    * re-deriving them from the float embeddings. `cv`/`cn2` are the
+    * scalar-quantized coarse copy (two decimal digits dropped —
+    * floor(v/100), IEEE-exact in both engines) that `ann_sq_rerank`'s
+    * first pass scans INSTEAD of `v`; columns a query never references
+    * (`label`, and `v` itself in the coarse pass) are pruned from the
+    * staged scan by Catalyst. The stage key is versioned: the staging
+    * fingerprint tracks the FIXTURE, so a schema change to this frame
+    * must move to a fresh key or a warm tmpdir would serve the old
+    * columns. */
   private def corpus(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Staging.stageFrame(spark, s"ann_corpus_$dir",
+    graft.sources.Staging.stageFrame(spark, s"ann_corpus2_$dir",
       new java.io.File(dir, "embeddings.parquet"),
       Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           quantized(col("embedding")).as("v"))
-        .withColumn("n2", dot(col("v"), col("v"))))
+        .withColumn("n2", dot(col("v"), col("v")))
+        .withColumn("cv",
+          transform(col("v"), e => floor(e.cast("double") / 100.0).cast("long")))
+        .withColumn("cn2", dot(col("cv"), col("cv"))))
 
   /** Score → rank → keep k over a (corpus row × query) join. The rank
     * window partitions by `query_id` (few partitions when the query set
@@ -127,6 +137,37 @@ object Similarity {
         col("qbucket").bitwiseXOR(lit(1 << j))): _*)).as("pbucket"))
     scoreRankLimit(c.join(broadcast(probed),
       col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id")), k)
+  }
+
+  /** Scalar-quantized coarse scan + exact rerank — the two-stage shape a
+    * 100 TB vector scan actually runs: pass 1 scans ONLY the coarse
+    * columns (`cv`/`cn2`: two decimal digits dropped, so the scan reads
+    * a fraction of the full-precision bytes; Catalyst prunes `v` out of
+    * the parquet read, plan-asserted in SimilaritySpec) and keeps the
+    * top `coarseK` candidates per query by coarse cosine; pass 2
+    * re-scores ONLY those candidates (a broadcast of nQueries×coarseK
+    * ids against a pruned `v` scan) with the exact integer dot and
+    * emits the final top-k. Both ranks tie-break by vec_id, so the
+    * two-stage result is deterministic and the oracle replays it
+    * bit-exactly. Recall loss vs `ann_topk` is the coarseK knob (the
+    * same trade `ann_recall` quantifies for the IVF family). */
+  def annSqRerank(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10, coarseK: Int = 50): DataFrame = {
+    val base = corpus(spark, dir)
+    val q = base.filter(col("vec_id") < nQueries)
+    val qCoarse = q.select(col("vec_id").as("query_id"),
+      col("cv").as("qv"), col("cn2").as("qn2"))
+    val cand = scoreRankLimit(
+      base.select(col("vec_id"), col("cv").as("v"), col("cn2").as("n2"))
+        .join(broadcast(qCoarse), col("vec_id") =!= col("query_id")),
+      coarseK)
+      .select(col("query_id"), col("vec_id"))
+    val qExact = q.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("n2").as("qn2"))
+    scoreRankLimit(
+      base.select(col("vec_id"), col("v"), col("n2"))
+        .join(broadcast(cand), "vec_id")
+        .join(broadcast(qExact), "query_id"), k)
   }
 
   /** Trained IVF: a k-means coarse quantizer (2 Lloyd iterations) instead
@@ -336,6 +377,7 @@ object Similarity {
     "ann_topk" -> ((s, d) => annTopK(s, d)),
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
     "ann_ivf_probe" -> ((s, d) => annIvfProbe(s, d)),
+    "ann_sq_rerank" -> ((s, d) => annSqRerank(s, d)),
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)),
@@ -412,6 +454,46 @@ object Similarity {
          |ORDER BY nprobe, query_id""".stripMargin,
 
     "ann_topk" -> topkSql(""),
+
+    // the two-stage scalar-quantized scan replayed exactly: coarse =
+    // floor(v/100) (IEEE double divide + floor, bit-identical in both
+    // engines), coarse top-50 by (coarse cosine, vec_id), exact rerank
+    "ann_sq_rerank" ->
+      s"""WITH $qCte,
+         |mc AS (
+         |  SELECT vec_id, v, n2,
+         |    list_transform(v,
+         |      e -> CAST(floor(CAST(e AS DOUBLE) / 100.0) AS BIGINT)) AS cv
+         |  FROM m),
+         |mcc AS (
+         |  SELECT vec_id, v, n2, cv,
+         |    list_sum(list_transform(generate_series(1, len(cv)),
+         |      i -> cv[i] * cv[i])) AS cn2
+         |  FROM mc),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, a.vec_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      CAST(list_sum(list_transform(generate_series(1, len(a.cv)),
+         |          i -> a.cv[i] * q.cv[i])) AS DOUBLE)
+         |        / (sqrt(CAST(q.cn2 AS DOUBLE)) * sqrt(CAST(a.cn2 AS DOUBLE)))
+         |        DESC, a.vec_id ASC) AS crank
+         |  FROM mcc a JOIN mcc q ON q.vec_id < 5 AND a.vec_id <> q.vec_id
+         |  QUALIFY crank <= 50)
+         |SELECT cd.query_id, cd.vec_id,
+         |  CAST(row_number() OVER (PARTITION BY cd.query_id ORDER BY
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |        i -> a.v[i] * q.v[i])) AS DOUBLE)
+         |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+         |      DESC, cd.vec_id ASC) AS INTEGER) AS rank,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * q.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM cand cd
+         |JOIN m a ON a.vec_id = cd.vec_id
+         |JOIN m q ON q.vec_id = cd.query_id
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" -> topkSql(s"AND ${bucketSql("a")} = ${bucketSql("q")}"),
     // probe list = own cell (xor 0) + each sign bit flipped (xor 1/2/4);
     // a corpus vector lives in exactly one cell, so no duplicate pairs

@@ -36,6 +36,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ rerank: exact final scores, coarse scan never reads full vectors") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = "/root/testdata/sf0.001"
+    val brute = Similarity.annTopK(spark, dir, nQueries = 3, k = 500)
+      .select("query_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sq = Similarity.annSqRerank(spark, dir, nQueries = 3, k = 10)
+    // materialize the scan list BEFORE collect(): once AQE finalizes,
+    // scans hide inside leaf QueryStageExec nodes and collect finds none
+    val plan = sq.queryExecution.executedPlan
+    val scans = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case s: FileSourceScanExec => s.requiredSchema.fieldNames.toSeq
+      }
+      case s: FileSourceScanExec => Seq(s.requiredSchema.fieldNames.toSeq)
+    }.flatten
+    val rows = sq.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      // pass 2 re-scores exactly: any emitted pair carries the same
+      // cosine the exhaustive ranking assigns it
+      assert(brute.contains(key))
+      assert(math.abs(brute(key) - r.getAs[Double]("cosine")) < 1e-15)
+    }
+    // the bandwidth story: at least one corpus scan reads the coarse
+    // columns WITHOUT the full-precision vector, and no scan re-derives
+    // from the float embeddings
+    assert(scans.exists(c => c.contains("cv") && !c.contains("v")),
+      s"no pruned coarse scan among: $scans")
+    scans.foreach(c =>
+      assert(!c.contains("embedding"), s"re-derives from floats: $c"))
+  }
+
   test("trained IVF scores match the exhaustive ranking and train deterministically") {
     val dir = "/root/testdata/sf0.001"
     val brute = Similarity.annTopK(spark, dir, nQueries = 3, k = 500)

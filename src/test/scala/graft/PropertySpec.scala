@@ -750,4 +750,72 @@ class PropertySpec extends SparkSpec {
         once.collect().toSeq == twice.collect().toSeq
     }, samples = 6)
   }
+
+  // --- exact-substring span dedup ------------------------------------------
+
+  test("property: dupSpans and spanClean agree with a naive positional model") {
+    import graft.text.SpanDedup
+    val w = 3
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val genDoc = for {
+      n <- Gen.chooseNum(2, 9) // some docs too short to window
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val genCorpus = for {
+      base <- Gen.listOfN(10, genDoc)
+      dupIdx <- Gen.listOfN(5, Gen.chooseNum(0, 9))
+    } yield base ++ dupIdx.map(base)
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    check("span-dedup", Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val toks = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> t.split(" ", -1).toVector }
+      case class Win(doc: Long, pos: Int, gram: String) // pos 1-based
+      val wins = toks.flatMap { case (id, tk) =>
+        if (tk.length < w) Nil
+        else (0 to tk.length - w).map(i =>
+          Win(id, i + 1, tk.slice(i, i + w).mkString(" ")))
+      }
+      val counts = wins.groupBy(_.gram).view.mapValues(_.length).toMap
+
+      // model dupSpans: islands of consecutive duplicated positions
+      val expSpans = wins.groupBy(_.doc).map { case (id, ws) =>
+        val dupPos = ws.filter(x => counts(x.gram) >= 2).map(_.pos).sorted
+        val spans = dupPos.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }
+        id -> (ws.length.toLong, dupPos.length.toLong, spans.length.toLong,
+          if (spans.isEmpty) 0L
+          else spans.map { case (s, e) => e - s + w }.max.toLong)
+      }
+      val gotSpans = SpanDedup.dupSpans(docs, w = w).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val spansOk = gotSpans == expSpans
+
+      // model spanClean: canonical = first (doc, pos) occurrence
+      val canonical = wins.filter(x => counts(x.gram) >= 2)
+        .groupBy(_.gram).view
+        .mapValues(_.minBy(x => (x.doc, x.pos))).toMap
+      val covered = wins
+        .filter(x => counts(x.gram) >= 2 && canonical(x.gram) != x)
+        .flatMap(x => (x.pos until x.pos + w).map(x.doc -> _)).toSet
+      val expClean = toks.map { case (id, tk) =>
+        val keptToks = tk.zipWithIndex
+          .collect { case (t, i) if !covered(id -> (i + 1)) => t }
+        id -> (tk.length.toLong, (tk.length - keptToks.length).toLong,
+          md5hex(keptToks.mkString(" ")))
+      }.toMap
+      val gotClean = SpanDedup.spanClean(docs, w = w).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      spansOk && gotClean == expClean
+    }, samples = 8)
+  }
 }

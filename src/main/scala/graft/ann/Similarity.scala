@@ -346,6 +346,32 @@ object Similarity {
       .orderBy("nprobe", "query_id")
   }
 
+  /** Recall@k of the SQ rerank vs the brute-force truth, per coarseK —
+    * the knob an operator moves when the coarse pass misses true
+    * neighbors: a small candidate set maximizes the bandwidth win, a
+    * larger one converges on exact. Same deterministic construction as
+    * [[annRecall]], so the oracle replays it exactly. */
+  def annSqRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val truth = annTopK(spark, dir, k = k)
+      .select(col("query_id"), col("vec_id"))
+    val qids = truth.select(col("query_id")).distinct()
+    Seq(10, 50)
+      .map { ck =>
+        val approx = annSqRerank(spark, dir, k = k, coarseK = ck)
+        val hits = truth
+          .join(approx.select(col("query_id"), col("vec_id")),
+            Seq("query_id", "vec_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+        qids.join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), lit(ck).as("coarse_k"),
+            coalesce(col("h"), lit(0L)).cast("int").as("hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / k)
+              .as("recall_at_k"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("coarse_k", "query_id")
+  }
+
   /** The documented cell-sizing rule, executable: bits ≈
     * log2(N / targetCell) with a floor of 3, so expected cell population
     * stays ~targetCell as the corpus grows and the in-cell quadratic
@@ -378,6 +404,7 @@ object Similarity {
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
     "ann_ivf_probe" -> ((s, d) => annIvfProbe(s, d)),
     "ann_sq_rerank" -> ((s, d) => annSqRerank(s, d)),
+    "ann_sq_recall" -> ((s, d) => annSqRecall(s, d)),
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)),
@@ -424,6 +451,50 @@ object Similarity {
        |${topkCore(joinExtra)}
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Coarse copy of `m`: cv = floor(v/100) per element, cn2 its squared
+    * norm — mirrors the staged `cv`/`cn2` columns byte-exactly. */
+  private val mcCtes =
+    """mc AS (
+      |  SELECT vec_id, v, n2,
+      |    list_transform(v,
+      |      e -> CAST(floor(CAST(e AS DOUBLE) / 100.0) AS BIGINT)) AS cv
+      |  FROM m),
+      |mcc AS (
+      |  SELECT vec_id, v, n2, cv,
+      |    list_sum(list_transform(generate_series(1, len(cv)),
+      |      i -> cv[i] * cv[i])) AS cn2
+      |  FROM mc)""".stripMargin
+
+  /** The two-stage SQ pipeline as CTEs `cand$tag` / `sq$tag`: coarse
+    * top-`ck` candidates per query by coarse cosine, then the exact
+    * top-10 rerank. Composable (tagged) so the recall oracle can sweep
+    * coarseK in one statement. */
+  private def sqCtes(tag: String, ck: Int): String =
+    s"""cand$tag AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      CAST(list_sum(list_transform(generate_series(1, len(a.cv)),
+       |          i -> a.cv[i] * q.cv[i])) AS DOUBLE)
+       |        / (sqrt(CAST(q.cn2 AS DOUBLE)) * sqrt(CAST(a.cn2 AS DOUBLE)))
+       |        DESC, a.vec_id ASC) AS crank
+       |  FROM mcc a JOIN mcc q ON q.vec_id < 5 AND a.vec_id <> q.vec_id
+       |  QUALIFY crank <= $ck),
+       |sq$tag AS (
+       |  SELECT cd.query_id, cd.vec_id,
+       |    CAST(row_number() OVER (PARTITION BY cd.query_id ORDER BY
+       |      CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+       |          i -> a.v[i] * q.v[i])) AS DOUBLE)
+       |        / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+       |        DESC, cd.vec_id ASC) AS INTEGER) AS rank,
+       |    CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+       |        i -> a.v[i] * q.v[i])) AS DOUBLE)
+       |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+       |      AS cosine
+       |  FROM cand$tag cd
+       |  JOIN m a ON a.vec_id = cd.vec_id
+       |  JOIN m q ON q.vec_id = cd.query_id
+       |  QUALIFY rank <= 10)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // recall@10 of each IVF variant vs the brute-force truth, replayed
     // exactly: truth/ivf/probe are the same deterministic top-k CTEs
@@ -457,43 +528,39 @@ object Similarity {
 
     // the two-stage scalar-quantized scan replayed exactly: coarse =
     // floor(v/100) (IEEE double divide + floor, bit-identical in both
-    // engines), coarse top-50 by (coarse cosine, vec_id), exact rerank
+    // engines), coarse top-coarseK by (coarse cosine, vec_id), exact
+    // rerank — see sqCtes
     "ann_sq_rerank" ->
-      s"""WITH $qCte,
-         |mc AS (
-         |  SELECT vec_id, v, n2,
-         |    list_transform(v,
-         |      e -> CAST(floor(CAST(e AS DOUBLE) / 100.0) AS BIGINT)) AS cv
-         |  FROM m),
-         |mcc AS (
-         |  SELECT vec_id, v, n2, cv,
-         |    list_sum(list_transform(generate_series(1, len(cv)),
-         |      i -> cv[i] * cv[i])) AS cn2
-         |  FROM mc),
-         |cand AS (
-         |  SELECT q.vec_id AS query_id, a.vec_id,
-         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |      CAST(list_sum(list_transform(generate_series(1, len(a.cv)),
-         |          i -> a.cv[i] * q.cv[i])) AS DOUBLE)
-         |        / (sqrt(CAST(q.cn2 AS DOUBLE)) * sqrt(CAST(a.cn2 AS DOUBLE)))
-         |        DESC, a.vec_id ASC) AS crank
-         |  FROM mcc a JOIN mcc q ON q.vec_id < 5 AND a.vec_id <> q.vec_id
-         |  QUALIFY crank <= 50)
-         |SELECT cd.query_id, cd.vec_id,
-         |  CAST(row_number() OVER (PARTITION BY cd.query_id ORDER BY
-         |    CAST(list_sum(list_transform(generate_series(1, len(a.v)),
-         |        i -> a.v[i] * q.v[i])) AS DOUBLE)
-         |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
-         |      DESC, cd.vec_id ASC) AS INTEGER) AS rank,
-         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
-         |      i -> a.v[i] * q.v[i])) AS DOUBLE)
-         |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
-         |    AS cosine
-         |FROM cand cd
-         |JOIN m a ON a.vec_id = cd.vec_id
-         |JOIN m q ON q.vec_id = cd.query_id
-         |QUALIFY rank <= 10
+      s"""WITH $qCte, $mcCtes,
+         |${sqCtes("", 50)}
+         |SELECT query_id, vec_id, rank, cosine FROM sq
          |ORDER BY query_id, rank""".stripMargin,
+
+    // recall@10 of the SQ rerank vs the same brute-force truth, swept
+    // over the coarse candidate budget
+    "ann_sq_recall" ->
+      s"""WITH $qCte, $mcCtes,
+         |${sqCtes("10", 10)},
+         |${sqCtes("50", 50)},
+         |truth AS (${topkCore("")}),
+         |qids AS (SELECT DISTINCT query_id FROM truth),
+         |h10 AS (
+         |  SELECT t.query_id, count(*) AS h FROM truth t
+         |  JOIN sq10 s ON s.query_id = t.query_id AND s.vec_id = t.vec_id
+         |  GROUP BY t.query_id),
+         |h50 AS (
+         |  SELECT t.query_id, count(*) AS h FROM truth t
+         |  JOIN sq50 s ON s.query_id = t.query_id AND s.vec_id = t.vec_id
+         |  GROUP BY t.query_id)
+         |SELECT query_id, coarse_k, CAST(coalesce(h, 0) AS INTEGER) AS hits,
+         |  CAST(coalesce(h, 0) AS DOUBLE) / 10 AS recall_at_k
+         |FROM (
+         |  SELECT q.query_id, 10 AS coarse_k, h10.h
+         |  FROM qids q LEFT JOIN h10 ON h10.query_id = q.query_id
+         |  UNION ALL
+         |  SELECT q.query_id, 50 AS coarse_k, h50.h
+         |  FROM qids q LEFT JOIN h50 ON h50.query_id = q.query_id)
+         |ORDER BY coarse_k, query_id""".stripMargin,
     "ann_ivf" -> topkSql(s"AND ${bucketSql("a")} = ${bucketSql("q")}"),
     // probe list = own cell (xor 0) + each sign bit flipped (xor 1/2/4);
     // a corpus vector lives in exactly one cell, so no duplicate pairs

@@ -71,6 +71,23 @@ class SimilaritySpec extends SparkSpec {
       assert(!c.contains("embedding"), s"re-derives from floats: $c"))
   }
 
+  test("SQ recall is monotone in the coarse candidate budget") {
+    // hits(ck) = |truth ∩ cand_ck|: every truth member among the
+    // candidates outranks every non-truth candidate in the exact global
+    // order (deterministic vec_id tie-break), so a larger candidate set
+    // can only add hits
+    val out = Similarity.annSqRecall(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val qids = out.keys.map(_._1).toSet
+    assert(qids.nonEmpty)
+    qids.foreach { q =>
+      assert(out(q -> 10) <= out(q -> 50),
+        s"recall not monotone for query $q: $out")
+      assert(out(q -> 50) >= 0.0 && out(q -> 50) <= 1.0)
+    }
+  }
+
   test("trained IVF scores match the exhaustive ranking and train deterministically") {
     val dir = "/root/testdata/sf0.001"
     val brute = Similarity.annTopK(spark, dir, nQueries = 3, k = 500)

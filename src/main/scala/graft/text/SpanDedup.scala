@@ -91,38 +91,43 @@ object SpanDedup {
     * md5 of the cleaned (space-joined surviving tokens) text, so the
     * oracle value-checks the reconstructed content without shipping it. */
   def spanClean(docs: DataFrame, w: Int = W, minCount: Long = 2): DataFrame = {
+    // ONE ordered window spec serves both aggregates (the count takes
+    // an explicit whole-partition frame): an unordered count next to an
+    // ordered row_number costs a second full sort of the window stream
     val gw = Window.partitionBy(col("gram"))
+      .orderBy(col("doc_id"), col("pos"))
     val removable = windows(docs, w)
-      .withColumn("c", count(lit(1)).over(gw))
-      .withColumn("rn", row_number().over(
-        gw.orderBy(col("doc_id"), col("pos"))))
+      .withColumn("c", count(lit(1)).over(
+        gw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(gw))
       .filter(col("c") >= minCount && col("rn") > 1)
+    // per-doc covered-index SET as one small array: only REMOVABLE
+    // windows explode (bounded by duplicated content, not corpus size),
+    // and the full token stream never crosses an exchange — the doc
+    // rebuilds in place from its token array against the broadcast
+    // covered sets. (The first cut posexploded every corpus token
+    // through an anti-join + collect_list re-sort; 2× slower at the
+    // 10× probe for identical output.)
     val covered = removable
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(w - 1)))
           .as("tok_idx"))
-      .distinct()
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(norm(col("text")), " ")))
-      .select(col("doc_id"), (col("pos") + 1).as("tok_idx"),
-        col("col").as("tok"))
-    val cleaned = toks
-      .join(covered, Seq("doc_id", "tok_idx"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        md5(concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("tok_idx"), col("tok")))),
-          _.getField("tok"))).cast("binary")).as("cleaned_hash"))
+      .agg(collect_set(col("tok_idx")).as("cov"))
     docs
+      .select(col("doc_id"), split(norm(col("text")), " ").as("toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("cov").isNull, col("toks")).otherwise(
+          filter(col("toks"),
+            (t, i) => not(array_contains(col("cov"), i + 1)))))
       .select(col("doc_id"),
-        size(split(norm(col("text")), " ")).cast("long").as("n_tokens"))
-      .join(cleaned, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
           .as("n_removed"),
-        // a fully-covered doc has no surviving tokens: hash of ""
-        coalesce(col("cleaned_hash"),
-          md5(lit("").cast("binary"))).as("cleaned_hash"))
+        // a fully-covered doc keeps no tokens: md5 of ""
+        md5(concat_ws(" ", col("kept")).cast("binary"))
+          .as("cleaned_hash"))
       .orderBy("doc_id")
   }
 

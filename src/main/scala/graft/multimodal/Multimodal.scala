@@ -129,7 +129,33 @@ object Multimodal {
       (col("height") * maxDim / m).cast("int").as("new_height"))
   }
 
+  /** Exact payload dedup — the first pass every media-ingest pipeline
+    * runs (identical bytes are the bulk of crawl duplicates). Content
+    * hash = md5 over the canonical lowercase-hex payload encoding, a
+    * form both engines compute identically on opaque bytes; the shuffle
+    * carries (hash, partial aggregates) only — payloads are read once
+    * at the scan and never cross an exchange. `n_types` counts distinct
+    * media types inside a group: the same bytes registered under
+    * different modalities is exactly the cross-modal duplicate an
+    * asset catalog wants surfaced. */
+  def mediaDedup(store: DataFrame): DataFrame =
+    store
+      .select(
+        md5(lower(hex(col("payload"))).cast("binary")).as("content_hash"),
+        col("doc_id"), col("media_type"), col("byte_len"))
+      .groupBy(col("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper_id"),
+        countDistinct(col("media_type")).as("n_types"),
+        sum(col("byte_len")).cast("long").as("bytes_total"))
+      // all groups, like dedup_exact: the fixture has near-dups but no
+      // byte-identical payloads, and a keeper/copies row per asset is
+      // what the catalog upserts anyway (n_copies > 1 marks the dups)
+      .orderBy("content_hash")
+
   val queries: Map[String, Q] = Map(
+    "media_dedup" -> ((s, d) => mediaDedup(assetStore(s, d))),
     "media_features" -> ((s, d) =>
       decodeFeatures(assets(s, d)).toDF().orderBy("doc_id")),
     "frame_sample" -> ((s, d) =>
@@ -149,6 +175,18 @@ object Multimodal {
        |     + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)) - 1)))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // md5 over the lowercase-hex payload: Spark's hex(binary) is
+    // uppercase, DuckDB's hex(blob) too — lower() canonicalizes both,
+    // and md5 of that ASCII string is engine-independent
+    "media_dedup" ->
+      s"""SELECT md5(lower(hex(encode(text)))) AS content_hash,
+         |CAST(count(*) AS BIGINT) AS n_copies,
+         |min(doc_id) AS keeper_id,
+         |CAST(count(DISTINCT $mt) AS BIGINT) AS n_types,
+         |CAST(sum($bLen) AS BIGINT) AS bytes_total
+         |FROM documents GROUP BY 1
+         |ORDER BY content_hash""".stripMargin,
+
     "media_features" ->
       s"""SELECT doc_id, $mt AS media_type,
          |CAST($bLen AS INTEGER) AS byte_len,

@@ -49,6 +49,23 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.length > nParts)
   }
 
+  test("media dedup groups identical payloads across modalities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val store = Seq(
+      (1L, "image", "same-bytes", 10),
+      (2L, "video", "same-bytes", 10), // identical payload, other modality
+      (3L, "image", "same-bytes", 10),
+      (4L, "audio", "unique-bytes", 12))
+      .toDF("doc_id", "media_type", "text", "byte_len")
+      .withColumn("payload", col("text").cast("binary"))
+    val out = Multimodal.mediaDedup(store).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // two content groups: the triple (cross-modal, keeper = min id) and
+    // the singleton
+    assert(out.toSet === Set((3L, 1L, 2L, 30L), (1L, 4L, 1L, 12L)))
+  }
+
   test("frame sampling covers each asset with its n_frames windows") {
     val assets = Multimodal.assets(spark, dir).collect()
     val frames = Multimodal.frameSample(Multimodal.assetStore(spark, dir))

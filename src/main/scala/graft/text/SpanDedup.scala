@@ -131,9 +131,55 @@ object SpanDedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental span-clean: strip from INCOMING docs every token
+    * covered by a window whose W tokens already exist anywhere in the
+    * EXISTING corpus — the per-batch ingestion shape of exact-substring
+    * dedup (the corpus owns every canonical occurrence by definition).
+    * Scale posture mirrors `NearDup.incrementalDedup`: the corpus is
+    * scanned ONCE and never shuffled — its window stream left-semi-joins
+    * the BROADCAST incoming gram set, and the surviving (matched) gram
+    * set, bounded by the batch size, broadcasts back onto the incoming
+    * windows. Batch-internal duplication is [[spanClean]]'s job; this
+    * operator isolates the batch-vs-corpus containment. */
+  def spanCleanIncremental(existing: DataFrame, incoming: DataFrame,
+      w: Int = W): DataFrame = {
+    val incWin = windows(incoming, w)
+    val matched = windows(existing, w)
+      .join(broadcast(incWin.select(col("gram")).distinct()),
+        Seq("gram"), "left_semi")
+      .select(col("gram")).distinct()
+    val covered = incWin
+      .join(broadcast(matched), Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1)))
+          .as("tok_idx"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("tok_idx")).as("cov"))
+    incoming
+      .select(col("doc_id"), split(norm(col("text")), " ").as("toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("cov").isNull, col("toks")).otherwise(
+          filter(col("toks"),
+            (t, i) => not(array_contains(col("cov"), i + 1)))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("n_removed"),
+        md5(concat_ws(" ", col("kept")).cast("binary"))
+          .as("cleaned_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dup_spans" -> ((s, d) => dupSpans(Tables(s, d, "documents"))),
-    "dedup_span_clean" -> ((s, d) => spanClean(Tables(s, d, "documents"))))
+    "dedup_span_clean" -> ((s, d) => spanClean(Tables(s, d, "documents"))),
+    // same corpus/batch split convention as dedup_incremental
+    "dedup_span_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      spanCleanIncremental(docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8))
+    }))
 
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -177,6 +223,45 @@ object SpanDedup {
          |  sum(CASE WHEN isl IS NOT NULL THEN nw ELSE 0 END)::DOUBLE
          |    / sum(nw)::DOUBLE AS dup_frac
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // incoming windows covered iff their gram exists in the corpus side;
+    // the rebuild mirrors dedup_span_clean's
+    "dedup_span_incremental" ->
+      s"""WITH $winCte,
+         |iw AS (SELECT * FROM g WHERE doc_id % 10 >= 8),
+         |mg AS (
+         |  SELECT DISTINCT iw.gram FROM iw
+         |  WHERE iw.gram IN (SELECT gram FROM g WHERE doc_id % 10 < 8)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, tok_idx FROM (
+         |    SELECT iw.doc_id,
+         |      unnest(generate_series(iw.pos, iw.pos + ${W - 1})) AS tok_idx
+         |    FROM iw JOIN mg ON iw.gram = mg.gram)),
+         |tk AS (
+         |  SELECT doc_id, u.i AS tok_idx, u.t AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(l)),
+         |      i -> struct_pack(i := i, t := l[i]))) AS u
+         |    FROM (SELECT doc_id, string_split($N, ' ') AS l
+         |          FROM documents WHERE doc_id % 10 >= 8))),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.tok_idx, tk.tok
+         |  FROM tk ANTI JOIN cov
+         |    ON tk.doc_id = cov.doc_id AND tk.tok_idx = cov.tok_idx),
+         |cl AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    md5(array_to_string(array_agg(tok ORDER BY tok_idx), ' '))
+         |      AS h
+         |  FROM kept GROUP BY doc_id),
+         |base AS (
+         |  SELECT doc_id, len(string_split($N, ' ')) AS n_tokens
+         |  FROM documents WHERE doc_id % 10 >= 8)
+         |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(b.n_tokens - coalesce(cl.n_kept, 0) AS BIGINT)
+         |    AS n_removed,
+         |  coalesce(cl.h, md5('')) AS cleaned_hash
+         |FROM base b LEFT JOIN cl ON b.doc_id = cl.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "dedup_span_clean" ->
       s"""WITH $winCte,

@@ -77,6 +77,31 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(1) === ((2L, 4L, empty)))
   }
 
+  test("incremental span clean strips only corpus-covered incoming spans") {
+    val existing = Seq(
+      (1L, "a b c d e f x y"),
+      (2L, "m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "q a b c d e f r"), // contains corpus run "a b c d e f"
+      (11L, "zz ww vv uu tt ss rr qq"), // novel text
+      (12L, "zz ww vv uu tt ss rr qq") // duplicates 11 but NOT the corpus
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.spanCleanIncremental(existing, incoming, w = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.map(t => t._1 -> t).toMap
+    // incoming-only output; the corpus is never rewritten
+    assert(out.map(_._1).toSet === Set(10L, 11L, 12L))
+    // doc 10 loses the 6 corpus-covered tokens
+    assert(byDoc(10L)._3 === 6L)
+    val exp = spark.sql("SELECT md5(CAST('q r' AS BINARY))").head.getString(0)
+    assert(byDoc(10L)._4 === exp)
+    // batch-internal duplication is out of contract here: 11 and 12
+    // both survive untouched
+    assert(byDoc(11L)._3 === 0L && byDoc(12L)._3 === 0L)
+  }
+
   test("the two-exchange plan: one gram shuffle, one doc shuffle") {
     val plan = SpanDedup.dupSpans(docs, w = 4)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,40 @@
+package graft
+
+/** Plan lint over EVERY registered query: the guard that keeps a future
+  * operator from silently going quadratic. Asserts, on the sf0.001
+  * fixture plans:
+  *   - no CartesianProductExec anywhere;
+  *   - BroadcastNestedLoopJoinExec only in queries where the broadcast
+  *     side is provably bounded: a one-row scalar anchor (data-anchored
+  *     NOW() / corpus-total aggregates) or the fixed small ANN query
+  *     set under a non-equi self-exclusion predicate.
+  * Plans are built (not executed) — eager constituents (staging, memo
+  * counts, the clustering fixpoint) run once at registry scale.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose nested-loop join is a bounded broadcast by design. */
+  private val bnljBounded: Set[String] = Set(
+    // broadcast ANN query set (nQueries rows) x non-equi vec_id <> query_id
+    "ann_topk", "ann_recall", "ann_ivf_trained",
+    "ann_sq_rerank", "ann_sq_recall",
+    // one-row scalar anchors: data-anchored NOW() or corpus totals
+    "recent_analysis", "recent_lineitems", "trade_summary",
+    "lm_bigram_score", "source_logodds", "tfidf_topk")
+
+  test("no cartesian products; nested-loop joins only where bounded") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val tree = fn(spark, dir).queryExecution.executedPlan.toString
+        val cart = tree.contains("CartesianProduct")
+        val bnlj = tree.contains("BroadcastNestedLoopJoin") &&
+          !bnljBounded(name)
+        if (cart) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unlisted BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}

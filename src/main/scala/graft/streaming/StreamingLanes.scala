@@ -158,6 +158,30 @@ object StreamingLanes {
       ()
     }
 
+  /** Store-backed streaming span clean — the exact-substring sibling of
+    * [[nearDupStoreLane]]: each batch's docs are stripped of every span
+    * already present in the persisted [[graft.text.GramStore]], then the
+    * grams of the CLEANED text are appended so later batches dedup
+    * against everything admitted so far (state on disk; a restart
+    * resumes against the full store). Same eager-localCheckpoint
+    * ordering as the near-dup lane: the cleaned frame is materialized
+    * BEFORE the append mutates the store's file listing, or the plan's
+    * second consumer would see the batch's own grams and every doc
+    * would strip itself. Replayed batches are harmless: duplicate gram
+    * rows only re-cover what they already cover. */
+  def spanCleanStoreLane(docs: DataFrame, storePath: String)
+                        (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.text.{GramStore, SpanDedup}
+      val cleaned = SpanDedup.spanCleanAgainstGrams(
+        GramStore.read(batch.sparkSession, storePath), batch)
+        .localCheckpoint(true)
+      GramStore.appendCleaned(storePath, cleaned)
+      process(cleaned, batchId)
+      ()
+    }
+
   /** S5/S6: dual-lane bifurcation — one foreachBatch, two sinks. The
     * storage lane appends Parquet partitioned by (source, date) (the
     * low-cardinality layout the reference chose for series pruning); the

@@ -1,0 +1,48 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.sources.Staging
+
+/** Persisted window-gram store for exact-substring dedup — the
+  * [[SignatureStore]] posture applied to [[SpanDedup]]: window the
+  * corpus once, append the grams of each admitted batch's CLEANED text,
+  * and clean every later batch against a plain SCAN of stored grams
+  * (zero re-windowing of accumulated corpus text).
+  *
+  * Rows are a single `gram` column. Membership is all the clean path
+  * reads, so duplicate rows are semantically harmless (they can only
+  * re-cover what they already cover) — which makes the store safe to
+  * append under the same replayed-batch semantics as the signature
+  * store: a batch re-appended after a failure between append and
+  * checkpoint commit changes nothing observable.
+  *
+  * Appending grams of the CLEANED text (not the raw batch) matters:
+  * stripped spans already exist in the store by definition, and the
+  * novel remainder is exactly what future batches must be cleaned
+  * against.
+  */
+object GramStore {
+
+  /** Stage `corpus`'s gram frame once per (key, fixture fingerprint);
+    * returns the store directory. */
+  def stagedCorpus(key: String, fingerprintFile: java.io.File,
+                   corpus: DataFrame): String =
+    Staging.stage(s"gram_store_$key", fingerprintFile) { tmp =>
+      SpanDedup.grams(corpus).write.parquet(tmp)
+    }
+
+  /** The gram frame backing `path` — a plain parquet scan. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Window `cleaned` (the output frame of
+    * [[SpanDedup.spanCleanAgainstGrams]]) on its cleaned text and
+    * append the grams; parquet append only adds files, so a concurrent
+    * reader sees either the old or the new listing. */
+  def appendCleaned(path: String, cleaned: DataFrame): Unit =
+    SpanDedup.grams(
+      cleaned.select(col("doc_id"), col("cleaned_text").as("text")))
+      .write.mode("append").parquet(path)
+}

@@ -49,6 +49,12 @@ object SpanDedup {
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
         col("col").as("gram"))
 
+  /** The corpus-side gram frame (one `gram` column, positional
+    * occurrences — duplicates meaningful only as membership) that
+    * [[GramStore]] persists and [[spanCleanAgainstGrams]] consumes. */
+  def grams(docs: DataFrame, w: Int = W): DataFrame =
+    windows(docs, w).select(col("gram"))
+
   /** Per-document duplicated-span statistics: of the doc's windows, how
     * many are duplicated (same W tokens occur >= minCount times corpus-
     * wide), merged into maximal contiguous spans. Docs shorter than W
@@ -142,9 +148,22 @@ object SpanDedup {
     * windows. Batch-internal duplication is [[spanClean]]'s job; this
     * operator isolates the batch-vs-corpus containment. */
   def spanCleanIncremental(existing: DataFrame, incoming: DataFrame,
+      w: Int = W): DataFrame =
+    spanCleanAgainstGrams(windows(existing, w).select(col("gram")),
+      incoming, w)
+      .drop("cleaned_text")
+      .orderBy("doc_id")
+
+  /** [[spanCleanIncremental]] against an already-derived corpus gram
+    * frame (one `gram` column; duplicate rows harmless — membership
+    * only). This is the form the persisted [[GramStore]] feeds: the
+    * store scan IS the corpus side, zero re-windowing of accumulated
+    * text. Returns `cleaned_text` too (unsorted) — the streaming lane
+    * re-windows it for the survivor append; the batch query drops it. */
+  def spanCleanAgainstGrams(corpusGrams: DataFrame, incoming: DataFrame,
       w: Int = W): DataFrame = {
     val incWin = windows(incoming, w)
-    val matched = windows(existing, w)
+    val matched = corpusGrams
       .join(broadcast(incWin.select(col("gram")).distinct()),
         Seq("gram"), "left_semi")
       .select(col("gram")).distinct()
@@ -166,9 +185,9 @@ object SpanDedup {
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).cast("long")
           .as("n_removed"),
+        concat_ws(" ", col("kept")).as("cleaned_text"),
         md5(concat_ws(" ", col("kept")).cast("binary"))
           .as("cleaned_hash"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

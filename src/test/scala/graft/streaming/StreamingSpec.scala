@@ -257,6 +257,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("store-backed span-clean lane strips stored spans and appends survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.GramStore
+    val mem = MemoryStream[Doc]
+    // seed store: the corpus owns "a b c d e f x y" (W=8: one window)
+    val fp = java.io.File.createTempFile("gram_fp", ".txt")
+    fp.deleteOnExit()
+    val store = GramStore.stagedCorpus(
+      "lane_" + java.util.UUID.randomUUID, fp,
+      Seq((100L, "a b c d e f x y")).toDF("doc_id", "text"))
+    val out = scala.collection.mutable.Map[Long, (Long, String)]()
+    val q = StreamingLanes.spanCleanStoreLane(
+      mem.toDF().select(col("doc_id"), col("text")), store)(
+      (batch, _) => batch.collect().foreach { r =>
+        out(r.getAs[Long]("doc_id")) =
+          (r.getAs[Long]("n_removed"), r.getAs[String]("cleaned_text"))
+      }).start()
+    try {
+      mem.addData(
+        // repeats the stored 8-token window + novel tail -> span stripped
+        Doc(ts(10), 1L, "a b c d e f x y novel tail one two three"),
+        // wholly novel 8+ tokens: admitted untouched
+        Doc(ts(20), 2L, "pp qq rr ss tt uu vv ww xx"))
+      q.processAllAvailable()
+      assert(out(1L)._1 === 8L)
+      assert(out(1L)._2 === "novel tail one two three")
+      assert(out(2L)._1 === 0L)
+
+      // doc 2's CLEANED grams were appended: a later batch repeating its
+      // text is stripped from the store, not session memory
+      mem.addData(Doc(ts(30), 3L, "pp qq rr ss tt uu vv ww xx"))
+      q.processAllAvailable()
+      assert(out(3L)._1 === 9L, s"later batch must clean against survivors: $out")
+      assert(out(3L)._2 === "")
+    } finally q.stop()
+  }
+
   test("ST8: last-write-wins view over replayed storage matches latest state") {
     // two "writes" of the same series key at different event times: the
     // read-side view (latestPerKey in batch) is the LWW state

@@ -1,7 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode}
 
 import graft.sources.Staging
 
@@ -38,11 +38,19 @@ object GramStore {
     spark.read.parquet(path)
 
   /** Window `cleaned` (the output frame of
-    * [[SpanDedup.spanCleanAgainstGrams]]) on its cleaned text and
-    * append the grams; parquet append only adds files, so a concurrent
-    * reader sees either the old or the new listing. */
+    * [[SpanDedup.spanCleanAgainstGrams]]) and append its grams.
+    * Windows run PER SURVIVING CONTIGUOUS SEGMENT (`cleaned_segments`),
+    * not over the concatenated cleaned text: a token run bridging a
+    * removal seam never existed contiguously in any admitted document,
+    * so windowing the joined text would append phantom grams that could
+    * wrongly strip a later batch containing that seam sequence as novel
+    * text. Segments shorter than W tokens contribute no grams — those
+    * runs were never a full window in the admitted text either.
+    * Parquet append only adds files, so a concurrent reader sees either
+    * the old or the new listing. */
   def appendCleaned(path: String, cleaned: DataFrame): Unit =
     SpanDedup.grams(
-      cleaned.select(col("doc_id"), col("cleaned_text").as("text")))
+      cleaned.select(col("doc_id"),
+        explode(col("cleaned_segments")).as("text")))
       .write.mode("append").parquet(path)
 }

@@ -38,6 +38,11 @@ object SpanDedup {
     * statistics non-degenerate; see the scaladoc on scale posture. */
   val W = 8
 
+  /** Seam sentinel substituted for removed tokens when reconstructing
+    * surviving contiguous segments — NUL, which `norm`'s output (space-
+    * separated non-empty lowercase words) can never contain. */
+  private val Seam = 0.toChar.toString
+
   /** ALL positional W-token windows: (doc_id, pos, gram), pos 1-based
     * over the normalized token stream; docs shorter than W tokens
     * contribute no windows. */
@@ -151,15 +156,19 @@ object SpanDedup {
       w: Int = W): DataFrame =
     spanCleanAgainstGrams(windows(existing, w).select(col("gram")),
       incoming, w)
-      .drop("cleaned_text")
+      .drop("cleaned_text", "cleaned_segments")
       .orderBy("doc_id")
 
   /** [[spanCleanIncremental]] against an already-derived corpus gram
     * frame (one `gram` column; duplicate rows harmless — membership
     * only). This is the form the persisted [[GramStore]] feeds: the
     * store scan IS the corpus side, zero re-windowing of accumulated
-    * text. Returns `cleaned_text` too (unsorted) — the streaming lane
-    * re-windows it for the survivor append; the batch query drops it. */
+    * text. Returns `cleaned_text` plus `cleaned_segments` — the
+    * SURVIVING CONTIGUOUS token runs, split where spans were removed
+    * (unsorted; the streaming lane windows the segments for the
+    * survivor append so no gram spans a removal seam — a token run
+    * bridging a seam never existed contiguously in any admitted
+    * document; the batch query drops both). */
   def spanCleanAgainstGrams(corpusGrams: DataFrame, incoming: DataFrame,
       w: Int = W): DataFrame = {
     val incWin = windows(incoming, w)
@@ -181,11 +190,27 @@ object SpanDedup {
         when(col("cov").isNull, col("toks")).otherwise(
           filter(col("toks"),
             (t, i) => not(array_contains(col("cov"), i + 1)))))
+      // removal seams become a sentinel token (NUL -- never produced
+      // by norm(), which emits space-separated lowercase words), so
+      // splitting the rejoined token string on the sentinel and
+      // trimming yields exactly the maximal surviving contiguous
+      // token runs: no gram windowed over a segment can bridge a seam
+      .withColumn("cleaned_segments",
+        when(col("cov").isNull, array(concat_ws(" ", col("toks"))))
+          .otherwise(filter(
+            transform(
+              split(concat_ws(" ",
+                transform(col("toks"), (t, i) =>
+                  when(array_contains(col("cov"), i + 1), lit(Seam))
+                    .otherwise(t))), Seam),
+              s => trim(s)),
+            s => s =!= "")))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).cast("long")
           .as("n_removed"),
         concat_ws(" ", col("kept")).as("cleaned_text"),
+        col("cleaned_segments"),
         md5(concat_ws(" ", col("kept")).cast("binary"))
           .as("cleaned_hash"))
   }
@@ -210,7 +235,7 @@ object SpanDedup {
        |    SELECT doc_id, unnest(list_transform(
        |      generate_series(1, len(l) - ${W - 1}),
        |      i -> struct_pack(pos := i,
-       |        gram := array_to_string(l[i:i+${W - 2}], ' ')))) AS u
+       |        gram := array_to_string(l[i:i+${W - 1}], ' ')))) AS u
        |    FROM (SELECT doc_id, string_split($N, ' ') AS l FROM documents)
        |    WHERE len(l) >= $W))""".stripMargin
 

@@ -203,22 +203,30 @@ class PropertySpec extends SparkSpec {
       base <- Gen.listOfN(8, genDoc)
       dupIdx <- Gen.listOfN(4, Gen.chooseNum(0, 7))
     } yield base ++ dupIdx.map(base)
-    check("staged-vs-insession", Prop.forAll(genCorpus) { texts =>
-      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-        .toDF("doc_id", "text")
-      val existing = docs.filter(col("doc_id") % 2 === 0)
-      val incoming = docs.filter(col("doc_id") % 2 === 1)
-      val fp = java.io.File.createTempFile("prop_fp", ".txt")
-      fp.deleteOnExit()
-      val store = SignatureStore.stagedCorpus(
-        "prop_" + java.util.UUID.randomUUID, fp, existing)
-      val staged = NearDup.incrementalDedupFromSigs(
-        SignatureStore.read(spark, store), incoming)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
-      val inSession = NearDup.incrementalDedup(existing, incoming)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
-      staged.sorted.sameElements(inSession.sorted)
-    }, samples = 6)
+    // each sample stages a fresh store (UUID key: fingerprint reuse is
+    // deliberately defeated so every corpus re-stages); delete them after
+    // the run or tmpdir accumulates an orphan store per sample forever
+    val stagedDirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    try {
+      check("staged-vs-insession", Prop.forAll(genCorpus) { texts =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val existing = docs.filter(col("doc_id") % 2 === 0)
+        val incoming = docs.filter(col("doc_id") % 2 === 1)
+        val fp = java.io.File.createTempFile("prop_fp", ".txt")
+        fp.deleteOnExit()
+        val store = SignatureStore.stagedCorpus(
+          "prop_" + java.util.UUID.randomUUID, fp, existing)
+        stagedDirs += new java.io.File(store)
+        val staged = NearDup.incrementalDedupFromSigs(
+          SignatureStore.read(spark, store), incoming)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+        val inSession = NearDup.incrementalDedup(existing, incoming)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+        staged.sorted.sameElements(inSession.sorted)
+      }, samples = 6)
+    } finally stagedDirs.foreach(
+      org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
   // --- LSH bucket cap -------------------------------------------------------

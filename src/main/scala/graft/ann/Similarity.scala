@@ -47,7 +47,7 @@ object Similarity {
     * fingerprint tracks the FIXTURE, so a schema change to this frame
     * must move to a fresh key or a warm tmpdir would serve the old
     * columns. */
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private[ann] def corpus(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Staging.stageFrame(spark, s"ann_corpus2_$dir",
       new java.io.File(dir, "embeddings.parquet"),
       Tables(spark, dir, "embeddings")
@@ -170,8 +170,57 @@ object Similarity {
         .join(broadcast(qExact), "query_id"), k)
   }
 
-  /** Trained IVF: a k-means coarse quantizer (2 Lloyd iterations) instead
-    * of sign-bit cells — the index build a real IVF runs at scale.
+  /** Dim guard shared by the training/assignment paths: `lloydUpdated`
+    * builds centroid sums via element_at(v, 1..dim), so a vector shorter
+    * than `dim` would yield NULL centroid elements that nearest_cell
+    * then reads as undefined values — fail loudly instead (same guard
+    * pattern as embeddingOutliers). */
+  private def dimGuarded(df: DataFrame, dim: Int, who: String): DataFrame =
+    df.withColumn("v",
+      when(assert_true(size(col("v")) === dim,
+        lit(s"$who: expected $dim-dim vector")).isNull,
+        col("v")))
+
+  /** One-row frame carrying the whole centroid set (cell ids ascending,
+    * matrix flattened row-major), broadcast to make assignment a narrow
+    * map (no join, no shuffle of the corpus). */
+  private[ann] def packedCentroids(cents: DataFrame): DataFrame =
+    cents
+      .withColumn("c2", dot(col("c"), col("c")))
+      .agg(sort_array(collect_list(
+        struct(col("cell"), col("c"), col("c2")))).as("cs"))
+      .select(
+        transform(col("cs"), x => x.getField("cell")).as("cells"),
+        flatten(transform(col("cs"), x => x.getField("c"))).as("flat"),
+        transform(col("cs"), x => x.getField("c2")).as("c2s"))
+
+  /** Nearest cell by exact integer distance (the ‖v‖² term cancels in
+    * the argmin); ties -> lowest cell id. One codegen'd loop per row
+    * (`functions/NearestCell.scala`) — the HOF form ran k×dim work
+    * interpreted inside the lambda. */
+  private[ann] def assignCells(df: DataFrame,
+                               centsRow: DataFrame): DataFrame =
+    df.crossJoin(broadcast(centsRow))
+      .withColumn("cell", call_function("nearest_cell",
+        col("v"), col("flat"), col("cells"), col("c2s")))
+      .drop("cells", "flat", "c2s")
+
+  /** Lloyd update: exact long sums per (cell, dim), ONE double division
+    * + round per dimension back onto the integer lattice. */
+  private def lloydUpdated(assignedDf: DataFrame, dim: Int): DataFrame =
+    assignedDf.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"),
+        array((1 to dim).map(i => sum(element_at(col("v"), i))): _*)
+          .as("sv"))
+      .select(col("cell"),
+        transform(col("sv"),
+          s => round(s.cast("double") / col("cnt"), 0).cast("long"))
+          .as("c"))
+
+  /** The k-means coarse-quantizer training (2 Lloyd iterations, seeds =
+    * the first kCells vectors) — the index BUILD a real IVF runs at
+    * scale, factored out so [[IvfStore]] can run it exactly once per
+    * fixture and persist the result.
     *
     * Every arithmetic step is exact-integer so the training is
     * bit-reproducible against the oracle: vectors are the quantized long
@@ -184,68 +233,58 @@ object Similarity {
     * per-row argmin against a one-row broadcast of the (k × dim)
     * centroid array; each Lloyd round costs one corpus pass plus one
     * tiny hash aggregate whose exchange carries k·dim longs per map
-    * partition. Query probing joins on the trained cell id exactly like
-    * `annIvf`. */
-  def annIvfTrained(spark: SparkSession, dir: String, kCells: Int = 8,
-                    nQueries: Int = 5, k: Int = 10,
-                    dim: Int = 64): DataFrame = {
-    // `updated` builds centroid sums via element_at(v, 1..dim): a vector
-    // shorter than `dim` would yield NULL centroid elements that
-    // nearest_cell then reads as undefined values — fail loudly instead
-    // (same guard pattern as embeddingOutliers)
-    val c = corpus(spark, dir)
-      .withColumn("v",
-        when(assert_true(size(col("v")) === dim,
-          lit(s"annIvfTrained: expected $dim-dim vector")).isNull,
-          col("v")))
-
-    // one-row frame carrying the whole centroid set (cell ids ascending,
-    // matrix flattened row-major), broadcast to make assignment a narrow
-    // map (no join, no shuffle of the corpus)
-    def packed(cents: DataFrame): DataFrame =
-      cents
-        .withColumn("c2", dot(col("c"), col("c")))
-        .agg(sort_array(collect_list(
-          struct(col("cell"), col("c"), col("c2")))).as("cs"))
-        .select(
-          transform(col("cs"), x => x.getField("cell")).as("cells"),
-          flatten(transform(col("cs"), x => x.getField("c"))).as("flat"),
-          transform(col("cs"), x => x.getField("c2")).as("c2s"))
-
-    // nearest cell by exact integer distance (the ‖v‖² term cancels in
-    // the argmin); ties -> lowest cell id. One codegen'd loop per row
-    // (`functions/NearestCell.scala`) — the HOF form ran k×dim work
-    // interpreted inside the lambda
-    def assigned(df: DataFrame, centsRow: DataFrame): DataFrame =
-      df.crossJoin(broadcast(centsRow))
-        .withColumn("cell", call_function("nearest_cell",
-          col("v"), col("flat"), col("cells"), col("c2s")))
-        .drop("cells", "flat", "c2s")
-
-    // Lloyd update: exact long sums per (cell, dim), ONE double division
-    // + round per dimension back onto the integer lattice
-    def updated(assignedDf: DataFrame): DataFrame =
-      assignedDf.groupBy(col("cell"))
-        .agg(count(lit(1)).as("cnt"),
-          array((1 to dim).map(i => sum(element_at(col("v"), i))): _*)
-            .as("sv"))
-        .select(col("cell"),
-          transform(col("sv"),
-            s => round(s.cast("double") / col("cnt"), 0).cast("long"))
-            .as("c"))
-
-    val c0 = c.filter(col("vec_id") < kCells)
+    * partition. Returns the trained (cell, c) centroid frame. */
+  private[ann] def trainCentroids(c: DataFrame, kCells: Int = 8,
+                                  dim: Int = 64): DataFrame = {
+    val g = dimGuarded(c, dim, "trainCentroids")
+    val c0 = g.filter(col("vec_id") < kCells)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("c"))
-    val c1 = updated(assigned(c, packed(c0)))
-    val trainedRow = packed(c1)
+    lloydUpdated(assignCells(g, packedCentroids(c0)), dim)
+  }
 
-    val corpusCells = assigned(c, trainedRow)
-    // queries are a filter of the already-assigned corpus (same
-    // centroids, deterministic argmin) — no second assignment pass
+  /** Trained-IVF query path, r8: reads the PERSISTED index
+    * ([[IvfStore]] — trained centroids + per-vector cell assignments,
+    * staged once per fixture) instead of re-running Lloyd training per
+    * session. The plan is a parquet scan of assigned state joined on the
+    * trained cell id exactly like `annIvf`; at 100 TB nobody retrains
+    * per query — the index build is [[trainCentroids]], paid once inside
+    * the staging write. Queries are a filter of the already-assigned
+    * corpus (same centroids, deterministic argmin) — no assignment pass
+    * anywhere in this plan. */
+  def annIvfTrained(spark: SparkSession, dir: String,
+                    nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val corpusCells = IvfStore.fixtureIndex(spark, dir)
     val q = corpusCells.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("cell").as("qcell"))
     scoreRankLimit(corpusCells.join(broadcast(q),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id")), k)
+  }
+
+  /** Store-backed incremental IVF — the ingestion shape over the
+    * persisted index (the `dedup_incremental_staged` posture applied to
+    * ANN): the index is trained and assigned on the ACCUMULATED corpus
+    * (doc-split convention vec_id % 10 < 8) and persisted; an incoming
+    * batch (vec_id % 10 >= 8) is assigned against the STORED centroids —
+    * one `nearest_cell` pass over the small batch only, never the
+    * corpus — and queried together with the stored assignments. The
+    * production append of the assigned batch is
+    * [[IvfStore.appendAssigned]] (exercised by spec); this query keeps
+    * the append out of its plan so repeated runs are idempotent. */
+  def annIvfStored(spark: SparkSession, dir: String,
+                   nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val stored = IvfStore.fixtureSubIndex(spark, dir)
+    val batch = corpus(spark, dir).filter(col("vec_id") % 10 >= 8)
+      .select(col("vec_id"), col("v"), col("n2"))
+    val batchAssigned = assignCells(
+      dimGuarded(batch, 64, "annIvfStored"),
+      IvfStore.fixtureSubCentroidsRow(spark, dir))
+      .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+    val all = stored.unionByName(batchAssigned)
+    val q = stored.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell").as("qcell"))
+    scoreRankLimit(all.join(broadcast(q),
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id")), k)
   }
 
@@ -406,6 +445,7 @@ object Similarity {
     "ann_sq_rerank" -> ((s, d) => annSqRerank(s, d)),
     "ann_sq_recall" -> ((s, d) => annSqRecall(s, d)),
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
+    "ann_ivf_stored" -> ((s, d) => annIvfStored(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)),
     "dedup_embedding_auto" -> ((s, d) => embeddingNearDupAuto(s, d)))
@@ -628,6 +668,83 @@ object Similarity {
         |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
         |    AS cosine
         |FROM a2 a JOIN a2 q
+        |  ON q.vec_id < 5 AND a.cell = q.cell AND a.vec_id <> q.vec_id
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the store-backed incremental path replayed exactly: train + assign
+    // on the accumulated corpus (vec_id % 10 < 8; seeds vec_id < 8 are
+    // all inside it), assign the incoming batch (vec_id % 10 >= 8)
+    // against the SAME trained centroids, query the union
+    "ann_ivf_stored" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_sum(list_transform(generate_series(1, len(v)),
+        |      i -> v[i] * v[i])) AS n2
+        |  FROM n),
+        |sub AS (SELECT * FROM m WHERE vec_id % 10 < 8),
+        |s0 AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
+        |    list_sum(list_transform(generate_series(1, len(v)),
+        |      i -> v[i] * v[i])) AS c2
+        |  FROM n WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT m.vec_id, m.v, s.cell,
+        |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+        |        m.n2 - 2 * list_sum(list_transform(
+        |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
+        |          + s.c2, s.cell) AS rn
+        |    FROM sub m, s0 s) WHERE rn = 1),
+        |d1 AS (
+        |  SELECT cell, i AS pos, sum(v[i]) AS sv, count(*) AS cnt
+        |  FROM a1, unnest(generate_series(1, len(v))) AS t(i)
+        |  GROUP BY cell, i),
+        |c1 AS (
+        |  SELECT cell, list(CAST(round(sv / cnt) AS BIGINT) ORDER BY pos)
+        |    AS c
+        |  FROM d1 GROUP BY cell),
+        |s1 AS (
+        |  SELECT cell, c,
+        |    list_sum(list_transform(generate_series(1, len(c)),
+        |      i -> c[i] * c[i])) AS c2
+        |  FROM c1),
+        |a2 AS (
+        |  SELECT vec_id, v, n2, cell FROM (
+        |    SELECT m.vec_id, m.v, m.n2, s.cell,
+        |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+        |        m.n2 - 2 * list_sum(list_transform(
+        |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
+        |          + s.c2, s.cell) AS rn
+        |    FROM sub m, s1 s) WHERE rn = 1),
+        |b2 AS (
+        |  SELECT vec_id, v, n2, cell FROM (
+        |    SELECT m.vec_id, m.v, m.n2, s.cell,
+        |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+        |        m.n2 - 2 * list_sum(list_transform(
+        |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
+        |          + s.c2, s.cell) AS rn
+        |    FROM (SELECT * FROM m WHERE vec_id % 10 >= 8) m, s1 s)
+        |  WHERE rn = 1),
+        |allv AS (
+        |  SELECT * FROM a2 UNION ALL SELECT * FROM b2)
+        |SELECT q.vec_id AS query_id, a.vec_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY CAST(list_sum(list_transform(
+        |        generate_series(1, len(a.v)), i -> a.v[i] * q.v[i]))
+        |        AS DOUBLE)
+        |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+        |      DESC, a.vec_id ASC) AS INTEGER) AS rank,
+        |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+        |      i -> a.v[i] * q.v[i])) AS DOUBLE)
+        |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+        |    AS cosine
+        |FROM allv a JOIN allv q
         |  ON q.vec_id < 5 AND a.cell = q.cell AND a.vec_id <> q.vec_id
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,

@@ -97,11 +97,15 @@ case class NearestCell(first: Expression, second: Expression,
       val off = ctx.freshName("off")
       val dot = ctx.freshName("dot")
       val dist = ctx.freshName("dist")
+      // no line may BEGIN with '|': enclosing operators (e.g.
+      // BroadcastNestedLoopJoin) splice this block into their own
+      // stripMargin templates, which would eat a line-initial '||' and
+      // emit uncompilable Java (silent fallback to interpreted eval)
       s"""
          |int $dim = $v.numElements();
          |int $k = $cells.numElements();
-         |if ($k == 0 || $flat.numElements() != $k * $dim
-         |    || $c2s.numElements() != $k) {
+         |if ($k == 0 || $flat.numElements() != $k * $dim ||
+         |    $c2s.numElements() != $k) {
          |  throw new IllegalArgumentException(
          |    "nearest_cell: inconsistent centroid arrays (k=" + $k +
          |    ", dim=" + $dim + ", flat=" + $flat.numElements() +

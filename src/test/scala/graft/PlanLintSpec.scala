@@ -17,8 +17,9 @@ class PlanLintSpec extends SparkSpec {
 
   /** Queries whose nested-loop join is a bounded broadcast by design. */
   private val bnljBounded: Set[String] = Set(
-    // broadcast ANN query set (nQueries rows) x non-equi vec_id <> query_id
-    "ann_topk", "ann_recall", "ann_ivf_trained",
+    // broadcast ANN query set (nQueries rows) x non-equi vec_id <> query_id,
+    // or the one-row packed-centroid broadcast the batch assigns against
+    "ann_topk", "ann_recall", "ann_ivf_trained", "ann_ivf_stored",
     "ann_sq_rerank", "ann_sq_recall",
     // one-row scalar anchors: data-anchored NOW() or corpus totals
     "recent_analysis", "recent_lineitems", "trade_summary",

@@ -203,6 +203,60 @@ class SimilaritySpec extends SparkSpec {
     assert(finalWindowIdx >= 0)
   }
 
+  test("trained IVF reads the persisted index — no training in the plan") {
+    val dir = "/root/testdata/sf0.001"
+    val df = Similarity.annIvfTrained(spark, dir, nQueries = 3, k = 10)
+    // plan inspected BEFORE execution: AQE finalization would hide the
+    // scans inside leaf QueryStageExec nodes after collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("nearest_cell"),
+      s"store-backed trained IVF must not assign or train in-plan:\n$plan")
+    assert(plan.contains("graft_ivf_asg_full"),
+      s"expected a scan of the staged assignment store in:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("stored-index incremental IVF assigns only the batch in-plan") {
+    val dir = "/root/testdata/sf0.001"
+    val df = Similarity.annIvfStored(spark, dir, nQueries = 3, k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus side is a parquet scan of assigned state; the single
+    // nearest_cell pass is the incoming batch against stored centroids
+    assert(plan.contains("graft_ivf_asg_sub"),
+      s"expected a scan of the accumulated-corpus store in:\n$plan")
+    assert(plan.contains("nearest_cell"),
+      "the incoming batch must assign against the stored centroids")
+    val out = df.collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("query_id") < 3))
+  }
+
+  test("appendAssigned grows the store like a log; re-read matches") {
+    val dir = "/root/testdata/sf0.001"
+    val src = IvfStore.fixtureSubIndexPath(spark, dir)
+    // append into a COPY so the shared staged fixture is not mutated
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_append_").toFile
+    try {
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(src), tmp)
+      val cents = IvfStore.fixtureSubCentroidsRow(spark, dir)
+      val batch = Similarity.corpus(spark, dir)
+        .filter(col("vec_id") % 10 >= 8)
+        .select(col("vec_id"), col("v"), col("n2"))
+      IvfStore.appendAssigned(tmp.toString, batch, cents)
+      def cells(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("cell")).collect()
+          .map(r => (r.getAs[Long]("vec_id"), r.get(1).toString)).toSet
+      val after = cells(IvfStore.read(spark, tmp.toString))
+      val expected = cells(IvfStore.fixtureSubIndex(spark, dir)) ++
+        cells(Similarity.assignCells(batch, cents))
+      assert(after === expected)
+      // every appended vector landed in exactly one cell
+      assert(after.size ===
+        IvfStore.read(spark, tmp.toString).count().toInt)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
   test("self-pairs are excluded") {
     val out = Similarity.annTopK(spark, "/root/testdata/sf0.001", nQueries = 2,
       k = 3).collect()

@@ -30,7 +30,7 @@ import graft.sources.Staging
   * checkpoint commit re-appends — duplicate assignment rows would
   * duplicate top-k candidates, so production callers route appends
   * through a checkpointed `foreachBatch` lane and deduplicate on vec_id
-  * at compaction (`Maintenance`), not at query time.
+  * at compaction ([[compact]]), not at query time.
   *
   * The stage keys are versioned (`_v1`): the staging fingerprint tracks
   * the FIXTURE, so any schema change to these frames must move to a
@@ -76,6 +76,16 @@ object IvfStore {
     Similarity.assignCells(batch, centsRow)
       .select(col("vec_id"), col("v"), col("n2"), col("cell"))
       .write.mode("append").parquet(path)
+
+  /** Rewrite the assignment store as one row per vec_id, few large
+    * files — the maintenance call that makes replayed appends exact
+    * again (a vec_id fully determines its assignment under fixed
+    * centroids, so key-dedup changes nothing a correct query observes
+    * and removes the duplicate top-k candidates a replayed batch would
+    * introduce). Atomic-swap semantics:
+    * [[graft.sinks.StoreMaintenance]]. */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.sinks.StoreMaintenance.compactDistinct(spark, path, Seq("vec_id"))
 
   private def fp(dir: String) = new java.io.File(dir, "embeddings.parquet")
 

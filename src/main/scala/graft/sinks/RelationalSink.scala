@@ -38,43 +38,10 @@ object RelationalSink {
   }
 
   /** Compaction: rewrite the log as its merged state (the write-side of
-    * UPDATE, amortized). The merged state is written to a temp sibling
-    * first, then swapped in with atomic renames (the same posture as
-    * `sources.Staging`) — a complete copy of the data exists on disk at
-    * every instant (the original log, the fixed-name `.old` aside, or
-    * the compacted result), never a half-overwritten store. POSIX rename
-    * can't exchange two directories atomically, so a crash in the
-    * instant between the two swap renames leaves the data in `.old`;
-    * the next `compact` call detects that state and restores it before
-    * proceeding (crash-retryable, no manual recovery). Leftover
-    * `.compact.*` temps from failed prior runs are swept. */
+    * UPDATE, amortized). The temp-sibling write + atomic rename swap —
+    * crash-retryable, a complete copy on disk at every instant — is the
+    * shared [[StoreMaintenance.rewrite]] protocol. */
   def compact(spark: SparkSession, path: String, keyCols: Seq[String],
-              versionCol: String): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
-    import org.apache.commons.io.FileUtils
-    val dir = new java.io.File(path).getAbsoluteFile
-    val aside = new java.io.File(dir.getParentFile, dir.getName + ".old")
-    // recover from a crash between the swap renames of a previous run
-    if (!dir.exists() && aside.exists())
-      Files.move(aside.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
-    // sweep garbage from failed prior runs (partial temps, stale aside)
-    Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(dir.getName + ".compact.") ||
-        f.getName == aside.getName)
-      // forceDelete handles files too — a stray plain file matching the
-      // temp/aside names must not wedge every subsequent compact retry
-      .foreach(FileUtils.forceDelete)
-    val tmp = new java.io.File(dir.getParentFile,
-      dir.getName + ".compact." + java.util.UUID.randomUUID)
-    mergeView(spark.read.parquet(path), keyCols, versionCol)
-      .write.mode("overwrite").parquet(tmp.toString)
-    Files.move(dir.toPath, aside.toPath, StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
-    catch { case e: Throwable =>
-      // restore the original log before propagating — never zero copies
-      Files.move(aside.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
-      throw e
-    }
-    FileUtils.deleteDirectory(aside)
-  }
+              versionCol: String): Unit =
+    StoreMaintenance.rewrite(spark, path)(mergeView(_, keyCols, versionCol))
 }

@@ -1,0 +1,78 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Maintenance for append-only parquet stores — the generalized
+  * compact-on-write half of [[RelationalSink]], shared by every
+  * derived-state store the streaming lanes append to (the MinHash
+  * signature store, the span-dedup gram store, the IVF assignment
+  * store).
+  *
+  * The lanes append one small file set per micro-batch, and replayed
+  * batches (failure between append and checkpoint commit) append
+  * duplicate rows. Both are correct by construction — duplicates are
+  * semantically harmless in every store that allows them — but scan
+  * cost grows unboundedly between restarts: more files to list and
+  * open, more duplicate rows through every downstream broadcast and
+  * join. Compaction rewrites the store as its deduplicated state in
+  * few large files, amortizing that cost exactly like
+  * [[RelationalSink.compact]] amortizes merge-on-read.
+  *
+  * Swap protocol (shared via [[rewrite]]): the new state is written to
+  * a temp sibling, then swapped in with atomic renames — a complete
+  * copy of the data exists on disk at every instant (the original
+  * store, the fixed-name `.old` aside, or the rewritten result), never
+  * a half-overwritten store. POSIX rename can't exchange two
+  * directories atomically, so a crash between the two swap renames
+  * leaves the data in `.old`; the next call detects that state and
+  * restores it before proceeding (crash-retryable, no manual
+  * recovery). Leftover `.compact.*` temps from failed prior runs are
+  * swept. Run compaction from the lane's own maintenance window (e.g.
+  * between micro-batches or at restart): a reader that listed the old
+  * files mid-swap may lose them when the aside is deleted.
+  */
+object StoreMaintenance {
+
+  /** Atomically rewrite the parquet store at `path` as `transform` of
+    * its current contents. */
+  def rewrite(spark: SparkSession, path: String)
+             (transform: DataFrame => DataFrame): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import org.apache.commons.io.FileUtils
+    val dir = new java.io.File(path).getAbsoluteFile
+    val aside = new java.io.File(dir.getParentFile, dir.getName + ".old")
+    // recover from a crash between the swap renames of a previous run
+    if (!dir.exists() && aside.exists())
+      Files.move(aside.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    // sweep garbage from failed prior runs (partial temps, stale aside)
+    Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(dir.getName + ".compact.") ||
+        f.getName == aside.getName)
+      // forceDelete handles files too — a stray plain file matching the
+      // temp/aside names must not wedge every subsequent compact retry
+      .foreach(FileUtils.forceDelete)
+    val tmp = new java.io.File(dir.getParentFile,
+      dir.getName + ".compact." + java.util.UUID.randomUUID)
+    transform(spark.read.parquet(path))
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.move(dir.toPath, aside.toPath, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable =>
+      // restore the original store before propagating — never zero copies
+      Files.move(aside.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+      throw e
+    }
+    FileUtils.deleteDirectory(aside)
+  }
+
+  /** Rewrite the store as its distinct rows (whole-row when `keys` is
+    * empty, else latest-irrelevant dedup on `keys` — correct whenever a
+    * key determines its row, as it does for signatures and IVF
+    * assignments). One shuffle; the output lands in at most
+    * `spark.sql.shuffle.partitions` files regardless of how many
+    * micro-batch appends accumulated. */
+  def compactDistinct(spark: SparkSession, path: String,
+                      keys: Seq[String] = Nil): Unit =
+    rewrite(spark, path)(df =>
+      if (keys.isEmpty) df.distinct() else df.dropDuplicates(keys))
+}

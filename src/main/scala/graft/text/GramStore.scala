@@ -53,4 +53,13 @@ object GramStore {
       cleaned.select(col("doc_id"),
         explode(col("cleaned_segments")).as("text")))
       .write.mode("append").parquet(path)
+
+  /** Rewrite the store as its DISTINCT grams, few large files — the
+    * maintenance call between lane restarts. Membership is the only
+    * thing the clean path reads, so distinct changes nothing observable
+    * while shedding the replayed-batch duplicates and per-micro-batch
+    * small files whose scan cost otherwise grows without bound
+    * (atomic-swap semantics: [[graft.sinks.StoreMaintenance]]). */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.sinks.StoreMaintenance.compactDistinct(spark, path)
 }

@@ -58,6 +58,15 @@ object SignatureStore {
     appendBatch(path, batch.join(
       verdict.filter(col("is_new")).select(col("doc_id")), "doc_id"))
 
+  /** Rewrite the store as one signature row per doc_id, few large
+    * files — the maintenance call between lane restarts. A doc_id fully
+    * determines its signature (same shingles, same band digests), so
+    * key-dedup changes nothing observable while shedding replayed-batch
+    * duplicates and per-micro-batch small files (atomic-swap semantics:
+    * [[graft.sinks.StoreMaintenance]]). */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.sinks.StoreMaintenance.compactDistinct(spark, path, Seq("doc_id"))
+
   /** The staged store for the fixture's accumulated-corpus convention
     * (doc_id % 10 < 8, matching the `dedup_incremental` query family). */
   def fixtureCorpusStore(s: SparkSession, dir: String): String =

@@ -1,0 +1,115 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ann.{IvfStore, Similarity}
+import graft.text.{GramStore, NearDup, SignatureStore, SpanDedup}
+
+class StoreMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFiles(path: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+  }
+
+  private def tmpDir(prefix: String): java.io.File =
+    java.nio.file.Files.createTempDirectory(prefix).toFile
+
+  test("gram-store compact: bit-identical span cleans, fewer files") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta fresh tail"),
+      (4L, "totally novel words that never appeared anywhere before now"))
+      .toDF("doc_id", "text")
+    val store = new java.io.File(tmpDir("gram_compact_"), "store")
+    SpanDedup.grams(corpus).write.parquet(store.toString)
+    // simulate replayed micro-batch appends: same grams land three times
+    (1 to 3).foreach { _ =>
+      GramStore.appendCleaned(store.toString,
+        SpanDedup.spanCleanAgainstGrams(
+          GramStore.read(spark, store.toString), batch))
+    }
+    def clean() = SpanDedup.spanCleanAgainstGrams(
+      GramStore.read(spark, store.toString),
+      batch, SpanDedup.W)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val before = clean()
+    val filesBefore = parquetFiles(store.toString)
+    GramStore.compact(spark, store.toString)
+    assert(clean() === before)
+    assert(parquetFiles(store.toString) < filesBefore,
+      s"expected fewer files than $filesBefore")
+    // distinct really happened: no gram appears twice
+    val grams = GramStore.read(spark, store.toString)
+    assert(grams.count() === grams.distinct().count())
+    org.apache.commons.io.FileUtils.deleteQuietly(store.getParentFile)
+  }
+
+  test("signature-store compact: verdicts unchanged, one row per doc") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen liquor jugs right now"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "completely different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val store = new java.io.File(tmpDir("sig_compact_"), "store")
+    // parquet append creates the store on first write
+    SignatureStore.appendBatch(store.toString, corpus)
+    // replayed appends: the same batch signatures land twice
+    SignatureStore.appendBatch(store.toString, batch)
+    SignatureStore.appendBatch(store.toString, batch)
+    def verdict() = NearDup.incrementalDedupFromSigs(
+      SignatureStore.read(spark, store.toString),
+      Seq((5L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSeq
+    val before = verdict()
+    val filesBefore = parquetFiles(store.toString)
+    SignatureStore.compact(spark, store.toString)
+    assert(verdict() === before)
+    assert(parquetFiles(store.toString) < filesBefore)
+    val sigs = SignatureStore.read(spark, store.toString)
+    assert(sigs.count() === sigs.select("doc_id").distinct().count())
+    org.apache.commons.io.FileUtils.deleteQuietly(store.getParentFile)
+  }
+
+  test("ivf-store compact: duplicate appended assignments collapse") {
+    val dir = "/root/testdata/sf0.001"
+    val src = IvfStore.fixtureSubIndexPath(spark, dir)
+    val store = new java.io.File(tmpDir("ivf_compact_"), "store")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(src), store)
+    val cents = IvfStore.fixtureSubCentroidsRow(spark, dir)
+    // batch vectors come from the full index's columns (cell dropped)
+    val batch = IvfStore.fixtureIndex(spark, dir)
+      .filter(col("vec_id") % 10 >= 8)
+      .select(col("vec_id"), col("v"), col("n2"))
+    // a replayed batch appends its assignments twice
+    IvfStore.appendAssigned(store.toString, batch, cents)
+    IvfStore.appendAssigned(store.toString, batch, cents)
+    def cellSet() = IvfStore.read(spark, store.toString)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.get(1).toString)).toSet
+    val beforeSet = cellSet()
+    val dupCount = IvfStore.read(spark, store.toString).count()
+    IvfStore.compact(spark, store.toString)
+    val after = IvfStore.read(spark, store.toString)
+    assert(after.count() < dupCount)
+    assert(after.count() ===
+      after.select("vec_id").distinct().count())
+    // dedup dropped rows, never assignments: the (vec_id, cell) set is
+    // exactly the pre-compact one
+    assert(cellSet() === beforeSet)
+    org.apache.commons.io.FileUtils.deleteQuietly(store.getParentFile)
+  }
+}

@@ -25,10 +25,12 @@ import graft.text.TextOps.norm
   * span merging is gaps-and-islands over ONE doc_id exchange whose
   * grouping keys extend the partitioning (no extra shuffle). Nothing
   * in the plan is quadratic and nothing is broadcast-unbounded. At
-  * 100 TB the gram string in the shuffle key would be hashed first
-  * (xxhash64) and W raised toward the 50-token literature setting;
-  * both are parameter changes, not plan changes (the string key is
-  * kept here because the DuckDB oracle must replay it byte-exact).
+  * 100 TB the gram string in the shuffle key is hashed first and W
+  * raised toward the 50-token literature setting — both parameter
+  * changes, not plan changes: `dedup_span_hashed` IS the hashed-key
+  * twin (fixed-width md5 digest through the exchange, oracle-mirrored
+  * so replay stays byte-exact; raw-string key kept in `dedup_span_clean`
+  * as the collision-free reference).
   */
 object SpanDedup {
   type Q = (SparkSession, String) => DataFrame
@@ -101,13 +103,23 @@ object SpanDedup {
     * when any removable window covers it. Emits per-doc counts plus an
     * md5 of the cleaned (space-joined surviving tokens) text, so the
     * oracle value-checks the reconstructed content without shipping it. */
-  def spanClean(docs: DataFrame, w: Int = W, minCount: Long = 2): DataFrame = {
+  def spanClean(docs: DataFrame, w: Int = W, minCount: Long = 2,
+                hashKey: Boolean = false): DataFrame = {
     // ONE ordered window spec serves both aggregates (the count takes
     // an explicit whole-partition frame): an unordered count next to an
     // ordered row_number costs a second full sort of the window stream
     val gw = Window.partitionBy(col("gram"))
       .orderBy(col("doc_id"), col("pos"))
-    val removable = windows(docs, w)
+    // hashKey: shuffle on a fixed-width md5 digest of the gram instead
+    // of the raw W-token string — at the literature W=50 the string key
+    // is ~300 bytes/row through the exchange, the digest 32. Duplicate
+    // detection via digest equality is exact up to md5 collision
+    // (~2^-64 at any realistic corpus); the oracle mirrors the digest,
+    // so correctness replay is still byte-exact.
+    val win0 = windows(docs, w)
+    val removable = (if (hashKey)
+      win0.withColumn("gram", md5(col("gram").cast("binary")))
+    else win0)
       .withColumn("c", count(lit(1)).over(
         gw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("rn", row_number().over(gw))
@@ -218,6 +230,8 @@ object SpanDedup {
   val queries: Map[String, Q] = Map(
     "dup_spans" -> ((s, d) => dupSpans(Tables(s, d, "documents"))),
     "dedup_span_clean" -> ((s, d) => spanClean(Tables(s, d, "documents"))),
+    "dedup_span_hashed" -> ((s, d) =>
+      spanClean(Tables(s, d, "documents"), hashKey = true)),
     // same corpus/batch split convention as dedup_incremental
     "dedup_span_incremental" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -228,16 +242,21 @@ object SpanDedup {
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   /** Positional W-token windows (1-based pos), mirroring
-    * `word_shingles_all(norm, W)` + posexplode. */
-  private val winCte =
+    * `word_shingles_all(norm, W)` + posexplode; `gramSql` is the window
+    * key expression over the token slice (raw string or md5 digest). */
+  private def winCteWith(gramSql: String): String =
     s"""g AS (
        |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
        |    SELECT doc_id, unnest(list_transform(
        |      generate_series(1, len(l) - ${W - 1}),
        |      i -> struct_pack(pos := i,
-       |        gram := array_to_string(l[i:i+${W - 1}], ' ')))) AS u
+       |        gram := $gramSql))) AS u
        |    FROM (SELECT doc_id, string_split($N, ' ') AS l FROM documents)
        |    WHERE len(l) >= $W))""".stripMargin
+
+  private val gramSlice = s"array_to_string(l[i:i+${W - 1}], ' ')"
+  private val winCte = winCteWith(gramSlice)
+  private val winCteHashed = winCteWith(s"md5($gramSlice)")
 
   val oracle: Map[String, String] = Map(
     "dup_spans" ->
@@ -307,8 +326,13 @@ object SpanDedup {
          |FROM base b LEFT JOIN cl ON b.doc_id = cl.doc_id
          |ORDER BY b.doc_id""".stripMargin,
 
-    "dedup_span_clean" ->
-      s"""WITH $winCte,
+    "dedup_span_clean" -> spanCleanSql(winCte),
+    "dedup_span_hashed" -> spanCleanSql(winCteHashed))
+
+  /** The keep-one-copy replay over a window CTE — shared by the raw-key
+    * and hashed-key twins (they differ only in the window key). */
+  private def spanCleanSql(cte: String): String =
+      s"""WITH $cte,
          |cw AS (
          |  SELECT doc_id, pos,
          |    count(*) OVER (PARTITION BY gram) AS c,
@@ -344,5 +368,5 @@ object SpanDedup {
          |    AS n_removed,
          |  coalesce(cl.h, md5('')) AS cleaned_hash
          |FROM base b LEFT JOIN cl ON b.doc_id = cl.doc_id
-         |ORDER BY b.doc_id""".stripMargin)
+         |ORDER BY b.doc_id""".stripMargin
 }

@@ -102,6 +102,20 @@ class SpanDedupSpec extends SparkSpec {
     assert(byDoc(11L)._3 === 0L && byDoc(12L)._3 === 0L)
   }
 
+  test("hashed-key span clean is byte-identical to the raw-key form") {
+    // the twins differ only in the exchange key (fixed-width md5 digest
+    // vs raw W-token string) — same spans, same cleaned hashes, on both
+    // the unit corpus and the fixture
+    assert(SpanDedup.spanClean(docs, w = 4, hashKey = true)
+      .collect().map(_.toSeq) ===
+      SpanDedup.spanClean(docs, w = 4).collect().map(_.toSeq))
+    val fixture = graft.sources.Tables(
+      spark, "/root/testdata/sf0.001", "documents")
+    assert(SpanDedup.spanClean(fixture, hashKey = true)
+      .collect().map(_.toSeq) ===
+      SpanDedup.spanClean(fixture).collect().map(_.toSeq))
+  }
+
   test("the two-exchange plan: one gram shuffle, one doc shuffle") {
     val plan = SpanDedup.dupSpans(docs, w = 4)
       .queryExecution.executedPlan.toString

@@ -9,8 +9,10 @@ import graft.sources.Tables
   * Catalyst cannot prune the projection down to a row count — measured time
   * reflects the real operator work (full expression evaluation, shuffles,
   * codegen), which is what the 100 TB design target cares about.
-  * Failures are reported distinctly (negative sentinel + "failed" list)
-  * instead of polluting the timing sum.
+  * The suite runs TWICE and reports the second lap (lap 1 absorbs
+  * per-query-shape codegen/JIT first-use cost the fixture warm-up can't
+  * reach). Failures are reported distinctly (negative sentinel +
+  * "failed" list) instead of polluting the timing sum.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,18 +49,28 @@ object Bench {
     // is added, silently re-attributing residual warm-up cost to
     // different queries each round and making per-query times
     // incomparable across rounds
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed ::= name
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def lap(): (Seq[(String, Double)], List[String]) = {
+      var failed = List.empty[String]
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed ::= name
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      (results, failed)
     }
+    // two laps, report the second: per-QUERY first-use cost (plan-shape
+    // codegen compilation, operator JIT) survives the per-fixture
+    // warm-up above and polluted round-over-round deltas (a 4.4 s
+    // first-lap artifact vs 0.95 s warm, r7); lap 1 absorbs it, lap 2
+    // is the steady state a long-lived cluster actually runs
+    lap()
+    val (results, failed) = lap()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -294,6 +294,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("span-clean lane killed and resumed mid-stream matches a single run") {
+    import graft.text.SpanDedup
+    val work = Files.createTempDirectory("lane_restart_").toString
+    val corpus = Seq((100L, "a b c d e f x y")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d e f x y plus one novel tail right here"),
+      (2L, "pp qq rr ss tt uu vv ww xx"),
+      (3L, "pp qq rr ss tt uu vv ww xx"), // dup of 2's admitted survivors
+      (4L, "totally fresh words nine ten eleven twelve thirteen fourteen"))
+    // one deterministically-named file per doc, ascending mtimes, so the
+    // resumed run and the single-run oracle group the exact same batches
+    // (file-source ordering is by mtime/path; maxFilesPerTrigger=1)
+    val slices = docs.zipWithIndex.map { case ((id, text), i) =>
+      val tmp = s"$work/slice$i"
+      Seq((id, text)).toDF("doc_id", "text").coalesce(1)
+        .write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part, s"s$i.parquet", 1700000000000L + i * 60000L)
+    }
+    def copyTo(dir: String, n: Int): Unit = slices.take(n).foreach {
+      case (part, name, mtime) =>
+        val dst = new java.io.File(dir, name)
+        if (!dst.exists()) {
+          org.apache.commons.io.FileUtils.copyFile(part, dst)
+          dst.setLastModified(mtime)
+        }
+    }
+    val schema = spark.read.parquet(s"$work/slice0").schema
+    def runLane(inDir: String, store: String, ck: String,
+                out: scala.collection.mutable.Map[Long, (Long, String)])
+    : Long = {
+      var batches = 0L
+      val q = StreamingLanes.spanCleanStoreLane(
+        Replay.paced(spark, inDir, schema, maxFilesPerTrigger = 1), store)(
+        (batch, _) => { batches += 1
+          batch.collect().foreach { r =>
+            val id = r.getAs[Long]("doc_id")
+            // first-write-wins: the documented read-side contract under
+            // at-least-once delivery (a replayed batch re-cleans against
+            // a store that already holds its own grams)
+            if (!out.contains(id)) out(id) =
+              (r.getAs[Long]("n_removed"), r.getAs[String]("cleaned_text"))
+          } })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+      batches
+    }
+    // restarted path: two batches, die, resume with the SAME checkpoint
+    val storeA = s"$work/storeA"
+    SpanDedup.grams(corpus).write.parquet(storeA)
+    val resumed = scala.collection.mutable.Map[Long, (Long, String)]()
+    new java.io.File(s"$work/inA").mkdirs()
+    copyTo(s"$work/inA", 2)
+    assert(runLane(s"$work/inA", storeA, s"$work/ckA", resumed) === 2L)
+    copyTo(s"$work/inA", 4)
+    // the resumed query starts from committed offsets: exactly the two
+    // remaining batches run, nothing is re-emitted
+    assert(runLane(s"$work/inA", storeA, s"$work/ckA", resumed) === 2L)
+    // single-run oracle: fresh store + checkpoint, all four batches
+    val storeB = s"$work/storeB"
+    SpanDedup.grams(corpus).write.parquet(storeB)
+    val single = scala.collection.mutable.Map[Long, (Long, String)]()
+    new java.io.File(s"$work/inB").mkdirs()
+    copyTo(s"$work/inB", 4)
+    assert(runLane(s"$work/inB", storeB, s"$work/ckB", single) === 4L)
+    assert(resumed.toMap === single.toMap)
+    // the store the resumed lane accumulated is the single run's store
+    def grams(p: String) = spark.read.parquet(p)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(grams(storeA) === grams(storeB))
+    // sanity on semantics: 1 stripped the corpus window, 3 stripped 2's
+    assert(resumed(1L)._1 === 8L && resumed(3L)._1 === 9L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("ST8: last-write-wins view over replayed storage matches latest state") {
     // two "writes" of the same series key at different event times: the
     // read-side view (latestPerKey in batch) is the LWW state

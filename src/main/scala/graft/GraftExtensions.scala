@@ -57,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.SimHash16(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("byte_simhash32"),
+      info(classOf[functions.ByteSimHash32].getName,
+        "byte_simhash32", "byte_simhash32(payload) - 32-bit SimHash over dense 4-byte shingles of a binary payload"),
+      (children: Seq[Expression]) => {
+        checkArity("byte_simhash32", 1, children)
+        functions.ByteSimHash32(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("jaccard_sim"),
       info(classOf[functions.ArrayJaccard].getName,
         "jaccard_sim", "jaccard_sim(a, b) - set-semantics Jaccard similarity of two string arrays"),

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** 32-bit SimHash over a binary payload's dense 4-byte shingles:
+  * `byte_simhash32(payload)` — every window of 4 consecutive bytes
+  * (big-endian unsigned int `v`) is mixed by two rounds of the 32-bit
+  * multiplicative hash `h -> (h * 741103597) mod 2^32`, and bit k of the
+  * signature is set iff a strict majority of windows have bit k of their
+  * mixed hash set. Windows vote with multiplicity (frequency-weighted
+  * SimHash); payloads shorter than 4 bytes yield 0.
+  *
+  * Why this and not md5-per-shingle through `simhash16`: a payload of n
+  * bytes has n−3 windows, and the HOF `transform(..., md5)` form
+  * evaluates an interpreted digest per window — ~9 ms/asset at the
+  * fixture's ~1 KB payloads, which is the whole suite's budget at sf0.1
+  * for one query. This kernel is one codegen'd pass over the bytes with
+  * integer arithmetic only. The mix stays exact in 64-bit signed math
+  * (v ≤ 2^32−1 times 741103597 < 2^62), so the DuckDB oracle replays it
+  * bit-exactly with BIGINT ops — the reason it is a multiplicative hash
+  * and not xxhash64, which DuckDB cannot compute.
+  *
+  * Registered by `GraftExtensions` as SQL function `byte_simhash32`.
+  */
+case class ByteSimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_simhash32"
+
+  private final val Mix = 741103597L
+  private final val Mask = 0xFFFFFFFFL
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val n = b.length - 3
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val v = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      var h = (v * Mix) & Mask
+      h = (h * Mix) & Mask
+      var k = 0
+      while (k < 32) {
+        if (((h >> k) & 1L) == 1L) votes(k) += 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 32) {
+      if (2 * votes(k) - math.max(n, 0) > 0) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val v = ctx.freshName("v")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      // no line may BEGIN with '|': enclosing operators splice this block
+      // into their own stripMargin templates (see NearestCell)
+      s"""
+         |byte[] $b = $bytes;
+         |int $n = $b.length - 3;
+         |int[] $votes = new int[32];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = (($b[$i] & 0xffL) << 24) | (($b[$i + 1] & 0xffL) << 16) |
+         |    (($b[$i + 2] & 0xffL) << 8) | ($b[$i + 3] & 0xffL);
+         |  long $h = ($v * ${Mix}L) & ${Mask}L;
+         |  $h = ($h * ${Mix}L) & ${Mask}L;
+         |  for (int $k = 0; $k < 32; $k++) {
+         |    if ((($h >> $k) & 1L) == 1L) $votes[$k]++;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $k = 0; $k < 32; $k++) {
+         |  if (2 * $votes[$k] - Math.max($n, 0) > 0) $sig |= 1L << $k;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ByteSimHash32 = copy(child = newChild)
+}

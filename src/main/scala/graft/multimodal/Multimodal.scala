@@ -154,8 +154,57 @@ object Multimodal {
       // what the catalog upserts anyway (n_copies > 1 marks the dups)
       .orderBy("content_hash")
 
+  /** Near-duplicate media — the pass after [[mediaDedup]]'s exact hash:
+    * real-world media dup is re-encoded (same content, different bytes),
+    * so identity has to come from a content signature, not the digest.
+    * The stand-in for a perceptual hash this container can't compute is
+    * a byte-shingle SimHash: every dense 4-byte window of the payload
+    * votes per bit into a 32-bit signature via the codegen'd
+    * `byte_simhash32` kernel (one integer-arithmetic pass over the
+    * bytes; `functions/ByteSimHash32.scala` documents why not
+    * md5-per-shingle) — the byte-level analog of the text family's token
+    * SimHash, robust to local edits (a changed region flips only its own
+    * windows' votes).
+    *
+    * Candidate pairs are BANDED, never all-pairs: the signature splits
+    * into two 16-bit bands and only assets agreeing on at least one band
+    * value meet in the join — by the SimHash pigeonhole, any pair within
+    * Hamming distance 1 of each other shares a band exactly, and ≤2-bit
+    * neighbors are caught unless the two flips straddle both bands. The
+    * per-band exchange carries (doc_id, sig) pairs only (payloads never
+    * cross a shuffle); band width is the scale knob — at 10⁹ assets the
+    * 8-bit band's ~N/256 bucket population goes quadratic and widens to
+    * 16/32-bit bands of a 64-bit SimHash, a parameter change, not a plan
+    * change (the same sizing rule as `autoBits` / the LSH bucket cap). */
+  def mediaDedupNear(store: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val sigs = store
+      .filter(col("byte_len") >= 4)
+      .select(col("doc_id"),
+        call_function("byte_simhash32", col("payload")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array(
+        struct(lit(0).as("band"), shiftright(col("sig"), 16).as("bval")),
+        struct(lit(1).as("band"),
+          col("sig").bitwiseAND(lit(65535L)).as("bval")))).as("b"))
+      .select(col("doc_id"), col("sig"),
+        col("b.band").as("band"), col("b.bval").as("bval"))
+    val a = banded.select(col("doc_id").as("id_a"),
+      col("sig").as("sig_a"), col("band"), col("bval"))
+    val b = banded.select(col("doc_id").as("id_b"),
+      col("sig").as("sig_b"), col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      // a pair agreeing on both bands matched twice — once per band
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "media_dedup" -> ((s, d) => mediaDedup(assetStore(s, d))),
+    "media_dedup_near" -> ((s, d) => mediaDedupNear(assetStore(s, d))),
     "media_features" -> ((s, d) =>
       decodeFeatures(assets(s, d)).toDF().orderBy("doc_id")),
     "frame_sample" -> ((s, d) =>
@@ -174,7 +223,44 @@ object Multimodal {
        |  i -> (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1)) - 1) * 16
        |     + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)) - 1)))""".stripMargin
 
+  /** The `byte_simhash32` mix replayed in BIGINT arithmetic: byte values
+    * recovered from the uppercase hex encoding two nibbles at a time
+    * (the [[byteSum]] pattern), big-endian 4-byte window value, two
+    * multiplicative-mix rounds (exact below 2^62 — the kernel's design
+    * constraint), bit-majority votes. */
+  private def nib(j: String) =
+    s"(strpos('0123456789ABCDEF', substr(hex(encode(text)), $j, 1)) - 1)"
+  private def byteAt(i: String) =
+    s"(${nib(s"2*($i)-1")} * 16 + ${nib(s"2*($i)")})"
+  private val mixExpr = {
+    val v = s"(${byteAt("i")} * 16777216 + ${byteAt("i+1")} * 65536" +
+      s" + ${byteAt("i+2")} * 256 + ${byteAt("i+3")})"
+    s"((((($v * 741103597) & 4294967295) * 741103597) & 4294967295))"
+  }
+  private val byteSimTerms = (0 to 31).map { k =>
+    s"""CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $k) & 1) = 1))
+       |  > len(hs) THEN ${1L << k} ELSE 0 END""".stripMargin
+  }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    // dense 4-byte-window SimHash replayed exactly; the banded candidate
+    // join is the naive OR of the two 16-bit band agreements (same pair
+    // set as the engine's distinct'd banded union)
+    "media_dedup_near" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_transform(
+         |    generate_series(1, $bLen - 3),
+         |    i -> $mixExpr) AS hs
+         |  FROM documents WHERE $bLen >= 4),
+         |sg AS (
+         |  SELECT doc_id, CAST($byteSimTerms AS BIGINT) AS sig FROM sh)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  AND ((a.sig >> 16) = (b.sig >> 16) OR (a.sig & 65535) = (b.sig & 65535))
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // md5 over the lowercase-hex payload: Spark's hex(binary) is
     // uppercase, DuckDB's hex(blob) too — lower() canonicalizes both,
     // and md5 of that ASCII string is engine-independent

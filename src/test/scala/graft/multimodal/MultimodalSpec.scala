@@ -66,6 +66,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSet === Set((3L, 1L, 2L, 30L), (1L, 4L, 1L, 12L)))
   }
 
+  test("near dedup pairs re-encoded payloads, banded plan, never all-pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "the same long underlying content repeated enough to vote " * 4
+    val store = Seq(
+      (1L, "image", base, base.length),
+      // "re-encoded": one local edit — most 4-byte windows still vote
+      // identically, so the signatures stay within a couple of bits
+      (2L, "video", base.dropRight(6) + "edited", base.length),
+      (3L, "audio", "completely different payload bytes with other statistics entirely " * 4,
+        ("completely different payload bytes with other statistics entirely " * 4).length))
+      .toDF("doc_id", "media_type", "text", "byte_len")
+      .withColumn("payload", col("text").cast("binary"))
+    val df = Multimodal.mediaDedupNear(store)
+    // plan: banded equi-join only — an all-pairs shape would surface as
+    // a cartesian/nested-loop join (plan read BEFORE collect, AQE)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((1L, 2L)), s"edited twin not paired: ${out.toSeq}")
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)),
+      s"unrelated payload wrongly paired: ${out.toSeq}")
+  }
+
   test("frame sampling covers each asset with its n_frames windows") {
     val assets = Multimodal.assets(spark, dir).collect()
     val frames = Multimodal.frameSample(Multimodal.assetStore(spark, dir))

@@ -69,11 +69,13 @@ object StreamBench {
     Replay.stage(incoming, s"$work/docs_in", slices = 16)
     val docSchema = spark.read.parquet(s"$work/docs_in").schema
 
-    def laneProbe(name: String)(mk: org.apache.spark.sql.DataFrame =>
+    def laneProbe(name: String, inDir: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  rows: Long)(mk: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
     : Unit = {
-      val st = Replay.paced(spark, s"$work/docs_in", docSchema,
-        maxFilesPerTrigger = 2)
+      laneBatches = 0
+      val st = Replay.paced(spark, inDir, schema, maxFilesPerTrigger = 2)
       val t0 = System.nanoTime()
       val q = mk(st)
         .trigger(Trigger.AvailableNow())
@@ -83,23 +85,40 @@ object StreamBench {
       val secs = (System.nanoTime() - t0) / 1e9
       val batches = laneBatches
       println(
-        s"""{"metric":"stream_${name}_rows_per_sec","value":${inRows / secs},""" +
-          s""""unit":"rows/sec","rows":$inRows,"secs":$secs,""" +
+        s"""{"metric":"stream_${name}_rows_per_sec","value":${rows / secs},""" +
+          s""""unit":"rows/sec","rows":$rows,"secs":$secs,""" +
           s""""batches":$batches,"sec_per_batch":${secs / batches},"sf":"$sfDir"}""")
     }
 
     val sigStore = s"$work/sig_store"
     SignatureStore.appendBatch(sigStore, corpus)
-    laneBatches = 0
-    laneProbe("neardup_lane")(st =>
+    laneProbe("neardup_lane", s"$work/docs_in", docSchema, inRows)(st =>
       StreamingLanes.nearDupStoreLane(st, sigStore) {
         (_, _) => laneBatches += 1 })
 
     val gramStore = s"$work/gram_store"
     SpanDedup.grams(corpus).write.parquet(gramStore)
-    laneBatches = 0
-    laneProbe("spanclean_lane")(st =>
+    laneProbe("spanclean_lane", s"$work/docs_in", docSchema, inRows)(st =>
       StreamingLanes.spanCleanStoreLane(st, gramStore) {
+        (_, _) => laneBatches += 1 })
+
+    // IVF append-assign lane: incoming vectors against the trained
+    // accumulated-corpus index (store copied so the staged fixture
+    // index is not mutated)
+    import graft.ann.IvfStore
+    val vecs = IvfStore.fixtureIndex(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 >= 8)
+      .select("vec_id", "v", "n2")
+    val vecRows = vecs.count()
+    Replay.stage(vecs, s"$work/vecs_in", slices = 16)
+    val ivfStore = s"$work/ivf_store"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(IvfStore.fixtureSubIndexPath(spark, sfDir)),
+      new java.io.File(ivfStore))
+    val centsRow = IvfStore.fixtureSubCentroidsRow(spark, sfDir)
+    laneProbe("ivf_lane", s"$work/vecs_in",
+      spark.read.parquet(s"$work/vecs_in").schema, vecRows)(st =>
+      StreamingLanes.ivfIngestLane(st, ivfStore, centsRow) {
         (_, _) => laneBatches += 1 })
 
     spark.stop()

@@ -66,16 +66,26 @@ object IvfStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Assign `batch` (vec_id, v, n2) against `centsRow` (the packed
-    * one-row centroid broadcast) and append it to the assignment store
-    * at `path` — the [[graft.text.SignatureStore.appendBatch]] analog:
-    * the index grows like a log, one cheap argmin pass per admitted
-    * batch, zero retraining. */
-  def appendAssigned(path: String, batch: DataFrame,
-                     centsRow: DataFrame): Unit =
+  /** The one-row packed broadcast form of a (cell, c) centroid frame —
+    * what assignment joins against. */
+  def packedRow(cents: DataFrame): DataFrame =
+    Similarity.packedCentroids(cents)
+
+  /** The (vec_id, v, n2, cell) assignment frame of `batch` against
+    * `centsRow` (the packed one-row centroid broadcast) — one
+    * `nearest_cell` argmin pass over the batch, the corpus untouched. */
+  def assignBatch(batch: DataFrame, centsRow: DataFrame): DataFrame =
     Similarity.assignCells(batch, centsRow)
       .select(col("vec_id"), col("v"), col("n2"), col("cell"))
-      .write.mode("append").parquet(path)
+
+  /** Assign `batch` (vec_id, v, n2) against `centsRow` and append it to
+    * the assignment store at `path` — the
+    * [[graft.text.SignatureStore.appendBatch]] analog: the index grows
+    * like a log, one cheap argmin pass per admitted batch, zero
+    * retraining. */
+  def appendAssigned(path: String, batch: DataFrame,
+                     centsRow: DataFrame): Unit =
+    assignBatch(batch, centsRow).write.mode("append").parquet(path)
 
   /** Rewrite the assignment store as one row per vec_id, few large
     * files — the maintenance call that makes replayed appends exact

@@ -182,6 +182,30 @@ object StreamingLanes {
       ()
     }
 
+  /** Store-backed ANN ingestion lane — the [[nearDupStoreLane]] posture
+    * for vectors: each micro-batch of (vec_id, v, n2) rows is assigned
+    * against the STORED centroids (`centsRow`, the one-row packed
+    * broadcast re-read from the trained index — one `nearest_cell`
+    * argmin pass over the batch, the corpus never touched) and APPENDED
+    * to the assignment store; `process` receives the batch's assigned
+    * frame. No eager checkpoint is needed here, unlike the text lanes:
+    * assignment reads only the batch and the centroids, never the store
+    * it appends to, so the append cannot feed back into the plan.
+    * At-least-once caveat: a replayed batch re-appends duplicate
+    * assignment rows, which would duplicate top-k candidates —
+    * [[graft.ann.IvfStore.compact]] dedups on vec_id at maintenance. */
+  def ivfIngestLane(vecs: DataFrame, storePath: String,
+                    centsRow: DataFrame)
+                   (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.ann.IvfStore
+      val assigned = IvfStore.assignBatch(batch, centsRow)
+      assigned.write.mode("append").parquet(storePath)
+      process(assigned, batchId)
+      ()
+    }
+
   /** S5/S6: dual-lane bifurcation — one foreachBatch, two sinks. The
     * storage lane appends Parquet partitioned by (source, date) (the
     * low-cardinality layout the reference chose for series pruning); the

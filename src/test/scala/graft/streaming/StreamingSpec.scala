@@ -13,6 +13,7 @@ case class Doc(ts: Timestamp, doc_id: Long, text: String)
 case class Snap(ts: Timestamp, snapshot_id: Long, ticker: String,
                 source: String, full_orderbook: String)
 case class Evt(ts: Timestamp, user_id: Long, value: Double)
+case class VecRow(ts: Timestamp, vec_id: Long, v: Seq[Long], n2: Long)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -292,6 +293,40 @@ class StreamingSpec extends SparkSpec {
       assert(out(3L)._1 === 9L, s"later batch must clean against survivors: $out")
       assert(out(3L)._2 === "")
     } finally q.stop()
+  }
+
+  test("IVF ingest lane assigns batches against stored centroids, appends") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ann.IvfStore
+    val mem = MemoryStream[VecRow]
+    val cents = Seq((0, Seq(0L, 0L)), (1, Seq(100L, 100L)))
+      .toDF("cell", "c")
+    val store = Files.createTempDirectory("ivf_lane_")
+      .resolve("store").toString
+    val cells = scala.collection.mutable.Map[Long, Int]()
+    val q = StreamingLanes.ivfIngestLane(
+      mem.toDF().select(col("vec_id"), col("v"), col("n2")),
+      store, IvfStore.packedRow(cents))(
+      (batch, _) => batch.collect().foreach { r =>
+        cells(r.getAs[Long]("vec_id")) = r.getAs[Int]("cell")
+      }).start()
+    try {
+      mem.addData(
+        VecRow(ts(10), 1L, Seq(1L, 2L), 5L),
+        VecRow(ts(20), 2L, Seq(99L, 98L), 19405L))
+      q.processAllAvailable()
+      assert(cells(1L) === 0 && cells(2L) === 1)
+      // a second batch appends to the SAME parquet store
+      mem.addData(VecRow(ts(30), 3L, Seq(51L, 52L), 5305L))
+      q.processAllAvailable()
+      assert(cells(3L) === 1, "51,52 is nearer (100,100) by exact distance")
+      val stored = IvfStore.read(spark, store)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet
+      assert(stored === Set((1L, 0), (2L, 1), (3L, 1)))
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(store).getParentFile)
   }
 
   test("span-clean lane killed and resumed mid-stream matches a single run") {

@@ -41,8 +41,13 @@ object SpanDedup {
   val W = 8
 
   /** Seam sentinel substituted for removed tokens when reconstructing
-    * surviving contiguous segments — NUL, which `norm`'s output (space-
-    * separated non-empty lowercase words) can never contain. */
+    * surviving contiguous segments. NUL — a PRECONDITION on the corpus,
+    * not a property `norm` enforces (norm lowercases and collapses
+    * whitespace but passes other bytes through): document text must be
+    * NUL-free, which any text ingest guarantees — binary payloads
+    * travel in the media family, never through the token path. A NUL
+    * inside a token would split a segment early: strictly more
+    * conservative (fewer grams appended), never a phantom gram. */
   private val Seam = 0.toChar.toString
 
   /** ALL positional W-token windows: (doc_id, pos, gram), pos 1-based
@@ -202,11 +207,11 @@ object SpanDedup {
         when(col("cov").isNull, col("toks")).otherwise(
           filter(col("toks"),
             (t, i) => not(array_contains(col("cov"), i + 1)))))
-      // removal seams become a sentinel token (NUL -- never produced
-      // by norm(), which emits space-separated lowercase words), so
-      // splitting the rejoined token string on the sentinel and
-      // trimming yields exactly the maximal surviving contiguous
-      // token runs: no gram windowed over a segment can bridge a seam
+      // removal seams become the NUL sentinel token (precondition:
+      // NUL-free corpus text — see Seam), so splitting the rejoined
+      // token string on the sentinel and trimming yields exactly the
+      // maximal surviving contiguous token runs: no gram windowed over
+      // a segment can bridge a seam
       .withColumn("cleaned_segments",
         when(col("cov").isNull, array(concat_ws(" ", col("toks"))))
           .otherwise(filter(

@@ -31,8 +31,9 @@ object PlanQueries {
   def saltedRollup(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .withColumn("__uid",
-        concat_ws("_", col("l_orderkey"), col("l_linenumber")))
+      // row identity as a struct: xxhash64 hashes the fields directly —
+      // no per-row string materialization in the 6M-row hot path
+      .withColumn("__uid", struct(col("l_orderkey"), col("l_linenumber")))
     val ord = Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
     SaltedJoin.join(li, ord, "l_orderkey", "o_orderkey", "__uid", salts = 8)

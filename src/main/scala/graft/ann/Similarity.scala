@@ -353,6 +353,60 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** [[embeddingNearDup]] with the LSH bucket-size cap applied to cells
+    * (SCALING.md "what breaks first" #2, same mechanics as
+    * `NearDup.minhashLshFromSigs`): cells above `cap` sub-salt into
+    * ceil(n/cap) deterministic sub-buckets via the shared md5-nibble
+    * salt, bounding per-cell pair work at O(n·cap) — the fixed-bits
+    * variant's quadratic blowup (measured 48 s at the 10× probe)
+    * becomes linear in cell population. Within-sub-bucket duplicates
+    * are still found; cross-sub-bucket pairs are the documented recall
+    * trade (capped output ⊆ uncapped, spec-pinned), and replicated
+    * duplicates of one vector still collide because the salt keys on
+    * vec_id, spreading COPIES apart while each sub-bucket stays a
+    * uniform sample of the cell. Complements [[embeddingNearDupAuto]]:
+    * auto-sizing keeps the EXPECTED cell small; the cap bounds the
+    * worst single cell (a degenerate embedding cluster) regardless. */
+  def embeddingNearDupCapped(spark: SparkSession, dir: String,
+                             threshold: Double = 0.5, bucketBits: Int = 3,
+                             cap: Int = 256): DataFrame =
+    nearDupCappedFrame(
+      corpus(spark, dir).select(col("vec_id"), col("v"), col("n2")),
+      threshold, bucketBits, cap)
+
+  /** [[embeddingNearDupCapped]] over an explicit quantized
+    * (vec_id, v, n2) frame — the spec-testable core. */
+  private[ann] def nearDupCappedFrame(c0: DataFrame, threshold: Double,
+                                      bucketBits: Int, cap: Int): DataFrame = {
+    val c = c0
+      .withColumn("bucket", bucket(col("v"), bucketBits))
+      .select(col("vec_id"), col("v"), col("n2"), col("bucket"))
+    // only cells over the cap survive — bounded by degenerate-cluster
+    // count, not corpus size
+    val oversized = c.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > cap)
+    val salted = c.join(broadcast(oversized), Seq("bucket"), "left")
+      .withColumn("salt",
+        when(col("bn").isNull, lit(0L)).otherwise(
+          pmod(graft.text.NearDup.saltHash(col("vec_id")),
+            expr(s"(bn + ${cap - 1}) DIV $cap"))))
+      .drop("bn")
+    val a = salted.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("n2").as("na"), col("bucket"), col("salt"))
+    val b = salted.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("n2").as("nb"), col("bucket").as("bucket_b"),
+      col("salt").as("salt_b"))
+    a.join(b, col("bucket") === col("bucket_b") &&
+        col("salt") === col("salt_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dot(col("va"), col("vb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** IVF recall telemetry: recall@k of the bucketed variants against the
     * exact brute-force truth, per query and per `nprobe` (1 = own cell
     * only, `bits`+1 = multi-probe). This is THE tuning number an
@@ -448,7 +502,8 @@ object Similarity {
     "ann_ivf_stored" -> ((s, d) => annIvfStored(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)),
-    "dedup_embedding_auto" -> ((s, d) => embeddingNearDupAuto(s, d)))
+    "dedup_embedding_auto" -> ((s, d) => embeddingNearDupAuto(s, d)),
+    "dedup_embedding_capped" -> ((s, d) => embeddingNearDupCapped(s, d)))
 
   // --- oracle -------------------------------------------------------------
 
@@ -807,6 +862,35 @@ object Similarity {
          |    AS cosine
          |FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id
          |  AND a.bucket = b.bucket
+         |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |    i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the bucket cap replayed exactly: same md5-nibble salt formula as
+    // the LSH cap oracle, cells over 256 split into ceil(bn/256)
+    // sub-buckets keyed on vec_id
+    "dedup_embedding_capped" ->
+      s"""WITH $qCte,
+         |bkt AS (
+         |  SELECT vec_id, v, n2, ${bucketSql("m")} AS bucket FROM m),
+         |ov AS (
+         |  SELECT bucket, count(*) AS bn FROM bkt GROUP BY bucket
+         |  HAVING count(*) > 256),
+         |sl AS (
+         |  SELECT bkt.vec_id, bkt.v, bkt.n2, bkt.bucket,
+         |    CASE WHEN ov.bn IS NULL THEN 0
+         |      ELSE ${graft.text.NearDup.saltHashSql("bkt.vec_id")}
+         |        % ((ov.bn + 255) // 256)
+         |    END AS salt
+         |  FROM bkt LEFT JOIN ov USING (bucket))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM sl a JOIN sl b ON a.vec_id < b.vec_id
+         |  AND a.bucket = b.bucket AND a.salt = b.salt
          |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.v)),
          |    i -> a.v[i] * b.v[i])) AS DOUBLE)
          |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.5

@@ -46,19 +46,22 @@ object NearDup {
     * power-of-16 divisors — exactly the giant-bucket case the cap
     * exists for). Built from `ascii(substr(...))` arithmetic because
     * that is the portable subset: DuckDB has neither conv() nor
-    * xxhash64; `saltHashSql` is the same formula for the oracle. */
+    * xxhash64; `saltHashSql` is the same formula for the oracle.
+    * `private[graft]`: the embedding family's bucket cap
+    * (`ann/Similarity.embeddingNearDupCapped`) shares the exact salt so
+    * both oracles replay one formula. */
   private def nibble(m: Column, i: Int): Column = {
     val a = ascii(substring(m, i, 1))
     a - when(a >= 97, lit(87)).otherwise(lit(48))
   }
 
-  private def saltHash(id: Column): Column = {
+  private[graft] def saltHash(id: Column): Column = {
     val m = md5(id.cast("string").cast("binary"))
     (1 to 6).map(i => nibble(m, i))
       .foldLeft(lit(0L): Column)(_ * 16 + _)
   }
 
-  private def saltHashSql(idExpr: String): String = {
+  private[graft] def saltHashSql(idExpr: String): String = {
     val m = s"md5(CAST($idExpr AS VARCHAR))"
     def nib(i: Int) =
       s"(ascii(substr($m, $i, 1)) - CASE WHEN ascii(substr($m, $i, 1)) >= 97 THEN 87 ELSE 48 END)"

@@ -162,6 +162,33 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("capped embedding dedup: subset under a tight cap, equal when idle") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+        .toSet
+    // one degenerate cell: 30 near-identical positive vectors (every
+    // pair's cosine ~1), plus a vector in another sign cell
+    val c0 = ((0 until 30).map(i =>
+      (i.toLong, Seq(1000L, 1000L, 1000L + i, 500L))) :+
+      (99L, Seq(-1000L, 1000L, 1000L, 500L)))
+      .toDF("vec_id", "v")
+      .withColumn("n2", call_function("long_dot", col("v"), col("v")))
+    val uncapped = pairs(Similarity.nearDupCappedFrame(
+      c0, threshold = 0.5, bucketBits = 3, cap = 1000000))
+    assert(uncapped.size === 30 * 29 / 2, "all in-cell pairs clear 0.5")
+    val capped = pairs(Similarity.nearDupCappedFrame(
+      c0, threshold = 0.5, bucketBits = 3, cap = 5))
+    // ceil(30/5)=6 sub-buckets: pair work bounded, survivors are the
+    // within-sub-bucket pairs — a strict nonempty subset
+    assert(capped.nonEmpty && capped.subsetOf(uncapped) &&
+      capped.size < uncapped.size)
+    // the fixture-registered form with an idle cap equals uncapped
+    val dir = "/root/testdata/sf0.01"
+    assert(pairs(Similarity.embeddingNearDupCapped(spark, dir,
+      cap = 1000000)) ===
+      pairs(Similarity.embeddingNearDup(spark, dir, threshold = 0.5)))
+  }
+
   test("ann_recall quantifies the recall/nprobe knob per query") {
     val out = Similarity.annRecall(spark, "/root/testdata/sf0.001").collect()
     val byProbe = out.groupBy(_.getAs[Int]("nprobe"))

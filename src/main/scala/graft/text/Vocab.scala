@@ -148,7 +148,95 @@ object Vocab {
       .orderBy("source", "rank")
   }
 
+  /** Naive-Bayes domain classification per document — the model-based
+    * filter stage of a training-data pipeline (the lite form of
+    * fastText-style domain/quality scoring): a source-conditional
+    * add-one unigram model is trained from the corpus itself, every doc
+    * is scored against every source, and the argmax source is the
+    * prediction (`is_match` flags agreement with the doc's actual
+    * source — the quality/contamination triage signal).
+    *
+    * Determinism discipline (the tfidf/lm_bigram pattern): each model
+    * log-prob and each prior is ONE ln rounded to e6-quantized longs,
+    * computed ONCE per (token, source) in the model frame; per-doc
+    * scores are exact integer sums of those quanta, so accumulation
+    * order cannot move a score and argmax ties break on source name.
+    *
+    * Scale shape: the model is vocab × sources rows (aggregate-scale,
+    * tiny next to the token stream); the token stream joins it on the
+    * token key — ONE exchange of the big side — and the per-doc
+    * aggregate extends the doc partitioning. The `sources`/`V`/doc-count
+    * anchors are one-row broadcasts. Nothing is quadratic; the doc ×
+    * sources blowup is the source count (a handful), not the corpus. */
+  def domainClassify(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col("doc_id"), col("source"),
+      explode(split(norm(col("text")), " ")).as("w"))
+    // every model statistic derives from the ONE (w, source) count
+    // aggregate, not from tk: the derivations share an identical
+    // corpus-scan subtree instead of independent explode passes
+    val cws = tk.groupBy(col("w"), col("source")).agg(count(lit(1)).as("c"))
+    val ts = cws.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val v = cws.agg(countDistinct(col("w")).as("v"))
+    val vocab = cws.select(col("w")).distinct()
+    // dense source index in source-name order: downstream score keys
+    // and argmax tie-breaks use the INT index (idx order == name order),
+    // keeping every wide exchange free of string keys
+    val sidx = ts.withColumn("idx",
+      (row_number().over(Window.orderBy(col("source"))) - 1).cast("int"))
+    val modelRows = vocab.crossJoin(broadcast(sidx))
+      .join(cws, Seq("w", "source"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lw_e6",
+        round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("t") + col("v")).cast("double")) * 1000000.0, 0)
+          .cast("long"))
+    // one model row per WORD: the per-source log-probs packed as an
+    // array ordered by source index — the broadcast side of the score
+    // join (vocab-bounded the way any unigram model is; hash-bucket the
+    // tail vocab if a 100 TB corpus ever overflows the broadcast
+    // budget). Explicit broadcast: post-explode the token stream has no
+    // size stats and Catalyst otherwise picks IT as the build side
+    // (observed: a 2.5M-row broadcast of the whole exploded corpus).
+    val modelW = modelRows.groupBy(col("w"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("idx"), col("lw_e6")))),
+        x => x.getField("lw_e6")).as("lws"))
+    val prior = docs.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("ndall"))))
+      .withColumn("prior_e6",
+        round(log(col("nd").cast("double") / col("ndall").cast("double"))
+          * 1000000.0, 0).cast("long"))
+      .join(broadcast(sidx.select(col("source"), col("idx"))), "source")
+      .select(col("idx"), col("source").as("pred_source"), col("prior_e6"))
+    // score via per-doc TF (collapses repeated words BEFORE the
+    // source fan-out), then one narrow (doc_id, idx, contribution)
+    // stream — integer keys only, map-side partial sums
+    val tf = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val ranked = tf.join(broadcast(modelW), "w")
+      .select(col("doc_id"),
+        posexplode(transform(col("lws"), lw => lw * col("tf"))))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("col")).as("lsum"))
+      .join(broadcast(prior), col("pos") === col("idx"))
+      .withColumn("score_e6", (col("prior_e6") + col("lsum")).cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_e6").desc, col("idx").asc)))
+      .filter(col("rank") === 1)
+    // the doc's true source attaches at DOC scale, after the argmax —
+    // never a string key through the token-wide exchanges
+    ranked
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("pred_source"),
+        col("score_e6"),
+        (col("pred_source") === col("source")).as("is_match"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "domain_classify" -> ((s, d) =>
+      domainClassify(Tables(s, d, "documents"))),
     "source_logodds" -> ((s, d) =>
       sourceLogOdds(Tables(s, d, "documents"))),
     "lm_bigram_score" -> ((s, d) =>
@@ -161,6 +249,39 @@ object Vocab {
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    // NB domain classification replayed exactly: same add-one unigram
+    // model, same e6-quantized ln per (token, source), exact integer
+    // score sums, argmax ties to the lowest source name
+    "domain_classify" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, unnest(string_split($N, ' ')) AS w
+         |  FROM documents),
+         |cws AS (SELECT w, source, count(*) AS c FROM tk GROUP BY 1, 2),
+         |ts AS (SELECT source, count(*) AS t FROM tk GROUP BY source),
+         |v AS (SELECT count(DISTINCT w) AS v FROM tk),
+         |vocab AS (SELECT DISTINCT w FROM tk),
+         |model AS (
+         |  SELECT vocab.w, ts.source AS s,
+         |    CAST(round(ln(CAST(coalesce(cws.c, 0) + 1 AS DOUBLE)
+         |      / CAST(ts.t + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lw
+         |  FROM vocab CROSS JOIN ts CROSS JOIN v
+         |  LEFT JOIN cws ON cws.w = vocab.w AND cws.source = ts.source),
+         |pr AS (
+         |  SELECT source AS s,
+         |    CAST(round(ln(CAST(count(*) AS DOUBLE)
+         |      / CAST((SELECT count(*) FROM documents) AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS p
+         |  FROM documents GROUP BY source),
+         |sc AS (
+         |  SELECT tk.doc_id, tk.source, m.s, pr.p + sum(m.lw) AS score_e6
+         |  FROM tk JOIN model m ON tk.w = m.w JOIN pr ON pr.s = m.s
+         |  GROUP BY tk.doc_id, tk.source, m.s, pr.p)
+         |SELECT doc_id, source, s AS pred_source,
+         |  CAST(score_e6 AS BIGINT) AS score_e6, s = source AS is_match
+         |FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score_e6 DESC, s ASC) AS rn FROM sc)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "source_logodds" ->
       s"""WITH toks AS (
          |  SELECT source, unnest(string_split($N, ' ')) AS w

@@ -23,7 +23,10 @@ class PlanLintSpec extends SparkSpec {
     "ann_sq_rerank", "ann_sq_recall",
     // one-row scalar anchors: data-anchored NOW() or corpus totals
     "recent_analysis", "recent_lineitems", "trade_summary",
-    "lm_bigram_score", "source_logodds", "tfidf_topk")
+    "lm_bigram_score", "source_logodds", "tfidf_topk",
+    // vocab-anchor crossJoins: source-index/V/doc-count one-row or
+    // source-count broadcasts under the NB domain model build
+    "domain_classify")
 
   test("no cartesian products; nested-loop joins only where bounded") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -18,6 +18,40 @@ class VocabSpec extends SparkSpec {
       (2L, 1L, -510826L, -510826.0 / 1e6)))
   }
 
+  test("domainClassify: docs with distinctive vocabulary predict their source") {
+    // two sources with disjoint vocabularies plus one shared filler
+    // word: every doc must classify back to its own source, and the
+    // prediction carries the doc's true source in the output
+    val docs = Seq(
+      (1L, "alpha", "stocks bonds yields stocks filler"),
+      (2L, "alpha", "bonds yields bonds stocks filler"),
+      (3L, "beta", "goals penalty keeper goals filler"),
+      (4L, "beta", "penalty keeper penalty goals filler"))
+      .toDF("doc_id", "source", "text")
+    val out = Vocab.domainClassify(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(4)))
+    assert(out.length === 4)
+    out.foreach { case (_, src, pred, ok) =>
+      assert(pred === src && ok, s"misclassified: $out")
+    }
+    // scores are the quantized-integer kind: re-running is bit-stable
+    val again = Vocab.domainClassify(docs).collect().map(_.toSeq)
+    assert(again === Vocab.domainClassify(docs).collect().map(_.toSeq))
+  }
+
+  test("domainClassify: argmax ties break to the lexicographically first source") {
+    // identical single-doc sources: every score is symmetric, so the
+    // winner must be the tie-break, not nondeterminism
+    val docs = Seq(
+      (1L, "zsrc", "same words here"),
+      (2L, "asrc", "same words here"))
+      .toDF("doc_id", "source", "text")
+    val out = Vocab.domainClassify(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq === Seq((1L, "asrc"), (2L, "asrc")))
+  }
+
   test("lmBigramScore: single-token and empty docs contribute no bigrams") {
     val docs = Seq((1L, "solo"), (2L, "x y")).toDF("doc_id", "text")
     val out = Vocab.lmBigramScore(docs).collect()

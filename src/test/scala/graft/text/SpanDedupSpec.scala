@@ -124,5 +124,12 @@ class SpanDedupSpec extends SparkSpec {
     // gram window + doc window; the two groupBys extend the doc
     // partitioning and the final orderBy is a range exchange (excluded)
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got:\n$plan")
+    // the hashed-key twin only swaps the exchange key for a digest —
+    // same exchange count, and the digest is IN the partitioning key
+    val hashed = SpanDedup.spanClean(docs, w = 4, hashKey = true)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(hashed).length <= 3,
+      s"hashed twin grew extra exchanges:\n$hashed")
+    assert(hashed.contains("md5"), "hashed twin must shuffle on the digest")
   }
 }

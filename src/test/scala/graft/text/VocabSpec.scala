@@ -52,6 +52,43 @@ class VocabSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "asrc"), (2L, "asrc")))
   }
 
+  test("domainClassify never broadcasts the exploded token stream") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val docs = graft.sources.Tables(
+      spark, "/root/testdata/sf0.001", "documents")
+    // plan read BEFORE execution (AQE hides finalized subtrees); every
+    // broadcast build side must be model/anchor-scale — a token-stream
+    // broadcast (Catalyst's default pick for the stats-less explode
+    // side) would ship the whole corpus to every task
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = Vocab.domainClassify(docs).queryExecution.executedPlan
+    val broadcasts = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case b: BroadcastExchangeExec => b
+      }
+      case b: BroadcastExchangeExec => Seq(b)
+    }.flatten
+    assert(broadcasts.nonEmpty,
+      s"root=${plan.getClass.getName}\n${plan.toString.take(4000)}")
+    // a broadcast subtree may DERIVE from the corpus (the model build
+    // aggregates the token stream down to vocab scale before the
+    // exchange); what must never happen is a Generate with NO aggregate
+    // between it and the exchange — that is the raw exploded stream
+    // shipped whole to every task
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    broadcasts.foreach { b =>
+      val hasGenerate = b.collectFirst { case g: GenerateExec => g }.nonEmpty
+      val hasAgg = b.collectFirst {
+        case a: HashAggregateExec => a
+        case a: ObjectHashAggregateExec => a
+        case a: SortAggregateExec => a
+      }.nonEmpty
+      assert(!hasGenerate || hasAgg,
+        s"raw token stream on a broadcast build side:\n$b")
+    }
+  }
+
   test("lmBigramScore: single-token and empty docs contribute no bigrams") {
     val docs = Seq((1L, "solo"), (2L, "x y")).toDF("doc_id", "text")
     val out = Vocab.lmBigramScore(docs).collect()

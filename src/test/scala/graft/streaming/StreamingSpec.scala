@@ -407,6 +407,74 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("near-dup lane resumed across a store compaction matches a single run") {
+    import graft.text.SignatureStore
+    val work = Files.createTempDirectory("lane_compact_").toString
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // dup
+      (2L, "completely novel first content with no overlap at all"),
+      (3L, "completely novel first content with no overlap at all"), // dup of 2
+      (4L, "another novel document closing out the incoming stream"))
+    val slices = docs.zipWithIndex.map { case ((id, text), i) =>
+      val tmp = s"$work/slice$i"
+      Seq((id, text)).toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part, s"s$i.parquet", 1700000000000L + i * 60000L)
+    }
+    def copyTo(dir: String, n: Int): Unit = slices.take(n).foreach {
+      case (part, name, mtime) =>
+        val dst = new java.io.File(dir, name)
+        if (!dst.exists()) {
+          org.apache.commons.io.FileUtils.copyFile(part, dst)
+          dst.setLastModified(mtime)
+        }
+    }
+    val schema = spark.read.parquet(s"$work/slice0").schema
+    def run(inDir: String, store: String, ck: String,
+            out: scala.collection.mutable.Map[Long, Boolean]): Unit = {
+      val q = StreamingLanes.nearDupStoreLane(
+        Replay.paced(spark, inDir, schema, maxFilesPerTrigger = 1), store)(
+        (batch, _) => batch.collect().foreach { r =>
+          val id = r.getAs[Long]("doc_id")
+          if (!out.contains(id)) out(id) = r.getAs[Boolean]("is_new")
+        })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+    }
+    // path A: two batches, stop, COMPACT the store, resume the rest
+    val storeA = s"$work/storeA"
+    SignatureStore.appendBatch(storeA, corpus)
+    val a = scala.collection.mutable.Map[Long, Boolean]()
+    new java.io.File(s"$work/inA").mkdirs()
+    copyTo(s"$work/inA", 2)
+    run(s"$work/inA", storeA, s"$work/ckA", a)
+    SignatureStore.compact(spark, storeA)
+    copyTo(s"$work/inA", 4)
+    run(s"$work/inA", storeA, s"$work/ckA", a)
+    // path B: uninterrupted, never compacted
+    val storeB = s"$work/storeB"
+    SignatureStore.appendBatch(storeB, corpus)
+    val b = scala.collection.mutable.Map[Long, Boolean]()
+    new java.io.File(s"$work/inB").mkdirs()
+    copyTo(s"$work/inB", 4)
+    run(s"$work/inB", storeB, s"$work/ckB", b)
+    assert(a.toMap === b.toMap)
+    assert(a(1L) === false && a(2L) === true && a(3L) === false &&
+      a(4L) === true)
+    // the compacted store still carries exactly the admitted doc ids
+    assert(SignatureStore.read(spark, storeA).select("doc_id").collect()
+      .map(_.getLong(0)).toSet ===
+      SignatureStore.read(spark, storeB).select("doc_id").collect()
+        .map(_.getLong(0)).toSet)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("ST8: last-write-wins view over replayed storage matches latest state") {
     // two "writes" of the same series key at different event times: the
     // read-side view (latestPerKey in batch) is the LWW state

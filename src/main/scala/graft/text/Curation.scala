@@ -40,6 +40,38 @@ object Curation {
     * (`functions/TextShingles.scala`); it emits DISTINCT shingles, which
     * only thins the exploded probe stream — both sides of the join
     * de-duplicate downstream, so results are unchanged. */
+  /** Source-balanced mixture sampling — the data-mixing step of
+    * training-corpus assembly: downsample every source to the size of
+    * the SMALLEST one (the equal-weight mixture, the floor case of
+    * weighted mixing — any other weight vector only changes the
+    * per-source take arithmetic, not the plan). Selection within a
+    * source is by md5 order on the doc id (`"m:"+doc_id`), the same
+    * deterministic no-`rand()` discipline as [[sampleStratified]]:
+    * re-runs, retries, and the DuckDB oracle pick the identical docs.
+    *
+    * Scale shape: per-source counts are one tiny aggregate broadcast
+    * back; selection is one rank window per source — a single corpus
+    * exchange on the source key carrying (doc_id, source, tag) rows
+    * only, never text. The take bound is data-derived (a column), so
+    * the rank filter evaluates post-window; a production mix with a
+    * CONFIGURED take would pass a literal and get the
+    * InferWindowGroupLimit per-partition pre-reduction for free. */
+  def mixBalanced(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val take = counts.agg(min(col("n")).as("take"))
+    val tag = md5(concat(lit("m:"), col("doc_id").cast("string"))
+      .cast("binary"))
+    docs.select(col("doc_id"), col("source"), tag.as("mix_tag"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("mix_tag").asc, col("doc_id").asc)))
+      .crossJoin(broadcast(take))
+      .filter(col("rank") <= col("take"))
+      .select(col("doc_id"), col("source"), col("rank").cast("int").as("rank"))
+      .orderBy("doc_id")
+  }
+
   def decontaminate(docs: DataFrame, benchmarkMaxId: Long = 10): DataFrame = {
     def shingled(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
@@ -151,6 +183,7 @@ object Curation {
       curationPipeline(Tables(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
       sampleStratified(Tables(s, d, "documents"))),
+    "mix_balanced" -> ((s, d) => mixBalanced(Tables(s, d, "documents"))),
     "decontaminate" -> ((s, d) => decontaminate(Tables(s, d, "documents"))),
     "pii_scrub" -> ((s, d) => piiScrub(Tables(s, d, "documents"))),
     "token_pack" -> ((s, d) => packTokens(Tables(s, d, "documents"))))
@@ -158,6 +191,22 @@ object Curation {
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    // equal-weight mixture: every source downsampled to the smallest
+    // source's count, selection by md5("m:"+doc_id) order
+    "mix_balanced" ->
+      """WITH take AS (
+        |  SELECT min(n) AS take FROM (
+        |    SELECT count(*) AS n FROM documents GROUP BY source)),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('m:' || CAST(doc_id AS VARCHAR)) ASC,
+        |        doc_id ASC) AS rank
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
+        |FROM ranked, take WHERE rank <= take
+        |ORDER BY doc_id""".stripMargin,
+
     "curation_pipeline" ->
       s"""WITH d AS (
          |  SELECT doc_id, md5($N) AS content_hash,

@@ -26,7 +26,9 @@ class PlanLintSpec extends SparkSpec {
     "lm_bigram_score", "source_logodds", "tfidf_topk",
     // vocab-anchor crossJoins: source-index/V/doc-count one-row or
     // source-count broadcasts under the NB domain model build
-    "domain_classify")
+    "domain_classify",
+    // one-row balanced-take anchor
+    "mix_balanced")
 
   test("no cartesian products; nested-loop joins only where bounded") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

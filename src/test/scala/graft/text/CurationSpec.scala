@@ -57,6 +57,29 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._3).distinct.sorted === got.map(_._3).distinct)
   }
 
+  test("balanced mix downsamples every source to the smallest one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // skewed sources: 5/3/2 docs — the balanced take is 2 per source
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "big", s"text $i")) ++
+      (6 to 8).map(i => (i.toLong, "mid", s"text $i")) ++
+      (9 to 10).map(i => (i.toLong, "small", s"text $i")))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.mixBalanced(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.length === 6)
+    assert(out.groupBy(_._2).view.mapValues(_.length).toMap ===
+      Map("big" -> 2, "mid" -> 2, "small" -> 2))
+    assert(out.forall(_._3 <= 2))
+    // md5-order selection is deterministic: identical on re-run
+    val again = Curation.mixBalanced(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(again.toSeq === out.toSeq)
+    // the small source keeps everything — its docs are all selected
+    assert(out.filter(_._2 == "small").map(_._1).toSet === Set(9L, 10L))
+  }
+
   test("stratified sampling is deterministic and respects per-stratum rates") {
     val docs = (0 until 400).map(i =>
       (i.toLong, s"text $i", s"src${i % 4}")).toDF("doc_id", "text", "source")

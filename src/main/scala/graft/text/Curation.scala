@@ -72,6 +72,43 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Weighted mixture sampling — the general form of [[mixBalanced]]:
+    * given per-source weights w_s, the output holds sources in w_s
+    * proportion at the largest size the corpus affords. λ = min_s
+    * (n_s / w_s) and take_s = floor(λ · w_s); the bottleneck source
+    * (the λ argmin) is kept whole. The λ ratio is selected by a double
+    * compare, but every take is then EXACT integer arithmetic from the
+    * argmin's (n, w) pair — floor(n_j · w_s / w_j) — so ratio ties are
+    * harmless (equal ratios yield identical takes) and the oracle
+    * replays the takes exactly. Weights here follow the
+    * [[sampleStratified]] parity convention (even-numbered sources 2,
+    * odd 1) as the stand-in for a configured weight table. */
+  def mixWeighted(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = when(
+      pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(2L))
+        === 0, lit(2L)).otherwise(lit(1L))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("w", w)
+    val lam = counts.agg(min_by(struct(col("n"), col("w")),
+      col("n").cast("double") / col("w").cast("double")).as("l"))
+      .select(col("l.n").as("ln"), col("l.w").as("lw"))
+    val takes = counts.crossJoin(broadcast(lam))
+      .withColumn("take", expr("ln * w DIV lw"))
+      .select(col("source"), col("take"))
+    val tag = md5(concat(lit("w:"), col("doc_id").cast("string"))
+      .cast("binary"))
+    docs.select(col("doc_id"), col("source"), tag.as("mix_tag"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("mix_tag").asc, col("doc_id").asc)))
+      .join(broadcast(takes), "source")
+      .filter(col("rank") <= col("take"))
+      .select(col("doc_id"), col("source"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("doc_id")
+  }
+
   def decontaminate(docs: DataFrame, benchmarkMaxId: Long = 10): DataFrame = {
     def shingled(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
@@ -184,6 +221,7 @@ object Curation {
     "sample_stratified" -> ((s, d) =>
       sampleStratified(Tables(s, d, "documents"))),
     "mix_balanced" -> ((s, d) => mixBalanced(Tables(s, d, "documents"))),
+    "mix_weighted" -> ((s, d) => mixWeighted(Tables(s, d, "documents"))),
     "decontaminate" -> ((s, d) => decontaminate(Tables(s, d, "documents"))),
     "pii_scrub" -> ((s, d) => piiScrub(Tables(s, d, "documents"))),
     "token_pack" -> ((s, d) => packTokens(Tables(s, d, "documents"))))
@@ -206,6 +244,30 @@ object Curation {
         |SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
         |FROM ranked, take WHERE rank <= take
         |ORDER BY doc_id""".stripMargin,
+
+    // weighted mixture: λ argmin by ratio (ties harmless — equal ratios
+    // give identical takes), takes as exact integer floor(ln·w/lw)
+    "mix_weighted" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n,
+        |    CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT)
+        |      % 2 = 0 THEN 2 ELSE 1 END AS w
+        |  FROM documents GROUP BY source),
+        |l AS (
+        |  SELECT n AS ln, w AS lw FROM c
+        |  ORDER BY CAST(n AS DOUBLE) / w, n, w LIMIT 1),
+        |takes AS (
+        |  SELECT c.source, (l.ln * c.w) // l.lw AS take FROM c, l),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('w:' || CAST(doc_id AS VARCHAR)) ASC,
+        |        doc_id ASC) AS rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.rank AS INTEGER) AS rank
+        |FROM ranked r JOIN takes t ON r.source = t.source
+        |WHERE r.rank <= t.take
+        |ORDER BY r.doc_id""".stripMargin,
 
     "curation_pipeline" ->
       s"""WITH d AS (

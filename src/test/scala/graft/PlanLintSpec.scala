@@ -27,8 +27,8 @@ class PlanLintSpec extends SparkSpec {
     // vocab-anchor crossJoins: source-index/V/doc-count one-row or
     // source-count broadcasts under the NB domain model build
     "domain_classify",
-    // one-row balanced-take anchor
-    "mix_balanced")
+    // one-row balanced-take / λ-argmin anchors
+    "mix_balanced", "mix_weighted")
 
   test("no cartesian products; nested-loop joins only where bounded") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -80,6 +80,26 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_._2 == "small").map(_._1).toSet === Set(9L, 10L))
   }
 
+  test("weighted mix holds the weight proportions; bottleneck kept whole") {
+    import spark.implicits._
+    // source2 (even → weight 2) has 6 docs, source1 (odd → weight 1)
+    // has 5: λ = min(6/2, 5/1) = 3 from source2, takes = (6, 3)
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "source2", s"text $i")) ++
+      (7 to 11).map(i => (i.toLong, "source1", s"text $i")))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.mixWeighted(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc === Map("source2" -> 6, "source1" -> 3))
+    // the bottleneck source is kept whole
+    assert(out.filter(_._2 == "source2").map(_._1).toSet ===
+      (1L to 6L).toSet)
+    // deterministic selection
+    assert(Curation.mixWeighted(docs).collect().map(_.toSeq).toSeq ===
+      Curation.mixWeighted(docs).collect().map(_.toSeq).toSeq)
+  }
+
   test("stratified sampling is deterministic and respects per-stratum rates") {
     val docs = (0 until 400).map(i =>
       (i.toLong, s"text $i", s"src${i % 4}")).toDF("doc_id", "text", "source")

@@ -11,8 +11,12 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     // the driver may hand us a session built without Tables.session's
-    // confs; events.parquet is TIMESTAMP(NANOS) and unreadable without this
+    // confs. events.parquet is TIMESTAMP(NANOS): older Spark 4.x builds
+    // need nanosAsLong to read it at all (inert where the conf was
+    // dropped), and the current NTZ read path needs a pinned UTC session
+    // for a deterministic epoch derivation (Tables.events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     analytics.AnalyticsQueries.queries("ticker_series_raw")(
       spark, "/root/testdata/sf0.001")
   }

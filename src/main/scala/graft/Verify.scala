@@ -6,8 +6,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    // Tables.session sets nanosAsLong (events.parquet is TIMESTAMP(NANOS),
-    // unreadable in Spark 4 without it), UTC, AQE — same conf as tests/Bench.
+    // Tables.session sets UTC, AQE, and (for older Spark builds) the
+    // nanosAsLong read path for the TIMESTAMP(NANOS) events fixture —
+    // same conf as tests/Bench.
     val spark = graft.sources.Tables.session(s"local[$cpus]", cpus)
     new java.io.File(outDir).mkdirs()
     // stage the shared snapshot store once before fanning out

@@ -19,26 +19,31 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events` with a normalized event-time pair:
-    *   - `ts_ns`  Long   — exact epoch nanoseconds (the fixture stores
-    *                        TIMESTAMP(NANOS), which Spark reads as Long under
-    *                        `spark.sql.legacy.parquet.nanosAsLong`)
+    *   - `ts_ns`  Long   — epoch nanoseconds
     *   - `ts`     Timestamp — micros-precision event time for window/watermark ops
     *
-    * Expected read path is nanosAsLong=true (set by `session`; Spark 4
-    * refuses TIMESTAMP(NANOS) without it). The TimestampType branch covers
-    * sessions that read the column as a native timestamp (e.g. a future
-    * fixture at micros precision); any other physical type fails loudly.
+    * The fixture stores TIMESTAMP(NANOS), whose physical read type depends
+    * on the Spark build: older 4.x reads it as Long when
+    * `spark.sql.legacy.parquet.nanosAsLong` is set (and refuses otherwise);
+    * current 4.1.x reads it natively as µs-truncated TimestampNTZ (the
+    * legacy conf no longer exists). All three branches agree on the
+    * fixture, which is µs-aligned end to end (verified: zero rows with
+    * `epoch_ns(ts) % 1000 <> 0` at every SF) — exactly what the DuckDB
+    * oracle sees. The NTZ→Timestamp cast interprets the value in the
+    * session time zone; `session` pins UTC (and `SparkEntry.entry`
+    * self-provisions it), making the epoch derivation deterministic.
     * `DIV 1000` truncates toward zero — exact floor only for the
     * post-epoch timestamps this fixture guarantees (seed-42, 2024 data).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
     val tsNs = raw.schema("ts").dataType match {
-      case LongType      => col("ts")
-      case TimestampType => unix_micros(col("ts")) * lit(1000L)
+      case LongType         => col("ts")
+      case TimestampType    => unix_micros(col("ts")) * lit(1000L)
+      case TimestampNTZType =>
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
       case other => throw new IllegalStateException(
-        s"events.ts read as unsupported type $other; " +
-          "create the session via Tables.session (sets nanosAsLong)")
+        s"events.ts read as unsupported type $other")
     }
     raw
       .withColumn("ts_ns", tsNs)
@@ -57,6 +62,9 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // inert on Spark builds that dropped this legacy conf (they read
+      // TIMESTAMP(NANOS) as TimestampNTZ — see `events`); lets older 4.x
+      // builds read the events fixture at all
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()

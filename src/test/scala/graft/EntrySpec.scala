@@ -2,18 +2,23 @@ package graft
 
 /** The driver smoke-checks `SparkEntry.entry(spark)` with a session IT
   * builds — possibly without Tables.session's confs. entry() must
-  * self-provision what it needs (nanosAsLong for the TIMESTAMP(NANOS)
-  * events fixture). Simulated here by actively unsetting the conf on the
-  * shared session before the call. */
+  * self-provision what it needs: on older Spark 4.x builds the
+  * nanosAsLong read path for the TIMESTAMP(NANOS) events fixture, and on
+  * current builds (which read it as TimestampNTZ) a pinned UTC session
+  * time zone for the epoch derivation. Simulated here by actively
+  * unsetting both confs on the shared session before the call. */
 class EntrySpec extends SparkSpec {
 
-  test("entry self-provisions nanosAsLong and returns rows") {
+  test("entry self-provisions its read confs and returns rows") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
     try {
       val n = SparkEntry.entry(spark).count()
       assert(n > 0)
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
     } finally {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     }
   }
 }

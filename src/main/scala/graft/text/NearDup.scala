@@ -432,6 +432,61 @@ object NearDup {
       .select(col("doc_id"), call_function("simhash16", col("lh")).as("simhash"))
   }
 
+  /** Banded SimHash near-dup pairs — the third text dedup family next to
+    * MinHash/LSH (set overlap) and span dedup (exact substrings): SimHash
+    * catches small-token-set edits whose Jaccard stays high but whose
+    * shingle sets shift, at one 2-byte signature per doc.
+    *
+    * Candidates are BANDED, never all-pairs (the same plan shape as
+    * `multimodal.mediaDedupNear`): the 16-bit signature splits into two
+    * 8-bit bands and only docs agreeing on a band value meet in the join —
+    * by the pigeonhole every Hamming-≤1 pair shares a band exactly, and
+    * ≤2-bit pairs are caught unless the flips straddle both bands. The
+    * banded exchange carries (doc_id, sig) only; a pair agreeing on both
+    * bands meets twice, deduped once before the Hamming gate. At corpus
+    * scale the knob is signature/band width (64-bit SimHash, 16-bit
+    * bands), a parameter change on the same plan — the `autoBits` sizing
+    * rule of the embedding family applies verbatim.
+    *
+    * Band buckets above `maxBucket` are SUB-SALTED with the family-shared
+    * [[saltHash]] (same formula, same oracle replay as the LSH and
+    * embedding caps): a 16-bit signature over a templated corpus
+    * collapses many docs onto few band values (the sf fixture puts ~10%
+    * of all pairs within Hamming 2), and the cap bounds per-bucket pair
+    * work at O(n·cap) regardless — the capped output is a deterministic
+    * subset of the uncapped pair set, exactly as in the LSH family. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 2,
+                     maxBucket: Int = MaxBucket): DataFrame = {
+    val sigs = simhash(docs)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(
+        struct(lit(0).as("band"), shiftright(col("simhash"), 8).as("bval")),
+        struct(lit(1).as("band"),
+          col("simhash").bitwiseAND(lit(255L)).as("bval")))).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bval").as("bval"))
+    val oversized = banded.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+    val salted = banded.join(broadcast(oversized), Seq("band", "bval"), "left")
+      .withColumn("salt",
+        when(col("bn").isNull, lit(0L)).otherwise(
+          pmod(saltHash(col("doc_id")),
+            expr(s"(bn + ${maxBucket - 1}) DIV $maxBucket"))))
+      .drop("bn")
+    val a = salted.select(col("doc_id").as("id_a"),
+      col("simhash").as("sig_a"), col("band"), col("bval"), col("salt"))
+    val b = salted.select(col("doc_id").as("id_b"),
+      col("simhash").as("sig_b"), col("band"), col("bval"), col("salt"))
+    a.join(b, Seq("band", "bval", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact word-bigram Jaccard between consecutive doc ids — the
     * set-similarity kernel on a linear (non-cartesian) pair set.
     * Bigrams via the native `word_shingles(_, 2)` kernel; similarity via
@@ -603,6 +658,7 @@ object NearDup {
     // banding recall telemetry on the count-sized sample — see lshRecall
     "lsh_recall" -> ((s, d) => lshRecall(docSigs(s, d))),
     "simhash" -> ((s, d) => simhash(Tables(s, d, "documents")).orderBy("doc_id")),
+    "dedup_simhash" -> ((s, d) => simhashNearDup(Tables(s, d, "documents"))),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
   // --- oracle -------------------------------------------------------------
@@ -822,6 +878,39 @@ object NearDup {
          |              list_distinct(string_split($N, ' ')) AS l
          |            FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    // the banded candidate join replayed naively: two band rows per doc,
+    // the shared sub-salt cap on oversized band buckets, then the
+    // distinct'd pair union — mirrors simhashNearDup exactly
+    "dedup_simhash" ->
+      s"""WITH sg AS (
+         |  SELECT doc_id, CAST($simhashTerms AS BIGINT) AS sig
+         |  FROM (SELECT doc_id, l, list_transform(l, t -> md5(t)) AS lh
+         |        FROM (SELECT doc_id,
+         |                list_distinct(string_split($N, ' ')) AS l
+         |              FROM documents))),
+         |sbands AS (
+         |  SELECT doc_id, sig, 0 AS band, sig >> 8 AS bval FROM sg
+         |  UNION ALL
+         |  SELECT doc_id, sig, 1 AS band, sig & 255 AS bval FROM sg),
+         |s_over AS (
+         |  SELECT band, bval, count(*) AS bn FROM sbands GROUP BY band, bval
+         |  HAVING count(*) > $MaxBucket),
+         |s_salted AS (
+         |  SELECT sbands.doc_id, sbands.sig, sbands.band, sbands.bval,
+         |    CASE WHEN o.bn IS NULL THEN 0
+         |         ELSE (${saltHashSql("sbands.doc_id")})
+         |           % ((o.bn + ${MaxBucket - 1}) // $MaxBucket)
+         |    END AS salt
+         |  FROM sbands LEFT JOIN s_over o
+         |    ON sbands.band = o.band AND sbands.bval = o.bval)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM s_salted a JOIN s_salted b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.salt = b.salt
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "ngram_jaccard" ->
       s"""WITH bg AS (

@@ -304,6 +304,35 @@ class TextSpec extends SparkSpec {
     assert(m(1L) !== m(3L))
   }
 
+  test("simhashNearDup pairs identical token sets, banded not all-pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // same token set -> hamming 0
+      (3L, "completely unrelated words about seventeen ducks swimming"),
+      (4L, "alpha beta gamma delta")) // another exact-set copy
+      .toDF("doc_id", "text")
+    val out = NearDup.simhashNearDup(docs)
+    val pairs = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // all three hamming-0 pairs of the {1,2,4} clique, nothing with 3
+    assert(pairs.toSet.filter(_._3 == 0) ===
+      Set((1L, 2L, 0), (1L, 4L, 0), (2L, 4L, 0)))
+    assert(pairs.forall(_._3 <= 2)) // the Hamming gate holds
+    // banded: the join is an equi-join on (band, bval), never a cartesian
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // every emitted pair actually agrees on at least one 8-bit band
+    val sig = NearDup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b, _) =>
+      assert((sig(a) >> 8) == (sig(b) >> 8) ||
+        (sig(a) & 255L) == (sig(b) & 255L)) }
+    // the bucket cap yields a deterministic subset of the uncapped pairs
+    val capped = NearDup.simhashNearDup(docs, maxBucket = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(capped.toSet.subsetOf(pairs.toSet))
+  }
+
   test("lang id scores stopword hits and picks the argmax language") {
     val docs = Seq(
       (1L, "the house of the king is on the hill with a view"),

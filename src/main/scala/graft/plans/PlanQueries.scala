@@ -53,8 +53,10 @@ object PlanQueries {
 
   def bucketedRollup(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val liT = s"li_bkt_$tag"
-    val ordT = s"ord_bkt_$tag"
+    // per-JVM names: a concurrent driver (Bench alongside Verify) stages
+    // its own copy instead of racing overwrite-vs-read on one location
+    val liT = BucketedStore.jvmLocal(spark, s"li_bkt_$tag")
+    val ordT = BucketedStore.jvmLocal(spark, s"ord_bkt_$tag")
     ensureBucketed(spark, liT) {
       BucketedStore.writeBucketed(
         Tables(spark, dir, "lineitem")

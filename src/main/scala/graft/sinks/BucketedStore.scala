@@ -17,6 +17,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedStore {
 
+  /** Suffix unique to this JVM, stable across calls. The in-memory
+    * catalog cannot share bucketing metadata across JVMs anyway (each
+    * process must stage its own bucketed copy), so concurrent drivers
+    * (Bench + Verify run side by side) must not share a table LOCATION
+    * either: an overwrite in one JVM deletes part files a planned read
+    * in the other still references (observed as FAILED_READ_FILE on the
+    * shared `ord_bkt_*` path). A per-JVM name makes the collision
+    * structurally impossible instead of retried-around. */
+  private val jvmTag: String =
+    java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+
+  /** `base` made JVM-unique, sweeping stale sibling copies (same base,
+    * other JVM tags, older than 2 h — rounds never overlap that long) so
+    * the warehouse does not accumulate one orphan per process. */
+  def jvmLocal(spark: SparkSession, base: String): String = {
+    val mine = s"${base}_$jvmTag"
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(mine))).getParent
+    val fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+    val pat = ("\\Q" + base + "\\E_[0-9a-f]{8}").r
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    if (fs.exists(warehouse))
+      fs.listStatus(warehouse).foreach { st =>
+        if (st.isDirectory && pat.matches(st.getPath.getName) &&
+          st.getPath.getName != mine && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+    mine
+  }
+
   /** Write `df` as a managed parquet table bucketed+sorted by `key`.
     *
     * The default session catalog is in-memory (no Hive): a table created
@@ -27,10 +58,12 @@ object BucketedStore {
     * resolved through the session catalog's own `defaultTablePath`
     * (string-munging warehouse.dir broke on non-file URIs and
     * URI-encoded paths) and deleted through the Hadoop FileSystem of
-    * that URI, so non-local warehouses sweep correctly too. A
-    * concurrent JVM staging the same table between sweep and save
-    * surfaces as AnalysisException; one re-sweep + retry resolves the
-    * race (rounds don't overlap, so the loser's rewrite is benign). */
+    * that URI, so non-local warehouses sweep correctly too. Callers
+    * should pass a [[jvmLocal]] name: two JVMs sharing one table name
+    * race overwrite-vs-read (the winner's rewrite deletes part files
+    * the loser's planned scan still references — a read-time failure no
+    * save-side retry can absorb). The AnalysisException retry below
+    * remains as a second line for same-name collisions. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     val spark = df.sparkSession

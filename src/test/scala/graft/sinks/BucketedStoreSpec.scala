@@ -5,6 +5,29 @@ import graft.sources.Tables
 
 class BucketedStoreSpec extends SparkSpec {
 
+  test("jvmLocal is stable in-process and sweeps stale sibling copies") {
+    val a = BucketedStore.jvmLocal(spark, "jl_probe")
+    assert(a === BucketedStore.jvmLocal(spark, "jl_probe"))
+    assert(a.matches("jl_probe_[0-9a-f]{8}"))
+    // a stale sibling from a "previous JVM": same base, other tag, old mtime
+    val warehouse = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    warehouse.mkdirs()
+    val stale = new java.io.File(warehouse, "jl_probe_deadbeef")
+    stale.mkdirs()
+    stale.setLastModified(System.currentTimeMillis() - 3L * 3600 * 1000)
+    val fresh = new java.io.File(warehouse, "jl_probe_cafebabe")
+    fresh.mkdirs() // recent sibling (a live concurrent JVM): must survive
+    try {
+      BucketedStore.jvmLocal(spark, "jl_probe")
+      assert(!stale.exists(), "stale sibling not swept")
+      assert(fresh.exists(), "recent sibling wrongly swept")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(fresh)
+      org.apache.commons.io.FileUtils.deleteQuietly(stale)
+    }
+  }
+
   test("same-bucketed tables join with zero shuffle exchanges") {
     val dir = "/root/testdata/sf0.001"
     BucketedStore.writeBucketed(

@@ -1,0 +1,15 @@
+package graft
+
+/** Row-count probe: prints the result cardinality of registered queries
+  * (scale diagnosis — is a slow query compute-bound or output-bound?).
+  * Usage: runMain graft.CountOne <sfDir> <query> [query ...] */
+object CountOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val spark = sources.Tables.session("local[32]", 32)
+    args.drop(1).foreach { n =>
+      println(s"COUNT $n ${SparkEntry.queries(n)(spark, sfDir).count()}")
+    }
+    spark.stop()
+  }
+}

@@ -196,9 +196,11 @@ object Multimodal {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      // a pair agreeing on both bands matched twice — once per band
-      .distinct()
+      // a pair agreeing on both bands matched twice — once per band;
+      // the Hamming gate runs BEFORE the dedup exchange so distinct()
+      // shuffles only near pairs, not the full candidate stream
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 

@@ -331,6 +331,11 @@ class TextSpec extends SparkSpec {
     val capped = NearDup.simhashNearDup(docs, maxBucket = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(capped.toSet.subsetOf(pairs.toSet))
+    // the production keeper form: one group for the {1,2,4} clique
+    val keep = NearDup.simhashDedup(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (keep_doc_id, dup_count)
+    assert(keep.contains((1L, 3L)))
+    assert(keep.map(_._2).sum === 4L)
   }
 
   test("lang id scores stopword hits and picks the argmax language") {

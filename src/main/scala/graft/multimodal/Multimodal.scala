@@ -132,7 +132,10 @@ object Multimodal {
   /** Exact payload dedup — the first pass every media-ingest pipeline
     * runs (identical bytes are the bulk of crawl duplicates). Content
     * hash = md5 over the canonical lowercase-hex payload encoding, a
-    * form both engines compute identically on opaque bytes; the shuffle
+    * form both engines compute identically on opaque bytes (the hex
+    * doubling exists ONLY for byte-exact DuckDB oracle parity; the
+    * 100 TB path hashes raw bytes — `xxhash64(payload)` — halving the
+    * bytes through the digest); the shuffle
     * carries (hash, partial aggregates) only — payloads are read once
     * at the scan and never cross an exchange. `n_types` counts distinct
     * media types inside a group: the same bytes registered under

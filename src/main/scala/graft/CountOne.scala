@@ -6,7 +6,11 @@ package graft
 object CountOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val spark = sources.Tables.session("local[32]", 32)
+    // honor the driver's CPU budget like Verify.main — a hardcoded
+    // local[32] oversubscribes smaller boxes and makes the probe behave
+    // unlike the sessions it diagnoses
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = sources.Tables.session(s"local[$cpus]", cpus)
     args.drop(1).foreach { n =>
       println(s"COUNT $n ${SparkEntry.queries(n)(spark, sfDir).count()}")
     }

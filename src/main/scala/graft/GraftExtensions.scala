@@ -57,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.SimHash16(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info(classOf[functions.SimHash64].getName,
+        "simhash64", "simhash64(arr) - 64-bit nibble-bit-majority SimHash of an array of hex digests"),
+      (children: Seq[Expression]) => {
+        checkArity("simhash64", 1, children)
+        functions.SimHash64(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("byte_simhash32"),
       info(classOf[functions.ByteSimHash32].getName,
         "byte_simhash32", "byte_simhash32(payload) - 32-bit SimHash over dense 4-byte shingles of a binary payload"),

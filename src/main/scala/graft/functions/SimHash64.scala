@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** 64-bit SimHash signature from an array of hex digest strings — the
+  * SCALE form of [[SimHash16]]: 16 bits give 65,536 distinct signatures,
+  * so at ~10⁶ documents the signature-grouped keeper merges unrelated
+  * docs by pigeonhole and every 8-bit band bucket holds ~1/256 of the
+  * corpus; 64 bits (with 16-bit bands) is the production setting the
+  * 16-bit family's scaladoc names.
+  *
+  * `simhash64(arr)` — signature bit k (0-indexed, value 2^k) is set iff
+  * a strict majority of the array's elements have bit (k AND 1) set in
+  * the hex nibble at position (k DIV 2). One md5 digest carries 32
+  * nibbles = 128 bits of entropy; using the low TWO bits of each nibble
+  * yields 64 independent votes per element in one pass — same
+  * replay-in-SQL property as the 16-bit odd-nibble rule (bit parity of
+  * a hex char is a constant IN-list per bit position).
+  *
+  * All 64 vote counters accumulate in ONE generated pass over the
+  * `ArrayData`, inside whole-stage codegen. Bit 63 makes the signature
+  * negative as a signed long — harmless everywhere downstream: XOR,
+  * bit_count, and masked arithmetic band extraction are sign-agnostic,
+  * and both Spark's `shiftright` and DuckDB's `>>` are arithmetic
+  * shifts, so `(sig >> 16*i) & 65535` extracts identical band values in
+  * engine and oracle.
+  *
+  * Null array → null; null elements count toward the population n but
+  * never vote (they cannot occur in the md5-built caller). Elements
+  * shorter than 32 chars vote only on the nibbles they have. Registered
+  * by `GraftExtensions` as SQL function `simhash64`.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val data = input.asInstanceOf[ArrayData]
+    val n = data.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!data.isNullAt(i)) {
+        val s = data.getUTF8String(i)
+        val m = math.min(32, s.numBytes())
+        var p = 0
+        while (p < m) {
+          val c = s.getByte(p)
+          // hex nibble value: '0'-'9' → c-48, 'a'-'f' → c-87
+          val v = if (c <= '9') c - '0' else c - ('a' - 10)
+          votes(2 * p) += v & 1
+          votes(2 * p + 1) += (v >> 1) & 1
+          p += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (2 * votes(k) - n > 0) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val k = ctx.freshName("k")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val v = ctx.freshName("v")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |    int $m = Math.min(32, $s.numBytes());
+         |    for (int $p = 0; $p < $m; $p++) {
+         |      byte $c = $s.getByte($p);
+         |      int $v = $c <= '9' ? $c - '0' : $c - ('a' - 10);
+         |      $votes[2 * $p] += $v & 1;
+         |      $votes[2 * $p + 1] += ($v >> 1) & 1;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $k = 0; $k < 64; $k++) {
+         |  if (2 * $votes[$k] - $n > 0) $sig |= 1L << $k;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -180,6 +180,10 @@ object Multimodal {
     * 16/32-bit bands of a 64-bit SimHash, a parameter change, not a plan
     * change (the same sizing rule as `autoBits` / the LSH bucket cap). */
   def mediaDedupNear(store: DataFrame, maxHamming: Int = 2): DataFrame = {
+    // two 16-bit bands guarantee recall only to Hamming 1 (documented
+    // straddle gap at 2) — a deeper radius would be silently incomplete
+    require(maxHamming >= 0 && maxHamming <= 2,
+      s"2x16-bit bands guarantee recall to Hamming 1 (gap at 2); maxHamming=$maxHamming unsupported")
     val sigs = store
       .filter(col("byte_len") >= 4)
       .select(col("doc_id"),
@@ -201,10 +205,11 @@ object Multimodal {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       // a pair agreeing on both bands matched twice — once per band;
       // the Hamming gate runs BEFORE the dedup exchange so distinct()
-      // shuffles only near pairs, not the full candidate stream
+      // shuffles only near pairs, not the full candidate stream. No
+      // output sort — a global orderBy of the pair list is a
+      // presentation-only range exchange (see simhashNearDup).
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("id_a", "id_b")
   }
 
   val queries: Map[String, Q] = Map(

@@ -28,23 +28,37 @@ object BucketedStore {
   private val jvmTag: String =
     java.util.UUID.randomUUID.toString.replace("-", "").take(8)
 
+  /** `base` names already swept by THIS JVM — the sweep runs once per
+    * (JVM, base), at first staging, not on every call: a repeated sweep
+    * re-evaluates mtimes that only refresh when a directory's direct
+    * children change, so a long-running sibling JVM's live table could
+    * age past the cutoff mid-round and be deleted out from under a
+    * planned read (the FAILED_READ_FILE race the per-JVM name exists to
+    * prevent). Sweeping only at first use means any sibling table we
+    * delete was already stale when WE started. */
+  private val swept = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** `base` made JVM-unique, sweeping stale sibling copies (same base,
-    * other JVM tags, older than 2 h — rounds never overlap that long) so
-    * the warehouse does not accumulate one orphan per process. */
+    * other JVM tags) so the warehouse does not accumulate one orphan per
+    * process. The sweep is once-per-JVM (see [[swept]]) and the cutoff
+    * is 24 h — far beyond any plausible round — so a concurrent JVM's
+    * live bucketed table is never collected mid-read. */
   def jvmLocal(spark: SparkSession, base: String): String = {
     val mine = s"${base}_$jvmTag"
-    val warehouse = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(mine))).getParent
-    val fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
-    val pat = ("\\Q" + base + "\\E_[0-9a-f]{8}").r
-    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
-    if (fs.exists(warehouse))
-      fs.listStatus(warehouse).foreach { st =>
-        if (st.isDirectory && pat.matches(st.getPath.getName) &&
-          st.getPath.getName != mine && st.getModificationTime < cutoff)
-          fs.delete(st.getPath, true)
-      }
+    if (swept.add(base)) {
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(mine))).getParent
+      val fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+      val pat = ("\\Q" + base + "\\E_[0-9a-f]{8}").r
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      if (fs.exists(warehouse))
+        fs.listStatus(warehouse).foreach { st =>
+          if (st.isDirectory && pat.matches(st.getPath.getName) &&
+            st.getPath.getName != mine && st.getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+        }
+    }
     mine
   }
 

@@ -72,24 +72,25 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** Weighted mixture sampling — the general form of [[mixBalanced]]:
-    * given per-source weights w_s, the output holds sources in w_s
-    * proportion at the largest size the corpus affords. λ = min_s
-    * (n_s / w_s) and take_s = floor(λ · w_s); the bottleneck source
-    * (the λ argmin) is kept whole. The λ ratio is selected by a double
-    * compare, but every take is then EXACT integer arithmetic from the
-    * argmin's (n, w) pair — floor(n_j · w_s / w_j) — so ratio ties are
-    * harmless (equal ratios yield identical takes) and the oracle
-    * replays the takes exactly. Weights here follow the
-    * [[sampleStratified]] parity convention (even-numbered sources 2,
-    * odd 1) as the stand-in for a configured weight table. */
-  def mixWeighted(docs: DataFrame): DataFrame = {
+  /** Weighted mixture sampling from a CONFIGURED `(source, w)` weight
+    * table — the production form: given per-source weights w_s, the
+    * output holds sources in w_s proportion at the largest size the
+    * corpus affords. λ = min_s (n_s / w_s) and take_s = floor(λ · w_s);
+    * the bottleneck source (the λ argmin) is kept whole. The λ ratio is
+    * selected by a double compare, but every take is then EXACT integer
+    * arithmetic from the argmin's (n, w) pair — floor(n_j · w_s / w_j) —
+    * so ratio ties are harmless (equal ratios yield identical takes) and
+    * the oracle replays the takes exactly.
+    *
+    * The weight table is a dimension frame (one row per source) joined
+    * IN-PLAN and broadcast at both uses (counts and takes) — no
+    * collect, no literal baking, so a 100 TB corpus mix is reconfigured
+    * by swapping a tiny table, not recompiling a plan. Sources absent
+    * from the weight table are excluded (weight 0 by omission). */
+  def mixWeightedTable(docs: DataFrame, weights: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = when(
-      pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(2L))
-        === 0, lit(2L)).otherwise(lit(1L))
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .withColumn("w", w)
+      .join(broadcast(weights), "source")
     val lam = counts.agg(min_by(struct(col("n"), col("w")),
       col("n").cast("double") / col("w").cast("double")).as("l"))
       .select(col("l.n").as("ln"), col("l.w").as("lw"))
@@ -108,6 +109,27 @@ object Curation {
         col("rank").cast("int").as("rank"))
       .orderBy("doc_id")
   }
+
+  /** [[mixWeightedTable]] with the [[sampleStratified]] parity
+    * convention (even-numbered sources weight 2, odd 1) as a derived
+    * weight table — kept as the fixture's convention-driven twin; the
+    * table form above is what a configured pipeline calls. */
+  def mixWeighted(docs: DataFrame): DataFrame =
+    mixWeightedTable(docs,
+      docs.select(col("source")).distinct()
+        .withColumn("w", when(
+          pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("long"),
+            lit(2L)) === 0, lit(2L)).otherwise(lit(1L))))
+
+  /** The fixture's stand-in for a user-supplied weight table: one row
+    * per source, weight (source number MOD 3) + 1 ∈ {1,2,3} — distinct
+    * from [[mixWeighted]]'s parity convention so the two queries
+    * exercise different take vectors. */
+  def fixtureWeights(docs: DataFrame): DataFrame =
+    docs.select(col("source")).distinct()
+      .withColumn("w",
+        pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("long"),
+          lit(3L)) + 1)
 
   def decontaminate(docs: DataFrame, benchmarkMaxId: Long = 10): DataFrame = {
     def shingled(df: DataFrame): DataFrame =
@@ -222,6 +244,10 @@ object Curation {
       sampleStratified(Tables(s, d, "documents"))),
     "mix_balanced" -> ((s, d) => mixBalanced(Tables(s, d, "documents"))),
     "mix_weighted" -> ((s, d) => mixWeighted(Tables(s, d, "documents"))),
+    "mix_weighted_table" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      mixWeightedTable(docs, fixtureWeights(docs))
+    }),
     "decontaminate" -> ((s, d) => decontaminate(Tables(s, d, "documents"))),
     "pii_scrub" -> ((s, d) => piiScrub(Tables(s, d, "documents"))),
     "token_pack" -> ((s, d) => packTokens(Tables(s, d, "documents"))))
@@ -253,6 +279,33 @@ object Curation {
         |    CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT)
         |      % 2 = 0 THEN 2 ELSE 1 END AS w
         |  FROM documents GROUP BY source),
+        |l AS (
+        |  SELECT n AS ln, w AS lw FROM c
+        |  ORDER BY CAST(n AS DOUBLE) / w, n, w LIMIT 1),
+        |takes AS (
+        |  SELECT c.source, (l.ln * c.w) // l.lw AS take FROM c, l),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('w:' || CAST(doc_id AS VARCHAR)) ASC,
+        |        doc_id ASC) AS rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.rank AS INTEGER) AS rank
+        |FROM ranked r JOIN takes t ON r.source = t.source
+        |WHERE r.rank <= t.take
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // the weight-TABLE form: weights joined from a (source, w) dimension
+    // (fixture: source number MOD 3 + 1), λ/takes arithmetic unchanged
+    "mix_weighted_table" ->
+      """WITH wt AS (
+        |  SELECT DISTINCT source,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3 + 1 AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT d.source, count(*) AS n, min(wt.w) AS w
+        |  FROM documents d JOIN wt ON d.source = wt.source
+        |  GROUP BY d.source),
         |l AS (
         |  SELECT n AS ln, w AS lw FROM c
         |  ORDER BY CAST(n AS DOUBLE) / w, n, w LIMIT 1),

@@ -99,7 +99,6 @@ object NearDup {
     * a broadcast join, and the bounded candidate join. */
   def minhashLsh(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
     minhashLshFromSigs(memoSignatures(docs), maxBucket)
-      .orderBy("doc_a", "doc_b")
 
   /** The lazy per-doc signature derivation (doc_id, shingles, band sigs)
     * — all the md5 work as one uncached plan. This is the frame a
@@ -457,13 +456,36 @@ object NearDup {
     * subset of the uncapped pair set, exactly as in the LSH family. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 2,
                      maxBucket: Int = MaxBucket): DataFrame = {
-    val sigs = simhash(docs)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-      explode(array(
-        struct(lit(0).as("band"), shiftright(col("simhash"), 8).as("bval")),
-        struct(lit(1).as("band"),
-          col("simhash").bitwiseAND(lit(255L)).as("bval")))).as("b"))
-      .select(col("doc_id"), col("simhash"),
+    // 2 bands guarantee recall only for Hamming<=1 (pigeonhole); <=2
+    // pairs are still found unless the two flips straddle both bands —
+    // that documented gap is the contract at maxHamming=2, and anything
+    // beyond it would be silently incomplete, so it is rejected here
+    // rather than returned short (use the 64-bit family's 4 bands for
+    // deeper Hamming radii).
+    require(maxHamming >= 0 && maxHamming <= 2,
+      s"2x8-bit bands guarantee recall to Hamming 1 (gap at 2); maxHamming=$maxHamming unsupported")
+    bandedHammingPairs(
+      simhash(docs).withColumnRenamed("simhash", "sig"),
+      nBands = 2, bandBits = 8, maxHamming, maxBucket)
+  }
+
+  /** The width-generic banded-Hamming candidate plan shared by the
+    * 16-bit and 64-bit SimHash pair views (and structurally by
+    * `multimodal.mediaDedupNear`): explode `nBands` arithmetic band
+    * values (arithmetic shift + mask — sign-agnostic, so a negative
+    * 64-bit signature bands identically in Spark and DuckDB), sub-salt
+    * band buckets over `maxBucket` with the family-shared [[saltHash]],
+    * equi-join on (band, bval, salt), Hamming-gate BEFORE the distinct
+    * exchange. `sigs` must be (doc_id, sig: long). */
+  private def bandedHammingPairs(sigs: DataFrame, nBands: Int, bandBits: Int,
+                                 maxHamming: Int, maxBucket: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until nBands).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("sig"), bandBits * i).bitwiseAND(lit(mask))
+            .as("bval"))): _*)).as("b"))
+      .select(col("doc_id"), col("sig"),
         col("b.band").as("band"), col("b.bval").as("bval"))
     val oversized = banded.groupBy(col("band"), col("bval"))
       .agg(count(lit(1)).as("bn"))
@@ -475,9 +497,9 @@ object NearDup {
             expr(s"(bn + ${maxBucket - 1}) DIV $maxBucket"))))
       .drop("bn")
     val a = salted.select(col("doc_id").as("id_a"),
-      col("simhash").as("sig_a"), col("band"), col("bval"), col("salt"))
+      col("sig").as("sig_a"), col("band"), col("bval"), col("salt"))
     val b = salted.select(col("doc_id").as("id_b"),
-      col("simhash").as("sig_b"), col("band"), col("bval"), col("salt"))
+      col("sig").as("sig_b"), col("band"), col("bval"), col("salt"))
     a.join(b, Seq("band", "bval", "salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -485,10 +507,44 @@ object NearDup {
       // gate BEFORE the dedup exchange: the Hamming filter drops the
       // bulk of the candidate stream map-side, so distinct() shuffles
       // only near pairs (measured 10×: 23.5 s → the gate-first plan's
-      // exchange carries the output, not the candidates)
+      // exchange carries the output, not the candidates). No output
+      // sort: at 10× the pair list is 8.7M rows, and a global orderBy
+      // range-exchanges + fully sorts it for presentation only —
+      // consumers that need order sort their own (bounded) slice.
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash signatures — the SCALE form of [[simhash]]: same
+    * distinct-token vote discipline, but the `simhash64` kernel
+    * (`functions/SimHash64.scala`) slices 64 nibble-BIT votes from each
+    * token's md5 (2 bits per nibble × 32 nibbles) instead of 16
+    * nibble-parity votes. 16 bits = 65,536 distinct signatures: at ~10⁶
+    * docs the signature-grouped keeper merges unrelated docs by
+    * pigeonhole and each 8-bit band bucket holds ~1/256 of the corpus;
+    * at 64 bits random-pair collisions are negligible and the 16-bit
+    * bands keep buckets ~1/65,536. The 16-bit family remains the
+    * audit/tuning view at fixture scale. */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val toksd = array_distinct(split(norm(col("text")), " "))
+    docs.withColumn("l", toksd)
+      .withColumn("lh", transform(col("l"), t => md5(t.cast("binary"))))
+      .select(col("doc_id"),
+        call_function("simhash64", col("lh")).as("simhash64"))
+  }
+
+  /** Banded near-dup pairs over the 64-bit signature: 4×16-bit bands —
+    * by the pigeonhole, ANY pair within Hamming distance 3 agrees on at
+    * least one whole band, so recall at the default radius is exact
+    * (no straddle gap, unlike the 2-band 16-bit view). Same capped
+    * sub-salting and gate-before-distinct plan ([[bandedHammingPairs]]). */
+  def simhashNearDup64(docs: DataFrame, maxHamming: Int = 3,
+                       maxBucket: Int = MaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+    bandedHammingPairs(
+      simhash64(docs).withColumnRenamed("simhash64", "sig"),
+      nBands = 4, bandBits = 16, maxHamming, maxBucket)
   }
 
   /** Signature-grouped SimHash dedup — the PRODUCTION form of the
@@ -504,7 +560,15 @@ object NearDup {
       .groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("dup_count"))
-      .orderBy("keep_doc_id")
+
+  /** [[simhashDedup]] on the 64-bit signature — the keeper form that
+    * holds at corpus scale: 2⁶⁴ signature space means groups merge on
+    * real near-identity, not 16-bit pigeonhole collisions. */
+  def simhashDedup64(docs: DataFrame): DataFrame =
+    simhash64(docs)
+      .groupBy(col("simhash64"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("dup_count"))
 
   /** Exact word-bigram Jaccard between consecutive doc ids — the
     * set-similarity kernel on a linear (non-cartesian) pair set.
@@ -628,7 +692,7 @@ object NearDup {
 
   val queries: Map[String, Q] = Map(
     "dedup_near_lsh" -> ((s, d) =>
-      minhashLshFromSigs(docSigs(s, d), MaxBucket).orderBy("doc_a", "doc_b")),
+      minhashLshFromSigs(docSigs(s, d), MaxBucket)),
     // incremental ingestion dedup: the 80% of docs with doc_id%10 < 8 are
     // the accumulated corpus, the rest are the incoming batch
     "dedup_incremental" -> ((s, d) => {
@@ -667,8 +731,7 @@ object NearDup {
     // semantics and the oracle's mirrored salt are exercised on data,
     // not just by the unit test
     "dedup_near_lsh_capped" -> ((s, d) =>
-      minhashLshFromSigs(docSigs(s, d), maxBucket = 2)
-        .orderBy("doc_a", "doc_b")),
+      minhashLshFromSigs(docSigs(s, d), maxBucket = 2)),
     // connected-components clustering over the (default-cap, unsorted)
     // pair graph; every doc appears, singletons are their own cluster.
     // NOTE: constructing this frame RUNS the propagation loop (see
@@ -679,6 +742,10 @@ object NearDup {
     "simhash" -> ((s, d) => simhash(Tables(s, d, "documents")).orderBy("doc_id")),
     "dedup_simhash" -> ((s, d) => simhashNearDup(Tables(s, d, "documents"))),
     "dedup_simhash_keep" -> ((s, d) => simhashDedup(Tables(s, d, "documents"))),
+    "simhash64" -> ((s, d) =>
+      simhash64(Tables(s, d, "documents")).orderBy("doc_id")),
+    "dedup_simhash64" -> ((s, d) => simhashNearDup64(Tables(s, d, "documents"))),
+    "dedup_simhash64_keep" -> ((s, d) => simhashDedup64(Tables(s, d, "documents"))),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
   // --- oracle -------------------------------------------------------------
@@ -698,6 +765,81 @@ object NearDup {
     s"""CASE WHEN 2 * len(list_filter(lh, h -> substr(h, $k, 1) IN $odd))
        |  - len(l) > 0 THEN ${1L << (k - 1)} ELSE 0 END""".stripMargin
   }.mkString(" + ")
+
+  // hex chars whose nibble value has bit 1 set (bit 0 set = oddNibbles)
+  private val bit1Nibbles = Seq("2", "3", "6", "7", "a", "b", "e", "f")
+
+  /** The 64-bit kernel's vote rule replayed per bit: signature bit k
+    * (1-indexed) looks at nibble position (k-1) DIV 2 + 1 and bit
+    * (k-1) MOD 2 of its value — a constant hex-char IN-list per bit,
+    * like the 16-bit odd-nibble rule. Bit 64 contributes the signed
+    * long's sign bit, so its term is -2^63 (the sum then lands on the
+    * exact two's-complement value the kernel's `sig |= 1L << 63`
+    * produces; every intermediate partial sum stays within BIGINT). */
+  private val simhash64Terms = (1 to 64).map { k =>
+    val p = (k - 1) / 2 + 1
+    val set = (if ((k - 1) % 2 == 0) oddNibbles else bit1Nibbles)
+      .map("'" + _ + "'").mkString("(", ",", ")")
+    val value =
+      if (k == 64) "(-9223372036854775807 - 1)" else (1L << (k - 1)).toString
+    s"""CASE WHEN 2 * len(list_filter(lh, h -> substr(h, $p, 1) IN $set))
+       |  - len(l) > 0 THEN $value ELSE 0 END""".stripMargin
+  }.mkString(" + ")
+
+  /** Per-doc (doc_id, sig) derivation shared by every SimHash oracle —
+    * `terms` picks the signature width. */
+  private def simhashSigCte(terms: String): String =
+    s"""SELECT doc_id, CAST($terms AS BIGINT) AS sig
+       |  FROM (SELECT doc_id, l, list_transform(l, t -> md5(t)) AS lh
+       |        FROM (SELECT doc_id,
+       |                list_distinct(string_split($N, ' ')) AS l
+       |              FROM documents))""".stripMargin
+
+  /** The width-generic banded pair oracle, parameterized over the SAME
+    * constants the engine takes ([[bandedHammingPairs]]): band values by
+    * arithmetic shift + mask (DuckDB's `>>` on BIGINT is arithmetic,
+    * like Spark's `shiftright`, so negative 64-bit signatures band
+    * identically), the shared sub-salt cap on oversized band buckets,
+    * the Hamming gate, then the distinct'd pair union. Parameterizing
+    * (cap, maxHamming) keeps engine and oracle from desynchronizing if
+    * a registration ever changes its arguments. */
+  private def simhashPairOracle(terms: String, nBands: Int, bandBits: Int,
+                                cap: Int, maxHamming: Int): String = {
+    val mask = (1L << bandBits) - 1
+    val bandSelects = (0 until nBands).map(i =>
+      s"SELECT doc_id, sig, $i AS band, (sig >> ${bandBits * i}) & $mask AS bval FROM sg")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH sg AS (
+       |  ${simhashSigCte(terms)}),
+       |sbands AS (
+       |  $bandSelects),
+       |s_over AS (
+       |  SELECT band, bval, count(*) AS bn FROM sbands GROUP BY band, bval
+       |  HAVING count(*) > $cap),
+       |s_salted AS (
+       |  SELECT sbands.doc_id, sbands.sig, sbands.band, sbands.bval,
+       |    CASE WHEN o.bn IS NULL THEN 0
+       |         ELSE (${saltHashSql("sbands.doc_id")})
+       |           % ((o.bn + ${cap - 1}) // $cap)
+       |    END AS salt
+       |  FROM sbands LEFT JOIN s_over o
+       |    ON sbands.band = o.band AND sbands.bval = o.bval)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM s_salted a JOIN s_salted b
+       |  ON a.band = b.band AND a.bval = b.bval AND a.salt = b.salt
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The signature-grouped keeper oracle, width-generic. */
+  private def simhashKeepOracle(terms: String, sigName: String): String =
+    s"""WITH sg AS (
+       |  ${simhashSigCte(terms)})
+       |SELECT sig AS $sigName, min(doc_id) AS keep_doc_id,
+       |  count(*) AS dup_count
+       |FROM sg GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
 
   /** The full banding + capped-salting + Jaccard-verify pipeline as a
     * DuckDB CTE chain ending in `lsh_pairs(doc_a, doc_b, jaccard)` —
@@ -899,49 +1041,31 @@ object NearDup {
          |            FROM documents))
          |ORDER BY doc_id""".stripMargin,
 
-    // the banded candidate join replayed naively: two band rows per doc,
-    // the shared sub-salt cap on oversized band buckets, then the
-    // distinct'd pair union — mirrors simhashNearDup exactly
+    // the banded candidate join replayed naively, width/cap/gate shared
+    // with the engine registration via the parameterized builder
     "dedup_simhash" ->
-      s"""WITH sg AS (
-         |  SELECT doc_id, CAST($simhashTerms AS BIGINT) AS sig
-         |  FROM (SELECT doc_id, l, list_transform(l, t -> md5(t)) AS lh
-         |        FROM (SELECT doc_id,
-         |                list_distinct(string_split($N, ' ')) AS l
-         |              FROM documents))),
-         |sbands AS (
-         |  SELECT doc_id, sig, 0 AS band, sig >> 8 AS bval FROM sg
-         |  UNION ALL
-         |  SELECT doc_id, sig, 1 AS band, sig & 255 AS bval FROM sg),
-         |s_over AS (
-         |  SELECT band, bval, count(*) AS bn FROM sbands GROUP BY band, bval
-         |  HAVING count(*) > $MaxBucket),
-         |s_salted AS (
-         |  SELECT sbands.doc_id, sbands.sig, sbands.band, sbands.bval,
-         |    CASE WHEN o.bn IS NULL THEN 0
-         |         ELSE (${saltHashSql("sbands.doc_id")})
-         |           % ((o.bn + ${MaxBucket - 1}) // $MaxBucket)
-         |    END AS salt
-         |  FROM sbands LEFT JOIN s_over o
-         |    ON sbands.band = o.band AND sbands.bval = o.bval)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-         |FROM s_salted a JOIN s_salted b
-         |  ON a.band = b.band AND a.bval = b.bval AND a.salt = b.salt
-         |  AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 2
-         |ORDER BY id_a, id_b""".stripMargin,
+      simhashPairOracle(simhashTerms, nBands = 2, bandBits = 8,
+        cap = MaxBucket, maxHamming = 2),
 
     // one group per signature, keeper = min doc_id — dedup_exact's
     // shape on the fingerprint key
-    "dedup_simhash_keep" ->
-      s"""SELECT CAST($simhashTerms AS BIGINT) AS simhash,
-         |  min(doc_id) AS keep_doc_id, count(*) AS dup_count
+    "dedup_simhash_keep" -> simhashKeepOracle(simhashTerms, "simhash"),
+
+    "simhash64" ->
+      s"""SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS simhash64
          |FROM (SELECT doc_id, l, list_transform(l, t -> md5(t)) AS lh
          |      FROM (SELECT doc_id,
          |              list_distinct(string_split($N, ' ')) AS l
          |            FROM documents))
-         |GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin,
+
+    // 4×16-bit bands of the 64-bit signature — exact recall at the
+    // default Hamming<=3 radius by the pigeonhole (no straddle gap)
+    "dedup_simhash64" ->
+      simhashPairOracle(simhash64Terms, nBands = 4, bandBits = 16,
+        cap = MaxBucket, maxHamming = 3),
+
+    "dedup_simhash64_keep" -> simhashKeepOracle(simhash64Terms, "simhash64"),
 
     "ngram_jaccard" ->
       s"""WITH bg AS (

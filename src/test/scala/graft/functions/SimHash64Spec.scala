@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimHash64Spec extends SparkSpec {
+
+  private val bit0 = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+  private val bit1 = Seq("2", "3", "6", "7", "a", "b", "e", "f")
+
+  test("simhash64 matches the composable 64-pass HOF form on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("l", array_distinct(
+        split(graft.text.TextOps.norm(col("text")), " ")))
+      .withColumn("n", size(col("l")))
+      .withColumn("lh", transform(col("l"), t => md5(t.cast("binary"))))
+    // bit k (1-indexed): nibble (k-1)/2+1, nibble-value bit (k-1)%2
+    val hof = (1 to 64).map { k =>
+      val p = (k - 1) / 2 + 1
+      val set = if ((k - 1) % 2 == 0) bit0 else bit1
+      val votes = size(filter(col("lh"), h =>
+        substring(h, p, 1).isInCollection(set)))
+      when(votes * 2 - col("n") > 0, lit(1L << (k - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val diff = docs
+      .select(call_function("simhash64", col("lh")).as("fast"), hof.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("simhash64 uses all 32 nibbles and sets the sign bit when voted") {
+    // one element of 32 'f' chars: every nibble value 15 → both low bits
+    // set at every position → all 64 bits majority-voted → sig = -1
+    val df = spark.sql(
+      s"""SELECT simhash64(array('${"f" * 32}')) AS a,
+         |       simhash64(CAST(NULL AS ARRAY<STRING>)) AS b,
+         |       simhash64(CAST(array() AS ARRAY<STRING>)) AS c,
+         |       simhash64(array('2')) AS d""".stripMargin)
+    val r = df.head()
+    assert(r.getLong(0) === -1L)
+    assert(r.isNullAt(1))
+    assert(r.getLong(2) === 0L) // no elements, no majorities
+    // single '2': nibble 1 value 2 → bit1 set only → signature bit 2
+    assert(r.getLong(3) === 2L)
+  }
+
+  test("wrong arity raises AnalysisException like a builtin") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(array('a'), 2)").collect()
+    }
+    assert(e.getCondition === "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+  }
+}

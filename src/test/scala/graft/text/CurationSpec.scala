@@ -100,6 +100,40 @@ class CurationSpec extends SparkSpec {
       Curation.mixWeighted(docs).collect().map(_.toSeq).toSeq)
   }
 
+  test("weight-table mixture joins a (source, w) dimension in-plan") {
+    import org.apache.spark.sql.functions.col
+    // a has 8 docs / weight 1, b has 6 / weight 3:
+    // λ argmin = min(8/1, 6/3=2) → (ln=6, lw=3); takes = (2·1, 6) = (2, 6)
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "a", s"text $i")) ++
+      (9 to 14).map(i => (i.toLong, "b", s"text $i")))
+      .toDF("doc_id", "source", "text")
+    val weights = Seq(("a", 1L), ("b", 3L)).toDF("source", "w")
+    val out = Curation.mixWeightedTable(docs, weights).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc === Map("a" -> 2, "b" -> 6))
+    // the bottleneck source is kept whole
+    assert(out.filter(_._2 == "b").map(_._1).toSet === (9L to 14L).toSet)
+    // a source absent from the weight table is excluded entirely
+    val partial = Curation.mixWeightedTable(docs,
+      Seq(("b", 1L)).toDF("source", "w")).collect()
+    assert(partial.forall(_.getString(1) == "b"))
+    // the weight table participates as a broadcast dimension join
+    val plan = Curation.mixWeightedTable(docs, weights)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the parity-convention wrapper routes through the same plan:
+    // equal outputs when handed the parity weights explicitly
+    val parityW = Seq(("source2", 2L), ("source1", 1L)).toDF("source", "w")
+    val d2 = (
+      (1 to 6).map(i => (i.toLong, "source2", s"text $i")) ++
+      (7 to 11).map(i => (i.toLong, "source1", s"text $i")))
+      .toDF("doc_id", "source", "text")
+    assert(Curation.mixWeightedTable(d2, parityW).collect().map(_.toSeq).toSeq
+      === Curation.mixWeighted(d2).collect().map(_.toSeq).toSeq)
+  }
+
   test("stratified sampling is deterministic and respects per-stratum rates") {
     val docs = (0 until 400).map(i =>
       (i.toLong, s"text $i", s"src${i % 4}")).toDF("doc_id", "text", "source")

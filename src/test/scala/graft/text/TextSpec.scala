@@ -336,6 +336,46 @@ class TextSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2))) // (keep_doc_id, dup_count)
     assert(keep.contains((1L, 3L)))
     assert(keep.map(_._2).sum === 4L)
+    // a radius the 2-band scheme cannot guarantee is rejected, not
+    // silently incomplete
+    intercept[IllegalArgumentException] {
+      NearDup.simhashNearDup(docs, maxHamming = 3)
+    }
+  }
+
+  test("simhash64 family: exact recall at Hamming<=3 via 4x16-bit bands") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // same token set -> hamming 0
+      (3L, "completely unrelated words about seventeen ducks swimming"),
+      (4L, "alpha beta gamma delta")) // another exact-set copy
+      .toDF("doc_id", "text")
+    val out = NearDup.simhashNearDup64(docs)
+    val pairs = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSet.filter(_._3 == 0) ===
+      Set((1L, 2L, 0), (1L, 4L, 0), (2L, 4L, 0)))
+    assert(pairs.forall(_._3 <= 3)) // the Hamming gate holds
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // every emitted pair agrees on at least one 16-bit band
+    val sig = NearDup.simhash64(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b, _) =>
+      assert((0 until 4).exists(i =>
+        ((sig(a) >> (16 * i)) & 65535L) == ((sig(b) >> (16 * i)) & 65535L))) }
+    // 64-bit signatures separate the unrelated doc from the clique
+    assert(sig(1L) === sig(2L) && sig(1L) === sig(4L))
+    assert(sig(1L) !== sig(3L))
+    // keeper form: one group for the {1,2,4} clique
+    val keep = NearDup.simhashDedup64(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (keep_doc_id, dup_count)
+    assert(keep.contains((1L, 3L)))
+    assert(keep.map(_._2).sum === 4L)
+    // beyond the 4-band pigeonhole guarantee is rejected
+    intercept[IllegalArgumentException] {
+      NearDup.simhashNearDup64(docs, maxHamming = 4)
+    }
   }
 
   test("lang id scores stopword hits and picks the argmax language") {

@@ -52,6 +52,45 @@ object StreamBench {
       s"""{"metric":"stream_ingest_rows_per_sec","value":${total / secs},""" +
         s""""unit":"rows/sec","rows":$total,"secs":$secs,"sf":"$sfDir"}""")
 
+    // --- stream-stream pair-scan probe (r9) -------------------------------
+    // The core join (J1) as a production lane: both venue legs replayed
+    // from the same paced snapshot stream through the watermarked
+    // ±60 s interval join (StreamScanner.scan). Throughput is
+    // input-based (the join consumes every snapshot row); the state
+    // numbers come from the query's own progress — numRowsTotal /
+    // memoryUsedBytes of the join's state store at the 60 s watermark,
+    // the figure that bounds executor memory at scale.
+    {
+      val scanStream = Replay.paced(spark, s"$work/in", schema,
+        maxFilesPerTrigger = 8)
+      var outRows = 0L
+      val t1 = System.nanoTime()
+      val sq = graft.streaming.StreamScanner.scan(
+        graft.streaming.StreamScanner.kalshiLeg(scanStream),
+        graft.streaming.StreamScanner.polyLeg(scanStream),
+        Snapshots.pairs(spark))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) => { outRows += df.count(); () })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck_scan")
+        .start()
+      sq.awaitTermination()
+      val scanSecs = (System.nanoTime() - t1) / 1e9
+      val stateOps = sq.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      val stateRows =
+        if (stateOps.isEmpty) 0L else stateOps.map(_.numRowsTotal).max
+      val stateBytes =
+        if (stateOps.isEmpty) 0L else stateOps.map(_.memoryUsedBytes).max
+      println(
+        s"""{"metric":"stream_pairscan_rows_per_sec","value":${total / scanSecs},""" +
+          s""""unit":"rows/sec","rows":$total,"out_rows":$outRows,""" +
+          s""""secs":$scanSecs,"state_rows_max":$stateRows,""" +
+          s""""state_bytes_max":$stateBytes,"sf":"$sfDir"}""")
+    }
+
     // --- store-backed document ingestion lanes (r8) -----------------------
     // The production text-dedup loop over persisted state: seed each store
     // with the accumulated corpus (doc_id % 10 < 8), then replay the

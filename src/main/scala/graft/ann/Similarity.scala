@@ -271,8 +271,11 @@ object Similarity {
     * production append of the assigned batch is
     * [[IvfStore.appendAssigned]] (exercised by spec); this query keeps
     * the append out of its plan so repeated runs are idempotent. */
-  def annIvfStored(spark: SparkSession, dir: String,
-                   nQueries: Int = 5, k: Int = 10): DataFrame = {
+  /** The full store view of the incremental convention: the persisted
+    * sub-index (accumulated corpus, vec_id % 10 < 8) UNION the incoming
+    * batch assigned against the STORED (frozen) centroids — the frame
+    * both [[annIvfStored]] queries and [[annIvfHealth]] audits. */
+  private def storedAll(spark: SparkSession, dir: String): DataFrame = {
     val stored = IvfStore.fixtureSubIndex(spark, dir)
     val batch = corpus(spark, dir).filter(col("vec_id") % 10 >= 8)
       .select(col("vec_id"), col("v"), col("n2"))
@@ -280,12 +283,65 @@ object Similarity {
       dimGuarded(batch, 64, "annIvfStored"),
       IvfStore.fixtureSubCentroidsRow(spark, dir))
       .select(col("vec_id"), col("v"), col("n2"), col("cell"))
-    val all = stored.unionByName(batchAssigned)
-    val q = stored.filter(col("vec_id") < nQueries)
+    stored.unionByName(batchAssigned)
+  }
+
+  def annIvfStored(spark: SparkSession, dir: String,
+                   nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val all = storedAll(spark, dir)
+    val q = IvfStore.fixtureSubIndex(spark, dir)
+      .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("cell").as("qcell"))
     scoreRankLimit(all.join(broadcast(q),
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id")), k)
+  }
+
+  /** Index-freshness telemetry for the persisted IVF store — the drift
+    * number an operator reads to decide when to RETRAIN: the store
+    * appends batches assigned against frozen centroids
+    * ([[IvfStore.appendAssigned]]), which is correct but decays silently
+    * under distribution drift; `ann_recall`/`lsh_recall` watch their
+    * derivations at train time, nothing watched the STORE. One row:
+    *
+    *   - cell occupancy of the stored assignments (sub-index + appended
+    *     batch): `n_vecs`, `n_cells`, `max_cell`, `mean_cell`, and
+    *     `cell_skew` = max/mean — a skew climbing over appends means
+    *     incoming data is piling into few stale cells (the scan-pruning
+    *     win of IVF evaporates for exactly the hot cells);
+    *   - `store_hits` / `store_recall_at_k`: overlap of the store-served
+    *     top-k ([[annIvfStored]]) with a FRESHLY-trained full-corpus
+    *     index's top-k ([[annIvfTrained]]) on the same queries — the
+    *     recall the operator is actually giving up by not retraining.
+    *
+    * Scale shape: occupancy is one map-side-combined aggregate of the
+    * assignment scan (cell cardinality rows, then a single-row rollup);
+    * the recall side joins two k·|queries|-row frames (both tiny top-k
+    * results) — the corpus passes are the ones the underlying queries
+    * already make, and every input is deterministic so the oracle
+    * replays the whole computation exactly. */
+  def annIvfHealth(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val occ = storedAll(spark, dir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+      .agg(sum(col("cn")).as("n_vecs"), count(lit(1)).as("n_cells"),
+        max(col("cn")).as("max_cell"),
+        (sum(col("cn")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_cell"))
+      .withColumn("cell_skew",
+        col("max_cell").cast("double") / col("mean_cell"))
+    val truth = annIvfTrained(spark, dir, k = k)
+      .select(col("query_id"), col("vec_id"))
+    val served = annIvfStored(spark, dir, k = k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = truth.join(served, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("store_hits"))
+    val tn = truth.agg(count(lit(1)).as("truth_n"))
+    occ.crossJoin(broadcast(hits)).crossJoin(broadcast(tn))
+      .select(col("n_vecs"), col("n_cells"), col("max_cell"),
+        col("mean_cell"), col("cell_skew"),
+        col("store_hits").cast("int").as("store_hits"),
+        (col("store_hits").cast("double") / col("truth_n").cast("double"))
+          .as("store_recall_at_k"))
   }
 
   /** Embedding outlier detection — the curation stage that flags
@@ -500,6 +556,7 @@ object Similarity {
     "ann_sq_recall" -> ((s, d) => annSqRecall(s, d)),
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "ann_ivf_stored" -> ((s, d) => annIvfStored(s, d)),
+    "ann_ivf_health" -> ((s, d) => annIvfHealth(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)),
     "dedup_embedding_auto" -> ((s, d) => embeddingNearDupAuto(s, d)),
@@ -588,6 +645,61 @@ object Similarity {
        |  FROM cand$tag cd
        |  JOIN m a ON a.vec_id = cd.vec_id
        |  JOIN m q ON q.vec_id = cd.query_id
+       |  QUALIFY rank <= 10)""".stripMargin
+
+  /** Tagged 2-iteration Lloyd replay over CTE `trainSrc` (m-shaped rows)
+    * seeded from the shared `s0`: emits `<tag>a1/<tag>d1/<tag>c1/<tag>s1`
+    * — the same arithmetic as the ann_ivf_trained oracle, factored so
+    * the health oracle can train TWO quantizers (fresh full-corpus and
+    * stored sub-corpus) in one statement without name collisions. */
+  private def lloydCtes(tag: String, trainSrc: String): String =
+    s"""${tag}a1 AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT m.vec_id, m.v, s.cell,
+       |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+       |        m.n2 - 2 * list_sum(list_transform(
+       |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
+       |          + s.c2, s.cell) AS rn
+       |    FROM $trainSrc m, s0 s) WHERE rn = 1),
+       |${tag}d1 AS (
+       |  SELECT cell, i AS pos, sum(v[i]) AS sv, count(*) AS cnt
+       |  FROM ${tag}a1, unnest(generate_series(1, len(v))) AS t(i)
+       |  GROUP BY cell, i),
+       |${tag}c1 AS (
+       |  SELECT cell, list(CAST(round(sv / cnt) AS BIGINT) ORDER BY pos)
+       |    AS c
+       |  FROM ${tag}d1 GROUP BY cell),
+       |${tag}s1 AS (
+       |  SELECT cell, c,
+       |    list_sum(list_transform(generate_series(1, len(c)),
+       |      i -> c[i] * c[i])) AS c2
+       |  FROM ${tag}c1)""".stripMargin
+
+  /** Assignment CTE: every `src` row argmin-assigned against centroid
+    * CTE `cents` (ties to the lowest cell id) — `nearest_cell` replayed. */
+  private def assignCte(name: String, src: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, v, n2, cell FROM (
+       |    SELECT m.vec_id, m.v, m.n2, s.cell,
+       |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+       |        m.n2 - 2 * list_sum(list_transform(
+       |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
+       |          + s.c2, s.cell) AS rn
+       |    FROM $src m, $cents s) WHERE rn = 1)""".stripMargin
+
+  /** Same-cell cosine top-10 over an assigned CTE, queries vec_id < 5 —
+    * the trained/stored query shape as a composable CTE. */
+  private def cellTopkCte(name: String, src: String): String =
+    s"""$name AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY CAST(list_sum(list_transform(
+       |          generate_series(1, len(a.v)), i -> a.v[i] * q.v[i]))
+       |          AS DOUBLE)
+       |        / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+       |        DESC, a.vec_id ASC) AS rank
+       |  FROM $src a JOIN $src q
+       |    ON q.vec_id < 5 AND a.cell = q.cell AND a.vec_id <> q.vec_id
        |  QUALIFY rank <= 10)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -803,6 +915,54 @@ object Similarity {
         |  ON q.vec_id < 5 AND a.cell = q.cell AND a.vec_id <> q.vec_id
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // store-freshness telemetry: the stored path (sub-trained centroids,
+    // batch append-assigned) and the fresh path (full-corpus retrain)
+    // replayed side by side — occupancy of the store's assignments plus
+    // the top-k overlap between what the store serves and what a fresh
+    // retrain would serve
+    "ann_ivf_health" ->
+      s"""WITH n AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |m AS (
+         |  SELECT vec_id, v,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS n2
+         |  FROM n),
+         |sub AS (SELECT * FROM m WHERE vec_id % 10 < 8),
+         |inc AS (SELECT * FROM m WHERE vec_id % 10 >= 8),
+         |s0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS c2
+         |  FROM n WHERE vec_id < 8),
+         |${lloydCtes("f", "m")},
+         |${assignCte("fa2", "m", "fs1")},
+         |${cellTopkCte("ftk", "fa2")},
+         |${lloydCtes("s", "sub")},
+         |${assignCte("sa2", "sub", "ss1")},
+         |${assignCte("sb2", "inc", "ss1")},
+         |allv AS (SELECT * FROM sa2 UNION ALL SELECT * FROM sb2),
+         |${cellTopkCte("stk", "allv")},
+         |occ AS (SELECT cell, count(*) AS cn FROM allv GROUP BY cell),
+         |oa AS (
+         |  SELECT CAST(sum(cn) AS BIGINT) AS n_vecs,
+         |    count(*) AS n_cells, CAST(max(cn) AS BIGINT) AS max_cell,
+         |    CAST(sum(cn) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cell
+         |  FROM occ),
+         |tn AS (SELECT count(*) AS truth_n FROM ftk),
+         |h AS (
+         |  SELECT count(*) AS hits FROM ftk t
+         |  JOIN stk s2 ON s2.query_id = t.query_id AND s2.vec_id = t.vec_id)
+         |SELECT oa.n_vecs, oa.n_cells, oa.max_cell, oa.mean_cell,
+         |  CAST(oa.max_cell AS DOUBLE) / oa.mean_cell AS cell_skew,
+         |  CAST(h.hits AS INTEGER) AS store_hits,
+         |  CAST(h.hits AS DOUBLE) / CAST(tn.truth_n AS DOUBLE)
+         |    AS store_recall_at_k
+         |FROM oa, h, tn""".stripMargin,
 
     // per-label exact sum vector (HUGEINT sums equal Spark's long sums —
     // all magnitudes < 2^53, so the double casts agree bit-exactly),

@@ -75,4 +75,29 @@ object StoreMaintenance {
                       keys: Seq[String] = Nil): Unit =
     rewrite(spark, path)(df =>
       if (keys.isEmpty) df.distinct() else df.dropDuplicates(keys))
+
+  /** Parquet data files currently in the store — the size signal
+    * [[compactIfNeeded]] gates on (one directory listing, no data read;
+    * `_SUCCESS`/checksum/hidden bookkeeping excluded). */
+  def dataFileCount(path: String): Int =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+
+  /** POLICY next to mechanism: compact only when the store's data-file
+    * count exceeds `maxFiles`, so a lane can call this from its own
+    * batch callback every micro-batch and pay the rewrite only when
+    * appends have actually accumulated. The threshold compare is one
+    * directory listing; below it this is a no-op. Callable exactly
+    * where the appends happen — the lane knows when it appended, so it
+    * owns the maintenance window (the swap contract of [[rewrite]]
+    * still applies: no concurrent reader should hold a stale file
+    * listing). Returns true iff a compaction ran. */
+  def compactIfNeeded(spark: SparkSession, path: String, maxFiles: Int,
+                      keys: Seq[String] = Nil): Boolean = {
+    require(maxFiles > 0, s"maxFiles must be positive, got $maxFiles")
+    val n = dataFileCount(path)
+    if (n > maxFiles) { compactDistinct(spark, path, keys); true }
+    else false
+  }
 }

@@ -168,7 +168,18 @@ object Vocab {
     * aggregate extends the doc partitioning. The `sources`/`V`/doc-count
     * anchors are one-row broadcasts. Nothing is quadratic; the doc ×
     * sources blowup is the source count (a handful), not the corpus. */
-  def domainClassify(docs: DataFrame): DataFrame = {
+  /** `broadcastModel = false` is the BUCKETED-model form the scaladoc
+    * below names for a vocab that outgrows the broadcast budget: the
+    * per-word model rows and the per-doc TF stream are hash-partitioned
+    * on the SAME token key (an explicit shuffle-hash join hint — never
+    * a sort-merge, the model side needs no order), so the model shards
+    * across executors instead of residing whole in every one. One extra
+    * exchange of the (small) model; the token stream crosses exactly
+    * the same single exchange as the broadcast form, and every
+    * downstream step is unchanged — same results, plan-asserted
+    * different join strategy. */
+  def domainClassify(docs: DataFrame,
+                     broadcastModel: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tk = docs.select(col("doc_id"), col("source"),
       explode(split(norm(col("text")), " ")).as("w"))
@@ -213,7 +224,9 @@ object Vocab {
     // source fan-out), then one narrow (doc_id, idx, contribution)
     // stream — integer keys only, map-side partial sums
     val tf = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val ranked = tf.join(broadcast(modelW), "w")
+    val modelSide =
+      if (broadcastModel) broadcast(modelW) else modelW.hint("shuffle_hash")
+    val ranked = tf.join(modelSide, "w")
       .select(col("doc_id"),
         posexplode(transform(col("lws"), lw => lw * col("tf"))))
       .groupBy(col("doc_id"), col("pos"))
@@ -237,6 +250,8 @@ object Vocab {
   val queries: Map[String, Q] = Map(
     "domain_classify" -> ((s, d) =>
       domainClassify(Tables(s, d, "documents"))),
+    "domain_classify_bucketed" -> ((s, d) =>
+      domainClassify(Tables(s, d, "documents"), broadcastModel = false)),
     "source_logodds" -> ((s, d) =>
       sourceLogOdds(Tables(s, d, "documents"))),
     "lm_bigram_score" -> ((s, d) =>
@@ -248,11 +263,12 @@ object Vocab {
 
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
-  val oracle: Map[String, String] = Map(
-    // NB domain classification replayed exactly: same add-one unigram
-    // model, same e6-quantized ln per (token, source), exact integer
-    // score sums, argmax ties to the lowest source name
-    "domain_classify" ->
+  // NB domain classification replayed exactly: same add-one unigram
+  // model, same e6-quantized ln per (token, source), exact integer
+  // score sums, argmax ties to the lowest source name. ONE text for
+  // both engine forms — the bucketed twin changes the join strategy,
+  // never the semantics, so sharing the oracle string is the proof.
+  private val domainClassifySql =
       s"""WITH tk AS (
          |  SELECT doc_id, source, unnest(string_split($N, ' ')) AS w
          |  FROM documents),
@@ -280,7 +296,11 @@ object Vocab {
          |  CAST(score_e6 AS BIGINT) AS score_e6, s = source AS is_match
          |FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id
          |        ORDER BY score_e6 DESC, s ASC) AS rn FROM sc)
-         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "domain_classify" -> domainClassifySql,
+    "domain_classify_bucketed" -> domainClassifySql,
 
     "source_logodds" ->
       s"""WITH toks AS (

@@ -284,6 +284,23 @@ class SimilaritySpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
+  test("ann_ivf_health reports store occupancy and retrain-drift recall") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Similarity.annIvfHealth(spark, dir).head()
+    val corpusN = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // occupancy covers every corpus vector exactly once
+    assert(r.getAs[Long]("n_vecs") === corpusN)
+    assert(r.getAs[Long]("n_cells") >= 1L &&
+      r.getAs[Long]("n_cells") <= 8L) // kCells = 8
+    // skew is max/mean, so >= 1 by construction
+    assert(r.getAs[Long]("max_cell").toDouble >= r.getAs[Double]("mean_cell"))
+    assert(r.getAs[Double]("cell_skew") >= 1.0)
+    // recall of the store-served top-k vs a fresh retrain is a fraction
+    val rec = r.getAs[Double]("store_recall_at_k")
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(r.getAs[Int]("store_hits") >= 0)
+  }
+
   test("self-pairs are excluded") {
     val out = Similarity.annTopK(spark, "/root/testdata/sf0.001", nQueries = 2,
       k = 3).collect()

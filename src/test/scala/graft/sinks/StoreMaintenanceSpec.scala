@@ -83,6 +83,43 @@ class StoreMaintenanceSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(store.getParentFile)
   }
 
+  test("compactIfNeeded: no-op under the threshold, compacts once over it") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen liquor jugs right now"))
+      .toDF("doc_id", "text")
+    val store = new java.io.File(tmpDir("gate_compact_"), "store")
+    SignatureStore.appendBatch(store.toString, corpus)
+    val maxFiles = StoreMaintenance.dataFileCount(store.toString) + 4
+    def verdict() = NearDup.incrementalDedupFromSigs(
+      SignatureStore.read(spark, store.toString),
+      Seq((5L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSeq
+    val before = verdict()
+    // a lane appending per micro-batch calls the gate every batch; it
+    // stays a no-op until the file count crosses the threshold
+    var compactions = 0
+    var batches = 0
+    while (compactions == 0 && batches < 20) {
+      batches += 1
+      SignatureStore.appendBatch(store.toString,
+        Seq((100L + batches, s"novel content for batch number $batches here"))
+          .toDF("doc_id", "text"))
+      if (StoreMaintenance.compactIfNeeded(spark, store.toString, maxFiles,
+        keys = Seq("doc_id"))) compactions += 1
+    }
+    assert(compactions === 1, s"expected exactly one compaction in $batches")
+    assert(batches > 1, "threshold should allow several appends first")
+    // post-compact the store is under the threshold again → no-op
+    assert(!StoreMaintenance.compactIfNeeded(spark, store.toString, maxFiles,
+      keys = Seq("doc_id")))
+    assert(StoreMaintenance.dataFileCount(store.toString) <= maxFiles)
+    // corpus verdicts are unchanged by the gated compaction
+    assert(verdict() === before)
+    org.apache.commons.io.FileUtils.deleteQuietly(store.getParentFile)
+  }
+
   test("ivf-store compact: duplicate appended assignments collapse") {
     val dir = "/root/testdata/sf0.001"
     val src = IvfStore.fixtureSubIndexPath(spark, dir)

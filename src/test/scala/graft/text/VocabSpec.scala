@@ -89,6 +89,36 @@ class VocabSpec extends SparkSpec {
     }
   }
 
+  test("bucketed-model twin: same results, model join shuffles not broadcasts") {
+    val docs = Seq(
+      (1L, "alpha", "stocks bonds yields stocks filler"),
+      (2L, "alpha", "bonds yields bonds stocks filler"),
+      (3L, "beta", "goals penalty keeper goals filler"),
+      (4L, "beta", "penalty keeper penalty goals filler"))
+      .toDF("doc_id", "source", "text")
+    // byte-identical results to the broadcast form — the twin changes
+    // the join strategy, never the semantics
+    assert(Vocab.domainClassify(docs, broadcastModel = false)
+      .collect().map(_.toSeq).toSeq ===
+      Vocab.domainClassify(docs).collect().map(_.toSeq).toSeq)
+    // the model join is a shuffled hash join (both sides partitioned on
+    // the token key) — the fallback shape for a vocab past the
+    // broadcast budget
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = Vocab.domainClassify(
+      graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      broadcastModel = false).queryExecution.executedPlan
+    val shuffled = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case j: ShuffledHashJoinExec => j
+      }
+      case j: ShuffledHashJoinExec => Seq(j)
+    }.flatten
+    assert(shuffled.nonEmpty,
+      s"expected a ShuffledHashJoin model join:\n${plan.toString.take(4000)}")
+  }
+
   test("lmBigramScore: single-token and empty docs contribute no bigrams") {
     val docs = Seq((1L, "solo"), (2L, "x y")).toDF("doc_id", "text")
     val out = Vocab.lmBigramScore(docs).collect()

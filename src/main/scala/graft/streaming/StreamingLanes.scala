@@ -138,7 +138,8 @@ object StreamingLanes {
     * already flag — and `count_distinct(ex_id)` keeps the dup counts
     * exact. */
   def nearDupStoreLane(docs: DataFrame, storePath: String,
-                       threshold: Double = 0.8)
+                       threshold: Double = 0.8,
+                       maxStoreFiles: Option[Int] = None)
                       (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -154,6 +155,11 @@ object StreamingLanes {
         SignatureStore.read(batch.sparkSession, storePath),
         batch, threshold).localCheckpoint(true)
       SignatureStore.appendSurvivors(storePath, batch, verdict)
+      // post-append is the lane's own maintenance window (no reader
+      // holds a listing between micro-batches): compact only when the
+      // appends have crossed the file-count threshold
+      maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
+        .compactIfNeeded(batch.sparkSession, storePath, m, Seq("doc_id")))
       process(verdict, batchId)
       ()
     }
@@ -169,7 +175,8 @@ object StreamingLanes {
     * second consumer would see the batch's own grams and every doc
     * would strip itself. Replayed batches are harmless: duplicate gram
     * rows only re-cover what they already cover. */
-  def spanCleanStoreLane(docs: DataFrame, storePath: String)
+  def spanCleanStoreLane(docs: DataFrame, storePath: String,
+                         maxStoreFiles: Option[Int] = None)
                         (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -178,6 +185,8 @@ object StreamingLanes {
         GramStore.read(batch.sparkSession, storePath), batch)
         .localCheckpoint(true)
       GramStore.appendCleaned(storePath, cleaned)
+      maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
+        .compactIfNeeded(batch.sparkSession, storePath, m))
       process(cleaned, batchId)
       ()
     }
@@ -195,13 +204,18 @@ object StreamingLanes {
     * assignment rows, which would duplicate top-k candidates —
     * [[graft.ann.IvfStore.compact]] dedups on vec_id at maintenance. */
   def ivfIngestLane(vecs: DataFrame, storePath: String,
-                    centsRow: DataFrame)
+                    centsRow: DataFrame,
+                    maxStoreFiles: Option[Int] = None)
                    (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import graft.ann.IvfStore
       val assigned = IvfStore.assignBatch(batch, centsRow)
       assigned.write.mode("append").parquet(storePath)
+      // vec_id-keyed gate: also sheds replayed-batch duplicate rows
+      // when it fires (IvfStore.compact semantics)
+      maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
+        .compactIfNeeded(batch.sparkSession, storePath, m, Seq("vec_id")))
       process(assigned, batchId)
       ()
     }

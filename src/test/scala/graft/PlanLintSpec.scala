@@ -21,14 +21,16 @@ class PlanLintSpec extends SparkSpec {
     // or the one-row packed-centroid broadcast the batch assigns against
     "ann_topk", "ann_recall", "ann_ivf_trained", "ann_ivf_stored",
     "ann_sq_rerank", "ann_sq_recall",
+    // ann_ivf_health: the above plus one-row occupancy/hits/truth anchors
+    "ann_ivf_health",
     // one-row scalar anchors: data-anchored NOW() or corpus totals
     "recent_analysis", "recent_lineitems", "trade_summary",
     "lm_bigram_score", "source_logodds", "tfidf_topk",
     // vocab-anchor crossJoins: source-index/V/doc-count one-row or
     // source-count broadcasts under the NB domain model build
-    "domain_classify",
+    "domain_classify", "domain_classify_bucketed",
     // one-row balanced-take / λ-argmin anchors
-    "mix_balanced", "mix_weighted")
+    "mix_balanced", "mix_weighted", "mix_weighted_table")
 
   test("no cartesian products; nested-loop joins only where bounded") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

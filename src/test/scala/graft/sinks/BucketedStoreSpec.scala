@@ -5,26 +5,36 @@ import graft.sources.Tables
 
 class BucketedStoreSpec extends SparkSpec {
 
-  test("jvmLocal is stable in-process and sweeps stale sibling copies") {
-    val a = BucketedStore.jvmLocal(spark, "jl_probe")
-    assert(a === BucketedStore.jvmLocal(spark, "jl_probe"))
-    assert(a.matches("jl_probe_[0-9a-f]{8}"))
-    // a stale sibling from a "previous JVM": same base, other tag, old mtime
+  test("jvmLocal is stable in-process; sweeps stale siblings once at first use") {
     val warehouse = new java.io.File(new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath)
     warehouse.mkdirs()
+    // siblings from "previous JVMs", created BEFORE this JVM first uses
+    // the base (the only moment the sweep runs)
     val stale = new java.io.File(warehouse, "jl_probe_deadbeef")
-    stale.mkdirs()
-    stale.setLastModified(System.currentTimeMillis() - 3L * 3600 * 1000)
+    stale.mkdirs() // 25h old: past the 24h cutoff -> swept
+    stale.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000)
     val fresh = new java.io.File(warehouse, "jl_probe_cafebabe")
-    fresh.mkdirs() // recent sibling (a live concurrent JVM): must survive
+    fresh.mkdirs() // 3h old: a plausibly-live long round -> must survive
+    fresh.setLastModified(System.currentTimeMillis() - 3L * 3600 * 1000)
+    val late = new java.io.File(warehouse, "jl_probe_abcdef01")
     try {
-      BucketedStore.jvmLocal(spark, "jl_probe")
+      val a = BucketedStore.jvmLocal(spark, "jl_probe")
+      assert(a === BucketedStore.jvmLocal(spark, "jl_probe"))
+      assert(a.matches("jl_probe_[0-9a-f]{8}"))
       assert(!stale.exists(), "stale sibling not swept")
       assert(fresh.exists(), "recent sibling wrongly swept")
+      // the sweep is once per (JVM, base): a sibling appearing after
+      // first use is never collected mid-round, whatever its mtime —
+      // the FAILED_READ_FILE race the per-JVM name exists to prevent
+      late.mkdirs()
+      late.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+      BucketedStore.jvmLocal(spark, "jl_probe")
+      assert(late.exists(), "sweep must not re-run mid-round")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(fresh)
       org.apache.commons.io.FileUtils.deleteQuietly(stale)
+      org.apache.commons.io.FileUtils.deleteQuietly(late)
     }
   }
 

@@ -258,6 +258,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gated in-lane compaction: threshold crossing compacts, verdicts stable") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.SignatureStore
+    import graft.sinks.StoreMaintenance
+    val mem = MemoryStream[Doc]
+    val store = new java.io.File(
+      java.nio.file.Files.createTempDirectory("gated_lane_").toFile,
+      "store").toString
+    SignatureStore.appendBatch(store,
+      Seq((100L, "the quick brown fox jumps over the dog"))
+        .toDF("doc_id", "text"))
+    // tight threshold: a few per-batch appends cross it mid-stream
+    val maxFiles = StoreMaintenance.dataFileCount(store) + 2
+    val verdicts = scala.collection.mutable.Map[Long, Boolean]()
+    val q = StreamingLanes.nearDupStoreLane(
+      mem.toDF().select(col("doc_id"), col("text")), store,
+      maxStoreFiles = Some(maxFiles))(
+      (batch, _) => batch.collect().foreach { r =>
+        verdicts(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("is_new")
+      }).start()
+    try {
+      (1 to 6).foreach { i =>
+        mem.addData(Doc(ts(i * 10), i.toLong,
+          s"novel admitted content number $i with enough words"))
+        q.processAllAvailable()
+      }
+      assert((1 to 6).forall(i => verdicts(i.toLong)),
+        s"mutually-novel docs must all pass: $verdicts")
+      // duplicates of docs admitted BEFORE and AFTER the in-lane
+      // compaction are both caught — compaction lost nothing
+      mem.addData(
+        Doc(ts(100), 50L, "novel admitted content number 1 with enough words"),
+        Doc(ts(100), 51L, "the quick brown fox jumps over the dog"))
+      q.processAllAvailable()
+      assert(verdicts(50L) === false, "pre-compaction survivor forgotten")
+      assert(verdicts(51L) === false, "seed corpus forgotten")
+      // the gate bounded the store's file count
+      assert(StoreMaintenance.dataFileCount(store) <= maxFiles,
+        s"gate failed: ${StoreMaintenance.dataFileCount(store)} files")
+      // and the compaction really deduplicated on the key
+      val sigs = SignatureStore.read(spark, store)
+      assert(sigs.count() === sigs.select("doc_id").distinct().count())
+    } finally q.stop()
+  }
+
   test("store-backed span-clean lane strips stored spans and appends survivors") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.GramStore

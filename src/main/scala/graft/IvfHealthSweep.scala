@@ -1,0 +1,29 @@
+package graft
+
+/** Index-drift sweep for SCALING.md: [[graft.ann.Similarity.annIvfHealth]]
+  * evaluated as the APPENDED fraction of the store grows — the store is
+  * trained on vec_id % 10 < keepMod and the remaining (10 − keepMod)/10
+  * of the corpus is append-assigned against those frozen centroids, so
+  * keepMod 8 → 20% appended (the fixture convention), 5 → 50%, 2 → 80%.
+  * Prints one line per split: occupancy skew + recall of the store-served
+  * top-k vs a fresh full-corpus retrain.
+  * Usage: runMain graft.IvfHealthSweep [sfDir] */
+object IvfHealthSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = sources.Tables.session(s"local[$cpus]", cpus)
+    Seq(8, 5, 2).foreach { keepMod =>
+      val r = ann.Similarity.annIvfHealth(spark, sfDir, keepMod = keepMod)
+        .head()
+      println(f"HEALTH keepMod=$keepMod appended=${(10 - keepMod) * 10}%d%% " +
+        f"n_vecs=${r.getAs[Long]("n_vecs")}%d " +
+        f"n_cells=${r.getAs[Long]("n_cells")}%d " +
+        f"max_cell=${r.getAs[Long]("max_cell")}%d " +
+        f"mean_cell=${r.getAs[Double]("mean_cell")}%.1f " +
+        f"skew=${r.getAs[Double]("cell_skew")}%.2f " +
+        f"recall=${r.getAs[Double]("store_recall_at_k")}%.2f")
+    }
+    spark.stop()
+  }
+}

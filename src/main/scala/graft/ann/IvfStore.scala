@@ -105,22 +105,36 @@ object IvfStore {
     read(spark, stagedAssignments(spark, s"full_v1_$dir", fp(dir),
       fixtureCorpus(spark, dir)))
 
-  /** Accumulated-corpus (vec_id % 10 < 8) index for the incremental
-    * convention — what `ann_ivf_stored` queries; its path form feeds
-    * the append-assign spec. */
-  def fixtureSubIndexPath(spark: SparkSession, dir: String): String =
-    stagedAssignments(spark, s"sub_v1_$dir", fp(dir),
-      fixtureCorpus(spark, dir).filter(col("vec_id") % 10 < 8))
+  /** Accumulated-corpus (vec_id % 10 < keepMod) index — the incremental
+    * convention generalized over the split so the health sweep can vary
+    * the appended fraction; the fixture convention is keepMod = 8. */
+  def subIndexPath(spark: SparkSession, dir: String,
+                   keepMod: Int = 8): String =
+    stagedAssignments(spark, s"sub${keepMod}_v1_$dir", fp(dir),
+      fixtureCorpus(spark, dir).filter(col("vec_id") % 10 < keepMod))
 
-  def fixtureSubIndex(spark: SparkSession, dir: String): DataFrame =
-    read(spark, fixtureSubIndexPath(spark, dir))
+  def subIndex(spark: SparkSession, dir: String,
+               keepMod: Int = 8): DataFrame =
+    read(spark, subIndexPath(spark, dir, keepMod))
 
   /** The packed one-row centroid broadcast of the accumulated-corpus
     * index — what an ingesting batch assigns against. */
-  def fixtureSubCentroidsRow(spark: SparkSession, dir: String): DataFrame =
+  def subCentroidsRow(spark: SparkSession, dir: String,
+                      keepMod: Int = 8): DataFrame =
     Similarity.packedCentroids(spark.read.parquet(
-      stagedCentroids(s"sub_v1_$dir", fp(dir),
-        fixtureCorpus(spark, dir).filter(col("vec_id") % 10 < 8))))
+      stagedCentroids(s"sub${keepMod}_v1_$dir", fp(dir),
+        fixtureCorpus(spark, dir).filter(col("vec_id") % 10 < keepMod))))
+
+  /** Fixture-convention forms (keepMod = 8) — what `ann_ivf_stored` and
+    * the append-assign spec use. */
+  def fixtureSubIndexPath(spark: SparkSession, dir: String): String =
+    subIndexPath(spark, dir)
+
+  def fixtureSubIndex(spark: SparkSession, dir: String): DataFrame =
+    subIndex(spark, dir)
+
+  def fixtureSubCentroidsRow(spark: SparkSession, dir: String): DataFrame =
+    subCentroidsRow(spark, dir)
 
   /** The quantized corpus columns the index derives from. */
   private def fixtureCorpus(spark: SparkSession, dir: String): DataFrame =

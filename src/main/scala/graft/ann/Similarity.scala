@@ -275,13 +275,14 @@ object Similarity {
     * sub-index (accumulated corpus, vec_id % 10 < 8) UNION the incoming
     * batch assigned against the STORED (frozen) centroids — the frame
     * both [[annIvfStored]] queries and [[annIvfHealth]] audits. */
-  private def storedAll(spark: SparkSession, dir: String): DataFrame = {
-    val stored = IvfStore.fixtureSubIndex(spark, dir)
-    val batch = corpus(spark, dir).filter(col("vec_id") % 10 >= 8)
+  private def storedAll(spark: SparkSession, dir: String,
+                        keepMod: Int = 8): DataFrame = {
+    val stored = IvfStore.subIndex(spark, dir, keepMod)
+    val batch = corpus(spark, dir).filter(col("vec_id") % 10 >= keepMod)
       .select(col("vec_id"), col("v"), col("n2"))
     val batchAssigned = assignCells(
       dimGuarded(batch, 64, "annIvfStored"),
-      IvfStore.fixtureSubCentroidsRow(spark, dir))
+      IvfStore.subCentroidsRow(spark, dir, keepMod))
       .select(col("vec_id"), col("v"), col("n2"), col("cell"))
     stored.unionByName(batchAssigned)
   }
@@ -320,8 +321,10 @@ object Similarity {
     * results) — the corpus passes are the ones the underlying queries
     * already make, and every input is deterministic so the oracle
     * replays the whole computation exactly. */
-  def annIvfHealth(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val occ = storedAll(spark, dir)
+  def annIvfHealth(spark: SparkSession, dir: String, k: Int = 10,
+                   keepMod: Int = 8): DataFrame = {
+    val all = storedAll(spark, dir, keepMod)
+    val occ = all
       .groupBy(col("cell")).agg(count(lit(1)).as("cn"))
       .agg(sum(col("cn")).as("n_vecs"), count(lit(1)).as("n_cells"),
         max(col("cn")).as("max_cell"),
@@ -331,7 +334,16 @@ object Similarity {
         col("max_cell").cast("double") / col("mean_cell"))
     val truth = annIvfTrained(spark, dir, k = k)
       .select(col("query_id"), col("vec_id"))
-    val served = annIvfStored(spark, dir, k = k)
+    // served top-k over the full store view with queries drawn from it
+    // (identical to annIvfStored at the fixture split, where queries
+    // vec_id < 5 all live in the stored 80%; drawing from the union
+    // keeps the same query set at ANY keepMod — what the oracle's
+    // allv-vs-allv join replays)
+    val q = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell").as("qcell"))
+    val served = scoreRankLimit(all.join(broadcast(q),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id")), k)
       .select(col("query_id"), col("vec_id"))
     val hits = truth.join(served, Seq("query_id", "vec_id"), "left_semi")
       .agg(count(lit(1)).as("store_hits"))

@@ -73,6 +73,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.ByteSimHash32(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("byte_simhash64"),
+      info(classOf[functions.ByteSimHash64].getName,
+        "byte_simhash64", "byte_simhash64(payload) - 64-bit SimHash over dense 4-byte shingles of a binary payload"),
+      (children: Seq[Expression]) => {
+        checkArity("byte_simhash64", 1, children)
+        functions.ByteSimHash64(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("jaccard_sim"),
       info(classOf[functions.ArrayJaccard].getName,
         "jaccard_sim", "jaccard_sim(a, b) - set-semantics Jaccard similarity of two string arrays"),

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** 64-bit SimHash over a binary payload's dense 4-byte shingles — the
+  * SCALE width of [[ByteSimHash32]] (whose scaladoc names "16/32-bit
+  * bands of a 64-bit SimHash" as the knob once 8/16-bit band buckets go
+  * quadratic at ~10⁹ assets): `byte_simhash64(payload)`.
+  *
+  * Each window's big-endian unsigned int `v` is mixed by TWO independent
+  * two-round 32-bit multiplicative hashes — h1 with the 32-bit kernel's
+  * constant 741103597 (so signature bits 0..31 vote identically to
+  * `byte_simhash32`: the low half of this signature EQUALS the 32-bit
+  * one, spec-pinned), h2 with 1597334677 for bits 32..63. Both stay
+  * exact in 64-bit signed math (v ≤ 2³²−1, constants < 2³¹ ⇒ products
+  * < 2⁶³), so the DuckDB oracle replays every bit with BIGINT ops —
+  * the same design constraint that ruled out xxhash64 for the 32-bit
+  * kernel. Windows vote with multiplicity; payloads shorter than 4
+  * bytes yield 0; bit 63 makes the signature negative as a signed long
+  * (harmless: XOR/bit_count/masked arithmetic shifts are sign-agnostic
+  * in both engines, as with the text family's `simhash64`).
+  *
+  * Registered by `GraftExtensions` as SQL function `byte_simhash64`.
+  */
+case class ByteSimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_simhash64"
+
+  private final val Mix1 = 741103597L
+  private final val Mix2 = 1597334677L
+  private final val Mask = 0xFFFFFFFFL
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val n = b.length - 3
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val v = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      var h1 = (v * Mix1) & Mask
+      h1 = (h1 * Mix1) & Mask
+      var h2 = (v * Mix2) & Mask
+      h2 = (h2 * Mix2) & Mask
+      var k = 0
+      while (k < 32) {
+        if (((h1 >> k) & 1L) == 1L) votes(k) += 1
+        if (((h2 >> k) & 1L) == 1L) votes(k + 32) += 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (2 * votes(k) - math.max(n, 0) > 0) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val v = ctx.freshName("v")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val sig = ctx.freshName("sig")
+      // no line may BEGIN with '|': enclosing operators splice this block
+      // into their own stripMargin templates (see NearestCell)
+      s"""
+         |byte[] $b = $bytes;
+         |int $n = $b.length - 3;
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = (($b[$i] & 0xffL) << 24) | (($b[$i + 1] & 0xffL) << 16) |
+         |    (($b[$i + 2] & 0xffL) << 8) | ($b[$i + 3] & 0xffL);
+         |  long $h1 = ($v * ${Mix1}L) & ${Mask}L;
+         |  $h1 = ($h1 * ${Mix1}L) & ${Mask}L;
+         |  long $h2 = ($v * ${Mix2}L) & ${Mask}L;
+         |  $h2 = ($h2 * ${Mix2}L) & ${Mask}L;
+         |  for (int $k = 0; $k < 32; $k++) {
+         |    if ((($h1 >> $k) & 1L) == 1L) $votes[$k]++;
+         |    if ((($h2 >> $k) & 1L) == 1L) $votes[$k + 32]++;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $k = 0; $k < 64; $k++) {
+         |  if (2 * $votes[$k] - Math.max($n, 0) > 0) $sig |= 1L << $k;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ByteSimHash64 = copy(child = newChild)
+}

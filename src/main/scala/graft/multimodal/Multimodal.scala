@@ -212,9 +212,31 @@ object Multimodal {
       .distinct()
   }
 
+  /** 64-bit SCALE form of [[mediaDedupNear]] — the width its scaladoc
+    * names for ~10⁹ assets: `byte_simhash64` signatures
+    * (`functions/ByteSimHash64.scala`; low half equals the 32-bit
+    * signature), 4×16-bit bands with EXACT pigeonhole recall at the
+    * default Hamming≤3, and — new vs the 32-bit view — the
+    * family-shared sub-salt cap on oversized band buckets. The plan is
+    * literally [[graft.text.NearDup.bandedHammingPairs]], shared with
+    * the text family's 64-bit pair view: one banded exchange of
+    * (doc_id, sig) rows, payloads never cross a shuffle, gate before
+    * the distinct. */
+  def mediaDedupNear64(store: DataFrame, maxHamming: Int = 3,
+                       maxBucket: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+    val sigs = store.filter(col("byte_len") >= 4)
+      .select(col("doc_id"),
+        call_function("byte_simhash64", col("payload")).as("sig"))
+    graft.text.NearDup.bandedHammingPairs(sigs, nBands = 4, bandBits = 16,
+      maxHamming, maxBucket)
+  }
+
   val queries: Map[String, Q] = Map(
     "media_dedup" -> ((s, d) => mediaDedup(assetStore(s, d))),
     "media_dedup_near" -> ((s, d) => mediaDedupNear(assetStore(s, d))),
+    "media_dedup_near64" -> ((s, d) => mediaDedupNear64(assetStore(s, d))),
     "media_features" -> ((s, d) =>
       decodeFeatures(assets(s, d)).toDF().orderBy("doc_id")),
     "frame_sample" -> ((s, d) =>
@@ -242,14 +264,27 @@ object Multimodal {
     s"(strpos('0123456789ABCDEF', substr(hex(encode(text)), $j, 1)) - 1)"
   private def byteAt(i: String) =
     s"(${nib(s"2*($i)-1")} * 16 + ${nib(s"2*($i)")})"
-  private val mixExpr = {
+  private def mixExprWith(c: Long) = {
     val v = s"(${byteAt("i")} * 16777216 + ${byteAt("i+1")} * 65536" +
       s" + ${byteAt("i+2")} * 256 + ${byteAt("i+3")})"
-    s"((((($v * 741103597) & 4294967295) * 741103597) & 4294967295))"
+    s"((((($v * $c) & 4294967295) * $c) & 4294967295))"
   }
+  private val mixExpr = mixExprWith(741103597L)
+  private val mix2Expr = mixExprWith(1597334677L)
   private val byteSimTerms = (0 to 31).map { k =>
     s"""CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $k) & 1) = 1))
        |  > len(hs) THEN ${1L << k} ELSE 0 END""".stripMargin
+  }.mkString(" + ")
+
+  /** The 64-bit kernel's votes: bits 0..31 from the h1 (Mix1) hash list,
+    * 32..63 from h2 (Mix2); bit 64's term is -2^63 (the signed-long
+    * two's-complement value, as in the text family's simhash64 oracle). */
+  private val byteSim64Terms = (1 to 64).map { k =>
+    val (lst, bit) = if (k <= 32) ("h1", k - 1) else ("h2", k - 33)
+    val value =
+      if (k == 64) "(-9223372036854775807 - 1)" else (1L << (k - 1)).toString
+    s"""CASE WHEN 2 * len(list_filter($lst, h -> ((h >> $bit) & 1) = 1))
+       |  > len($lst) THEN $value ELSE 0 END""".stripMargin
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
@@ -269,6 +304,48 @@ object Multimodal {
          |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
          |  AND ((a.sig >> 16) = (b.sig >> 16) OR (a.sig & 65535) = (b.sig & 65535))
          |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the 64-bit banded pair view with the shared sub-salt cap: both
+    // mixes replayed in BIGINT arithmetic, 4×16-bit arithmetic bands
+    // (DuckDB >> is arithmetic like Spark's shiftright — the negative
+    // sign-bit signature bands identically masked), cap salt shared
+    // with the LSH/text-SimHash families
+    "media_dedup_near64" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, $bLen - 3),
+         |      i -> $mixExpr) AS h1,
+         |    list_transform(generate_series(1, $bLen - 3),
+         |      i -> $mix2Expr) AS h2
+         |  FROM documents WHERE $bLen >= 4),
+         |sg AS (
+         |  SELECT doc_id, CAST($byteSim64Terms AS BIGINT) AS sig FROM sh),
+         |sbands AS (
+         |  SELECT doc_id, sig, 0 AS band, (sig >> 0) & 65535 AS bval FROM sg
+         |  UNION ALL
+         |  SELECT doc_id, sig, 1 AS band, (sig >> 16) & 65535 AS bval FROM sg
+         |  UNION ALL
+         |  SELECT doc_id, sig, 2 AS band, (sig >> 32) & 65535 AS bval FROM sg
+         |  UNION ALL
+         |  SELECT doc_id, sig, 3 AS band, (sig >> 48) & 65535 AS bval FROM sg),
+         |s_over AS (
+         |  SELECT band, bval, count(*) AS bn FROM sbands GROUP BY band, bval
+         |  HAVING count(*) > 256),
+         |s_salted AS (
+         |  SELECT sbands.doc_id, sbands.sig, sbands.band, sbands.bval,
+         |    CASE WHEN o.bn IS NULL THEN 0
+         |         ELSE (${graft.text.NearDup.saltHashSql("sbands.doc_id")})
+         |           % ((o.bn + 255) // 256)
+         |    END AS salt
+         |  FROM sbands LEFT JOIN s_over o
+         |    ON sbands.band = o.band AND sbands.bval = o.bval)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM s_salted a JOIN s_salted b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.salt = b.salt
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     // md5 over the lowercase-hex payload: Spark's hex(binary) is

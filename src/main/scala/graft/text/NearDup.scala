@@ -476,9 +476,12 @@ object NearDup {
     * 64-bit signature bands identically in Spark and DuckDB), sub-salt
     * band buckets over `maxBucket` with the family-shared [[saltHash]],
     * equi-join on (band, bval, salt), Hamming-gate BEFORE the distinct
-    * exchange. `sigs` must be (doc_id, sig: long). */
-  private def bandedHammingPairs(sigs: DataFrame, nBands: Int, bandBits: Int,
-                                 maxHamming: Int, maxBucket: Int): DataFrame = {
+    * exchange. `sigs` must be (doc_id, sig: long). `private[graft]`:
+    * the media family's 64-bit pair view (`multimodal.mediaDedupNear64`)
+    * runs the identical plan over byte-shingle signatures. */
+  private[graft] def bandedHammingPairs(sigs: DataFrame, nBands: Int,
+                                        bandBits: Int, maxHamming: Int,
+                                        maxBucket: Int): DataFrame = {
     val mask = (1L << bandBits) - 1
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until nBands).map(i =>

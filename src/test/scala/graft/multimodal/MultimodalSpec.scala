@@ -91,6 +91,36 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated payload wrongly paired: ${out.toSeq}")
   }
 
+  test("64-bit near dedup: banded capped plan, exact copies pair, radius guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "some long payload content repeated several times " * 6
+    val other = "completely different bytes with other statistics entirely " * 5
+    val store = Seq(
+      (1L, "image", base, base.length),
+      (2L, "video", base, base.length), // byte-identical copy -> hamming 0
+      (3L, "audio", other, other.length))
+      .toDF("doc_id", "media_type", "text", "byte_len")
+      .withColumn("payload", col("text").cast("binary"))
+    val df = Multimodal.mediaDedupNear64(store)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.contains((1L, 2L, 0)), s"identical payloads not paired: ${out.toSeq}")
+    assert(out.forall(p => p._1 != 3L && p._2 != 3L),
+      s"unrelated payload wrongly paired: ${out.toSeq}")
+    // the 64-bit signature's low half is the 32-bit one, so the two
+    // views agree on identical-payload pairs by construction
+    val out32 = Multimodal.mediaDedupNear(store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out32.contains((1L, 2L)))
+    // beyond the 4-band pigeonhole guarantee is rejected, not truncated
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaDedupNear64(store, maxHamming = 4)
+    }
+  }
+
   test("frame sampling covers each asset with its n_frames windows") {
     val assets = Multimodal.assets(spark, dir).collect()
     val frames = Multimodal.frameSample(Multimodal.assetStore(spark, dir))

@@ -573,6 +573,47 @@ object NearDup {
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Incremental SimHash dedup — the batch-vs-corpus ingestion shape
+    * the MinHash ([[incrementalDedup]]) and span
+    * (`SpanDedup.spanCleanIncremental`) families already have, on the
+    * 64-bit signature: which INCOMING docs are within `maxHamming` of
+    * an EXISTING doc. Same scale posture as the MinHash form: the
+    * corpus side is ONE scan, band-exploded with its signature carried
+    * along, hash-joined against a BROADCAST of the (small) incoming
+    * batch's bands — the corpus is never shuffled or self-joined, and
+    * the Hamming gate runs before the per-doc count. A pair agreeing
+    * on several bands is counted once (`count_distinct`). 4×16-bit
+    * bands give exact recall at the default radius (pigeonhole ≤3). */
+  def simhashIncremental64(existing: DataFrame, incoming: DataFrame,
+                           maxHamming: Int = 3,
+                           broadcastIncoming: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+    def bands(sigs: DataFrame, idAs: String, sigAs: String): DataFrame =
+      sigs.select(col("doc_id").as(idAs), col("simhash64").as(sigAs),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band"),
+            shiftright(col("simhash64"), 16 * i).bitwiseAND(lit(65535L))
+              .as("bval"))): _*)).as("b"))
+        .select(col(idAs), col(sigAs),
+          col("b.band").as("band"), col("b.bval").as("bval"))
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastIncoming) broadcast(df) else df
+    val ebands = bands(simhash64(existing), "ex_id", "esig")
+    val ibands = bc(bands(simhash64(incoming), "inc_id", "isig"))
+    val dups = ebands.join(ibands, Seq("band", "bval"))
+      .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
+      .groupBy(col("inc_id"))
+      .agg(count_distinct(col("ex_id")).as("nd"))
+    incoming.select(col("doc_id"))
+      .join(bc(dups.select(col("inc_id").as("doc_id"), col("nd"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nd"), lit(0L)).cast("int").as("n_dups"),
+        (coalesce(col("nd"), lit(0L)) === 0).as("is_new"))
+      .orderBy("doc_id")
+  }
+
   /** Exact word-bigram Jaccard between consecutive doc ids — the
     * set-similarity kernel on a linear (non-cartesian) pair set.
     * Bigrams via the native `word_shingles(_, 2)` kernel; similarity via
@@ -749,6 +790,13 @@ object NearDup {
       simhash64(Tables(s, d, "documents")).orderBy("doc_id")),
     "dedup_simhash64" -> ((s, d) => simhashNearDup64(Tables(s, d, "documents"))),
     "dedup_simhash64_keep" -> ((s, d) => simhashDedup64(Tables(s, d, "documents"))),
+    // the family's batch-vs-corpus ingestion form, on the incremental
+    // fixture convention (accumulated = doc_id % 10 < 8)
+    "dedup_simhash64_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      simhashIncremental64(docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8))
+    }),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
   // --- oracle -------------------------------------------------------------
@@ -1069,6 +1117,33 @@ object NearDup {
         cap = MaxBucket, maxHamming = 3),
 
     "dedup_simhash64_keep" -> simhashKeepOracle(simhash64Terms, "simhash64"),
+
+    // batch-vs-corpus: 4-band candidates between the splits, Hamming
+    // gate, count of distinct existing near-docs per incoming doc
+    "dedup_simhash64_incremental" ->
+      s"""WITH sg AS (
+         |  ${simhashSigCte(simhash64Terms)}),
+         |eb AS (
+         |  ${(0 until 4).map(i =>
+        s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE doc_id % 10 < 8")
+        .mkString("\n  UNION ALL\n  ")}),
+         |ib AS (
+         |  ${(0 until 4).map(i =>
+        s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE doc_id % 10 >= 8")
+        .mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT e.doc_id AS ex_id, i.doc_id AS inc_id,
+         |    e.sig AS esig, i.sig AS isig
+         |  FROM eb e JOIN ib i ON e.band = i.band AND e.bval = i.bval),
+         |ver AS (
+         |  SELECT inc_id, count(DISTINCT ex_id) AS nd FROM cand
+         |  WHERE bit_count(xor(esig, isig)) <= 3
+         |  GROUP BY inc_id)
+         |SELECT d.doc_id, CAST(coalesce(v.nd, 0) AS INTEGER) AS n_dups,
+         |  coalesce(v.nd, 0) = 0 AS is_new
+         |FROM documents d LEFT JOIN ver v ON v.inc_id = d.doc_id
+         |WHERE d.doc_id % 10 >= 8
+         |ORDER BY d.doc_id""".stripMargin,
 
     "ngram_jaccard" ->
       s"""WITH bg AS (

@@ -378,6 +378,25 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("simhash64 incremental: incoming batch judged against the corpus") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "zeta epsilon delta gamma beta alpha"), // same token set as 1
+      (11L, "entirely novel vocabulary nothing shared whatsoever here"))
+      .toDF("doc_id", "text")
+    val out = NearDup.simhashIncremental64(corpus, incoming).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out(10L) === ((1, false)), s"permuted copy must be flagged: $out")
+    assert(out(11L)._2 === true, s"novel doc must pass: $out")
+    // the radius guard applies here too
+    intercept[IllegalArgumentException] {
+      NearDup.simhashIncremental64(corpus, incoming, maxHamming = 4)
+    }
+  }
+
   test("lang id scores stopword hits and picks the argmax language") {
     val docs = Seq(
       (1L, "the house of the king is on the hill with a view"),

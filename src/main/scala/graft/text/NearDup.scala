@@ -586,7 +586,20 @@ object NearDup {
     * bands give exact recall at the default radius (pigeonhole ≤3). */
   def simhashIncremental64(existing: DataFrame, incoming: DataFrame,
                            maxHamming: Int = 3,
-                           broadcastIncoming: Boolean = true): DataFrame = {
+                           broadcastIncoming: Boolean = true): DataFrame =
+    simhashIncremental64FromSigs(simhash64(existing), incoming,
+      maxHamming, broadcastIncoming)
+
+  /** [[simhashIncremental64]] against an already-derived corpus
+    * signature frame (doc_id, simhash64) — the entry the PERSISTED
+    * store uses ([[SimHashStore]]): `esigs` can be a plain parquet scan
+    * of signed state, so the corpus is never re-tokenized or re-hashed
+    * per ingestion batch — the `dedup_incremental_staged` posture at
+    * 8 bytes of state per doc. */
+  def simhashIncremental64FromSigs(esigs: DataFrame, incoming: DataFrame,
+                                   maxHamming: Int = 3,
+                                   broadcastIncoming: Boolean = true)
+  : DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
     def bands(sigs: DataFrame, idAs: String, sigAs: String): DataFrame =
@@ -599,7 +612,7 @@ object NearDup {
           col("b.band").as("band"), col("b.bval").as("bval"))
     def bc(df: DataFrame): DataFrame =
       if (broadcastIncoming) broadcast(df) else df
-    val ebands = bands(simhash64(existing), "ex_id", "esig")
+    val ebands = bands(esigs, "ex_id", "esig")
     val ibands = bc(bands(simhash64(incoming), "inc_id", "isig"))
     val dups = ebands.join(ibands, Seq("band", "bval"))
       .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
@@ -797,6 +810,14 @@ object NearDup {
       simhashIncremental64(docs.filter(col("doc_id") % 10 < 8),
         docs.filter(col("doc_id") % 10 >= 8))
     }),
+    // identical semantics from the PERSISTED signature store — the
+    // corpus side is a parquet scan of (doc_id, simhash64) longs
+    "dedup_simhash64_staged" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      simhashIncremental64FromSigs(
+        SimHashStore.read(s, SimHashStore.fixtureCorpusStore(s, d)),
+        docs.filter(col("doc_id") % 10 >= 8))
+    }),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
   // --- oracle -------------------------------------------------------------
@@ -883,6 +904,34 @@ object NearDup {
        |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** The batch-vs-corpus 64-bit oracle, shared by the in-session and
+    * STAGED variants (the store only changes where the corpus
+    * signatures come from — the `incrementalOracle` precedent). */
+  private lazy val simhash64IncrementalOracle: String =
+    s"""WITH sg AS (
+       |  ${simhashSigCte(simhash64Terms)}),
+       |eb AS (
+       |  ${(0 until 4).map(i =>
+      s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE doc_id % 10 < 8")
+      .mkString("\n  UNION ALL\n  ")}),
+       |ib AS (
+       |  ${(0 until 4).map(i =>
+      s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE doc_id % 10 >= 8")
+      .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT e.doc_id AS ex_id, i.doc_id AS inc_id,
+       |    e.sig AS esig, i.sig AS isig
+       |  FROM eb e JOIN ib i ON e.band = i.band AND e.bval = i.bval),
+       |ver AS (
+       |  SELECT inc_id, count(DISTINCT ex_id) AS nd FROM cand
+       |  WHERE bit_count(xor(esig, isig)) <= 3
+       |  GROUP BY inc_id)
+       |SELECT d.doc_id, CAST(coalesce(v.nd, 0) AS INTEGER) AS n_dups,
+       |  coalesce(v.nd, 0) = 0 AS is_new
+       |FROM documents d LEFT JOIN ver v ON v.inc_id = d.doc_id
+       |WHERE d.doc_id % 10 >= 8
+       |ORDER BY d.doc_id""".stripMargin
 
   /** The signature-grouped keeper oracle, width-generic. */
   private def simhashKeepOracle(terms: String, sigName: String): String =
@@ -1120,30 +1169,10 @@ object NearDup {
 
     // batch-vs-corpus: 4-band candidates between the splits, Hamming
     // gate, count of distinct existing near-docs per incoming doc
-    "dedup_simhash64_incremental" ->
-      s"""WITH sg AS (
-         |  ${simhashSigCte(simhash64Terms)}),
-         |eb AS (
-         |  ${(0 until 4).map(i =>
-        s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE doc_id % 10 < 8")
-        .mkString("\n  UNION ALL\n  ")}),
-         |ib AS (
-         |  ${(0 until 4).map(i =>
-        s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE doc_id % 10 >= 8")
-        .mkString("\n  UNION ALL\n  ")}),
-         |cand AS (
-         |  SELECT DISTINCT e.doc_id AS ex_id, i.doc_id AS inc_id,
-         |    e.sig AS esig, i.sig AS isig
-         |  FROM eb e JOIN ib i ON e.band = i.band AND e.bval = i.bval),
-         |ver AS (
-         |  SELECT inc_id, count(DISTINCT ex_id) AS nd FROM cand
-         |  WHERE bit_count(xor(esig, isig)) <= 3
-         |  GROUP BY inc_id)
-         |SELECT d.doc_id, CAST(coalesce(v.nd, 0) AS INTEGER) AS n_dups,
-         |  coalesce(v.nd, 0) = 0 AS is_new
-         |FROM documents d LEFT JOIN ver v ON v.inc_id = d.doc_id
-         |WHERE d.doc_id % 10 >= 8
-         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_simhash64_incremental" -> simhash64IncrementalOracle,
+    // byte-identical semantics: the staged variant only changes WHERE
+    // the corpus signatures come from (parquet store vs in-session)
+    "dedup_simhash64_staged" -> simhash64IncrementalOracle,
 
     "ngram_jaccard" ->
       s"""WITH bg AS (

@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.sources.{Staging, Tables}
+
+/** Persisted 64-bit SimHash signature store — the [[SignatureStore]]
+  * posture for the SimHash family: sign the corpus once, append one
+  * (doc_id, simhash64) long per admitted doc, and serve every later
+  * ingestion batch from a SCAN of signed state. Narrowest of the three
+  * text-family stores (8 bytes of signature per doc vs MinHash's
+  * shingle+band arrays and the gram store's window rows), so at 100 TB
+  * the incremental path reads a frame orders of magnitude smaller than
+  * the corpus text it replaces.
+  *
+  * Lifecycle mirrors the signature store: [[stagedCorpus]] once per
+  * fixture fingerprint, [[appendBatch]]/[[appendSurvivors]] per
+  * ingestion batch (parquet append only adds files), [[compact]] as
+  * the bounded-growth maintenance call (doc_id determines its
+  * signature, so key-dedup is observationally free).
+  */
+object SimHashStore {
+
+  /** Stage `corpus`'s (doc_id, simhash64) frame once per (key, fixture
+    * fingerprint); returns the store directory. */
+  def stagedCorpus(key: String, fingerprintFile: java.io.File,
+                   corpus: DataFrame): String =
+    Staging.stage(s"simhash_store_$key", fingerprintFile) { tmp =>
+      NearDup.simhash64(corpus).write.parquet(tmp)
+    }
+
+  /** The signature frame backing `path` — a plain parquet scan. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Sign `batch` and append its signatures to the store at `path`. */
+  def appendBatch(path: String, batch: DataFrame): Unit =
+    NearDup.simhash64(batch).write.mode("append").parquet(path)
+
+  /** Sign and append only the `is_new` docs of `verdict` (the output of
+    * [[NearDup.simhashIncremental64]]). */
+  def appendSurvivors(path: String, batch: DataFrame,
+                      verdict: DataFrame): Unit =
+    appendBatch(path, batch.join(
+      verdict.filter(col("is_new")).select(col("doc_id")), "doc_id"))
+
+  /** One signature row per doc_id, few large files (atomic-swap
+    * semantics: [[graft.sinks.StoreMaintenance]]). */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.sinks.StoreMaintenance.compactDistinct(spark, path, Seq("doc_id"))
+
+  /** The staged store for the fixture's accumulated-corpus convention
+    * (doc_id % 10 < 8, matching the incremental query family). */
+  def fixtureCorpusStore(s: SparkSession, dir: String): String =
+    stagedCorpus(s"corpus_v1_$dir",
+      new java.io.File(dir, "documents.parquet"),
+      Tables(s, dir, "documents").filter(col("doc_id") % 10 < 8))
+}

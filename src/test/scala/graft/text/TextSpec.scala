@@ -395,6 +395,18 @@ class TextSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       NearDup.simhashIncremental64(corpus, incoming, maxHamming = 4)
     }
+    // the staged form (persisted signature store) matches in-session:
+    // the store only changes where the corpus signatures come from
+    val storeDir = new java.io.File(
+      java.nio.file.Files.createTempDirectory("simhash_store_").toFile,
+      "store").toString
+    SimHashStore.appendBatch(storeDir, corpus)
+    val staged = NearDup.simhashIncremental64FromSigs(
+      SimHashStore.read(spark, storeDir), incoming).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(staged === out)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(storeDir).getParentFile)
   }
 
   test("lang id scores stopword hits and picks the argmax language") {

@@ -99,7 +99,7 @@ object StreamBench {
     // derived state, hand the verdict on. Measured end-to-end, appends
     // included (that is the lane's real ingest cost).
     import org.apache.spark.sql.functions.col
-    import graft.text.{SignatureStore, SpanDedup}
+    import graft.text.{SignatureStore, SimHashStore, SpanDedup}
     val docs = Tables(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 10 < 8)
     val incoming = docs.filter(col("doc_id") % 10 >= 8)
@@ -133,6 +133,12 @@ object StreamBench {
     SignatureStore.appendBatch(sigStore, corpus)
     laneProbe("neardup_lane", s"$work/docs_in", docSchema, inRows)(st =>
       StreamingLanes.nearDupStoreLane(st, sigStore) {
+        (_, _) => laneBatches += 1 })
+
+    val shStore = s"$work/simhash_store"
+    SimHashStore.appendBatch(shStore, corpus)
+    laneProbe("simhash_lane", s"$work/docs_in", docSchema, inRows)(st =>
+      StreamingLanes.simhashStoreLane(st, shStore) {
         (_, _) => laneBatches += 1 })
 
     val gramStore = s"$work/gram_store"

@@ -164,6 +164,33 @@ object StreamingLanes {
       ()
     }
 
+  /** Store-backed streaming SimHash dedup lane — [[nearDupStoreLane]]'s
+    * sibling on the 64-bit SimHash signature store
+    * ([[graft.text.SimHashStore]], 8 bytes of state per admitted doc):
+    * per micro-batch, judge the batch against a SCAN of signed state
+    * (Hamming-banded candidates, never all-pairs), append the
+    * survivors' signatures, hand the verdict on. Same eager
+    * localCheckpoint ordering — the verdict materializes BEFORE the
+    * append mutates the store's file listing — and the same
+    * at-least-once caveat (replayed appends are harmless duplicates the
+    * gated compaction sheds). */
+  def simhashStoreLane(docs: DataFrame, storePath: String,
+                       maxHamming: Int = 3,
+                       maxStoreFiles: Option[Int] = None)
+                      (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.text.{NearDup, SimHashStore}
+      val verdict = NearDup.simhashIncremental64FromSigs(
+        SimHashStore.read(batch.sparkSession, storePath),
+        batch, maxHamming).localCheckpoint(true)
+      SimHashStore.appendSurvivors(storePath, batch, verdict)
+      maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
+        .compactIfNeeded(batch.sparkSession, storePath, m, Seq("doc_id")))
+      process(verdict, batchId)
+      ()
+    }
+
   /** Store-backed streaming span clean — the exact-substring sibling of
     * [[nearDupStoreLane]]: each batch's docs are stripped of every span
     * already present in the persisted [[graft.text.GramStore]], then the

@@ -258,6 +258,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhash store lane persists admitted signatures across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.SimHashStore
+    val mem = MemoryStream[Doc]
+    val store = new java.io.File(
+      java.nio.file.Files.createTempDirectory("simhash_lane_").toFile,
+      "store").toString
+    SimHashStore.appendBatch(store,
+      Seq((100L, "the quick brown fox jumps over the dog"))
+        .toDF("doc_id", "text"))
+    val verdicts = scala.collection.mutable.Map[Long, Boolean]()
+    val q = StreamingLanes.simhashStoreLane(
+      mem.toDF().select(col("doc_id"), col("text")), store)(
+      (batch, _) => batch.collect().foreach { r =>
+        verdicts(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("is_new")
+      }).start()
+    try {
+      mem.addData(
+        Doc(ts(10), 1L, "dog the over jumps fox brown quick the"), // permuted seed
+        Doc(ts(20), 2L, "completely unrelated text about spark plans here"))
+      q.processAllAvailable()
+      assert(verdicts(1L) === false, "permuted token set of the seeded store")
+      assert(verdicts(2L) === true, "novel doc must pass the gate")
+      // doc 2's signature persisted: a later permutation of it is caught
+      mem.addData(Doc(ts(30), 3L,
+        "here plans spark about text unrelated completely"))
+      q.processAllAvailable()
+      assert(verdicts(3L) === false,
+        "later batch must dedup against survivors persisted by earlier ones")
+      // rejected duplicates were NOT appended
+      val ids = SimHashStore.read(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(100L, 2L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(store).getParentFile)
+    }
+  }
+
   test("gated in-lane compaction: threshold crossing compacts, verdicts stable") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.SignatureStore

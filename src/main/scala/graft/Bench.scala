@@ -88,8 +88,11 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(",")
       catch { case _: Throwable => "" }
+    // "method" marks the r9 methodology change (single lap-2 time ->
+    // min of two post-warm laps) so round-over-round artifact deltas
+    // can be normalized instead of read as phantom engine speedups
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg":"$loadavg","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2-post-warm-laps","queries":$qs,"failed":$failedJson,"loadavg":"$loadavg","sf":"$sfDir"}""")
     spark.stop()
   }
 }

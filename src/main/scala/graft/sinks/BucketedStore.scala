@@ -45,10 +45,12 @@ object BucketedStore {
     * live bucketed table is never collected mid-read. */
   def jvmLocal(spark: SparkSession, base: String): String = {
     val mine = s"${base}_$jvmTag"
-    if (swept.add(base)) {
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(mine))).getParent
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(mine))).getParent
+    // keyed on (warehouse, base): a second session in this JVM with a
+    // DIFFERENT warehouse dir still gets its own first-use sweep
+    if (swept.add(s"$warehouse#$base")) {
       val fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
       val pat = ("\\Q" + base + "\\E_[0-9a-f]{8}").r
       val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000

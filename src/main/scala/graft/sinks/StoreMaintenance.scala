@@ -78,11 +78,22 @@ object StoreMaintenance {
 
   /** Parquet data files currently in the store — the size signal
     * [[compactIfNeeded]] gates on (one directory listing, no data read;
-    * `_SUCCESS`/checksum/hidden bookkeeping excluded). */
-  def dataFileCount(path: String): Int =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .count(f => f.isFile && f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    * `_SUCCESS`/checksum/hidden bookkeeping excluded). Listed through
+    * the Hadoop FileSystem of the path's own scheme — a `java.io.File`
+    * listing would silently return 0 for any non-plain-local path
+    * (`file:/` URIs, remote stores) and the gate would never fire,
+    * recreating exactly the unbounded-small-files problem it exists to
+    * solve. A missing/empty store counts 0. */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") &&
+        !n.startsWith(".") && !n.startsWith("_")
+    }
+  }
 
   /** POLICY next to mechanism: compact only when the store's data-file
     * count exceeds `maxFiles`, so a lane can call this from its own
@@ -96,7 +107,7 @@ object StoreMaintenance {
   def compactIfNeeded(spark: SparkSession, path: String, maxFiles: Int,
                       keys: Seq[String] = Nil): Boolean = {
     require(maxFiles > 0, s"maxFiles must be positive, got $maxFiles")
-    val n = dataFileCount(path)
+    val n = dataFileCount(spark, path)
     if (n > maxFiles) { compactDistinct(spark, path, keys); true }
     else false
   }

@@ -181,10 +181,16 @@ object StreamingLanes {
   : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import graft.text.{NearDup, SimHashStore}
-      val verdict = NearDup.simhashIncremental64FromSigs(
+      // sign the batch ONCE (eager — tiny: one long per doc) and feed
+      // both the verdict and the survivor append from the same frame;
+      // signing twice would double the md5-per-token work that
+      // dominates the lane's per-row cost
+      val isigs = NearDup.simhash64(batch).localCheckpoint(true)
+      val verdict = NearDup.simhashIncremental64BothSigs(
         SimHashStore.read(batch.sparkSession, storePath),
-        batch, maxHamming).localCheckpoint(true)
-      SimHashStore.appendSurvivors(storePath, batch, verdict)
+        isigs, maxHamming).localCheckpoint(true)
+      SimHashStore.appendSigs(storePath, isigs.join(
+        verdict.filter(col("is_new")).select(col("doc_id")), "doc_id"))
       maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
         .compactIfNeeded(batch.sparkSession, storePath, m, Seq("doc_id")))
       process(verdict, batchId)

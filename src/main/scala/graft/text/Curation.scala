@@ -87,10 +87,16 @@ object Curation {
     * collect, no literal baking, so a 100 TB corpus mix is reconfigured
     * by swapping a tiny table, not recompiling a plan. Sources absent
     * from the weight table are excluded (weight 0 by omission). */
-  def mixWeightedTable(docs: DataFrame, weights: DataFrame): DataFrame = {
+  def mixWeightedTable(docs: DataFrame, weights: DataFrame): DataFrame =
+    mixFromCounts(docs,
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .join(broadcast(weights), "source"))
+
+  /** The shared λ/takes/rank plan over a pre-built (source, n, w)
+    * counts frame — both weighted forms differ only in how `w` lands
+    * on the (aggregate-scale) counts rows. */
+  private def mixFromCounts(docs: DataFrame, counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .join(broadcast(weights), "source")
     val lam = counts.agg(min_by(struct(col("n"), col("w")),
       col("n").cast("double") / col("w").cast("double")).as("l"))
       .select(col("l.n").as("ln"), col("l.w").as("lw"))
@@ -110,13 +116,14 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** [[mixWeightedTable]] with the [[sampleStratified]] parity
-    * convention (even-numbered sources weight 2, odd 1) as a derived
-    * weight table — kept as the fixture's convention-driven twin; the
-    * table form above is what a configured pipeline calls. */
+  /** The [[sampleStratified]] parity convention (even-numbered sources
+    * weight 2, odd 1) as the fixture's convention-driven twin. The
+    * weight is a column EXPRESSION on the already-aggregated counts
+    * rows — no extra corpus scan to build a weight frame; the table
+    * form above is what a configured pipeline calls. */
   def mixWeighted(docs: DataFrame): DataFrame =
-    mixWeightedTable(docs,
-      docs.select(col("source")).distinct()
+    mixFromCounts(docs,
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
         .withColumn("w", when(
           pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("long"),
             lit(2L)) === 0, lit(2L)).otherwise(lit(1L))))

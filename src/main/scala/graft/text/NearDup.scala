@@ -599,7 +599,17 @@ object NearDup {
   def simhashIncremental64FromSigs(esigs: DataFrame, incoming: DataFrame,
                                    maxHamming: Int = 3,
                                    broadcastIncoming: Boolean = true)
-  : DataFrame = {
+  : DataFrame =
+    simhashIncremental64BothSigs(esigs, simhash64(incoming),
+      maxHamming, broadcastIncoming)
+
+  /** The core over TWO already-derived signature frames (both
+    * (doc_id, simhash64)) — the entry the streaming lane uses so a
+    * batch signed once feeds both the verdict and the survivor append
+    * without re-tokenizing. */
+  private[graft] def simhashIncremental64BothSigs(
+      esigs: DataFrame, isigs: DataFrame, maxHamming: Int = 3,
+      broadcastIncoming: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
     def bands(sigs: DataFrame, idAs: String, sigAs: String): DataFrame =
@@ -613,12 +623,12 @@ object NearDup {
     def bc(df: DataFrame): DataFrame =
       if (broadcastIncoming) broadcast(df) else df
     val ebands = bands(esigs, "ex_id", "esig")
-    val ibands = bc(bands(simhash64(incoming), "inc_id", "isig"))
+    val ibands = bc(bands(isigs, "inc_id", "isig"))
     val dups = ebands.join(ibands, Seq("band", "bval"))
       .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
       .groupBy(col("inc_id"))
       .agg(count_distinct(col("ex_id")).as("nd"))
-    incoming.select(col("doc_id"))
+    isigs.select(col("doc_id"))
       .join(bc(dups.select(col("inc_id").as("doc_id"), col("nd"))),
         Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -36,7 +36,13 @@ object SimHashStore {
 
   /** Sign `batch` and append its signatures to the store at `path`. */
   def appendBatch(path: String, batch: DataFrame): Unit =
-    NearDup.simhash64(batch).write.mode("append").parquet(path)
+    appendSigs(path, NearDup.simhash64(batch))
+
+  /** Append an ALREADY-derived (doc_id, simhash64) frame — the lane's
+    * entry, so a batch signed once for the verdict is not re-signed
+    * for the append. */
+  def appendSigs(path: String, sigs: DataFrame): Unit =
+    sigs.write.mode("append").parquet(path)
 
   /** Sign and append only the `is_new` docs of `verdict` (the output of
     * [[NearDup.simhashIncremental64]]). */

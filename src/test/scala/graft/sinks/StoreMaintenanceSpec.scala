@@ -90,7 +90,7 @@ class StoreMaintenanceSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val store = new java.io.File(tmpDir("gate_compact_"), "store")
     SignatureStore.appendBatch(store.toString, corpus)
-    val maxFiles = StoreMaintenance.dataFileCount(store.toString) + 4
+    val maxFiles = StoreMaintenance.dataFileCount(spark, store.toString) + 4
     def verdict() = NearDup.incrementalDedupFromSigs(
       SignatureStore.read(spark, store.toString),
       Seq((5L, "the quick brown fox jumps over the lazy dog today"))
@@ -114,7 +114,7 @@ class StoreMaintenanceSpec extends SparkSpec {
     // post-compact the store is under the threshold again → no-op
     assert(!StoreMaintenance.compactIfNeeded(spark, store.toString, maxFiles,
       keys = Seq("doc_id")))
-    assert(StoreMaintenance.dataFileCount(store.toString) <= maxFiles)
+    assert(StoreMaintenance.dataFileCount(spark, store.toString) <= maxFiles)
     // corpus verdicts are unchanged by the gated compaction
     assert(verdict() === before)
     org.apache.commons.io.FileUtils.deleteQuietly(store.getParentFile)

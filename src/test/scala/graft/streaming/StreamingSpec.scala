@@ -310,7 +310,7 @@ class StreamingSpec extends SparkSpec {
       Seq((100L, "the quick brown fox jumps over the dog"))
         .toDF("doc_id", "text"))
     // tight threshold: a few per-batch appends cross it mid-stream
-    val maxFiles = StoreMaintenance.dataFileCount(store) + 2
+    val maxFiles = StoreMaintenance.dataFileCount(spark, store) + 2
     val verdicts = scala.collection.mutable.Map[Long, Boolean]()
     val q = StreamingLanes.nearDupStoreLane(
       mem.toDF().select(col("doc_id"), col("text")), store,
@@ -335,8 +335,8 @@ class StreamingSpec extends SparkSpec {
       assert(verdicts(50L) === false, "pre-compaction survivor forgotten")
       assert(verdicts(51L) === false, "seed corpus forgotten")
       // the gate bounded the store's file count
-      assert(StoreMaintenance.dataFileCount(store) <= maxFiles,
-        s"gate failed: ${StoreMaintenance.dataFileCount(store)} files")
+      assert(StoreMaintenance.dataFileCount(spark, store) <= maxFiles,
+        s"gate failed: ${StoreMaintenance.dataFileCount(spark, store)} files")
       // and the compaction really deduplicated on the key
       val sigs = SignatureStore.read(spark, store)
       assert(sigs.count() === sigs.select("doc_id").distinct().count())

@@ -378,6 +378,24 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("simhash64 clusters: transitive near-dup families, singletons kept") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // identical set -> same cluster as 1
+      (3L, "alpha beta gamma delta"), // another copy
+      (4L, "completely unrelated words about seventeen ducks swimming"))
+      .toDF("doc_id", "text")
+    val out = NearDup.simhashClusters64(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(r => r._1 -> r).toMap
+    // the {1,2,3} clique collapses to cluster 1, keeper = min id
+    assert(byId(1L) === ((1L, 1L, true)))
+    assert(byId(2L) === ((2L, 1L, false)))
+    assert(byId(3L) === ((3L, 1L, false)))
+    // the isolated doc is its own singleton cluster and keeper
+    assert(byId(4L) === ((4L, 4L, true)))
+  }
+
   test("simhash64 incremental: incoming batch judged against the corpus") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

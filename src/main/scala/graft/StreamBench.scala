@@ -141,6 +141,24 @@ object StreamBench {
       StreamingLanes.simhashStoreLane(st, shStore) {
         (_, _) => laneBatches += 1 })
 
+    // media lane: incoming assets (payload bytes travel the stream) vs
+    // the signed accumulated-corpus store — the lane's per-row cost is
+    // one byte_simhash64 pass over the batch payloads; corpus payloads
+    // are never re-read
+    import graft.multimodal.{MediaSigStore, Multimodal}
+    val assetStore = Multimodal.assetStore(spark, sfDir)
+    val mediaIn = assetStore.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("payload"))
+    val mediaRows = mediaIn.count()
+    Replay.stage(mediaIn, s"$work/media_in", slices = 16)
+    val mediaStore = s"$work/media_sig_store"
+    MediaSigStore.appendBatch(mediaStore,
+      assetStore.filter(col("doc_id") % 10 < 8))
+    laneProbe("media_lane", s"$work/media_in",
+      spark.read.parquet(s"$work/media_in").schema, mediaRows)(st =>
+      StreamingLanes.mediaSigStoreLane(st, mediaStore) {
+        (_, _) => laneBatches += 1 })
+
     val gramStore = s"$work/gram_store"
     SpanDedup.grams(corpus).write.parquet(gramStore)
     laneProbe("spanclean_lane", s"$work/docs_in", docSchema, inRows)(st =>

@@ -322,7 +322,7 @@ object Similarity {
     * already make, and every input is deterministic so the oracle
     * replays the whole computation exactly. */
   def annIvfHealth(spark: SparkSession, dir: String, k: Int = 10,
-                   keepMod: Int = 8): DataFrame = {
+                   keepMod: Int = 8, nQueries: Int = 5): DataFrame = {
     val all = storedAll(spark, dir, keepMod)
     val occ = all
       .groupBy(col("cell")).agg(count(lit(1)).as("cn"))
@@ -332,14 +332,14 @@ object Similarity {
           .as("mean_cell"))
       .withColumn("cell_skew",
         col("max_cell").cast("double") / col("mean_cell"))
-    val truth = annIvfTrained(spark, dir, k = k)
+    val truth = annIvfTrained(spark, dir, nQueries = nQueries, k = k)
       .select(col("query_id"), col("vec_id"))
     // served top-k over the full store view with queries drawn from it
     // (identical to annIvfStored at the fixture split, where queries
-    // vec_id < 5 all live in the stored 80%; drawing from the union
-    // keeps the same query set at ANY keepMod — what the oracle's
+    // vec_id < nQueries all live in the stored 80%; drawing from the
+    // union keeps the same query set at ANY keepMod — what the oracle's
     // allv-vs-allv join replays)
-    val q = all.filter(col("vec_id") < 5)
+    val q = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("cell").as("qcell"))
     val served = scoreRankLimit(all.join(broadcast(q),

@@ -226,17 +226,57 @@ object Multimodal {
                        maxBucket: Int = 256): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
-    val sigs = store.filter(col("byte_len") >= 4)
-      .select(col("doc_id"),
-        call_function("byte_simhash64", col("payload")).as("sig"))
+    val sigs = mediaSigs64(store).withColumnRenamed("simhash64", "sig")
     graft.text.NearDup.bandedHammingPairs(sigs, nBands = 4, bandBits = 16,
       maxHamming, maxBucket)
   }
+
+  /** The media signature derivation — the ONE pass that must read every
+    * payload byte, factored out so it runs ONCE per corpus (persisted
+    * by [[MediaSigStore]]) instead of once per near-dup query. Output
+    * column is named `simhash64` to plug directly into the text
+    * family's shared banded incremental core. Assets under 4 bytes
+    * carry no dense window and are excluded (the [[mediaDedupNear64]]
+    * rule, on octet_length so a lane batch needs only doc_id +
+    * payload, no ingest metadata). */
+  def mediaSigs64(store: DataFrame): DataFrame =
+    store.filter(octet_length(col("payload")) >= 4)
+      .select(col("doc_id"),
+        call_function("byte_simhash64", col("payload")).as("simhash64"))
+
+  /** Incremental media near-dup — which INCOMING assets are within
+    * `maxHamming` of an asset already signed into `esigs` (a
+    * [[MediaSigStore]] scan, or [[mediaSigs64]] of an in-session
+    * corpus). The corpus side is one scan of 8-byte signatures —
+    * payloads of the corpus are NEVER re-read, the batch is signed once
+    * and broadcast banded — exactly the text family's
+    * `dedup_simhash64_staged` posture, via the same shared core (same
+    * 4×16-bit bands, exact pigeonhole recall at Hamming ≤ 3). */
+  def mediaDedupIncremental64(esigs: DataFrame, incoming: DataFrame,
+                              maxHamming: Int = 3): DataFrame =
+    graft.text.NearDup.simhashIncremental64BothSigs(
+      esigs, mediaSigs64(incoming), maxHamming)
 
   val queries: Map[String, Q] = Map(
     "media_dedup" -> ((s, d) => mediaDedup(assetStore(s, d))),
     "media_dedup_near" -> ((s, d) => mediaDedupNear(assetStore(s, d))),
     "media_dedup_near64" -> ((s, d) => mediaDedupNear64(assetStore(s, d))),
+    // batch-vs-corpus media ingestion dedup on the incremental fixture
+    // convention (accumulated = doc_id % 10 < 8) — corpus signed
+    // in-session
+    "media_dedup_near64_incremental" -> ((s, d) => {
+      val store = assetStore(s, d)
+      mediaDedupIncremental64(
+        mediaSigs64(store.filter(col("doc_id") % 10 < 8)),
+        store.filter(col("doc_id") % 10 >= 8))
+    }),
+    // identical semantics from the PERSISTED signature store — the
+    // corpus side is a parquet scan of (doc_id, simhash64) longs;
+    // corpus payloads never re-read
+    "media_dedup_near64_staged" -> ((s, d) =>
+      mediaDedupIncremental64(
+        MediaSigStore.read(s, MediaSigStore.fixtureCorpusStore(s, d)),
+        assetStore(s, d).filter(col("doc_id") % 10 >= 8))),
     "media_features" -> ((s, d) =>
       decodeFeatures(assets(s, d)).toDF().orderBy("doc_id")),
     "frame_sample" -> ((s, d) =>
@@ -287,7 +327,49 @@ object Multimodal {
        |  > len($lst) THEN $value ELSE 0 END""".stripMargin
   }.mkString(" + ")
 
+  /** The batch-vs-corpus media oracle, shared by the in-session and
+    * STAGED variants (the store only changes where the corpus
+    * signatures come from — the text family's
+    * `simhash64IncrementalOracle` precedent, on the byte-window
+    * signature): both mixes replayed in BIGINT, 4×16-bit arithmetic
+    * bands, Hamming ≤ 3 gate, count DISTINCT corpus matches per
+    * incoming asset. No sub-salt cap — the incremental engine form has
+    * none (the batch side is broadcast, never self-joined). */
+  private lazy val mediaSim64IncrementalOracle: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, $bLen - 3),
+       |      i -> $mixExpr) AS h1,
+       |    list_transform(generate_series(1, $bLen - 3),
+       |      i -> $mix2Expr) AS h2
+       |  FROM documents WHERE $bLen >= 4),
+       |sg AS (
+       |  SELECT doc_id, CAST($byteSim64Terms AS BIGINT) AS sig FROM sh),
+       |eb AS (
+       |  ${(0 until 4).map(i =>
+      s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE doc_id % 10 < 8")
+      .mkString("\n  UNION ALL\n  ")}),
+       |ib AS (
+       |  ${(0 until 4).map(i =>
+      s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE doc_id % 10 >= 8")
+      .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT e.doc_id AS ex_id, i.doc_id AS inc_id,
+       |    e.sig AS esig, i.sig AS isig
+       |  FROM eb e JOIN ib i ON e.band = i.band AND e.bval = i.bval),
+       |ver AS (
+       |  SELECT inc_id, count(DISTINCT ex_id) AS nd FROM cand
+       |  WHERE bit_count(xor(esig, isig)) <= 3
+       |  GROUP BY inc_id)
+       |SELECT d.doc_id, CAST(coalesce(v.nd, 0) AS INTEGER) AS n_dups,
+       |  coalesce(v.nd, 0) = 0 AS is_new
+       |FROM sg d LEFT JOIN ver v ON v.inc_id = d.doc_id
+       |WHERE d.doc_id % 10 >= 8
+       |ORDER BY d.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "media_dedup_near64_incremental" -> mediaSim64IncrementalOracle,
+    "media_dedup_near64_staged" -> mediaSim64IncrementalOracle,
     // dense 4-byte-window SimHash replayed exactly; the banded candidate
     // join is the naive OR of the two 16-bit band agreements (same pair
     // set as the engine's distinct'd banded union)

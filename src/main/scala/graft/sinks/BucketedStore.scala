@@ -50,16 +50,27 @@ object BucketedStore {
         org.apache.spark.sql.catalyst.TableIdentifier(mine))).getParent
     // keyed on (warehouse, base): a second session in this JVM with a
     // DIFFERENT warehouse dir still gets its own first-use sweep
-    if (swept.add(s"$warehouse#$base")) {
-      val fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
-      val pat = ("\\Q" + base + "\\E_[0-9a-f]{8}").r
-      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-      if (fs.exists(warehouse))
-        fs.listStatus(warehouse).foreach { st =>
-          if (st.isDirectory && pat.matches(st.getPath.getName) &&
-            st.getPath.getName != mine && st.getModificationTime < cutoff)
-            fs.delete(st.getPath, true)
-        }
+    val sweepKey = s"$warehouse#$base"
+    if (swept.add(sweepKey)) {
+      // best-effort orphan cleanup: a transient FS failure must neither
+      // propagate into the caller's staging path nor permanently mark
+      // the base swept (un-mark so a later staging retries the sweep)
+      try {
+        val fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+        val pat = ("\\Q" + base + "\\E_[0-9a-f]{8}").r
+        val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+        if (fs.exists(warehouse))
+          fs.listStatus(warehouse).foreach { st =>
+            if (st.isDirectory && pat.matches(st.getPath.getName) &&
+              st.getPath.getName != mine && st.getModificationTime < cutoff)
+              fs.delete(st.getPath, true)
+          }
+      } catch {
+        case e: java.io.IOException =>
+          swept.remove(sweepKey)
+          System.err.println(s"BucketedStore: orphan sweep for $base failed " +
+            s"(ignored, will retry at next first-use): $e")
+      }
     }
     mine
   }

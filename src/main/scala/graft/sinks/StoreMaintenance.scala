@@ -77,21 +77,30 @@ object StoreMaintenance {
       if (keys.isEmpty) df.distinct() else df.dropDuplicates(keys))
 
   /** Parquet data files currently in the store — the size signal
-    * [[compactIfNeeded]] gates on (one directory listing, no data read;
+    * [[compactIfNeeded]] gates on (a recursive listing, no data read;
     * `_SUCCESS`/checksum/hidden bookkeeping excluded). Listed through
     * the Hadoop FileSystem of the path's own scheme — a `java.io.File`
     * listing would silently return 0 for any non-plain-local path
     * (`file:/` URIs, remote stores) and the gate would never fire,
     * recreating exactly the unbounded-small-files problem it exists to
-    * solve. A missing/empty store counts 0. */
+    * solve. Recursive for the same reason: a store staged with
+    * partition columns keeps its data files one level down, and a
+    * top-level-only count would read 0 there — the gate silently
+    * never firing for exactly the stores with the most files. A
+    * missing/empty store counts 0. */
   def dataFileCount(spark: SparkSession, path: String): Int = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) 0
-    else fs.listStatus(p).count { st =>
-      val n = st.getPath.getName
-      st.isFile && n.endsWith(".parquet") &&
-        !n.startsWith(".") && !n.startsWith("_")
+    else {
+      var n = 0
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (name.endsWith(".parquet") &&
+          !name.startsWith(".") && !name.startsWith("_")) n += 1
+      }
+      n
     }
   }
 

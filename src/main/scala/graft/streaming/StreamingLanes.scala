@@ -173,7 +173,20 @@ object StreamingLanes {
     * localCheckpoint ordering — the verdict materializes BEFORE the
     * append mutates the store's file listing — and the same
     * at-least-once caveat (replayed appends are harmless duplicates the
-    * gated compaction sheds). */
+    * gated compaction sheds).
+    *
+    * Intra-batch blind spot (shared lane posture, stated explicitly for
+    * this lane): a batch is judged only against the PERSISTED store, so
+    * two near-duplicate docs arriving in the same micro-batch are both
+    * flagged `is_new` and both appended — and since keyed compaction
+    * dedups on doc_id only, a distinct-id near-dup pair admitted this
+    * way persists in the store. That is the deliberate trade: an
+    * intra-batch self-join gate would put the banded pair plan on every
+    * micro-batch's hot path to catch a window that shrinks as batches
+    * shrink (at production trigger rates a batch holds milliseconds of
+    * arrivals). Callers wanting exactness run the batch form
+    * ([[graft.text.NearDup.simhashDedup64]]) over the store at
+    * maintenance time, which sees all admitted docs at once. */
   def simhashStoreLane(docs: DataFrame, storePath: String,
                        maxHamming: Int = 3,
                        maxStoreFiles: Option[Int] = None)
@@ -190,6 +203,41 @@ object StreamingLanes {
         SimHashStore.read(batch.sparkSession, storePath),
         isigs, maxHamming).localCheckpoint(true)
       SimHashStore.appendSigs(storePath, isigs.join(
+        verdict.filter(col("is_new")).select(col("doc_id")), "doc_id"))
+      maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
+        .compactIfNeeded(batch.sparkSession, storePath, m, Seq("doc_id")))
+      process(verdict, batchId)
+      ()
+    }
+
+  /** Store-backed streaming MEDIA dedup lane — [[simhashStoreLane]]'s
+    * modality sibling on the persisted byte-SimHash store
+    * ([[graft.multimodal.MediaSigStore]], 8 bytes of state per admitted
+    * asset): per micro-batch of (doc_id, payload) rows, sign the batch
+    * ONCE (the one pass that reads payload bytes — eager, tiny result:
+    * one long per asset), judge it against a SCAN of signed state via
+    * the shared banded core, append the survivors' signatures, hand the
+    * verdict on. Corpus payloads are NEVER re-read — the store is the
+    * whole point: without it each judge pass re-derives
+    * `byte_simhash64` over every admitted asset's bytes. Same eager
+    * localCheckpoint ordering, same at-least-once caveat, and the same
+    * intra-batch blind spot as [[simhashStoreLane]] (two near-dup
+    * assets in one batch both admit; the batch form
+    * [[graft.multimodal.Multimodal.mediaDedupNear64]] over the store's
+    * ids at maintenance time is the exactness backstop). */
+  def mediaSigStoreLane(assets: DataFrame, storePath: String,
+                        maxHamming: Int = 3,
+                        maxStoreFiles: Option[Int] = None)
+                       (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    assets.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.multimodal.{MediaSigStore, Multimodal}
+      import graft.text.NearDup
+      val isigs = Multimodal.mediaSigs64(batch).localCheckpoint(true)
+      val verdict = NearDup.simhashIncremental64BothSigs(
+        MediaSigStore.read(batch.sparkSession, storePath),
+        isigs, maxHamming).localCheckpoint(true)
+      MediaSigStore.appendSigs(storePath, isigs.join(
         verdict.filter(col("is_new")).select(col("doc_id")), "doc_id"))
       maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
         .compactIfNeeded(batch.sparkSession, storePath, m, Seq("doc_id")))

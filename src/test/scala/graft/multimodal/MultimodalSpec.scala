@@ -151,6 +151,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("media sig store: staged corpus signatures match in-session derivation") {
+    val path = MediaSigStore.fixtureCorpusStore(spark, dir)
+    val stored = MediaSigStore.read(spark, path)
+    assert(stored.columns.toSeq === Seq("doc_id", "simhash64"))
+    val fresh = Multimodal.mediaSigs64(
+      Multimodal.assetStore(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 10 < 8))
+    val a = stored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = fresh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b, "persisted signatures must equal a fresh signing pass")
+    assert(a.nonEmpty)
+  }
+
+  test("incremental media dedup: staged equals in-session, corpus payloads never read") {
+    import org.apache.spark.sql.functions.col
+    val store = Multimodal.assetStore(spark, dir)
+    val incoming = store.filter(col("doc_id") % 10 >= 8)
+    val inSession = Multimodal.mediaDedupIncremental64(
+      Multimodal.mediaSigs64(store.filter(col("doc_id") % 10 < 8)), incoming)
+    val staged = Multimodal.mediaDedupIncremental64(
+      MediaSigStore.read(spark, MediaSigStore.fixtureCorpusStore(spark, dir)),
+      incoming)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(rows(staged) === rows(inSession))
+    // every incoming asset gets a verdict; a verbatim member of the
+    // corpus (same payload bytes exist across the fixture's duplicated
+    // documents) must not all be novel at sf0.001 — and the verdict
+    // covers exactly the incoming ids
+    val incIds = incoming.filter(col("byte_len") >= 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows(staged).map(_._1) === incIds)
+    // the staged corpus side is the persisted signature store scan —
+    // the plan references the store directory, not a second
+    // payload-bearing asset scan for the corpus
+    val plan = staged.queryExecution.toString
+    assert(plan.contains("media_sig_store"),
+      "staged plan must scan the persisted signature store")
+  }
+
   test("metadata queries prune the payload column at the scan") {
     // the 100 TB contract: frame_sample/resize_meta never read the fat
     // binary column — their parquet scans' ReadSchema excludes payload

@@ -14,6 +14,7 @@ case class Snap(ts: Timestamp, snapshot_id: Long, ticker: String,
                 source: String, full_orderbook: String)
 case class Evt(ts: Timestamp, user_id: Long, value: Double)
 case class VecRow(ts: Timestamp, vec_id: Long, v: Seq[Long], n2: Long)
+case class MediaIn(ts: Timestamp, doc_id: Long, payload: Array[Byte])
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -289,6 +290,47 @@ class StreamingSpec extends SparkSpec {
         "later batch must dedup against survivors persisted by earlier ones")
       // rejected duplicates were NOT appended
       val ids = SimHashStore.read(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(100L, 2L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(store).getParentFile)
+    }
+  }
+
+  test("media sig store lane persists admitted signatures across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.MediaSigStore
+    val mem = MemoryStream[MediaIn]
+    val store = new java.io.File(
+      Files.createTempDirectory("media_lane_").toFile, "store").toString
+    def bytes(s: String) = s.getBytes("UTF-8")
+    val seed = "seed payload content with plenty of byte windows " * 4
+    MediaSigStore.appendBatch(store,
+      Seq((100L, bytes(seed))).toDF("doc_id", "payload"))
+    val verdicts = scala.collection.mutable.Map[Long, Boolean]()
+    val q = StreamingLanes.mediaSigStoreLane(
+      mem.toDF().select(col("doc_id"), col("payload")), store)(
+      (batch, _) => batch.collect().foreach { r =>
+        verdicts(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("is_new")
+      }).start()
+    try {
+      val novel = "entirely different asset bytes with other statistics " * 4
+      mem.addData(
+        MediaIn(ts(10), 1L, bytes(seed)), // byte-identical to the seed
+        MediaIn(ts(20), 2L, bytes(novel)))
+      q.processAllAvailable()
+      assert(verdicts(1L) === false, "byte-identical copy of the seeded store")
+      assert(verdicts(2L) === true, "novel asset must pass the gate")
+      // asset 2's signature persisted to DISK: a later copy is caught
+      // without its payload ever being re-read from the store side
+      mem.addData(MediaIn(ts(30), 3L, bytes(novel)))
+      q.processAllAvailable()
+      assert(verdicts(3L) === false,
+        "later batch must dedup against survivors persisted by earlier ones")
+      // rejected duplicates were NOT appended
+      val ids = MediaSigStore.read(spark, store)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(ids === Set(100L, 2L))
     } finally {

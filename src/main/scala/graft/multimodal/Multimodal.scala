@@ -155,7 +155,6 @@ object Multimodal {
       // all groups, like dedup_exact: the fixture has near-dups but no
       // byte-identical payloads, and a keeper/copies row per asset is
       // what the catalog upserts anyway (n_copies > 1 marks the dups)
-      .orderBy("content_hash")
 
   /** Near-duplicate media — the pass after [[mediaDedup]]'s exact hash:
     * real-world media dup is re-encoded (same content, different bytes),
@@ -277,11 +276,9 @@ object Multimodal {
       mediaDedupIncremental64(
         MediaSigStore.read(s, MediaSigStore.fixtureCorpusStore(s, d)),
         assetStore(s, d).filter(col("doc_id") % 10 >= 8))),
-    "media_features" -> ((s, d) =>
-      decodeFeatures(assets(s, d)).toDF().orderBy("doc_id")),
-    "frame_sample" -> ((s, d) =>
-      frameSample(assetStore(s, d)).orderBy("doc_id", "frame_idx")),
-    "resize_meta" -> ((s, d) => resizeMeta(assetStore(s, d), 128).orderBy("doc_id")))
+    "media_features" -> ((s, d) => decodeFeatures(assets(s, d)).toDF()),
+    "frame_sample" -> ((s, d) => frameSample(assetStore(s, d))),
+    "resize_meta" -> ((s, d) => resizeMeta(assetStore(s, d), 128)))
 
   private val mt =
     "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)]"

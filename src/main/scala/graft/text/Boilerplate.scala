@@ -51,7 +51,6 @@ object Boilerplate {
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_frequent"))
       .withColumn("boilerplate_frac",
         col("n_frequent").cast("double") / col("n_grams").cast("double"))
-      .orderBy("doc_id")
   }
 
   /** Per-document contamination overlap vs the benchmark set (doc_id <
@@ -69,7 +68,6 @@ object Boilerplate {
         sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_matched"))
       .withColumn("contam_frac",
         col("n_matched").cast("double") / col("n_shingles").cast("double"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

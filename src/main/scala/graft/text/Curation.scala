@@ -30,7 +30,6 @@ object Curation {
     docs.filter(tag < threshold)
       .select(col("doc_id"), col("source"), tag.as("sample_tag"),
         threshold.as("stratum_threshold"))
-      .orderBy("doc_id")
   }
 
   /** Benchmark decontamination: flag corpus docs sharing any 5-token
@@ -69,7 +68,6 @@ object Curation {
       .crossJoin(broadcast(take))
       .filter(col("rank") <= col("take"))
       .select(col("doc_id"), col("source"), col("rank").cast("int").as("rank"))
-      .orderBy("doc_id")
   }
 
   /** Weighted mixture sampling from a CONFIGURED `(source, w)` weight
@@ -113,7 +111,6 @@ object Curation {
       .filter(col("rank") <= col("take"))
       .select(col("doc_id"), col("source"),
         col("rank").cast("int").as("rank"))
-      .orderBy("doc_id")
   }
 
   /** The [[sampleStratified]] parity convention (even-numbered sources
@@ -149,7 +146,6 @@ object Curation {
       .join(broadcast(bench), "sh")
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
-      .orderBy("doc_id")
   }
 
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -168,7 +164,6 @@ object Curation {
       regexp_count(n, lit(phoneRe)).as("phones"),
       regexp_count(n, lit(initialRe)).as("initials"),
       md5(scrubbed.cast("binary")).as("scrubbed_hash"))
-      .orderBy("doc_id")
   }
 
   /** Greedy sequential token packing: docs in doc_id order are binned
@@ -215,7 +210,6 @@ object Curation {
         col("offset") + sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         expr(s"cum_before DIV $budget").as("pack_id"))
-      .orderBy("doc_id")
   }
 
   /** The end-to-end curation pipeline as ONE composed plan: normalize →
@@ -241,7 +235,6 @@ object Curation {
         col("quality")), "doc_id")
       .select(col("doc_id"), col("content_hash"), col("quality"),
         col("n_tokens"), col("pack_id"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

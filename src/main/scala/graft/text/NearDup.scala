@@ -352,7 +352,6 @@ object NearDup {
         coalesce(col("label"), col("doc_id")).as("cluster_id"),
         (coalesce(col("label"), col("doc_id")) === col("doc_id"))
           .as("is_keeper"))
-      .orderBy("doc_id")
   }
 
   /** LSH candidate recall vs exact Jaccard ground truth, per 0.1
@@ -673,7 +672,6 @@ object NearDup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         call_function("jaccard_sim", col("a.bigrams"), col("b.bigrams"))
           .as("jaccard"))
-      .orderBy("doc_a")
   }
 
   /** One persisted signature frame per distinct input plan: repeat calls
@@ -815,7 +813,7 @@ object NearDup {
     }),
     // cluster representative chosen by QUALITY (ties to the smaller
     // doc_id), not min id — what a curation stage actually keeps
-    "dedup_keep_best" -> ((s, d) => keepBestFrame(s, d).orderBy("doc_id")),
+    "dedup_keep_best" -> ((s, d) => keepBestFrame(s, d)),
     // cluster-aware train/eval assignment: the split is a deterministic
     // hash of the CLUSTER, so no near-duplicate pair can straddle
     // train/eval — the leakage a per-doc split invites
@@ -823,8 +821,7 @@ object NearDup {
       fixtureClusters(s, d).select(col("doc_id"), col("cluster_id"))
         .withColumn("split",
           when(pmod(saltHash(col("cluster_id")), lit(10L)) < 9, lit("train"))
-            .otherwise(lit("eval")))
-        .orderBy("doc_id")),
+            .otherwise(lit("eval")))),
     // quality-keeper docs round-tripped through the hash-sharded
     // partitioned export, rolled up per shard
     "curated_export" -> ((s, d) => exportCurated(s, d)),
@@ -841,11 +838,10 @@ object NearDup {
     "dedup_clusters" -> ((s, d) => fixtureClusters(s, d)),
     // banding recall telemetry on the count-sized sample — see lshRecall
     "lsh_recall" -> ((s, d) => lshRecall(docSigs(s, d))),
-    "simhash" -> ((s, d) => simhash(Tables(s, d, "documents")).orderBy("doc_id")),
+    "simhash" -> ((s, d) => simhash(Tables(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => simhashNearDup(Tables(s, d, "documents"))),
     "dedup_simhash_keep" -> ((s, d) => simhashDedup(Tables(s, d, "documents"))),
-    "simhash64" -> ((s, d) =>
-      simhash64(Tables(s, d, "documents")).orderBy("doc_id")),
+    "simhash64" -> ((s, d) => simhash64(Tables(s, d, "documents"))),
     "dedup_simhash64" -> ((s, d) => simhashNearDup64(Tables(s, d, "documents"))),
     "dedup_simhash64_keep" -> ((s, d) => simhashDedup64(Tables(s, d, "documents"))),
     // the family's batch-vs-corpus ingestion form, on the incremental

@@ -99,7 +99,6 @@ object SpanDedup {
           .cast("long").as("max_span_tokens"))
       .withColumn("dup_frac",
         col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
-      .orderBy("doc_id")
   }
 
   /** Keep-one-copy span removal: a window occurrence is removable when
@@ -156,7 +155,6 @@ object SpanDedup {
         // a fully-covered doc keeps no tokens: md5 of ""
         md5(concat_ws(" ", col("kept")).cast("binary"))
           .as("cleaned_hash"))
-      .orderBy("doc_id")
   }
 
   /** Incremental span-clean: strip from INCOMING docs every token

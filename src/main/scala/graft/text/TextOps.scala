@@ -52,7 +52,6 @@ object TextOps {
       col("doc_id"),
       md5(norm(col("text")).cast("binary")).as("content_hash"),
       length(norm(col("text"))).as("n_chars_norm"))
-      .orderBy("doc_id")
 
   /** Exact dedup: one hash aggregate per content hash — keeper = min id,
     * duplicate multiplicity alongside. Scales by partitioning alone. */
@@ -61,7 +60,6 @@ object TextOps {
       .select(col("doc_id"), md5(norm(col("text")).cast("binary")).as("h"))
       .groupBy(col("h").as("content_hash"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
-      .orderBy("keep_doc_id")
 
   /** Token counting: whitespace tokens + a BPE-ish regex segment count. */
   def tokenCounts(docs: DataFrame): DataFrame =
@@ -72,7 +70,6 @@ object TextOps {
         size(tokens(col("n"))).as("ws_tokens"),
         regexp_count(col("n"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
           .as("bpe_segments"))
-      .orderBy("doc_id")
 
   /** Quality scoring: length/avg-token-length/stopword-ratio features and
     * the composite `min(tokens/100, 1) · (1 − stopword_ratio)`. */
@@ -91,7 +88,6 @@ object TextOps {
         (least(size(col("toks")).cast("double") / lit(100.0), lit(1.0)) *
           (lit(1.0) - stopHits(col("toks"), enStop).cast("double") /
             size(col("toks")))).as("quality"))
-      .orderBy("doc_id")
 
   /** Language ID: stopword-hit argmax across candidate languages
     * (n-gram-heuristic stand-in; deterministic tiebreak en > es > fr). */
@@ -109,12 +105,10 @@ object TextOps {
           .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
           .when(col("fr_hits") > 0, "fr")
           .otherwise("und"))
-      .orderBy("doc_id")
 
   /** Document fingerprint over the sorted distinct token set. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(norm(col("text"))).as("fingerprint"))
-      .orderBy("doc_id")
 
   /** Within-document repetition: 1 − distinct/total 3-word shingles —
     * high for templated/boilerplate text (the per-doc analog of the
@@ -132,7 +126,6 @@ object TextOps {
         col("distinct_sh").as("distinct_shingles"),
         (lit(1.0) - col("distinct_sh").cast("double")
           / (size(col("toks")) - 2)).as("repetition_ratio"))
-      .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
     "text_normalize" -> ((s, d) => normalized(Tables(s, d, "documents"))),

@@ -60,7 +60,6 @@ object Vocab {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("token"), col("tf"),
         col("df"), col("tfidf"))
-      .orderBy("doc_id", "rank")
   }
 
   /** Add-one-smoothed bigram language-model score per document — the
@@ -109,7 +108,6 @@ object Vocab {
       .withColumn("avg_logprob",
         col("logprob_e6").cast("double") /
           (lit(1000000.0) * col("n_bigrams").cast("double")))
-      .orderBy("doc_id")
   }
 
   /** Domain-discriminative vocabulary: per source, the tokens with the
@@ -244,7 +242,6 @@ object Vocab {
       .select(col("doc_id"), col("source"), col("pred_source"),
         col("score_e6"),
         (col("pred_source") === col("source")).as("is_match"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

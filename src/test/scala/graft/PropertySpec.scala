@@ -532,7 +532,7 @@ class PropertySpec extends SparkSpec {
       val df = docs.toDF("doc_id", "text")
       val got = Curation.curationPipeline(df, minQuality = 0.01)
         .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
-        .toSeq
+        .toSeq.sortBy(_._1)
       // compose the stages independently: exact-dedup keepers that pass
       // the quality gate, packed greedily in doc_id order
       val hashes = TextOps.normalized(df)

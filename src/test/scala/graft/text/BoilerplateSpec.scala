@@ -23,6 +23,7 @@ class BoilerplateSpec extends SparkSpec {
     val out = Boilerplate.boilerplateFraction(docs, n = 3, minDf = 3)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
     // each 4-token doc has 2 distinct 3-grams, one of which ("a b c") is
     // frequent; the 2-token doc has no grams and is absent
     assert(out.toSeq === Seq(

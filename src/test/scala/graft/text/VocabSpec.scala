@@ -13,6 +13,7 @@ class VocabSpec extends SparkSpec {
     val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
     val out = Vocab.lmBigramScore(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
     assert(out.toSeq === Seq(
       (1L, 2L, -510826L - 693147L, (-510826.0 - 693147.0) / 2e6),
       (2L, 1L, -510826L, -510826.0 / 1e6)))

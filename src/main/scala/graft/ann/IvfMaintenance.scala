@@ -1,0 +1,95 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.StoreMaintenance
+
+/** The retrain POLICY for the persisted IVF index — the telemetry→action
+  * loop closed: [[Similarity.annIvfHealth]] measures how much recall the
+  * store is giving up by serving appends assigned against frozen
+  * centroids; this object is the `compactIfNeeded` pattern
+  * ([[StoreMaintenance.compactIfNeeded]]) applied to that signal —
+  * policy gated on a measured check, next to its mechanism, callable
+  * from the ingestion lane's own batch callback.
+  *
+  * Cost shape (why this is a CADENCE call, not a per-batch call): the
+  * recall gauge trains a fresh coarse quantizer over the store's
+  * vectors — a few corpus passes (Lloyd) plus two tiny top-k joins.
+  * That is the honest price of knowing the drift number; an operator
+  * pays it every N batches, and pays the full re-assign only when the
+  * number says so. Between checks, appends stay one cheap argmin pass.
+  *
+  * Swap protocol: both artifacts rewrite through
+  * [[StoreMaintenance.rewrite]]'s atomic-rename dance — centroids
+  * FIRST (training reads only the assignment store), then the
+  * assignment store re-assigned against the freshly swapped centroids.
+  * A reader between the two swaps sees new centroids with old
+  * assignments — the same staleness class the store already tolerates
+  * (appends against frozen centroids), never a torn file set. Run from
+  * the lane's maintenance window like every other store rewrite.
+  */
+object IvfMaintenance {
+
+  /** Recall@k the store is ACTUALLY serving: overlap of the top-k under
+    * the store's current cell assignments with the top-k under a fresh
+    * retrain over the same vectors (the [[Similarity.annIvfHealth]]
+    * `store_recall_at_k` number, on a live store path). Replayed-append
+    * duplicate rows are ignored (vec_id keyed), so the gauge is exact
+    * even before a compaction has run. */
+  def storeRecall(spark: SparkSession, storePath: String,
+                  nQueries: Int = 5, k: Int = 10): Double = {
+    val all = IvfStore.read(spark, storePath).dropDuplicates("vec_id")
+    def topk(assigned: DataFrame): DataFrame = {
+      val q = assigned.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("n2").as("qn2"), col("cell").as("qcell"))
+      Similarity.scoreRankLimit(assigned.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id")), k)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val served = topk(all)
+    val vecs = all.select(col("vec_id"), col("v"), col("n2"))
+    val fresh = Similarity.assignCells(vecs,
+      Similarity.packedCentroids(Similarity.trainCentroids(vecs)))
+    val truth = topk(fresh)
+    val tn = truth.count()
+    if (tn == 0L) 1.0
+    else truth.join(served, Seq("query_id", "vec_id"), "left_semi")
+      .count().toDouble / tn
+  }
+
+  /** Re-train the coarse quantizer on the store's CURRENT vectors and
+    * atomically swap both artifacts: `centsPath` becomes the fresh
+    * (cell, c) frame, `storePath` the store's vectors re-assigned
+    * against it (deduplicated on vec_id — the retrain doubles as a
+    * compaction, same key rule as [[IvfStore.compact]]). The vector
+    * SET is unchanged; only cell structure moves. */
+  def retrain(spark: SparkSession, storePath: String,
+              centsPath: String): Unit = {
+    StoreMaintenance.rewrite(spark, centsPath) { _ =>
+      Similarity.trainCentroids(
+        IvfStore.read(spark, storePath).dropDuplicates("vec_id")
+          .select(col("vec_id"), col("v"), col("n2")))
+    }
+    val centsRow = IvfStore.packedRow(IvfStore.read(spark, centsPath))
+    StoreMaintenance.rewrite(spark, storePath) { df =>
+      IvfStore.assignBatch(df.dropDuplicates("vec_id")
+        .select(col("vec_id"), col("v"), col("n2")), centsRow)
+    }
+  }
+
+  /** POLICY next to mechanism: measure [[storeRecall]], and when it has
+    * decayed below `recallFloor`, [[retrain]] — one full re-assign that
+    * restores recall to 1.0 by construction (the store's assignments
+    * then ARE a fresh retrain). Returns true iff a retrain ran. */
+  def retrainIfStale(spark: SparkSession, storePath: String,
+                     centsPath: String, recallFloor: Double = 0.9,
+                     nQueries: Int = 5, k: Int = 10): Boolean = {
+    require(recallFloor > 0 && recallFloor <= 1,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    val rec = storeRecall(spark, storePath, nQueries, k)
+    if (rec < recallFloor) { retrain(spark, storePath, centsPath); true }
+    else false
+  }
+}

@@ -68,7 +68,7 @@ object Similarity {
     * query, not the corpus. Plan shape is pinned by SimilaritySpec
     * ("pre-reduces per partition"). Shared by all three ANN variants —
     * they differ only in the candidate join. */
-  private def scoreRankLimit(joined: DataFrame, k: Int): DataFrame = {
+  private[ann] def scoreRankLimit(joined: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     joined
       .withColumn("cosine",

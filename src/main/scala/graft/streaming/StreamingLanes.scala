@@ -301,6 +301,44 @@ object StreamingLanes {
       ()
     }
 
+  /** [[ivfIngestLane]] with the MAINTENANCE LOOP closed — the lane
+    * variant that owns both IVF artifacts by PATH (centroids +
+    * assignment store) instead of holding a frozen centroid broadcast:
+    * each batch re-reads the current centroids (tiny), assigns, appends,
+    * gate-compacts — and every `checkEvery` batches runs
+    * [[graft.ann.IvfMaintenance.retrainIfStale]], so a drifting ingest
+    * distribution triggers one full retrain + atomic swap exactly when
+    * the measured store recall crosses `recallFloor`, not on a guess.
+    * The assigned frame is eagerly pinned before the append so the
+    * verdict handed to `process` reflects the centroids the batch was
+    * actually admitted under, even if a retrain swaps them later in the
+    * same callback. The recall gauge retrains a throwaway quantizer
+    * (that is what measuring drift costs) — `checkEvery` is the knob
+    * that amortizes it; between checks each batch pays one argmin pass. */
+  def ivfIngestLaneManaged(vecs: DataFrame, storePath: String,
+                           centsPath: String, recallFloor: Double = 0.9,
+                           checkEvery: Int = 8,
+                           maxStoreFiles: Option[Int] = None)
+                          (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] = {
+    require(checkEvery > 0, s"checkEvery must be positive, got $checkEvery")
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.ann.{IvfMaintenance, IvfStore}
+      val spark = batch.sparkSession
+      val centsRow = IvfStore.packedRow(IvfStore.read(spark, centsPath))
+      val assigned = IvfStore.assignBatch(batch, centsRow)
+        .localCheckpoint(true)
+      assigned.write.mode("append").parquet(storePath)
+      maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
+        .compactIfNeeded(spark, storePath, m, Seq("vec_id")))
+      if ((batchId + 1) % checkEvery == 0)
+        IvfMaintenance.retrainIfStale(spark, storePath, centsPath,
+          recallFloor)
+      process(assigned, batchId)
+      ()
+    }
+  }
+
   /** S5/S6: dual-lane bifurcation — one foreachBatch, two sinks. The
     * storage lane appends Parquet partitioned by (source, date) (the
     * low-cardinality layout the reference chose for series pruning); the

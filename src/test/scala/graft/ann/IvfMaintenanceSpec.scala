@@ -1,0 +1,87 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfMaintenanceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** A LIVE (mutable) copy of the drifted-store scenario the health
+    * sweep measures: index trained on the 20% kept split (keepMod = 2),
+    * the other 80% append-assigned against those frozen centroids. */
+  private def driftedStore(): (String, String) = {
+    val work = java.nio.file.Files.createTempDirectory("ivf_retrain_")
+      .toFile.getAbsolutePath
+    val storePath = s"$work/store"
+    val centsPath = s"$work/cents"
+    val fpFile = new java.io.File(dir, "embeddings.parquet")
+    val corpus = Similarity.corpus(spark, dir)
+      .select(col("vec_id"), col("v"), col("n2"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(IvfStore.subIndexPath(spark, dir, keepMod = 2)),
+      new java.io.File(storePath))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(IvfStore.stagedCentroids(s"sub2_v1_$dir", fpFile,
+        corpus.filter(col("vec_id") % 10 < 2))),
+      new java.io.File(centsPath))
+    IvfStore.appendAssigned(storePath,
+      corpus.filter(col("vec_id") % 10 >= 2),
+      IvfStore.packedRow(IvfStore.read(spark, centsPath)))
+    (storePath, centsPath)
+  }
+
+  test("retrainIfStale: drifted store crosses the floor, one retrain restores recall") {
+    val (storePath, centsPath) = driftedStore()
+    try {
+      val before = IvfMaintenance.storeRecall(spark, storePath)
+      info(s"drifted store recall: $before")
+      assert(before < 1.0,
+        "80%-appended store must give up recall vs a fresh retrain")
+      val idsBefore = IvfStore.read(spark, storePath)
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+
+      // floor above the measured drift → the policy must fire exactly once
+      val floor = math.min(0.99, (before + 1.0) / 2)
+      assert(IvfMaintenance.retrainIfStale(spark, storePath, centsPath,
+        recallFloor = floor), "decayed recall must trigger a retrain")
+
+      // retrain restores recall to 1.0 BY CONSTRUCTION (the store's
+      // assignments now are a fresh retrain) and changes no vector ids
+      val after = IvfMaintenance.storeRecall(spark, storePath)
+      assert(after === 1.0, s"post-retrain recall $after")
+      val idsAfter = IvfStore.read(spark, storePath)
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idsAfter === idsBefore, "retrain must not change the vector set")
+      // the store is also compacted as a side effect: one row per vec_id
+      assert(IvfStore.read(spark, storePath).count() === idsAfter.size)
+
+      // healthy store → the gate does not fire again
+      assert(!IvfMaintenance.retrainIfStale(spark, storePath, centsPath,
+        recallFloor = floor), "healthy store must not retrain")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(storePath).getParentFile)
+  }
+
+  test("retrain swaps the centroid artifact the next reader sees") {
+    val (storePath, centsPath) = driftedStore()
+    try {
+      val centsBefore = spark.read.parquet(centsPath)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      IvfMaintenance.retrain(spark, storePath, centsPath)
+      val centsAfter = spark.read.parquet(centsPath)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      assert(centsAfter !== centsBefore,
+        "retraining on 5x the vectors must move the centroids")
+      // the swapped centroids are exactly what a fresh training run over
+      // the store's vectors produces (deterministic Lloyd)
+      val expect = Similarity.trainCentroids(
+        IvfStore.read(spark, storePath)
+          .select(col("vec_id"), col("v"), col("n2")))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      assert(centsAfter === expect)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(storePath).getParentFile)
+  }
+}

@@ -340,6 +340,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("managed IVF lane: drift crosses the floor mid-stream, cadence retrain restores recall") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ann.{IvfMaintenance, IvfStore}
+    val dir = "/root/testdata/sf0.001"
+    val work = Files.createTempDirectory("ivf_lane_").toFile.getAbsolutePath
+    val storePath = s"$work/store"
+    val centsPath = s"$work/cents"
+    val fpFile = new java.io.File(dir, "embeddings.parquet")
+    val full = IvfStore.fixtureIndex(spark, dir)
+      .select(col("vec_id"), col("v"), col("n2"))
+    // live copies of the 20%-trained artifacts (staged fixtures stay
+    // immutable); the stream delivers the other 80% in 4 micro-batches
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(IvfStore.subIndexPath(spark, dir, keepMod = 2)),
+      new java.io.File(storePath))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(IvfStore.stagedCentroids(s"sub2_v1_$dir", fpFile,
+        full.filter(col("vec_id") % 10 < 2))),
+      new java.io.File(centsPath))
+    val centsSeed = spark.read.parquet(centsPath)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val incoming = full.filter(col("vec_id") % 10 >= 2).collect()
+      .map(r => VecRow(ts(r.getLong(0)), r.getLong(0),
+        r.getSeq[Long](1), r.getLong(2)))
+    val mem = MemoryStream[VecRow]
+    var batches = 0L
+    val q = StreamingLanes.ivfIngestLaneManaged(
+      mem.toDF().select(col("vec_id"), col("v"), col("n2")),
+      storePath, centsPath, recallFloor = 0.9, checkEvery = 2)(
+      (_, _) => batches += 1).start()
+    try {
+      incoming.grouped((incoming.length + 3) / 4).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      assert(batches === 4L)
+      // the policy contract after the final cadence check: recall is
+      // at or above the floor (either the last check retrained to 1.0,
+      // or an earlier cadence retrain already kept it healthy) — where
+      // the unmanaged lane ends this run at 0.62
+      assert(IvfMaintenance.storeRecall(spark, storePath) >= 0.9)
+      val centsNow = spark.read.parquet(centsPath)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      assert(centsNow !== centsSeed, "cadence check must have retrained")
+      // every vector admitted exactly once survives in the store
+      val ids = IvfStore.read(spark, storePath)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids === full.select("vec_id").collect().map(_.getLong(0)).toSet)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   test("gated in-lane compaction: threshold crossing compacts, verdicts stable") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.SignatureStore

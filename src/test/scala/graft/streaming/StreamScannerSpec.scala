@@ -54,6 +54,90 @@ class StreamScannerSpec extends SparkSpec {
     assert(!all.exists(r => r.getAs[Timestamp]("k_ts") == ts(400)))
   }
 
+  test("pair scan killed and resumed mid-stream emits the single-run opportunity set") {
+    // The one lane with stream-stream JOIN state in its checkpoint: a
+    // kalshi leg admitted before the kill must still pair with a poly
+    // snap arriving after the resume (and vice versa) — provable only
+    // if the restored state store carries both legs across the restart.
+    val work = java.nio.file.Files.createTempDirectory("scan_restart_")
+      .toString
+    val snaps = Seq(
+      kSnap(100, 1, 45), // k leg, pre-kill
+      pSnap(110, 2, 0.40), // joins k100 pre-kill
+      pSnap(150, 3, 0.40), // post-resume: joins k100 from RESTORED state
+      kSnap(160, 4, 45), // post-resume: joins p110 (restored) and p150
+      // watermark advancers outside the pairs dimension flush the tail
+      Snap(ts(5000), 9, "KX", "kalshi", """{"yes":[[1,1]],"no":[[98,1]]}"""),
+      Snap(ts(5000), 10, "0xdead", "polymarket",
+        """{"condition_id":"0xdead","yes_price":0.5,"no_price":0.5,"orderbook":{"bids":[],"asks":[]}}"""))
+    // one deterministically-named file per snap, ascending mtimes, so
+    // the resumed run and the single-run oracle batch identically
+    val slices = snaps.zipWithIndex.map { case (s, i) =>
+      val tmp = s"$work/slice$i"
+      Seq(s).toDF().coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part, s"s$i.parquet", 1700000000000L + i * 60000L)
+    }
+    def copyTo(dir: String, n: Int): Unit = slices.take(n).foreach {
+      case (part, name, mtime) =>
+        val dst = new java.io.File(dir, name)
+        if (!dst.exists()) {
+          org.apache.commons.io.FileUtils.copyFile(part, dst)
+          dst.setLastModified(mtime)
+        }
+    }
+    val schema = spark.read.parquet(s"$work/slice0").schema
+    def runScan(inDir: String, ck: String,
+                out: scala.collection.mutable.Set[(Long, Long, String, Double)])
+    : Unit = {
+      val df = Replay.paced(spark, inDir, schema, maxFilesPerTrigger = 1)
+      val q = StreamScanner.scan(
+        StreamScanner.kalshiLeg(df), StreamScanner.polyLeg(df), pairs)
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.collect().foreach { r =>
+              out += ((r.getAs[Timestamp]("k_ts").getTime / 1000,
+                r.getAs[Timestamp]("p_ts").getTime / 1000,
+                r.getAs[String]("direction"),
+                r.getAs[Double]("profit_margin")))
+            }
+            ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination(180000)
+      q.stop()
+    }
+    // restarted path: two slices (one completed join), die, resume with
+    // the SAME checkpoint once the rest has arrived
+    val resumed = scala.collection.mutable.Set[(Long, Long, String, Double)]()
+    new java.io.File(s"$work/inA").mkdirs()
+    copyTo(s"$work/inA", 2)
+    runScan(s"$work/inA", s"$work/ckA", resumed)
+    assert(resumed.map(r => (r._1, r._2)) === Set((100L, 110L)),
+      s"pre-kill run must emit exactly the completed pair: $resumed")
+    copyTo(s"$work/inA", 6)
+    runScan(s"$work/inA", s"$work/ckA", resumed)
+    // single-run oracle: fresh checkpoint, all slices present up front
+    val single = scala.collection.mutable.Set[(Long, Long, String, Double)]()
+    new java.io.File(s"$work/inB").mkdirs()
+    copyTo(s"$work/inB", 6)
+    runScan(s"$work/inB", s"$work/ckB", single)
+    assert(resumed === single,
+      s"resumed: $resumed\nsingle: $single")
+    // the cross-restart pairs are present: each needs a leg admitted
+    // BEFORE the kill joined to a leg that arrived AFTER the resume
+    assert(resumed.map(r => (r._1, r._2)).contains((100L, 150L)),
+      "kalshi state lost across restart")
+    assert(resumed.map(r => (r._1, r._2)).contains((160L, 110L)),
+      "poly state lost across restart")
+    assert(resumed.forall(r => r._3 == "yes" &&
+      math.abs(r._4 - 0.125) < 1e-12))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("flatMapGroupsWithState keeps the newest value per series (TTL state)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SnapIn]

@@ -488,13 +488,43 @@ object NearDup {
     * runs the identical plan over byte-shingle signatures. */
   private[graft] def bandedHammingPairs(sigs: DataFrame, nBands: Int,
                                         bandBits: Int, maxHamming: Int,
-                                        maxBucket: Int): DataFrame = {
-    val mask = (1L << bandBits) - 1
+                                        maxBucket: Int): DataFrame =
+    bandedHammingPairsLayout(sigs,
+      (0 until nBands).map(i => (bandBits * i, bandBits)),
+      maxHamming, maxBucket)
+
+  /** Disjoint band layout (shift, width) covering all 64 signature bits
+    * for a requested Hamming radius, by pigeonhole: `maxHamming + 1`
+    * bands, widths as equal as 64 allows (the remainder bits widen the
+    * low bands by one) — any pair differing in ≤ maxHamming bits agrees
+    * on at least one WHOLE band, so recall through the banded join is
+    * exact at the requested radius. Shared by the engine plan and the
+    * DuckDB oracle so both derive from one set of constants. */
+  private[graft] def bandLayout(maxHamming: Int): Seq[(Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"beyond Hamming 15 each of the ${maxHamming + 1} bands falls under " +
+        s"4 bits and banding degenerates toward all-pairs; maxHamming=$maxHamming unsupported")
+    val n = maxHamming + 1
+    val base = 64 / n
+    val rem = 64 % n
+    val widths = Seq.fill(rem)(base + 1) ++ Seq.fill(n - rem)(base)
+    widths.init.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** [[bandedHammingPairs]] over an explicit (shift, width) band layout —
+    * the generalization that serves radius-derived bandings
+    * ([[bandLayout]]); uniform bandings delegate here. */
+  private[graft] def bandedHammingPairsLayout(sigs: DataFrame,
+                                              layout: Seq[(Int, Int)],
+                                              maxHamming: Int,
+                                              maxBucket: Int): DataFrame = {
+    def mask(width: Int) = if (width >= 64) -1L else (1L << width) - 1
     val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until nBands).map(i =>
+      explode(array(layout.zipWithIndex.map { case ((shift, width), i) =>
         struct(lit(i).as("band"),
-          shiftright(col("sig"), bandBits * i).bitwiseAND(lit(mask))
-            .as("bval"))): _*)).as("b"))
+          shiftright(col("sig"), shift).bitwiseAND(lit(mask(width)))
+            .as("bval"))
+      }: _*)).as("b"))
       .select(col("doc_id"), col("sig"),
         col("b.band").as("band"), col("b.bval").as("bval"))
     val oversized = banded.groupBy(col("band"), col("bval"))
@@ -551,11 +581,29 @@ object NearDup {
   def simhashNearDup64(docs: DataFrame, maxHamming: Int = 3,
                        maxBucket: Int = MaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete" +
+        " (use simhashNearDup64Radius for deeper radii)")
     bandedHammingPairs(
       simhash64(docs).withColumnRenamed("simhash64", "sig"),
       nBands = 4, bandBits = 16, maxHamming, maxBucket)
   }
+
+  /** [[simhashNearDup64]] generalized over the REQUESTED radius — the
+    * constructive answer where the fixed-band forms refuse: the banding
+    * derives from `maxHamming` by pigeonhole ([[bandLayout]]:
+    * maxHamming+1 bands of ~64/(maxHamming+1) bits), so a caller
+    * wanting Hamming ≤ 7 gets a correct 8×8-bit plan instead of an
+    * IllegalArgumentException. Recall is exact at the requested radius;
+    * the price is the banding's own scaling — more, narrower bands mean
+    * more candidate rows per doc AND coarser buckets (a b-bit band
+    * splits the corpus ~2^b ways), which is why the default forms pin
+    * the radius instead of exposing this dial casually. Same capped
+    * sub-salting and gate-before-distinct plan as every banded family. */
+  def simhashNearDup64Radius(docs: DataFrame, maxHamming: Int,
+                             maxBucket: Int = MaxBucket): DataFrame =
+    bandedHammingPairsLayout(
+      simhash64(docs).withColumnRenamed("simhash64", "sig"),
+      bandLayout(maxHamming), maxHamming, maxBucket)
 
   /** Signature-grouped SimHash dedup — the PRODUCTION form of the
     * family: one hash aggregate on the 16-bit fingerprint electing the
@@ -843,6 +891,10 @@ object NearDup {
     "dedup_simhash_keep" -> ((s, d) => simhashDedup(Tables(s, d, "documents"))),
     "simhash64" -> ((s, d) => simhash64(Tables(s, d, "documents"))),
     "dedup_simhash64" -> ((s, d) => simhashNearDup64(Tables(s, d, "documents"))),
+    // radius-derived banding: the deep-Hamming escalation path (8×8-bit
+    // bands at radius 7) the fixed-band forms refuse
+    "dedup_simhash64_h7" -> ((s, d) =>
+      simhashNearDup64Radius(Tables(s, d, "documents"), maxHamming = 7)),
     "dedup_simhash64_keep" -> ((s, d) => simhashDedup64(Tables(s, d, "documents"))),
     // the family's batch-vs-corpus ingestion form, on the incremental
     // fixture convention (accumulated = doc_id % 10 < 8)
@@ -920,11 +972,21 @@ object NearDup {
     * (cap, maxHamming) keeps engine and oracle from desynchronizing if
     * a registration ever changes its arguments. */
   private def simhashPairCtes(terms: String, nBands: Int, bandBits: Int,
-                              cap: Int): String = {
-    val mask = (1L << bandBits) - 1
-    val bandSelects = (0 until nBands).map(i =>
-      s"SELECT doc_id, sig, $i AS band, (sig >> ${bandBits * i}) & $mask AS bval FROM sg")
-      .mkString("\n  UNION ALL\n  ")
+                              cap: Int): String =
+    simhashPairCtesLayout(terms,
+      (0 until nBands).map(i => (bandBits * i, bandBits)), cap)
+
+  /** [[simhashPairCtes]] over an explicit (shift, width) layout — the
+    * oracle twin of `bandedHammingPairsLayout`, fed the SAME
+    * [[bandLayout]] output so engine and oracle cannot desynchronize on
+    * a radius-derived banding. */
+  private def simhashPairCtesLayout(terms: String,
+                                    layout: Seq[(Int, Int)],
+                                    cap: Int): String = {
+    val bandSelects = layout.zipWithIndex.map { case ((shift, width), i) =>
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      s"SELECT doc_id, sig, $i AS band, (sig >> $shift) & $mask AS bval FROM sg"
+    }.mkString("\n  UNION ALL\n  ")
     s"""sg AS (
        |  ${simhashSigCte(terms)}),
        |sbands AS (
@@ -941,6 +1003,18 @@ object NearDup {
        |  FROM sbands LEFT JOIN s_over o
        |    ON sbands.band = o.band AND sbands.bval = o.bval)""".stripMargin
   }
+
+  private def simhashPairOracleLayout(terms: String,
+                                      layout: Seq[(Int, Int)],
+                                      cap: Int, maxHamming: Int): String =
+    s"""WITH ${simhashPairCtesLayout(terms, layout, cap)}
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM s_salted a JOIN s_salted b
+       |  ON a.band = b.band AND a.bval = b.bval AND a.salt = b.salt
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
 
   private def simhashPairOracle(terms: String, nBands: Int, bandBits: Int,
                                 cap: Int, maxHamming: Int): String =
@@ -1212,6 +1286,12 @@ object NearDup {
     "dedup_simhash64" ->
       simhashPairOracle(simhash64Terms, nBands = 4, bandBits = 16,
         cap = MaxBucket, maxHamming = 3),
+
+    // radius-derived 8×8-bit banding at Hamming<=7 — the oracle takes
+    // the ENGINE's own bandLayout(7), so both sides band identically
+    "dedup_simhash64_h7" ->
+      simhashPairOracleLayout(simhash64Terms, bandLayout(7),
+        cap = MaxBucket, maxHamming = 7),
 
     "dedup_simhash64_keep" -> simhashKeepOracle(simhash64Terms, "simhash64"),
 

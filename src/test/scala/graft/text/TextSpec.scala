@@ -378,6 +378,51 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("radius-derived banding: exact recall at the requested deep Hamming") {
+    // layout properties: maxHamming+1 disjoint bands covering all 64
+    // bits, the default radius reproducing the fixed 4x16 banding
+    assert(NearDup.bandLayout(3) === Seq((0, 16), (16, 16), (32, 16), (48, 16)))
+    assert(NearDup.bandLayout(7) === (0 until 8).map(i => (8 * i, 8)))
+    (0 to 15).foreach { h =>
+      val layout = NearDup.bandLayout(h)
+      assert(layout.length === h + 1)
+      assert(layout.map(_._2).sum === 64, s"radius $h must cover 64 bits")
+      assert(layout === layout.sortBy(_._1))
+      layout.sliding(2).foreach {
+        case Seq((s1, w1), (s2, _)) => assert(s1 + w1 === s2)
+        case _ =>
+      }
+    }
+    intercept[IllegalArgumentException] { NearDup.bandLayout(16) }
+
+    // brute-force recall contract on fixture docs: EVERY pair within
+    // Hamming 7 must come back (pigeonhole is exact at the derived
+    // banding; cap high enough that sub-salting drops nothing)
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = NearDup.simhashNearDup64Radius(docs, maxHamming = 7,
+      maxBucket = 1 << 20)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = NearDup.simhash64(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (ida, idb)).toSet
+    assert(got === want, s"missing: ${(want -- got).take(5)}; " +
+      s"extra: ${(got -- want).take(5)}")
+    assert(want.nonEmpty, "fixture must exercise the deep radius")
+    // the emitted hamming column is the true distance
+    val sigMap = sigs.toMap
+    out.collect().foreach { r =>
+      assert(r.getInt(2) ===
+        java.lang.Long.bitCount(sigMap(r.getLong(0)) ^ sigMap(r.getLong(1))))
+    }
+    // still banded, never all-pairs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("simhash64 clusters: transitive near-dup families, singletons kept") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),

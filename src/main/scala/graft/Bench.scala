@@ -91,8 +91,18 @@ object Bench {
     // "method" marks the r9 methodology change (single lap-2 time ->
     // min of two post-warm laps) so round-over-round artifact deltas
     // can be normalized instead of read as phantom engine speedups
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2-post-warm-laps","queries":$qs,"failed":$failedJson,"loadavg":"$loadavg","sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2-post-warm-laps","queries":$qs,"failed":$failedJson,"loadavg":"$loadavg","sf":"$sfDir"}"""
+    println(line)
+    // self-written copy: the driver captures stdout with a length limit
+    // that has truncated the artifact mid-JSON two rounds running
+    // (VERDICT r8/r9 "parsed": null); a file copy survives whole.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/BENCH_SELF.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

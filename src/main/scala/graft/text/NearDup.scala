@@ -424,19 +424,57 @@ object NearDup {
 
   private val oddNibbles = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
+  /** The 16-bit audit signature as a PROJECTION of the 64-bit one:
+    * `simhash16` bit k is the strict-majority vote on the parity (bit 0)
+    * of md5 nibble k, and `simhash64` bit 2k is the SAME vote on the
+    * same nibble with the same tie rule (`2*votes - n > 0` in both
+    * kernels; md5 elements always carry 32 nibbles, so neither kernel's
+    * width cap truncates differently over the shared range). So
+    * sig16 = the even bits of sig64's low 32 bits, compressed — five
+    * mask/shift steps of the classic parallel bit-compress (Hacker's
+    * Delight §7-4), pure long arithmetic inside whole-stage codegen.
+    * [[graft.functions.SimHash16]] stays registered as the independent
+    * definitional kernel; TextSpec cross-checks this derivation against
+    * it so the two definitions cannot drift apart silently. */
+  def simhash16From64(sig64: Column): Column =
+    Seq((1, 0x33333333L), (2, 0x0F0F0F0FL), (4, 0x00FF00FFL),
+      (8, 0x0000FFFFL))
+      .foldLeft(sig64.bitwiseAND(lit(0x55555555L))) { case (x, (s, m)) =>
+        x.bitwiseOR(shiftright(x, s)).bitwiseAND(lit(m))
+      }
+
   /** 16-bit SimHash over the distinct token set: bit k is the sign of the
     * ±1 vote sum where token t votes +1 iff hex nibble k of md5(t) is odd.
-    * All 16 vote counters accumulate in ONE codegen'd pass over the digest
-    * array (`functions/SimHash16.scala`) — the composable 16×`filter()`
-    * form is interpreted (CodegenFallback) and was the round-2 bench's
-    * slowest query at 8× the suite median. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toksd = array_distinct(split(norm(col("text")), " "))
-    docs.withColumn("l", toksd)
-      // one digest per token; simhash16 slices the 16 nibble votes from it
-      .withColumn("lh", transform(col("l"), t => md5(t.cast("binary"))))
-      .select(col("doc_id"), call_function("simhash16", col("lh")).as("simhash"))
-  }
+    *
+    * Since r10 this is [[simhashBoth]] minus the 64-bit column: ONE
+    * tokenize + md5-per-token + `simhash64` kernel pass (the expensive
+    * part — the corpus's every token hashed), then the 16-bit view by
+    * [[simhash16From64]] bit compression. Before, `simhash` and
+    * `simhash64` each paid their own full hashing pass; now the audit
+    * width is a few long ops on top of the scale width, and a corpus
+    * with a persisted 64-bit store ([[SimHashStore]]) gets the audit
+    * view with ZERO text reads via [[simhashAuditFromSigs]]. */
+  def simhash(docs: DataFrame): DataFrame =
+    simhashBoth(docs).select(col("doc_id"), col("simhash"))
+
+  /** Both signature widths from ONE tokenize/md5/kernel pass — the form
+    * to use wherever the audit and scale views are both wanted: the
+    * per-token md5 stream (the dominant cost at corpus scale) is hashed
+    * once, the 64-bit kernel votes once, and the 16-bit column is
+    * derived by [[simhash16From64]] for a handful of per-row long ops.
+    * Plan-asserted in TextSpec: exactly one `simhash64` call, no
+    * `simhash16` call, one md5 transform. */
+  def simhashBoth(docs: DataFrame): DataFrame =
+    simhash64(docs).select(col("doc_id"), col("simhash64"),
+      simhash16From64(col("simhash64")).as("simhash"))
+
+  /** The 16-bit audit view from an already-signed frame
+    * (doc_id, simhash64) — e.g. a [[SimHashStore]] scan: the persisted
+    * 8 bytes/doc already contain the audit signature, so auditing a
+    * signed corpus never re-reads text. */
+  def simhashAuditFromSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      simhash16From64(col("simhash64")).as("simhash"))
 
   /** Banded SimHash near-dup pairs — the third text dedup family next to
     * MinHash/LSH (set overlap) and span dedup (exact substrings): SimHash
@@ -887,6 +925,12 @@ object NearDup {
     // banding recall telemetry on the count-sized sample — see lshRecall
     "lsh_recall" -> ((s, d) => lshRecall(docSigs(s, d))),
     "simhash" -> ((s, d) => simhash(Tables(s, d, "documents"))),
+    // both widths from one tokenize/md5/kernel pass (simhash16From64)
+    "simhash_both" -> ((s, d) => simhashBoth(Tables(s, d, "documents"))),
+    // 16-bit audit view derived from the PERSISTED 64-bit store — zero
+    // text reads (the 8-byte signature already contains the audit bits)
+    "simhash_audit_staged" -> ((s, d) => simhashAuditFromSigs(
+      SimHashStore.read(s, SimHashStore.fixtureCorpusStore(s, d)))),
     "dedup_simhash" -> ((s, d) => simhashNearDup(Tables(s, d, "documents"))),
     "dedup_simhash_keep" -> ((s, d) => simhashDedup(Tables(s, d, "documents"))),
     "simhash64" -> ((s, d) => simhash64(Tables(s, d, "documents"))),
@@ -1261,6 +1305,29 @@ object NearDup {
          |      FROM (SELECT doc_id,
          |              list_distinct(string_split($N, ' ')) AS l
          |            FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    // both widths replayed independently over one token stream — the
+    // engine derives 16 from 64 by bit compression; the oracle votes
+    // each width from scratch, so a drift in the derivation would
+    // hash-mismatch here
+    "simhash_both" ->
+      s"""SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS simhash64,
+         |  CAST($simhashTerms AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, l, list_transform(l, t -> md5(t)) AS lh
+         |      FROM (SELECT doc_id,
+         |              list_distinct(string_split($N, ' ')) AS l
+         |            FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    // audit view over the persisted-store population (doc_id % 10 < 8)
+    // — engine reads 8-byte signatures, oracle re-votes from text
+    "simhash_audit_staged" ->
+      s"""SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, l, list_transform(l, t -> md5(t)) AS lh
+         |      FROM (SELECT doc_id,
+         |              list_distinct(string_split($N, ' ')) AS l
+         |            FROM documents WHERE doc_id % 10 < 8))
          |ORDER BY doc_id""".stripMargin,
 
     // the banded candidate join replayed naively, width/cap/gate shared

@@ -304,6 +304,41 @@ class TextSpec extends SparkSpec {
     assert(m(1L) !== m(3L))
   }
 
+  test("simhash16From64: compressed derivation matches the independent kernel") {
+    // enough varied token sets to exercise every bit position and both
+    // signs of the 64-bit signature
+    val docs = (1L to 60L).map(i =>
+      (i, s"alpha$i beta${i % 7} gamma${i % 13} delta${i * 17 % 29} shared corpus words"))
+      .toDF("doc_id", "text")
+    val lh = transform(array_distinct(split(TextOps.norm(col("text")), " ")),
+      t => md5(t.cast("binary")))
+    // independent definitional kernel vs the even-bit compression of
+    // the 64-bit kernel, over the SAME digest arrays
+    val cmp = docs.select(
+      call_function("simhash16", lh).as("independent"),
+      NearDup.simhash16From64(call_function("simhash64", lh)).as("derived"))
+      .collect()
+    cmp.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+
+    // simhashBoth pays the hashing ONCE: exactly one 64-bit kernel call
+    // in the plan, no simhash16 call anywhere (asserted on a parquet
+    // scan — a local Seq constant-folds to a LocalTableScan and the
+    // kernel call never reaches the physical plan)
+    val fixture = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val plan = NearDup.simhashBoth(fixture)
+      .queryExecution.executedPlan.toString
+    assert("simhash64\\(".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("simhash16("), plan)
+
+    // the audit view from signed state equals the from-text view
+    val fromSigs = NearDup.simhashAuditFromSigs(NearDup.simhash64(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromText = NearDup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromSigs === fromText)
+  }
+
   test("simhashNearDup pairs identical token sets, banded not all-pairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),

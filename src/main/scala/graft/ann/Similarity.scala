@@ -298,6 +298,49 @@ object Similarity {
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id")), k)
   }
 
+  /** Multi-probe serving over the PERSISTED index — the production read
+    * path of a trained IVF at scale: [[annIvfStored]] scans only each
+    * query's own stored cell, which loses exactly the neighbors sitting
+    * across a centroid boundary (the loss `annIvfHealth` measures).
+    * Probing each query's `nprobe` NEAREST stored centroids — exact
+    * integer distances against the SAME frozen centroid set the store
+    * assigns batches with, ties to the lowest cell id — recovers them
+    * while still scanning ~nprobe/kCells of the corpus.
+    *
+    * Scale shape: the centroid ranking runs entirely on the one-row
+    * packed centroid broadcast (the scalar anchor batch assignment
+    * already uses) — a per-query transform over kCells struct entries,
+    * sorted in-row, top-`nprobe` exploded. The corpus side sees ONE
+    * hash equi-join on cell against the (nQueries·nprobe)-row broadcast
+    * — no corpus fan-out, no shuffle; each corpus vector lives in
+    * exactly one cell so no pair is scored twice, and the partial
+    * top-k of [[scoreRankLimit]] prunes before any exchange. */
+  def annIvfStoredProbe(spark: SparkSession, dir: String,
+                        nQueries: Int = 5, k: Int = 10, nprobe: Int = 2,
+                        keepMod: Int = 8): DataFrame = {
+    val all = storedAll(spark, dir, keepMod)
+    val q = IvfStore.subIndex(spark, dir, keepMod)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    val probed = q
+      .crossJoin(broadcast(IvfStore.subCentroidsRow(spark, dir, keepMod)))
+      .withColumn("scored", transform(
+        sequence(lit(0), size(col("cells")) - 1),
+        i => struct(
+          (col("qn2")
+            - lit(2L) * call_function("long_dot", col("qv"),
+                slice(col("flat"), i * size(col("qv")) + 1, size(col("qv"))))
+            + element_at(col("c2s"), i + 1)).as("dist"),
+          element_at(col("cells"), i + 1).as("cell"))))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        explode(slice(sort_array(col("scored")), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        col("p.cell").as("qcell"))
+    scoreRankLimit(all.join(broadcast(probed),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id")), k)
+  }
+
   /** Index-freshness telemetry for the persisted IVF store — the drift
     * number an operator reads to decide when to RETRAIN: the store
     * appends batches assigned against frozen centroids
@@ -568,6 +611,8 @@ object Similarity {
     "ann_sq_recall" -> ((s, d) => annSqRecall(s, d)),
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "ann_ivf_stored" -> ((s, d) => annIvfStored(s, d)),
+    // multi-probe over the persisted index — the serving read path
+    "ann_ivf_stored_probe" -> ((s, d) => annIvfStoredProbe(s, d)),
     "ann_ivf_health" -> ((s, d) => annIvfHealth(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)),
@@ -714,6 +759,70 @@ object Similarity {
        |    ON q.vec_id < 5 AND a.cell = q.cell AND a.vec_id <> q.vec_id
        |  QUALIFY rank <= 10)""".stripMargin
 
+  /** Shared CTE chain of the stored-index oracles: quantize, train on
+    * the accumulated corpus (vec_id % 10 < 8; 2 Lloyd iterations,
+    * exact-integer), assign sub + incoming batch against the SAME
+    * frozen centroids (`s1`), union into `allv`. `ann_ivf_stored` and
+    * `ann_ivf_stored_probe` differ only in the candidate predicate,
+    * exactly like the engine plans. */
+  private lazy val storedIdxCtes: String =
+    """n AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v,
+      |    list_sum(list_transform(generate_series(1, len(v)),
+      |      i -> v[i] * v[i])) AS n2
+      |  FROM n),
+      |sub AS (SELECT * FROM m WHERE vec_id % 10 < 8),
+      |s0 AS (
+      |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
+      |    list_sum(list_transform(generate_series(1, len(v)),
+      |      i -> v[i] * v[i])) AS c2
+      |  FROM n WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT m.vec_id, m.v, s.cell,
+      |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+      |        m.n2 - 2 * list_sum(list_transform(
+      |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
+      |          + s.c2, s.cell) AS rn
+      |    FROM sub m, s0 s) WHERE rn = 1),
+      |d1 AS (
+      |  SELECT cell, i AS pos, sum(v[i]) AS sv, count(*) AS cnt
+      |  FROM a1, unnest(generate_series(1, len(v))) AS t(i)
+      |  GROUP BY cell, i),
+      |c1 AS (
+      |  SELECT cell, list(CAST(round(sv / cnt) AS BIGINT) ORDER BY pos)
+      |    AS c
+      |  FROM d1 GROUP BY cell),
+      |s1 AS (
+      |  SELECT cell, c,
+      |    list_sum(list_transform(generate_series(1, len(c)),
+      |      i -> c[i] * c[i])) AS c2
+      |  FROM c1),
+      |a2 AS (
+      |  SELECT vec_id, v, n2, cell FROM (
+      |    SELECT m.vec_id, m.v, m.n2, s.cell,
+      |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+      |        m.n2 - 2 * list_sum(list_transform(
+      |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
+      |          + s.c2, s.cell) AS rn
+      |    FROM sub m, s1 s) WHERE rn = 1),
+      |b2 AS (
+      |  SELECT vec_id, v, n2, cell FROM (
+      |    SELECT m.vec_id, m.v, m.n2, s.cell,
+      |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+      |        m.n2 - 2 * list_sum(list_transform(
+      |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
+      |          + s.c2, s.cell) AS rn
+      |    FROM (SELECT * FROM m WHERE vec_id % 10 >= 8) m, s1 s)
+      |  WHERE rn = 1),
+      |allv AS (
+      |  SELECT * FROM a2 UNION ALL SELECT * FROM b2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // recall@10 of each IVF variant vs the brute-force truth, replayed
     // exactly: truth/ivf/probe are the same deterministic top-k CTEs
@@ -856,77 +965,55 @@ object Similarity {
     // all inside it), assign the incoming batch (vec_id % 10 >= 8)
     // against the SAME trained centroids, query the union
     "ann_ivf_stored" ->
-      """WITH n AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |m AS (
-        |  SELECT vec_id, v,
-        |    list_sum(list_transform(generate_series(1, len(v)),
-        |      i -> v[i] * v[i])) AS n2
-        |  FROM n),
-        |sub AS (SELECT * FROM m WHERE vec_id % 10 < 8),
-        |s0 AS (
-        |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
-        |    list_sum(list_transform(generate_series(1, len(v)),
-        |      i -> v[i] * v[i])) AS c2
-        |  FROM n WHERE vec_id < 8),
-        |a1 AS (
-        |  SELECT vec_id, v, cell FROM (
-        |    SELECT m.vec_id, m.v, s.cell,
-        |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
-        |        m.n2 - 2 * list_sum(list_transform(
-        |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
-        |          + s.c2, s.cell) AS rn
-        |    FROM sub m, s0 s) WHERE rn = 1),
-        |d1 AS (
-        |  SELECT cell, i AS pos, sum(v[i]) AS sv, count(*) AS cnt
-        |  FROM a1, unnest(generate_series(1, len(v))) AS t(i)
-        |  GROUP BY cell, i),
-        |c1 AS (
-        |  SELECT cell, list(CAST(round(sv / cnt) AS BIGINT) ORDER BY pos)
-        |    AS c
-        |  FROM d1 GROUP BY cell),
-        |s1 AS (
-        |  SELECT cell, c,
-        |    list_sum(list_transform(generate_series(1, len(c)),
-        |      i -> c[i] * c[i])) AS c2
-        |  FROM c1),
-        |a2 AS (
-        |  SELECT vec_id, v, n2, cell FROM (
-        |    SELECT m.vec_id, m.v, m.n2, s.cell,
-        |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
-        |        m.n2 - 2 * list_sum(list_transform(
-        |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
-        |          + s.c2, s.cell) AS rn
-        |    FROM sub m, s1 s) WHERE rn = 1),
-        |b2 AS (
-        |  SELECT vec_id, v, n2, cell FROM (
-        |    SELECT m.vec_id, m.v, m.n2, s.cell,
-        |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
-        |        m.n2 - 2 * list_sum(list_transform(
-        |          generate_series(1, len(m.v)), i -> m.v[i] * s.c[i]))
-        |          + s.c2, s.cell) AS rn
-        |    FROM (SELECT * FROM m WHERE vec_id % 10 >= 8) m, s1 s)
-        |  WHERE rn = 1),
-        |allv AS (
-        |  SELECT * FROM a2 UNION ALL SELECT * FROM b2)
-        |SELECT q.vec_id AS query_id, a.vec_id,
-        |  CAST(row_number() OVER (PARTITION BY q.vec_id
-        |    ORDER BY CAST(list_sum(list_transform(
-        |        generate_series(1, len(a.v)), i -> a.v[i] * q.v[i]))
-        |        AS DOUBLE)
-        |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
-        |      DESC, a.vec_id ASC) AS INTEGER) AS rank,
-        |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
-        |      i -> a.v[i] * q.v[i])) AS DOUBLE)
-        |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
-        |    AS cosine
-        |FROM allv a JOIN allv q
-        |  ON q.vec_id < 5 AND a.cell = q.cell AND a.vec_id <> q.vec_id
-        |QUALIFY rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+      s"""WITH $storedIdxCtes
+         |SELECT q.vec_id AS query_id, a.vec_id,
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY CAST(list_sum(list_transform(
+         |        generate_series(1, len(a.v)), i -> a.v[i] * q.v[i]))
+         |        AS DOUBLE)
+         |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+         |      DESC, a.vec_id ASC) AS INTEGER) AS rank,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * q.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM allv a JOIN allv q
+         |  ON q.vec_id < 5 AND a.cell = q.cell AND a.vec_id <> q.vec_id
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the serving multi-probe replayed exactly: queries ranked against
+    // the SAME trained-on-sub centroid set (s1), the nprobe=2 nearest
+    // cells kept (engine formula qn2 - 2·dot + c2, ties to lowest
+    // cell), candidates = stored/append-assigned vectors in any probed
+    // cell
+    "ann_ivf_stored_probe" ->
+      s"""WITH $storedIdxCtes,
+         |qs AS (SELECT vec_id, v, n2 FROM a2 WHERE vec_id < 5),
+         |pc AS (
+         |  SELECT q.vec_id AS query_id, s.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      q.n2 - 2 * list_sum(list_transform(
+         |        generate_series(1, len(q.v)), i -> q.v[i] * s.c[i]))
+         |        + s.c2, s.cell) AS crn
+         |  FROM qs q, s1 s)
+         |SELECT q.vec_id AS query_id, a.vec_id,
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY CAST(list_sum(list_transform(
+         |        generate_series(1, len(a.v)), i -> a.v[i] * q.v[i]))
+         |        AS DOUBLE)
+         |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+         |      DESC, a.vec_id ASC) AS INTEGER) AS rank,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * q.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM allv a
+         |JOIN qs q ON a.vec_id <> q.vec_id
+         |JOIN pc ON pc.query_id = q.vec_id AND pc.cell = a.cell
+         |  AND pc.crn <= 2
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     // store-freshness telemetry: the stored path (sub-trained centroids,
     // batch append-assigned) and the fresh path (full-corpus retrain)

@@ -164,6 +164,38 @@ object StreamingLanes {
       ()
     }
 
+  /** The opt-in intra-batch exactness gate shared by the SimHash store
+    * lanes: the maintenance-time backstop (transitive clusters + keeper
+    * election over the banded Hamming≤`maxHamming` pair graph) applied
+    * INLINE to the store-clean docs of one micro-batch. Among batch
+    * docs that passed the store judge, each near-dup family keeps only
+    * its min-doc_id keeper; the rest demote to `is_new = false` (their
+    * `n_dups` stays the STORE dup count — an intra-batch demotion is
+    * flagged by `is_new = false` with `n_dups = 0`). The result is the
+    * same admitted set the batch form would choose over store ∪ batch
+    * at maintenance time, at the price of a banded self-join + a
+    * min-label fixpoint per micro-batch — which is why it is opt-in:
+    * at production trigger rates a batch holds milliseconds of
+    * arrivals and the window the gate closes is tiny. */
+  private def gateIntraBatch(isigs: DataFrame, storeVerdict: DataFrame,
+                             maxHamming: Int): DataFrame = {
+    import graft.text.NearDup
+    val clean = isigs.join(
+      storeVerdict.filter(col("is_new")).select(col("doc_id")), "doc_id")
+    val pairs = NearDup.bandedHammingPairs(
+      clean.select(col("doc_id"), col("simhash64").as("sig")),
+      nBands = 4, bandBits = 16, maxHamming, maxBucket = 256)
+    val clusters = NearDup.dedupClustersFromEdges(
+      clean.select(col("doc_id")),
+      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    storeVerdict
+      .join(clusters.select(col("doc_id"), col("is_keeper")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_dups"),
+        (col("is_new") && coalesce(col("is_keeper"), lit(true)))
+          .as("is_new"))
+  }
+
   /** Store-backed streaming SimHash dedup lane — [[nearDupStoreLane]]'s
     * sibling on the 64-bit SimHash signature store
     * ([[graft.text.SimHashStore]], 8 bytes of state per admitted doc):
@@ -184,12 +216,17 @@ object StreamingLanes {
     * intra-batch self-join gate would put the banded pair plan on every
     * micro-batch's hot path to catch a window that shrinks as batches
     * shrink (at production trigger rates a batch holds milliseconds of
-    * arrivals). Callers wanting exactness run the batch form
+    * arrivals). Callers wanting exactness either run the batch form
     * ([[graft.text.NearDup.simhashDedup64]]) over the store at
-    * maintenance time, which sees all admitted docs at once. */
+    * maintenance time, which sees all admitted docs at once, or pass
+    * `intraBatchExact = true` to apply that backstop inline per batch
+    * ([[gateIntraBatch]] — keeper election over the intra-batch
+    * near-dup clusters, at the cost of a banded self-join + min-label
+    * fixpoint every micro-batch). */
   def simhashStoreLane(docs: DataFrame, storePath: String,
                        maxHamming: Int = 3,
-                       maxStoreFiles: Option[Int] = None)
+                       maxStoreFiles: Option[Int] = None,
+                       intraBatchExact: Boolean = false)
                       (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -199,9 +236,16 @@ object StreamingLanes {
       // signing twice would double the md5-per-token work that
       // dominates the lane's per-row cost
       val isigs = NearDup.simhash64(batch).localCheckpoint(true)
-      val verdict = NearDup.simhashIncremental64BothSigs(
+      // checkpoint the store judge BEFORE any gating: the gate's edge
+      // derivation and final join both re-read it, and each lazy
+      // evaluation would re-scan the store
+      val storeVerdict = NearDup.simhashIncremental64BothSigs(
         SimHashStore.read(batch.sparkSession, storePath),
         isigs, maxHamming).localCheckpoint(true)
+      val verdict = if (intraBatchExact)
+        gateIntraBatch(isigs, storeVerdict, maxHamming)
+          .localCheckpoint(true)
+      else storeVerdict
       SimHashStore.appendSigs(storePath, isigs.join(
         verdict.filter(col("is_new")).select(col("doc_id")), "doc_id"))
       maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
@@ -224,19 +268,26 @@ object StreamingLanes {
     * intra-batch blind spot as [[simhashStoreLane]] (two near-dup
     * assets in one batch both admit; the batch form
     * [[graft.multimodal.Multimodal.mediaDedupNear64]] over the store's
-    * ids at maintenance time is the exactness backstop). */
+    * ids at maintenance time is the exactness backstop, and
+    * `intraBatchExact = true` applies that backstop inline per batch —
+    * see [[gateIntraBatch]]). */
   def mediaSigStoreLane(assets: DataFrame, storePath: String,
                         maxHamming: Int = 3,
-                        maxStoreFiles: Option[Int] = None)
+                        maxStoreFiles: Option[Int] = None,
+                        intraBatchExact: Boolean = false)
                        (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     assets.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import graft.multimodal.{MediaSigStore, Multimodal}
       import graft.text.NearDup
       val isigs = Multimodal.mediaSigs64(batch).localCheckpoint(true)
-      val verdict = NearDup.simhashIncremental64BothSigs(
+      val storeVerdict = NearDup.simhashIncremental64BothSigs(
         MediaSigStore.read(batch.sparkSession, storePath),
         isigs, maxHamming).localCheckpoint(true)
+      val verdict = if (intraBatchExact)
+        gateIntraBatch(isigs, storeVerdict, maxHamming)
+          .localCheckpoint(true)
+      else storeVerdict
       MediaSigStore.appendSigs(storePath, isigs.join(
         verdict.filter(col("is_new")).select(col("doc_id")), "doc_id"))
       maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance

@@ -258,6 +258,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("query_id") < 3))
   }
 
+  test("stored-index multi-probe: superset recall of single-cell serving") {
+    val dir = "/root/testdata/sf0.001"
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) =>
+          q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val single = Similarity.annIvfStored(spark, dir, nQueries = 3)
+    val probed = Similarity.annIvfStoredProbe(spark, dir, nQueries = 3,
+      nprobe = 2)
+    // truth: exhaustive cosine over the same stored population
+    val truth = hits(Similarity.annTopK(spark, dir, nQueries = 3))
+    val rs = hits(single)
+    val rp = hits(probed)
+    // probing 2 cells can only add candidates: recall vs brute force
+    // is monotone in nprobe (per query)
+    rs.keys.foreach { q =>
+      val recS = (rs(q) & truth(q)).size
+      val recP = (rp(q) & truth(q)).size
+      assert(recP >= recS, s"query $q: probe recall $recP < single $recS")
+    }
+    // the probe side stays on the stored path: assigned-state scan +
+    // one nearest_cell pass for the batch, no training in-plan
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivf_asg_sub"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // nprobe=1 serves each query's own nearest centroid — for queries
+    // drawn from the store that IS their assigned cell, so the result
+    // matches single-cell serving exactly
+    assert(hits(Similarity.annIvfStoredProbe(spark, dir, nQueries = 3,
+      nprobe = 1)) === rs)
+  }
+
   test("appendAssigned grows the store like a log; re-read matches") {
     val dir = "/root/testdata/sf0.001"
     val src = IvfStore.fixtureSubIndexPath(spark, dir)

@@ -121,6 +121,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("media clusters: transitive byte-near-dup families, singletons kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "some long payload content repeated several times " * 6
+    val other = "completely different bytes with other statistics entirely " * 5
+    val store = Seq(
+      (5L, "image", base), // {5,7} one byte-identical family
+      (7L, "video", base),
+      (9L, "audio", other)) // signable singleton
+      .toDF("doc_id", "media_type", "text")
+      .withColumn("payload", col("text").cast("binary"))
+      .drop("text")
+    val out = Multimodal.mediaClusters64(store).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(5L) === (5L, true)) // family keeper = min doc_id
+    assert(out(7L) === (5L, false))
+    assert(out(9L) === (9L, true)) // edge-less asset is its own keeper
+  }
+
   test("frame sampling covers each asset with its n_frames windows") {
     val assets = Multimodal.assets(spark, dir).collect()
     val frames = Multimodal.frameSample(Multimodal.assetStore(spark, dir))

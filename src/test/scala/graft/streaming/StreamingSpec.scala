@@ -340,6 +340,129 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("intra-batch exact gate: same-batch near-dups keep only the keeper") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.SimHashStore
+    val mem = MemoryStream[Doc]
+    val store = new java.io.File(
+      Files.createTempDirectory("simhash_gate_").toFile, "store").toString
+    SimHashStore.appendBatch(store,
+      Seq((100L, "the quick brown fox jumps over the dog"))
+        .toDF("doc_id", "text"))
+    val verdicts = scala.collection.mutable.Map[Long, Boolean]()
+    val q = StreamingLanes.simhashStoreLane(
+      mem.toDF().select(col("doc_id"), col("text")), store,
+      intraBatchExact = true)(
+      (batch, _) => batch.collect().foreach { r =>
+        verdicts(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("is_new")
+      }).start()
+    try {
+      // one batch: a store dup, THREE permutations of one novel doc
+      // (the blind spot the default lane documents), one distinct doc
+      mem.addData(
+        Doc(ts(10), 1L, "dog the over jumps fox brown quick the"),
+        Doc(ts(20), 5L, "completely unrelated text about spark plans here"),
+        Doc(ts(21), 6L, "here plans spark about text unrelated completely"),
+        Doc(ts(22), 7L, "plans here completely spark unrelated about text"),
+        Doc(ts(23), 8L, "wholly different tokens with no overlap anywhere fresh"))
+      q.processAllAvailable()
+      assert(verdicts(1L) === false, "store duplicate still demoted")
+      assert(verdicts(5L) === true, "keeper of the intra-batch family")
+      assert(verdicts(6L) === false && verdicts(7L) === false,
+        "same-batch near-dups of the keeper must be demoted by the gate")
+      assert(verdicts(8L) === true, "unrelated doc admitted")
+      // only keepers were appended: a later permutation still dedups,
+      // and the store holds exactly seed + the two admitted docs
+      mem.addData(Doc(ts(30), 9L,
+        "spark plans about completely here unrelated text"))
+      q.processAllAvailable()
+      assert(verdicts(9L) === false)
+      val ids = SimHashStore.read(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(100L, 5L, 8L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(store).getParentFile)
+    }
+  }
+
+  test("media lane killed and resumed mid-stream matches a single run") {
+    import graft.multimodal.MediaSigStore
+    val work = Files.createTempDirectory("media_restart_").toString
+    def bytes(s: String) = s.getBytes("UTF-8")
+    val seed = "seed payload content with plenty of byte windows " * 4
+    val novel = "entirely different asset bytes with other statistics " * 4
+    val fresh = "third distinct payload stream carrying new byte runs " * 4
+    val assets = Seq(
+      (1L, bytes(seed)), // copy of the pre-seeded store
+      (2L, bytes(novel)), // admitted pre-kill
+      (3L, bytes(novel)), // post-resume copy of 2's ADMITTED signature
+      (4L, bytes(fresh))) // admitted post-resume
+    // deterministically-named slices with ascending mtimes so the
+    // resumed run and the single-run oracle batch identically
+    val slices = assets.zipWithIndex.map { case ((id, p), i) =>
+      val tmp = s"$work/slice$i"
+      Seq((id, p)).toDF("doc_id", "payload").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part, s"s$i.parquet", 1700000000000L + i * 60000L)
+    }
+    def copyTo(dir: String, n: Int): Unit = slices.take(n).foreach {
+      case (part, name, mtime) =>
+        val dst = new java.io.File(dir, name)
+        if (!dst.exists()) {
+          org.apache.commons.io.FileUtils.copyFile(part, dst)
+          dst.setLastModified(mtime)
+        }
+    }
+    val schema = spark.read.parquet(s"$work/slice0").schema
+    def runLane(inDir: String, store: String, ck: String,
+                out: scala.collection.mutable.Map[Long, Boolean]): Long = {
+      var batches = 0L
+      val q = StreamingLanes.mediaSigStoreLane(
+        Replay.paced(spark, inDir, schema, maxFilesPerTrigger = 1), store)(
+        (batch, _) => { batches += 1
+          batch.collect().foreach { r =>
+            val id = r.getAs[Long]("doc_id")
+            // first-write-wins under at-least-once, as in the text lanes
+            if (!out.contains(id)) out(id) = r.getAs[Boolean]("is_new")
+          } })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+      batches
+    }
+    def sigSet(p: String) = MediaSigStore.read(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // restarted path: two batches, die, resume with the SAME checkpoint
+    val storeA = s"$work/storeA"
+    MediaSigStore.appendBatch(storeA,
+      Seq((100L, bytes(seed))).toDF("doc_id", "payload"))
+    val resumed = scala.collection.mutable.Map[Long, Boolean]()
+    new java.io.File(s"$work/inA").mkdirs()
+    copyTo(s"$work/inA", 2)
+    assert(runLane(s"$work/inA", storeA, s"$work/ckA", resumed) === 2L)
+    copyTo(s"$work/inA", 4)
+    // resumes from committed offsets: only the two remaining batches run
+    assert(runLane(s"$work/inA", storeA, s"$work/ckA", resumed) === 2L)
+    // single-run oracle: fresh store + checkpoint, all four batches
+    val storeB = s"$work/storeB"
+    MediaSigStore.appendBatch(storeB,
+      Seq((100L, bytes(seed))).toDF("doc_id", "payload"))
+    val single = scala.collection.mutable.Map[Long, Boolean]()
+    new java.io.File(s"$work/inB").mkdirs()
+    copyTo(s"$work/inB", 4)
+    assert(runLane(s"$work/inB", storeB, s"$work/ckB", single) === 4L)
+    assert(resumed.toMap === single.toMap)
+    assert(resumed.toMap ===
+      Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+    // the resumed lane's persisted signature state is the single run's
+    assert(sigSet(storeA) === sigSet(storeB))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("managed IVF lane: drift crosses the floor mid-stream, cadence retrain restores recall") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ann.{IvfMaintenance, IvfStore}

@@ -237,7 +237,40 @@ object Curation {
         col("n_tokens"), col("pack_id"))
   }
 
+  /** Distribution-RELATIVE quality gate — keep docs at or above the
+    * corpus `p`-quantile of [[TextOps.qualityScore]]'s composite score.
+    * Where [[curationPipeline]] hardcodes an absolute floor (0.4), this
+    * derives the floor from the corpus itself — "drop the worst 10%" —
+    * which is how a production stage is actually tuned: the threshold
+    * tracks the corpus as it drifts, no manual re-calibration.
+    *
+    * Scale shape: ONE aggregate over the scored corpus produces a
+    * one-row threshold, broadcast as a scalar anchor (the
+    * `trade_summary` NOW()-anchor pattern) — the corpus is scanned
+    * twice (score+aggregate, score+filter) and never shuffled. The
+    * fixture form uses EXACT `percentile` so the DuckDB oracle replays
+    * it bit-exactly (`quantile_cont` shares Spark's linear
+    * interpolation — the `latency_quantiles` precedent); exact
+    * percentile buffers the group's values, so at 100 TB swap in
+    * `percentile_approx` (fixed-size mergeable sketch) on the same
+    * plan — the `approx_corpus_stats` exact/approx pairing, at the
+    * price of boundary membership within the sketch's rank error. */
+  def qualityQuantileGate(docs: DataFrame, p: Double = 0.1,
+                          approx: Boolean = false): DataFrame = {
+    val scored = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val thr = scored.agg(
+      (if (approx) percentile_approx(col("quality"), lit(p), lit(10000))
+      else expr(s"percentile(quality, $p)")).as("q_thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("quality") >= col("q_thr"))
+      .select(col("doc_id"), col("quality"), col("q_thr"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // corpus-relative quality floor (drop the worst decile)
+    "quality_quantile_gate" -> ((s, d) =>
+      qualityQuantileGate(Tables(s, d, "documents"))),
     "curation_pipeline" -> ((s, d) =>
       curationPipeline(Tables(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
@@ -255,6 +288,17 @@ object Curation {
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    // corpus-relative floor: quantile_cont shares Spark exact
+    // percentile's linear interpolation, so the one-row threshold and
+    // the boundary membership replay bit-exactly
+    "quality_quantile_gate" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, ${TextOps.qualityExprSql} AS quality
+         |  FROM documents),
+         |t AS (SELECT quantile_cont(quality, 0.1) AS q_thr FROM q)
+         |SELECT doc_id, quality, q_thr FROM q, t
+         |WHERE quality >= q_thr ORDER BY doc_id""".stripMargin,
+
     // equal-weight mixture: every source downsampled to the smallest
     // source's count, selection by md5("m:"+doc_id) order
     "mix_balanced" ->

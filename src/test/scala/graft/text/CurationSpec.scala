@@ -134,6 +134,35 @@ class CurationSpec extends SparkSpec {
       === Curation.mixWeighted(d2).collect().map(_.toSeq).toSeq)
   }
 
+  test("quality quantile gate drops exactly the worst-decile tail") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val total = docs.count()
+    val kept = Curation.qualityQuantileGate(docs, p = 0.1)
+    val rows = kept.collect()
+    // the kept fraction brackets 1-p (ties at the threshold stay in)
+    assert(rows.length <= total && rows.length >= (total * 0.85).toLong,
+      s"kept ${rows.length} of $total")
+    // every kept doc clears the one broadcast threshold
+    val thr = rows.head.getAs[Double]("q_thr")
+    assert(rows.forall(_.getAs[Double]("q_thr") === thr))
+    assert(rows.forall(_.getAs[Double]("quality") >= thr))
+    // the dropped docs are exactly the sub-threshold ones
+    val qAll = graft.text.TextOps.qualityScore(docs)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keptIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    qAll.foreach { case (id, q) =>
+      assert(keptIds.contains(id) === (q >= thr), s"doc $id q=$q thr=$thr")
+    }
+    // the approx twin (the 100 TB form) agrees with exact at fixture
+    // scale up to sketch rank error: same shape, comparable size
+    val approxN = Curation.qualityQuantileGate(docs, p = 0.1,
+      approx = true).count()
+    assert(math.abs(approxN - rows.length) <= (total * 0.05).toLong + 1,
+      s"approx kept $approxN vs exact ${rows.length}")
+  }
+
   test("stratified sampling is deterministic and respects per-stratum rates") {
     val docs = (0 until 400).map(i =>
       (i.toLong, s"text $i", s"src${i % 4}")).toDF("doc_id", "text", "source")

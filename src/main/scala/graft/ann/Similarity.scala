@@ -550,6 +550,40 @@ object Similarity {
       .orderBy("nprobe", "query_id")
   }
 
+  /** Recall@k of the STORED-index serving path vs the exact brute-force
+    * truth, per nprobe ∈ {1, 2, 4} — [[annRecall]]'s twin for the
+    * persisted k-means index: where `ann_recall` tunes the sign-bit
+    * bucketing family, this tunes the index production actually serves
+    * ([[annIvfStored]] / [[annIvfStoredProbe]]). Read together with
+    * [[annIvfHealth]] it closes the operator's decision loop: when
+    * store recall drifts, this row says how much of the loss probing
+    * more cells recovers — probe-count is a per-query knob, retraining
+    * ([[IvfMaintenance.retrainIfStale]]) is a store rewrite; you spend
+    * the cheap one first. Same deterministic construction as
+    * [[annRecall]] (tiny top-k semi-joins over scans the serving
+    * queries already make), so the oracle replays it exactly. */
+  def annStoredRecall(spark: SparkSession, dir: String,
+                      k: Int = 10): DataFrame = {
+    val truth = annTopK(spark, dir, k = k)
+      .select(col("query_id"), col("vec_id"))
+    val qids = truth.select(col("query_id")).distinct()
+    Seq(1, 2, 4)
+      .map { np =>
+        val served = annIvfStoredProbe(spark, dir, k = k, nprobe = np)
+        val hits = truth
+          .join(served.select(col("query_id"), col("vec_id")),
+            Seq("query_id", "vec_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+        qids.join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), lit(np).as("nprobe"),
+            coalesce(col("h"), lit(0L)).cast("int").as("hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / k)
+              .as("recall_at_k"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("nprobe", "query_id")
+  }
+
   /** Recall@k of the SQ rerank vs the brute-force truth, per coarseK —
     * the knob an operator moves when the coarse pass misses true
     * neighbors: a small candidate set maximizes the bandwidth win, a
@@ -613,6 +647,8 @@ object Similarity {
     "ann_ivf_stored" -> ((s, d) => annIvfStored(s, d)),
     // multi-probe over the persisted index — the serving read path
     "ann_ivf_stored_probe" -> ((s, d) => annIvfStoredProbe(s, d)),
+    // recall/nprobe telemetry for the stored serving path
+    "ann_stored_recall" -> ((s, d) => annStoredRecall(s, d)),
     "ann_ivf_health" -> ((s, d) => annIvfHealth(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)),
@@ -981,6 +1017,48 @@ object Similarity {
          |  ON q.vec_id < 5 AND a.cell = q.cell AND a.vec_id <> q.vec_id
          |QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // recall@10 of the stored serving path vs exact brute-force truth,
+    // swept over nprobe in {1,2,4}: the probe CTE ranks cells once,
+    // each nprobe keeps its crn-prefix, hits counted per (nprobe, query)
+    "ann_stored_recall" ->
+      s"""WITH $storedIdxCtes,
+         |truth AS (${topkCore("")}),
+         |qs AS (SELECT vec_id, v, n2 FROM a2 WHERE vec_id < 5),
+         |pc AS (
+         |  SELECT q.vec_id AS query_id, s.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      q.n2 - 2 * list_sum(list_transform(
+         |        generate_series(1, len(q.v)), i -> q.v[i] * s.c[i]))
+         |        + s.c2, s.cell) AS crn
+         |  FROM qs q, s1 s),
+         |srv AS (
+         |  SELECT np, query_id, vec_id FROM (
+         |    SELECT p.np, q.vec_id AS query_id, a.vec_id,
+         |      row_number() OVER (PARTITION BY p.np, q.vec_id
+         |        ORDER BY CAST(list_sum(list_transform(
+         |            generate_series(1, len(a.v)), i -> a.v[i] * q.v[i]))
+         |            AS DOUBLE)
+         |          / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+         |          DESC, a.vec_id ASC) AS rank
+         |    FROM (VALUES (1), (2), (4)) p(np)
+         |    CROSS JOIN qs q
+         |    JOIN pc ON pc.query_id = q.vec_id AND pc.crn <= p.np
+         |    JOIN allv a ON a.cell = pc.cell AND a.vec_id <> q.vec_id)
+         |  WHERE rank <= 10),
+         |qids AS (SELECT DISTINCT query_id FROM truth),
+         |hits AS (
+         |  SELECT s.np, t.query_id, count(*) AS h FROM truth t
+         |  JOIN srv s ON s.query_id = t.query_id AND s.vec_id = t.vec_id
+         |  GROUP BY s.np, t.query_id)
+         |SELECT query_id, nprobe, CAST(coalesce(h, 0) AS INTEGER) AS hits,
+         |  CAST(coalesce(h, 0) AS DOUBLE) / 10 AS recall_at_k
+         |FROM (
+         |  SELECT q.query_id, p.np AS nprobe, hits.h
+         |  FROM (VALUES (1), (2), (4)) p(np)
+         |  CROSS JOIN qids q
+         |  LEFT JOIN hits ON hits.np = p.np AND hits.query_id = q.query_id)
+         |ORDER BY nprobe, query_id""".stripMargin,
 
     // the serving multi-probe replayed exactly: queries ranked against
     // the SAME trained-on-sub centroid set (s1), the nprobe=2 nearest

@@ -20,7 +20,8 @@ class PlanLintSpec extends SparkSpec {
     // broadcast ANN query set (nQueries rows) x non-equi vec_id <> query_id,
     // or the one-row packed-centroid broadcast the batch assigns against
     "ann_topk", "ann_recall", "ann_ivf_trained", "ann_ivf_stored",
-    "ann_ivf_stored_probe", "ann_sq_rerank", "ann_sq_recall",
+    "ann_ivf_stored_probe", "ann_stored_recall",
+    "ann_sq_rerank", "ann_sq_recall",
     // ann_ivf_health: the above plus one-row occupancy/hits/truth anchors
     "ann_ivf_health",
     // one-row scalar anchors: data-anchored NOW() or corpus totals

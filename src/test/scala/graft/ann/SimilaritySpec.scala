@@ -290,6 +290,21 @@ class SimilaritySpec extends SparkSpec {
       nprobe = 1)) === rs)
   }
 
+  test("stored-serving recall telemetry is monotone in nprobe") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.annStoredRecall(spark, dir).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("query_id"))
+        -> r.getAs[Double]("recall_at_k")).toMap
+    // 3 probe settings x 5 queries, recall in [0,1]
+    assert(rows.size === 15)
+    assert(rows.values.forall(v => v >= 0.0 && v <= 1.0))
+    // per query, probing more cells never loses a true neighbor
+    (0L until 5L).foreach { q =>
+      assert(rows((1, q)) <= rows((2, q)), s"query $q: nprobe 1 > 2")
+      assert(rows((2, q)) <= rows((4, q)), s"query $q: nprobe 2 > 4")
+    }
+  }
+
   test("appendAssigned grows the store like a log; re-read matches") {
     val dir = "/root/testdata/sf0.001"
     val src = IvfStore.fixtureSubIndexPath(spark, dir)

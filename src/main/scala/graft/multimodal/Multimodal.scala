@@ -230,6 +230,20 @@ object Multimodal {
       maxHamming, maxBucket)
   }
 
+  /** Radius-derived media banding — [[mediaDedupNear64]]'s deep-Hamming
+    * escalation, the media twin of
+    * [[graft.text.NearDup.simhashNearDup64Radius]]: `maxHamming + 1`
+    * bands by pigeonhole (widths from the shared `bandLayout`, so
+    * engine and oracle derive from ONE set of constants), exact recall
+    * at ANY requested radius instead of the fixed form's ≤ 3 refusal.
+    * The price is candidate volume — narrower bands hold more assets
+    * per bucket — bounded as ever by the family-shared sub-salt cap. */
+  def mediaDedupNear64Radius(store: DataFrame, maxHamming: Int,
+                             maxBucket: Int = 256): DataFrame =
+    graft.text.NearDup.bandedHammingPairsLayout(
+      mediaSigs64(store).withColumnRenamed("simhash64", "sig"),
+      graft.text.NearDup.bandLayout(maxHamming), maxHamming, maxBucket)
+
   /** The media signature derivation — the ONE pass that must read every
     * payload byte, factored out so it runs ONCE per corpus (persisted
     * by [[MediaSigStore]]) instead of once per near-dup query. Output
@@ -291,6 +305,10 @@ object Multimodal {
     "media_clusters64" -> ((s, d) => fixtureMediaClusters(s, d)),
     "media_dedup_near" -> ((s, d) => mediaDedupNear(assetStore(s, d))),
     "media_dedup_near64" -> ((s, d) => mediaDedupNear64(assetStore(s, d))),
+    // radius-derived banding at Hamming<=7 — the deep-radius escalation
+    // the fixed 4x16-bit form refuses
+    "media_dedup_near64_h7" -> ((s, d) =>
+      mediaDedupNear64Radius(assetStore(s, d), maxHamming = 7)),
     // batch-vs-corpus media ingestion dedup on the incremental fixture
     // convention (accumulated = doc_id % 10 < 8) — corpus signed
     // in-session
@@ -400,7 +418,11 @@ object Multimodal {
     * family-shared sub-salt cap — ends at `s_salted` (plus `sg`, the
     * signable population). The pair view and the clusters view differ
     * only in their final SELECT, exactly like the engine plans. */
-  private lazy val mediaPair64Ctes: String =
+  private def mediaPair64CtesLayout(layout: Seq[(Int, Int)]): String = {
+    val bandSelects = layout.zipWithIndex.map { case ((shift, width), i) =>
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      s"SELECT doc_id, sig, $i AS band, (sig >> $shift) & $mask AS bval FROM sg"
+    }.mkString("\n  UNION ALL\n  ")
     s"""sh AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(1, $bLen - 3),
@@ -411,13 +433,7 @@ object Multimodal {
        |sg AS (
        |  SELECT doc_id, CAST($byteSim64Terms AS BIGINT) AS sig FROM sh),
        |sbands AS (
-       |  SELECT doc_id, sig, 0 AS band, (sig >> 0) & 65535 AS bval FROM sg
-       |  UNION ALL
-       |  SELECT doc_id, sig, 1 AS band, (sig >> 16) & 65535 AS bval FROM sg
-       |  UNION ALL
-       |  SELECT doc_id, sig, 2 AS band, (sig >> 32) & 65535 AS bval FROM sg
-       |  UNION ALL
-       |  SELECT doc_id, sig, 3 AS band, (sig >> 48) & 65535 AS bval FROM sg),
+       |  $bandSelects),
        |s_over AS (
        |  SELECT band, bval, count(*) AS bn FROM sbands GROUP BY band, bval
        |  HAVING count(*) > 256),
@@ -429,6 +445,10 @@ object Multimodal {
        |    END AS salt
        |  FROM sbands LEFT JOIN s_over o
        |    ON sbands.band = o.band AND sbands.bval = o.bval)""".stripMargin
+  }
+
+  private lazy val mediaPair64Ctes: String =
+    mediaPair64CtesLayout((0 until 4).map(i => (16 * i, 16)))
 
   val oracle: Map[String, String] = Map(
     "media_dedup_near64_incremental" -> mediaSim64IncrementalOracle,
@@ -464,6 +484,18 @@ object Multimodal {
          |  ON a.band = b.band AND a.bval = b.bval AND a.salt = b.salt
          |  AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // radius-derived 8x8-bit banding at Hamming<=7 — the oracle takes
+    // the SAME bandLayout output as the engine plan
+    "media_dedup_near64_h7" ->
+      s"""WITH ${mediaPair64CtesLayout(graft.text.NearDup.bandLayout(7))}
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM s_salted a JOIN s_salted b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.salt = b.salt
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 7
          |ORDER BY id_a, id_b""".stripMargin,
 
     // min-label components over the media Hamming<=3 pair graph,

@@ -121,6 +121,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("media radius banding: exact recall at Hamming<=7 on fixture assets") {
+    val store = Multimodal.assetStore(spark, dir)
+    val out = Multimodal.mediaDedupNear64Radius(store, maxHamming = 7,
+      maxBucket = 1 << 20)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Multimodal.mediaSigs64(store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force recall contract: EVERY pair within Hamming 7 returns
+    // (pigeonhole exact at the derived banding; cap high enough that
+    // sub-salting drops nothing)
+    val want = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (ida, idb)).toSet
+    assert(got === want, s"missing: ${(want -- got).take(5)}; " +
+      s"extra: ${(got -- want).take(5)}")
+    assert(want.nonEmpty, "fixture must exercise the deep radius")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("media clusters: transitive byte-near-dup families, singletons kept") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

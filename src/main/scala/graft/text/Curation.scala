@@ -212,6 +212,43 @@ object Curation {
         expr(s"cum_before DIV $budget").as("pack_id"))
   }
 
+  /** Context-window CHUNKING — split each document into fixed-token
+    * windows with overlap (`stride` < `window` ⇒ consecutive chunks
+    * share `window − stride` tokens), the shaping step between curation
+    * and training that [[packTokens]] does NOT do: packing groups whole
+    * docs into budget bins; chunking cuts docs that exceed the context
+    * window, keeping every token covered and boundary context shared.
+    * Output: one row per (doc_id, chunk_idx) with the chunk text and
+    * its token count; a doc at or under `window` tokens is one chunk.
+    *
+    * Chunk count is exact-integer in both engines: k extra chunks with
+    * k = ⌈(n − window) / stride⌉ via (n − window + stride − 1) DIV
+    * stride on positives — the last start is ≥ n − window, so the tail
+    * is always covered and no start begins past the end. Scale shape:
+    * pure per-row compute (tokenize → sequence → explode → slice)
+    * inside one projection — no shuffle, no state; output rows ≈
+    * corpus_tokens / stride, the unavoidable result size. */
+  def chunkDocs(docs: DataFrame, window: Int = 128,
+                stride: Int = 96): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkDocs: need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = split(norm(col("text")), " ")
+    docs.select(col("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("k",
+        when(col("n") <= window, lit(0))
+          .otherwise(expr(s"(n - $window + $stride - 1) DIV $stride"))
+          .cast("int"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("k"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("toks"),
+          col("chunk_idx") * stride + 1, lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window), col("n") - col("chunk_idx") * stride)
+          .cast("int").as("n_chunk_tokens"))
+  }
+
   /** The end-to-end curation pipeline as ONE composed plan: normalize →
     * exact dedup (keep the smallest doc_id per content hash) → quality
     * gate → greedy token packing over the survivors. Each stage is the
@@ -271,6 +308,11 @@ object Curation {
     // corpus-relative quality floor (drop the worst decile)
     "quality_quantile_gate" -> ((s, d) =>
       qualityQuantileGate(Tables(s, d, "documents"))),
+    // context-window chunking — 32-token windows at stride 24 so the
+    // fixture corpus (docs up to ~100 tokens) exercises the
+    // multi-chunk arithmetic, not just the one-chunk short-doc path
+    "chunk_docs" -> ((s, d) =>
+      chunkDocs(Tables(s, d, "documents"), window = 32, stride = 24)),
     "curation_pipeline" -> ((s, d) =>
       curationPipeline(Tables(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
@@ -298,6 +340,26 @@ object Curation {
          |t AS (SELECT quantile_cont(quality, 0.1) AS q_thr FROM q)
          |SELECT doc_id, quality, q_thr FROM q, t
          |WHERE quality >= q_thr ORDER BY doc_id""".stripMargin,
+
+    // sliding-window chunking replayed exactly: same integer chunk
+    // count, 1-based inclusive list slice == Spark's (start, length)
+    // slice with end-clamping in both engines
+    "chunk_docs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($N, ' ') AS toks,
+         |    len(string_split($N, ' ')) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, n,
+         |    CASE WHEN n <= 32 THEN 0
+         |         ELSE (n - 32 + 23) // 24 END AS k
+         |  FROM t)
+         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |  array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')
+         |    AS chunk_text,
+         |  CAST(least(32, n - i * 24) AS INTEGER) AS n_chunk_tokens
+         |FROM c, unnest(generate_series(0, CAST(k AS BIGINT))) AS u(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // equal-weight mixture: every source downsampled to the smallest
     // source's count, selection by md5("m:"+doc_id) order

@@ -134,6 +134,32 @@ class CurationSpec extends SparkSpec {
       === Curation.mixWeighted(d2).collect().map(_.toSeq).toSeq)
   }
 
+  test("chunking covers every token with the stride overlap, short docs whole") {
+    val words = (1 to 300).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")), // 300 tokens -> 3 chunks at 128/96
+      (2L, "just five little tokens here")) // under window -> one chunk
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, window = 128, stride = 96).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2).split(" ").toSeq, r.getInt(3))).toMap
+    // short doc: one whole chunk
+    assert(out((2L, 0))._1 === Seq("just", "five", "little", "tokens", "here"))
+    assert(out((2L, 0))._2 === 5)
+    assert(!out.contains((2L, 1)))
+    // long doc: chunk i starts at token i*96+1, window-sized until the tail
+    assert(out((1L, 0))._1 === words.slice(0, 128))
+    assert(out((1L, 1))._1 === words.slice(96, 224))
+    assert(out((1L, 2))._1 === words.slice(192, 300)) // tail, 108 tokens
+    assert(out((1L, 2))._2 === 108)
+    assert(!out.contains((1L, 3)))
+    // coverage: the union of chunk spans is every token exactly
+    val covered = (0 to 2).flatMap(i => out((1L, i))._1).distinct
+    assert(covered.sorted === words.sorted)
+    // consecutive chunks share window - stride = 32 tokens
+    assert(out((1L, 0))._1.takeRight(32) === out((1L, 1))._1.take(32))
+  }
+
   test("quality quantile gate drops exactly the worst-decile tail") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents")

@@ -826,4 +826,37 @@ class PropertySpec extends SparkSpec {
       spansOk && gotClean == expClean
     }, samples = 8)
   }
+
+  // --- context-window chunking ---------------------------------------------
+
+  test("property: chunking == naive sliding-window model at any (window, stride)") {
+    val genCase = for {
+      window <- Gen.chooseNum(2, 40)
+      stride <- Gen.chooseNum(1, window)
+      docs <- Gen.listOfN(6, Gen.chooseNum(1, 120).map(n =>
+        (1 to n).map(i => s"t$i").mkString(" ")))
+    } yield (window, stride, docs)
+    check("chunking", Prop.forAll(genCase) { case (window, stride, texts) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.text.Curation.chunkDocs(docs, window, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getString(2), r.getInt(3))).toMap
+      // naive model: starts at 0, stride, ... ; last start is the
+      // smallest multiple of stride with start + window >= n
+      val want = texts.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split(" ")
+        val starts = Iterator.iterate(0)(_ + stride)
+          .takeWhile(s => s == 0 || s < toks.length)
+          .takeWhile(s => s == 0 || s - stride + window < toks.length)
+          .toList
+        starts.zipWithIndex.map { case (s, ci) =>
+          val chunk = toks.slice(s, s + window)
+          (i.toLong, ci) -> (chunk.mkString(" "), chunk.length)
+        }
+      }.toMap
+      got == want
+    }, samples = 8)
+  }
 }

@@ -97,9 +97,12 @@ object Bench {
     // self-written copy: the driver captures stdout with a length limit
     // that has truncated the artifact mid-JSON two rounds running
     // (VERDICT r8/r9 "parsed": null); a file copy survives whole.
+    // Default lands in the launch directory (gitignored there), not a
+    // hardcoded absolute path.
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/root/repo/BENCH_SELF.json")
+        new java.io.File(sys.props.getOrElse("user.dir", "."),
+          "BENCH_SELF.json").getPath)
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }

@@ -40,8 +40,16 @@ object IvfMaintenance {
   def storeRecall(spark: SparkSession, storePath: String,
                   nQueries: Int = 5, k: Int = 10): Double = {
     val all = IvfStore.read(spark, storePath).dropDuplicates("vec_id")
+    // query set = the nQueries LOWEST vec_ids PRESENT in the store —
+    // id-space-agnostic (a store whose ids start at 10⁶ still gauges
+    // real queries; a `vec_id < nQueries` filter would select nothing
+    // there, leaving truth empty and the gauge pinned at 1.0 so the
+    // retrain floor could never fire). On the dense 0-based fixture
+    // convention this is identical to `vec_id < nQueries`.
+    val qids = broadcast(
+      all.select(col("vec_id")).orderBy(col("vec_id")).limit(nQueries))
     def topk(assigned: DataFrame): DataFrame = {
-      val q = assigned.filter(col("vec_id") < nQueries)
+      val q = assigned.join(qids, "vec_id")
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("n2").as("qn2"), col("cell").as("qcell"))
       Similarity.scoreRankLimit(assigned.join(broadcast(q),
@@ -50,10 +58,17 @@ object IvfMaintenance {
     }
     val served = topk(all)
     val vecs = all.select(col("vec_id"), col("v"), col("n2"))
+    // pin the throwaway retrain ONCE: truth's count and the semi-join
+    // are separate actions, and topk's corpus/query sides reference the
+    // fresh assignment twice within one action — without the eager
+    // checkpoint each evaluation re-runs the full Lloyd training
     val fresh = Similarity.assignCells(vecs,
       Similarity.packedCentroids(Similarity.trainCentroids(vecs)))
+      .localCheckpoint(true)
     val truth = topk(fresh)
     val tn = truth.count()
+    // tn == 0 only when the store holds <= 1 vector (no neighbor set
+    // exists): nothing to measure, and a retrain would be meaningless
     if (tn == 0L) 1.0
     else truth.join(served, Seq("query_id", "vec_id"), "left_semi")
       .count().toDouble / tn

@@ -237,8 +237,21 @@ object Similarity {
   private[ann] def trainCentroids(c: DataFrame, kCells: Int = 8,
                                   dim: Int = 64): DataFrame = {
     val g = dimGuarded(c, dim, "trainCentroids")
-    val c0 = g.filter(col("vec_id") < kCells)
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("c"))
+    // seeds = the kCells LOWEST vec_ids present — id-space-agnostic (a
+    // live store whose ids start at 10⁶ seeds real vectors; a literal
+    // `vec_id < kCells` filter would seed an EMPTY set there and train
+    // garbage). On the dense 0-based fixture convention this selects
+    // exactly {0..kCells-1}, so the oracle's `vec_id < 8` replay and
+    // every staged index are byte-identical. Cell ids are the seed
+    // RANKS (0..kCells-1), not raw vec_ids, for the same reason.
+    import org.apache.spark.sql.expressions.Window
+    val seeds = g.select(col("vec_id"), col("v"))
+      .orderBy(col("vec_id")).limit(kCells) // TakeOrdered: partial top-k,
+    // never a global sort; the rank window below runs on kCells rows
+    val c0 = seeds
+      .withColumn("cell", row_number().over(
+        Window.orderBy(col("vec_id"))) - 1)
+      .select(col("cell").cast("int"), col("v").as("c"))
     lloydUpdated(assignCells(g, packedCentroids(c0)), dim)
   }
 

@@ -281,11 +281,21 @@ object Multimodal {
     * dense signature and no edges by construction). Payloads are read
     * exactly once, by the signature pass; the fixpoint moves only
     * (doc_id, label) longs. */
-  def mediaClusters64(store: DataFrame, maxHamming: Int = 3): DataFrame =
+  def mediaClusters64(store: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+    // ONE signing pass: the eager checkpoint pins (doc_id, simhash64) —
+    // 8 bytes/asset — so the edge derivation and the singleton-rejoin
+    // universe both read the tiny signed frame, and payload bytes are
+    // scanned exactly once (two lazy consumers would each re-scan them)
+    val sigs = mediaSigs64(store).localCheckpoint(true)
     graft.text.NearDup.dedupClustersFromEdges(
-      mediaSigs64(store).select(col("doc_id")),
-      mediaDedupNear64(store, maxHamming)
+      sigs.select(col("doc_id")),
+      graft.text.NearDup.bandedHammingPairs(
+        sigs.withColumnRenamed("simhash64", "sig"),
+        nBands = 4, bandBits = 16, maxHamming, maxBucket = 256)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+  }
 
   // per-(session, fixture) memo: the fixpoint is eager (an iterative
   // plan cannot be one lazy tree) — bench laps and repeated verify

@@ -284,10 +284,21 @@ object StreamingLanes {
       val storeVerdict = NearDup.simhashIncremental64BothSigs(
         MediaSigStore.read(batch.sparkSession, storePath),
         isigs, maxHamming).localCheckpoint(true)
-      val verdict = if (intraBatchExact)
+      val judged = if (intraBatchExact)
         gateIntraBatch(isigs, storeVerdict, maxHamming)
           .localCheckpoint(true)
       else storeVerdict
+      // every batch row gets a verdict row: sub-window assets (< 4
+      // payload bytes) carry no dense signature, so the judge never
+      // sees them — they pass through is_new = true / n_dups = 0
+      // (admitted unjudged, never signed into the store) instead of
+      // silently vanishing from the frame handed to `process`, which
+      // would make arrivals and verdicts unreconcilable downstream
+      val verdict = batch.select(col("doc_id"))
+        .join(judged, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0)).as("n_dups"),
+          coalesce(col("is_new"), lit(true)).as("is_new"))
       MediaSigStore.appendSigs(storePath, isigs.join(
         verdict.filter(col("is_new")).select(col("doc_id")), "doc_id"))
       maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance

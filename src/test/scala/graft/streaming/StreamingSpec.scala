@@ -319,17 +319,21 @@ class StreamingSpec extends SparkSpec {
       val novel = "entirely different asset bytes with other statistics " * 4
       mem.addData(
         MediaIn(ts(10), 1L, bytes(seed)), // byte-identical to the seed
-        MediaIn(ts(20), 2L, bytes(novel)))
+        MediaIn(ts(20), 2L, bytes(novel)),
+        MediaIn(ts(25), 9L, bytes("ab"))) // sub-window: unsignable
       q.processAllAvailable()
       assert(verdicts(1L) === false, "byte-identical copy of the seeded store")
       assert(verdicts(2L) === true, "novel asset must pass the gate")
+      // sub-4-byte assets still get a verdict row (admitted unjudged)
+      // rather than vanishing from the frame handed to process
+      assert(verdicts(9L) === true, "unsignable asset must pass through")
       // asset 2's signature persisted to DISK: a later copy is caught
       // without its payload ever being re-read from the store side
       mem.addData(MediaIn(ts(30), 3L, bytes(novel)))
       q.processAllAvailable()
       assert(verdicts(3L) === false,
         "later batch must dedup against survivors persisted by earlier ones")
-      // rejected duplicates were NOT appended
+      // rejected duplicates AND the unsignable asset were NOT appended
       val ids = MediaSigStore.read(spark, store)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(ids === Set(100L, 2L))

@@ -64,6 +64,34 @@ class IvfMaintenanceSpec extends SparkSpec {
       new java.io.File(storePath).getParentFile)
   }
 
+  test("maintenance works on stores whose vec_ids do not start at 0") {
+    // offset every id by 10^6: a literal `vec_id < n` query/seed filter
+    // would select NOTHING here — the gauge would pin at 1.0 (retrain
+    // never fires) and a retrain would train on an empty seed set
+    val (storePath, centsPath) = driftedStore()
+    val offPath = s"${new java.io.File(storePath).getParent}/store_off"
+    val offCents = s"${new java.io.File(storePath).getParent}/cents_off"
+    try {
+      IvfStore.read(spark, storePath)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+        .write.parquet(offPath)
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(centsPath), new java.io.File(offCents))
+      // the gauge measures REAL drift (identical vectors, shifted ids)
+      val rec = IvfMaintenance.storeRecall(spark, offPath)
+      assert(rec < 1.0, s"offset-id store must still gauge drift, got $rec")
+      assert(rec > 0.0)
+      // and the retrain trains on real seeds: recall restored, ids kept
+      assert(IvfMaintenance.retrainIfStale(spark, offPath, offCents,
+        recallFloor = math.min(0.99, (rec + 1.0) / 2)))
+      assert(IvfMaintenance.storeRecall(spark, offPath) === 1.0)
+      val ids = IvfStore.read(spark, offPath)
+        .select("vec_id").collect().map(_.getLong(0))
+      assert(ids.forall(_ >= 1000000L) && ids.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(storePath).getParentFile)
+  }
+
   test("retrain swaps the centroid artifact the next reader sees") {
     val (storePath, centsPath) = driftedStore()
     try {

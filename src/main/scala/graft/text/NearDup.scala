@@ -700,23 +700,28 @@ object NearDup {
     * (doc_id, simhash64)) — the entry the streaming lane uses so a
     * batch signed once feeds both the verdict and the survivor append
     * without re-tokenizing. */
+  /** The 4×16-bit band-explode of a (doc_id, simhash64) frame — shared
+    * by the incremental judge and the fuzzy decontamination (which
+    * broadcast opposite sides of the same banded join). */
+  private def sigBands(sigs: DataFrame, idAs: String,
+                       sigAs: String): DataFrame =
+    sigs.select(col("doc_id").as(idAs), col("simhash64").as(sigAs),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("simhash64"), 16 * i).bitwiseAND(lit(65535L))
+            .as("bval"))): _*)).as("b"))
+      .select(col(idAs), col(sigAs),
+        col("b.band").as("band"), col("b.bval").as("bval"))
+
   private[graft] def simhashIncremental64BothSigs(
       esigs: DataFrame, isigs: DataFrame, maxHamming: Int = 3,
       broadcastIncoming: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
-    def bands(sigs: DataFrame, idAs: String, sigAs: String): DataFrame =
-      sigs.select(col("doc_id").as(idAs), col("simhash64").as(sigAs),
-        explode(array((0 until 4).map(i =>
-          struct(lit(i).as("band"),
-            shiftright(col("simhash64"), 16 * i).bitwiseAND(lit(65535L))
-              .as("bval"))): _*)).as("b"))
-        .select(col(idAs), col(sigAs),
-          col("b.band").as("band"), col("b.bval").as("bval"))
     def bc(df: DataFrame): DataFrame =
       if (broadcastIncoming) broadcast(df) else df
-    val ebands = bands(esigs, "ex_id", "esig")
-    val ibands = bc(bands(isigs, "inc_id", "isig"))
+    val ebands = sigBands(esigs, "ex_id", "esig")
+    val ibands = bc(sigBands(isigs, "inc_id", "isig"))
     val dups = ebands.join(ibands, Seq("band", "bval"))
       .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
       .groupBy(col("inc_id"))
@@ -728,6 +733,42 @@ object NearDup {
         coalesce(col("nd"), lit(0L)).cast("int").as("n_dups"),
         (coalesce(col("nd"), lit(0L)) === 0).as("is_new"))
       .orderBy("doc_id")
+  }
+
+  /** FUZZY benchmark decontamination — the near-duplicate complement of
+    * [[Curation.decontaminate]]'s exact-shingle semi-join: a training
+    * doc within Hamming ≤ `maxHamming` of ANY benchmark doc's 64-bit
+    * SimHash is flagged contaminated, catching the paraphrased /
+    * lightly-edited benchmark leakage an exact shingle match misses.
+    * Output: one row per NON-benchmark doc with its benchmark-match
+    * count and an `is_clean` verdict.
+    *
+    * Scale shape — the broadcast direction is the OPPOSITE of the
+    * ingestion judge ([[simhashIncremental64BothSigs]] broadcasts the
+    * small incoming batch against a big corpus): here the BENCHMARK
+    * side is the bounded one, so its bands broadcast and the corpus
+    * streams through one broadcast hash join, then one aggregate keyed
+    * by the matching docs only. No corpus exchange, no output sort
+    * (corpus-sized frame; the driver compare sorts its own rows). */
+  def decontaminateFuzzy(docs: DataFrame, benchmarkMaxId: Long = 10,
+                         maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+    val bbands = broadcast(sigBands(
+      simhash64(docs.filter(col("doc_id") <= benchmarkMaxId)),
+      "ex_id", "esig"))
+    val csigs = simhash64(docs.filter(col("doc_id") > benchmarkMaxId))
+    val matches = sigBands(csigs, "inc_id", "isig")
+      .join(bbands, Seq("band", "bval"))
+      .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
+      .groupBy(col("inc_id"))
+      .agg(count_distinct(col("ex_id")).as("nd"))
+    csigs.select(col("doc_id"))
+      .join(matches.select(col("inc_id").as("doc_id"), col("nd")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nd"), lit(0L)).cast("int").as("n_benchmark_matches"),
+        (coalesce(col("nd"), lit(0L)) === 0).as("is_clean"))
   }
 
   /** Connected components over the 64-bit SimHash near-dup graph —
@@ -958,6 +999,10 @@ object NearDup {
         SimHashStore.read(s, SimHashStore.fixtureCorpusStore(s, d)),
         docs.filter(col("doc_id") % 10 >= 8))
     }),
+    // fuzzy benchmark decontamination (Hamming<=3 vs the doc_id<=10
+    // benchmark split, the exact-decontaminate fixture convention)
+    "decontaminate_fuzzy" -> ((s, d) =>
+      decontaminateFuzzy(Tables(s, d, "documents"))),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
   // --- oracle -------------------------------------------------------------
@@ -1074,16 +1119,25 @@ object NearDup {
   /** The batch-vs-corpus 64-bit oracle, shared by the in-session and
     * STAGED variants (the store only changes where the corpus
     * signatures come from — the `incrementalOracle` precedent). */
-  private lazy val simhash64IncrementalOracle: String =
+  /** Batch-vs-corpus banded judge, parameterized over the split
+    * predicates and output column names — shared by the ingestion
+    * oracle (% 10 convention) and the fuzzy-decontamination oracle
+    * (benchmark-id convention). `sorted` mirrors the engine: the
+    * batch-scale ingestion verdict keeps its ORDER BY, the corpus-scale
+    * decontamination frame does not (hash compare is
+    * order-insensitive). */
+  private def simhash64SplitOracle(exPred: String, incPred: String,
+                                   ndAs: String, newAs: String,
+                                   sorted: Boolean): String =
     s"""WITH sg AS (
        |  ${simhashSigCte(simhash64Terms)}),
        |eb AS (
        |  ${(0 until 4).map(i =>
-      s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE doc_id % 10 < 8")
+      s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE $exPred")
       .mkString("\n  UNION ALL\n  ")}),
        |ib AS (
        |  ${(0 until 4).map(i =>
-      s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE doc_id % 10 >= 8")
+      s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE $incPred")
       .mkString("\n  UNION ALL\n  ")}),
        |cand AS (
        |  SELECT DISTINCT e.doc_id AS ex_id, i.doc_id AS inc_id,
@@ -1093,11 +1147,14 @@ object NearDup {
        |  SELECT inc_id, count(DISTINCT ex_id) AS nd FROM cand
        |  WHERE bit_count(xor(esig, isig)) <= 3
        |  GROUP BY inc_id)
-       |SELECT d.doc_id, CAST(coalesce(v.nd, 0) AS INTEGER) AS n_dups,
-       |  coalesce(v.nd, 0) = 0 AS is_new
+       |SELECT d.doc_id, CAST(coalesce(v.nd, 0) AS INTEGER) AS $ndAs,
+       |  coalesce(v.nd, 0) = 0 AS $newAs
        |FROM documents d LEFT JOIN ver v ON v.inc_id = d.doc_id
-       |WHERE d.doc_id % 10 >= 8
-       |ORDER BY d.doc_id""".stripMargin
+       |WHERE $incPred${if (sorted) "\nORDER BY d.doc_id" else ""}""".stripMargin
+
+  private lazy val simhash64IncrementalOracle: String =
+    simhash64SplitOracle("doc_id % 10 < 8", "doc_id % 10 >= 8",
+      "n_dups", "is_new", sorted = true)
 
   /** The signature-grouped keeper oracle, width-generic. */
   private def simhashKeepOracle(terms: String, sigName: String): String =
@@ -1384,6 +1441,12 @@ object NearDup {
          |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
          |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_keeper
          |FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // fuzzy decontamination: same banded judge with the benchmark
+    // split (doc_id <= 10) as the existing side, corpus unsorted
+    "decontaminate_fuzzy" ->
+      simhash64SplitOracle("doc_id <= 10", "doc_id > 10",
+        "n_benchmark_matches", "is_clean", sorted = false),
 
     // batch-vs-corpus: 4-band candidates between the splits, Hamming
     // gate, count of distinct existing near-docs per incoming doc

@@ -339,6 +339,31 @@ class TextSpec extends SparkSpec {
     assert(fromSigs === fromText)
   }
 
+  test("fuzzy decontamination flags benchmark near-dups, benchmark broadcast") {
+    val docs = Seq(
+      (1L, "what is the capital of france paris obviously"), // benchmark
+      (2L, "unrelated benchmark question about prime numbers here"),
+      (11L, "what is the capital of france paris obviously"), // leaked copy
+      (12L, "obviously paris france of capital the is what"), // permuted leak
+      (13L, "totally original training text about cooking pasta tonight"))
+      .toDF("doc_id", "text")
+    val out = NearDup.decontaminateFuzzy(docs, benchmarkMaxId = 10)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    assert(out.keySet === Set(11L, 12L, 13L)) // benchmark rows excluded
+    assert(out(11L) === (1, false), "exact benchmark copy is contaminated")
+    assert(out(12L) === (1, false), "permuted benchmark copy is contaminated")
+    assert(out(13L)._2 === true, "original doc is clean")
+    // the BENCHMARK side broadcasts (the bounded one) — the corpus
+    // must never be the build side of the banded join
+    val fixture = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val plan = NearDup.decontaminateFuzzy(fixture)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("simhashNearDup pairs identical token sets, banded not all-pairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),

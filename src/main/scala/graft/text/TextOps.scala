@@ -106,6 +106,36 @@ object TextOps {
           .when(col("fr_hits") > 0, "fr")
           .otherwise("und"))
 
+  /** Language-AWARE quality — [[qualityScore]] with the stopword ratio
+    * taken from the doc's own detected language (the [[langId]] argmax
+    * hit count = `greatest` of the per-language hits): an es/fr doc is
+    * no longer penalized for lacking ENGLISH stopwords, which the
+    * fixed-enStop composite structurally under-scores. `und` docs (zero
+    * hits in every set) get ratio 0 — their quality is purely the
+    * length term, which is the honest statement when no stopword model
+    * applies. Same one-pass per-row shape as every text-analysis op. */
+  def qualityScoreLang(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n", norm(col("text")))
+      .withColumn("toks", tokens(col("n")))
+      .withColumn("en_hits", stopHits(col("toks"), enStop))
+      .withColumn("es_hits", stopHits(col("toks"), esStop))
+      .withColumn("fr_hits", stopHits(col("toks"), frStop))
+      .withColumn("lang_hits",
+        greatest(col("en_hits"), col("es_hits"), col("fr_hits")))
+      .select(
+        col("doc_id"),
+        when(col("en_hits") >= col("es_hits") &&
+          col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+          .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+          .when(col("fr_hits") > 0, "fr")
+          .otherwise("und").as("predicted_lang"),
+        (col("lang_hits").cast("double") / size(col("toks")))
+          .as("lang_stopword_ratio"),
+        (least(size(col("toks")).cast("double") / lit(100.0), lit(1.0)) *
+          (lit(1.0) - col("lang_hits").cast("double") / size(col("toks"))))
+          .as("quality_lang"))
+
   /** Document fingerprint over the sorted distinct token set. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(norm(col("text"))).as("fingerprint"))
@@ -133,6 +163,9 @@ object TextOps {
     "token_count" -> ((s, d) => tokenCounts(Tables(s, d, "documents"))),
     "quality_score" -> ((s, d) => qualityScore(Tables(s, d, "documents"))),
     "lang_id" -> ((s, d) => langId(Tables(s, d, "documents"))),
+    // quality with the detected language's stopword model
+    "quality_score_lang" -> ((s, d) =>
+      qualityScoreLang(Tables(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => fingerprints(Tables(s, d, "documents"))),
     "doc_repetition" -> ((s, d) => repetition(Tables(s, d, "documents"))),
     // the SQL surface itself: a user-written spark.sql statement over a
@@ -227,6 +260,27 @@ object TextOps {
          |       AND ${hits(esStop)} > 0 THEN 'es'
          |     WHEN ${hits(frStop)} > 0 THEN 'fr'
          |     ELSE 'und' END AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the argmax hit count is greatest() of the per-language hits; the
+    // composite reuses the quality formula with that ratio
+    "quality_score_lang" ->
+      s"""SELECT doc_id,
+         |CASE WHEN ${hits(enStop)} >= ${hits(esStop)}
+         |       AND ${hits(enStop)} >= ${hits(frStop)}
+         |       AND ${hits(enStop)} > 0 THEN 'en'
+         |     WHEN ${hits(esStop)} >= ${hits(frStop)}
+         |       AND ${hits(esStop)} > 0 THEN 'es'
+         |     WHEN ${hits(frStop)} > 0 THEN 'fr'
+         |     ELSE 'und' END AS predicted_lang,
+         |CAST(greatest(${hits(enStop)}, ${hits(esStop)}, ${hits(frStop)})
+         |    AS DOUBLE) / len(string_split($N, ' '))
+         |  AS lang_stopword_ratio,
+         |least(CAST(len(string_split($N, ' ')) AS DOUBLE) / 100.0, 1.0)
+         |  * (1.0 - CAST(greatest(${hits(enStop)}, ${hits(esStop)},
+         |        ${hits(frStop)}) AS DOUBLE)
+         |      / len(string_split($N, ' ')))
+         |  AS quality_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->

@@ -339,6 +339,30 @@ class TextSpec extends SparkSpec {
     assert(fromSigs === fromText)
   }
 
+  test("language-aware quality scores each doc against its own stopword set") {
+    val docs = Seq(
+      (1L, "the cat is on the mat and the dog is in the house"), // en
+      (2L, "el gato y el perro en la casa de los vecinos"), // es
+      (3L, "zxq wvy qpr mnb asd fgh jkl")) // und: no stopwords anywhere
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityScoreLang(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(out(1L)._1 === "en")
+    assert(out(2L)._1 === "es")
+    assert(out(3L)._1 === "und")
+    // the es doc's ratio uses SPANISH hits — the fixed-enStop composite
+    // would see ~0 stopwords and inflate its quality
+    assert(out(2L)._2 > 0.4, s"es ratio ${out(2L)._2}")
+    val fixedEn = TextOps.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    assert(out(2L)._3 < fixedEn(2L),
+      "lang-aware quality must discount the es doc's own stopwords")
+    // und: ratio 0, quality = pure length term
+    assert(out(3L)._2 === 0.0)
+    assert(out(3L)._3 === 7.0 / 100.0)
+  }
+
   test("fuzzy decontamination flags benchmark near-dups, benchmark broadcast") {
     val docs = Seq(
       (1L, "what is the capital of france paris obviously"), // benchmark

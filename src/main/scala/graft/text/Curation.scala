@@ -304,10 +304,39 @@ object Curation {
       .select(col("doc_id"), col("quality"), col("q_thr"))
   }
 
+  /** PER-SOURCE quantile gate — [[qualityQuantileGate]] with one floor
+    * per source instead of one global floor: quality-score
+    * distributions differ structurally by domain (a code-heavy source
+    * scores low on stopword ratio without being low-quality), so a
+    * global floor over-prunes whole sources; "drop each source's worst
+    * 10%" is the form a mixture pipeline actually runs, and it
+    * composes with the weight-table mixture ([[mixWeightedTable]])
+    * which assumes every source survives curation.
+    *
+    * Scale shape: the thresholds are one aggregate keyed by source —
+    * a |sources|-row frame, broadcast — and the corpus streams through
+    * one broadcast hash join on `source`. No corpus shuffle, no sort.
+    * The exact-percentile buffering caveat and its `percentile_approx`
+    * swap are per-GROUP here (the buffered multiset is one source's
+    * scores), same trade as the global gate. */
+  def qualityQuantileGateBySource(docs: DataFrame,
+                                  p: Double = 0.1): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextOps.qualityCol(col("text")).as("quality"))
+    val thr = scored.groupBy(col("source"))
+      .agg(expr(s"percentile(quality, $p)").as("q_thr"))
+    scored.join(broadcast(thr), "source")
+      .filter(col("quality") >= col("q_thr"))
+      .select(col("doc_id"), col("source"), col("quality"), col("q_thr"))
+  }
+
   val queries: Map[String, Q] = Map(
     // corpus-relative quality floor (drop the worst decile)
     "quality_quantile_gate" -> ((s, d) =>
       qualityQuantileGate(Tables(s, d, "documents"))),
+    // one floor per source (drop each source's worst decile)
+    "quality_gate_by_source" -> ((s, d) =>
+      qualityQuantileGateBySource(Tables(s, d, "documents"))),
     // context-window chunking — 32-token windows at stride 24 so the
     // fixture corpus (docs up to ~100 tokens) exercises the
     // multi-chunk arithmetic, not just the one-chunk short-doc path
@@ -360,6 +389,17 @@ object Curation {
          |  CAST(least(32, n - i * 24) AS INTEGER) AS n_chunk_tokens
          |FROM c, unnest(generate_series(0, CAST(k AS BIGINT))) AS u(i)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // per-source floors: quantile_cont per source group, broadcast join
+    "quality_gate_by_source" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ${TextOps.qualityExprSql} AS quality
+         |  FROM documents),
+         |t AS (SELECT source, quantile_cont(quality, 0.1) AS q_thr
+         |      FROM q GROUP BY source)
+         |SELECT q.doc_id, q.source, q.quality, t.q_thr
+         |FROM q JOIN t USING (source)
+         |WHERE q.quality >= t.q_thr ORDER BY q.doc_id""".stripMargin,
 
     // equal-weight mixture: every source downsampled to the smallest
     // source's count, selection by md5("m:"+doc_id) order

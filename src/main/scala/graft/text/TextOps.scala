@@ -41,6 +41,17 @@ object TextOps {
   private def stopHits(toks: Column, stop: Seq[String]): Column =
     call_function("count_in", toks +: stop.map(lit): _*)
 
+  /** The composite quality score of a raw `text` column — the exact
+    * expression [[qualityScore]] selects, exposed so composing
+    * operators ([[Curation.qualityQuantileGateBySource]]) can carry
+    * extra columns alongside it without a corpus self-join back onto
+    * the scored frame. */
+  private[text] def qualityCol(text: Column): Column = {
+    val toks = tokens(norm(text))
+    least(size(toks).cast("double") / lit(100.0), lit(1.0)) *
+      (lit(1.0) - stopHits(toks, enStop).cast("double") / size(toks))
+  }
+
   /** Deterministic document fingerprint: hash of the sorted distinct token
     * set (word-shingle analog of a rolling-hash fingerprint). */
   def fingerprint(n: Column): Column =

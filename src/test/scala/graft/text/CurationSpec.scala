@@ -160,6 +160,36 @@ class CurationSpec extends SparkSpec {
     assert(out((1L, 0))._1.takeRight(32) === out((1L, 1))._1.take(32))
   }
 
+  test("per-source gate applies each source's own floor") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val kept = Curation.qualityQuantileGateBySource(docs, p = 0.1)
+      .collect()
+    // one threshold per source, and every kept doc clears ITS source's
+    val thrBySrc = kept.map(r =>
+      r.getAs[String]("source") -> r.getAs[Double]("q_thr")).toMap
+    assert(thrBySrc.size > 1, "fixture must have multiple sources")
+    kept.foreach { r =>
+      assert(r.getAs[Double]("quality") >=
+        thrBySrc(r.getAs[String]("source")))
+    }
+    // per source, the dropped set is exactly the sub-floor tail
+    val all = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    val qAll = graft.text.TextOps.qualityScore(docs)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    all.foreach { case (id, src) =>
+      assert(keptIds.contains(id) === (qAll(id) >= thrBySrc(src)),
+        s"doc $id src=$src q=${qAll(id)} thr=${thrBySrc(src)}")
+    }
+    // the floors genuinely differ across sources (the reason the
+    // per-source form exists)
+    assert(thrBySrc.values.toSet.size > 1,
+      s"expected distinct per-source floors, got $thrBySrc")
+  }
+
   test("quality quantile gate drops exactly the worst-decile tail") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents")

@@ -67,8 +67,14 @@ object IvfMaintenance {
       .localCheckpoint(true)
     val truth = topk(fresh)
     val tn = truth.count()
-    // tn == 0 only when the store holds <= 1 vector (no neighbor set
-    // exists): nothing to measure, and a retrain would be meaningless
+    // tn == 0 when NO query has a same-cell neighbor under the fresh
+    // assignment — a trivially small store, or one so dispersed that
+    // each query vector sits alone in its cell (possible whenever
+    // store size is near kCells). There is nothing to measure and a
+    // retrain could not improve what single-cell serving returns for
+    // these queries, so the gauge reports healthy; an operator whose
+    // floor "never fires" on a tiny store should read this as
+    // not-measurable, not as proof of freshness.
     if (tn == 0L) 1.0
     else truth.join(served, Seq("query_id", "vec_id"), "left_semi")
       .count().toDouble / tn

@@ -429,10 +429,9 @@ object Multimodal {
     * signable population). The pair view and the clusters view differ
     * only in their final SELECT, exactly like the engine plans. */
   private def mediaPair64CtesLayout(layout: Seq[(Int, Int)]): String = {
-    val bandSelects = layout.zipWithIndex.map { case ((shift, width), i) =>
-      val mask = if (width >= 64) -1L else (1L << width) - 1
-      s"SELECT doc_id, sig, $i AS band, (sig >> $shift) & $mask AS bval FROM sg"
-    }.mkString("\n  UNION ALL\n  ")
+    // band rendering shared with every text-family oracle — one place
+    // derives the shift/mask arithmetic from a bandLayout
+    val bandSelects = graft.text.NearDup.bandSelectsSql(layout)
     s"""sh AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(1, $bLen - 3),

@@ -696,10 +696,6 @@ object NearDup {
     simhashIncremental64BothSigs(esigs, simhash64(incoming),
       maxHamming, broadcastIncoming)
 
-  /** The core over TWO already-derived signature frames (both
-    * (doc_id, simhash64)) — the entry the streaming lane uses so a
-    * batch signed once feeds both the verdict and the survivor append
-    * without re-tokenizing. */
   /** The 4×16-bit band-explode of a (doc_id, simhash64) frame — shared
     * by the incremental judge and the fuzzy decontamination (which
     * broadcast opposite sides of the same banded join). */
@@ -713,6 +709,10 @@ object NearDup {
       .select(col(idAs), col(sigAs),
         col("b.band").as("band"), col("b.bval").as("bval"))
 
+  /** The core over TWO already-derived signature frames (both
+    * (doc_id, simhash64)) — the entry the streaming lane uses so a
+    * batch signed once feeds both the verdict and the survivor append
+    * without re-tokenizing. */
   private[graft] def simhashIncremental64BothSigs(
       esigs: DataFrame, isigs: DataFrame, maxHamming: Int = 3,
       broadcastIncoming: Boolean = true): DataFrame = {
@@ -754,10 +754,14 @@ object NearDup {
                          maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+    // EXCLUSIVE split, matching Curation.decontaminate's
+    // `doc_id < benchmarkMaxId` convention exactly, so the exact and
+    // fuzzy passes agree on which docs are benchmark vs training and
+    // their verdicts join on one doc universe
     val bbands = broadcast(sigBands(
-      simhash64(docs.filter(col("doc_id") <= benchmarkMaxId)),
+      simhash64(docs.filter(col("doc_id") < benchmarkMaxId)),
       "ex_id", "esig"))
-    val csigs = simhash64(docs.filter(col("doc_id") > benchmarkMaxId))
+    val csigs = simhash64(docs.filter(col("doc_id") >= benchmarkMaxId))
     val matches = sigBands(csigs, "inc_id", "isig")
       .join(bbands, Seq("band", "bval"))
       .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
@@ -999,7 +1003,7 @@ object NearDup {
         SimHashStore.read(s, SimHashStore.fixtureCorpusStore(s, d)),
         docs.filter(col("doc_id") % 10 >= 8))
     }),
-    // fuzzy benchmark decontamination (Hamming<=3 vs the doc_id<=10
+    // fuzzy benchmark decontamination (Hamming<=3 vs the doc_id<10
     // benchmark split, the exact-decontaminate fixture convention)
     "decontaminate_fuzzy" -> ((s, d) =>
       decontaminateFuzzy(Tables(s, d, "documents"))),
@@ -1069,13 +1073,21 @@ object NearDup {
     * oracle twin of `bandedHammingPairsLayout`, fed the SAME
     * [[bandLayout]] output so engine and oracle cannot desynchronize on
     * a radius-derived banding. */
-  private def simhashPairCtesLayout(terms: String,
-                                    layout: Seq[(Int, Int)],
-                                    cap: Int): String = {
-    val bandSelects = layout.zipWithIndex.map { case ((shift, width), i) =>
+  /** SQL rendering of a band layout's `sbands` selects over a CTE named
+    * `sg` (doc_id, sig) — ONE place derives the shift/mask arithmetic
+    * for every banded oracle (text widths, radius-derived layouts, and
+    * the media family's byte-signature twin), so engine `bandLayout`
+    * and oracle banding cannot drift apart per family. */
+  private[graft] def bandSelectsSql(layout: Seq[(Int, Int)]): String =
+    layout.zipWithIndex.map { case ((shift, width), i) =>
       val mask = if (width >= 64) -1L else (1L << width) - 1
       s"SELECT doc_id, sig, $i AS band, (sig >> $shift) & $mask AS bval FROM sg"
     }.mkString("\n  UNION ALL\n  ")
+
+  private def simhashPairCtesLayout(terms: String,
+                                    layout: Seq[(Int, Int)],
+                                    cap: Int): String = {
+    val bandSelects = bandSelectsSql(layout)
     s"""sg AS (
        |  ${simhashSigCte(terms)}),
        |sbands AS (
@@ -1443,9 +1455,10 @@ object NearDup {
          |FROM clusters ORDER BY doc_id""".stripMargin,
 
     // fuzzy decontamination: same banded judge with the benchmark
-    // split (doc_id <= 10) as the existing side, corpus unsorted
+    // split (doc_id < 10, the exact decontaminate's exclusive
+    // convention) as the existing side, corpus unsorted
     "decontaminate_fuzzy" ->
-      simhash64SplitOracle("doc_id <= 10", "doc_id > 10",
+      simhash64SplitOracle("doc_id < 10", "doc_id >= 10",
         "n_benchmark_matches", "is_clean", sorted = false),
 
     // batch-vs-corpus: 4-band candidates between the splits, Hamming

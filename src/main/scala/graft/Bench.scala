@@ -99,13 +99,19 @@ object Bench {
     // (VERDICT r8/r9 "parsed": null); a file copy survives whole.
     // Default lands in the launch directory (gitignored there), not a
     // hardcoded absolute path.
+    // NonFatal only, and loudly: a silently-swallowed write failure
+    // (permissions, disk full) would resurrect the truncation problem
+    // this file copy exists to fix, with zero signal that it had.
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         new java.io.File(sys.props.getOrElse("user.dir", "."),
           "BENCH_SELF.json").getPath)
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[bench] WARNING: failed to write bench artifact copy: $e")
+    }
     spark.stop()
   }
 }

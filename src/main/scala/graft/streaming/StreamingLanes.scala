@@ -169,9 +169,12 @@ object StreamingLanes {
     * election over the banded Hamming≤`maxHamming` pair graph) applied
     * INLINE to the store-clean docs of one micro-batch. Among batch
     * docs that passed the store judge, each near-dup family keeps only
-    * its min-doc_id keeper; the rest demote to `is_new = false` (their
-    * `n_dups` stays the STORE dup count — an intra-batch demotion is
-    * flagged by `is_new = false` with `n_dups = 0`). The result is the
+    * its min-doc_id keeper; the rest demote to `is_new = false`. The
+    * verdict gains an `n_batch_dups` column — the doc's intra-batch
+    * near-dup partner count — so a demotion's reason is recoverable
+    * downstream: a store dup has `n_dups > 0`, an intra-batch demotion
+    * has `n_dups = 0` with `n_batch_dups > 0` (the keeper itself also
+    * carries its partner count, with `is_new = true`). The result is the
     * same admitted set the batch form would choose over store ∪ batch
     * at maintenance time, at the price of a banded self-join + a
     * min-label fixpoint per micro-batch — which is why it is opt-in:
@@ -182,18 +185,28 @@ object StreamingLanes {
     import graft.text.NearDup
     val clean = isigs.join(
       storeVerdict.filter(col("is_new")).select(col("doc_id")), "doc_id")
+    // eager: the pair frame feeds both the cluster edges and the
+    // partner counts — two lazy consumers would each re-run the banded
+    // self-join; the pair list is tiny (near-dups within one batch)
     val pairs = NearDup.bandedHammingPairs(
       clean.select(col("doc_id"), col("simhash64").as("sig")),
       nBands = 4, bandBits = 16, maxHamming, maxBucket = 256)
+      .localCheckpoint(true)
+    val partners = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_batch_dups"))
     val clusters = NearDup.dedupClustersFromEdges(
       clean.select(col("doc_id")),
       pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
     storeVerdict
       .join(clusters.select(col("doc_id"), col("is_keeper")),
         Seq("doc_id"), "left")
+      .join(partners, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_dups"),
         (col("is_new") && coalesce(col("is_keeper"), lit(true)))
-          .as("is_new"))
+          .as("is_new"),
+        coalesce(col("n_batch_dups"), lit(0)).as("n_batch_dups"))
   }
 
   /** Store-backed streaming SimHash dedup lane — [[nearDupStoreLane]]'s
@@ -296,9 +309,14 @@ object StreamingLanes {
       // would make arrivals and verdicts unreconcilable downstream
       val verdict = batch.select(col("doc_id"))
         .join(judged, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(Seq(col("doc_id"),
           coalesce(col("n_dups"), lit(0)).as("n_dups"),
-          coalesce(col("is_new"), lit(true)).as("is_new"))
+          coalesce(col("is_new"), lit(true)).as("is_new")) ++
+          // the gate's demotion-reason column (see gateIntraBatch);
+          // unsignable pass-through assets count 0 partners
+          (if (intraBatchExact)
+            Seq(coalesce(col("n_batch_dups"), lit(0)).as("n_batch_dups"))
+          else Nil): _*)
       MediaSigStore.appendSigs(storePath, isigs.join(
         verdict.filter(col("is_new")).select(col("doc_id")), "doc_id"))
       maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance

@@ -354,11 +354,13 @@ class StreamingSpec extends SparkSpec {
       Seq((100L, "the quick brown fox jumps over the dog"))
         .toDF("doc_id", "text"))
     val verdicts = scala.collection.mutable.Map[Long, Boolean]()
+    val batchDups = scala.collection.mutable.Map[Long, Int]()
     val q = StreamingLanes.simhashStoreLane(
       mem.toDF().select(col("doc_id"), col("text")), store,
       intraBatchExact = true)(
       (batch, _) => batch.collect().foreach { r =>
         verdicts(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("is_new")
+        batchDups(r.getAs[Long]("doc_id")) = r.getAs[Int]("n_batch_dups")
       }).start()
     try {
       // one batch: a store dup, THREE permutations of one novel doc
@@ -375,6 +377,12 @@ class StreamingSpec extends SparkSpec {
       assert(verdicts(6L) === false && verdicts(7L) === false,
         "same-batch near-dups of the keeper must be demoted by the gate")
       assert(verdicts(8L) === true, "unrelated doc admitted")
+      // demotion reason is recoverable downstream: intra-batch demotions
+      // carry their partner count (n_dups stays the store count, 0 here)
+      assert(batchDups(6L) > 0 && batchDups(7L) > 0,
+        "demoted docs must carry their intra-batch partner count")
+      assert(batchDups(5L) > 0, "the keeper carries its partner count too")
+      assert(batchDups(8L) === 0 && batchDups(1L) === 0)
       // only keepers were appended: a later permutation still dedups,
       // and the store holds exactly seed + the two admitted docs
       mem.addData(Doc(ts(30), 9L,

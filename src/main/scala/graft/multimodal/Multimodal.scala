@@ -244,6 +244,17 @@ object Multimodal {
       mediaSigs64(store).withColumnRenamed("simhash64", "sig"),
       graft.text.NearDup.bandLayout(maxHamming), maxHamming, maxBucket)
 
+  /** [[mediaDedupNear64Radius]] over an ALREADY-signed
+    * (doc_id, simhash64) frame — a [[MediaSigStore]] scan: the deep
+    * Hamming audit of a signed asset corpus re-bands persisted 8-byte
+    * signatures and never re-reads payload bytes (the text family's
+    * `simhashNearDup64RadiusFromSigs` posture; at media scale the win
+    * is larger still — payloads are the corpus's dominant bytes). */
+  def mediaDedupNear64RadiusFromSigs(sigs: DataFrame, maxHamming: Int,
+                                     maxBucket: Int = 256): DataFrame =
+    graft.text.NearDup.simhashNearDup64RadiusFromSigs(
+      sigs, maxHamming, maxBucket)
+
   /** The media signature derivation — the ONE pass that must read every
     * payload byte, factored out so it runs ONCE per corpus (persisted
     * by [[MediaSigStore]]) instead of once per near-dup query. Output
@@ -319,6 +330,12 @@ object Multimodal {
     // the fixed 4x16-bit form refuses
     "media_dedup_near64_h7" -> ((s, d) =>
       mediaDedupNear64Radius(assetStore(s, d), maxHamming = 7)),
+    // the deep audit served FROM THE STORE: re-bands persisted 8-byte
+    // signatures (doc_id % 10 < 8 population) — zero payload reads
+    "media_dedup_near64_h7_staged" -> ((s, d) =>
+      mediaDedupNear64RadiusFromSigs(
+        MediaSigStore.read(s, MediaSigStore.fixtureCorpusStore(s, d)),
+        maxHamming = 7)),
     // batch-vs-corpus media ingestion dedup on the incremental fixture
     // convention (accumulated = doc_id % 10 < 8) — corpus signed
     // in-session
@@ -428,7 +445,8 @@ object Multimodal {
     * family-shared sub-salt cap — ends at `s_salted` (plus `sg`, the
     * signable population). The pair view and the clusters view differ
     * only in their final SELECT, exactly like the engine plans. */
-  private def mediaPair64CtesLayout(layout: Seq[(Int, Int)]): String = {
+  private def mediaPair64CtesLayout(layout: Seq[(Int, Int)],
+                                    where: String = ""): String = {
     // band rendering shared with every text-family oracle — one place
     // derives the shift/mask arithmetic from a bandLayout
     val bandSelects = graft.text.NearDup.bandSelectsSql(layout)
@@ -438,7 +456,8 @@ object Multimodal {
        |      i -> $mixExpr) AS h1,
        |    list_transform(generate_series(1, $bLen - 3),
        |      i -> $mix2Expr) AS h2
-       |  FROM documents WHERE $bLen >= 4),
+       |  FROM documents WHERE $bLen >= 4${
+      if (where.isEmpty) "" else s" AND ($where)"}),
        |sg AS (
        |  SELECT doc_id, CAST($byteSim64Terms AS BIGINT) AS sig FROM sh),
        |sbands AS (
@@ -499,6 +518,20 @@ object Multimodal {
     // the SAME bandLayout output as the engine plan
     "media_dedup_near64_h7" ->
       s"""WITH ${mediaPair64CtesLayout(graft.text.NearDup.bandLayout(7))}
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM s_salted a JOIN s_salted b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.salt = b.salt
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // store-served twin: radius-7 banding over the PERSISTED population
+    // only (doc_id % 10 < 8) — engine reads 8-byte signatures, oracle
+    // re-derives them from payload bytes
+    "media_dedup_near64_h7_staged" ->
+      s"""WITH ${mediaPair64CtesLayout(graft.text.NearDup.bandLayout(7),
+        where = "doc_id % 10 < 8")}
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
          |FROM s_salted a JOIN s_salted b

@@ -643,6 +643,19 @@ object NearDup {
       simhash64(docs).withColumnRenamed("simhash64", "sig"),
       bandLayout(maxHamming), maxHamming, maxBucket)
 
+  /** [[simhashNearDup64Radius]] over an ALREADY-signed
+    * (doc_id, simhash64) frame — a [[SimHashStore]] scan: the deep
+    * Hamming audit of a signed corpus re-bands the persisted 8-byte
+    * signatures and never re-reads text (the [[simhashAuditFromSigs]]
+    * posture applied to the radius family). At 100 TB this is the
+    * difference between an audit that scans the corpus and one that
+    * scans corpus_count × 8 bytes of derived state. */
+  def simhashNearDup64RadiusFromSigs(sigs: DataFrame, maxHamming: Int,
+                                     maxBucket: Int = MaxBucket): DataFrame =
+    bandedHammingPairsLayout(
+      sigs.select(col("doc_id"), col("simhash64").as("sig")),
+      bandLayout(maxHamming), maxHamming, maxBucket)
+
   /** Signature-grouped SimHash dedup — the PRODUCTION form of the
     * family: one hash aggregate on the 16-bit fingerprint electing the
     * lowest doc_id per signature group (the dedup_exact shape on the
@@ -984,6 +997,12 @@ object NearDup {
     // bands at radius 7) the fixed-band forms refuse
     "dedup_simhash64_h7" -> ((s, d) =>
       simhashNearDup64Radius(Tables(s, d, "documents"), maxHamming = 7)),
+    // the deep audit served FROM THE STORE: re-bands persisted 8-byte
+    // signatures (doc_id % 10 < 8 population) — zero text reads
+    "dedup_simhash64_h7_staged" -> ((s, d) =>
+      simhashNearDup64RadiusFromSigs(
+        SimHashStore.read(s, SimHashStore.fixtureCorpusStore(s, d)),
+        maxHamming = 7)),
     "dedup_simhash64_keep" -> ((s, d) => simhashDedup64(Tables(s, d, "documents"))),
     // the family's batch-vs-corpus ingestion form, on the incremental
     // fixture convention (accumulated = doc_id % 10 < 8)
@@ -1048,13 +1067,15 @@ object NearDup {
   }.mkString(" + ")
 
   /** Per-doc (doc_id, sig) derivation shared by every SimHash oracle —
-    * `terms` picks the signature width. */
-  private def simhashSigCte(terms: String): String =
+    * `terms` picks the signature width, `where` restricts the doc
+    * population (the staged forms' store-population predicate). */
+  private def simhashSigCte(terms: String, where: String = ""): String =
     s"""SELECT doc_id, CAST($terms AS BIGINT) AS sig
        |  FROM (SELECT doc_id, l, list_transform(l, t -> md5(t)) AS lh
        |        FROM (SELECT doc_id,
        |                list_distinct(string_split($N, ' ')) AS l
-       |              FROM documents))""".stripMargin
+       |              FROM documents${
+      if (where.isEmpty) "" else s" WHERE $where"}))""".stripMargin
 
   /** The width-generic banded pair oracle, parameterized over the SAME
     * constants the engine takes ([[bandedHammingPairs]]): band values by
@@ -1086,10 +1107,11 @@ object NearDup {
 
   private def simhashPairCtesLayout(terms: String,
                                     layout: Seq[(Int, Int)],
-                                    cap: Int): String = {
+                                    cap: Int,
+                                    where: String = ""): String = {
     val bandSelects = bandSelectsSql(layout)
     s"""sg AS (
-       |  ${simhashSigCte(terms)}),
+       |  ${simhashSigCte(terms, where)}),
        |sbands AS (
        |  $bandSelects),
        |s_over AS (
@@ -1107,8 +1129,9 @@ object NearDup {
 
   private def simhashPairOracleLayout(terms: String,
                                       layout: Seq[(Int, Int)],
-                                      cap: Int, maxHamming: Int): String =
-    s"""WITH ${simhashPairCtesLayout(terms, layout, cap)}
+                                      cap: Int, maxHamming: Int,
+                                      where: String = ""): String =
+    s"""WITH ${simhashPairCtesLayout(terms, layout, cap, where)}
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
        |FROM s_salted a JOIN s_salted b
@@ -1428,6 +1451,13 @@ object NearDup {
     "dedup_simhash64_h7" ->
       simhashPairOracleLayout(simhash64Terms, bandLayout(7),
         cap = MaxBucket, maxHamming = 7),
+
+    // store-served twin: same radius-7 banding over the PERSISTED
+    // population only (doc_id % 10 < 8) — the engine reads 8-byte
+    // signatures, the oracle re-votes them from text
+    "dedup_simhash64_h7_staged" ->
+      simhashPairOracleLayout(simhash64Terms, bandLayout(7),
+        cap = MaxBucket, maxHamming = 7, where = "doc_id % 10 < 8"),
 
     "dedup_simhash64_keep" -> simhashKeepOracle(simhash64Terms, "simhash64"),
 

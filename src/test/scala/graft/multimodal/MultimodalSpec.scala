@@ -143,6 +143,24 @@ class MultimodalSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("staged media radius audit reads signed state, no payload scan") {
+    import org.apache.spark.sql.functions.col
+    val q = Multimodal.queries("media_dedup_near64_h7_staged")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the audit re-bands persisted 8-byte signatures: the signing
+    // kernel (the one pass that reads payload bytes) must be absent
+    assert(plan.contains("media_sig_store"),
+      s"staged media radius audit does not read the signature store:\n$plan")
+    assert(!plan.contains("byte_simhash64") && !plan.contains("payload"),
+      s"staged media radius audit re-reads payload bytes:\n$plan")
+    // and it equals the from-payload radius form over the store population
+    val fromBytes = Multimodal.mediaDedupNear64Radius(
+      Multimodal.assetStore(spark, dir).filter(col("doc_id") % 10 < 8),
+      maxHamming = 7)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(q.collect().map(_.toSeq).sortBy(_.toString) === fromBytes)
+  }
+
   test("media clusters: transitive byte-near-dup families, singletons kept") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

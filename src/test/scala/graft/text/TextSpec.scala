@@ -229,6 +229,24 @@ class TextSpec extends SparkSpec {
     assert(staged === inSession)
   }
 
+  test("staged radius audit reads signed state, matches the from-text form") {
+    val dir = "/root/testdata/sf0.001"
+    val q = NearDup.queries("dedup_simhash64_h7_staged")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the deep audit re-bands persisted signatures: no re-tokenize,
+    // no re-hash, no text column anywhere in the plan
+    assert(plan.contains("simhash_store"),
+      s"staged radius audit does not read the signature store:\n$plan")
+    assert(!plan.contains("simhash64(") && !plan.contains("norm_text"),
+      s"staged radius audit re-derives signatures from text:\n$plan")
+    // and it equals the from-text radius form over the store population
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 < 8)
+    val fromText = NearDup.simhashNearDup64Radius(docs, maxHamming = 7)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(q.collect().map(_.toSeq).sortBy(_.toString) === fromText)
+  }
+
   test("keep-best representative is the highest-quality cluster member") {
     // doc 2 repeats a stopword-free doc 1 but pads to a longer token
     // count -> higher quality score; the min-id keeper (1) and the

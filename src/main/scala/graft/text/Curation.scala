@@ -358,6 +358,34 @@ object Curation {
 
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** [[chunkDocs]] as a DuckDB CTE chain ending in
+    * `chunks(doc_id, chunk_idx, chunk_text, n_chunk_tokens)` — shared
+    * by the chunk_docs oracle and every chunk-granularity oracle
+    * (chunk dedup, chunk decontamination), so one place renders the
+    * slice/count arithmetic the engine's chunkDocs pins. `src` is the
+    * document source (a table or an earlier CTE with doc_id + text). */
+  private[text] def chunkCtesSql(window: Int, stride: Int,
+                                 src: String = "documents",
+                                 out: String = "chunks"): String =
+    s"""${out}_t AS (
+       |  SELECT doc_id, string_split($N, ' ') AS toks,
+       |    len(string_split($N, ' ')) AS n
+       |  FROM $src),
+       |${out}_c AS (
+       |  SELECT doc_id, toks, n,
+       |    CASE WHEN n <= $window THEN 0
+       |         ELSE (n - $window + ${stride - 1}) // $stride END AS k
+       |  FROM ${out}_t),
+       |$out AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |    array_to_string(
+       |      toks[i * $stride + 1 : i * $stride + $window], ' ')
+       |      AS chunk_text,
+       |    CAST(least($window, n - i * $stride) AS INTEGER)
+       |      AS n_chunk_tokens
+       |  FROM ${out}_c, unnest(generate_series(0, CAST(k AS BIGINT))) AS u(i))"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
     // corpus-relative floor: quantile_cont shares Spark exact
     // percentile's linear interpolation, so the one-row threshold and
@@ -374,20 +402,8 @@ object Curation {
     // count, 1-based inclusive list slice == Spark's (start, length)
     // slice with end-clamping in both engines
     "chunk_docs" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split($N, ' ') AS toks,
-         |    len(string_split($N, ' ')) AS n
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, toks, n,
-         |    CASE WHEN n <= 32 THEN 0
-         |         ELSE (n - 32 + 23) // 24 END AS k
-         |  FROM t)
-         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-         |  array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')
-         |    AS chunk_text,
-         |  CAST(least(32, n - i * 24) AS INTEGER) AS n_chunk_tokens
-         |FROM c, unnest(generate_series(0, CAST(k AS BIGINT))) AS u(i)
+      s"""WITH ${chunkCtesSql(32, 24)}
+         |SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM chunks
          |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // per-source floors: quantile_cont per source group, broadcast join

@@ -603,13 +603,18 @@ object NearDup {
     * at 64 bits random-pair collisions are negligible and the 16-bit
     * bands keep buckets ~1/65,536. The 16-bit family remains the
     * audit/tuning view at fixture scale. */
-  def simhash64(docs: DataFrame): DataFrame = {
-    val toksd = array_distinct(split(norm(col("text")), " "))
-    docs.withColumn("l", toksd)
-      .withColumn("lh", transform(col("l"), t => md5(t.cast("binary"))))
-      .select(col("doc_id"),
-        call_function("simhash64", col("lh")).as("simhash64"))
-  }
+  def simhash64(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash64Col(col("text")).as("simhash64"))
+
+  /** The 64-bit SimHash derivation as a composable COLUMN over any text
+    * expression — the [[simhash64]] arithmetic freed from the per-doc
+    * frame shape, so sub-document granularities (chunks) sign with the
+    * identical kernel: normalize → distinct tokens → per-token md5 →
+    * one `simhash64` vote pass. */
+  def simhash64Col(text: Column): Column =
+    call_function("simhash64",
+      transform(array_distinct(split(norm(text), " ")),
+        t => md5(t.cast("binary"))))
 
   /** Banded near-dup pairs over the 64-bit signature: 4×16-bit bands —
     * by the pigeonhole, ANY pair within Hamming distance 3 agrees on at
@@ -678,6 +683,37 @@ object NearDup {
       .groupBy(col("simhash64"))
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("dup_count"))
+
+  /** CHUNK-granularity dedup — [[simhashDedup64]] at the granularity an
+    * LLM pipeline actually trains on: each document's sliding context
+    * windows ([[Curation.chunkDocs]]) are signed with the SAME 64-bit
+    * kernel ([[simhash64Col]]), then one hash aggregate per chunk
+    * signature elects the lexicographically-first (doc_id, chunk_idx)
+    * keeper and counts duplicates — with `cross_doc` flagging
+    * signatures shared ACROSS documents (the near-dup windows span
+    * dedup misses: exact-substring spans are [[SpanDedup]]'s catch,
+    * near-identical windows whose tokens drift are this one's).
+    *
+    * Scale shape: chunking is per-row explode (no shuffle), signing is
+    * per-chunk codegen, the group-by is ONE map-side-combined exchange
+    * keyed on the 8-byte signature — the dedup_exact posture on chunk
+    * state; output is one row per distinct chunk signature. */
+  def chunkDedup64(docs: DataFrame, window: Int = 32,
+                   stride: Int = 24): DataFrame =
+    Curation.chunkDocs(docs, window, stride)
+      .select(col("doc_id"), col("chunk_idx"),
+        simhash64Col(col("chunk_text")).as("simhash64"))
+      .groupBy(col("simhash64"))
+      .agg(
+        // lexicographic struct min == (min doc_id, then its min chunk)
+        min(struct(col("doc_id"), col("chunk_idx"))).as("keep"),
+        count(lit(1)).as("dup_count"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .select(col("simhash64"),
+        col("keep.doc_id").as("keep_doc_id"),
+        col("keep.chunk_idx").as("keep_chunk_idx"),
+        col("dup_count"), col("n_docs"),
+        (col("n_docs") > 1).as("cross_doc"))
 
   /** Incremental SimHash dedup — the batch-vs-corpus ingestion shape
     * the MinHash ([[incrementalDedup]]) and span
@@ -786,6 +822,57 @@ object NearDup {
       .select(col("doc_id"),
         coalesce(col("nd"), lit(0L)).cast("int").as("n_benchmark_matches"),
         (coalesce(col("nd"), lit(0L)) === 0).as("is_clean"))
+  }
+
+  /** CHUNK-granularity fuzzy decontamination — [[decontaminateFuzzy]] at
+    * the granularity benchmark leakage actually occurs: a contaminated
+    * document usually embeds ONE benchmark passage, so whole-doc
+    * signatures drift far apart while one context window stays within
+    * Hamming range. Both sides chunk with the SAME window/stride
+    * ([[Curation.chunkDocs]]) and sign per chunk ([[simhash64Col]]);
+    * a corpus chunk within `maxHamming` of ANY benchmark chunk is
+    * flagged, and each doc reports its contaminated-chunk fraction —
+    * the triage number (drop the doc vs excise the chunk).
+    *
+    * Scale shape: the benchmark side (chunks of a bounded benchmark
+    * set) band-explodes and broadcasts; the corpus chunk stream takes
+    * one broadcast hash join, one (doc, chunk) aggregate over matches
+    * only, and one doc-keyed aggregate for the fraction — no corpus
+    * shuffle beyond the chunk-keyed verdict exchanges. */
+  def decontaminateChunks(docs: DataFrame, benchmarkMaxId: Long = 10,
+                          maxHamming: Int = 3, window: Int = 32,
+                          stride: Int = 24): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+    def chunkSigs(df: DataFrame): DataFrame =
+      Curation.chunkDocs(df, window, stride)
+        .select(col("doc_id"), col("chunk_idx"),
+          simhash64Col(col("chunk_text")).as("sig"))
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("*"), explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("sig"), 16 * i).bitwiseAND(lit(65535L))
+            .as("bval"))): _*)).as("b"))
+        .withColumn("band", col("b.band"))
+        .withColumn("bval", col("b.bval")).drop("b")
+    val corpusChunks = chunkSigs(docs.filter(col("doc_id") >= benchmarkMaxId))
+    val bband = broadcast(banded(
+      chunkSigs(docs.filter(col("doc_id") < benchmarkMaxId))
+        .select(col("doc_id").as("b_id"), col("sig").as("bsig"),
+          col("sig"))).drop("sig"))
+    val matches = banded(corpusChunks).join(bband, Seq("band", "bval"))
+      .filter(bit_count(col("sig").bitwiseXOR(col("bsig"))) <= maxHamming)
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count_distinct(col("b_id")).as("nb"))
+    val perChunk = corpusChunks.select(col("doc_id"), col("chunk_idx"))
+      .join(matches, Seq("doc_id", "chunk_idx"), "left")
+      .select(col("doc_id"), col("chunk_idx"),
+        coalesce(col("nb"), lit(0L)).cast("int").as("n_benchmark_matches"),
+        (coalesce(col("nb"), lit(0L)) === 0).as("is_clean"))
+    val perDoc = perChunk.groupBy(col("doc_id"))
+      .agg((sum(when(col("is_clean"), 0L).otherwise(1L)).cast("double") /
+        count(lit(1)).cast("double")).as("doc_contaminated_frac"))
+    perChunk.join(perDoc, "doc_id")
   }
 
   /** Connected components over the 64-bit SimHash near-dup graph —
@@ -1004,6 +1091,9 @@ object NearDup {
         SimHashStore.read(s, SimHashStore.fixtureCorpusStore(s, d)),
         maxHamming = 7)),
     "dedup_simhash64_keep" -> ((s, d) => simhashDedup64(Tables(s, d, "documents"))),
+    // chunk-granularity keeper dedup + cross-doc duplicate-window flag
+    // (32-token windows at stride 24, the chunk_docs fixture convention)
+    "chunk_dedup" -> ((s, d) => chunkDedup64(Tables(s, d, "documents"))),
     // the family's batch-vs-corpus ingestion form, on the incremental
     // fixture convention (accumulated = doc_id % 10 < 8)
     "dedup_simhash64_incremental" -> ((s, d) => {
@@ -1026,6 +1116,9 @@ object NearDup {
     // benchmark split, the exact-decontaminate fixture convention)
     "decontaminate_fuzzy" -> ((s, d) =>
       decontaminateFuzzy(Tables(s, d, "documents"))),
+    // chunk-granularity leakage: per-window verdicts + per-doc fraction
+    "decontaminate_chunks" -> ((s, d) =>
+      decontaminateChunks(Tables(s, d, "documents"))),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
   // --- oracle -------------------------------------------------------------
@@ -1065,6 +1158,18 @@ object NearDup {
     s"""CASE WHEN 2 * len(list_filter(lh, h -> substr(h, $p, 1) IN $set))
        |  - len(l) > 0 THEN $value ELSE 0 END""".stripMargin
   }.mkString(" + ")
+
+  /** Per-chunk 64-bit signature CTE body over a chunk-shaped CTE `src`
+    * (doc_id, chunk_idx, chunk_text) — the [[simhashSigCte]] pattern at
+    * chunk granularity, shared by the chunk dedup and chunk
+    * decontamination oracles. */
+  private def chunkSigCteSql(src: String): String =
+    s"""SELECT doc_id, chunk_idx, CAST($simhash64Terms AS BIGINT) AS sig
+       |  FROM (SELECT doc_id, chunk_idx, l,
+       |          list_transform(l, t -> md5(t)) AS lh
+       |        FROM (SELECT doc_id, chunk_idx,
+       |                list_distinct(string_split(chunk_text, ' ')) AS l
+       |              FROM $src))""".stripMargin
 
   /** Per-doc (doc_id, sig) derivation shared by every SimHash oracle —
     * `terms` picks the signature width, `where` restricts the doc
@@ -1461,6 +1566,27 @@ object NearDup {
 
     "dedup_simhash64_keep" -> simhashKeepOracle(simhash64Terms, "simhash64"),
 
+    // chunk-granularity keeper: the shared chunk CTEs render the same
+    // slice arithmetic as chunkDocs, each chunk re-votes the 64-bit
+    // signature from its own token set, one group per signature. The
+    // lexicographic (doc_id, chunk_idx) keeper is replayed two-step:
+    // min doc_id per signature, then min chunk_idx within that doc.
+    "chunk_dedup" ->
+      s"""WITH ${Curation.chunkCtesSql(32, 24)},
+         |csig AS (
+         |  ${chunkSigCteSql("chunks")}),
+         |grp AS (
+         |  SELECT sig, min(doc_id) AS keep_doc_id,
+         |    count(*) AS dup_count, count(DISTINCT doc_id) AS n_docs
+         |  FROM csig GROUP BY sig)
+         |SELECT g.sig AS simhash64, g.keep_doc_id,
+         |  CAST(min(c.chunk_idx) AS INTEGER) AS keep_chunk_idx,
+         |  g.dup_count, g.n_docs, g.n_docs > 1 AS cross_doc
+         |FROM grp g JOIN csig c
+         |  ON c.sig = g.sig AND c.doc_id = g.keep_doc_id
+         |GROUP BY g.sig, g.keep_doc_id, g.dup_count, g.n_docs
+         |ORDER BY g.keep_doc_id, keep_chunk_idx""".stripMargin,
+
     // min-label components over the Hamming<=3 pair graph, replayed as
     // recursive reachability — same shape as the LSH clusters oracle
     "dedup_simhash64_clusters" ->
@@ -1490,6 +1616,47 @@ object NearDup {
     "decontaminate_fuzzy" ->
       simhash64SplitOracle("doc_id < 10", "doc_id >= 10",
         "n_benchmark_matches", "is_clean", sorted = false),
+
+    // chunk-granularity leakage: both splits chunked with the shared
+    // CTEs, per-chunk 64-bit signatures, 4-band candidate join against
+    // the benchmark chunks, Hamming<=3 gate, then the per-chunk verdict
+    // and per-doc contaminated fraction
+    "decontaminate_chunks" ->
+      s"""WITH bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+         |csrc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+         |${Curation.chunkCtesSql(32, 24, "bsrc", "bchunks")},
+         |${Curation.chunkCtesSql(32, 24, "csrc", "cchunks")},
+         |bsig AS (
+         |  ${chunkSigCteSql("bchunks")}),
+         |csig AS (
+         |  ${chunkSigCteSql("cchunks")}),
+         |bb AS (
+         |  ${(0 until 4).map(i =>
+        s"SELECT doc_id AS b_id, sig AS bsig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM bsig")
+        .mkString("\n  UNION ALL\n  ")}),
+         |cb AS (
+         |  ${(0 until 4).map(i =>
+        s"SELECT doc_id, chunk_idx, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM csig")
+        .mkString("\n  UNION ALL\n  ")}),
+         |m AS (
+         |  SELECT cb.doc_id, cb.chunk_idx, count(DISTINCT bb.b_id) AS nb
+         |  FROM cb JOIN bb ON cb.band = bb.band AND cb.bval = bb.bval
+         |  WHERE bit_count(xor(cb.sig, bb.bsig)) <= 3
+         |  GROUP BY cb.doc_id, cb.chunk_idx),
+         |pc AS (
+         |  SELECT c.doc_id, c.chunk_idx,
+         |    CAST(coalesce(m.nb, 0) AS INTEGER) AS n_benchmark_matches,
+         |    coalesce(m.nb, 0) = 0 AS is_clean
+         |  FROM cchunks c LEFT JOIN m
+         |    ON m.doc_id = c.doc_id AND m.chunk_idx = c.chunk_idx),
+         |pd AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN is_clean THEN 0 ELSE 1 END) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS doc_contaminated_frac
+         |  FROM pc GROUP BY doc_id)
+         |SELECT pc.doc_id, pc.chunk_idx, pc.n_benchmark_matches,
+         |  pc.is_clean, pd.doc_contaminated_frac
+         |FROM pc JOIN pd USING (doc_id)""".stripMargin,
 
     // batch-vs-corpus: 4-band candidates between the splits, Hamming
     // gate, count of distinct existing near-docs per incoming doc

@@ -229,6 +229,48 @@ class TextSpec extends SparkSpec {
     assert(staged === inSession)
   }
 
+  test("chunk dedup: identical windows collapse, cross-doc flagged") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // chunks (w=4,s=2): [a b c d], [c d e f]
+      (2L, "x y a b c d"), // chunks: [x y a b], [a b c d] <- shared
+      (3L, "p q p q p q")) // chunks: [p q p q], [p q p q] <- self-dup
+      .toDF("doc_id", "text")
+    val out = NearDup.chunkDedup64(docs, window = 4, stride = 2)
+      .collect().map(r => (r.getAs[Long]("keep_doc_id"),
+        r.getAs[Int]("keep_chunk_idx"), r.getAs[Long]("dup_count"),
+        r.getAs[Long]("n_docs"), r.getAs[Boolean]("cross_doc")))
+    // the cross-doc window keeps (1,0), counted twice over two docs
+    assert(out.contains((1L, 0, 2L, 2L, true)), out.toSeq)
+    // the within-doc repeat keeps (3,0), two copies of one doc
+    assert(out.contains((3L, 0, 2L, 1L, false)), out.toSeq)
+    // unique windows are their own keeper
+    assert(out.contains((1L, 1, 1L, 1L, false)), out.toSeq)
+    assert(out.contains((2L, 0, 1L, 1L, false)), out.toSeq)
+    assert(out.length === 4)
+  }
+
+  test("chunk decontamination flags the embedded benchmark window only") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta"), // benchmark passage (id < 10)
+      (20L, "x1 x2 alpha bravo charlie delta y1 y2"), // embeds it @ even offset
+      (21L, "wholly unrelated tokens with no benchmark overlap at all"))
+      .toDF("doc_id", "text")
+    val out = NearDup.decontaminateChunks(docs, benchmarkMaxId = 10,
+      window = 4, stride = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"))
+        -> ((r.getAs[Int]("n_benchmark_matches"), r.getAs[Boolean]("is_clean"),
+          r.getAs[Double]("doc_contaminated_frac")))).toMap
+    // doc 20: chunks 0/1/2; only chunk 1 IS the benchmark passage
+    assert(out((20L, 1)) === ((1, false, 1.0 / 3)),
+      s"embedded window not flagged: $out")
+    assert(out((20L, 0))._2 && out((20L, 2))._2,
+      "clean windows of a contaminated doc must stay clean")
+    // doc 21 fully clean, fraction 0
+    assert(out.filterKeys(_._1 == 21L).values.forall(v => v._2 && v._3 == 0.0))
+    // benchmark docs are not reported
+    assert(!out.keys.exists(_._1 == 1L))
+  }
+
   test("staged radius audit reads signed state, matches the from-text form") {
     val dir = "/root/testdata/sf0.001"
     val q = NearDup.queries("dedup_simhash64_h7_staged")(spark, dir)

@@ -336,8 +336,22 @@ object Similarity {
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("n2").as("qn2"))
-    val probed = q
-      .crossJoin(broadcast(IvfStore.subCentroidsRow(spark, dir, keepMod)))
+    val probed = probedCells(q,
+      IvfStore.subCentroidsRow(spark, dir, keepMod), nprobe)
+    scoreRankLimit(all.join(broadcast(probed),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id")), k)
+  }
+
+  /** Each query's `nprobe` nearest stored centroids — the per-query
+    * cell-ranking core of the multi-probe serving path, factored so
+    * corpus-member queries ([[annIvfStoredProbe]]) and EXTERNAL query
+    * frames ([[annQueryExternalProbe]]) share one plan: exact integer
+    * distances against the one-row packed centroid broadcast, sorted
+    * in-row (ties to the lowest cell id), top-`nprobe` exploded.
+    * `q` must carry (query_id, qv, qn2). */
+  private def probedCells(q: DataFrame, centsRow: DataFrame,
+                          nprobe: Int): DataFrame =
+    q.crossJoin(broadcast(centsRow))
       .withColumn("scored", transform(
         sequence(lit(0), size(col("cells")) - 1),
         i => struct(
@@ -350,8 +364,82 @@ object Similarity {
         explode(slice(sort_array(col("scored")), 1, nprobe)).as("p"))
       .select(col("query_id"), col("qv"), col("qn2"),
         col("p.cell").as("qcell"))
+
+  /** The fixture's EXTERNAL query frame — vectors NOT present in any
+    * store or corpus scan: query q is the elementwise SUM of corpus
+    * vectors 2q and 2q+1 (cosine is scale-invariant, so the sum IS the
+    * pair's mean direction — a plausible "new document" embedding), in
+    * exact integer arithmetic both engines replay. This is the frame
+    * shape a retrieval user hands the serving path: (query_id, qv, qn2)
+    * with ids in their own space, no corpus membership assumed. */
+  private[ann] def externalQueries(spark: SparkSession, dir: String,
+                                   nQueries: Int = 5): DataFrame = {
+    val c = corpus(spark, dir)
+    val a = c.filter(col("vec_id") % 2 === 0 && col("vec_id") < 2L * nQueries)
+      .select(expr("vec_id DIV 2").as("query_id"), col("v").as("va"))
+    val b = c.filter(col("vec_id") % 2 === 1 && col("vec_id") < 2L * nQueries)
+      .select(expr("(vec_id - 1) DIV 2").as("query_id"), col("v").as("vb"))
+    a.join(b, "query_id")
+      .select(col("query_id"),
+        zip_with(col("va"), col("vb"), (x, y) => x + y).as("qv"))
+      .withColumn("qn2", dot(col("qv"), col("qv")))
+  }
+
+  /** Exact brute-force top-k for an EXTERNAL query frame — the baseline
+    * serving answer for a query vector that is not a corpus member
+    * (every other ANN path samples corpus vec_ids): one broadcast of
+    * the bounded query set against a full corpus scan, scored with the
+    * codegen integer-dot kernel, pre-reduced per partition by the rank
+    * window. No self-exclusion — external ids are their own space. */
+  def annQueryExternal(spark: SparkSession, dir: String,
+                       nQueries: Int = 5, k: Int = 10): DataFrame =
+    scoreRankLimit(
+      corpus(spark, dir).select(col("vec_id"), col("v"), col("n2"))
+        .crossJoin(broadcast(externalQueries(spark, dir, nQueries))), k)
+
+  /** Multi-probe serving of an EXTERNAL query frame over the PERSISTED
+    * index — the production read path for new vectors: rank the stored
+    * centroids per query on the one-row packed broadcast
+    * ([[probedCells]], the same machinery corpus-member serving uses),
+    * then ONE hash equi-join on cell against the assigned store — the
+    * corpus scans ~nprobe/kCells of its cells and the query frame never
+    * needs corpus membership. This is the first request a retrieval or
+    * embedding-dedup user makes with a new document's vector. */
+  def annQueryExternalProbe(spark: SparkSession, dir: String,
+                            nQueries: Int = 5, k: Int = 10,
+                            nprobe: Int = 2, keepMod: Int = 8): DataFrame = {
+    val all = storedAll(spark, dir, keepMod)
+    val probed = probedCells(externalQueries(spark, dir, nQueries),
+      IvfStore.subCentroidsRow(spark, dir, keepMod), nprobe)
     scoreRankLimit(all.join(broadcast(probed),
-      col("cell") === col("qcell") && col("vec_id") =!= col("query_id")), k)
+      col("cell") === col("qcell")), k)
+  }
+
+  /** Recall@k of the external-query serving path vs its own brute-force
+    * truth, per nprobe ∈ {1, 2, 4} — [[annStoredRecall]]'s shape for
+    * queries OUTSIDE the corpus: how much of an external query's true
+    * top-k each probed cell recovers, the number that tunes nprobe for
+    * the serving tier. Deterministic end to end, oracle-replayed. */
+  def annExternalRecall(spark: SparkSession, dir: String,
+                        k: Int = 10): DataFrame = {
+    val truth = annQueryExternal(spark, dir, k = k)
+      .select(col("query_id"), col("vec_id"))
+    val qids = truth.select(col("query_id")).distinct()
+    Seq(1, 2, 4)
+      .map { np =>
+        val served = annQueryExternalProbe(spark, dir, k = k, nprobe = np)
+        val hits = truth
+          .join(served.select(col("query_id"), col("vec_id")),
+            Seq("query_id", "vec_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+        qids.join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), lit(np).as("nprobe"),
+            coalesce(col("h"), lit(0L)).cast("int").as("hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / k)
+              .as("recall_at_k"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("nprobe", "query_id")
   }
 
   /** Index-freshness telemetry for the persisted IVF store — the drift
@@ -662,6 +750,11 @@ object Similarity {
     "ann_ivf_stored_probe" -> ((s, d) => annIvfStoredProbe(s, d)),
     // recall/nprobe telemetry for the stored serving path
     "ann_stored_recall" -> ((s, d) => annStoredRecall(s, d)),
+    // EXTERNAL query vectors (not corpus members): brute-force baseline,
+    // stored-index multi-probe serving, and the recall/nprobe telemetry
+    "ann_query_external" -> ((s, d) => annQueryExternal(s, d)),
+    "ann_query_external_probe" -> ((s, d) => annQueryExternalProbe(s, d)),
+    "ann_external_recall" -> ((s, d) => annExternalRecall(s, d)),
     "ann_ivf_health" -> ((s, d) => annIvfHealth(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)),
@@ -872,7 +965,121 @@ object Similarity {
       |allv AS (
       |  SELECT * FROM a2 UNION ALL SELECT * FROM b2)""".stripMargin
 
+  /** The external query frame (qn: query_id, qv, qn2) over CTE `m` —
+    * query q = elementwise sum of corpus vectors 2q and 2q+1, exact
+    * integer arithmetic; mirrors `externalQueries` (nQueries = 5). */
+  private val qxCtes =
+    """qx AS (
+      |  SELECT a.vec_id // 2 AS query_id,
+      |    list_transform(generate_series(1, len(a.v)),
+      |      i -> a.v[i] + b.v[i]) AS qv
+      |  FROM m a JOIN m b ON b.vec_id = a.vec_id + 1
+      |  WHERE a.vec_id % 2 = 0 AND a.vec_id < 10),
+      |qn AS (
+      |  SELECT query_id, qv,
+      |    list_sum(list_transform(generate_series(1, len(qv)),
+      |      i -> qv[i] * qv[i])) AS qn2
+      |  FROM qx)""".stripMargin
+
+  /** Brute-force external top-10 SELECT over `m` × `qn` (no WITH, no
+    * final ORDER BY) — shared by the standalone external oracle and the
+    * external-recall oracle's truth CTE. */
+  private val externalTopkCore =
+    """SELECT q.query_id, a.vec_id,
+      |  CAST(row_number() OVER (PARTITION BY q.query_id
+      |    ORDER BY CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+      |        i -> a.v[i] * q.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) DESC,
+      |      a.vec_id ASC) AS INTEGER) AS rank,
+      |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+      |      i -> a.v[i] * q.qv[i])) AS DOUBLE)
+      |    / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+      |    AS cosine
+      |FROM m a CROSS JOIN qn q
+      |QUALIFY rank <= 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // brute-force cosine top-10 for the literal external query set —
+    // the baseline serving answer for non-corpus vectors
+    "ann_query_external" ->
+      s"""WITH $qCte,
+         |$qxCtes
+         |$externalTopkCore
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // stored-index multi-probe serving of the same external frame,
+    // replayed exactly: centroids ranked per query against the frozen
+    // trained set (s1), nprobe=2 nearest cells kept, candidates = the
+    // stored/append-assigned vectors in any probed cell
+    "ann_query_external_probe" ->
+      s"""WITH $storedIdxCtes,
+         |$qxCtes,
+         |pc AS (
+         |  SELECT q.query_id, s.cell,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      q.qn2 - 2 * list_sum(list_transform(
+         |        generate_series(1, len(q.qv)), i -> q.qv[i] * s.c[i]))
+         |        + s.c2, s.cell) AS crn
+         |  FROM qn q, s1 s)
+         |SELECT q.query_id AS query_id, a.vec_id,
+         |  CAST(row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY CAST(list_sum(list_transform(
+         |        generate_series(1, len(a.v)), i -> a.v[i] * q.qv[i]))
+         |        AS DOUBLE)
+         |      / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+         |      DESC, a.vec_id ASC) AS INTEGER) AS rank,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * q.qv[i])) AS DOUBLE)
+         |    / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM allv a
+         |CROSS JOIN qn q
+         |JOIN pc ON pc.query_id = q.query_id AND pc.cell = a.cell
+         |  AND pc.crn <= 2
+         |QUALIFY rank <= 10
+         |ORDER BY q.query_id, rank""".stripMargin,
+
+    // recall@10 of the external serving path vs its own brute truth,
+    // swept over nprobe — the ann_stored_recall shape for non-corpus
+    // queries
+    "ann_external_recall" ->
+      s"""WITH $storedIdxCtes,
+         |$qxCtes,
+         |truthx AS ($externalTopkCore),
+         |pc AS (
+         |  SELECT q.query_id, s.cell,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      q.qn2 - 2 * list_sum(list_transform(
+         |        generate_series(1, len(q.qv)), i -> q.qv[i] * s.c[i]))
+         |        + s.c2, s.cell) AS crn
+         |  FROM qn q, s1 s),
+         |srv AS (
+         |  SELECT np, query_id, vec_id FROM (
+         |    SELECT p.np, q.query_id, a.vec_id,
+         |      row_number() OVER (PARTITION BY p.np, q.query_id
+         |        ORDER BY CAST(list_sum(list_transform(
+         |            generate_series(1, len(a.v)), i -> a.v[i] * q.qv[i]))
+         |            AS DOUBLE)
+         |          / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+         |          DESC, a.vec_id ASC) AS rank
+         |    FROM (VALUES (1), (2), (4)) p(np)
+         |    CROSS JOIN qn q
+         |    JOIN pc ON pc.query_id = q.query_id AND pc.crn <= p.np
+         |    JOIN allv a ON a.cell = pc.cell)
+         |  WHERE rank <= 10),
+         |qids AS (SELECT DISTINCT query_id FROM truthx),
+         |hits AS (
+         |  SELECT s.np, t.query_id, count(*) AS h FROM truthx t
+         |  JOIN srv s ON s.query_id = t.query_id AND s.vec_id = t.vec_id
+         |  GROUP BY s.np, t.query_id)
+         |SELECT query_id, nprobe, CAST(coalesce(h, 0) AS INTEGER) AS hits,
+         |  CAST(coalesce(h, 0) AS DOUBLE) / 10 AS recall_at_k
+         |FROM (
+         |  SELECT q.query_id, p.np AS nprobe, hits.h
+         |  FROM (VALUES (1), (2), (4)) p(np)
+         |  CROSS JOIN qids q
+         |  LEFT JOIN hits ON hits.np = p.np AND hits.query_id = q.query_id)
+         |ORDER BY nprobe, query_id""".stripMargin,
     // recall@10 of each IVF variant vs the brute-force truth, replayed
     // exactly: truth/ivf/probe are the same deterministic top-k CTEs
     "ann_recall" ->

@@ -21,6 +21,10 @@ class PlanLintSpec extends SparkSpec {
     // or the one-row packed-centroid broadcast the batch assigns against
     "ann_topk", "ann_recall", "ann_ivf_trained", "ann_ivf_stored",
     "ann_ivf_stored_probe", "ann_stored_recall",
+    // external-query family: the bounded external query frame (nQueries
+    // rows) broadcast against the corpus scan (brute baseline) or the
+    // one-row packed-centroid broadcast (probe ranking)
+    "ann_query_external", "ann_query_external_probe", "ann_external_recall",
     "ann_sq_rerank", "ann_sq_recall",
     // ann_ivf_health: the above plus one-row occupancy/hits/truth anchors
     "ann_ivf_health",

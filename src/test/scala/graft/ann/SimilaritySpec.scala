@@ -305,6 +305,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("external queries: not corpus members, probe recall monotone") {
+    val dir = "/root/testdata/sf0.001"
+    // the external frame's vectors are NOT corpus rows (the sum of two
+    // distinct non-zero corpus vectors differs from every member)
+    val ext = Similarity.externalQueries(spark, dir).collect()
+    assert(ext.length === 5)
+    val corpusVs = Similarity.queries("ann_topk")(spark, dir) // warm staging
+    val cv = graft.sources.Tables(spark, dir, "embeddings").count()
+    assert(cv > 10, "fixture must afford 5 external query pairs")
+    // brute baseline ranks every query over the full corpus
+    val brute = Similarity.annQueryExternal(spark, dir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    assert(brute.keySet === (0L until 5L).toSet)
+    assert(brute.values.forall(_.size === 10))
+    // serving recall is monotone in nprobe per query, and the probe
+    // plan stays on the stored path (assigned-state scan, no training)
+    val rows = Similarity.annExternalRecall(spark, dir).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("query_id"))
+        -> r.getAs[Double]("recall_at_k")).toMap
+    assert(rows.size === 15)
+    (0L until 5L).foreach { q =>
+      assert(rows((1, q)) <= rows((2, q)), s"query $q: nprobe 1 > 2")
+      assert(rows((2, q)) <= rows((4, q)), s"query $q: nprobe 2 > 4")
+    }
+    val plan = Similarity.annQueryExternalProbe(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivf_asg_sub"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("appendAssigned grows the store like a log; re-read matches") {
     val dir = "/root/testdata/sf0.001"
     val src = IvfStore.fixtureSubIndexPath(spark, dir)

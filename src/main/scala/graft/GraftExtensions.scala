@@ -126,6 +126,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(3))
       }))
     ext.injectFunction((
+      FunctionIdentifier("bpe_count"),
+      info(classOf[functions.BpeCount].getName,
+        "bpe_count", "bpe_count(text, 'piece', ...) - greedy longest-match subword count against a constant merge vocab"),
+      (children: Seq[Expression]) => {
+        if (children.length < 2)
+          wrongNumArgs("bpe_count", "2 or more", children.length)
+        functions.BpeCount(children)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("norm_text"),
       info(classOf[functions.NormText].getName,
         "norm_text", "norm_text(s) - lower + trim + collapse whitespace runs to one space"),

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Greedy longest-match subword (BPE/WordPiece-style) token count
+  * against a CONSTANT merge vocabulary:
+  * `bpe_count(text, 'the', 'ing', ...)`.
+  *
+  * Tokenization contract (mirrored exactly by the DuckDB oracle's
+  * precomputed-advance walk): scan the normalized string left to right;
+  * a space is a free separator (consumed, not counted); at any other
+  * position the LONGEST vocabulary piece matching there is consumed as
+  * one token, and if no piece matches, a single character is (the
+  * single-char fallback every real subword tokenizer has). The result
+  * is the subword count a context-window budget actually needs —
+  * whitespace counts misprice packing by 2–4× on real text.
+  *
+  * Pieces are foldable string arguments, deduplicated and sorted by
+  * length DESC once per plan (first match == longest match); the scan
+  * is a generated tight loop, no per-row allocation beyond the one
+  * String decode. Character semantics are UTF-16 code units (the
+  * fixture corpus is ASCII; astral-plane text would need code-point
+  * stepping in BOTH engines to stay aligned). Null text → null.
+  * Registered by `GraftExtensions` as SQL function `bpe_count`.
+  */
+case class BpeCount(children: Seq[Expression]) extends Expression {
+
+  private def text: Expression = children.head
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string as first argument")
+    else if (children.tail.isEmpty ||
+      !children.tail.forall(e => e.foldable && e.dataType == StringType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires one or more constant string vocab pieces")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = text.nullable
+  override def prettyName: String = "bpe_count"
+
+  @transient private lazy val pieces: Array[String] =
+    children.tail.iterator.map(_.eval(null)).filter(_ != null)
+      .map(_.toString).filter(_.nonEmpty).toArray
+      .distinct.sortBy(p => (-p.length, p))
+
+  override def eval(input: InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) null
+    else BpeCount.count(t.asInstanceOf[UTF8String], pieces)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // JVM array class names ("[Ljava.lang.String;") are not valid Java
+    // source — spell the source-form type for the generated cast
+    val piecesRef = ctx.addReferenceObj("pieces", pieces,
+      "java.lang.String[]")
+    val t = text.genCode(ctx)
+    val code =
+      code"""
+        |${t.code}
+        |boolean ${ev.isNull} = ${t.isNull};
+        |int ${ev.value} = 0;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.functions.BpeCount.count(${t.value}, $piecesRef);
+        |}
+       """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BpeCount =
+    copy(children = newChildren)
+}
+
+object BpeCount {
+  /** The greedy walk — `pieces` MUST be sorted by length descending so
+    * the first match is the longest. Called from generated code. */
+  def count(t: UTF8String, pieces: Array[String]): Int = {
+    val s = t.toString
+    val n = s.length
+    var pos = 0
+    var c = 0
+    while (pos < n) {
+      if (s.charAt(pos) == ' ') pos += 1
+      else {
+        var adv = 1
+        var i = 0
+        var found = false
+        while (i < pieces.length && !found) {
+          val p = pieces(i)
+          if (p.length <= n - pos && s.startsWith(p, pos)) {
+            adv = p.length
+            found = true
+          }
+          i += 1
+        }
+        c += 1
+        pos += adv
+      }
+    }
+    c
+  }
+}

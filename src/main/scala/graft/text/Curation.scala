@@ -180,7 +180,10 @@ object Curation {
     * offsets so each partition computes its running total independently
     * under a partition-LOCAL window. Wall-clock is two narrow passes,
     * no global funnel. */
-  def packTokens(docs: DataFrame, budget: Long = 512): DataFrame = {
+  def packTokens(docs: DataFrame, budget: Long = 512,
+                 counter: org.apache.spark.sql.Column =>
+                   org.apache.spark.sql.Column =
+                 t => size(split(norm(t), " ")).cast("long")): DataFrame = {
     require(budget > 0, s"packTokens: budget must be positive, got $budget")
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
@@ -188,10 +191,11 @@ object Curation {
     // eager localCheckpoint (not persist): one materialization feeds both
     // the partition-sum pass and the final join, lineage stays flat, and
     // the backing RDD is reclaimed by the ContextCleaner when the result
-    // frame is dropped — no pinned cache left behind
+    // frame is dropped — no pinned cache left behind.
+    // `counter` is the budget unit: whitespace tokens by default, the
+    // subword kernel (TextOps.bpeCountCol) for tokenizer-faithful packs.
     val counts = docs
-      .select(col("doc_id"),
-        size(split(norm(col("text")), " ")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), counter(col("text")).as("n_tokens"))
       .repartitionByRange(parts, col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
@@ -354,7 +358,12 @@ object Curation {
     }),
     "decontaminate" -> ((s, d) => decontaminate(Tables(s, d, "documents"))),
     "pii_scrub" -> ((s, d) => piiScrub(Tables(s, d, "documents"))),
-    "token_pack" -> ((s, d) => packTokens(Tables(s, d, "documents"))))
+    "token_pack" -> ((s, d) => packTokens(Tables(s, d, "documents"))),
+    // the same two-phase distributed prefix sum, budgeted in SUBWORD
+    // units (greedy longest-match kernel) — what a context window
+    // actually holds
+    "token_pack_bpe" -> ((s, d) => packTokens(Tables(s, d, "documents"),
+      counter = t => TextOps.bpeCountCol(t).cast("long"))))
 
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -523,6 +532,15 @@ object Curation {
          |JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id < 10) b ON d.sh = b.sh
          |WHERE d.doc_id >= 10
          |ORDER BY d.doc_id""".stripMargin,
+
+    // the subword-budgeted pack: the bpe walk CTEs produce each doc's
+    // greedy-match count, then the same naive single-window replay
+    "token_pack_bpe" ->
+      s"""WITH RECURSIVE ${TextOps.bpeWalkCtes}
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST((sum(n) OVER (ORDER BY doc_id) - n) // 512 AS BIGINT)
+         |    AS pack_id
+         |FROM bpe ORDER BY doc_id""".stripMargin,
 
     // the oracle is the NAIVE single-window form — the point of the
     // comparison: the two-phase distributed prefix sum must equal it

@@ -82,6 +82,37 @@ object TextOps {
         regexp_count(col("n"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
           .as("bpe_segments"))
 
+  /** The fixture's deterministic merge vocabulary — a tiny stand-in for
+    * a trained BPE merge table (common English fragments, longest-first
+    * is the tie-free match rule). In production this is a broadcast of
+    * the real tokenizer's vocab; the kernel takes it as constant
+    * arguments, which IS a broadcast (one copy per plan, not per row). */
+  private[graft] val bpePieces: Seq[String] = Seq(
+    "tion", "the", "ing", "ent", "and", "ers",
+    "er", "re", "on", "an", "or", "en", "in", "ed",
+    "es", "th", "ar", "st", "al", "le")
+
+  /** Subword count of a raw text column via the codegen'd `bpe_count`
+    * kernel (`functions/BpeCount.scala`): greedy longest-match against
+    * [[bpePieces]] with single-char fallback, spaces free. One pass,
+    * whole-stage codegen — the counter [[Curation.packTokens]] accepts
+    * for tokenizer-faithful budget packing. */
+  def bpeCountCol(text: Column): Column =
+    call_function("bpe_count", norm(text) +: bpePieces.map(lit): _*)
+
+  /** Tokenizer-faithful token counting: whitespace tokens alongside the
+    * greedy-subword count — the number a context-window budget needs
+    * (whitespace counts misprice real text by the avg word/piece
+    * ratio, measured 2–4× on natural language). */
+  def tokenCountsBpe(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n", norm(col("text")))
+      .select(
+        col("doc_id"),
+        size(tokens(col("n"))).as("ws_tokens"),
+        call_function("bpe_count", col("n") +: bpePieces.map(lit): _*)
+          .as("bpe_tokens"))
+
   /** Quality scoring: length/avg-token-length/stopword-ratio features and
     * the composite `min(tokens/100, 1) · (1 − stopword_ratio)`. */
   def qualityScore(docs: DataFrame): DataFrame =
@@ -172,6 +203,8 @@ object TextOps {
     "text_normalize" -> ((s, d) => normalized(Tables(s, d, "documents"))),
     "dedup_exact" -> ((s, d) => dedupExact(Tables(s, d, "documents"))),
     "token_count" -> ((s, d) => tokenCounts(Tables(s, d, "documents"))),
+    // greedy-subword counting against the fixture merge vocab
+    "token_count_bpe" -> ((s, d) => tokenCountsBpe(Tables(s, d, "documents"))),
     "quality_score" -> ((s, d) => qualityScore(Tables(s, d, "documents"))),
     "lang_id" -> ((s, d) => langId(Tables(s, d, "documents"))),
     // quality with the detected language's stopword model
@@ -213,6 +246,40 @@ object TextOps {
   private val NP =
     "regexp_replace(lower(trim(substr(text, 1, 200))), '\\s+', ' ', 'g')"
 
+  /** The greedy-subword walk as DuckDB CTEs ending in
+    * `bpe(doc_id, n)` — requires WITH RECURSIVE. The per-position max
+    * match length is precomputed as a list (`adv`: −1 marks a space),
+    * then the walk CTE steps each doc one consumed unit per recursion
+    * round; `max(cnt)` is the final count because cnt is monotone along
+    * each doc's single walk path. `bd`/`bml` are MATERIALIZED: DuckDB
+    * re-inlines plain CTEs into every recursion round, re-running the
+    * per-position match scan hundreds of times (measured: minutes →
+    * 1.4 s at sf0.001). Shared by the token_count_bpe and
+    * token_pack_bpe oracles. */
+  private[text] val bpeWalkCtes: String = {
+    val pieceList = bpePieces.map("'" + _ + "'").mkString("[", ", ", "]")
+    s"""bd AS MATERIALIZED (SELECT doc_id, $N AS s FROM documents),
+       |bml AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, len(s)),
+       |      i -> CASE WHEN substr(s, i, 1) = ' ' THEN -1
+       |           ELSE greatest(1, list_max(list_transform($pieceList,
+       |             p -> CASE WHEN substr(s, i, len(p)) = p
+       |                  THEN len(p) ELSE 0 END)))
+       |           END) AS adv
+       |  FROM bd),
+       |bwalk(doc_id, pos, cnt) AS (
+       |  SELECT doc_id, 1, 0 FROM bml
+       |  UNION ALL
+       |  SELECT w.doc_id,
+       |    w.pos + CASE WHEN m.adv[w.pos] = -1 THEN 1 ELSE m.adv[w.pos] END,
+       |    w.cnt + CASE WHEN m.adv[w.pos] = -1 THEN 0 ELSE 1 END
+       |  FROM bwalk w JOIN bml m ON m.doc_id = w.doc_id
+       |  WHERE w.pos <= len(m.adv)),
+       |bpe AS (SELECT doc_id, max(cnt) AS n FROM bwalk GROUP BY doc_id)"""
+      .stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "sql_surface" ->
       s"""WITH f AS (
@@ -248,6 +315,16 @@ object TextOps {
          |CAST(len(regexp_extract_all($N, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
          |  AS INTEGER) AS bpe_segments
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the greedy longest-match walk replayed via precomputed advance
+    // lists + a recursive step CTE — see bpeWalkCtes
+    "token_count_bpe" ->
+      s"""WITH RECURSIVE $bpeWalkCtes
+         |SELECT b.doc_id,
+         |  CAST(len(string_split(d.s, ' ')) AS INTEGER) AS ws_tokens,
+         |  CAST(b.n AS INTEGER) AS bpe_tokens
+         |FROM bpe b JOIN bd d ON d.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "quality_score" ->
       s"""SELECT doc_id, CAST(length($N) AS INTEGER) AS n_chars,

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def count(s: String, pieces: String*): Int =
+    Seq(s).toDF("t")
+      .select(call_function("bpe_count",
+        $"t" +: pieces.map(lit): _*))
+      .head().getInt(0)
+
+  test("greedy longest-match: pieces consume, single chars fall back") {
+    // "the"=1 piece; "thing"= th+ing (no "thi"); "ring"= r+ing
+    assert(count("the thing ring", "the", "th", "ing") === 5)
+    // longest wins over a shorter prefix piece at the same position
+    assert(count("theory", "the", "theo") === 3) // theo + r + y
+    // no pieces match -> pure char count, spaces free
+    assert(count("ab cd", "zz") === 4)
+    // spaces never count, leading/trailing included
+    assert(count(" a ", "zz") === 1)
+    assert(count("", "zz") === 0)
+  }
+
+  test("piece order does not matter; duplicates are deduped") {
+    val a = count("singing string", "ing", "in", "st", "s")
+    val b = count("singing string", "s", "st", "in", "ing")
+    assert(a === b)
+    assert(count("aaaa", "aa", "aa", "a") === 2)
+  }
+
+  test("matches a reference Scala walk on fixture docs") {
+    val pieces = graft.text.TextOps.bpePieces
+    val sorted = pieces.sortBy(p => (-p.length, p))
+    def ref(s: String): Int = {
+      var pos = 0; var c = 0
+      while (pos < s.length) {
+        if (s.charAt(pos) == ' ') pos += 1
+        else {
+          val m = sorted.find(p => s.startsWith(p, pos)).map(_.length)
+          c += 1; pos += m.getOrElse(1)
+        }
+      }
+      c
+    }
+    val rows = graft.text.TextOps.tokenCountsBpe(
+      graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents"))
+      .join(graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents"),
+        "doc_id")
+      .select(col("text"), col("bpe_tokens"), col("ws_tokens"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val norm = r.getString(0).trim.toLowerCase
+        .replaceAll("\\s+", " ")
+      assert(r.getInt(1) === ref(norm), s"doc: ${norm.take(60)}")
+      // subwords never undercount whitespace tokens
+      assert(r.getInt(1) >= r.getInt(2))
+    }
+  }
+
+  test("null text yields null; non-constant pieces rejected") {
+    val r = spark.sql(
+      "SELECT bpe_count(CAST(NULL AS STRING), 'ab') AS n").head()
+    assert(r.isNullAt(0))
+    val e = intercept[Exception] {
+      Seq(("abc", "b")).toDF("t", "p")
+        .select(call_function("bpe_count", $"t", $"p")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("constant"))
+  }
+}

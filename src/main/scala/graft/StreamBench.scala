@@ -159,6 +159,27 @@ object StreamBench {
       StreamingLanes.mediaSigStoreLane(st, mediaStore) {
         (_, _) => laneBatches += 1 })
 
+    // composed curation lane: judge -> intra-batch gate -> per-source
+    // quality floor -> chunk, two appends per batch; the per-batch
+    // standard stats frame is printed whole (the one dashboard row per
+    // batch an operator of six lanes reads)
+    val curIncoming = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("text"), col("source"))
+    Replay.stage(curIncoming, s"$work/cur_in", slices = 16)
+    val curSigStore = s"$work/cur_sig_store"
+    SimHashStore.appendBatch(curSigStore, corpus)
+    val curStats = scala.collection.mutable.ArrayBuffer[String]()
+    laneProbe("curation_lane", s"$work/cur_in",
+      spark.read.parquet(s"$work/cur_in").schema, inRows)(st =>
+      StreamingLanes.curationStoreLane(st, curSigStore, s"$work/cur_chunks",
+        onStats = (df, _) => df.collect().foreach(r => curStats +=
+          (s"""{"lane":"${r.getString(0)}","batch_id":${r.getLong(1)},""" +
+            s""""n_in":${r.getLong(2)},"n_admitted":${r.getLong(3)},""" +
+            s""""n_rejected":${r.getLong(4)},"compacted":${r.getBoolean(5)}}"""))) {
+        (_, _) => laneBatches += 1 })
+    println(
+      s"""{"metric":"stream_curation_stats","rows":[${curStats.mkString(",")}]}""")
+
     val gramStore = s"$work/gram_store"
     SpanDedup.grams(corpus).write.parquet(gramStore)
     laneProbe("spanclean_lane", s"$work/docs_in", docSchema, inRows)(st =>

@@ -139,7 +139,8 @@ object StreamingLanes {
     * exact. */
   def nearDupStoreLane(docs: DataFrame, storePath: String,
                        threshold: Double = 0.8,
-                       maxStoreFiles: Option[Int] = None)
+                       maxStoreFiles: Option[Int] = None,
+                       onStats: (DataFrame, Long) => Unit = null)
                       (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -158,8 +159,11 @@ object StreamingLanes {
       // post-append is the lane's own maintenance window (no reader
       // holds a listing between micro-batches): compact only when the
       // appends have crossed the file-count threshold
-      maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
+      val compacted = maxStoreFiles.exists(m => graft.sinks.StoreMaintenance
         .compactIfNeeded(batch.sparkSession, storePath, m, Seq("doc_id")))
+      if (onStats != null)
+        onStats(laneStats("neardup_store", batchId, verdict, compacted),
+          batchId)
       process(verdict, batchId)
       ()
     }
@@ -181,33 +185,28 @@ object StreamingLanes {
     * at production trigger rates a batch holds milliseconds of
     * arrivals and the window the gate closes is tiny. */
   private def gateIntraBatch(isigs: DataFrame, storeVerdict: DataFrame,
-                             maxHamming: Int): DataFrame = {
-    import graft.text.NearDup
-    val clean = isigs.join(
-      storeVerdict.filter(col("is_new")).select(col("doc_id")), "doc_id")
-    // eager: the pair frame feeds both the cluster edges and the
-    // partner counts — two lazy consumers would each re-run the banded
-    // self-join; the pair list is tiny (near-dups within one batch)
-    val pairs = NearDup.bandedHammingPairs(
-      clean.select(col("doc_id"), col("simhash64").as("sig")),
-      nBands = 4, bandBits = 16, maxHamming, maxBucket = 256)
-      .localCheckpoint(true)
-    val partners = pairs.select(col("id_a").as("doc_id"))
-      .unionAll(pairs.select(col("id_b").as("doc_id")))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_batch_dups"))
-    val clusters = NearDup.dedupClustersFromEdges(
-      clean.select(col("doc_id")),
-      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
-    storeVerdict
-      .join(clusters.select(col("doc_id"), col("is_keeper")),
-        Seq("doc_id"), "left")
-      .join(partners, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_dups"),
-        (col("is_new") && coalesce(col("is_keeper"), lit(true)))
-          .as("is_new"),
-        coalesce(col("n_batch_dups"), lit(0)).as("n_batch_dups"))
-  }
+                             maxHamming: Int): DataFrame =
+    graft.text.NearDup.intraBatchKeeperGate(isigs, storeVerdict, maxHamming)
+
+  /** The ONE per-batch stats frame every store-backed lane emits —
+    * operating six lanes at scale needs one dashboard row per batch,
+    * not six ad-hoc counting conventions:
+    * `(lane, batch_id, n_in, n_admitted, n_rejected, compacted)`.
+    * Derived from the lane's (already-checkpointed) verdict with one
+    * tiny aggregate; an empty batch reports zeros. Lanes take an
+    * optional `onStats` callback and hand it this frame after their
+    * appends and gated compaction, so the row states what the batch
+    * actually did (including whether it triggered a compaction). */
+  def laneStats(lane: String, batchId: Long, verdict: DataFrame,
+                compacted: Boolean): DataFrame =
+    verdict.agg(
+      count(lit(1)).as("n_in"),
+      coalesce(sum(when(col("is_new"), lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("n_admitted"))
+      .select(lit(lane).as("lane"), lit(batchId).as("batch_id"),
+        col("n_in"), col("n_admitted"),
+        (col("n_in") - col("n_admitted")).as("n_rejected"),
+        lit(compacted).as("compacted"))
 
   /** Store-backed streaming SimHash dedup lane — [[nearDupStoreLane]]'s
     * sibling on the 64-bit SimHash signature store
@@ -239,7 +238,8 @@ object StreamingLanes {
   def simhashStoreLane(docs: DataFrame, storePath: String,
                        maxHamming: Int = 3,
                        maxStoreFiles: Option[Int] = None,
-                       intraBatchExact: Boolean = false)
+                       intraBatchExact: Boolean = false,
+                       onStats: (DataFrame, Long) => Unit = null)
                       (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -261,8 +261,11 @@ object StreamingLanes {
       else storeVerdict
       SimHashStore.appendSigs(storePath, isigs.join(
         verdict.filter(col("is_new")).select(col("doc_id")), "doc_id"))
-      maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
+      val compacted = maxStoreFiles.exists(m => graft.sinks.StoreMaintenance
         .compactIfNeeded(batch.sparkSession, storePath, m, Seq("doc_id")))
+      if (onStats != null)
+        onStats(laneStats("simhash_store", batchId, verdict, compacted),
+          batchId)
       process(verdict, batchId)
       ()
     }
@@ -287,7 +290,8 @@ object StreamingLanes {
   def mediaSigStoreLane(assets: DataFrame, storePath: String,
                         maxHamming: Int = 3,
                         maxStoreFiles: Option[Int] = None,
-                        intraBatchExact: Boolean = false)
+                        intraBatchExact: Boolean = false,
+                        onStats: (DataFrame, Long) => Unit = null)
                        (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     assets.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -319,9 +323,77 @@ object StreamingLanes {
           else Nil): _*)
       MediaSigStore.appendSigs(storePath, isigs.join(
         verdict.filter(col("is_new")).select(col("doc_id")), "doc_id"))
-      maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
+      val compacted = maxStoreFiles.exists(m => graft.sinks.StoreMaintenance
         .compactIfNeeded(batch.sparkSession, storePath, m, Seq("doc_id")))
+      if (onStats != null)
+        onStats(laneStats("media_sig_store", batchId, verdict, compacted),
+          batchId)
       process(verdict, batchId)
+      ()
+    }
+
+  /** The END-TO-END streaming CURATION lane — the certified operators
+    * composed into the one store-backed ingestion pipeline a
+    * training-data team actually runs. Per micro-batch
+    * ([[graft.text.Curation.curateBatch]], shared VERBATIM with the
+    * batch twin `curation_lane_twin` that the DuckDB oracle certifies):
+    *
+    *   normalize+sign once → SimHash-store judge (corpus = a scan of
+    *   8-byte signed state) → intra-batch keeper gate (same-batch
+    *   near-dup families collapse to their keeper) → per-source quality
+    *   floor over the admissions (batch-relative worst-`p` drop) →
+    *   context-window chunking of the survivors
+    *
+    * then TWO appends: curated chunks to `chunkStorePath` (the training
+    * corpus being assembled) and the survivors' signatures to
+    * `sigStorePath` (so later batches dedup against everything this one
+    * admitted — only QUALITY survivors sign, a rejected doc never
+    * blocks a better near-duplicate). Both stores get the gated
+    * compaction; `process` receives the batch's curated chunks.
+    *
+    * Same eager-checkpoint ordering as every store lane (judge state
+    * materializes before the appends mutate listings) and the same
+    * at-least-once caveat: a replayed batch re-appends — duplicate
+    * signature rows are harmless, duplicate chunk rows carry their
+    * (doc_id, chunk_idx) key and compact away. */
+  def curationStoreLane(docs: DataFrame, sigStorePath: String,
+                        chunkStorePath: String, maxHamming: Int = 3,
+                        p: Double = 0.1, window: Int = 32,
+                        stride: Int = 24,
+                        maxStoreFiles: Option[Int] = None,
+                        onStats: (DataFrame, Long) => Unit = null)
+                       (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.text.{Curation, SimHashStore}
+      val spark = batch.sparkSession
+      val (curated0, survivorSigs0) = Curation.curateBatch(
+        SimHashStore.read(spark, sigStorePath), batch,
+        maxHamming, p, window, stride)
+      // pin both outputs before the appends: each is consumed more than
+      // once (write + stats/process) and re-evaluation would re-run the
+      // quality window and chunk explode per consumer
+      val curated = curated0.localCheckpoint(true)
+      val survivorSigs = survivorSigs0.localCheckpoint(true)
+      curated.write.mode("append").parquet(chunkStorePath)
+      SimHashStore.appendSigs(sigStorePath, survivorSigs)
+      val compacted = maxStoreFiles.exists { m =>
+        val sigC = graft.sinks.StoreMaintenance.compactIfNeeded(
+          spark, sigStorePath, m, Seq("doc_id"))
+        val chkC = graft.sinks.StoreMaintenance.compactIfNeeded(
+          spark, chunkStorePath, m, Seq("doc_id", "chunk_idx"))
+        sigC || chkC
+      }
+      if (onStats != null) {
+        val nIn = batch.count()
+        val nSurv = survivorSigs.count()
+        import spark.implicits._
+        onStats(Seq(("curation_store", batchId, nIn, nSurv,
+          nIn - nSurv, compacted))
+          .toDF("lane", "batch_id", "n_in", "n_admitted", "n_rejected",
+            "compacted"), batchId)
+      }
+      process(curated, batchId)
       ()
     }
 

@@ -334,7 +334,67 @@ object Curation {
       .select(col("doc_id"), col("source"), col("quality"), col("q_thr"))
   }
 
+  /** The composed single-batch curation stage — the ONE pipeline form a
+    * training-data team runs, shared VERBATIM by the streaming lane
+    * (`StreamingLanes.curationStoreLane`) and the batch twin
+    * ([[curationLaneTwin]], the CORRECTNESS row):
+    *
+    *   1. sign the batch once (`NearDup.simhash64`, eager — one long
+    *      per doc feeds judge + append);
+    *   2. judge against a SCAN of the persisted signature store
+    *      (`simhashIncremental64BothSigs` — corpus never re-read);
+    *   3. intra-batch exactness gate (`intraBatchKeeperGate`: same-batch
+    *      near-dup families keep only their keeper);
+    *   4. per-source quality floor over the ADMITTED docs
+    *      ([[qualityQuantileGateBySource]] — batch-relative: drop each
+    *      source's worst `p` of this batch's admissions);
+    *   5. chunk the survivors into context windows ([[chunkDocs]]).
+    *
+    * Returns (curated chunks, survivor signatures): the lane appends
+    * the first to the curated-chunk store and the second to the
+    * signature store — only QUALITY survivors sign the store, so a
+    * rejected-for-quality doc never blocks a future higher-quality
+    * near-duplicate of itself. Both frames derive from eagerly
+    * checkpointed judge state, so the lane's appends cannot feed back
+    * into their plans. */
+  private[graft] def curateBatch(esigs: DataFrame, batch: DataFrame,
+                                 maxHamming: Int = 3, p: Double = 0.1,
+                                 window: Int = 32, stride: Int = 24)
+  : (DataFrame, DataFrame) = {
+    val isigs = NearDup.simhash64(batch).localCheckpoint(true)
+    val storeVerdict = NearDup.simhashIncremental64BothSigs(
+      esigs, isigs, maxHamming).localCheckpoint(true)
+    val gated = NearDup.intraBatchKeeperGate(isigs, storeVerdict, maxHamming)
+      .localCheckpoint(true)
+    val admitted = batch.join(
+      gated.filter(col("is_new")).select(col("doc_id")), "doc_id")
+    val survivors = qualityQuantileGateBySource(admitted, p)
+    val curated = chunkDocs(
+      admitted.join(survivors.select(col("doc_id")), "doc_id"),
+      window, stride)
+      .join(survivors, "doc_id")
+      .select(col("doc_id"), col("source"), col("quality"), col("q_thr"),
+        col("chunk_idx"), col("chunk_text"), col("n_chunk_tokens"))
+    (curated, isigs.join(survivors.select(col("doc_id")), "doc_id"))
+  }
+
+  /** The batch TWIN of the streaming curation lane on the fixture
+    * convention (store = doc_id % 10 < 8 signed into [[SimHashStore]],
+    * batch = the rest): one invocation of [[curateBatch]], output = the
+    * curated chunks that batch would append. This is the lane's
+    * correctness contract — the DuckDB oracle replays judge, gate,
+    * floor, and chunking end to end. */
+  def curationLaneTwin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    curateBatch(
+      SimHashStore.read(spark, SimHashStore.fixtureCorpusStore(spark, dir)),
+      docs.filter(col("doc_id") % 10 >= 8))._1
+  }
+
   val queries: Map[String, Q] = Map(
+    // the composed lane's batch twin: store judge -> intra-batch keeper
+    // gate -> per-source quality floor -> chunking, one batch
+    "curation_lane_twin" -> ((s, d) => curationLaneTwin(s, d)),
     // corpus-relative quality floor (drop the worst decile)
     "quality_quantile_gate" -> ((s, d) =>
       qualityQuantileGate(Tables(s, d, "documents"))),
@@ -395,7 +455,91 @@ object Curation {
        |  FROM ${out}_c, unnest(generate_series(0, CAST(k AS BIGINT))) AS u(i))"""
       .stripMargin
 
+  /** The composed curation lane replayed end to end: 64-bit signatures
+    * over all docs (MATERIALIZED — three consumers, and the recursive
+    * cluster walk must not re-derive them per round), store judge
+    * between the % 10 splits, capped banded self-join + recursive
+    * min-label clusters over the store-clean batch docs (the
+    * intra-batch keeper gate), per-source quantile floor over the
+    * admissions, then the shared chunk CTEs over the survivors. */
+  private lazy val curationLaneTwinOracle: String = {
+    val bandOf = (src: String, idAs: String, sigAs: String, pred: String) =>
+      (0 until 4).map(i =>
+        s"SELECT doc_id AS $idAs, sig AS $sigAs, $i AS band, " +
+          s"(sig >> ${16 * i}) & 65535 AS bval FROM $src WHERE $pred")
+        .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE sg AS MATERIALIZED (
+       |  SELECT doc_id, CAST(${NearDup.simhash64Terms} AS BIGINT) AS sig
+       |  FROM (SELECT doc_id, l, list_transform(l, t -> md5(t)) AS lh
+       |        FROM (SELECT doc_id,
+       |                list_distinct(string_split($N, ' ')) AS l
+       |              FROM documents))),
+       |eb AS (
+       |  ${bandOf("sg", "ex_id", "esig", "doc_id % 10 < 8")}),
+       |ib AS (
+       |  ${bandOf("sg", "inc_id", "isig", "doc_id % 10 >= 8")}),
+       |ver AS (
+       |  SELECT inc_id, count(DISTINCT ex_id) AS nd
+       |  FROM (SELECT DISTINCT e.ex_id, i.inc_id, e.esig, i.isig
+       |        FROM eb e JOIN ib i ON e.band = i.band AND e.bval = i.bval)
+       |  WHERE bit_count(xor(esig, isig)) <= 3
+       |  GROUP BY inc_id),
+       |clean AS MATERIALIZED (
+       |  SELECT sg.doc_id, sg.sig FROM sg
+       |  LEFT JOIN ver ON ver.inc_id = sg.doc_id
+       |  WHERE sg.doc_id % 10 >= 8 AND coalesce(ver.nd, 0) = 0),
+       |cb AS (
+       |  ${bandOf("clean", "doc_id", "sig", "1 = 1")}),
+       |c_over AS (
+       |  SELECT band, bval, count(*) AS bn FROM cb GROUP BY band, bval
+       |  HAVING count(*) > 256),
+       |c_salted AS (
+       |  SELECT cb.doc_id, cb.sig, cb.band, cb.bval,
+       |    CASE WHEN o.bn IS NULL THEN 0
+       |         ELSE (${NearDup.saltHashSql("cb.doc_id")})
+       |           % ((o.bn + 255) // 256)
+       |    END AS salt
+       |  FROM cb LEFT JOIN c_over o
+       |    ON cb.band = o.band AND cb.bval = o.bval),
+       |cp AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM c_salted a JOIN c_salted b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.salt = b.salt
+       |    AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM cp
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM cp),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM clean
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |admitted AS (
+       |  SELECT id AS doc_id FROM reach GROUP BY id
+       |  HAVING id = min(r)),
+       |q AS (
+       |  SELECT d.doc_id, d.source, ${TextOps.qualityExprSql} AS quality
+       |  FROM documents d JOIN admitted a ON a.doc_id = d.doc_id),
+       |thr AS (
+       |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
+       |  FROM q GROUP BY source),
+       |surv AS (
+       |  SELECT q.doc_id, q.source, q.quality, t.q_thr
+       |  FROM q JOIN thr t USING (source)
+       |  WHERE q.quality >= t.q_thr),
+       |ssrc AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN surv s ON s.doc_id = d.doc_id),
+       |${chunkCtesSql(32, 24, "ssrc", "cchunks")}
+       |SELECT s.doc_id, s.source, s.quality, s.q_thr,
+       |  c.chunk_idx, c.chunk_text, c.n_chunk_tokens
+       |FROM cchunks c JOIN surv s USING (doc_id)
+       |ORDER BY s.doc_id, c.chunk_idx""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "curation_lane_twin" -> curationLaneTwinOracle,
     // corpus-relative floor: quantile_cont shares Spark exact
     // percentile's linear interpolation, so the one-row threshold and
     // the boundary membership replay bit-exactly

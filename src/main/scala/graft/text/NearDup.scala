@@ -824,6 +824,47 @@ object NearDup {
         (coalesce(col("nd"), lit(0L)) === 0).as("is_clean"))
   }
 
+  /** The intra-batch exactness gate shared by the streaming store lanes
+    * (`StreamingLanes.simhashStoreLane` / `mediaSigStoreLane` with
+    * `intraBatchExact = true`) and the composed curation stage
+    * ([[Curation.curateBatch]]): among batch docs that passed the STORE
+    * judge (`storeVerdict.is_new`), run the banded Hamming pair plan +
+    * min-label clusters inline and keep only each near-dup family's
+    * min-doc_id keeper; the rest demote to `is_new = false`. The
+    * verdict gains `n_batch_dups` (intra-batch partner count) so the
+    * demotion reason is recoverable downstream: store dup →
+    * `n_dups > 0`; intra-batch demotion → `n_dups = 0`,
+    * `n_batch_dups > 0`. The admitted set equals what the batch form
+    * would choose over store ∪ batch at maintenance time. */
+  def intraBatchKeeperGate(isigs: DataFrame, storeVerdict: DataFrame,
+                           maxHamming: Int = 3,
+                           maxBucket: Int = 256): DataFrame = {
+    val clean = isigs.join(
+      storeVerdict.filter(col("is_new")).select(col("doc_id")), "doc_id")
+    // eager: the pair frame feeds both the cluster edges and the
+    // partner counts — two lazy consumers would each re-run the banded
+    // self-join; the pair list is tiny (near-dups within one batch)
+    val pairs = bandedHammingPairs(
+      clean.select(col("doc_id"), col("simhash64").as("sig")),
+      nBands = 4, bandBits = 16, maxHamming, maxBucket)
+      .localCheckpoint(true)
+    val partners = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_batch_dups"))
+    val clusters = dedupClustersFromEdges(
+      clean.select(col("doc_id")),
+      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    storeVerdict
+      .join(clusters.select(col("doc_id"), col("is_keeper")),
+        Seq("doc_id"), "left")
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_dups"),
+        (col("is_new") && coalesce(col("is_keeper"), lit(true)))
+          .as("is_new"),
+        coalesce(col("n_batch_dups"), lit(0)).as("n_batch_dups"))
+  }
+
   /** CHUNK-granularity fuzzy decontamination — [[decontaminateFuzzy]] at
     * the granularity benchmark leakage actually occurs: a contaminated
     * document usually embeds ONE benchmark passage, so whole-doc
@@ -1149,7 +1190,7 @@ object NearDup {
     * long's sign bit, so its term is -2^63 (the sum then lands on the
     * exact two's-complement value the kernel's `sig |= 1L << 63`
     * produces; every intermediate partial sum stays within BIGINT). */
-  private val simhash64Terms = (1 to 64).map { k =>
+  private[text] val simhash64Terms = (1 to 64).map { k =>
     val p = (k - 1) / 2 + 1
     val set = (if ((k - 1) % 2 == 0) oddNibbles else bit1Nibbles)
       .map("'" + _ + "'").mkString("(", ",", ")")

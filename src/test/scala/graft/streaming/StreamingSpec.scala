@@ -10,6 +10,7 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSpec
 
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
+case class CurDoc(ts: Timestamp, doc_id: Long, text: String, source: String)
 case class Snap(ts: Timestamp, snapshot_id: Long, ticker: String,
                 source: String, full_orderbook: String)
 case class Evt(ts: Timestamp, user_id: Long, value: Double)
@@ -270,8 +271,11 @@ class StreamingSpec extends SparkSpec {
       Seq((100L, "the quick brown fox jumps over the dog"))
         .toDF("doc_id", "text"))
     val verdicts = scala.collection.mutable.Map[Long, Boolean]()
+    val stats = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
     val q = StreamingLanes.simhashStoreLane(
-      mem.toDF().select(col("doc_id"), col("text")), store)(
+      mem.toDF().select(col("doc_id"), col("text")), store,
+      onStats = (df, _) => df.collect().foreach(r => stats +=
+        ((r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))))(
       (batch, _) => batch.collect().foreach { r =>
         verdicts(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("is_new")
       }).start()
@@ -282,6 +286,8 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(verdicts(1L) === false, "permuted token set of the seeded store")
       assert(verdicts(2L) === true, "novel doc must pass the gate")
+      // the standard per-batch stats frame: 2 in, 1 admitted, 1 rejected
+      assert(stats.head === (("simhash_store", 2L, 1L, 1L)))
       // doc 2's signature persisted: a later permutation of it is caught
       mem.addData(Doc(ts(30), 3L,
         "here plans spark about text unrelated completely"))
@@ -397,6 +403,141 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(store).getParentFile)
     }
+  }
+
+  test("curation lane: judge, intra-batch gate, quality floor, chunks, stats") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.SimHashStore
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("curation_lane_").toString
+    val sigStore = s"$work/sigs"
+    val chunkStore = s"$work/chunks"
+    SimHashStore.appendBatch(sigStore,
+      Seq((100L, "the quick brown fox jumps over the dog"))
+        .toDF("doc_id", "text"))
+    val curatedDocs = scala.collection.mutable.Set[Long]()
+    val stats = scala.collection.mutable.ArrayBuffer[
+      (String, Long, Long, Long, Long, Boolean)]()
+    val q = StreamingLanes.curationStoreLane(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      sigStore, chunkStore, window = 4, stride = 2,
+      onStats = (df, _) => df.collect().foreach(r => stats +=
+        ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5)))))(
+      (chunks, _) => chunks.select("doc_id").collect()
+        .foreach(r => curatedDocs += r.getLong(0))).start()
+    try {
+      mem.addData(
+        CurDoc(ts(10), 1L, "dog the over jumps fox brown quick the", "src_a"),
+        CurDoc(ts(11), 5L, "completely unrelated text about spark plans here", "src_a"),
+        CurDoc(ts(12), 6L, "here plans spark about text unrelated completely", "src_a"),
+        CurDoc(ts(13), 7L, "many distinct tokens carrying plenty of useful content here today", "src_a"),
+        CurDoc(ts(14), 8L, "tiny words", "src_a"),
+        CurDoc(ts(15), 9L, "wholly separate corpus line from another provider entirely", "src_b"))
+      q.processAllAvailable()
+      // store dup (1) and intra-batch dup (6) rejected by the judge/gate;
+      // 8 is src_a's worst-quality admission -> dropped by the floor;
+      // 9 is src_b's only admission -> its own threshold, kept
+      assert(curatedDocs.toSet === Set(5L, 7L, 9L), curatedDocs)
+      // signatures persisted for quality SURVIVORS only
+      val sigIds = SimHashStore.read(spark, sigStore)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sigIds === Set(100L, 5L, 7L, 9L), sigIds)
+      // curated chunks landed with the sliding-window arithmetic intact
+      val chunks = spark.read.parquet(chunkStore)
+      val perDoc = chunks.groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // doc 7: 10 tokens, w=4 s=2 -> k=3 -> 4 chunks
+      assert(perDoc(7L) === 4L, perDoc)
+      assert(chunks.columns.toSet === Set("doc_id", "source", "quality",
+        "q_thr", "chunk_idx", "chunk_text", "n_chunk_tokens"))
+      // the standard stats row: 6 in, 3 curated, 3 rejected
+      assert(stats.toList === List(("curation_store", 0L, 6L, 3L, 3L, false)))
+      // a later permutation of an admitted doc dedups against the store
+      mem.addData(CurDoc(ts(30), 11L,
+        "spark plans about completely here unrelated text", "src_a"))
+      q.processAllAvailable()
+      assert(!curatedDocs.contains(11L))
+      assert(stats.last === (("curation_store", 1L, 1L, 0L, 1L, false)))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  test("curation lane killed and resumed mid-stream matches a single run") {
+    import graft.text.SimHashStore
+    val work = Files.createTempDirectory("curation_restart_").toString
+    val seed = "the quick brown fox jumps over the dog"
+    val novel = "completely unrelated text about spark plans here"
+    val fresh = "wholly different tokens with no overlap anywhere at all"
+    val docs = Seq(
+      (1L, "dog the over jumps fox brown quick the", "s1"), // store dup
+      (2L, novel, "s1"), // admitted pre-kill
+      (3L, "here plans spark about text unrelated completely", "s1"), // post-resume dup of 2
+      (4L, fresh, "s2")) // admitted post-resume
+    val slices = docs.zipWithIndex.map { case ((id, t, src), i) =>
+      val tmp = s"$work/slice$i"
+      Seq((id, t, src)).toDF("doc_id", "text", "source")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part, s"s$i.parquet", 1700000000000L + i * 60000L)
+    }
+    def copyTo(dir: String, n: Int): Unit = slices.take(n).foreach {
+      case (part, name, mtime) =>
+        val dst = new java.io.File(dir, name)
+        if (!dst.exists()) {
+          org.apache.commons.io.FileUtils.copyFile(part, dst)
+          dst.setLastModified(mtime)
+        }
+    }
+    val schema = spark.read.parquet(s"$work/slice0").schema
+    def runLane(inDir: String, sigStore: String, chunkStore: String,
+                ck: String, out: scala.collection.mutable.Set[Long]): Long = {
+      var batches = 0L
+      val q = StreamingLanes.curationStoreLane(
+        Replay.paced(spark, inDir, schema, maxFilesPerTrigger = 1),
+        sigStore, chunkStore, window = 4, stride = 2)(
+        (chunks, _) => { batches += 1
+          chunks.select("doc_id").collect().foreach(r => out += r.getLong(0))
+        })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+      batches
+    }
+    def seedStore(p: String): Unit = SimHashStore.appendBatch(p,
+      Seq((100L, seed)).toDF("doc_id", "text"))
+    def sigSet(p: String) = SimHashStore.read(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def chunkSet(p: String) = spark.read.parquet(p)
+      .select("doc_id", "chunk_idx", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // restarted path: two batches, die, resume on the SAME checkpoint
+    val resumed = scala.collection.mutable.Set[Long]()
+    seedStore(s"$work/sigsA")
+    new java.io.File(s"$work/inA").mkdirs()
+    copyTo(s"$work/inA", 2)
+    assert(runLane(s"$work/inA", s"$work/sigsA", s"$work/chunksA",
+      s"$work/ckA", resumed) === 2L)
+    copyTo(s"$work/inA", 4)
+    assert(runLane(s"$work/inA", s"$work/sigsA", s"$work/chunksA",
+      s"$work/ckA", resumed) === 2L)
+    // single-run oracle: fresh stores + checkpoint, all four batches
+    val single = scala.collection.mutable.Set[Long]()
+    seedStore(s"$work/sigsB")
+    new java.io.File(s"$work/inB").mkdirs()
+    copyTo(s"$work/inB", 4)
+    assert(runLane(s"$work/inB", s"$work/sigsB", s"$work/chunksB",
+      s"$work/ckB", single) === 4L)
+    assert(resumed.toSet === single.toSet)
+    assert(resumed.toSet === Set(2L, 4L),
+      "store dup and post-resume near-dup must stay rejected")
+    assert(sigSet(s"$work/sigsA") === sigSet(s"$work/sigsB"))
+    assert(chunkSet(s"$work/chunksA") === chunkSet(s"$work/chunksB"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
   test("media lane killed and resumed mid-stream matches a single run") {

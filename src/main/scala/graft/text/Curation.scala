@@ -253,6 +253,70 @@ object Curation {
           .cast("int").as("n_chunk_tokens"))
   }
 
+  /** SUBWORD-BUDGETED chunking — [[chunkDocs]] with the budget measured
+    * in BPE tokens (the unit a context window actually holds):
+    * whitespace tokens fill each chunk greedily until adding the next
+    * token would exceed `window` subword units, then a new chunk opens.
+    * Tokens never split (whitespace-aligned boundaries, the property
+    * retrieval/attribution pipelines rely on); a single token whose own
+    * subword count exceeds the budget still occupies one chunk alone —
+    * the honest outcome, flagged by its `n_chunk_bpe > window`.
+    * Output: (doc_id, chunk_idx, chunk_text, n_chunk_tokens,
+    * n_chunk_bpe), no overlap (BPE-budgeted STRIDE would need
+    * subword-aligned window starts; the overlapping form stays
+    * whitespace-budgeted in [[chunkDocs]]).
+    *
+    * Scale shape: pure per-row compute — per-token subword costs via
+    * the codegen `bpe_count` kernel inside one `transform`, the greedy
+    * fill as one `aggregate` scan, then chunk assembly by
+    * per-chunk-row filtering of the token array. Assembly work is
+    * O(tokens × chunks) per doc (each chunk row re-scans its doc's
+    * token array) — fine while docs ≪ corpus (the universal case);
+    * a pathological single-doc-of-a-billion-tokens would want a
+    * `mapPartitions` rewrite, not a different plan. No shuffle. */
+  def chunkDocsBpeBudget(docs: DataFrame, window: Int = 48): DataFrame = {
+    require(window > 0, s"chunkDocsBpeBudget: window must be positive, got $window")
+    val pieces = TextOps.bpePieces
+    val costsCol = transform(col("toks"), t =>
+      call_function("bpe_count", t +: pieces.map(lit): _*))
+    // greedy fill over the cost stream: state (cum, idx, acc) — a token
+    // that would overflow a NON-empty chunk starts the next one
+    val assignCol = aggregate(
+      col("costs"),
+      struct(lit(0).as("cum"), lit(0).as("idx"),
+        expr("CAST(array() AS ARRAY<INT>)").as("acc")),
+      (st, c) => {
+        val overflow =
+          (st.getField("cum") + c > window) && (st.getField("cum") > 0)
+        struct(
+          when(overflow, c).otherwise(st.getField("cum") + c).as("cum"),
+          when(overflow, st.getField("idx") + 1)
+            .otherwise(st.getField("idx")).as("idx"),
+          concat(st.getField("acc"), array(
+            when(overflow, st.getField("idx") + 1)
+              .otherwise(st.getField("idx")))).as("acc"))
+      },
+      st => st.getField("acc"))
+    docs
+      .select(col("doc_id"), split(norm(col("text")), " ").as("toks"))
+      .withColumn("costs", costsCol)
+      .withColumn("cidx", assignCol)
+      .select(col("doc_id"), col("toks"), col("costs"), col("cidx"),
+        explode(sequence(lit(0), element_at(col("cidx"), -1)))
+          .as("chunk_idx"))
+      .withColumn("sel", filter(
+        zip_with(col("toks"), col("cidx"),
+          (t, i) => when(i === col("chunk_idx"), t)),
+        x => x.isNotNull))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(col("sel"), " ").as("chunk_text"),
+        size(col("sel")).as("n_chunk_tokens"),
+        aggregate(
+          zip_with(col("costs"), col("cidx"),
+            (c, i) => when(i === col("chunk_idx"), c).otherwise(lit(0))),
+          lit(0), (a, c) => a + c).as("n_chunk_bpe"))
+  }
+
   /** The end-to-end curation pipeline as ONE composed plan: normalize →
     * exact dedup (keep the smallest doc_id per content hash) → quality
     * gate → greedy token packing over the survivors. Each stage is the
@@ -406,6 +470,10 @@ object Curation {
     // multi-chunk arithmetic, not just the one-chunk short-doc path
     "chunk_docs" -> ((s, d) =>
       chunkDocs(Tables(s, d, "documents"), window = 32, stride = 24)),
+    // subword-budgeted chunking: greedy whitespace-token fill measured
+    // in BPE units (48-unit windows on the fixture vocab)
+    "chunk_docs_bpe" -> ((s, d) =>
+      chunkDocsBpeBudget(Tables(s, d, "documents"))),
     "curation_pipeline" -> ((s, d) =>
       curationPipeline(Tables(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
@@ -538,8 +606,61 @@ object Curation {
        |ORDER BY s.doc_id, c.chunk_idx""".stripMargin
   }
 
+  /** The BPE-budgeted chunker replayed: per-token greedy-match costs via
+    * a token-level advance-list walk (the TextOps.bpeWalkCtes shape, one
+    * row per (doc, token)), then the greedy fill as a second recursive
+    * scan over the token stream, then per-chunk assembly. All feeder
+    * CTEs MATERIALIZED — DuckDB re-inlines plain CTEs into each
+    * recursion round. */
+  private lazy val chunkDocsBpeOracle: String = {
+    val pieceList =
+      TextOps.bpePieces.map("'" + _ + "'").mkString("[", ", ", "]")
+    val w = 48
+    s"""WITH RECURSIVE btok AS MATERIALIZED (
+       |  SELECT doc_id, i AS tidx, l[i] AS tok
+       |  FROM (SELECT doc_id, string_split($N, ' ') AS l FROM documents) t,
+       |    unnest(generate_series(1, len(l))) AS u(i)),
+       |badv AS MATERIALIZED (
+       |  SELECT doc_id, tidx,
+       |    list_transform(generate_series(1, len(tok)),
+       |      i -> greatest(1, list_max(list_transform($pieceList,
+       |        p -> CASE WHEN substr(tok, i, len(p)) = p
+       |             THEN len(p) ELSE 0 END)))) AS adv
+       |  FROM btok),
+       |twalk(doc_id, tidx, pos, cnt) AS (
+       |  SELECT doc_id, tidx, 1, 0 FROM badv
+       |  UNION ALL
+       |  SELECT w.doc_id, w.tidx, w.pos + m.adv[w.pos], w.cnt + 1
+       |  FROM twalk w JOIN badv m
+       |    ON m.doc_id = w.doc_id AND m.tidx = w.tidx
+       |  WHERE w.pos <= len(m.adv)),
+       |bcost AS MATERIALIZED (
+       |  SELECT doc_id, tidx, max(cnt) AS cost FROM twalk
+       |  GROUP BY doc_id, tidx),
+       |cwalk(doc_id, tidx, cum, cidx) AS (
+       |  SELECT doc_id, 1, cost, 0 FROM bcost WHERE tidx = 1
+       |  UNION ALL
+       |  SELECT w.doc_id, w.tidx + 1,
+       |    CASE WHEN w.cum + b.cost > $w AND w.cum > 0
+       |         THEN b.cost ELSE w.cum + b.cost END,
+       |    CASE WHEN w.cum + b.cost > $w AND w.cum > 0
+       |         THEN w.cidx + 1 ELSE w.cidx END
+       |  FROM cwalk w JOIN bcost b
+       |    ON b.doc_id = w.doc_id AND b.tidx = w.tidx + 1)
+       |SELECT c.doc_id, CAST(c.cidx AS INTEGER) AS chunk_idx,
+       |  string_agg(t.tok, ' ' ORDER BY c.tidx) AS chunk_text,
+       |  CAST(count(*) AS INTEGER) AS n_chunk_tokens,
+       |  CAST(sum(b.cost) AS INTEGER) AS n_chunk_bpe
+       |FROM cwalk c
+       |JOIN btok t ON t.doc_id = c.doc_id AND t.tidx = c.tidx
+       |JOIN bcost b ON b.doc_id = c.doc_id AND b.tidx = c.tidx
+       |GROUP BY c.doc_id, c.cidx
+       |ORDER BY c.doc_id, chunk_idx""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "curation_lane_twin" -> curationLaneTwinOracle,
+    "chunk_docs_bpe" -> chunkDocsBpeOracle,
     // corpus-relative floor: quantile_cont shares Spark exact
     // percentile's linear interpolation, so the one-row threshold and
     // the boundary membership replay bit-exactly

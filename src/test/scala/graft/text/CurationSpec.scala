@@ -160,6 +160,43 @@ class CurationSpec extends SparkSpec {
     assert(out((1L, 0))._1.takeRight(32) === out((1L, 1))._1.take(32))
   }
 
+  test("BPE-budgeted chunking: greedy fill, oversized token alone, no split") {
+    // none of the fixture pieces match 'qq'/'zz' words -> cost = chars
+    val docs = Seq(
+      (1L, "qq zz qq zz"), // costs 2,2,2,2; window 4 -> 2 chunks of 2 toks
+      (2L, "zzzzzzzzzzzz qq"), // 12 > window: oversized token alone
+      (3L, "qq")) // single small token
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocsBpeBudget(docs, window = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out((1L, 0)) === (("qq zz", 2, 4)))
+    assert(out((1L, 1)) === (("qq zz", 2, 4)))
+    assert(!out.contains((1L, 2)))
+    // the oversized token fills chunk 0 alone (honest n_chunk_bpe > window)
+    assert(out((2L, 0)) === (("zzzzzzzzzzzz", 1, 12)))
+    assert(out((2L, 1)) === (("qq", 1, 2)))
+    assert(out((3L, 0)) === (("qq", 1, 2)))
+    // every chunk except oversized singletons respects the budget, and
+    // token order is preserved within and across chunks
+    val rows = Curation.chunkDocsBpeBudget(
+      graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      window = 48).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_chunk_bpe") <= 48 ||
+        r.getAs[Int]("n_chunk_tokens") === 1, r)
+    }
+    val rebuilt = rows.groupBy(_.getLong(0)).map { case (id, rs) =>
+      id -> rs.sortBy(_.getInt(1)).map(_.getString(2)).mkString(" ")
+    }
+    val norm = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents").selectExpr("doc_id",
+      "regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS n").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rebuilt.foreach { case (id, s) => assert(s === norm(id), s"doc $id") }
+  }
+
   test("per-source gate applies each source's own floor") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents")

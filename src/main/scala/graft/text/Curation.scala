@@ -387,10 +387,20 @@ object Curation {
     * The exact-percentile buffering caveat and its `percentile_approx`
     * swap are per-GROUP here (the buffered multiset is one source's
     * scores), same trade as the global gate. */
-  def qualityQuantileGateBySource(docs: DataFrame,
-                                  p: Double = 0.1): DataFrame = {
+  def qualityQuantileGateBySource(docs: DataFrame, p: Double = 0.1,
+                                  langAware: Boolean = false): DataFrame = {
+    // langAware: score with the doc's own detected language's stopword
+    // model (TextOps.qualityLangCol) — the floor a MULTILINGUAL source
+    // needs: under the fixed-English model a foreign-language doc has
+    // ~zero English stop hits and scores artificially HIGH, so a mixed
+    // source's floor prunes its English docs preferentially while
+    // low-quality foreign text passes ungated; the language-aware score
+    // applies the same stopword discipline to every doc in its own
+    // language, making within-source ranks comparable.
+    val qcol = if (langAware) TextOps.qualityLangCol(col("text"))
+    else TextOps.qualityCol(col("text"))
     val scored = docs.select(col("doc_id"), col("source"),
-      TextOps.qualityCol(col("text")).as("quality"))
+      qcol.as("quality"))
     val thr = scored.groupBy(col("source"))
       .agg(expr(s"percentile(quality, $p)").as("q_thr"))
     scored.join(broadcast(thr), "source")
@@ -465,6 +475,11 @@ object Curation {
     // one floor per source (drop each source's worst decile)
     "quality_gate_by_source" -> ((s, d) =>
       qualityQuantileGateBySource(Tables(s, d, "documents"))),
+    // the language-fair variant: floors computed over the doc's own
+    // detected-language quality score
+    "quality_gate_by_source_lang" -> ((s, d) =>
+      qualityQuantileGateBySource(Tables(s, d, "documents"),
+        langAware = true)),
     // context-window chunking — 32-token windows at stride 24 so the
     // fixture corpus (docs up to ~100 tokens) exercises the
     // multi-chunk arithmetic, not just the one-chunk short-doc path
@@ -679,6 +694,18 @@ object Curation {
       s"""WITH ${chunkCtesSql(32, 24)}
          |SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM chunks
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // per-source floors over the LANGUAGE-AWARE score: same plan, the
+    // quality expression swaps to the detected-language composite
+    "quality_gate_by_source_lang" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ${TextOps.qualityLangExprSql} AS quality
+         |  FROM documents),
+         |t AS (SELECT source, quantile_cont(quality, 0.1) AS q_thr
+         |      FROM q GROUP BY source)
+         |SELECT q.doc_id, q.source, q.quality, t.q_thr
+         |FROM q JOIN t USING (source)
+         |WHERE q.quality >= t.q_thr ORDER BY q.doc_id""".stripMargin,
 
     // per-source floors: quantile_cont per source group, broadcast join
     "quality_gate_by_source" ->

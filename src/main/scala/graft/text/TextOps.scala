@@ -148,6 +148,28 @@ object TextOps {
           .when(col("fr_hits") > 0, "fr")
           .otherwise("und"))
 
+  /** The language-aware composite quality of a raw `text` column — the
+    * `quality_lang` expression of [[qualityScoreLang]] as a composable
+    * Column (the [[qualityCol]] pattern), so the per-source floor can
+    * gate on the language-fair score without a corpus self-join. */
+  private[text] def qualityLangCol(text: Column): Column = {
+    val toks = tokens(norm(text))
+    val langHits = greatest(stopHits(toks, enStop),
+      stopHits(toks, esStop), stopHits(toks, frStop))
+    least(size(toks).cast("double") / lit(100.0), lit(1.0)) *
+      (lit(1.0) - langHits.cast("double") / size(toks))
+  }
+
+  /** [[qualityLangCol]] as DuckDB SQL over a `documents` row — the
+    * oracle twin, shared wherever the language-aware score gates.
+    * (lazy: `N`/`hits` are declared below — a strict val here would
+    * initialize against nulls.) */
+  private[text] lazy val qualityLangExprSql: String =
+    s"""least(CAST(len(string_split($N, ' ')) AS DOUBLE) / 100.0, 1.0)
+       |  * (1.0 - CAST(greatest(${hits(enStop)}, ${hits(esStop)},
+       |        ${hits(frStop)}) AS DOUBLE)
+       |      / len(string_split($N, ' ')))""".stripMargin
+
   /** Language-AWARE quality — [[qualityScore]] with the stopword ratio
     * taken from the doc's own detected language (the [[langId]] argmax
     * hit count = `greatest` of the per-language hits): an es/fr doc is

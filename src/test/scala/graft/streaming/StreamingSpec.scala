@@ -465,6 +465,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("curation lane gated compaction fires and preserves both stores") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.SimHashStore
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("curation_compact_").toString
+    val sigStore = s"$work/sigs"
+    val chunkStore = s"$work/chunks"
+    SimHashStore.appendBatch(sigStore,
+      Seq((100L, "the quick brown fox jumps over the dog"))
+        .toDF("doc_id", "text"))
+    val compactions = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val q = StreamingLanes.curationStoreLane(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      sigStore, chunkStore, window = 4, stride = 2,
+      maxStoreFiles = Some(2),
+      onStats = (df, _) => compactions += df.head().getBoolean(5))(
+      (_, _) => ()).start()
+    try {
+      // distinct novel docs, one per batch: every batch appends to both
+      // stores, so the 2-file gate must fire at least once
+      val texts = Seq(
+        "alpha bravo charlie delta echo foxtrot golf",
+        "hotel india juliet kilo lima mike november",
+        "oscar papa quebec romeo sierra tango uniform",
+        "victor whiskey xray yankee zulu anchor beacon")
+      texts.zipWithIndex.foreach { case (t, i) =>
+        mem.addData(CurDoc(ts(10 + i), 200L + i, t, "s1"))
+        q.processAllAvailable()
+      }
+      assert(compactions.contains(true), s"gate never fired: $compactions")
+      // both stores hold exactly the admitted state after compaction
+      val sigIds = SimHashStore.read(spark, sigStore)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sigIds === Set(100L, 200L, 201L, 202L, 203L), sigIds)
+      val chunkDocs = spark.read.parquet(chunkStore)
+        .select("doc_id", "chunk_idx").distinct().collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      // every 7-token doc at w=4 s=2 -> 3 chunks, no rows lost or duped
+      assert(chunkDocs === (200L to 203L)
+        .flatMap(id => (0 to 2).map(c => (id, c))).toSet, chunkDocs)
+      assert(spark.read.parquet(chunkStore).count() === 12L,
+        "compaction must dedup, not drop, chunk rows")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   test("curation lane killed and resumed mid-stream matches a single run") {
     import graft.text.SimHashStore
     val work = Files.createTempDirectory("curation_restart_").toString

@@ -227,6 +227,30 @@ class CurationSpec extends SparkSpec {
       s"expected distinct per-source floors, got $thrBySrc")
   }
 
+  test("language-aware source floor scores foreign docs by their own model") {
+    val docs = Seq(
+      (1L, "the cat and the dog is on the mat for a while", "sx"), // en
+      (2L, "el perro y la casa de que en un los se por aqui", "sx"), // es
+      (3L, "galaxies contain countless luminous stars tonight", "sx")) // und
+      .toDF("doc_id", "text", "source")
+    def scores(langAware: Boolean): Map[Long, Double] =
+      Curation.qualityQuantileGateBySource(docs, p = 0.0,
+        langAware = langAware) // p=0: threshold = min, all rows pass
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val en = scores(langAware = false)
+    val lang = scores(langAware = true)
+    // the es doc scores artificially HIGH under the English model (zero
+    // English stop hits) and honestly lower under its own language's
+    assert(lang(2L) < en(2L),
+      s"es doc must drop under its own model: en=${en(2L)} lang=${lang(2L)}")
+    // pure-English and no-stopword docs are unchanged (en is the argmax)
+    assert(lang(1L) === en(1L))
+    assert(lang(3L) === en(3L))
+    // and under the en model the es doc outranks the genuinely-English
+    // doc — the mis-ranking the language-aware floor removes
+    assert(en(2L) > en(1L) && lang(2L) < lang(1L))
+  }
+
   test("quality quantile gate drops exactly the worst-decile tail") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents")

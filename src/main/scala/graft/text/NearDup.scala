@@ -698,11 +698,46 @@ object NearDup {
     * per-chunk codegen, the group-by is ONE map-side-combined exchange
     * keyed on the 8-byte signature — the dedup_exact posture on chunk
     * state; output is one row per distinct chunk signature. */
-  def chunkDedup64(docs: DataFrame, window: Int = 32,
-                   stride: Int = 24): DataFrame =
+  /** Per-chunk 64-bit signatures (doc_id, chunk_idx, simhash64) — the
+    * derivation [[chunkDedup64]] groups and [[ChunkSigStore]] persists. */
+  def chunkSigs64(docs: DataFrame, window: Int = 32,
+                  stride: Int = 24): DataFrame =
     Curation.chunkDocs(docs, window, stride)
       .select(col("doc_id"), col("chunk_idx"),
         simhash64Col(col("chunk_text")).as("simhash64"))
+
+  /** Incremental CHUNK dedup — the batch-vs-corpus ingestion form at
+    * chunk granularity: which of the INCOMING batch's context windows
+    * already exist (identical chunk signature) in the signed corpus.
+    * `esigs` is a (doc_id, chunk_idx, simhash64) frame — a
+    * [[ChunkSigStore]] scan in the staged form, so the corpus is
+    * chunked and tokenized exactly once, ever. Scale shape: the corpus
+    * side is ONE scan hash-joined against the BROADCAST incoming
+    * chunk signatures on signature equality (no banding needed — the
+    * chunk family's verdict is exact-signature identity, the
+    * `dedup_simhash64_keep` convention); match counting keys only the
+    * matched rows. */
+  def chunkDedupIncremental(esigs: DataFrame, incoming: DataFrame,
+                            window: Int = 32, stride: Int = 24,
+                            broadcastIncoming: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastIncoming) broadcast(df) else df
+    val isigs = chunkSigs64(incoming, window, stride)
+    val matches = esigs
+      .select(col("simhash64"), col("doc_id").as("ex_doc"))
+      .join(bc(isigs), "simhash64")
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count_distinct(col("ex_doc")).as("nd"))
+    isigs.select(col("doc_id"), col("chunk_idx"))
+      .join(bc(matches), Seq("doc_id", "chunk_idx"), "left")
+      .select(col("doc_id"), col("chunk_idx"),
+        coalesce(col("nd"), lit(0L)).cast("int").as("n_dups"),
+        (coalesce(col("nd"), lit(0L)) === 0).as("is_new"))
+  }
+
+  def chunkDedup64(docs: DataFrame, window: Int = 32,
+                   stride: Int = 24): DataFrame =
+    chunkSigs64(docs, window, stride)
       .groupBy(col("simhash64"))
       .agg(
         // lexicographic struct min == (min doc_id, then its min chunk)
@@ -905,15 +940,21 @@ object NearDup {
       .filter(bit_count(col("sig").bitwiseXOR(col("bsig"))) <= maxHamming)
       .groupBy(col("doc_id"), col("chunk_idx"))
       .agg(count_distinct(col("b_id")).as("nb"))
-    val perChunk = corpusChunks.select(col("doc_id"), col("chunk_idx"))
+    // the per-doc fraction as a window over the per-chunk verdicts: ONE
+    // pass and one doc_id exchange — a groupBy + self-join would run
+    // the whole corpus-chunk pipeline twice (its subplan appeared twice
+    // in the executed plan before this; per-doc partitions are bounded
+    // by chunks-per-doc, so the window never funnels)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+    corpusChunks.select(col("doc_id"), col("chunk_idx"))
       .join(matches, Seq("doc_id", "chunk_idx"), "left")
       .select(col("doc_id"), col("chunk_idx"),
         coalesce(col("nb"), lit(0L)).cast("int").as("n_benchmark_matches"),
         (coalesce(col("nb"), lit(0L)) === 0).as("is_clean"))
-    val perDoc = perChunk.groupBy(col("doc_id"))
-      .agg((sum(when(col("is_clean"), 0L).otherwise(1L)).cast("double") /
-        count(lit(1)).cast("double")).as("doc_contaminated_frac"))
-    perChunk.join(perDoc, "doc_id")
+      .withColumn("doc_contaminated_frac",
+        sum(when(col("is_clean"), 0L).otherwise(1L)).over(w).cast("double")
+          / count(lit(1)).over(w).cast("double"))
   }
 
   /** Connected components over the 64-bit SimHash near-dup graph —
@@ -1135,6 +1176,22 @@ object NearDup {
     // chunk-granularity keeper dedup + cross-doc duplicate-window flag
     // (32-token windows at stride 24, the chunk_docs fixture convention)
     "chunk_dedup" -> ((s, d) => chunkDedup64(Tables(s, d, "documents"))),
+    // batch-vs-corpus chunk dedup on the % 10 convention, corpus
+    // chunk-signed in-session
+    "chunk_dedup_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      chunkDedupIncremental(
+        chunkSigs64(docs.filter(col("doc_id") % 10 < 8)),
+        docs.filter(col("doc_id") % 10 >= 8))
+    }),
+    // identical semantics from the PERSISTED chunk-signature store —
+    // the corpus is never re-chunked or re-tokenized
+    "chunk_dedup_staged" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      chunkDedupIncremental(
+        ChunkSigStore.read(s, ChunkSigStore.fixtureCorpusStore(s, d)),
+        docs.filter(col("doc_id") % 10 >= 8))
+    }),
     // the family's batch-vs-corpus ingestion form, on the incremental
     // fixture convention (accumulated = doc_id % 10 < 8)
     "dedup_simhash64_incremental" -> ((s, d) => {
@@ -1458,6 +1515,27 @@ object NearDup {
        |WHERE d.doc_id % 10 >= 8
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The batch-vs-corpus chunk-dedup oracle on the % 10 convention —
+    * shared by `chunk_dedup_incremental` and its staged twin. */
+  private lazy val chunkIncrementalOracle: String =
+    s"""WITH esrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+       |isrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+       |${Curation.chunkCtesSql(32, 24, "esrc", "echunks")},
+       |${Curation.chunkCtesSql(32, 24, "isrc", "ichunks")},
+       |esig AS (
+       |  ${chunkSigCteSql("echunks")}),
+       |isig AS (
+       |  ${chunkSigCteSql("ichunks")}),
+       |m AS (
+       |  SELECT i.doc_id, i.chunk_idx, count(DISTINCT e.doc_id) AS nd
+       |  FROM isig i JOIN esig e ON e.sig = i.sig
+       |  GROUP BY i.doc_id, i.chunk_idx)
+       |SELECT i.doc_id, i.chunk_idx,
+       |  CAST(coalesce(m.nd, 0) AS INTEGER) AS n_dups,
+       |  coalesce(m.nd, 0) = 0 AS is_new
+       |FROM isig i LEFT JOIN m
+       |  ON m.doc_id = i.doc_id AND m.chunk_idx = i.chunk_idx""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_near_lsh" -> lshOracle(MaxBucket),
 
@@ -1657,6 +1735,14 @@ object NearDup {
     "decontaminate_fuzzy" ->
       simhash64SplitOracle("doc_id < 10", "doc_id >= 10",
         "n_benchmark_matches", "is_clean", sorted = false),
+
+    // batch-vs-corpus chunk dedup: both splits chunked with the shared
+    // CTEs, per-chunk signatures, exact-signature equality join, count
+    // of distinct corpus docs per incoming chunk; shared verbatim by
+    // the staged variant (the store only changes WHERE the corpus
+    // signatures come from)
+    "chunk_dedup_incremental" -> chunkIncrementalOracle,
+    "chunk_dedup_staged" -> chunkIncrementalOracle,
 
     // chunk-granularity leakage: both splits chunked with the shared
     // CTEs, per-chunk 64-bit signatures, 4-band candidate join against

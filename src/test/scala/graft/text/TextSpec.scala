@@ -271,6 +271,22 @@ class TextSpec extends SparkSpec {
     assert(!out.keys.exists(_._1 == 1L))
   }
 
+  test("staged chunk dedup reads the chunk-sig store, matches in-session") {
+    val dir = "/root/testdata/sf0.001"
+    val q = NearDup.queries("chunk_dedup_staged")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("chunk_sig_store"),
+      s"staged chunk dedup does not read the chunk-signature store:\n$plan")
+    val staged = q.collect().map(_.toSeq).sortBy(_.toString)
+    val inSession = NearDup.queries("chunk_dedup_incremental")(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(staged === inSession)
+    // an incoming doc that repeats a corpus doc's text has ALL its
+    // aligned windows flagged (the fixture has cross-split duplicates,
+    // so the verdict is exercised on data, not just on shape)
+    assert(staged.nonEmpty)
+  }
+
   test("staged radius audit reads signed state, matches the from-text form") {
     val dir = "/root/testdata/sf0.001"
     val q = NearDup.queries("dedup_simhash64_h7_staged")(spark, dir)

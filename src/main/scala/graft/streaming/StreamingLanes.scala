@@ -332,6 +332,44 @@ object StreamingLanes {
       ()
     }
 
+  /** Store-backed streaming CHUNK dedup lane — [[simhashStoreLane]]'s
+    * sibling at chunk granularity over the persisted
+    * [[graft.text.ChunkSigStore]]: per micro-batch, chunk + sign the
+    * arriving docs ONCE (the pass that tokenizes batch text — eager,
+    * one long per window), judge every window by exact-signature
+    * equality against a SCAN of signed chunk state, append the
+    * NOVEL windows' signatures, hand the per-window verdict on. The
+    * corpus is chunked exactly once, ever; a restart resumes against
+    * everything earlier batches admitted. Same eager-checkpoint
+    * ordering and at-least-once caveat as every store lane (replayed
+    * appends are key-identical rows the gated compaction sheds). */
+  def chunkStoreLane(docs: DataFrame, storePath: String,
+                     window: Int = 32, stride: Int = 24,
+                     maxStoreFiles: Option[Int] = None,
+                     onStats: (DataFrame, Long) => Unit = null)
+                    (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.text.{ChunkSigStore, NearDup}
+      val isigs = NearDup.chunkSigs64(batch, window, stride)
+        .localCheckpoint(true)
+      val verdict = NearDup.chunkDedupIncrementalBothSigs(
+        ChunkSigStore.read(batch.sparkSession, storePath), isigs)
+        .localCheckpoint(true)
+      ChunkSigStore.appendSigs(storePath, isigs.join(
+        verdict.filter(col("is_new"))
+          .select(col("doc_id"), col("chunk_idx")),
+        Seq("doc_id", "chunk_idx")))
+      val compacted = maxStoreFiles.exists(m => graft.sinks.StoreMaintenance
+        .compactIfNeeded(batch.sparkSession, storePath, m,
+          Seq("doc_id", "chunk_idx")))
+      if (onStats != null)
+        onStats(laneStats("chunk_sig_store", batchId, verdict, compacted),
+          batchId)
+      process(verdict, batchId)
+      ()
+    }
+
   /** The END-TO-END streaming CURATION lane — the certified operators
     * composed into the one store-backed ingestion pipeline a
     * training-data team actually runs. Per micro-batch

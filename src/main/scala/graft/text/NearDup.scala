@@ -719,10 +719,18 @@ object NearDup {
     * matched rows. */
   def chunkDedupIncremental(esigs: DataFrame, incoming: DataFrame,
                             window: Int = 32, stride: Int = 24,
-                            broadcastIncoming: Boolean = true): DataFrame = {
+                            broadcastIncoming: Boolean = true): DataFrame =
+    chunkDedupIncrementalBothSigs(esigs,
+      chunkSigs64(incoming, window, stride), broadcastIncoming)
+
+  /** The core over TWO already-derived chunk-signature frames — the
+    * streaming lane's entry, so a batch chunked once feeds both the
+    * verdict and the survivor append. */
+  private[graft] def chunkDedupIncrementalBothSigs(
+      esigs: DataFrame, isigs: DataFrame,
+      broadcastIncoming: Boolean = true): DataFrame = {
     def bc(df: DataFrame): DataFrame =
       if (broadcastIncoming) broadcast(df) else df
-    val isigs = chunkSigs64(incoming, window, stride)
     val matches = esigs
       .select(col("simhash64"), col("doc_id").as("ex_doc"))
       .join(bc(isigs), "simhash64")

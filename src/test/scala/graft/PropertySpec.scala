@@ -859,4 +859,41 @@ class PropertySpec extends SparkSpec {
       got == want
     }, samples = 8)
   }
+
+  // --- greedy subword counting ---------------------------------------------
+
+  test("property: bpe_count bounds, additivity over spaces, piece compression") {
+    // random lowercase words over a small alphabet so fixture pieces
+    // ('the','ing','in','en','es','er',...) genuinely fire
+    val word = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("theinges".toSeq)).map(_.mkString))
+    val genDocs = Gen.listOfN(8, Gen.chooseNum(1, 20).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" "))))
+    val pieces = graft.text.TextOps.bpePieces
+    def kernel(texts: Seq[String]): Seq[Int] = {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      df.select(col("doc_id"),
+        call_function("bpe_count", col("text") +: pieces.map(lit): _*)
+          .as("c"))
+        .collect().sortBy(_.getLong(0)).map(_.getInt(1)).toSeq
+    }
+    check("bpe-bounds", Prop.forAll(genDocs) { texts =>
+      val counts = kernel(texts)
+      texts.zip(counts).forall { case (t, c) =>
+        val chars = t.count(_ != ' ')
+        val words = t.split(" ", -1).count(_.nonEmpty)
+        // every consumed unit covers >= 1 char, and a word is >= 1 unit;
+        // maximal compression is bounded by the longest piece
+        c <= chars && c >= math.ceil(chars.toDouble /
+          pieces.map(_.length).max).toInt && c >= words
+      }
+    }, samples = 8)
+    check("bpe-additivity", Prop.forAll(Gen.zip(word, word)) {
+      case (a, b) =>
+        // spaces are free separators: count(a + " " + b) = count(a) + count(b)
+        val Seq(ca, cb, cab) = kernel(Seq(a, b, s"$a $b"))
+        cab == ca + cb
+    }, samples = 20)
+  }
 }

@@ -465,6 +465,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("chunk store lane dedups windows across batches, appends novel only") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.ChunkSigStore
+    val mem = MemoryStream[Doc]
+    val store = new java.io.File(
+      Files.createTempDirectory("chunk_lane_").toFile, "store").toString
+    // seed: one 4-token window (w=4, s=2 -> doc of 4 tokens = 1 chunk)
+    ChunkSigStore.stagedCorpus("spec_" + java.util.UUID.randomUUID,
+      java.io.File.createTempFile("chunk_fp", ".txt"),
+      Seq((100L, "alpha bravo charlie delta")).toDF("doc_id", "text"),
+      window = 4, stride = 2)
+    ChunkSigStore.appendSigs(store, graft.text.NearDup.chunkSigs64(
+      Seq((100L, "alpha bravo charlie delta")).toDF("doc_id", "text"),
+      window = 4, stride = 2))
+    val verdicts = scala.collection.mutable.Map[(Long, Int), Boolean]()
+    val q = StreamingLanes.chunkStoreLane(
+      mem.toDF().select(col("doc_id"), col("text")), store,
+      window = 4, stride = 2)(
+      (batch, _) => batch.collect().foreach { r =>
+        verdicts((r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"))) =
+          r.getAs[Boolean]("is_new")
+      }).start()
+    try {
+      // doc 1 embeds the seeded window at an even offset (chunk 1 IS
+      // it); its other windows are novel
+      mem.addData(Doc(ts(10), 1L, "x1 x2 alpha bravo charlie delta y1 y2"))
+      q.processAllAvailable()
+      assert(verdicts((1L, 1)) === false, "seeded window must be flagged")
+      assert(verdicts((1L, 0)) === true && verdicts((1L, 2)) === true)
+      // a later doc repeating doc 1's ADMITTED window 2 dedups against
+      // the store (window 2 of doc 1 = tokens 5..8)
+      mem.addData(Doc(ts(20), 2L, "charlie delta y1 y2"))
+      q.processAllAvailable()
+      assert(verdicts((2L, 0)) === false,
+        "later batch must dedup against windows persisted by earlier ones")
+      // only novel windows were appended (seed 1 + doc1's two)
+      val n = ChunkSigStore.read(spark, store).count()
+      assert(n === 3L, s"store must hold seed + admitted windows, got $n")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(store).getParentFile)
+    }
+  }
+
   test("curation lane gated compaction fires and preserves both stores") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.SimHashStore

@@ -159,6 +159,15 @@ object StreamBench {
       StreamingLanes.mediaSigStoreLane(st, mediaStore) {
         (_, _) => laneBatches += 1 })
 
+    // chunk-granularity dedup lane: windows judged by exact signature
+    // vs the persisted chunk store (corpus chunked once, ever)
+    val chunkStore = s"$work/chunk_sig_store"
+    graft.text.ChunkSigStore.appendSigs(chunkStore,
+      graft.text.NearDup.chunkSigs64(corpus))
+    laneProbe("chunk_lane", s"$work/docs_in", docSchema, inRows)(st =>
+      StreamingLanes.chunkStoreLane(st, chunkStore) {
+        (_, _) => laneBatches += 1 })
+
     // composed curation lane: judge -> intra-batch gate -> per-source
     // quality floor -> chunk, two appends per batch; the per-batch
     // standard stats frame is printed whole (the one dashboard row per

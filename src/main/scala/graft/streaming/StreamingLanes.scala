@@ -342,7 +342,11 @@ object StreamingLanes {
     * corpus is chunked exactly once, ever; a restart resumes against
     * everything earlier batches admitted. Same eager-checkpoint
     * ordering and at-least-once caveat as every store lane (replayed
-    * appends are key-identical rows the gated compaction sheds). */
+    * appends are key-identical rows the gated compaction sheds).
+    * Unlike the banded lanes, the intra-batch gate here is ALWAYS on:
+    * exact-identity keeper election is one groupBy over the batch's
+    * own signatures (no banded self-join to price), so identical
+    * same-batch windows admit exactly one keeper. */
   def chunkStoreLane(docs: DataFrame, storePath: String,
                      window: Int = 32, stride: Int = 24,
                      maxStoreFiles: Option[Int] = None,
@@ -353,8 +357,27 @@ object StreamingLanes {
       import graft.text.{ChunkSigStore, NearDup}
       val isigs = NearDup.chunkSigs64(batch, window, stride)
         .localCheckpoint(true)
-      val verdict = NearDup.chunkDedupIncrementalBothSigs(
+      val storeVerdict = NearDup.chunkDedupIncrementalBothSigs(
         ChunkSigStore.read(batch.sparkSession, storePath), isigs)
+        .localCheckpoint(true)
+      // intra-batch exact-identity gate, ALWAYS on (unlike the banded
+      // lanes' opt-in gate, chunk identity needs no self-join — one
+      // groupBy over the batch's own store-clean signatures): identical
+      // windows arriving in ONE batch elect their lexicographic keeper,
+      // the rest demote, so duplicates never co-admit into the store
+      val clean = isigs.join(
+        storeVerdict.filter(col("is_new"))
+          .select(col("doc_id"), col("chunk_idx")),
+        Seq("doc_id", "chunk_idx"))
+      val keepers = clean.groupBy(col("simhash64"))
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+        .select(col("k.doc_id").as("doc_id"),
+          col("k.chunk_idx").as("chunk_idx"), lit(true).as("is_keeper"))
+      val verdict = storeVerdict
+        .join(keepers, Seq("doc_id", "chunk_idx"), "left")
+        .select(col("doc_id"), col("chunk_idx"), col("n_dups"),
+          (col("is_new") && coalesce(col("is_keeper"), lit(false)))
+            .as("is_new"))
         .localCheckpoint(true)
       ChunkSigStore.appendSigs(storePath, isigs.join(
         verdict.filter(col("is_new"))

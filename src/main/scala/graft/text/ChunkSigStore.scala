@@ -22,12 +22,16 @@ import graft.sources.{Staging, Tables}
   */
 object ChunkSigStore {
 
-  /** Stage `corpus`'s chunk-signature frame once per (key, fixture
-    * fingerprint); returns the store directory. */
+  /** Stage `corpus`'s chunk-signature frame once per (key, granularity,
+    * fixture fingerprint); returns the store directory. Window/stride
+    * are PART OF THE STAGING KEY — two granularities staged under one
+    * key would otherwise silently share the first-staged store and
+    * judge w-token windows against differently-sized signatures. */
   def stagedCorpus(key: String, fingerprintFile: java.io.File,
                    corpus: DataFrame, window: Int = 32,
                    stride: Int = 24): String =
-    Staging.stage(s"chunk_sig_store_$key", fingerprintFile) { tmp =>
+    Staging.stage(s"chunk_sig_store_${window}_${stride}_$key",
+      fingerprintFile) { tmp =>
       NearDup.chunkSigs64(corpus, window, stride).write.parquet(tmp)
     }
 

@@ -442,7 +442,11 @@ object Curation {
       .localCheckpoint(true)
     val admitted = batch.join(
       gated.filter(col("is_new")).select(col("doc_id")), "doc_id")
+    // eager: the floor's subplan (normalize + score + exact percentile +
+    // broadcast join) feeds THREE consumers below (chunk input, curated
+    // join, signature join) — unpinned, each would re-run it per batch
     val survivors = qualityQuantileGateBySource(admitted, p)
+      .localCheckpoint(true)
     val curated = chunkDocs(
       admitted.join(survivors.select(col("doc_id")), "doc_id"),
       window, stride)

@@ -793,13 +793,23 @@ object NearDup {
     * broadcast opposite sides of the same banded join). */
   private def sigBands(sigs: DataFrame, idAs: String,
                        sigAs: String): DataFrame =
-    sigs.select(col("doc_id").as(idAs), col("simhash64").as(sigAs),
+    explodeBands4(
+      sigs.select(col("doc_id").as(idAs), col("simhash64").as(sigAs)),
+      sigAs)
+
+  /** The 4×16-bit band explode preserving every input column — the ONE
+    * place the fixed-band shift/mask arithmetic lives ([[sigBands]] and
+    * the chunk decontamination both delegate, so the recall contract
+    * cannot silently diverge between paths). */
+  private def explodeBands4(df: DataFrame, sigCol: String): DataFrame =
+    df.select(col("*"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
-          shiftright(col("simhash64"), 16 * i).bitwiseAND(lit(65535L))
+          shiftright(col(sigCol), 16 * i).bitwiseAND(lit(65535L))
             .as("bval"))): _*)).as("b"))
-      .select(col(idAs), col(sigAs),
-        col("b.band").as("band"), col("b.bval").as("bval"))
+      .withColumn("band", col("b.band"))
+      .withColumn("bval", col("b.bval"))
+      .drop("b")
 
   /** The core over TWO already-derived signature frames (both
     * (doc_id, simhash64)) — the entry the streaming lane uses so a
@@ -929,22 +939,13 @@ object NearDup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
     def chunkSigs(df: DataFrame): DataFrame =
-      Curation.chunkDocs(df, window, stride)
-        .select(col("doc_id"), col("chunk_idx"),
-          simhash64Col(col("chunk_text")).as("sig"))
-    def banded(df: DataFrame): DataFrame =
-      df.select(col("*"), explode(array((0 until 4).map(i =>
-        struct(lit(i).as("band"),
-          shiftright(col("sig"), 16 * i).bitwiseAND(lit(65535L))
-            .as("bval"))): _*)).as("b"))
-        .withColumn("band", col("b.band"))
-        .withColumn("bval", col("b.bval")).drop("b")
+      chunkSigs64(df, window, stride).withColumnRenamed("simhash64", "sig")
     val corpusChunks = chunkSigs(docs.filter(col("doc_id") >= benchmarkMaxId))
-    val bband = broadcast(banded(
+    val bband = broadcast(explodeBands4(
       chunkSigs(docs.filter(col("doc_id") < benchmarkMaxId))
-        .select(col("doc_id").as("b_id"), col("sig").as("bsig"),
-          col("sig"))).drop("sig"))
-    val matches = banded(corpusChunks).join(bband, Seq("band", "bval"))
+        .select(col("doc_id").as("b_id"), col("sig").as("bsig")), "bsig"))
+    val matches = explodeBands4(corpusChunks, "sig")
+      .join(bband, Seq("band", "bval"))
       .filter(bit_count(col("sig").bitwiseXOR(col("bsig"))) <= maxHamming)
       .groupBy(col("doc_id"), col("chunk_idx"))
       .agg(count_distinct(col("b_id")).as("nb"))

@@ -472,10 +472,6 @@ class StreamingSpec extends SparkSpec {
     val store = new java.io.File(
       Files.createTempDirectory("chunk_lane_").toFile, "store").toString
     // seed: one 4-token window (w=4, s=2 -> doc of 4 tokens = 1 chunk)
-    ChunkSigStore.stagedCorpus("spec_" + java.util.UUID.randomUUID,
-      java.io.File.createTempFile("chunk_fp", ".txt"),
-      Seq((100L, "alpha bravo charlie delta")).toDF("doc_id", "text"),
-      window = 4, stride = 2)
     ChunkSigStore.appendSigs(store, graft.text.NearDup.chunkSigs64(
       Seq((100L, "alpha bravo charlie delta")).toDF("doc_id", "text"),
       window = 4, stride = 2))
@@ -489,20 +485,30 @@ class StreamingSpec extends SparkSpec {
       }).start()
     try {
       // doc 1 embeds the seeded window at an even offset (chunk 1 IS
-      // it); its other windows are novel
-      mem.addData(Doc(ts(10), 1L, "x1 x2 alpha bravo charlie delta y1 y2"))
+      // it); its other windows are novel. Docs 11/12 share an identical
+      // novel window in the SAME batch: the intra-batch keeper election
+      // must admit exactly one.
+      mem.addData(
+        Doc(ts(10), 1L, "x1 x2 alpha bravo charlie delta y1 y2"),
+        Doc(ts(11), 11L, "m1 m2 m3 m4"),
+        Doc(ts(12), 12L, "m1 m2 m3 m4"))
       q.processAllAvailable()
       assert(verdicts((1L, 1)) === false, "seeded window must be flagged")
       assert(verdicts((1L, 0)) === true && verdicts((1L, 2)) === true)
+      assert(verdicts((11L, 0)) === true,
+        "keeper of the same-batch duplicate window is admitted")
+      assert(verdicts((12L, 0)) === false,
+        "same-batch duplicate window must be demoted by the gate")
       // a later doc repeating doc 1's ADMITTED window 2 dedups against
       // the store (window 2 of doc 1 = tokens 5..8)
       mem.addData(Doc(ts(20), 2L, "charlie delta y1 y2"))
       q.processAllAvailable()
       assert(verdicts((2L, 0)) === false,
         "later batch must dedup against windows persisted by earlier ones")
-      // only novel windows were appended (seed 1 + doc1's two)
+      // only novel keeper windows were appended (seed + doc1's two +
+      // doc11's one)
       val n = ChunkSigStore.read(spark, store).count()
-      assert(n === 3L, s"store must hold seed + admitted windows, got $n")
+      assert(n === 4L, s"store must hold seed + admitted windows, got $n")
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(

@@ -516,6 +516,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("chunk lane killed and resumed mid-stream matches a single run") {
+    import graft.text.ChunkSigStore
+    val work = Files.createTempDirectory("chunk_restart_").toString
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta"), // copy of the pre-seeded window
+      (2L, "m1 m2 m3 m4"), // admitted pre-kill
+      (3L, "m1 m2 m3 m4"), // post-resume copy of 2's ADMITTED window
+      (4L, "n1 n2 n3 n4")) // admitted post-resume
+    val slices = docs.zipWithIndex.map { case ((id, t), i) =>
+      val tmp = s"$work/slice$i"
+      Seq((id, t)).toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part, s"s$i.parquet", 1700000000000L + i * 60000L)
+    }
+    def copyTo(dir: String, n: Int): Unit = slices.take(n).foreach {
+      case (part, name, mtime) =>
+        val dst = new java.io.File(dir, name)
+        if (!dst.exists()) {
+          org.apache.commons.io.FileUtils.copyFile(part, dst)
+          dst.setLastModified(mtime)
+        }
+    }
+    val schema = spark.read.parquet(s"$work/slice0").schema
+    def seedStore(p: String): Unit = ChunkSigStore.appendSigs(p,
+      graft.text.NearDup.chunkSigs64(
+        Seq((100L, "alpha bravo charlie delta")).toDF("doc_id", "text"),
+        window = 4, stride = 2))
+    def runLane(inDir: String, store: String, ck: String,
+                out: scala.collection.mutable.Map[(Long, Int), Boolean])
+    : Long = {
+      var batches = 0L
+      val q = StreamingLanes.chunkStoreLane(
+        Replay.paced(spark, inDir, schema, maxFilesPerTrigger = 1), store,
+        window = 4, stride = 2)(
+        (batch, _) => { batches += 1
+          batch.collect().foreach { r =>
+            val k = (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"))
+            if (!out.contains(k)) out(k) = r.getAs[Boolean]("is_new")
+          } })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+      batches
+    }
+    def sigSet(p: String) = ChunkSigStore.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val resumed = scala.collection.mutable.Map[(Long, Int), Boolean]()
+    seedStore(s"$work/storeA")
+    new java.io.File(s"$work/inA").mkdirs()
+    copyTo(s"$work/inA", 2)
+    assert(runLane(s"$work/inA", s"$work/storeA", s"$work/ckA",
+      resumed) === 2L)
+    copyTo(s"$work/inA", 4)
+    assert(runLane(s"$work/inA", s"$work/storeA", s"$work/ckA",
+      resumed) === 2L)
+    val single = scala.collection.mutable.Map[(Long, Int), Boolean]()
+    seedStore(s"$work/storeB")
+    new java.io.File(s"$work/inB").mkdirs()
+    copyTo(s"$work/inB", 4)
+    assert(runLane(s"$work/inB", s"$work/storeB", s"$work/ckB",
+      single) === 4L)
+    assert(resumed.toMap === single.toMap)
+    assert(resumed((1L, 0)) === false && resumed((3L, 0)) === false,
+      "store dup and post-resume window copy must stay rejected")
+    assert(resumed((2L, 0)) === true && resumed((4L, 0)) === true)
+    assert(sigSet(s"$work/storeA") === sigSet(s"$work/storeB"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("curation lane gated compaction fires and preserves both stores") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.SimHashStore

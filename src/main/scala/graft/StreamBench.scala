@@ -184,7 +184,8 @@ object StreamBench {
         onStats = (df, _) => df.collect().foreach(r => curStats +=
           (s"""{"lane":"${r.getString(0)}","batch_id":${r.getLong(1)},""" +
             s""""n_in":${r.getLong(2)},"n_admitted":${r.getLong(3)},""" +
-            s""""n_rejected":${r.getLong(4)},"compacted":${r.getBoolean(5)}}"""))) {
+            s""""n_rejected":${r.getLong(4)},"compacted":${r.getBoolean(5)},""" +
+            s""""n_intra_batch":${r.getLong(6)}}"""))) {
         (_, _) => laneBatches += 1 })
     println(
       s"""{"metric":"stream_curation_stats","rows":[${curStats.mkString(",")}]}""")

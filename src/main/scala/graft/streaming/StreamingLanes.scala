@@ -191,22 +191,39 @@ object StreamingLanes {
   /** The ONE per-batch stats frame every store-backed lane emits —
     * operating six lanes at scale needs one dashboard row per batch,
     * not six ad-hoc counting conventions:
-    * `(lane, batch_id, n_in, n_admitted, n_rejected, compacted)`.
-    * Derived from the lane's (already-checkpointed) verdict with one
-    * tiny aggregate; an empty batch reports zeros. Lanes take an
-    * optional `onStats` callback and hand it this frame after their
-    * appends and gated compaction, so the row states what the batch
-    * actually did (including whether it triggered a compaction). */
+    * `(lane, batch_id, n_in, n_admitted, n_rejected, compacted,
+    * n_intra_batch)`. Derived from the lane's (already-checkpointed)
+    * verdict with one tiny aggregate; an empty batch reports zeros.
+    * Lanes take an optional `onStats` callback and hand it this frame
+    * after their appends and gated compaction, so the row states what
+    * the batch actually did (including whether it triggered a
+    * compaction).
+    *
+    * `n_intra_batch` splits the rejections by REASON: a store reject
+    * carries `n_dups > 0`, while a demotion by an intra-batch gate
+    * (the SimHash lanes' opt-in keeper gate, the chunk lane's
+    * always-on exact-identity gate) is `is_new = false` with
+    * `n_dups = 0` — so the column is 0 for lanes without a gate and an
+    * operator reading only the stats stream can tell the two apart.
+    *
+    * ROW GRANULARITY is per-lane and follows the verdict the lane
+    * judges: the doc lanes (neardup/simhash/media sig stores, the
+    * composed curation lane) count DOCUMENTS; [[chunkStoreLane]]
+    * counts context WINDOWS (its verdict is one row per
+    * (doc_id, chunk_idx)). The `lane` tag names which convention a
+    * row uses. */
   def laneStats(lane: String, batchId: Long, verdict: DataFrame,
                 compacted: Boolean): DataFrame =
     verdict.agg(
       count(lit(1)).as("n_in"),
       coalesce(sum(when(col("is_new"), lit(1L)).otherwise(lit(0L))),
-        lit(0L)).as("n_admitted"))
+        lit(0L)).as("n_admitted"),
+      coalesce(sum(when(!col("is_new") && col("n_dups") === 0, lit(1L))
+        .otherwise(lit(0L))), lit(0L)).as("n_intra_batch"))
       .select(lit(lane).as("lane"), lit(batchId).as("batch_id"),
         col("n_in"), col("n_admitted"),
         (col("n_in") - col("n_admitted")).as("n_rejected"),
-        lit(compacted).as("compacted"))
+        lit(compacted).as("compacted"), col("n_intra_batch"))
 
   /** Store-backed streaming SimHash dedup lane — [[nearDupStoreLane]]'s
     * sibling on the 64-bit SimHash signature store
@@ -428,7 +445,7 @@ object StreamingLanes {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import graft.text.{Curation, SimHashStore}
       val spark = batch.sparkSession
-      val (curated0, survivorSigs0) = Curation.curateBatch(
+      val (curated0, survivorSigs0, gated) = Curation.curateBatch(
         SimHashStore.read(spark, sigStorePath), batch,
         maxHamming, p, window, stride)
       // pin both outputs before the appends: each is consumed more than
@@ -446,13 +463,22 @@ object StreamingLanes {
         sigC || chkC
       }
       if (onStats != null) {
-        val nIn = batch.count()
+        // every count reads ALREADY-CHECKPOINTED state (the gated
+        // verdict and the survivor signatures) — no extra job
+        // re-evaluates the micro-batch source. n_in counts DOCS (the
+        // laneStats granularity contract); n_admitted is the QUALITY
+        // survivors (the docs whose chunks and signatures landed),
+        // so n_rejected folds store dups, intra-batch demotions, and
+        // quality-floor drops; n_intra_batch isolates the gate's share.
+        val nIn = gated.count()
         val nSurv = survivorSigs.count()
+        val nGate = gated
+          .filter(!col("is_new") && col("n_dups") === 0).count()
         import spark.implicits._
         onStats(Seq(("curation_store", batchId, nIn, nSurv,
-          nIn - nSurv, compacted))
+          nIn - nSurv, compacted, nGate))
           .toDF("lane", "batch_id", "n_in", "n_admitted", "n_rejected",
-            "compacted"), batchId)
+            "compacted", "n_intra_batch"), batchId)
       }
       process(curated, batchId)
       ()

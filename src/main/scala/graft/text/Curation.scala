@@ -424,17 +424,21 @@ object Curation {
     *      source's worst `p` of this batch's admissions);
     *   5. chunk the survivors into context windows ([[chunkDocs]]).
     *
-    * Returns (curated chunks, survivor signatures): the lane appends
-    * the first to the curated-chunk store and the second to the
-    * signature store — only QUALITY survivors sign the store, so a
-    * rejected-for-quality doc never blocks a future higher-quality
-    * near-duplicate of itself. Both frames derive from eagerly
-    * checkpointed judge state, so the lane's appends cannot feed back
-    * into their plans. */
+    * Returns (curated chunks, survivor signatures, gated verdict): the
+    * lane appends the first to the curated-chunk store and the second
+    * to the signature store — only QUALITY survivors sign the store,
+    * so a rejected-for-quality doc never blocks a future
+    * higher-quality near-duplicate of itself. The third is the
+    * already-checkpointed per-doc judge+gate verdict (doc_id, n_dups,
+    * is_new, n_batch_dups — one row per batch doc), so the lane's
+    * stats frame derives from pinned state instead of re-counting the
+    * micro-batch source. All frames derive from eagerly checkpointed
+    * judge state, so the lane's appends cannot feed back into their
+    * plans. */
   private[graft] def curateBatch(esigs: DataFrame, batch: DataFrame,
                                  maxHamming: Int = 3, p: Double = 0.1,
                                  window: Int = 32, stride: Int = 24)
-  : (DataFrame, DataFrame) = {
+  : (DataFrame, DataFrame, DataFrame) = {
     val isigs = NearDup.simhash64(batch).localCheckpoint(true)
     val storeVerdict = NearDup.simhashIncremental64BothSigs(
       esigs, isigs, maxHamming).localCheckpoint(true)
@@ -453,7 +457,7 @@ object Curation {
       .join(survivors, "doc_id")
       .select(col("doc_id"), col("source"), col("quality"), col("q_thr"),
         col("chunk_idx"), col("chunk_text"), col("n_chunk_tokens"))
-    (curated, isigs.join(survivors.select(col("doc_id")), "doc_id"))
+    (curated, isigs.join(survivors.select(col("doc_id")), "doc_id"), gated)
   }
 
   /** The batch TWIN of the streaming curation lane on the fixture

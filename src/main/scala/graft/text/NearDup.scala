@@ -940,7 +940,13 @@ object NearDup {
       s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
     def chunkSigs(df: DataFrame): DataFrame =
       chunkSigs64(df, window, stride).withColumnRenamed("simhash64", "sig")
+    // eager: the corpus chunk+tokenize+sign pipeline feeds TWO subtrees
+    // (the banded matches side and the left-join verdict side below) —
+    // unpinned, the whole derivation ran once per consumer (the window
+    // rewrite removed only the third evaluation; the curateBatch /
+    // intraBatchKeeperGate pin discipline applies here too)
     val corpusChunks = chunkSigs(docs.filter(col("doc_id") >= benchmarkMaxId))
+      .localCheckpoint(true)
     val bband = broadcast(explodeBands4(
       chunkSigs(docs.filter(col("doc_id") < benchmarkMaxId))
         .select(col("doc_id").as("b_id"), col("sig").as("bsig")), "bsig"))

@@ -271,11 +271,13 @@ class StreamingSpec extends SparkSpec {
       Seq((100L, "the quick brown fox jumps over the dog"))
         .toDF("doc_id", "text"))
     val verdicts = scala.collection.mutable.Map[Long, Boolean]()
-    val stats = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
+    val stats = scala.collection.mutable.ArrayBuffer[
+      (String, Long, Long, Long, Long)]()
     val q = StreamingLanes.simhashStoreLane(
       mem.toDF().select(col("doc_id"), col("text")), store,
       onStats = (df, _) => df.collect().foreach(r => stats +=
-        ((r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))))(
+        ((r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(6)))))(
       (batch, _) => batch.collect().foreach { r =>
         verdicts(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("is_new")
       }).start()
@@ -286,8 +288,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(verdicts(1L) === false, "permuted token set of the seeded store")
       assert(verdicts(2L) === true, "novel doc must pass the gate")
-      // the standard per-batch stats frame: 2 in, 1 admitted, 1 rejected
-      assert(stats.head === (("simhash_store", 2L, 1L, 1L)))
+      // the standard per-batch stats frame: 2 in, 1 admitted, 1
+      // rejected; no intra-batch gate on this lane -> n_intra_batch 0
+      assert(stats.head === (("simhash_store", 2L, 1L, 1L, 0L)))
       // doc 2's signature persisted: a later permutation of it is caught
       mem.addData(Doc(ts(30), 3L,
         "here plans spark about text unrelated completely"))
@@ -361,9 +364,12 @@ class StreamingSpec extends SparkSpec {
         .toDF("doc_id", "text"))
     val verdicts = scala.collection.mutable.Map[Long, Boolean]()
     val batchDups = scala.collection.mutable.Map[Long, Int]()
+    val gateStats = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     val q = StreamingLanes.simhashStoreLane(
       mem.toDF().select(col("doc_id"), col("text")), store,
-      intraBatchExact = true)(
+      intraBatchExact = true,
+      onStats = (df, _) => df.collect().foreach(r => gateStats +=
+        ((r.getLong(4), r.getLong(6)))))(
       (batch, _) => batch.collect().foreach { r =>
         verdicts(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("is_new")
         batchDups(r.getAs[Long]("doc_id")) = r.getAs[Int]("n_batch_dups")
@@ -389,6 +395,10 @@ class StreamingSpec extends SparkSpec {
         "demoted docs must carry their intra-batch partner count")
       assert(batchDups(5L) > 0, "the keeper carries its partner count too")
       assert(batchDups(8L) === 0 && batchDups(1L) === 0)
+      // the stats frame splits the 3 rejections by reason: 1 store dup
+      // (doc 1) vs 2 intra-batch demotions (docs 6, 7)
+      assert(gateStats.head === ((3L, 2L)),
+        "n_intra_batch must isolate the gate's demotions from store rejects")
       // only keepers were appended: a later permutation still dedups,
       // and the store holds exactly seed + the two admitted docs
       mem.addData(Doc(ts(30), 9L,
@@ -417,13 +427,13 @@ class StreamingSpec extends SparkSpec {
         .toDF("doc_id", "text"))
     val curatedDocs = scala.collection.mutable.Set[Long]()
     val stats = scala.collection.mutable.ArrayBuffer[
-      (String, Long, Long, Long, Long, Boolean)]()
+      (String, Long, Long, Long, Long, Boolean, Long)]()
     val q = StreamingLanes.curationStoreLane(
       mem.toDF().select(col("doc_id"), col("text"), col("source")),
       sigStore, chunkStore, window = 4, stride = 2,
       onStats = (df, _) => df.collect().foreach(r => stats +=
         ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getBoolean(5)))))(
+          r.getLong(4), r.getBoolean(5), r.getLong(6)))))(
       (chunks, _) => chunks.select("doc_id").collect()
         .foreach(r => curatedDocs += r.getLong(0))).start()
     try {
@@ -451,14 +461,18 @@ class StreamingSpec extends SparkSpec {
       assert(perDoc(7L) === 4L, perDoc)
       assert(chunks.columns.toSet === Set("doc_id", "source", "quality",
         "q_thr", "chunk_idx", "chunk_text", "n_chunk_tokens"))
-      // the standard stats row: 6 in, 3 curated, 3 rejected
-      assert(stats.toList === List(("curation_store", 0L, 6L, 3L, 3L, false)))
+      // the standard stats row: 6 in, 3 curated, 3 rejected, of which
+      // exactly one (doc 6) was an intra-batch gate demotion — the
+      // store dup (1) and the quality-floor drop (8) are not
+      assert(stats.toList ===
+        List(("curation_store", 0L, 6L, 3L, 3L, false, 1L)))
       // a later permutation of an admitted doc dedups against the store
       mem.addData(CurDoc(ts(30), 11L,
         "spark plans about completely here unrelated text", "src_a"))
       q.processAllAvailable()
       assert(!curatedDocs.contains(11L))
-      assert(stats.last === (("curation_store", 1L, 1L, 0L, 1L, false)))
+      // a store reject, not a gate demotion -> n_intra_batch 0
+      assert(stats.last === (("curation_store", 1L, 1L, 0L, 1L, false, 0L)))
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))

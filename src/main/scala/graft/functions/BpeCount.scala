@@ -8,25 +8,99 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Longest-prefix trie over a BPE merge vocabulary — built ONCE per
+  * plan from the (loaded, broadcast-as-literals) piece set, so the
+  * per-position match cost is O(longest match), independent of
+  * vocabulary size: the property a real 50k-merge tokenizer vocab
+  * needs, where the r11 linear scan degraded as O(|vocab|) per
+  * position.
+  *
+  * Flat int-indexed nodes; `ends(node)` carries the length of the
+  * piece ending at that node (0 = none), so the walk tracks the
+  * deepest terminal seen and never backtracks. Serializable: the
+  * built trie rides the codegen references array to executors.
+  *
+  * Pieces must be BMP-only (no surrogate pairs): the walk steps
+  * UTF-16 code units through matches but the single-char fallback
+  * consumes a full CODE POINT, and a surrogate-bearing piece would
+  * desynchronize the unit-stepping engine from the code-point-stepping
+  * DuckDB oracle — asserted here, at the boundary, not in a comment. */
+final class BpeTrie(piecesIn: Array[String]) extends Serializable {
+  require(piecesIn.forall(p =>
+    p.codePointCount(0, p.length) == p.length),
+    "bpe_count: vocabulary pieces must be BMP-only (no surrogate " +
+      "pairs) — the oracle walks code points and a supplementary-plane " +
+      "piece would silently desync the two engines")
+
+  private val kids =
+    new java.util.ArrayList[java.util.HashMap[Character, Integer]]()
+  private val ends = new java.util.ArrayList[Integer]()
+  kids.add(new java.util.HashMap[Character, Integer]())
+  ends.add(0)
+  piecesIn.foreach { p =>
+    var node = 0
+    var i = 0
+    while (i < p.length) {
+      val c = Character.valueOf(p.charAt(i))
+      val m = kids.get(node)
+      val nxt = m.get(c)
+      node = if (nxt != null) nxt.intValue()
+      else {
+        kids.add(new java.util.HashMap[Character, Integer]())
+        ends.add(0)
+        val id = kids.size - 1
+        m.put(c, Integer.valueOf(id))
+        id
+      }
+      i += 1
+    }
+    ends.set(node, Integer.valueOf(p.length))
+  }
+
+  /** Length of the longest vocabulary piece matching `s` at `pos`
+    * (0 = none) — one forward walk, no per-piece scan. */
+  def longestMatch(s: String, pos: Int): Int = {
+    var node = 0
+    var i = pos
+    var best = 0
+    val n = s.length
+    var live = true
+    while (live && i < n) {
+      val nxt = kids.get(node).get(Character.valueOf(s.charAt(i)))
+      if (nxt == null) live = false
+      else {
+        node = nxt.intValue()
+        i += 1
+        val e = ends.get(node).intValue()
+        if (e > best) best = e
+      }
+    }
+    best
+  }
+}
+
 /** Greedy longest-match subword (BPE/WordPiece-style) token count
-  * against a CONSTANT merge vocabulary:
+  * against a merge vocabulary passed as constant string arguments:
   * `bpe_count(text, 'the', 'ing', ...)`.
   *
   * Tokenization contract (mirrored exactly by the DuckDB oracle's
-  * precomputed-advance walk): scan the normalized string left to right;
-  * a space is a free separator (consumed, not counted); at any other
-  * position the LONGEST vocabulary piece matching there is consumed as
-  * one token, and if no piece matches, a single character is (the
-  * single-char fallback every real subword tokenizer has). The result
-  * is the subword count a context-window budget actually needs —
-  * whitespace counts misprice packing by 2–4× on real text.
+  * per-length membership walk): scan the normalized string left to
+  * right; a space is a free separator (consumed, not counted); at any
+  * other position the LONGEST vocabulary piece matching there is
+  * consumed as one token, and if no piece matches, a single CODE POINT
+  * is (the single-char fallback every real subword tokenizer has —
+  * code point, not UTF-16 unit, so astral-plane text counts like the
+  * oracle's character walk; vocabulary pieces are asserted BMP-only at
+  * the [[BpeTrie]] boundary). The result is the subword count a
+  * context-window budget actually needs — whitespace counts misprice
+  * packing by 2–4× on real text.
   *
-  * Pieces are foldable string arguments, deduplicated and sorted by
-  * length DESC once per plan (first match == longest match); the scan
-  * is a generated tight loop, no per-row allocation beyond the one
-  * String decode. Character semantics are UTF-16 code units (the
-  * fixture corpus is ASCII; astral-plane text would need code-point
-  * stepping in BOTH engines to stay aligned). Null text → null.
+  * The vocabulary is DATA: `graft.text.BpeVocab` trains and stages it
+  * from the corpus, and its pieces arrive here as foldable literals
+  * (one copy per plan — a broadcast), compiled once per plan into a
+  * longest-prefix [[BpeTrie]], so per-position cost is O(match
+  * length), not O(|vocab|). The scan is a generated tight loop, no
+  * per-row allocation beyond the one String decode. Null text → null.
   * Registered by `GraftExtensions` as SQL function `bpe_count`.
   */
 case class BpeCount(children: Seq[Expression]) extends Expression {
@@ -52,17 +126,19 @@ case class BpeCount(children: Seq[Expression]) extends Expression {
       .map(_.toString).filter(_.nonEmpty).toArray
       .distinct.sortBy(p => (-p.length, p))
 
+  @transient private lazy val trie: BpeTrie = new BpeTrie(pieces)
+
   override def eval(input: InternalRow): Any = {
     val t = text.eval(input)
     if (t == null) null
-    else BpeCount.count(t.asInstanceOf[UTF8String], pieces)
+    else BpeCount.count(t.asInstanceOf[UTF8String], trie)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // JVM array class names ("[Ljava.lang.String;") are not valid Java
-    // source — spell the source-form type for the generated cast
-    val piecesRef = ctx.addReferenceObj("pieces", pieces,
-      "java.lang.String[]")
+    // the trie class name IS valid Java source (unlike JVM array class
+    // names, the r10 addReferenceObj gotcha)
+    val trieRef = ctx.addReferenceObj("trie", trie,
+      "graft.functions.BpeTrie")
     val t = text.genCode(ctx)
     val code =
       code"""
@@ -70,7 +146,7 @@ case class BpeCount(children: Seq[Expression]) extends Expression {
         |boolean ${ev.isNull} = ${t.isNull};
         |int ${ev.value} = 0;
         |if (!${ev.isNull}) {
-        |  ${ev.value} = graft.functions.BpeCount.count(${t.value}, $piecesRef);
+        |  ${ev.value} = graft.functions.BpeCount.count(${t.value}, $trieRef);
         |}
        """.stripMargin
     ev.copy(code = code)
@@ -82,9 +158,11 @@ case class BpeCount(children: Seq[Expression]) extends Expression {
 }
 
 object BpeCount {
-  /** The greedy walk — `pieces` MUST be sorted by length descending so
-    * the first match is the longest. Called from generated code. */
-  def count(t: UTF8String, pieces: Array[String]): Int = {
+  /** The greedy walk over the prebuilt trie. Called from generated
+    * code. Matches advance by the piece length (BMP-asserted, so units
+    * == code points there); the no-match fallback consumes one full
+    * code point. */
+  def count(t: UTF8String, trie: BpeTrie): Int = {
     val s = t.toString
     val n = s.length
     var pos = 0
@@ -92,19 +170,35 @@ object BpeCount {
     while (pos < n) {
       if (s.charAt(pos) == ' ') pos += 1
       else {
-        var adv = 1
+        val m = trie.longestMatch(s, pos)
+        c += 1
+        pos += (if (m > 0) m else Character.charCount(s.codePointAt(pos)))
+      }
+    }
+    c
+  }
+
+  /** The r11 linear-scan reference walk (`pieces` sorted length-DESC so
+    * the first match is the longest) — kept as the independent naive
+    * model the trie is property-tested against (BpeCountSpec's ≥1k-piece
+    * agreement suite); not on any query path. */
+  def countLinear(t: UTF8String, pieces: Array[String]): Int = {
+    val s = t.toString
+    val n = s.length
+    var pos = 0
+    var c = 0
+    while (pos < n) {
+      if (s.charAt(pos) == ' ') pos += 1
+      else {
+        var adv = 0
         var i = 0
-        var found = false
-        while (i < pieces.length && !found) {
+        while (i < pieces.length && adv == 0) {
           val p = pieces(i)
-          if (p.length <= n - pos && s.startsWith(p, pos)) {
-            adv = p.length
-            found = true
-          }
+          if (p.length <= n - pos && s.startsWith(p, pos)) adv = p.length
           i += 1
         }
         c += 1
-        pos += adv
+        pos += (if (adv > 0) adv else Character.charCount(s.codePointAt(pos)))
       }
     }
     c

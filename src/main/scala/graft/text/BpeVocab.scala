@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Staging, Tables}
+import graft.text.TextOps.norm
+
+/** The BPE merge vocabulary as DATA — trained from the corpus and
+  * persisted, not a constant baked into source.
+  *
+  * A real subword tokenizer's merge table is an artifact of training
+  * (50k pieces learned from corpus statistics) that a pipeline loads
+  * and broadcasts; hardcoding pieces in code means recompiling the
+  * engine to swap tokenizers. This module gives the fixture the same
+  * lifecycle: [[train]] derives a deterministic merge vocabulary from
+  * the `documents` corpus itself — the top-K most frequent 2..4-char
+  * grams of the normalized text (a greedy frequency stand-in for the
+  * BPE merge objective, which also ranks candidate merges by corpus
+  * frequency), staged once per fixture fingerprint like the ANN corpus
+  * ([[graft.sources.Staging]]) — and [[pieces]] loads it for the
+  * `bpe_count` kernel, which builds a longest-prefix trie from the
+  * loaded pieces once per plan.
+  *
+  * Cross-engine contract: the derivation is pure frequency arithmetic
+  * on the shared normalization, so the DuckDB oracles re-derive the
+  * IDENTICAL piece set from the same `documents` table
+  * ([[vocabCtesSql]]) — the staged-store precedent
+  * (`dedup_incremental_staged`: the store only changes WHERE the state
+  * comes from, the oracle re-derives it from the fixture convention).
+  * Ties rank (count DESC, piece ASC) in both engines, so the LIMIT
+  * boundary is deterministic.
+  */
+object BpeVocab {
+
+  /** Fixture vocabulary size. Modest by design — the per-position match
+    * cost is O(match length) through the trie regardless of K, and the
+    * DuckDB oracle replays the walk with per-length membership sets, so
+    * K scales to a real 50k-merge table without a plan change; the
+    * spec's ≥1k-piece synthetic vocab exercises that path. */
+  val DefaultTopK = 128
+
+  /** Candidate piece lengths (chars). Single chars are the kernel's
+    * built-in fallback, so the learned vocabulary starts at 2. */
+  val MinN = 2
+  val MaxN = 4
+
+  /** The deterministic vocabulary derivation: every positional
+    * `MinN`..`MaxN`-char gram of the normalized text that contains no
+    * space (spaces are free separators in the walk), counted across the
+    * corpus, top `topK` by (count DESC, piece ASC). One narrow explode
+    * + one map-side-combined aggregate + a TakeOrdered — the training
+    * cost is a single corpus pass at any scale. */
+  def train(docs: DataFrame, topK: Int = DefaultTopK): DataFrame =
+    docs.select(norm(col("text")).as("s"))
+      .select(col("s"),
+        explode(array((MinN to MaxN).map(lit): _*)).as("n"))
+      .select(explode(expr(
+        """filter(transform(sequence(1, greatest(length(s) - n + 1, 1)),
+          |  i -> substring(s, i, n)),
+          |  g -> length(g) = n AND NOT contains(g, ' '))""".stripMargin))
+        .as("piece"))
+      .groupBy(col("piece"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("piece").asc)
+      .limit(topK)
+
+  /** The staged vocabulary table for a fixture dir — trained once per
+    * (topK, fixture fingerprint), then a plain parquet read. */
+  def fixtureStore(s: SparkSession, dir: String,
+                   topK: Int = DefaultTopK): String =
+    Staging.stage(s"bpe_vocab_v1_${topK}_$dir",
+      new java.io.File(dir, "documents.parquet")) { tmp =>
+      train(Tables(s, dir, "documents"), topK).write.parquet(tmp)
+    }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The fixture vocabulary as driver-side piece strings — what the
+    * `bpe_count` kernel's constant arguments carry (one copy per plan,
+    * i.e. a broadcast). The collect is a bounded DIMENSION read (topK
+    * rows — the tokenizer-vocab analog of a weight table), memoized per
+    * (session, dir); sorted so the plan bytes are deterministic (the
+    * kernel re-sorts by length internally). */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[String]]
+
+  def pieces(s: SparkSession, dir: String): Seq[String] = {
+    memo.keys.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
+    memo.getOrElseUpdate((s, dir),
+      read(s, fixtureStore(s, dir)).select(col("piece"))
+        .collect().map(_.getString(0)).toSeq.sorted)
+  }
+
+  private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** The vocabulary derivation as DuckDB CTEs ending in per-length
+    * membership sets `vlen2..vlen{MaxN}` (one row each holding the
+    * pieces of that length) — the oracle twin of [[train]] +
+    * [[pieces]]. Grams are enumerated with the scalar-list
+    * `list_transform(generate_series(...))` form (DuckDB's table-valued
+    * generate_series cannot take lateral bounds); all feeders
+    * MATERIALIZED because every consumer sits inside a recursive
+    * walk. */
+  lazy val vocabCtesSql: String =
+    s"""vsrc AS MATERIALIZED (SELECT $N AS s FROM documents),
+       |vraw AS (
+       |  SELECT n, unnest(list_transform(
+       |    generate_series(1, greatest(len(s) - n + 1, 1)),
+       |    i -> substr(s, i, n))) AS g
+       |  FROM vsrc, (SELECT unnest([${(MinN to MaxN).mkString(", ")}]) AS n)),
+       |vb AS MATERIALIZED (
+       |  SELECT piece FROM (
+       |    SELECT g AS piece, count(*) AS c FROM vraw
+       |    WHERE len(g) = n AND NOT contains(g, ' ')
+       |    GROUP BY g)
+       |  ORDER BY c DESC, piece ASC LIMIT $DefaultTopK),
+       |${(MinN to MaxN).map(n =>
+      s"vlen$n AS MATERIALIZED (SELECT coalesce(list(piece), []) AS l " +
+        s"FROM vb WHERE len(piece) = $n)").mkString(",\n")}""".stripMargin
+
+  /** The per-position greedy advance over the derived vocabulary as a
+    * SQL expression: longest match wins, so probe the length sets
+    * descending — each probe is one membership test against that
+    * length's (tiny) piece list, O(MaxN − MinN + 1) per position
+    * instead of O(|vocab|). `s`/`i` are the caller's string and
+    * 1-based position expressions; requires `vlen2..vlen{MaxN}` in
+    * scope (cross-joined one-row CTEs). Returns the advance in chars
+    * (1 = single-char fallback); the SPACE case is the caller's
+    * concern (the doc walk marks it −1, the token walk never sees
+    * one). */
+  def advSql(s: String, i: String): String =
+    (MaxN to MinN by -1).map(n =>
+      s"WHEN list_contains(vlen$n.l, substr($s, $i, $n)) THEN $n")
+      .mkString("CASE ", "\n             ", "\n             ELSE 1 END")
+
+  /** The `FROM` tail bringing every length set into scope. */
+  lazy val vlenFrom: String =
+    (MinN to MaxN).map(n => s"vlen$n").mkString(", ")
+}

@@ -274,9 +274,9 @@ object Curation {
     * token array) — fine while docs ≪ corpus (the universal case);
     * a pathological single-doc-of-a-billion-tokens would want a
     * `mapPartitions` rewrite, not a different plan. No shuffle. */
-  def chunkDocsBpeBudget(docs: DataFrame, window: Int = 48): DataFrame = {
+  def chunkDocsBpeBudget(docs: DataFrame, pieces: Seq[String],
+                         window: Int = 48): DataFrame = {
     require(window > 0, s"chunkDocsBpeBudget: window must be positive, got $window")
-    val pieces = TextOps.bpePieces
     val costsCol = transform(col("toks"), t =>
       call_function("bpe_count", t +: pieces.map(lit): _*))
     // greedy fill over the cost stream: state (cum, idx, acc) — a token
@@ -494,9 +494,9 @@ object Curation {
     "chunk_docs" -> ((s, d) =>
       chunkDocs(Tables(s, d, "documents"), window = 32, stride = 24)),
     // subword-budgeted chunking: greedy whitespace-token fill measured
-    // in BPE units (48-unit windows on the fixture vocab)
+    // in BPE units (48-unit windows on the staged corpus-trained vocab)
     "chunk_docs_bpe" -> ((s, d) =>
-      chunkDocsBpeBudget(Tables(s, d, "documents"))),
+      chunkDocsBpeBudget(Tables(s, d, "documents"), BpeVocab.pieces(s, d))),
     "curation_pipeline" -> ((s, d) =>
       curationPipeline(Tables(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
@@ -511,10 +511,11 @@ object Curation {
     "pii_scrub" -> ((s, d) => piiScrub(Tables(s, d, "documents"))),
     "token_pack" -> ((s, d) => packTokens(Tables(s, d, "documents"))),
     // the same two-phase distributed prefix sum, budgeted in SUBWORD
-    // units (greedy longest-match kernel) — what a context window
-    // actually holds
+    // units (greedy longest-match kernel over the staged vocab) — what
+    // a context window actually holds
     "token_pack_bpe" -> ((s, d) => packTokens(Tables(s, d, "documents"),
-      counter = t => TextOps.bpeCountCol(t).cast("long"))))
+      counter = t =>
+        TextOps.bpeCountCol(t, BpeVocab.pieces(s, d)).cast("long"))))
 
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -631,25 +632,25 @@ object Curation {
 
   /** The BPE-budgeted chunker replayed: per-token greedy-match costs via
     * a token-level advance-list walk (the TextOps.bpeWalkCtes shape, one
-    * row per (doc, token)), then the greedy fill as a second recursive
-    * scan over the token stream, then per-chunk assembly. All feeder
-    * CTEs MATERIALIZED — DuckDB re-inlines plain CTEs into each
-    * recursion round. */
+    * row per (doc, token)) over the corpus-derived vocabulary
+    * ([[BpeVocab.vocabCtesSql]] — re-derived from the same `documents`
+    * table the engine's staged store was trained on, per-length
+    * membership probes for the longest match), then the greedy fill as
+    * a second recursive scan over the token stream, then per-chunk
+    * assembly. All feeder CTEs MATERIALIZED — DuckDB re-inlines plain
+    * CTEs into each recursion round. */
   private lazy val chunkDocsBpeOracle: String = {
-    val pieceList =
-      TextOps.bpePieces.map("'" + _ + "'").mkString("[", ", ", "]")
     val w = 48
-    s"""WITH RECURSIVE btok AS MATERIALIZED (
+    s"""WITH RECURSIVE ${BpeVocab.vocabCtesSql},
+       |btok AS MATERIALIZED (
        |  SELECT doc_id, i AS tidx, l[i] AS tok
        |  FROM (SELECT doc_id, string_split($N, ' ') AS l FROM documents) t,
        |    unnest(generate_series(1, len(l))) AS u(i)),
        |badv AS MATERIALIZED (
        |  SELECT doc_id, tidx,
        |    list_transform(generate_series(1, len(tok)),
-       |      i -> greatest(1, list_max(list_transform($pieceList,
-       |        p -> CASE WHEN substr(tok, i, len(p)) = p
-       |             THEN len(p) ELSE 0 END)))) AS adv
-       |  FROM btok),
+       |      i -> ${BpeVocab.advSql("tok", "i")}) AS adv
+       |  FROM btok, ${BpeVocab.vlenFrom}),
        |twalk(doc_id, tidx, pos, cnt) AS (
        |  SELECT doc_id, tidx, 1, 0 FROM badv
        |  UNION ALL

@@ -82,35 +82,29 @@ object TextOps {
         regexp_count(col("n"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
           .as("bpe_segments"))
 
-  /** The fixture's deterministic merge vocabulary — a tiny stand-in for
-    * a trained BPE merge table (common English fragments, longest-first
-    * is the tie-free match rule). In production this is a broadcast of
-    * the real tokenizer's vocab; the kernel takes it as constant
-    * arguments, which IS a broadcast (one copy per plan, not per row). */
-  private[graft] val bpePieces: Seq[String] = Seq(
-    "tion", "the", "ing", "ent", "and", "ers",
-    "er", "re", "on", "an", "or", "en", "in", "ed",
-    "es", "th", "ar", "st", "al", "le")
-
   /** Subword count of a raw text column via the codegen'd `bpe_count`
     * kernel (`functions/BpeCount.scala`): greedy longest-match against
-    * [[bpePieces]] with single-char fallback, spaces free. One pass,
-    * whole-stage codegen — the counter [[Curation.packTokens]] accepts
-    * for tokenizer-faithful budget packing. */
-  def bpeCountCol(text: Column): Column =
-    call_function("bpe_count", norm(text) +: bpePieces.map(lit): _*)
+    * the given merge vocabulary (a [[BpeVocab]] load — vocab is DATA,
+    * staged per fixture, never a source constant) with single-char
+    * fallback, spaces free. The pieces travel as foldable literals (one
+    * copy per plan — a broadcast) and compile into a longest-prefix
+    * trie once per plan. One pass, whole-stage codegen — the counter
+    * [[Curation.packTokens]] accepts for tokenizer-faithful budget
+    * packing. */
+  def bpeCountCol(text: Column, pieces: Seq[String]): Column =
+    call_function("bpe_count", norm(text) +: pieces.map(lit): _*)
 
   /** Tokenizer-faithful token counting: whitespace tokens alongside the
     * greedy-subword count — the number a context-window budget needs
     * (whitespace counts misprice real text by the avg word/piece
     * ratio, measured 2–4× on natural language). */
-  def tokenCountsBpe(docs: DataFrame): DataFrame =
+  def tokenCountsBpe(docs: DataFrame, pieces: Seq[String]): DataFrame =
     docs
       .withColumn("n", norm(col("text")))
       .select(
         col("doc_id"),
         size(tokens(col("n"))).as("ws_tokens"),
-        call_function("bpe_count", col("n") +: bpePieces.map(lit): _*)
+        call_function("bpe_count", col("n") +: pieces.map(lit): _*)
           .as("bpe_tokens"))
 
   /** Quality scoring: length/avg-token-length/stopword-ratio features and
@@ -225,8 +219,10 @@ object TextOps {
     "text_normalize" -> ((s, d) => normalized(Tables(s, d, "documents"))),
     "dedup_exact" -> ((s, d) => dedupExact(Tables(s, d, "documents"))),
     "token_count" -> ((s, d) => tokenCounts(Tables(s, d, "documents"))),
-    // greedy-subword counting against the fixture merge vocab
-    "token_count_bpe" -> ((s, d) => tokenCountsBpe(Tables(s, d, "documents"))),
+    // greedy-subword counting against the STAGED corpus-trained merge
+    // vocab (BpeVocab: vocab as data, trie matching in the kernel)
+    "token_count_bpe" -> ((s, d) =>
+      tokenCountsBpe(Tables(s, d, "documents"), BpeVocab.pieces(s, d))),
     "quality_score" -> ((s, d) => qualityScore(Tables(s, d, "documents"))),
     "lang_id" -> ((s, d) => langId(Tables(s, d, "documents"))),
     // quality with the detected language's stopword model
@@ -269,27 +265,31 @@ object TextOps {
     "regexp_replace(lower(trim(substr(text, 1, 200))), '\\s+', ' ', 'g')"
 
   /** The greedy-subword walk as DuckDB CTEs ending in
-    * `bpe(doc_id, n)` — requires WITH RECURSIVE. The per-position max
-    * match length is precomputed as a list (`adv`: −1 marks a space),
-    * then the walk CTE steps each doc one consumed unit per recursion
-    * round; `max(cnt)` is the final count because cnt is monotone along
-    * each doc's single walk path. `bd`/`bml` are MATERIALIZED: DuckDB
-    * re-inlines plain CTEs into every recursion round, re-running the
+    * `bpe(doc_id, n)` — requires WITH RECURSIVE. The vocabulary is
+    * re-derived from the SAME `documents` table the engine's staged
+    * [[BpeVocab]] store was trained on (the staged-store oracle
+    * precedent); the per-position max match length is precomputed as a
+    * list (`adv`: −1 marks a space) via descending per-length
+    * membership probes ([[BpeVocab.advSql]] — longest match wins, cost
+    * per position O(#lengths), not O(|vocab|)), then the walk CTE
+    * steps each doc one consumed unit per recursion round; `max(cnt)`
+    * is the final count because cnt is monotone along each doc's
+    * single walk path. Feeder CTEs are MATERIALIZED: DuckDB re-inlines
+    * plain CTEs into every recursion round, re-running the
     * per-position match scan hundreds of times (measured: minutes →
     * 1.4 s at sf0.001). Shared by the token_count_bpe and
-    * token_pack_bpe oracles. */
-  private[text] val bpeWalkCtes: String = {
-    val pieceList = bpePieces.map("'" + _ + "'").mkString("[", ", ", "]")
-    s"""bd AS MATERIALIZED (SELECT doc_id, $N AS s FROM documents),
+    * token_pack_bpe oracles. (lazy: BpeVocab's SQL fragments are
+    * object-initialization-ordered.) */
+  private[text] lazy val bpeWalkCtes: String =
+    s"""${BpeVocab.vocabCtesSql},
+       |bd AS MATERIALIZED (SELECT doc_id, $N AS s FROM documents),
        |bml AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_transform(generate_series(1, len(s)),
        |      i -> CASE WHEN substr(s, i, 1) = ' ' THEN -1
-       |           ELSE greatest(1, list_max(list_transform($pieceList,
-       |             p -> CASE WHEN substr(s, i, len(p)) = p
-       |                  THEN len(p) ELSE 0 END)))
+       |           ELSE ${BpeVocab.advSql("s", "i")}
        |           END) AS adv
-       |  FROM bd),
+       |  FROM bd, ${BpeVocab.vlenFrom}),
        |bwalk(doc_id, pos, cnt) AS (
        |  SELECT doc_id, 1, 0 FROM bml
        |  UNION ALL
@@ -300,7 +300,6 @@ object TextOps {
        |  WHERE w.pos <= len(m.adv)),
        |bpe AS (SELECT doc_id, max(cnt) AS n FROM bwalk GROUP BY doc_id)"""
       .stripMargin
-  }
 
   val oracle: Map[String, String] = Map(
     "sql_surface" ->

@@ -32,8 +32,13 @@ class BpeCountSpec extends SparkSpec {
     assert(count("aaaa", "aa", "aa", "a") === 2)
   }
 
-  test("matches a reference Scala walk on fixture docs") {
-    val pieces = graft.text.TextOps.bpePieces
+  test("matches a reference Scala walk on fixture docs (staged vocab)") {
+    // the DERIVED corpus vocabulary (BpeVocab staged store), checked
+    // against an independent greedy longest-match walk per doc
+    val pieces = graft.text.BpeVocab.pieces(spark, "/root/testdata/sf0.001")
+    assert(pieces.size > 20, "derived vocab must be data-sized")
+    assert(pieces.forall(p => p.length >= 2 && p.length <= 4 &&
+      !p.contains(" ")))
     val sorted = pieces.sortBy(p => (-p.length, p))
     def ref(s: String): Int = {
       var pos = 0; var c = 0
@@ -47,7 +52,8 @@ class BpeCountSpec extends SparkSpec {
       c
     }
     val rows = graft.text.TextOps.tokenCountsBpe(
-      graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents"))
+      graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      pieces)
       .join(graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents"),
         "doc_id")
       .select(col("text"), col("bpe_tokens"), col("ws_tokens"))
@@ -60,6 +66,57 @@ class BpeCountSpec extends SparkSpec {
       // subwords never undercount whitespace tokens
       assert(r.getInt(1) >= r.getInt(2))
     }
+  }
+
+  test("derived vocab ranks grams by corpus frequency, deterministically") {
+    val docs = Seq((1L, "abab abab"), (2L, "abab cd")).toDF("doc_id", "text")
+    val got = graft.text.BpeVocab.train(docs, topK = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // space-free gram counts: ab:6; ba/aba/bab/abab:3; cd:1 — top-4 by
+    // (count desc, piece asc) is ab, then the tie alphabetically
+    assert(got.toSeq === Seq("ab" -> 6L, "aba" -> 3L, "abab" -> 3L,
+      "ba" -> 3L))
+  }
+
+  test("trie agrees with the naive linear walk on a >=1k-piece vocab") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // deterministic synthetic vocab: 1.2k pieces over a 6-char alphabet,
+    // lengths 2..5, many shared prefixes (the case a trie must get right)
+    val alpha = "abcdef"
+    val rng = new scala.util.Random(42)
+    val vocab = (0 until 3000).map { _ =>
+      val len = 2 + rng.nextInt(4)
+      (0 until len).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    }.distinct.toArray
+    assert(vocab.length >= 1000, s"got ${vocab.length}")
+    val sorted = vocab.sortBy(p => (-p.length, p))
+    val trie = new BpeTrie(sorted)
+    val texts = (0 until 200).map { _ =>
+      (0 until (5 + rng.nextInt(60))).map(_ =>
+        if (rng.nextInt(6) == 0) ' ' else alpha(rng.nextInt(alpha.length)))
+        .mkString
+    } :+ "" :+ "   " :+ alpha * 40
+    texts.foreach { t =>
+      val u = UTF8String.fromString(t)
+      assert(BpeCount.count(u, trie) === BpeCount.countLinear(u, sorted),
+        s"text: ${t.take(40)}")
+    }
+  }
+
+  test("code-point fallback and BMP-only piece assertion") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // an unmatched astral-plane char (surrogate pair) counts as ONE
+    // token, like the oracle's character walk
+    val trie = new BpeTrie(Array("ab"))
+    assert(BpeCount.count(
+      UTF8String.fromString("😀ab"), trie) === 2)
+    assert(BpeCount.count(
+      UTF8String.fromString("😀 😁"), trie) === 2)
+    // a surrogate-bearing PIECE is rejected at the boundary
+    val e = intercept[IllegalArgumentException] {
+      new BpeTrie(Array("a😀"))
+    }
+    assert(e.getMessage.contains("BMP-only"))
   }
 
   test("null text yields null; non-constant pieces rejected") {

@@ -161,13 +161,14 @@ class CurationSpec extends SparkSpec {
   }
 
   test("BPE-budgeted chunking: greedy fill, oversized token alone, no split") {
-    // none of the fixture pieces match 'qq'/'zz' words -> cost = chars
+    // a vocab with no piece matching 'qq'/'zz' words -> cost = chars
+    val vocab = Seq("the", "ing", "er", "on")
     val docs = Seq(
       (1L, "qq zz qq zz"), // costs 2,2,2,2; window 4 -> 2 chunks of 2 toks
       (2L, "zzzzzzzzzzzz qq"), // 12 > window: oversized token alone
       (3L, "qq")) // single small token
       .toDF("doc_id", "text")
-    val out = Curation.chunkDocsBpeBudget(docs, window = 4).collect()
+    val out = Curation.chunkDocsBpeBudget(docs, vocab, window = 4).collect()
       .map(r => (r.getLong(0), r.getInt(1)) ->
         ((r.getString(2), r.getInt(3), r.getInt(4)))).toMap
     assert(out((1L, 0)) === (("qq zz", 2, 4)))
@@ -181,6 +182,7 @@ class CurationSpec extends SparkSpec {
     // token order is preserved within and across chunks
     val rows = Curation.chunkDocsBpeBudget(
       graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      BpeVocab.pieces(spark, "/root/testdata/sf0.001"),
       window = 48).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>

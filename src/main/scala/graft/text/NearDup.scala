@@ -743,6 +743,97 @@ object NearDup {
         (coalesce(col("nd"), lit(0L)) === 0).as("is_new"))
   }
 
+  /** Composite (doc_id, chunk_idx) → single-long key for chunk-level
+    * graph machinery (the min-label fixpoint and banded pair plans key
+    * on one long id): doc_id · 2²⁰ + chunk_idx. 2²⁰ chunks per doc =
+    * a 25M-token document at stride 24 before overflow — asserted in
+    * the keyed projection, never silently wrapped. */
+  private val ChunkKeySpan = 1L << 20
+
+  /** CHUNK-granularity NEAR-dup clusters — the banded-Hamming upgrade
+    * of [[chunkDedup64]]'s exact-signature keeper: context windows
+    * within `maxHamming` bits of each other (lightly-EDITED duplicated
+    * windows — the common case in scraped corpora, where exact chunk
+    * signatures miss a one-word edit) form transitive families via the
+    * shared banded pair plan + min-label fixpoint, and each family
+    * elects its lexicographically-first (doc_id, chunk_idx) keeper.
+    * Output: one row per chunk with its cluster representative and
+    * `is_keeper`.
+    *
+    * Scale shape: chunks key into single longs ([[ChunkKeySpan]]) and
+    * reuse [[bandedHammingPairs]] verbatim — 4×16-bit bands, capped
+    * sub-salted buckets, gate before the distinct exchange — so
+    * candidate work is banded, never all-pairs, and the fixpoint moves
+    * (key, label) longs only ([[dedupClustersFromEdges]]'s
+    * edge-endpoint discipline: chunks with no near-dup edge never
+    * enter the loop). EAGER like every cluster view (the fixpoint
+    * cannot be one lazy plan). */
+  def chunkNearDupClusters(docs: DataFrame, maxHamming: Int = 3,
+                           window: Int = 32, stride: Int = 24,
+                           maxBucket: Int = MaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+    val keyed = chunkSigs64(docs, window, stride).select(
+      when(assert_true(col("chunk_idx") < ChunkKeySpan,
+        lit(s"chunkNearDupClusters: chunk_idx overflows the " +
+          s"$ChunkKeySpan-per-doc key span")).isNull,
+        col("doc_id") * ChunkKeySpan + col("chunk_idx")).as("doc_id"),
+      col("simhash64").as("sig"))
+    val pairs = bandedHammingPairs(keyed, nBands = 4, bandBits = 16,
+      maxHamming, maxBucket)
+    dedupClustersFromEdges(keyed.select(col("doc_id")),
+      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(
+        expr(s"doc_id DIV $ChunkKeySpan").as("doc_id"),
+        (col("doc_id") % ChunkKeySpan).cast("int").as("chunk_idx"),
+        expr(s"cluster_id DIV $ChunkKeySpan").as("cluster_doc_id"),
+        (col("cluster_id") % ChunkKeySpan).cast("int")
+          .as("cluster_chunk_idx"),
+        col("is_keeper"))
+  }
+
+  /** Banded NEAR-dup chunk judge against an already-signed chunk frame
+    * — [[chunkDedupIncrementalBothSigs]] with the exact-identity
+    * verdict upgraded to Hamming ≤ `maxHamming` through the shared
+    * 4×16-bit banding: which of the incoming batch's context windows
+    * are within editing distance of ANY window in the signed corpus
+    * ([[ChunkSigStore]] in the staged form — the corpus is never
+    * re-chunked or re-tokenized). Same scale posture as every
+    * incremental judge: the store side is ONE scan, band-exploded with
+    * its signature carried along, hash-joined against the BROADCAST
+    * incoming bands; the Hamming gate runs before the per-window
+    * count, and a pair agreeing on several bands counts once. */
+  def chunkDedupNearFromSigs(esigs: DataFrame, incoming: DataFrame,
+                             maxHamming: Int = 3, window: Int = 32,
+                             stride: Int = 24,
+                             broadcastIncoming: Boolean = true): DataFrame =
+    chunkDedupNearBothSigs(esigs, chunkSigs64(incoming, window, stride),
+      maxHamming, broadcastIncoming)
+
+  private[graft] def chunkDedupNearBothSigs(
+      esigs: DataFrame, isigs: DataFrame, maxHamming: Int = 3,
+      broadcastIncoming: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastIncoming) broadcast(df) else df
+    val ebands = explodeBands4(
+      esigs.select(col("doc_id").as("ex_id"),
+        col("simhash64").as("esig")), "esig")
+    val ibands = bc(explodeBands4(
+      isigs.select(col("doc_id"), col("chunk_idx"),
+        col("simhash64").as("isig")), "isig"))
+    val dups = ebands.join(ibands, Seq("band", "bval"))
+      .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count_distinct(col("ex_id")).as("nd"))
+    isigs.select(col("doc_id"), col("chunk_idx"))
+      .join(bc(dups), Seq("doc_id", "chunk_idx"), "left")
+      .select(col("doc_id"), col("chunk_idx"),
+        coalesce(col("nd"), lit(0L)).cast("int").as("n_dups"),
+        (coalesce(col("nd"), lit(0L)) === 0).as("is_new"))
+  }
+
   def chunkDedup64(docs: DataFrame, window: Int = 32,
                    stride: Int = 24): DataFrame =
     chunkSigs64(docs, window, stride)
@@ -1073,6 +1164,18 @@ object NearDup {
       simhashClusters64(Tables(s, d, "documents")))
   }
 
+  /** One chunk-level near-dup cluster assignment per (session, fixture)
+    * — the [[fixtureSimhashClusters]] discipline at chunk granularity
+    * (eager fixpoint; a bench lap must not re-run it per call). */
+  private val chunkNearClusterMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def fixtureChunkNearClusters(s: SparkSession, d: String): DataFrame = {
+    chunkNearClusterMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(chunkNearClusterMemo.remove)
+    chunkNearClusterMemo.getOrElseUpdate((s, d),
+      chunkNearDupClusters(Tables(s, d, "documents")))
+  }
+
   /** (doc_id, cluster_id, keeper_id, is_keeper) with the keeper chosen by
     * quality (ties to the smaller doc_id) — shared by the dedup_keep_best
     * query and the curated-export sink. */
@@ -1207,6 +1310,18 @@ object NearDup {
         ChunkSigStore.read(s, ChunkSigStore.fixtureCorpusStore(s, d)),
         docs.filter(col("doc_id") % 10 >= 8))
     }),
+    // NEAR-dup window matching (Hamming<=3 banded) + keeper election
+    // per transitive family — catches lightly-EDITED duplicated
+    // windows the exact chunk signature misses (memoized fixpoint)
+    "chunk_dedup_near" -> ((s, d) => fixtureChunkNearClusters(s, d)),
+    // the staged near judge: batch windows banded against the
+    // PERSISTED chunk-signature store at Hamming<=3
+    "chunk_dedup_near_staged" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      chunkDedupNearFromSigs(
+        ChunkSigStore.read(s, ChunkSigStore.fixtureCorpusStore(s, d)),
+        docs.filter(col("doc_id") % 10 >= 8))
+    }),
     // the family's batch-vs-corpus ingestion form, on the incremental
     // fixture convention (accumulated = doc_id % 10 < 8)
     "dedup_simhash64_incremental" -> ((s, d) => {
@@ -1323,15 +1438,14 @@ object NearDup {
       s"SELECT doc_id, sig, $i AS band, (sig >> $shift) & $mask AS bval FROM sg"
     }.mkString("\n  UNION ALL\n  ")
 
-  private def simhashPairCtesLayout(terms: String,
-                                    layout: Seq[(Int, Int)],
-                                    cap: Int,
-                                    where: String = ""): String = {
-    val bandSelects = bandSelectsSql(layout)
-    s"""sg AS (
-       |  ${simhashSigCte(terms, where)}),
-       |sbands AS (
-       |  $bandSelects),
+  /** The band-explode → oversized-bucket cap → sub-salt chain over an
+    * ALREADY-DEFINED `sg(doc_id, sig)` CTE — factored so oracles whose
+    * id is not a document id (the chunk-key form) share the exact
+    * banding/salting arithmetic of the doc-level pair oracles. */
+  private def bandedPairCtesFromSg(layout: Seq[(Int, Int)],
+                                   cap: Int): String =
+    s"""sbands AS (
+       |  ${bandSelectsSql(layout)}),
        |s_over AS (
        |  SELECT band, bval, count(*) AS bn FROM sbands GROUP BY band, bval
        |  HAVING count(*) > $cap),
@@ -1343,7 +1457,14 @@ object NearDup {
        |    END AS salt
        |  FROM sbands LEFT JOIN s_over o
        |    ON sbands.band = o.band AND sbands.bval = o.bval)""".stripMargin
-  }
+
+  private def simhashPairCtesLayout(terms: String,
+                                    layout: Seq[(Int, Int)],
+                                    cap: Int,
+                                    where: String = ""): String =
+    s"""sg AS (
+       |  ${simhashSigCte(terms, where)}),
+       |${bandedPairCtesFromSg(layout, cap)}""".stripMargin
 
   private def simhashPairOracleLayout(terms: String,
                                       layout: Seq[(Int, Int)],
@@ -1551,7 +1672,80 @@ object NearDup {
        |FROM isig i LEFT JOIN m
        |  ON m.doc_id = i.doc_id AND m.chunk_idx = i.chunk_idx""".stripMargin
 
+  /** Chunk-level NEAR-dup cluster oracle: all chunks keyed into single
+    * longs (the engine's [[ChunkKeySpan]] arithmetic), the shared
+    * banded/salted pair chain over that key space, Hamming gate, then
+    * recursive min-label reachability and the decode back to
+    * (doc_id, chunk_idx). */
+  private lazy val chunkNearClustersOracle: String = {
+    val span = ChunkKeySpan
+    s"""WITH RECURSIVE ${Curation.chunkCtesSql(32, 24)},
+       |csig AS (
+       |  ${chunkSigCteSql("chunks")}),
+       |sg AS MATERIALIZED (
+       |  SELECT doc_id * $span + chunk_idx AS doc_id, sig FROM csig),
+       |${bandedPairCtesFromSg((0 until 4).map(i => (16 * i, 16)),
+      MaxBucket)},
+       |cnp AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM s_salted a JOIN s_salted b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.salt = b.salt
+       |    AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM cnp
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM cnp),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM sg
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |clusters AS (
+       |  SELECT id, min(r) AS cl FROM reach GROUP BY id)
+       |SELECT CAST(id // $span AS BIGINT) AS doc_id,
+       |  CAST(id % $span AS INTEGER) AS chunk_idx,
+       |  CAST(cl // $span AS BIGINT) AS cluster_doc_id,
+       |  CAST(cl % $span AS INTEGER) AS cluster_chunk_idx,
+       |  cl = id AS is_keeper
+       |FROM clusters ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** The staged near-chunk judge oracle: both % 10 splits chunked with
+    * the shared CTEs and signed per chunk, 4-band candidates between
+    * them, Hamming gate, count of distinct corpus docs per incoming
+    * window ([[chunkIncrementalOracle]] with banding in place of
+    * exact-signature equality). */
+  private lazy val chunkNearStagedOracle: String =
+    s"""WITH esrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+       |isrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+       |${Curation.chunkCtesSql(32, 24, "esrc", "echunks")},
+       |${Curation.chunkCtesSql(32, 24, "isrc", "ichunks")},
+       |esig AS (
+       |  ${chunkSigCteSql("echunks")}),
+       |isig AS (
+       |  ${chunkSigCteSql("ichunks")}),
+       |eb AS (
+       |  ${(0 until 4).map(i =>
+      s"SELECT doc_id AS ex_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM esig")
+      .mkString("\n  UNION ALL\n  ")}),
+       |ib AS (
+       |  ${(0 until 4).map(i =>
+      s"SELECT doc_id, chunk_idx, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM isig")
+      .mkString("\n  UNION ALL\n  ")}),
+       |m AS (
+       |  SELECT i.doc_id, i.chunk_idx, count(DISTINCT e.ex_id) AS nd
+       |  FROM ib i JOIN eb e ON e.band = i.band AND e.bval = i.bval
+       |  WHERE bit_count(xor(e.sig, i.sig)) <= 3
+       |  GROUP BY i.doc_id, i.chunk_idx)
+       |SELECT i.doc_id, i.chunk_idx,
+       |  CAST(coalesce(m.nd, 0) AS INTEGER) AS n_dups,
+       |  coalesce(m.nd, 0) = 0 AS is_new
+       |FROM isig i LEFT JOIN m
+       |  ON m.doc_id = i.doc_id AND m.chunk_idx = i.chunk_idx""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "chunk_dedup_near" -> chunkNearClustersOracle,
+    "chunk_dedup_near_staged" -> chunkNearStagedOracle,
     "dedup_near_lsh" -> lshOracle(MaxBucket),
 
     // truth side is all-pairs over the small sample (oracle-side only;

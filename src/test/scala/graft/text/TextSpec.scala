@@ -672,4 +672,59 @@ class TextSpec extends SparkSpec {
     assert(m((1L, 2L)) === 1.0)
     assert(m((2L, 3L)) === 0.0)
   }
+
+  test("chunk near-dup clusters catch an edited window exact identity misses") {
+    // a one-word edit on a LARGE token set drifts the 64-bit SimHash by
+    // only the bits whose vote margin the swapped token decided — pick,
+    // deterministically, a candidate edit landing within Hamming 1..3
+    // (the drift band the 4x16 banding guarantees recall for); small
+    // token sets drift far wider, which is why the fixture uses a
+    // 300-token window
+    val baseToks = (0 until 300).map(i => s"w$i")
+    val base = baseToks.mkString(" ")
+    val w = 512 // window covers the whole doc -> one chunk per doc
+    val cands = (0L until 400L).map(i =>
+      (i, (s"x$i" +: baseToks.tail).mkString(" ")))
+    val sigs = NearDup.chunkSigs64(
+      ((-1L, base) +: cands).toDF("doc_id", "text"), w, w)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash64")).toMap
+    val baseSig = sigs(-1L)
+    val editedId = cands.map(_._1).find { i =>
+      val h = java.lang.Long.bitCount(sigs(i) ^ baseSig)
+      h >= 1 && h <= 3
+    }
+    assert(editedId.nonEmpty,
+      "no candidate edit within Hamming 1..3 of the base window")
+    val edited = cands(editedId.get.toInt)._2
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, edited),
+      (4L, (0 until 300).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = NearDup.chunkNearDupClusters(docs, maxHamming = 3,
+      window = w, stride = w).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getInt(3), r.getBoolean(4)))).toMap
+    // all three copies (exact pair + edited) share the (1, 0) keeper
+    assert(out((1L, 0)) === ((1L, 0, true)))
+    assert(out((2L, 0)) === ((1L, 0, false)))
+    assert(out((3L, 0)) === ((1L, 0, false)),
+      "edited window must join the cluster via banded Hamming")
+    // the unrelated doc stays its own keeper
+    assert(out((4L, 0)) === ((4L, 0, true)))
+    // contrast: exact-identity chunk dedup splits the edited copy out
+    val exact = NearDup.chunkDedup64(docs, window = w, stride = w)
+      .collect()
+    assert(exact.length === 3, "three distinct signatures under exact identity")
+
+    // the staged near judge flags a batch window within Hamming range
+    // of the signed corpus, and passes a genuinely novel one
+    val verdict = NearDup.chunkDedupNearBothSigs(
+      NearDup.chunkSigs64(docs.filter(col("doc_id") <= 2), w, w),
+      NearDup.chunkSigs64(docs.filter(col("doc_id") >= 3), w, w))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getBoolean(3)))).toMap
+    assert(verdict(3L) === ((2, false)),
+      "edited window is near both corpus copies")
+    assert(verdict(4L) === ((0, true)))
+  }
 }

@@ -429,25 +429,45 @@ object StreamingLanes {
     * blocks a better near-duplicate). Both stores get the gated
     * compaction; `process` receives the batch's curated chunks.
     *
+    * `qualityStorePath` (optional) upgrades the floor to
+    * CORPUS-relative: per-source thresholds derive from a scan of the
+    * persisted [[graft.text.QualityStore]] instead of the batch's own
+    * admissions (the batch-relative percentile is noisy at production
+    * trigger rates — a 1-doc source always survives its own floor),
+    * and each batch's survivors append their qualities so the floor
+    * tracks everything admitted so far — the store-backed lifecycle
+    * every dedup family already has, applied to the quality stage.
+    * A THIRD append + the same gated compaction; a source the store
+    * has never seen carries a NULL floor and is kept.
+    *
     * Same eager-checkpoint ordering as every store lane (judge state
-    * materializes before the appends mutate listings) and the same
-    * at-least-once caveat: a replayed batch re-appends — duplicate
-    * signature rows are harmless, duplicate chunk rows carry their
-    * (doc_id, chunk_idx) key and compact away. */
+    * AND the floor's survivor frame materialize before the appends
+    * mutate listings) and the same at-least-once caveat: a replayed
+    * batch re-appends — duplicate signature/quality rows are harmless,
+    * duplicate chunk rows carry their (doc_id, chunk_idx) key and
+    * compact away. */
   def curationStoreLane(docs: DataFrame, sigStorePath: String,
                         chunkStorePath: String, maxHamming: Int = 3,
                         p: Double = 0.1, window: Int = 32,
                         stride: Int = 24,
                         maxStoreFiles: Option[Int] = None,
+                        qualityStorePath: String = null,
                         onStats: (DataFrame, Long) => Unit = null)
                        (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      import graft.text.{Curation, SimHashStore}
+      import graft.text.{Curation, QualityStore, SimHashStore}
       val spark = batch.sparkSession
-      val (curated0, survivorSigs0, gated) = Curation.curateBatch(
-        SimHashStore.read(spark, sigStorePath), batch,
-        maxHamming, p, window, stride)
+      val (curated0, survivorSigs0, gated, survivors) =
+        if (qualityStorePath == null)
+          Curation.curateBatch(
+            SimHashStore.read(spark, sigStorePath), batch,
+            maxHamming, p, window, stride)
+        else
+          Curation.curateBatchCorpusFloor(
+            SimHashStore.read(spark, sigStorePath),
+            QualityStore.read(spark, qualityStorePath), batch,
+            maxHamming, p, window, stride)
       // pin both outputs before the appends: each is consumed more than
       // once (write + stats/process) and re-evaluation would re-run the
       // quality window and chunk explode per consumer
@@ -455,12 +475,19 @@ object StreamingLanes {
       val survivorSigs = survivorSigs0.localCheckpoint(true)
       curated.write.mode("append").parquet(chunkStorePath)
       SimHashStore.appendSigs(sigStorePath, survivorSigs)
+      // survivors is already checkpointed inside curateCore, so this
+      // append cannot feed back into the floor plan that read the store
+      if (qualityStorePath != null)
+        QualityStore.appendQualities(qualityStorePath, survivors)
       val compacted = maxStoreFiles.exists { m =>
         val sigC = graft.sinks.StoreMaintenance.compactIfNeeded(
           spark, sigStorePath, m, Seq("doc_id"))
         val chkC = graft.sinks.StoreMaintenance.compactIfNeeded(
           spark, chunkStorePath, m, Seq("doc_id", "chunk_idx"))
-        sigC || chkC
+        val quaC = qualityStorePath != null &&
+          graft.sinks.StoreMaintenance.compactIfNeeded(
+            spark, qualityStorePath, m, Seq("doc_id"))
+        sigC || chkC || quaC
       }
       if (onStats != null) {
         // every count reads ALREADY-CHECKPOINTED state (the gated

@@ -424,21 +424,64 @@ object Curation {
     *      source's worst `p` of this batch's admissions);
     *   5. chunk the survivors into context windows ([[chunkDocs]]).
     *
-    * Returns (curated chunks, survivor signatures, gated verdict): the
-    * lane appends the first to the curated-chunk store and the second
-    * to the signature store — only QUALITY survivors sign the store,
-    * so a rejected-for-quality doc never blocks a future
-    * higher-quality near-duplicate of itself. The third is the
+    * Returns (curated chunks, survivor signatures, gated verdict,
+    * survivors): the lane appends the first to the curated-chunk store
+    * and the second to the signature store — only QUALITY survivors
+    * sign the store, so a rejected-for-quality doc never blocks a
+    * future higher-quality near-duplicate of itself. The third is the
     * already-checkpointed per-doc judge+gate verdict (doc_id, n_dups,
     * is_new, n_batch_dups — one row per batch doc), so the lane's
     * stats frame derives from pinned state instead of re-counting the
-    * micro-batch source. All frames derive from eagerly checkpointed
+    * micro-batch source; the fourth is the checkpointed survivor frame
+    * (doc_id, source, quality, q_thr) the corpus-floor lane appends to
+    * its [[QualityStore]]. All frames derive from eagerly checkpointed
     * judge state, so the lane's appends cannot feed back into their
     * plans. */
   private[graft] def curateBatch(esigs: DataFrame, batch: DataFrame,
                                  maxHamming: Int = 3, p: Double = 0.1,
                                  window: Int = 32, stride: Int = 24)
-  : (DataFrame, DataFrame, DataFrame) = {
+  : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    curateCore(esigs, batch, maxHamming, window, stride,
+      admitted => qualityQuantileGateBySource(admitted, p))
+
+  /** [[curateBatch]] with the quality stage gated against the CORPUS
+    * floor — per-source `p`-quantile thresholds derived from a scan of
+    * persisted quality state ([[QualityStore]]) instead of the batch's
+    * own admissions. The batch-relative percentile is noisy at
+    * production trigger rates (a 1-doc source is always its own floor
+    * and always survives); the corpus floor is stable across batches
+    * and evolves only as admitted survivors append their qualities. A
+    * batch doc from a source the store has never seen carries a NULL
+    * `q_thr` and is kept — no floor has been learned for that source
+    * yet, and inventing one from a single batch is exactly the noise
+    * this form removes. */
+  private[graft] def curateBatchCorpusFloor(
+      esigs: DataFrame, qualities: DataFrame, batch: DataFrame,
+      maxHamming: Int = 3, p: Double = 0.1,
+      window: Int = 32, stride: Int = 24)
+  : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    curateCore(esigs, batch, maxHamming, window, stride,
+      admitted => qualityGateAgainstFloors(admitted,
+        QualityStore.floors(qualities, p)))
+
+  /** Gate raw docs against a prebuilt (source, q_thr) floor frame —
+    * the corpus-floor stage: score once ([[TextOps.qualityCol]], the
+    * same composite the store persists), one broadcast hash join on
+    * `source`, keep docs at or above their source's floor (or with no
+    * learned floor). No corpus shuffle; the floor frame is
+    * |sources|-row. */
+  private[graft] def qualityGateAgainstFloors(docs: DataFrame,
+                                              floors: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      TextOps.qualityCol(col("text")).as("quality"))
+      .join(broadcast(floors), Seq("source"), "left")
+      .filter(col("q_thr").isNull || col("quality") >= col("q_thr"))
+      .select(col("doc_id"), col("source"), col("quality"), col("q_thr"))
+
+  private def curateCore(esigs: DataFrame, batch: DataFrame,
+                         maxHamming: Int, window: Int, stride: Int,
+                         floor: DataFrame => DataFrame)
+  : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val isigs = NearDup.simhash64(batch).localCheckpoint(true)
     val storeVerdict = NearDup.simhashIncremental64BothSigs(
       esigs, isigs, maxHamming).localCheckpoint(true)
@@ -446,18 +489,19 @@ object Curation {
       .localCheckpoint(true)
     val admitted = batch.join(
       gated.filter(col("is_new")).select(col("doc_id")), "doc_id")
-    // eager: the floor's subplan (normalize + score + exact percentile +
-    // broadcast join) feeds THREE consumers below (chunk input, curated
-    // join, signature join) — unpinned, each would re-run it per batch
-    val survivors = qualityQuantileGateBySource(admitted, p)
-      .localCheckpoint(true)
+    // eager: the floor's subplan (normalize + score + percentile or
+    // store-floor broadcast join) feeds THREE consumers below (chunk
+    // input, curated join, signature join) — unpinned, each would
+    // re-run it per batch
+    val survivors = floor(admitted).localCheckpoint(true)
     val curated = chunkDocs(
       admitted.join(survivors.select(col("doc_id")), "doc_id"),
       window, stride)
       .join(survivors, "doc_id")
       .select(col("doc_id"), col("source"), col("quality"), col("q_thr"),
         col("chunk_idx"), col("chunk_text"), col("n_chunk_tokens"))
-    (curated, isigs.join(survivors.select(col("doc_id")), "doc_id"), gated)
+    (curated, isigs.join(survivors.select(col("doc_id")), "doc_id"),
+      gated, survivors)
   }
 
   /** The batch TWIN of the streaming curation lane on the fixture
@@ -473,10 +517,28 @@ object Curation {
       docs.filter(col("doc_id") % 10 >= 8))._1
   }
 
+  /** The CORPUS-FLOOR twin — [[curationLaneTwin]] with the quality
+    * stage gated against the persisted [[QualityStore]]'s per-source
+    * floors (store population = doc_id % 10 < 8, the shared
+    * convention) instead of the batch-relative percentile: the DuckDB
+    * oracle replays store floors + gate end to end, certifying the
+    * composed corpus-relative lane. */
+  def curationLaneCorpusTwin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    curateBatchCorpusFloor(
+      SimHashStore.read(spark, SimHashStore.fixtureCorpusStore(spark, dir)),
+      QualityStore.read(spark, QualityStore.fixtureCorpusStore(spark, dir)),
+      docs.filter(col("doc_id") % 10 >= 8))._1
+  }
+
   val queries: Map[String, Q] = Map(
     // the composed lane's batch twin: store judge -> intra-batch keeper
     // gate -> per-source quality floor -> chunking, one batch
     "curation_lane_twin" -> ((s, d) => curationLaneTwin(s, d)),
+    // the corpus-floor twin: the quality stage gates against the
+    // persisted QualityStore's per-source floors (stable across
+    // batches) instead of the batch-relative percentile
+    "curation_lane_corpus_twin" -> ((s, d) => curationLaneCorpusTwin(s, d)),
     // corpus-relative quality floor (drop the worst decile)
     "quality_quantile_gate" -> ((s, d) =>
       qualityQuantileGate(Tables(s, d, "documents"))),
@@ -552,9 +614,11 @@ object Curation {
     * cluster walk must not re-derive them per round), store judge
     * between the % 10 splits, capped banded self-join + recursive
     * min-label clusters over the store-clean batch docs (the
-    * intra-batch keeper gate), per-source quantile floor over the
-    * admissions, then the shared chunk CTEs over the survivors. */
-  private lazy val curationLaneTwinOracle: String = {
+    * intra-batch keeper gate), the given quality-floor CTEs (which
+    * must end in `surv(doc_id, source, quality, q_thr)` over the
+    * admissions CTE `q`), then the shared chunk CTEs over the
+    * survivors. */
+  private def curationTwinOracleWith(floorCtes: String): String = {
     val bandOf = (src: String, idAs: String, sigAs: String, pred: String) =>
       (0 until 4).map(i =>
         s"SELECT doc_id AS $idAs, sig AS $sigAs, $i AS band, " +
@@ -613,13 +677,7 @@ object Curation {
        |q AS (
        |  SELECT d.doc_id, d.source, ${TextOps.qualityExprSql} AS quality
        |  FROM documents d JOIN admitted a ON a.doc_id = d.doc_id),
-       |thr AS (
-       |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
-       |  FROM q GROUP BY source),
-       |surv AS (
-       |  SELECT q.doc_id, q.source, q.quality, t.q_thr
-       |  FROM q JOIN thr t USING (source)
-       |  WHERE q.quality >= t.q_thr),
+       |$floorCtes,
        |ssrc AS (
        |  SELECT d.doc_id, d.text FROM documents d
        |  JOIN surv s ON s.doc_id = d.doc_id),
@@ -629,6 +687,35 @@ object Curation {
        |FROM cchunks c JOIN surv s USING (doc_id)
        |ORDER BY s.doc_id, c.chunk_idx""".stripMargin
   }
+
+  /** The r11 batch-relative floor: per-source quantile over THIS
+    * batch's admissions. */
+  private lazy val curationLaneTwinOracle: String =
+    curationTwinOracleWith(
+      """thr AS (
+        |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
+        |  FROM q GROUP BY source),
+        |surv AS (
+        |  SELECT q.doc_id, q.source, q.quality, t.q_thr
+        |  FROM q JOIN thr t USING (source)
+        |  WHERE q.quality >= t.q_thr)""".stripMargin)
+
+  /** The corpus-relative floor: per-source quantile over the PERSISTED
+    * store population (doc_id % 10 < 8 — the oracle re-derives the
+    * store's qualities from text, the staged-store precedent); an
+    * admission from an unseen source keeps a NULL floor. */
+  private lazy val curationLaneCorpusTwinOracle: String =
+    curationTwinOracleWith(
+      s"""cq AS (
+         |  SELECT source, ${TextOps.qualityExprSql} AS quality
+         |  FROM documents WHERE doc_id % 10 < 8),
+         |thr AS (
+         |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
+         |  FROM cq GROUP BY source),
+         |surv AS (
+         |  SELECT q.doc_id, q.source, q.quality, t.q_thr
+         |  FROM q LEFT JOIN thr t USING (source)
+         |  WHERE t.q_thr IS NULL OR q.quality >= t.q_thr)""".stripMargin)
 
   /** The BPE-budgeted chunker replayed: per-token greedy-match costs via
     * a token-level advance-list walk (the TextOps.bpeWalkCtes shape, one
@@ -684,6 +771,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "curation_lane_twin" -> curationLaneTwinOracle,
+    "curation_lane_corpus_twin" -> curationLaneCorpusTwinOracle,
     "chunk_docs_bpe" -> chunkDocsBpeOracle,
     // corpus-relative floor: quantile_cont shares Spark exact
     // percentile's linear interpolation, so the one-row threshold and

@@ -724,6 +724,147 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  /** src_a quality-corpus seeds: token counts 10..100 in steps of 10 →
+    * qualities 0.1..1.0 (distinct non-stopword vocab per doc, so none
+    * of them near-dup each other or any batch doc); the p=0.1 exact
+    * percentile floor over them is 0.19. */
+  private def qualitySeedDocs = (0 until 10).map(i =>
+    (100L + i, (0 until (10 + 10 * i)).map(j => s"s${i}w$j")
+      .mkString(" "), "src_a"))
+
+  test("corpus-floor curation lane: a 1-doc source gates against the store") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{QualityStore, SimHashStore}
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("curation_corpus_floor_").toString
+    val seeds = qualitySeedDocs.toDF("doc_id", "text", "source")
+    SimHashStore.appendBatch(s"$work/sigs", seeds.select("doc_id", "text"))
+    QualityStore.appendQualities(s"$work/quality",
+      QualityStore.qualityFrame(seeds))
+    val curated = scala.collection.mutable.Set[Long]()
+    val q = StreamingLanes.curationStoreLane(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      s"$work/sigs", s"$work/chunks", window = 4, stride = 2,
+      qualityStorePath = s"$work/quality")(
+      (chunks, _) => chunks.select("doc_id").collect()
+        .foreach(r => curated += r.getLong(0))).start()
+    try {
+      def toks(pfx: String, n: Int) =
+        (0 until n).map(j => s"$pfx$j").mkString(" ")
+      mem.addData(
+        // 12 tokens -> quality 0.12 < the CORPUS floor 0.19; the sole
+        // src_a doc of the batch, so the batch-relative floor would
+        // have kept it — the store floor must drop it
+        CurDoc(ts(10), 1L, toks("b1w", 12), "src_a"),
+        CurDoc(ts(11), 2L, toks("b2w", 50), "src_a"), // 0.5 -> kept
+        // unseen source: no learned floor -> kept with NULL q_thr
+        CurDoc(ts(12), 3L, toks("b3w", 30), "src_new"))
+      q.processAllAvailable()
+      assert(curated.toSet === Set(2L, 3L), curated)
+      // survivors appended their qualities (seeds + docs 2 and 3)
+      val stored = QualityStore.read(spark, s"$work/quality")
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getDouble(2))).toMap
+      assert(stored.keySet === (100L to 109L).toSet ++ Set(2L, 3L))
+      assert(stored(2L) === (("src_a", 0.5)))
+      assert(stored(3L) === (("src_new", 0.3)))
+      // the NULL-floor admission carried q_thr = null in its chunks
+      val chunkRows = spark.read.parquet(s"$work/chunks")
+        .select("doc_id", "q_thr").distinct().collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+      assert(chunkRows(3L) === None)
+      assert(chunkRows(2L).exists(t => math.abs(t - 0.19) < 1e-9))
+      // batch 2: the floor PERSISTS — another lone low src_a doc is
+      // still dropped (now vs the floor over seeds + doc 2: 0.2)
+      mem.addData(CurDoc(ts(30), 4L, toks("b4w", 15), "src_a"))
+      q.processAllAvailable()
+      assert(!curated.contains(4L),
+        "corpus floor must keep gating later batches")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  test("corpus-floor curation lane killed and resumed matches a single run") {
+    import graft.text.{QualityStore, SimHashStore}
+    val work = Files.createTempDirectory("curation_corpus_restart_").toString
+    def toks(pfx: String, n: Int) =
+      (0 until n).map(j => s"$pfx$j").mkString(" ")
+    val docs = Seq(
+      (1L, toks("b1w", 12), "src_a"), // below the corpus floor: rejected
+      (2L, toks("b2w", 50), "src_a"), // admitted pre-kill
+      // post-resume permutation of 2's ADMITTED signature: sig-store dup
+      (3L, toks("b2w", 50).split(" ").reverse.mkString(" "), "src_a"),
+      (4L, toks("b4w", 40), "src_a")) // admitted post-resume
+    val slices = docs.zipWithIndex.map { case ((id, t, src), i) =>
+      val tmp = s"$work/slice$i"
+      Seq((id, t, src)).toDF("doc_id", "text", "source")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part, s"s$i.parquet", 1700000000000L + i * 60000L)
+    }
+    def copyTo(dir: String, n: Int): Unit = slices.take(n).foreach {
+      case (part, name, mtime) =>
+        val dst = new java.io.File(dir, name)
+        if (!dst.exists()) {
+          org.apache.commons.io.FileUtils.copyFile(part, dst)
+          dst.setLastModified(mtime)
+        }
+    }
+    val schema = spark.read.parquet(s"$work/slice0").schema
+    def runLane(tag: String, out: scala.collection.mutable.Set[Long]): Long = {
+      var batches = 0L
+      val q = StreamingLanes.curationStoreLane(
+        Replay.paced(spark, s"$work/in$tag", schema, maxFilesPerTrigger = 1),
+        s"$work/sigs$tag", s"$work/chunks$tag", window = 4, stride = 2,
+        qualityStorePath = s"$work/quality$tag")(
+        (chunks, _) => { batches += 1
+          chunks.select("doc_id").collect().foreach(r => out += r.getLong(0))
+        })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck$tag")
+        .start()
+      q.awaitTermination()
+      batches
+    }
+    def seedStores(tag: String): Unit = {
+      val seeds = qualitySeedDocs.toDF("doc_id", "text", "source")
+      SimHashStore.appendBatch(s"$work/sigs$tag",
+        seeds.select("doc_id", "text"))
+      QualityStore.appendQualities(s"$work/quality$tag",
+        QualityStore.qualityFrame(seeds))
+    }
+    def qualSet(tag: String) = QualityStore
+      .read(spark, s"$work/quality$tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    def sigSet(tag: String) = SimHashStore.read(spark, s"$work/sigs$tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // restarted path: two batches, die, resume on the SAME checkpoint
+    val resumed = scala.collection.mutable.Set[Long]()
+    seedStores("A")
+    new java.io.File(s"$work/inA").mkdirs()
+    copyTo(s"$work/inA", 2)
+    assert(runLane("A", resumed) === 2L)
+    copyTo(s"$work/inA", 4)
+    assert(runLane("A", resumed) === 2L)
+    // single-run oracle: fresh stores + checkpoint, all four batches
+    val single = scala.collection.mutable.Set[Long]()
+    seedStores("B")
+    new java.io.File(s"$work/inB").mkdirs()
+    copyTo(s"$work/inB", 4)
+    assert(runLane("B", single) === 4L)
+    assert(resumed.toSet === single.toSet)
+    assert(resumed.toSet === Set(2L, 4L),
+      "floor reject and sig-store dup must stay rejected across restart")
+    assert(sigSet("A") === sigSet("B"))
+    assert(qualSet("A") === qualSet("B"),
+      "resumed quality store must equal the single-run store")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("media lane killed and resumed mid-stream matches a single run") {
     import graft.multimodal.MediaSigStore
     val work = Files.createTempDirectory("media_restart_").toString

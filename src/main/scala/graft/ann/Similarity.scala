@@ -385,35 +385,59 @@ object Similarity {
       .withColumn("qn2", dot(col("qv"), col("qv")))
   }
 
-  /** Exact brute-force top-k for an EXTERNAL query frame — the baseline
-    * serving answer for a query vector that is not a corpus member
-    * (every other ANN path samples corpus vec_ids): one broadcast of
-    * the bounded query set against a full corpus scan, scored with the
-    * codegen integer-dot kernel, pre-reduced per partition by the rank
-    * window. No self-exclusion — external ids are their own space. */
+  /** Quantize a caller's raw (query_id, embedding: Array[Float]) frame
+    * into the serving shape (query_id, qv, qn2) — the SAME fixed-point
+    * lattice the staged corpus lives on, so a literal vector a user
+    * hands the serving tier scores with exact integer dots against
+    * stored state. */
+  def quantizeQueries(q: DataFrame): DataFrame =
+    q.select(col("query_id"), quantized(col("embedding")).as("qv"))
+      .withColumn("qn2", dot(col("qv"), col("qv")))
+
+  /** Exact brute-force top-k of an ARBITRARY (query_id, qv, qn2) frame
+    * against a quantized (vec_id, v, n2) corpus — the baseline serving
+    * core for query vectors with no corpus membership: one broadcast
+    * of the bounded query set against a full corpus scan, scored with
+    * the codegen integer-dot kernel, pre-reduced per partition by the
+    * rank window. No self-exclusion — external ids are their own
+    * space. A real caller builds the frame from a literal vector
+    * ([[quantizeQueries]]); the fixture form is [[annQueryExternal]]. */
+  def annServe(corpus: DataFrame, queries: DataFrame,
+               k: Int = 10): DataFrame =
+    scoreRankLimit(
+      corpus.select(col("vec_id"), col("v"), col("n2"))
+        .crossJoin(broadcast(queries)), k)
+
+  /** [[annServe]] on the fixture's derived external query frame. */
   def annQueryExternal(spark: SparkSession, dir: String,
                        nQueries: Int = 5, k: Int = 10): DataFrame =
-    scoreRankLimit(
-      corpus(spark, dir).select(col("vec_id"), col("v"), col("n2"))
-        .crossJoin(broadcast(externalQueries(spark, dir, nQueries))), k)
+    annServe(corpus(spark, dir), externalQueries(spark, dir, nQueries), k)
 
-  /** Multi-probe serving of an EXTERNAL query frame over the PERSISTED
-    * index — the production read path for new vectors: rank the stored
-    * centroids per query on the one-row packed broadcast
-    * ([[probedCells]], the same machinery corpus-member serving uses),
-    * then ONE hash equi-join on cell against the assigned store — the
-    * corpus scans ~nprobe/kCells of its cells and the query frame never
-    * needs corpus membership. This is the first request a retrieval or
-    * embedding-dedup user makes with a new document's vector. */
+  /** Multi-probe serving of an ARBITRARY (query_id, qv, qn2) frame
+    * over a PERSISTED index — the production read path for new
+    * vectors: rank the stored centroids per query on the one-row
+    * packed broadcast ([[probedCells]], the same machinery
+    * corpus-member serving uses), then ONE hash equi-join on cell
+    * against the assigned store — the corpus scans ~nprobe/kCells of
+    * its cells and the query frame never needs corpus membership.
+    * `assigned` is a (vec_id, v, n2, cell) frame ([[IvfStore]] scan ∪
+    * assigned batch); `centsRow` the index's packed centroid row. This
+    * is the first request a retrieval or embedding-dedup user makes
+    * with a new document's vector. */
+  def annServeProbe(assigned: DataFrame, centsRow: DataFrame,
+                    queries: DataFrame, k: Int = 10,
+                    nprobe: Int = 2): DataFrame =
+    scoreRankLimit(assigned.join(
+      broadcast(probedCells(queries, centsRow, nprobe)),
+      col("cell") === col("qcell")), k)
+
+  /** [[annServeProbe]] on the fixture store + derived query frame. */
   def annQueryExternalProbe(spark: SparkSession, dir: String,
                             nQueries: Int = 5, k: Int = 10,
-                            nprobe: Int = 2, keepMod: Int = 8): DataFrame = {
-    val all = storedAll(spark, dir, keepMod)
-    val probed = probedCells(externalQueries(spark, dir, nQueries),
-      IvfStore.subCentroidsRow(spark, dir, keepMod), nprobe)
-    scoreRankLimit(all.join(broadcast(probed),
-      col("cell") === col("qcell")), k)
-  }
+                            nprobe: Int = 2, keepMod: Int = 8): DataFrame =
+    annServeProbe(storedAll(spark, dir, keepMod),
+      IvfStore.subCentroidsRow(spark, dir, keepMod),
+      externalQueries(spark, dir, nQueries), k, nprobe)
 
   /** Recall@k of the external-query serving path vs its own brute-force
     * truth, per nprobe ∈ {1, 2, 4} — [[annStoredRecall]]'s shape for

@@ -336,6 +336,51 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("serving cores accept a literal query frame built by the caller") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // a genuinely novel vector the CALLER constructs — the frame shape
+    // a retrieval user hands the serving tier (no fixture recipe, no
+    // corpus membership): dim 64, a few non-zero leading components
+    val vec = Array.tabulate(64)(i =>
+      if (i < 8) (0.25f - 0.05f * i) else 0.001f * i)
+    val literal = Similarity.quantizeQueries(
+      Seq((7L, vec)).toDF("query_id", "embedding"))
+    val assigned = IvfStore.fixtureSubIndex(spark, dir)
+    val centsRow = IvfStore.fixtureSubCentroidsRow(spark, dir)
+    // probing ALL 8 cells makes the stored path candidate-complete, so
+    // its top-k must EQUAL brute force over the same assigned frame
+    val brute = Similarity.annServe(assigned, literal).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine")))
+    val served = Similarity.annServeProbe(assigned, centsRow, literal,
+      nprobe = 8).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine")))
+    assert(brute.length === 10)
+    assert(served.toSeq === brute.toSeq)
+    // narrow probe: a subset of the brute candidates, plan stays ONE
+    // cell equi-join on the stored assignment scan — no cartesian, no
+    // training
+    val probed = Similarity.annServeProbe(assigned, centsRow, literal,
+      nprobe = 2)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivf_asg_sub"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("""BroadcastHashJoin \[cell#\d+""".r.findFirstIn(plan).nonEmpty
+      || """\[cell#\d+\], \[qcell#\d+\]""".r.findFirstIn(plan).nonEmpty,
+      plan)
+    assert(!plan.toLowerCase.contains("lloyd"), plan)
+    // same scoring arithmetic: any id the narrow probe shares with the
+    // brute top-k carries the IDENTICAL exact-integer cosine
+    val bruteScore = brute.map(t => t._2 -> t._3).toMap
+    probed.collect().foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      bruteScore.get(id).foreach(c =>
+        assert(r.getAs[Double]("cosine") === c, s"vec $id"))
+    }
+  }
+
   test("appendAssigned grows the store like a log; re-read matches") {
     val dir = "/root/testdata/sf0.001"
     val src = IvfStore.fixtureSubIndexPath(spark, dir)

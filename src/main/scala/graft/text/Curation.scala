@@ -317,6 +317,81 @@ object Curation {
           lit(0), (a, c) => a + c).as("n_chunk_bpe"))
   }
 
+  /** OVERLAPPING subword-budgeted chunking — the retrieval-style
+    * sliding window ([[chunkDocs]]'s overlap) with BOTH the window and
+    * the stride measured in BPE units ([[chunkDocsBpeBudget]] documents
+    * its overlap gap: its stride was whitespace-only): chunk starts
+    * stay whitespace-ALIGNED (tokens never split), each chunk fills
+    * greedily to `window` subword units, and the next chunk opens at
+    * the first token after at least `stride` subword units of the
+    * current chunk — so consecutive chunks share ≈ window − stride BPE
+    * units of context, an HONEST budget for overlapping windows.
+    *
+    * Exact contract (deterministic, replayed by the oracle): with
+    * per-token costs c_i and prefixes P_i, a chunk at start s covers
+    * tokens s..e(s), e(s) = the last t with P_t − P_{s−1} ≤ window
+    * (at least s — an oversized token sits alone, flagged by
+    * `n_chunk_bpe > window`); the next start is the smallest i > s
+    * with P_{i−1} − P_{s−1} ≥ stride OR P_i − P_{s−1} > window
+    * (the second disjunct caps the advance at e(s)+1, so every token
+    * is covered), and no new chunk opens once the current one reaches
+    * the last token. Output: (doc_id, chunk_idx, start_tok,
+    * chunk_text, n_chunk_tokens, n_chunk_bpe).
+    *
+    * Scale shape: pure per-row compute — per-token kernel costs in one
+    * `transform`, the prefix array and the start scan as two
+    * `aggregate` passes, emission by start-indexed slices. No
+    * shuffle; output rows ≈ corpus_bpe_units / stride. */
+  def chunkDocsBpeOverlap(docs: DataFrame, pieces: Seq[String],
+                          window: Int = 48, stride: Int = 32): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkDocsBpeOverlap: need 0 < stride <= window, got window=$window stride=$stride")
+    val costsCol = transform(col("toks"), t =>
+      call_function("bpe_count", t +: pieces.map(lit): _*))
+    // pr[k] (1-indexed) = P_{k-1}; pr[1] = 0, pr[n+1] = P_n
+    val prefixCol = aggregate(col("costs"),
+      expr("CAST(array(0) AS ARRAY<BIGINT>)"),
+      (acc, c) => concat(acc, array(element_at(acc, -1) + c)))
+    val startsCol = aggregate(
+      when(size(col("toks")) >= 2,
+        sequence(lit(2), size(col("toks"))))
+        .otherwise(expr("CAST(array() AS ARRAY<INT>)")),
+      struct(lit(1).as("s"), expr("CAST(array(1) AS ARRAY<INT>)").as("acc")),
+      (st, i) => {
+        val ps1 = element_at(col("pr"), st.getField("s"))
+        val pim1 = element_at(col("pr"), i)
+        val pi = element_at(col("pr"), i + 1)
+        val pn = element_at(col("pr"), lit(-1))
+        val isStart = (pn - ps1 > window) &&
+          ((pim1 - ps1 >= stride) || (pi - ps1 > window))
+        struct(
+          when(isStart, i).otherwise(st.getField("s")).as("s"),
+          when(isStart, concat(st.getField("acc"), array(i)))
+            .otherwise(st.getField("acc")).as("acc"))
+      },
+      st => st.getField("acc"))
+    docs.select(col("doc_id"), split(norm(col("text")), " ").as("toks"))
+      .withColumn("costs", costsCol)
+      .withColumn("pr", prefixCol)
+      .select(col("doc_id"), col("toks"), col("pr"),
+        posexplode(startsCol).as(Seq("chunk_idx", "start_tok")))
+      .withColumn("m", size(filter(
+        sequence(col("start_tok"), size(col("toks"))),
+        t => element_at(col("pr"), t + 1) -
+          element_at(col("pr"), col("start_tok")) <= lit(window.toLong))))
+      .withColumn("e",
+        greatest(col("start_tok"), col("start_tok") - 1 + col("m")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        col("start_tok").cast("int").as("start_tok"),
+        array_join(slice(col("toks"), col("start_tok"),
+          col("e") - col("start_tok") + 1), " ").as("chunk_text"),
+        (col("e") - col("start_tok") + 1).cast("int").as("n_chunk_tokens"),
+        (element_at(col("pr"), col("e") + 1) -
+          element_at(col("pr"), col("start_tok"))).cast("int")
+          .as("n_chunk_bpe"))
+  }
+
   /** The end-to-end curation pipeline as ONE composed plan: normalize →
     * exact dedup (keep the smallest doc_id per content hash) → quality
     * gate → greedy token packing over the survivors. Each stage is the
@@ -559,6 +634,10 @@ object Curation {
     // in BPE units (48-unit windows on the staged corpus-trained vocab)
     "chunk_docs_bpe" -> ((s, d) =>
       chunkDocsBpeBudget(Tables(s, d, "documents"), BpeVocab.pieces(s, d))),
+    // OVERLAPPING subword-budgeted windows: stride measured in BPE
+    // units too (48-unit windows, 32-unit stride -> ~16 shared units)
+    "chunk_docs_bpe_overlap" -> ((s, d) =>
+      chunkDocsBpeOverlap(Tables(s, d, "documents"), BpeVocab.pieces(s, d))),
     "curation_pipeline" -> ((s, d) =>
       curationPipeline(Tables(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
@@ -726,9 +805,13 @@ object Curation {
     * a second recursive scan over the token stream, then per-chunk
     * assembly. All feeder CTEs MATERIALIZED — DuckDB re-inlines plain
     * CTEs into each recursion round. */
-  private lazy val chunkDocsBpeOracle: String = {
-    val w = 48
-    s"""WITH RECURSIVE ${BpeVocab.vocabCtesSql},
+  /** Per-(doc, token) subword costs as DuckDB CTEs ending in
+    * `bcost(doc_id, tidx, cost)` (+ `btok(doc_id, tidx, tok)`): the
+    * corpus-derived vocabulary, one advance list per token, the
+    * recursive greedy walk, max(cnt) per token. Shared by the
+    * BPE-budgeted chunkers' oracles. */
+  private lazy val bpeTokenCostCtes: String =
+    s"""${BpeVocab.vocabCtesSql},
        |btok AS MATERIALIZED (
        |  SELECT doc_id, i AS tidx, l[i] AS tok
        |  FROM (SELECT doc_id, string_split($N, ' ') AS l FROM documents) t,
@@ -747,7 +830,11 @@ object Curation {
        |  WHERE w.pos <= len(m.adv)),
        |bcost AS MATERIALIZED (
        |  SELECT doc_id, tidx, max(cnt) AS cost FROM twalk
-       |  GROUP BY doc_id, tidx),
+       |  GROUP BY doc_id, tidx)""".stripMargin
+
+  private lazy val chunkDocsBpeOracle: String = {
+    val w = 48
+    s"""WITH RECURSIVE $bpeTokenCostCtes,
        |cwalk(doc_id, tidx, cum, cidx) AS (
        |  SELECT doc_id, 1, cost, 0 FROM bcost WHERE tidx = 1
        |  UNION ALL
@@ -769,10 +856,69 @@ object Curation {
        |ORDER BY c.doc_id, chunk_idx""".stripMargin
   }
 
+  /** The overlapping BPE-budgeted chunker replayed: shared per-token
+    * costs, window prefix sums, the start scan as a per-token
+    * recursion carrying (current start, its exclusive prefix), then
+    * per-chunk extent + assembly. The engine's contract constants
+    * (window 48, stride 32) are pinned here verbatim. */
+  private lazy val chunkDocsBpeOverlapOracle: String = {
+    val w = 48
+    val st = 32
+    s"""WITH RECURSIVE $bpeTokenCostCtes,
+       |bpre AS MATERIALIZED (
+       |  SELECT doc_id, tidx, cost,
+       |    sum(cost) OVER (PARTITION BY doc_id ORDER BY tidx) AS p
+       |  FROM bcost),
+       |bn AS MATERIALIZED (
+       |  SELECT doc_id, max(p) AS pn, max(tidx) AS n FROM bpre
+       |  GROUP BY doc_id),
+       |swalk(doc_id, i, s, ps1, cidx) AS (
+       |  SELECT doc_id, 1, 1, CAST(0 AS HUGEINT), 0 FROM bn
+       |  UNION ALL
+       |  SELECT w.doc_id, w.i + 1,
+       |    CASE WHEN NOT (bn.pn - w.ps1 <= $w)
+       |           AND (pi.p - w.ps1 >= $st OR pj.p - w.ps1 > $w)
+       |         THEN w.i + 1 ELSE w.s END,
+       |    CASE WHEN NOT (bn.pn - w.ps1 <= $w)
+       |           AND (pi.p - w.ps1 >= $st OR pj.p - w.ps1 > $w)
+       |         THEN pi.p ELSE w.ps1 END,
+       |    CASE WHEN NOT (bn.pn - w.ps1 <= $w)
+       |           AND (pi.p - w.ps1 >= $st OR pj.p - w.ps1 > $w)
+       |         THEN w.cidx + 1 ELSE w.cidx END
+       |  FROM swalk w
+       |  JOIN bn ON bn.doc_id = w.doc_id
+       |  JOIN bpre pi ON pi.doc_id = w.doc_id AND pi.tidx = w.i
+       |  JOIN bpre pj ON pj.doc_id = w.doc_id AND pj.tidx = w.i + 1
+       |  WHERE w.i < bn.n),
+       |sstart AS (
+       |  SELECT DISTINCT doc_id, cidx, s, ps1 FROM swalk),
+       |schunk AS (
+       |  SELECT st.doc_id, st.cidx AS chunk_idx, st.s AS start_tok,
+       |    st.ps1,
+       |    greatest(st.s, coalesce(
+       |      max(CASE WHEN b.p - st.ps1 <= $w THEN b.tidx END), st.s))
+       |      AS e
+       |  FROM sstart st
+       |  JOIN bpre b ON b.doc_id = st.doc_id AND b.tidx >= st.s
+       |  GROUP BY st.doc_id, st.cidx, st.s, st.ps1)
+       |SELECT c.doc_id, CAST(c.chunk_idx AS INTEGER) AS chunk_idx,
+       |  CAST(c.start_tok AS INTEGER) AS start_tok,
+       |  string_agg(t.tok, ' ' ORDER BY t.tidx) AS chunk_text,
+       |  CAST(c.e - c.start_tok + 1 AS INTEGER) AS n_chunk_tokens,
+       |  CAST(max(pe.p) - c.ps1 AS INTEGER) AS n_chunk_bpe
+       |FROM schunk c
+       |JOIN btok t ON t.doc_id = c.doc_id
+       |  AND t.tidx BETWEEN c.start_tok AND c.e
+       |JOIN bpre pe ON pe.doc_id = c.doc_id AND pe.tidx = c.e
+       |GROUP BY c.doc_id, c.chunk_idx, c.start_tok, c.e, c.ps1
+       |ORDER BY c.doc_id, chunk_idx""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "curation_lane_twin" -> curationLaneTwinOracle,
     "curation_lane_corpus_twin" -> curationLaneCorpusTwinOracle,
     "chunk_docs_bpe" -> chunkDocsBpeOracle,
+    "chunk_docs_bpe_overlap" -> chunkDocsBpeOverlapOracle,
     // corpus-relative floor: quantile_cont shares Spark exact
     // percentile's linear interpolation, so the one-row threshold and
     // the boundary membership replay bit-exactly

@@ -199,6 +199,69 @@ class CurationSpec extends SparkSpec {
     rebuilt.foreach { case (id, s) => assert(s === norm(id), s"doc $id") }
   }
 
+  test("BPE-overlap chunking matches the naive model; stride in subword units") {
+    // vocab: 'zz' collapses to one unit, anything else costs chars —
+    // mixed per-token costs so the stride arithmetic is non-trivial
+    val vocab = Seq("zz")
+    def cost(tok: String): Int = {
+      var pos = 0; var c = 0
+      while (pos < tok.length) {
+        if (tok.startsWith("zz", pos)) { c += 1; pos += 2 }
+        else { c += 1; pos += 1 }
+      }
+      c
+    }
+    // the documented contract, literally: prefix sums, greedy extent,
+    // min-next-start by (stride consumed OR past the extent)
+    def model(toks: Seq[String], w: Int, st: Int)
+    : Seq[(Int, Int, String, Int, Int)] = {
+      val n = toks.length
+      val pr = toks.map(cost).scanLeft(0L)(_ + _) // pr(i) = P_i
+      val starts = scala.collection.mutable.ArrayBuffer(1)
+      var s = 1
+      for (i <- 2 to n) {
+        val done = pr(n) - pr(s - 1) <= w
+        if (!done &&
+          ((pr(i - 1) - pr(s - 1) >= st) || (pr(i) - pr(s - 1) > w))) {
+          s = i; starts += i
+        }
+      }
+      starts.toSeq.zipWithIndex.map { case (sk, ci) =>
+        val m = (sk to n).count(t => pr(t) - pr(sk - 1) <= w)
+        val e = math.max(sk, sk - 1 + m)
+        (ci, sk, toks.slice(sk - 1, e).mkString(" "),
+          e - sk + 1, (pr(e) - pr(sk - 1)).toInt)
+      }
+    }
+    val texts = Seq(
+      1L -> "aa bb cc dd ee ff gg hh", // uniform cost 2
+      2L -> "zz zz zz zz zz zz zz zz zz zz", // all cost 1
+      3L -> "aaaaaaaaaa bb zzzz cc", // 10,2,2,2
+      4L -> "qqqqqqqqqqqq aa", // oversized first token (12 > w)
+      5L -> "aa") // single token
+    val docs = texts.toDF("doc_id", "text")
+    val w = 8; val st = 5
+    val got = Curation.chunkDocsBpeOverlap(docs, vocab, w, st).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(r => (r.getInt(1), r.getInt(2),
+          r.getString(3), r.getInt(4), r.getInt(5))).toSeq
+      }
+    texts.foreach { case (id, t) =>
+      val want = model(t.split(" ").toSeq, w, st)
+      assert(got(id) === want, s"doc $id")
+    }
+    // every token covered, in order, with real overlap somewhere
+    got.values.flatten.foreach { case (_, s0, txt, nt, _) =>
+      assert(txt.split(" ", -1).length === nt, s"start $s0") }
+    val d1 = got(1L)
+    assert(d1.length > 1 && d1(1)._2 <= d1.head._2 + d1.head._4 - 1 + 1)
+    val covered = d1.flatMap { case (_, s0, _, nt, _) => s0 until (s0 + nt) }
+    assert(covered.toSet === (1 to 8).toSet, "doc 1 full coverage")
+    // oversized token sits alone with an honest over-budget count
+    assert(got(4L).head === ((0, 1, "qqqqqqqqqqqq", 1, 12)))
+    assert(got(5L) === Seq((0, 1, "aa", 1, 2)))
+  }
+
   test("per-source gate applies each source's own floor") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents")

@@ -18,15 +18,23 @@ import graft.streaming.{Replay, StreamingLanes}
   * delivery discipline (checkpointed offsets + batch-id-tagged output),
   * measured end-to-end including the storage write.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.StreamBench
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.StreamBench [section...]
+  * With args, only the named sections run (ingest, pairscan, neardup,
+  * simhash, media, chunk, curation, spanclean, ivf) — e.g.
+  * `runMain graft.StreamBench curation` probes the composed curation
+  * lane alone against a (possibly synth-scaled) fixture dir without
+  * paying the full snapshot replay.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Tables.session(s"local[$cpus]", cpus)
+    val only = args.toSet
+    def want(section: String): Boolean = only.isEmpty || only(section)
 
     val work = Files.createTempDirectory("graft_streambench").toString
+    if (want("ingest")) {
     // the real ingest data model: the staged market-snapshot store
     val snaps = Snapshots.store(spark, sfDir)
     val total = snaps.count()
@@ -51,6 +59,7 @@ object StreamBench {
     println(
       s"""{"metric":"stream_ingest_rows_per_sec","value":${total / secs},""" +
         s""""unit":"rows/sec","rows":$total,"secs":$secs,"sf":"$sfDir"}""")
+    }
 
     // --- stream-stream pair-scan probe (r9) -------------------------------
     // The core join (J1) as a production lane: both venue legs replayed
@@ -60,7 +69,12 @@ object StreamBench {
     // numbers come from the query's own progress — numRowsTotal /
     // memoryUsedBytes of the join's state store at the 60 s watermark,
     // the figure that bounds executor memory at scale.
-    {
+    if (want("pairscan")) {
+      val snaps = Snapshots.store(spark, sfDir)
+      val total = snaps.count()
+      if (!new java.io.File(s"$work/in").exists())
+        Replay.stage(snaps, s"$work/in", slices = 64)
+      val schema = spark.read.parquet(s"$work/in").schema
       val scanStream = Replay.paced(spark, s"$work/in", schema,
         maxFilesPerTrigger = 8)
       var outRows = 0L
@@ -129,22 +143,27 @@ object StreamBench {
           s""""batches":$batches,"sec_per_batch":${secs / batches},"sf":"$sfDir"}""")
     }
 
-    val sigStore = s"$work/sig_store"
-    SignatureStore.appendBatch(sigStore, corpus)
-    laneProbe("neardup_lane", s"$work/docs_in", docSchema, inRows)(st =>
-      StreamingLanes.nearDupStoreLane(st, sigStore) {
-        (_, _) => laneBatches += 1 })
+    if (want("neardup")) {
+      val sigStore = s"$work/sig_store"
+      SignatureStore.appendBatch(sigStore, corpus)
+      laneProbe("neardup_lane", s"$work/docs_in", docSchema, inRows)(st =>
+        StreamingLanes.nearDupStoreLane(st, sigStore) {
+          (_, _) => laneBatches += 1 })
+    }
 
-    val shStore = s"$work/simhash_store"
-    SimHashStore.appendBatch(shStore, corpus)
-    laneProbe("simhash_lane", s"$work/docs_in", docSchema, inRows)(st =>
-      StreamingLanes.simhashStoreLane(st, shStore) {
-        (_, _) => laneBatches += 1 })
+    if (want("simhash")) {
+      val shStore = s"$work/simhash_store"
+      SimHashStore.appendBatch(shStore, corpus)
+      laneProbe("simhash_lane", s"$work/docs_in", docSchema, inRows)(st =>
+        StreamingLanes.simhashStoreLane(st, shStore) {
+          (_, _) => laneBatches += 1 })
+    }
 
     // media lane: incoming assets (payload bytes travel the stream) vs
     // the signed accumulated-corpus store — the lane's per-row cost is
     // one byte_simhash64 pass over the batch payloads; corpus payloads
     // are never re-read
+    if (want("media")) {
     import graft.multimodal.{MediaSigStore, Multimodal}
     val assetStore = Multimodal.assetStore(spark, sfDir)
     val mediaIn = assetStore.filter(col("doc_id") % 10 >= 8)
@@ -158,20 +177,24 @@ object StreamBench {
       spark.read.parquet(s"$work/media_in").schema, mediaRows)(st =>
       StreamingLanes.mediaSigStoreLane(st, mediaStore) {
         (_, _) => laneBatches += 1 })
+    }
 
     // chunk-granularity dedup lane: windows judged by exact signature
     // vs the persisted chunk store (corpus chunked once, ever)
-    val chunkStore = s"$work/chunk_sig_store"
-    graft.text.ChunkSigStore.appendSigs(chunkStore,
-      graft.text.NearDup.chunkSigs64(corpus))
-    laneProbe("chunk_lane", s"$work/docs_in", docSchema, inRows)(st =>
-      StreamingLanes.chunkStoreLane(st, chunkStore) {
-        (_, _) => laneBatches += 1 })
+    if (want("chunk")) {
+      val chunkStore = s"$work/chunk_sig_store"
+      graft.text.ChunkSigStore.appendSigs(chunkStore,
+        graft.text.NearDup.chunkSigs64(corpus))
+      laneProbe("chunk_lane", s"$work/docs_in", docSchema, inRows)(st =>
+        StreamingLanes.chunkStoreLane(st, chunkStore) {
+          (_, _) => laneBatches += 1 })
+    }
 
     // composed curation lane: judge -> intra-batch gate -> per-source
     // quality floor -> chunk, two appends per batch; the per-batch
     // standard stats frame is printed whole (the one dashboard row per
     // batch an operator of six lanes reads)
+    if (want("curation")) {
     val curIncoming = docs.filter(col("doc_id") % 10 >= 8)
       .select(col("doc_id"), col("text"), col("source"))
     Replay.stage(curIncoming, s"$work/cur_in", slices = 16)
@@ -189,16 +212,20 @@ object StreamBench {
         (_, _) => laneBatches += 1 })
     println(
       s"""{"metric":"stream_curation_stats","rows":[${curStats.mkString(",")}]}""")
+    }
 
-    val gramStore = s"$work/gram_store"
-    SpanDedup.grams(corpus).write.parquet(gramStore)
-    laneProbe("spanclean_lane", s"$work/docs_in", docSchema, inRows)(st =>
-      StreamingLanes.spanCleanStoreLane(st, gramStore) {
-        (_, _) => laneBatches += 1 })
+    if (want("spanclean")) {
+      val gramStore = s"$work/gram_store"
+      SpanDedup.grams(corpus).write.parquet(gramStore)
+      laneProbe("spanclean_lane", s"$work/docs_in", docSchema, inRows)(st =>
+        StreamingLanes.spanCleanStoreLane(st, gramStore) {
+          (_, _) => laneBatches += 1 })
+    }
 
     // IVF append-assign lane: incoming vectors against the trained
     // accumulated-corpus index (store copied so the staged fixture
     // index is not mutated)
+    if (want("ivf")) {
     import graft.ann.IvfStore
     val vecs = IvfStore.fixtureIndex(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("vec_id") % 10 >= 8)
@@ -214,6 +241,7 @@ object StreamBench {
       spark.read.parquet(s"$work/vecs_in").schema, vecRows)(st =>
       StreamingLanes.ivfIngestLane(st, ivfStore, centsRow) {
         (_, _) => laneBatches += 1 })
+    }
 
     spark.stop()
   }

@@ -817,16 +817,23 @@ object NearDup {
       s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
     def bc(df: DataFrame): DataFrame =
       if (broadcastIncoming) broadcast(df) else df
-    val ebands = explodeBands4(
-      esigs.select(col("doc_id").as("ex_id"),
-        col("simhash64").as("esig")), "esig")
+    // corpus chunks pre-grouped by signature before banding — the
+    // simhashIncremental64BothSigs collapse (the verdict is
+    // signature-determined): duplicated windows band once, with their
+    // distinct-doc count carried alongside
+    val egrouped = esigs.groupBy(col("simhash64"))
+      .agg(count_distinct(col("doc_id")).as("n_ex"))
+      .select(col("simhash64").as("esig"), col("n_ex"))
+    val ebands = explodeBands4(egrouped, "esig")
     val ibands = bc(explodeBands4(
       isigs.select(col("doc_id"), col("chunk_idx"),
         col("simhash64").as("isig")), "isig"))
     val dups = ebands.join(ibands, Seq("band", "bval"))
       .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
+      .groupBy(col("doc_id"), col("chunk_idx"), col("esig"))
+      .agg(max(col("n_ex")).as("n_ex"))
       .groupBy(col("doc_id"), col("chunk_idx"))
-      .agg(count_distinct(col("ex_id")).as("nd"))
+      .agg(sum(col("n_ex")).as("nd"))
     isigs.select(col("doc_id"), col("chunk_idx"))
       .join(bc(dups), Seq("doc_id", "chunk_idx"), "left")
       .select(col("doc_id"), col("chunk_idx"),
@@ -905,7 +912,26 @@ object NearDup {
   /** The core over TWO already-derived signature frames (both
     * (doc_id, simhash64)) — the entry the streaming lane uses so a
     * batch signed once feeds both the verdict and the survivor append
-    * without re-tokenizing. */
+    * without re-tokenizing.
+    *
+    * The corpus side is pre-grouped BY SIGNATURE before banding (r12):
+    * the Hamming gate and therefore the whole verdict depend only on
+    * the signature, so the distinct ex-doc count per incoming doc is
+    * EXACTLY the sum, over distinct colliding corpus signatures, of
+    * each signature's doc count — identical output, but exact-duplicate
+    * corpus documents (replicas, boilerplate reposts: the common case
+    * in scraped corpora, and the entire synth scale probe) band ONCE
+    * instead of once per copy. Candidate volume drops from
+    * corpus_docs × batch to distinct_sigs × batch band collisions —
+    * measured at the 30× probe: 43.2 s → the collapsed judge's
+    * candidate stream shrinks by the duplicate multiplicity. The price
+    * is ONE narrow signature-keyed exchange over the corpus sig scan
+    * (map-side combine reduces each partition's duplicates first; the
+    * exchange carries 8-byte keys + counts, not documents), where the
+    * r11 form had zero corpus exchanges — at 100 TB the candidate
+    * stream it removes is orders of magnitude larger. A pair agreeing
+    * on several bands still counts once (the distinct (inc, esig)
+    * reduction below). */
   private[graft] def simhashIncremental64BothSigs(
       esigs: DataFrame, isigs: DataFrame, maxHamming: Int = 3,
       broadcastIncoming: Boolean = true): DataFrame = {
@@ -913,12 +939,20 @@ object NearDup {
       s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
     def bc(df: DataFrame): DataFrame =
       if (broadcastIncoming) broadcast(df) else df
-    val ebands = sigBands(esigs, "ex_id", "esig")
+    val egrouped = esigs.groupBy(col("simhash64"))
+      .agg(count_distinct(col("doc_id")).as("n_ex"))
+      .select(col("simhash64").as("esig"), col("n_ex"))
+    val ebands = explodeBands4(egrouped, "esig")
     val ibands = bc(sigBands(isigs, "inc_id", "isig"))
     val dups = ebands.join(ibands, Seq("band", "bval"))
       .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
+      // a (inc, esig) pair colliding in several bands reduces to one
+      // row (n_ex is signature-determined, max == the value), then the
+      // per-doc total is the exact distinct-ex-doc count
+      .groupBy(col("inc_id"), col("esig"))
+      .agg(max(col("n_ex")).as("n_ex"))
       .groupBy(col("inc_id"))
-      .agg(count_distinct(col("ex_id")).as("nd"))
+      .agg(sum(col("n_ex")).as("nd"))
     isigs.select(col("doc_id"))
       .join(bc(dups.select(col("inc_id").as("doc_id"), col("nd"))),
         Seq("doc_id"), "left")

@@ -20,7 +20,7 @@ import graft.streaming.{Replay, StreamingLanes}
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.StreamBench [section...]
   * With args, only the named sections run (ingest, pairscan, neardup,
-  * simhash, media, chunk, curation, spanclean, ivf) — e.g.
+  * simhash, media, chunk, decontam, curation, spanclean, ivf) — e.g.
   * `runMain graft.StreamBench curation` probes the composed curation
   * lane alone against a (possibly synth-scaled) fixture dir without
   * paying the full snapshot replay.
@@ -187,6 +187,19 @@ object StreamBench {
         graft.text.NearDup.chunkSigs64(corpus))
       laneProbe("chunk_lane", s"$work/docs_in", docSchema, inRows)(st =>
         StreamingLanes.chunkStoreLane(st, chunkStore) {
+          (_, _) => laneBatches += 1 })
+    }
+
+    // benchmark decontamination lane: windows judged (banded Hamming)
+    // against the STATIC benchmark chunk store; entangled docs drop,
+    // flagged windows excise, clean chunks append
+    if (want("decontam")) {
+      val benchStore = s"$work/bench_chunk_store"
+      graft.text.ChunkSigStore.appendSigs(benchStore,
+        graft.text.NearDup.chunkSigs64(docs.filter(col("doc_id") < 10)))
+      laneProbe("decontam_lane", s"$work/docs_in", docSchema, inRows)(st =>
+        StreamingLanes.decontamStoreLane(st, benchStore,
+          s"$work/decontam_clean") {
           (_, _) => laneBatches += 1 })
     }
 

@@ -410,6 +410,56 @@ object StreamingLanes {
       ()
     }
 
+  /** Streaming benchmark DECONTAMINATION lane — the ingestion-side
+    * complement of the dedup lanes: instead of judging arrivals
+    * against what the pipeline already ADMITTED, judge them against
+    * what it must never train on. Per micro-batch
+    * ([[graft.text.NearDup.decontamBatch]], shared VERBATIM with the
+    * batch twin `decontam_lane_twin` the DuckDB oracle certifies):
+    * chunk + sign the arriving docs once, judge every context window
+    * against a SCAN of the STATIC benchmark chunk store (banded
+    * Hamming ≤ `maxHamming` — lightly-edited benchmark passages still
+    * flag), drop docs more than `maxFrac` contaminated, EXCISE the
+    * flagged windows from the rest, append the clean chunks to the
+    * curated output store.
+    *
+    * State posture differs from every dedup lane and is the point:
+    * the benchmark store is READ-ONLY judge state — no per-batch
+    * append can feed back into the judge plan, so the verdict needs
+    * no eager-checkpoint-before-append ordering (decontamBatch pins
+    * its frames for multi-consumer reuse, not feedback safety), and a
+    * restart needs no judge-state reconciliation at all. The OUTPUT
+    * store keeps the usual at-least-once caveat: a replayed batch
+    * re-appends (doc_id, chunk_idx)-key-identical rows the gated
+    * compaction sheds. Stats granularity: DOCS (`n_in` arrivals,
+    * `n_admitted` docs at or below `maxFrac`; `n_dups` in the verdict
+    * is the doc's flagged-window count, so `n_intra_batch` is
+    * structurally 0 — this lane has no intra-batch gate). */
+  def decontamStoreLane(docs: DataFrame, benchStorePath: String,
+                        cleanStorePath: String, maxHamming: Int = 3,
+                        window: Int = 32, stride: Int = 24,
+                        maxFrac: Double = 0.5,
+                        maxStoreFiles: Option[Int] = None,
+                        onStats: (DataFrame, Long) => Unit = null)
+                       (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.text.{ChunkSigStore, NearDup}
+      val spark = batch.sparkSession
+      val (clean, docVerdict) = NearDup.decontamBatch(
+        ChunkSigStore.read(spark, benchStorePath), batch,
+        maxHamming, window, stride, maxFrac)
+      clean.write.mode("append").parquet(cleanStorePath)
+      val compacted = maxStoreFiles.exists(m =>
+        graft.sinks.StoreMaintenance.compactIfNeeded(
+          spark, cleanStorePath, m, Seq("doc_id", "chunk_idx")))
+      if (onStats != null)
+        onStats(laneStats("decontam_store", batchId, docVerdict, compacted),
+          batchId)
+      process(clean, batchId)
+      ()
+    }
+
   /** The END-TO-END streaming CURATION lane — the certified operators
     * composed into the one store-backed ingestion pipeline a
     * training-data team actually runs. Per micro-batch

@@ -56,4 +56,14 @@ object ChunkSigStore {
     stagedCorpus(s"corpus_v1_$dir",
       new java.io.File(dir, "documents.parquet"),
       Tables(s, dir, "documents").filter(col("doc_id") % 10 < 8))
+
+  /** The staged BENCHMARK chunk-signature store (doc_id < 10, the
+    * decontamination fixture convention) — STATIC judge state for the
+    * decontamination lane: the benchmark suite is chunked and signed
+    * once, ever, and the lane only ever scans it (no appends, so no
+    * compaction lifecycle either). */
+  def fixtureBenchmarkStore(s: SparkSession, dir: String): String =
+    stagedCorpus(s"benchmark_v1_$dir",
+      new java.io.File(dir, "documents.parquet"),
+      Tables(s, dir, "documents").filter(col("doc_id") < 10))
 }

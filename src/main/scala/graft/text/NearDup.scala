@@ -1097,6 +1097,88 @@ object NearDup {
           / count(lit(1)).over(w).cast("double"))
   }
 
+  /** The composed single-batch DECONTAMINATION stage — benchmark
+    * filtering as a store-backed ingestion step, shared VERBATIM by
+    * the streaming lane
+    * ([[graft.streaming.StreamingLanes.decontamStoreLane]]) and the
+    * batch twin (`decontam_lane_twin`, the CORRECTNESS row the DuckDB
+    * oracle certifies):
+    *
+    *   1. chunk + sign the batch ONCE (context windows via
+    *      [[Curation.chunkDocs]], one 64-bit signature per window —
+    *      eager, the only pass that tokenizes batch text);
+    *   2. judge every window against a SCAN of the persisted BENCHMARK
+    *      chunk signatures ([[ChunkSigStore]], staged once over the
+    *      benchmark set — STATIC judge state, never appended to):
+    *      banded Hamming ≤ `maxHamming` through the shared 4×16-bit
+    *      layout, benchmark side pre-collapsed to DISTINCT signatures
+    *      (the signature-grouped judge discipline — a benchmark
+    *      passage duplicated across its suite bands once), batch side
+    *      broadcast (the bounded side of a micro-batch);
+    *   3. per-window verdict + per-doc contaminated fraction in ONE
+    *      window pass over the pinned chunk frame;
+    *   4. the triage gate [[decontaminateChunks]] only reports, made
+    *      operational: a doc whose contaminated fraction exceeds
+    *      `maxFrac` drops WHOLE (too entangled with the benchmark to
+    *      salvage), below it flagged windows EXCISE and clean windows
+    *      pass.
+    *
+    * Returns (clean chunks, per-doc verdict): the lane appends the
+    * first to its curated output store and derives its stats frame
+    * from the second (`is_new` = doc admitted, `n_dups` = its
+    * contaminated-window count — a rejected doc always carries
+    * `n_dups > 0`, so the stats `n_intra_batch` split is structurally
+    * 0 for this lane). `n_benchmark_matches` counts distinct matching
+    * benchmark SIGNATURES (the grouped-judge unit), not benchmark
+    * docs as [[decontaminateChunks]] reports — the per-sig collapse
+    * makes doc counts unrecoverable without carrying per-doc rows,
+    * and the verdict (clean / flagged) is identical either way.
+    * The chunk+sign frame and the windowed verdict are eagerly
+    * checkpointed: each feeds two consumers (judge + clean output;
+    * doc verdict + clean output), and the benchmark store being
+    * read-only means no append can feed back into the judge plan. */
+  def decontamBatch(benchSigs: DataFrame, batch: DataFrame,
+                    maxHamming: Int = 3, window: Int = 32,
+                    stride: Int = 24, maxFrac: Double = 0.5)
+  : (DataFrame, DataFrame) = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+    val chunks = Curation.chunkDocs(batch, window, stride)
+      .withColumn("isig", simhash64Col(col("chunk_text")))
+      .localCheckpoint(true)
+    val ebands = explodeBands4(
+      benchSigs.select(col("simhash64").as("esig")).distinct(), "esig")
+    val ibands = broadcast(explodeBands4(
+      chunks.select(col("doc_id"), col("chunk_idx"), col("isig")), "isig"))
+    val matches = ebands.join(ibands, Seq("band", "bval"))
+      .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count_distinct(col("esig")).as("nb"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+    val chunkVerdict = chunks
+      .join(matches, Seq("doc_id", "chunk_idx"), "left")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        col("n_chunk_tokens"),
+        coalesce(col("nb"), lit(0L)).cast("int").as("n_benchmark_matches"))
+      .withColumn("doc_contaminated_frac",
+        sum(when(col("n_benchmark_matches") === 0, 0L).otherwise(1L))
+          .over(w).cast("double") / count(lit(1)).over(w).cast("double"))
+      .localCheckpoint(true)
+    val docVerdict = chunkVerdict.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("n_benchmark_matches") === 0, 0L).otherwise(1L))
+          .cast("int").as("n_dups"),
+        max(col("doc_contaminated_frac")).as("doc_contaminated_frac"))
+      .withColumn("is_new", col("doc_contaminated_frac") <= maxFrac)
+    val clean = chunkVerdict
+      .filter(col("n_benchmark_matches") === 0 &&
+        col("doc_contaminated_frac") <= maxFrac)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        col("n_chunk_tokens"), col("doc_contaminated_frac"))
+    (clean, docVerdict)
+  }
+
   /** Connected components over the 64-bit SimHash near-dup graph —
     * [[dedupClusters]]' Hamming sibling: pairs within `maxHamming`
     * ([[simhashNearDup64]], banded, never all-pairs) become edges, the
@@ -1381,6 +1463,16 @@ object NearDup {
     // chunk-granularity leakage: per-window verdicts + per-doc fraction
     "decontaminate_chunks" -> ((s, d) =>
       decontaminateChunks(Tables(s, d, "documents"))),
+    // the decontamination LANE's batch twin: the staged benchmark
+    // chunk store (doc_id < 10, signed once) judges the incoming
+    // split's windows; docs >50% contaminated drop whole, flagged
+    // windows excise, clean chunks pass — the composed operational
+    // form of the decontaminate_chunks report
+    "decontam_lane_twin" -> ((s, d) =>
+      decontamBatch(
+        ChunkSigStore.read(s, ChunkSigStore.fixtureBenchmarkStore(s, d)),
+        Tables(s, d, "documents")
+          .filter(col("doc_id") >= 10 && col("doc_id") % 10 >= 8))._1),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
   // --- oracle -------------------------------------------------------------
@@ -2027,6 +2119,51 @@ object NearDup {
          |SELECT pc.doc_id, pc.chunk_idx, pc.n_benchmark_matches,
          |  pc.is_clean, pd.doc_contaminated_frac
          |FROM pc JOIN pd USING (doc_id)""".stripMargin,
+
+    // the decontamination lane replayed end to end: benchmark chunks
+    // signed and collapsed to DISTINCT signatures (the grouped-judge
+    // unit), 4-band candidates against the incoming split's windows,
+    // Hamming<=3 gate, per-doc contaminated fraction, the >maxFrac
+    // whole-doc drop, flagged-window excision — output is exactly the
+    // clean chunks the lane would append
+    "decontam_lane_twin" ->
+      s"""WITH bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+         |isrc AS (SELECT doc_id, text FROM documents
+         |         WHERE doc_id >= 10 AND doc_id % 10 >= 8),
+         |${Curation.chunkCtesSql(32, 24, "bsrc", "bchunks")},
+         |${Curation.chunkCtesSql(32, 24, "isrc", "ichunks")},
+         |bsig AS (
+         |  ${chunkSigCteSql("bchunks")}),
+         |isig AS (
+         |  ${chunkSigCteSql("ichunks")}),
+         |bs AS (SELECT DISTINCT sig AS bsig FROM bsig),
+         |bb AS (
+         |  ${(0 until 4).map(i =>
+        s"SELECT bsig, $i AS band, (bsig >> ${16 * i}) & 65535 AS bval FROM bs")
+        .mkString("\n  UNION ALL\n  ")}),
+         |ib AS (
+         |  ${(0 until 4).map(i =>
+        s"SELECT doc_id, chunk_idx, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM isig")
+        .mkString("\n  UNION ALL\n  ")}),
+         |m AS (
+         |  SELECT ib.doc_id, ib.chunk_idx, count(DISTINCT bb.bsig) AS nb
+         |  FROM ib JOIN bb ON ib.band = bb.band AND ib.bval = bb.bval
+         |  WHERE bit_count(xor(ib.sig, bb.bsig)) <= 3
+         |  GROUP BY ib.doc_id, ib.chunk_idx),
+         |pc AS (
+         |  SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_chunk_tokens,
+         |    coalesce(m.nb, 0) AS nb
+         |  FROM ichunks c LEFT JOIN m
+         |    ON m.doc_id = c.doc_id AND m.chunk_idx = c.chunk_idx),
+         |pd AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN nb = 0 THEN 0 ELSE 1 END) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS doc_contaminated_frac
+         |  FROM pc GROUP BY doc_id)
+         |SELECT pc.doc_id, pc.chunk_idx, pc.chunk_text,
+         |  pc.n_chunk_tokens, pd.doc_contaminated_frac
+         |FROM pc JOIN pd USING (doc_id)
+         |WHERE pd.doc_contaminated_frac <= 0.5 AND pc.nb = 0""".stripMargin,
 
     // batch-vs-corpus: 4-band candidates between the splits, Hamming
     // gate, count of distinct existing near-docs per incoming doc

@@ -601,6 +601,119 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("decontam lane drops entangled docs, excises windows, appends clean chunks") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.ChunkSigStore
+    val mem = MemoryStream[Doc]
+    val work = Files.createTempDirectory("decontam_lane_").toString
+    val benchStore = s"$work/bench"
+    val cleanStore = s"$work/clean"
+    // static benchmark judge state: signed once, never appended to
+    ChunkSigStore.appendSigs(benchStore, graft.text.NearDup.chunkSigs64(
+      Seq((1L, "alpha bravo charlie delta")).toDF("doc_id", "text"),
+      window = 4, stride = 2))
+    val stats = scala.collection.mutable.ArrayBuffer[
+      (String, Long, Long, Long, Long, Boolean, Long)]()
+    val q = StreamingLanes.decontamStoreLane(
+      mem.toDF().select(col("doc_id"), col("text")), benchStore, cleanStore,
+      window = 4, stride = 2,
+      onStats = (df, _) => df.collect().foreach(r => stats +=
+        ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5), r.getLong(6)))))(
+      (_, _) => ()).start()
+    try {
+      mem.addData(
+        // embeds the benchmark window at chunk 1: frac 1/3 -> admitted,
+        // the flagged window excised, chunks 0 and 2 pass
+        Doc(ts(10), 20L, "x1 x2 alpha bravo charlie delta y1 y2"),
+        Doc(ts(11), 21L, "wholly unrelated tokens with no benchmark overlap at all"),
+        // IS the benchmark passage: frac 1.0 -> dropped whole
+        Doc(ts(12), 22L, "alpha bravo charlie delta"))
+      q.processAllAvailable()
+      val cleanKeys = spark.read.parquet(cleanStore)
+        .select("doc_id", "chunk_idx").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(cleanKeys === Set((20L, 0), (20L, 2),
+        (21L, 0), (21L, 1), (21L, 2), (21L, 3)), cleanKeys)
+      // DOC granularity: 3 in, 2 admitted, 1 dropped whole; no
+      // intra-batch gate in this lane -> n_intra_batch 0
+      assert(stats.toList ===
+        List(("decontam_store", 0L, 3L, 2L, 1L, false, 0L)))
+      // a later copy of the benchmark passage still drops — the judge
+      // state is static, every batch faces the same store
+      mem.addData(Doc(ts(20), 23L, "alpha bravo charlie delta"))
+      q.processAllAvailable()
+      val after = spark.read.parquet(cleanStore)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(after === Set(20L, 21L), after)
+      assert(stats.last === (("decontam_store", 1L, 1L, 0L, 1L, false, 0L)))
+      // the benchmark store never grew
+      assert(ChunkSigStore.read(spark, benchStore).count() === 1L)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  test("decontam lane killed and resumed mid-stream matches a single run") {
+    import graft.text.ChunkSigStore
+    val work = Files.createTempDirectory("decontam_restart_").toString
+    val docs = Seq(
+      (20L, "x1 x2 alpha bravo charlie delta y1 y2"), // excise chunk 1
+      (21L, "clean tokens only here today"), // admitted pre-kill
+      (22L, "alpha bravo charlie delta"), // dropped post-resume
+      (24L, "p1 p2 p3 p4")) // admitted post-resume
+    val slices = docs.zipWithIndex.map { case ((id, t), i) =>
+      val tmp = s"$work/slice$i"
+      Seq((id, t)).toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part, s"s$i.parquet", 1700000000000L + i * 60000L)
+    }
+    def copyTo(dir: String, n: Int): Unit = slices.take(n).foreach {
+      case (part, name, mtime) =>
+        val dst = new java.io.File(dir, name)
+        if (!dst.exists()) {
+          org.apache.commons.io.FileUtils.copyFile(part, dst)
+          dst.setLastModified(mtime)
+        }
+    }
+    val schema = spark.read.parquet(s"$work/slice0").schema
+    // ONE static benchmark store serves both runs — read-only judge
+    // state needs no per-run reconciliation
+    val benchStore = s"$work/bench"
+    ChunkSigStore.appendSigs(benchStore, graft.text.NearDup.chunkSigs64(
+      Seq((1L, "alpha bravo charlie delta")).toDF("doc_id", "text"),
+      window = 4, stride = 2))
+    def runLane(inDir: String, cleanStore: String, ck: String): Long = {
+      var batches = 0L
+      val q = StreamingLanes.decontamStoreLane(
+        Replay.paced(spark, inDir, schema, maxFilesPerTrigger = 1),
+        benchStore, cleanStore, window = 4, stride = 2)(
+        (_, _) => batches += 1)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+      batches
+    }
+    def cleanSet(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[String]("chunk_text"))).toSet
+    new java.io.File(s"$work/inA").mkdirs()
+    copyTo(s"$work/inA", 2)
+    assert(runLane(s"$work/inA", s"$work/cleanA", s"$work/ckA") === 2L)
+    copyTo(s"$work/inA", 4)
+    assert(runLane(s"$work/inA", s"$work/cleanA", s"$work/ckA") === 2L)
+    new java.io.File(s"$work/inB").mkdirs()
+    copyTo(s"$work/inB", 4)
+    assert(runLane(s"$work/inB", s"$work/cleanB", s"$work/ckB") === 4L)
+    assert(cleanSet(s"$work/cleanA") === cleanSet(s"$work/cleanB"))
+    val ids = cleanSet(s"$work/cleanA").map(_._1)
+    assert(ids === Set(20L, 21L, 24L), ids)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("curation lane gated compaction fires and preserves both stores") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.SimHashStore

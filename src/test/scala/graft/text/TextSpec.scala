@@ -271,6 +271,52 @@ class TextSpec extends SparkSpec {
     assert(!out.keys.exists(_._1 == 1L))
   }
 
+  test("decontamBatch drops entangled docs whole and excises flagged windows") {
+    val bench = NearDup.chunkSigs64(
+      Seq((1L, "alpha bravo charlie delta")).toDF("doc_id", "text"),
+      window = 4, stride = 2)
+    val batch = Seq(
+      // embeds the benchmark window at chunk 1: frac 1/3 <= 0.5 ->
+      // admitted, the flagged window excised, the other two pass
+      (20L, "x1 x2 alpha bravo charlie delta y1 y2"),
+      (21L, "wholly unrelated tokens with no benchmark overlap at all"),
+      // IS the benchmark passage: frac 1.0 > 0.5 -> dropped whole
+      (22L, "alpha bravo charlie delta"))
+      .toDF("doc_id", "text")
+    val (clean, verdict) = NearDup.decontamBatch(bench, batch,
+      window = 4, stride = 2)
+    val cleanKeys = clean.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"))).toSet
+    assert(cleanKeys === Set((20L, 0), (20L, 2),
+      (21L, 0), (21L, 1), (21L, 2), (21L, 3)),
+      s"excision/drop wrong: $cleanKeys")
+    val v = verdict.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Boolean]("is_new"), r.getAs[Int]("n_dups"),
+        r.getAs[Double]("doc_contaminated_frac")))).toMap
+    assert(v(20L) === ((true, 1, 1.0 / 3)), v)
+    assert(v(21L) === ((true, 0, 0.0)), v)
+    assert(v(22L) === ((false, 1, 1.0)), v)
+    // clean chunks of a partially contaminated doc carry its fraction
+    val fr = clean.filter(col("doc_id") === 20L)
+      .select("doc_contaminated_frac").head().getDouble(0)
+    assert(math.abs(fr - 1.0 / 3) < 1e-12)
+  }
+
+  test("decontam twin reads the staged benchmark store, never re-signs it") {
+    val dir = "/root/testdata/sf0.001"
+    val q = NearDup.queries("decontam_lane_twin")(spark, dir)
+    // the fixture incoming split is clean end to end: every window of
+    // every admitted doc survives with fraction 0 (the contamination
+    // paths are proven by the crafted-batch test above)
+    val out = q.collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("doc_contaminated_frac") == 0.0))
+    // the staged benchmark store backs the judge side
+    val staged = graft.text.ChunkSigStore.fixtureBenchmarkStore(spark, dir)
+    assert(new java.io.File(staged).exists())
+    assert(staged.contains("benchmark_v1"))
+  }
+
   test("staged chunk dedup reads the chunk-sig store, matches in-session") {
     val dir = "/root/testdata/sf0.001"
     val q = NearDup.queries("chunk_dedup_staged")(spark, dir)

@@ -135,6 +135,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.BpeCount(children)
       }))
     ext.injectFunction((
+      FunctionIdentifier("bpe_split"),
+      info(classOf[functions.BpeSplit].getName,
+        "bpe_split", "bpe_split(text, 'piece', ...) - greedy longest-match subword tokenization against a constant merge vocab"),
+      (children: Seq[Expression]) => {
+        if (children.length < 2)
+          wrongNumArgs("bpe_split", "2 or more", children.length)
+        functions.BpeSplit(children)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("norm_text"),
       info(classOf[functions.NormText].getName,
         "norm_text", "norm_text(s) - lower + trim + collapse whitespace runs to one space"),

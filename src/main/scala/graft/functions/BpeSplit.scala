@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The greedy longest-match subword TOKENIZATION — [[BpeCount]]'s
+  * sibling that emits the pieces themselves instead of their count:
+  * `bpe_split(text, 'the', 'ing', ...)` returns the ordered array of
+  * consumed subword units. Identical walk contract (space = free
+  * separator; longest vocabulary match consumes, single CODE POINT
+  * falls back), identical vocabulary discipline (constant pieces,
+  * compiled once per plan into the shared longest-prefix [[BpeTrie]],
+  * O(match length) per position), so for every input
+  * `size(bpe_split(s, v...)) == bpe_count(s, v...)` by construction
+  * — property-tested, and the DuckDB oracle replays the same advance
+  * walk emitting `substr` slices.
+  *
+  * This is the operator a training pipeline runs right before
+  * numericalization: counts budget the packing, but the model trains
+  * on the pieces. Output arrays hold no nulls (`containsNull=false`
+  * keeps downstream explode codegen tight). Null text → null.
+  * Registered by `GraftExtensions` as SQL function `bpe_split`.
+  */
+case class BpeSplit(children: Seq[Expression]) extends Expression {
+
+  private def text: Expression = children.head
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string as first argument")
+    else if (children.tail.isEmpty ||
+      !children.tail.forall(e => e.foldable && e.dataType == StringType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires one or more constant string vocab pieces")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = text.nullable
+  override def prettyName: String = "bpe_split"
+
+  @transient private lazy val pieces: Array[String] =
+    children.tail.iterator.map(_.eval(null)).filter(_ != null)
+      .map(_.toString).filter(_.nonEmpty).toArray
+      .distinct.sortBy(p => (-p.length, p))
+
+  @transient private lazy val trie: BpeTrie = new BpeTrie(pieces)
+
+  override def eval(input: InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) null
+    else BpeSplit.split(t.asInstanceOf[UTF8String], trie)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Java-source class name, not the JVM array form (the
+    // addReferenceObj gotcha BpeCount documents)
+    val trieRef = ctx.addReferenceObj("trie", trie,
+      "graft.functions.BpeTrie")
+    val t = text.genCode(ctx)
+    val code =
+      code"""
+        |${t.code}
+        |boolean ${ev.isNull} = ${t.isNull};
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.functions.BpeSplit.split(${t.value}, $trieRef);
+        |}
+       """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BpeSplit =
+    copy(children = newChildren)
+}
+
+object BpeSplit {
+  /** The greedy walk emitting each consumed unit — [[BpeCount.count]]
+    * with the advance slices collected. Called from generated code. */
+  def split(t: UTF8String, trie: BpeTrie): ArrayData = {
+    val s = t.toString
+    val n = s.length
+    val out = new java.util.ArrayList[AnyRef]()
+    var pos = 0
+    while (pos < n) {
+      if (s.charAt(pos) == ' ') pos += 1
+      else {
+        val m = trie.longestMatch(s, pos)
+        val adv = if (m > 0) m else Character.charCount(s.codePointAt(pos))
+        out.add(UTF8String.fromString(s.substring(pos, pos + adv)))
+        pos += adv
+      }
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
+  }
+}

@@ -94,6 +94,25 @@ object TextOps {
   def bpeCountCol(text: Column, pieces: Seq[String]): Column =
     call_function("bpe_count", norm(text) +: pieces.map(lit): _*)
 
+  /** The ordered subword pieces themselves (`bpe_split` — same walk,
+    * same staged vocabulary, same trie): what the model trains on
+    * after the counts have budgeted the packing. */
+  def bpeSplitCol(text: Column, pieces: Seq[String]): Column =
+    call_function("bpe_split", norm(text) +: pieces.map(lit): _*)
+
+  /** Corpus TOKENIZATION — one (doc_id, token_idx, piece) row per
+    * consumed subword unit, the flat frame a numericalization stage
+    * (piece → id join against the vocab table) takes next. Scale
+    * shape: pure per-row codegen (norm + one trie walk per doc) and a
+    * generator explode — no shuffle anywhere; output size is the
+    * corpus's true token count, the same rows the training set holds.
+    * `posexplode` keeps the walk's emission order as an explicit
+    * index, so downstream order never depends on row order. */
+  def tokenizeBpe(docs: DataFrame, pieces: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(bpeSplitCol(col("text"), pieces)))
+      .toDF("doc_id", "token_idx", "piece")
+
   /** Tokenizer-faithful token counting: whitespace tokens alongside the
     * greedy-subword count — the number a context-window budget needs
     * (whitespace counts misprice real text by the avg word/piece
@@ -223,6 +242,10 @@ object TextOps {
     // vocab (BpeVocab: vocab as data, trie matching in the kernel)
     "token_count_bpe" -> ((s, d) =>
       tokenCountsBpe(Tables(s, d, "documents"), BpeVocab.pieces(s, d))),
+    // the tokenization itself: one row per consumed subword unit, in
+    // walk order — the frame numericalization joins against the vocab
+    "token_split_bpe" -> ((s, d) =>
+      tokenizeBpe(Tables(s, d, "documents"), BpeVocab.pieces(s, d))),
     "quality_score" -> ((s, d) => qualityScore(Tables(s, d, "documents"))),
     "lang_id" -> ((s, d) => langId(Tables(s, d, "documents"))),
     // quality with the detected language's stopword model
@@ -346,6 +369,20 @@ object TextOps {
          |  CAST(b.n AS INTEGER) AS bpe_tokens
          |FROM bpe b JOIN bd d ON d.doc_id = b.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+
+    // the same advance walk, emitting each consumed slice: a walk row
+    // is the state BEFORE consuming at pos, so its cnt is the 0-based
+    // index of the piece about to be consumed; space steps (adv = -1)
+    // emit nothing
+    "token_split_bpe" ->
+      s"""WITH RECURSIVE $bpeWalkCtes
+         |SELECT w.doc_id, CAST(w.cnt AS INTEGER) AS token_idx,
+         |  substr(d.s, w.pos, m.adv[w.pos]) AS piece
+         |FROM bwalk w
+         |JOIN bml m ON m.doc_id = w.doc_id
+         |JOIN bd d ON d.doc_id = w.doc_id
+         |WHERE w.pos <= len(m.adv) AND m.adv[w.pos] != -1
+         |ORDER BY w.doc_id, token_idx""".stripMargin,
 
     "quality_score" ->
       s"""SELECT doc_id, CAST(length($N) AS INTEGER) AS n_chars,

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def split(s: String, pieces: String*): Seq[String] =
+    Seq(s).toDF("t")
+      .select(call_function("bpe_split",
+        $"t" +: pieces.map(lit): _*))
+      .head().getSeq[String](0)
+
+  test("emits the greedy walk's pieces in order; spaces separate free") {
+    assert(split("the thing ring", "the", "th", "ing") ===
+      Seq("the", "th", "ing", "r", "ing"))
+    // longest wins over a shorter prefix piece at the same position
+    assert(split("theory", "the", "theo") === Seq("theo", "r", "y"))
+    // no pieces match -> pure char fallback, spaces never emit
+    assert(split("ab cd", "zz") === Seq("a", "b", "c", "d"))
+    assert(split(" a ", "zz") === Seq("a"))
+    assert(split("", "zz") === Seq.empty)
+  }
+
+  test("size(bpe_split) == bpe_count and pieces reassemble the text") {
+    val pieces = graft.text.BpeVocab.pieces(spark, "/root/testdata/sf0.001")
+    val docs = graft.sources.Tables(
+      spark, "/root/testdata/sf0.001", "documents")
+    val rows = docs.select(
+      call_function("norm_text", col("text")).as("n"),
+      call_function("bpe_split",
+        call_function("norm_text", col("text")) +: pieces.map(lit): _*)
+        .as("ps"),
+      graft.text.TextOps.bpeCountCol(col("text"), pieces).as("c"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ps = r.getSeq[String](1)
+      assert(ps.size === r.getInt(2), s"split/count disagree: ${r.getString(0).take(60)}")
+      // the walk consumes exactly the non-space characters, in order
+      assert(ps.mkString === r.getString(0).replace(" ", ""))
+    }
+  }
+
+  test("tokenizeBpe yields walk-ordered flat rows") {
+    val out = graft.text.TextOps.tokenizeBpe(
+      Seq((7L, "The Thing")).toDF("doc_id", "text"),
+      Seq("the", "th", "ing"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq === Seq((7L, 0, "the"), (7L, 1, "th"), (7L, 2, "ing")))
+  }
+
+  test("null text yields null; non-constant pieces rejected") {
+    val r = Seq(Option.empty[String]).toDF("t")
+      .select(call_function("bpe_split", $"t", lit("ab")))
+      .head()
+    assert(r.isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", "b")).toDF("t", "p")
+        .select(call_function("bpe_split", $"t", $"p")).head()
+    }
+  }
+}

@@ -93,6 +93,19 @@ object BpeVocab {
         .collect().map(_.getString(0)).toSeq.sorted)
   }
 
+  /** Deterministic piece ids from the staged vocabulary — 0-based rank
+    * by (n_occurrences DESC, piece ASC), the same total order the
+    * training LIMIT cuts on, so both engines re-derive identical ids
+    * with no id column persisted. The unpartitioned window is a
+    * topK-row DIMENSION sort (the tokenizer-vocab analog of ranking a
+    * weight table), never a data path. */
+  def idFrame(vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vocab.select(col("piece"),
+      (row_number().over(Window.orderBy(col("n_occurrences").desc,
+        col("piece").asc)) - 1).cast("int").as("piece_id"))
+  }
+
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   /** The vocabulary derivation as DuckDB CTEs ending in per-length
@@ -111,7 +124,7 @@ object BpeVocab {
        |    i -> substr(s, i, n))) AS g
        |  FROM vsrc, (SELECT unnest([${(MinN to MaxN).mkString(", ")}]) AS n)),
        |vb AS MATERIALIZED (
-       |  SELECT piece FROM (
+       |  SELECT piece, c FROM (
        |    SELECT g AS piece, count(*) AS c FROM vraw
        |    WHERE len(g) = n AND NOT contains(g, ' ')
        |    GROUP BY g)

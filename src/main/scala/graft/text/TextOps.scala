@@ -113,6 +113,22 @@ object TextOps {
       posexplode(bpeSplitCol(col("text"), pieces)))
       .toDF("doc_id", "token_idx", "piece")
 
+  /** NUMERICALIZATION — the tokenize→ids step a training pipeline ends
+    * on: [[tokenizeBpe]]'s walk-ordered pieces joined against the
+    * staged vocabulary's deterministic ids ([[BpeVocab.idFrame]]).
+    * Single-code-point fallback units are out-of-vocabulary by
+    * construction (learned pieces start at 2 chars) and carry the
+    * reserved id −1, the byte/char-fallback convention real tokenizers
+    * reserve fixed id ranges for. Scale shape: per-row codegen walk +
+    * generator explode, then ONE broadcast hash join against the
+    * topK-row vocab dimension — no shuffle at any size. */
+  def tokenIdsBpe(docs: DataFrame, vocab: DataFrame,
+                  pieces: Seq[String]): DataFrame =
+    tokenizeBpe(docs, pieces)
+      .join(broadcast(BpeVocab.idFrame(vocab)), Seq("piece"), "left")
+      .select(col("doc_id"), col("token_idx"), col("piece"),
+        coalesce(col("piece_id"), lit(-1)).cast("int").as("piece_id"))
+
   /** Tokenizer-faithful token counting: whitespace tokens alongside the
     * greedy-subword count — the number a context-window budget needs
     * (whitespace counts misprice real text by the avg word/piece
@@ -246,6 +262,11 @@ object TextOps {
     // walk order — the frame numericalization joins against the vocab
     "token_split_bpe" -> ((s, d) =>
       tokenizeBpe(Tables(s, d, "documents"), BpeVocab.pieces(s, d))),
+    // tokenize -> deterministic vocab ids (OOV fallback units = -1)
+    "token_ids_bpe" -> ((s, d) =>
+      tokenIdsBpe(Tables(s, d, "documents"),
+        BpeVocab.read(s, BpeVocab.fixtureStore(s, d)),
+        BpeVocab.pieces(s, d))),
     "quality_score" -> ((s, d) => qualityScore(Tables(s, d, "documents"))),
     "lang_id" -> ((s, d) => langId(Tables(s, d, "documents"))),
     // quality with the detected language's stopword model
@@ -381,6 +402,26 @@ object TextOps {
          |FROM bwalk w
          |JOIN bml m ON m.doc_id = w.doc_id
          |JOIN bd d ON d.doc_id = w.doc_id
+         |WHERE w.pos <= len(m.adv) AND m.adv[w.pos] != -1
+         |ORDER BY w.doc_id, token_idx""".stripMargin,
+
+    // tokenization + id assignment: ids are the 0-based rank of the
+    // derived vocab by (count DESC, piece ASC) — the exact total order
+    // the training LIMIT cut on — and unmatched (single-code-point
+    // fallback) units coalesce to the reserved OOV id -1
+    "token_ids_bpe" ->
+      s"""WITH RECURSIVE $bpeWalkCtes,
+         |vid AS (
+         |  SELECT piece, CAST(row_number() OVER (
+         |    ORDER BY c DESC, piece ASC) AS INTEGER) - 1 AS piece_id
+         |  FROM vb)
+         |SELECT w.doc_id, CAST(w.cnt AS INTEGER) AS token_idx,
+         |  substr(d.s, w.pos, m.adv[w.pos]) AS piece,
+         |  CAST(coalesce(v.piece_id, -1) AS INTEGER) AS piece_id
+         |FROM bwalk w
+         |JOIN bml m ON m.doc_id = w.doc_id
+         |JOIN bd d ON d.doc_id = w.doc_id
+         |LEFT JOIN vid v ON v.piece = substr(d.s, w.pos, m.adv[w.pos])
          |WHERE w.pos <= len(m.adv) AND m.adv[w.pos] != -1
          |ORDER BY w.doc_id, token_idx""".stripMargin,
 

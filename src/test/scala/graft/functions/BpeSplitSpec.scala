@@ -52,6 +52,27 @@ class BpeSplitSpec extends SparkSpec {
     assert(out.toSeq === Seq((7L, 0, "the"), (7L, 1, "th"), (7L, 2, "ing")))
   }
 
+  test("tokenIdsBpe assigns dense rank ids; fallback units get -1") {
+    val dir = "/root/testdata/sf0.001"
+    val vocab = graft.text.BpeVocab.read(spark,
+      graft.text.BpeVocab.fixtureStore(spark, dir))
+    val idMap = graft.text.BpeVocab.idFrame(vocab).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // dense 0..K-1, unique
+    assert(idMap.values.toSeq.sorted === (0 until idMap.size))
+    val out = graft.text.TextOps.tokenIdsBpe(
+      graft.sources.Tables(spark, dir, "documents").limit(20),
+      vocab, graft.text.BpeVocab.pieces(spark, dir)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val piece = r.getString(2)
+      val id = r.getInt(3)
+      if (piece.codePointCount(0, piece.length) == 1)
+        assert(id === -1, s"fallback unit '$piece' must be OOV")
+      else assert(id === idMap(piece), s"id mismatch for '$piece'")
+    }
+  }
+
   test("null text yields null; non-constant pieces rejected") {
     val r = Seq(Option.empty[String]).toDF("t")
       .select(call_function("bpe_split", $"t", lit("ab")))

@@ -20,7 +20,8 @@ import graft.streaming.{Replay, StreamingLanes}
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.StreamBench [section...]
   * With args, only the named sections run (ingest, pairscan, neardup,
-  * simhash, media, chunk, decontam, curation, spanclean, ivf) — e.g.
+  * simhash, media, chunk, decontam, curation, fullcur, spanclean,
+  * ivf) — e.g.
   * `runMain graft.StreamBench curation` probes the composed curation
   * lane alone against a (possibly synth-scaled) fixture dir without
   * paying the full snapshot replay.
@@ -225,6 +226,24 @@ object StreamBench {
         (_, _) => laneBatches += 1 })
     println(
       s"""{"metric":"stream_curation_stats","rows":[${curStats.mkString(",")}]}""")
+    }
+
+    // FULL-pipeline curation lane: decontam gate + judge + intra-batch
+    // gate + floor + chunking + window excision, the complete ingest
+    if (want("fullcur")) {
+    val fullIncoming = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("text"), col("source"))
+    Replay.stage(fullIncoming, s"$work/fullcur_in", slices = 16)
+    val fullSigStore = s"$work/fullcur_sig_store"
+    SimHashStore.appendBatch(fullSigStore, corpus)
+    val fullBench = s"$work/fullcur_bench_store"
+    graft.text.ChunkSigStore.appendSigs(fullBench,
+      graft.text.NearDup.chunkSigs64(docs.filter(col("doc_id") < 10)))
+    laneProbe("fullcur_lane", s"$work/fullcur_in",
+      spark.read.parquet(s"$work/fullcur_in").schema, inRows)(st =>
+      StreamingLanes.curationStoreLane(st, fullSigStore,
+        s"$work/fullcur_chunks", benchStorePath = fullBench) {
+        (_, _) => laneBatches += 1 })
     }
 
     if (want("spanclean")) {

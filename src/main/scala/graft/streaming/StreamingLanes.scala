@@ -490,6 +490,15 @@ object StreamingLanes {
     * A THIRD append + the same gated compaction; a source the store
     * has never seen carries a NULL floor and is kept.
     *
+    * `benchStorePath` (optional) composes benchmark DECONTAMINATION in
+    * as stage 0 + a final excision
+    * ([[graft.text.Curation.curateBatchDecontam]], certified by the
+    * `curation_lane_decontam_twin` oracle row): docs more than
+    * `maxFrac` contaminated drop before signing, and curated chunks
+    * matching a benchmark window drop by key. The benchmark store is
+    * STATIC judge state (never appended); decontam drops fold into the
+    * stats frame's `n_rejected` with `n_in` counting the whole batch.
+    *
     * Same eager-checkpoint ordering as every store lane (judge state
     * AND the floor's survivor frame materialize before the appends
     * mutate listings) and the same at-least-once caveat: a replayed
@@ -502,22 +511,40 @@ object StreamingLanes {
                         stride: Int = 24,
                         maxStoreFiles: Option[Int] = None,
                         qualityStorePath: String = null,
+                        benchStorePath: String = null,
+                        maxFrac: Double = 0.5,
                         onStats: (DataFrame, Long) => Unit = null)
                        (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      import graft.text.{Curation, QualityStore, SimHashStore}
+      import graft.text.{ChunkSigStore, Curation, QualityStore, SimHashStore}
+      require(benchStorePath == null || qualityStorePath == null,
+        "curationStoreLane: the decontam stage is certified with the " +
+          "batch-relative floor (curation_lane_decontam_twin); compose " +
+          "it with the corpus floor explicitly if you need both")
       val spark = batch.sparkSession
-      val (curated0, survivorSigs0, gated, survivors) =
-        if (qualityStorePath == null)
-          Curation.curateBatch(
+      // decontamDocV is non-null only in the FULL-pipeline form: the
+      // stats frame then counts the whole batch (decontam drops fold
+      // into n_rejected alongside judge/gate/floor rejections)
+      val (curated0, survivorSigs0, gated, survivors, decontamDocV) =
+        if (benchStorePath != null) {
+          val (c, ss, g, sv, dv) = Curation.curateBatchDecontam(
+            ChunkSigStore.read(spark, benchStorePath),
+            SimHashStore.read(spark, sigStorePath), batch,
+            maxHamming, p, window, stride, maxFrac)
+          (c, ss, g, sv, dv)
+        } else if (qualityStorePath == null) {
+          val (c, ss, g, sv) = Curation.curateBatch(
             SimHashStore.read(spark, sigStorePath), batch,
             maxHamming, p, window, stride)
-        else
-          Curation.curateBatchCorpusFloor(
+          (c, ss, g, sv, null)
+        } else {
+          val (c, ss, g, sv) = Curation.curateBatchCorpusFloor(
             SimHashStore.read(spark, sigStorePath),
             QualityStore.read(spark, qualityStorePath), batch,
             maxHamming, p, window, stride)
+          (c, ss, g, sv, null)
+        }
       // pin both outputs before the appends: each is consumed more than
       // once (write + stats/process) and re-evaluation would re-run the
       // quality window and chunk explode per consumer
@@ -546,8 +573,12 @@ object StreamingLanes {
         // laneStats granularity contract); n_admitted is the QUALITY
         // survivors (the docs whose chunks and signatures landed),
         // so n_rejected folds store dups, intra-batch demotions, and
-        // quality-floor drops; n_intra_batch isolates the gate's share.
-        val nIn = gated.count()
+        // quality-floor drops — plus whole-doc decontamination drops
+        // in the full-pipeline form, where n_in is the WHOLE batch
+        // (the decontam doc verdict, one row per arriving doc);
+        // n_intra_batch isolates the keeper gate's share.
+        val nIn = if (decontamDocV != null) decontamDocV.count()
+        else gated.count()
         val nSurv = survivorSigs.count()
         val nGate = gated
           .filter(!col("is_new") && col("n_dups") === 0).count()

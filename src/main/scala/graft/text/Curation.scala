@@ -579,6 +579,55 @@ object Curation {
       gated, survivors)
   }
 
+  /** The FULL composed ingestion stage — [[curateBatch]] with
+    * benchmark DECONTAMINATION as stage 0 and flagged-window EXCISION
+    * at the end, the complete pipeline a training-data team runs:
+    *
+    *   0. judge every context window of the batch against the STATIC
+    *      benchmark chunk store ([[NearDup.decontamVerdicts]] — banded
+    *      Hamming, benchmark side collapsed to distinct signatures);
+    *      docs more than `maxFrac` contaminated drop WHOLE before any
+    *      signing (a benchmark-entangled doc must never even enter the
+    *      dedup store);
+    *   1–4. the certified [[curateBatch]] stages over the survivors:
+    *      sign once → store judge → intra-batch keeper gate →
+    *      per-source quality floor → chunking;
+    *   5. EXCISE: curated chunks matching a benchmark window drop by
+    *      (doc_id, chunk_idx) key — the curation chunker and the
+    *      decontamination judge share window/stride, so stage 0's
+    *      per-window verdict applies to stage 4's output directly (one
+    *      left-anti join, no re-chunking, no re-signing).
+    *
+    * Returns (curated clean chunks + each doc's contaminated fraction,
+    * survivor signatures, gated verdict over decontam-kept docs,
+    * per-doc decontamination verdict). Only quality survivors sign the
+    * store (the curateBatch contract), and only decontam-kept docs
+    * reach the judge — so the signature store never learns a
+    * benchmark-entangled doc, which would otherwise block legitimate
+    * near-dups of PARTIALLY overlapping clean text forever. */
+  private[graft] def curateBatchDecontam(
+      benchSigs: DataFrame, esigs: DataFrame, batch: DataFrame,
+      maxHamming: Int = 3, p: Double = 0.1, window: Int = 32,
+      stride: Int = 24, maxFrac: Double = 0.5)
+  : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (chunkV, docV) = NearDup.decontamVerdicts(
+      benchSigs, batch, maxHamming, window, stride, maxFrac)
+    val keep = docV.filter(col("is_new"))
+      .select(col("doc_id"), col("doc_contaminated_frac"))
+    val (curated0, survivorSigs, gated, survivors) = curateBatch(
+      esigs, batch.join(keep.select(col("doc_id")), "doc_id"),
+      maxHamming, p, window, stride)
+    val flagged = chunkV.filter(col("n_benchmark_matches") > 0)
+      .select(col("doc_id"), col("chunk_idx"))
+    val curated = curated0
+      .join(flagged, Seq("doc_id", "chunk_idx"), "left_anti")
+      .join(keep, "doc_id")
+      .select(col("doc_id"), col("source"), col("quality"), col("q_thr"),
+        col("chunk_idx"), col("chunk_text"), col("n_chunk_tokens"),
+        col("doc_contaminated_frac"))
+    (curated, survivorSigs, gated, survivors, docV)
+  }
+
   /** The batch TWIN of the streaming curation lane on the fixture
     * convention (store = doc_id % 10 < 8 signed into [[SimHashStore]],
     * batch = the rest): one invocation of [[curateBatch]], output = the
@@ -606,6 +655,22 @@ object Curation {
       docs.filter(col("doc_id") % 10 >= 8))._1
   }
 
+  /** The FULL-pipeline twin — [[curationLaneTwin]] with the benchmark
+    * decontamination stage composed in (static chunk store over
+    * doc_id < 10): the fixture batch split CONTAINS two benchmark
+    * members (doc_ids 8 and 9 satisfy % 10 >= 8), so the stage-0
+    * whole-doc drop is exercised on real fixture rows, not just
+    * crafted specs. The DuckDB oracle replays decontam gate + judge +
+    * keeper gate + floor + chunking + window excision end to end. */
+  def curationLaneDecontamTwin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    curateBatchDecontam(
+      ChunkSigStore.read(spark,
+        ChunkSigStore.fixtureBenchmarkStore(spark, dir)),
+      SimHashStore.read(spark, SimHashStore.fixtureCorpusStore(spark, dir)),
+      docs.filter(col("doc_id") % 10 >= 8))._1
+  }
+
   val queries: Map[String, Q] = Map(
     // the composed lane's batch twin: store judge -> intra-batch keeper
     // gate -> per-source quality floor -> chunking, one batch
@@ -614,6 +679,10 @@ object Curation {
     // persisted QualityStore's per-source floors (stable across
     // batches) instead of the batch-relative percentile
     "curation_lane_corpus_twin" -> ((s, d) => curationLaneCorpusTwin(s, d)),
+    // the FULL pipeline: decontam gate -> judge -> keeper gate ->
+    // floor -> chunking -> flagged-window excision, one batch
+    "curation_lane_decontam_twin" -> ((s, d) =>
+      curationLaneDecontamTwin(s, d)),
     // corpus-relative quality floor (drop the worst decile)
     "quality_quantile_gate" -> ((s, d) =>
       qualityQuantileGate(Tables(s, d, "documents"))),
@@ -697,13 +766,64 @@ object Curation {
     * must end in `surv(doc_id, source, quality, q_thr)` over the
     * admissions CTE `q`), then the shared chunk CTEs over the
     * survivors. */
-  private def curationTwinOracleWith(floorCtes: String): String = {
+  private def curationTwinOracleWith(floorCtes: String,
+                                     decontam: Boolean = false): String = {
     val bandOf = (src: String, idAs: String, sigAs: String, pred: String) =>
       (0 until 4).map(i =>
         s"SELECT doc_id AS $idAs, sig AS $sigAs, $i AS band, " +
           s"(sig >> ${16 * i}) & 65535 AS bval FROM $src WHERE $pred")
         .mkString("\n  UNION ALL\n  ")
-    s"""WITH RECURSIVE sg AS MATERIALIZED (
+    // stage 0 when composed: the batch split's windows judged against
+    // the benchmark chunk set (the decontam_lane_twin oracle machinery
+    // verbatim), producing flagged windows (dm), per-doc fractions
+    // (dfrac), and the kept-doc set (dkeep) the pipeline runs over
+    val decontamCtes = if (!decontam) "" else
+      s"""dbsrc AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+         |disrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+         |${chunkCtesSql(32, 24, "dbsrc", "dbch")},
+         |${chunkCtesSql(32, 24, "disrc", "dich")},
+         |dbsig AS (
+         |  ${NearDup.chunkSigCteSql("dbch")}),
+         |disig AS (
+         |  ${NearDup.chunkSigCteSql("dich")}),
+         |dbs AS (SELECT DISTINCT sig AS bsig FROM dbsig),
+         |dbb AS (
+         |  ${(0 until 4).map(i =>
+        s"SELECT bsig, $i AS band, (bsig >> ${16 * i}) & 65535 AS bval FROM dbs")
+        .mkString("\n  UNION ALL\n  ")}),
+         |dib AS (
+         |  ${(0 until 4).map(i =>
+        s"SELECT doc_id, chunk_idx, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM disig")
+        .mkString("\n  UNION ALL\n  ")}),
+         |dm AS MATERIALIZED (
+         |  SELECT DISTINCT dib.doc_id, dib.chunk_idx
+         |  FROM dib JOIN dbb ON dib.band = dbb.band AND dib.bval = dbb.bval
+         |  WHERE bit_count(xor(dib.sig, dbb.bsig)) <= 3),
+         |dfrac AS MATERIALIZED (
+         |  SELECT c.doc_id,
+         |    CAST(sum(CASE WHEN dm.doc_id IS NULL THEN 0 ELSE 1 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |      AS doc_contaminated_frac
+         |  FROM dich c LEFT JOIN dm
+         |    ON dm.doc_id = c.doc_id AND dm.chunk_idx = c.chunk_idx
+         |  GROUP BY c.doc_id),
+         |dkeep AS MATERIALIZED (
+         |  SELECT doc_id, doc_contaminated_frac FROM dfrac
+         |  WHERE doc_contaminated_frac <= 0.5),
+         |""".stripMargin
+    val inKeep =
+      if (decontam) " AND doc_id IN (SELECT doc_id FROM dkeep)" else ""
+    val cleanKeep =
+      if (decontam) " AND sg.doc_id IN (SELECT doc_id FROM dkeep)" else ""
+    val exciseAndFrac =
+      if (!decontam) ""
+      else
+        """ AND NOT EXISTS (
+          |    SELECT 1 FROM dm
+          |    WHERE dm.doc_id = c.doc_id AND dm.chunk_idx = c.chunk_idx)"""
+          .stripMargin
+    s"""WITH RECURSIVE $decontamCtes
+       |sg AS MATERIALIZED (
        |  SELECT doc_id, CAST(${NearDup.simhash64Terms} AS BIGINT) AS sig
        |  FROM (SELECT doc_id, l, list_transform(l, t -> md5(t)) AS lh
        |        FROM (SELECT doc_id,
@@ -712,7 +832,7 @@ object Curation {
        |eb AS (
        |  ${bandOf("sg", "ex_id", "esig", "doc_id % 10 < 8")}),
        |ib AS (
-       |  ${bandOf("sg", "inc_id", "isig", "doc_id % 10 >= 8")}),
+       |  ${bandOf("sg", "inc_id", "isig", s"doc_id % 10 >= 8$inKeep")}),
        |ver AS (
        |  SELECT inc_id, count(DISTINCT ex_id) AS nd
        |  FROM (SELECT DISTINCT e.ex_id, i.inc_id, e.esig, i.isig
@@ -722,7 +842,7 @@ object Curation {
        |clean AS MATERIALIZED (
        |  SELECT sg.doc_id, sg.sig FROM sg
        |  LEFT JOIN ver ON ver.inc_id = sg.doc_id
-       |  WHERE sg.doc_id % 10 >= 8 AND coalesce(ver.nd, 0) = 0),
+       |  WHERE sg.doc_id % 10 >= 8 AND coalesce(ver.nd, 0) = 0$cleanKeep),
        |cb AS (
        |  ${bandOf("clean", "doc_id", "sig", "1 = 1")}),
        |c_over AS (
@@ -762,22 +882,32 @@ object Curation {
        |  JOIN surv s ON s.doc_id = d.doc_id),
        |${chunkCtesSql(32, 24, "ssrc", "cchunks")}
        |SELECT s.doc_id, s.source, s.quality, s.q_thr,
-       |  c.chunk_idx, c.chunk_text, c.n_chunk_tokens
-       |FROM cchunks c JOIN surv s USING (doc_id)
+       |  c.chunk_idx, c.chunk_text, c.n_chunk_tokens${
+      if (decontam) ",\n  k.doc_contaminated_frac" else ""}
+       |FROM cchunks c JOIN surv s USING (doc_id)${
+      if (decontam) "\nJOIN dkeep k ON k.doc_id = c.doc_id" else ""}
+       |WHERE 1 = 1$exciseAndFrac
        |ORDER BY s.doc_id, c.chunk_idx""".stripMargin
   }
 
   /** The r11 batch-relative floor: per-source quantile over THIS
     * batch's admissions. */
+  private val batchFloorCtes: String =
+    """thr AS (
+      |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
+      |  FROM q GROUP BY source),
+      |surv AS (
+      |  SELECT q.doc_id, q.source, q.quality, t.q_thr
+      |  FROM q JOIN thr t USING (source)
+      |  WHERE q.quality >= t.q_thr)""".stripMargin
+
   private lazy val curationLaneTwinOracle: String =
-    curationTwinOracleWith(
-      """thr AS (
-        |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
-        |  FROM q GROUP BY source),
-        |surv AS (
-        |  SELECT q.doc_id, q.source, q.quality, t.q_thr
-        |  FROM q JOIN thr t USING (source)
-        |  WHERE q.quality >= t.q_thr)""".stripMargin)
+    curationTwinOracleWith(batchFloorCtes)
+
+  /** The FULL pipeline: the batch-relative twin with the benchmark
+    * decontamination stage composed in (gate + excision CTEs). */
+  private lazy val curationLaneDecontamTwinOracle: String =
+    curationTwinOracleWith(batchFloorCtes, decontam = true)
 
   /** The corpus-relative floor: per-source quantile over the PERSISTED
     * store population (doc_id % 10 < 8 — the oracle re-derives the
@@ -917,6 +1047,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "curation_lane_twin" -> curationLaneTwinOracle,
     "curation_lane_corpus_twin" -> curationLaneCorpusTwinOracle,
+    "curation_lane_decontam_twin" -> curationLaneDecontamTwinOracle,
     "chunk_docs_bpe" -> chunkDocsBpeOracle,
     "chunk_docs_bpe_overlap" -> chunkDocsBpeOverlapOracle,
     // corpus-relative floor: quantile_cont shares Spark exact

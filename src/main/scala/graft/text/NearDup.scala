@@ -1141,6 +1141,27 @@ object NearDup {
                     maxHamming: Int = 3, window: Int = 32,
                     stride: Int = 24, maxFrac: Double = 0.5)
   : (DataFrame, DataFrame) = {
+    val (chunkVerdict, docVerdict) =
+      decontamVerdicts(benchSigs, batch, maxHamming, window, stride, maxFrac)
+    val clean = chunkVerdict
+      .filter(col("n_benchmark_matches") === 0 &&
+        col("doc_contaminated_frac") <= maxFrac)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        col("n_chunk_tokens"), col("doc_contaminated_frac"))
+    (clean, docVerdict)
+  }
+
+  /** The decontamination JUDGE alone — (per-chunk verdict, per-doc
+    * verdict), the two frames [[decontamBatch]] gates on, exposed so
+    * the composed curation pipeline ([[Curation]]) can run the same
+    * judge as its stage 0 and excise the same flagged windows after
+    * chunking. The per-chunk frame is eagerly checkpointed (it feeds
+    * the doc verdict and whichever excision/output consumers follow);
+    * the doc verdict is a one-aggregate derivation over it. */
+  private[graft] def decontamVerdicts(
+      benchSigs: DataFrame, batch: DataFrame, maxHamming: Int = 3,
+      window: Int = 32, stride: Int = 24, maxFrac: Double = 0.5)
+  : (DataFrame, DataFrame) = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
     val chunks = Curation.chunkDocs(batch, window, stride)
@@ -1171,12 +1192,7 @@ object NearDup {
           .cast("int").as("n_dups"),
         max(col("doc_contaminated_frac")).as("doc_contaminated_frac"))
       .withColumn("is_new", col("doc_contaminated_frac") <= maxFrac)
-    val clean = chunkVerdict
-      .filter(col("n_benchmark_matches") === 0 &&
-        col("doc_contaminated_frac") <= maxFrac)
-      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
-        col("n_chunk_tokens"), col("doc_contaminated_frac"))
-    (clean, docVerdict)
+    (chunkVerdict, docVerdict)
   }
 
   /** Connected components over the 64-bit SimHash near-dup graph —
@@ -1517,7 +1533,7 @@ object NearDup {
     * (doc_id, chunk_idx, chunk_text) — the [[simhashSigCte]] pattern at
     * chunk granularity, shared by the chunk dedup and chunk
     * decontamination oracles. */
-  private def chunkSigCteSql(src: String): String =
+  private[text] def chunkSigCteSql(src: String): String =
     s"""SELECT doc_id, chunk_idx, CAST($simhash64Terms AS BIGINT) AS sig
        |  FROM (SELECT doc_id, chunk_idx, l,
        |          list_transform(l, t -> md5(t)) AS lh

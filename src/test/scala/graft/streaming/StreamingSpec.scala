@@ -415,6 +415,71 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("full-pipeline curation lane: decontam gate + excision composed in") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{ChunkSigStore, SimHashStore}
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("curation_full_").toString
+    val sigStore = s"$work/sigs"
+    val chunkStore = s"$work/chunks"
+    val benchStore = s"$work/bench"
+    SimHashStore.appendBatch(sigStore,
+      Seq((100L, "the quick brown fox jumps over the dog"))
+        .toDF("doc_id", "text"))
+    ChunkSigStore.appendSigs(benchStore, graft.text.NearDup.chunkSigs64(
+      Seq((200L, "alpha bravo charlie delta")).toDF("doc_id", "text"),
+      window = 4, stride = 2))
+    val curated = scala.collection.mutable.Map[(Long, Int), Double]()
+    val stats = scala.collection.mutable.ArrayBuffer[
+      (String, Long, Long, Long, Long, Boolean, Long)]()
+    val q = StreamingLanes.curationStoreLane(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      sigStore, chunkStore, window = 4, stride = 2,
+      benchStorePath = benchStore,
+      onStats = (df, _) => df.collect().foreach(r => stats +=
+        ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5), r.getLong(6)))))(
+      (chunks, _) => chunks.collect().foreach(r =>
+        curated((r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"))) =
+          r.getAs[Double]("doc_contaminated_frac"))).start()
+    try {
+      mem.addData(
+        // store dup (judge), intra-batch dup of 5 (gate), floor drop (8)
+        CurDoc(ts(10), 1L, "dog the over jumps fox brown quick the", "src_a"),
+        CurDoc(ts(11), 5L, "completely unrelated text about spark plans here", "src_a"),
+        CurDoc(ts(12), 6L, "here plans spark about text unrelated completely", "src_a"),
+        CurDoc(ts(13), 7L, "many distinct tokens carrying plenty of useful content here today", "src_a"),
+        CurDoc(ts(14), 8L, "tiny words", "src_a"),
+        CurDoc(ts(15), 9L, "wholly separate corpus line from another provider entirely", "src_b"),
+        // IS a benchmark passage: whole-doc decontam drop BEFORE signing
+        CurDoc(ts(16), 30L, "alpha bravo charlie delta", "src_c"),
+        // embeds it at chunk 1: kept (frac 1/3), window excised at the end
+        CurDoc(ts(17), 31L, "x1 x2 alpha bravo charlie delta y1 y2", "src_c"))
+      q.processAllAvailable()
+      val docs = curated.keySet.map(_._1)
+      assert(docs === Set(5L, 7L, 9L, 31L), curated)
+      // doc 31's flagged middle window is excised; clean windows carry
+      // the doc's contaminated fraction
+      assert(!curated.contains((31L, 1)), curated)
+      assert(curated((31L, 0)) === 1.0 / 3 && curated((31L, 2)) === 1.0 / 3)
+      assert(curated((5L, 0)) === 0.0)
+      // the dropped benchmark copy never signed the store
+      val sigIds = SimHashStore.read(spark, sigStore)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sigIds === Set(100L, 5L, 7L, 9L, 31L), sigIds)
+      // stats count the WHOLE batch: 8 in, 4 curated, 4 rejected
+      // (store dup 1, gate demotion 6, floor drop 8, decontam drop 30),
+      // of which exactly one was an intra-batch gate demotion
+      assert(stats.toList ===
+        List(("curation_store", 0L, 8L, 4L, 4L, false, 1L)))
+      // the benchmark store never grew
+      assert(ChunkSigStore.read(spark, benchStore).count() === 1L)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   test("curation lane: judge, intra-batch gate, quality floor, chunks, stats") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.SimHashStore

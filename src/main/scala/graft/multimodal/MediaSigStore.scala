@@ -65,4 +65,13 @@ object MediaSigStore {
     stagedCorpus(s"corpus_v1_$dir",
       new java.io.File(dir, "documents.parquet"),
       Multimodal.assetStore(s, dir).filter(col("doc_id") % 10 < 8))
+
+  /** The staged BENCHMARK media-signature store (doc_id < 10, the
+    * shared decontamination fixture convention) — STATIC judge state
+    * for media decontamination: the benchmark assets are signed once,
+    * ever, and only ever scanned (no appends, no compaction). */
+  def fixtureBenchmarkStore(s: SparkSession, dir: String): String =
+    stagedCorpus(s"benchmark_v1_$dir",
+      new java.io.File(dir, "documents.parquet"),
+      Multimodal.assetStore(s, dir).filter(col("doc_id") < 10))
 }

@@ -281,6 +281,24 @@ object Multimodal {
     graft.text.NearDup.simhashIncremental64BothSigs(
       esigs, mediaSigs64(incoming), maxHamming)
 
+  /** MEDIA benchmark decontamination — the text family's
+    * [[graft.text.NearDup.decontamBatch]] posture for assets: which
+    * incoming payloads are within `maxHamming` of a BENCHMARK asset
+    * (a held-out eval image/audio set the training corpus must not
+    * contain, drifting re-encodes included). The benchmark side is a
+    * STATIC signature store scan ([[MediaSigStore]] staged once over
+    * the benchmark assets — 8 bytes each, payloads never re-read);
+    * the incoming batch signs once and broadcasts through the shared
+    * banded judge. Assets have no chunk granularity, so the verdict is
+    * whole-asset: flagged assets drop, clean ones pass. */
+  def mediaDecontam(benchSigs: DataFrame, incoming: DataFrame,
+                    maxHamming: Int = 3): DataFrame =
+    graft.text.NearDup.simhashIncremental64BothSigs(
+      benchSigs, mediaSigs64(incoming), maxHamming)
+      .select(col("doc_id"),
+        col("n_dups").as("n_benchmark_matches"),
+        col("is_new").as("is_clean"))
+
   /** Connected components over the media Hamming≤`maxHamming` near-dup
     * graph — the transitive-family view the TEXT family has had since
     * r9 ([[graft.text.NearDup.simhashClusters64]]), now on the byte
@@ -352,6 +370,12 @@ object Multimodal {
       mediaDedupIncremental64(
         MediaSigStore.read(s, MediaSigStore.fixtureCorpusStore(s, d)),
         assetStore(s, d).filter(col("doc_id") % 10 >= 8))),
+    // media benchmark decontamination: incoming split judged against
+    // the STATIC staged benchmark signature store (doc_id < 10)
+    "media_decontam" -> ((s, d) =>
+      mediaDecontam(
+        MediaSigStore.read(s, MediaSigStore.fixtureBenchmarkStore(s, d)),
+        assetStore(s, d).filter(col("doc_id") % 10 >= 8))),
     "media_features" -> ((s, d) => decodeFeatures(assets(s, d)).toDF()),
     "frame_sample" -> ((s, d) => frameSample(assetStore(s, d))),
     "resize_meta" -> ((s, d) => resizeMeta(assetStore(s, d), 128)))
@@ -408,7 +432,8 @@ object Multimodal {
     * bands, Hamming ≤ 3 gate, count DISTINCT corpus matches per
     * incoming asset. No sub-salt cap — the incremental engine form has
     * none (the batch side is broadcast, never self-joined). */
-  private lazy val mediaSim64IncrementalOracle: String =
+  private def mediaSim64SplitOracle(exPred: String, incPred: String,
+                                    ndName: String, newName: String): String =
     s"""WITH sh AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(1, $bLen - 3),
@@ -420,11 +445,11 @@ object Multimodal {
        |  SELECT doc_id, CAST($byteSim64Terms AS BIGINT) AS sig FROM sh),
        |eb AS (
        |  ${(0 until 4).map(i =>
-      s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE doc_id % 10 < 8")
+      s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE $exPred")
       .mkString("\n  UNION ALL\n  ")}),
        |ib AS (
        |  ${(0 until 4).map(i =>
-      s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE doc_id % 10 >= 8")
+      s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM sg WHERE $incPred")
       .mkString("\n  UNION ALL\n  ")}),
        |cand AS (
        |  SELECT DISTINCT e.doc_id AS ex_id, i.doc_id AS inc_id,
@@ -434,11 +459,15 @@ object Multimodal {
        |  SELECT inc_id, count(DISTINCT ex_id) AS nd FROM cand
        |  WHERE bit_count(xor(esig, isig)) <= 3
        |  GROUP BY inc_id)
-       |SELECT d.doc_id, CAST(coalesce(v.nd, 0) AS INTEGER) AS n_dups,
-       |  coalesce(v.nd, 0) = 0 AS is_new
+       |SELECT d.doc_id, CAST(coalesce(v.nd, 0) AS INTEGER) AS $ndName,
+       |  coalesce(v.nd, 0) = 0 AS $newName
        |FROM sg d LEFT JOIN ver v ON v.inc_id = d.doc_id
-       |WHERE d.doc_id % 10 >= 8
+       |WHERE $incPred
        |ORDER BY d.doc_id""".stripMargin
+
+  private lazy val mediaSim64IncrementalOracle: String =
+    mediaSim64SplitOracle("doc_id % 10 < 8", "doc_id % 10 >= 8",
+      "n_dups", "is_new")
 
   /** Shared CTE chain for every 64-bit media SimHash oracle: both mixes
     * in BIGINT, signature votes, 4×16-bit arithmetic bands, the
@@ -481,6 +510,11 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "media_dedup_near64_incremental" -> mediaSim64IncrementalOracle,
     "media_dedup_near64_staged" -> mediaSim64IncrementalOracle,
+    // decontamination split: the benchmark assets (doc_id < 10) are the
+    // judge side, the incoming split the judged — staged-store
+    // precedent (the oracle re-derives the benchmark signatures)
+    "media_decontam" -> mediaSim64SplitOracle("doc_id < 10",
+      "doc_id % 10 >= 8", "n_benchmark_matches", "is_clean"),
     // dense 4-byte-window SimHash replayed exactly; the banded candidate
     // join is the naive OR of the two 16-bit band agreements (same pair
     // set as the engine's distinct'd banded union)

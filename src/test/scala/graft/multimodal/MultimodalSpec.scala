@@ -250,6 +250,35 @@ class MultimodalSpec extends SparkSpec {
       "staged plan must scan the persisted signature store")
   }
 
+  test("media decontam flags benchmark payloads from the static store") {
+    import org.apache.spark.sql.functions.col
+    val store = Multimodal.assetStore(spark, dir)
+    val out = Multimodal.mediaDecontam(
+      MediaSigStore.read(spark, MediaSigStore.fixtureBenchmarkStore(spark, dir)),
+      store.filter(col("doc_id") % 10 >= 8))
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(rows.nonEmpty)
+    // verdict covers exactly the signable incoming split
+    val incIds = store.filter(col("doc_id") % 10 >= 8)
+      .filter(col("byte_len") >= 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.keySet === incIds)
+    // the verdict agrees with an in-session judge over the same split
+    val inSession = Multimodal.mediaDecontam(
+      Multimodal.mediaSigs64(store.filter(col("doc_id") < 10)),
+      store.filter(col("doc_id") % 10 >= 8))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2))))
+      .toMap
+    assert(rows === inSession)
+    // flagged <=> at least one benchmark match, structurally
+    rows.values.foreach { case (nb, clean) => assert(clean === (nb == 0)) }
+    // the static benchmark store backs the staged judge side
+    val plan = out.queryExecution.toString
+    assert(plan.contains("benchmark_v1"),
+      "decontam plan must scan the staged benchmark signature store")
+  }
+
   test("metadata queries prune the payload column at the scan") {
     // the 100 TB contract: frame_sample/resize_meta never read the fat
     // binary column — their parquet scans' ReadSchema excludes payload

@@ -125,6 +125,46 @@ object Curation {
           pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("long"),
             lit(2L)) === 0, lit(2L)).otherwise(lit(1L))))
 
+  /** TOKEN-budgeted weighted mixture — the mixing form a TRAINING run
+    * actually specifies: "assemble N tokens total, sources in w_s
+    * proportion". Where [[mixWeightedTable]] budgets in DOCUMENTS,
+    * this budgets in tokens (`counter` prices each doc — pass the
+    * subword kernel for tokenizer-faithful budgets): each source gets
+    * budget_s = totalBudget · w_s / Σw (integer arithmetic), docs fill
+    * it greedily in the shared md5-deterministic order, and the budget
+    * is a HARD cap — a doc whose inclusion would overflow its source's
+    * budget is dropped (with everything after it; the running total is
+    * monotone), so the assembled mixture never exceeds totalBudget.
+    *
+    * Scale shape: one per-row counter pass, one running-sum window per
+    * source (the corpus exchanges once on the source key, rows carry
+    * (doc_id, tag, n_tokens) — never text), and two broadcast
+    * dimension frames (weights, budgets). The per-source window sort
+    * parallelizes across sources; a corpus of FEW huge sources would
+    * swap in the [[packTokens]] two-phase prefix sum per source —
+    * same arithmetic, partition-local scan + offset broadcast. */
+  def mixTokenBudget(docs: DataFrame, weights: DataFrame,
+                     totalBudget: Long,
+                     counter: org.apache.spark.sql.Column =>
+                       org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wsum = weights.agg(sum(col("w")).as("wsum"))
+    val budgets = weights.crossJoin(broadcast(wsum))
+      .select(col("source"),
+        expr(s"$totalBudget * w DIV wsum").as("token_budget"))
+    val tag = md5(concat(lit("b:"), col("doc_id").cast("string"))
+      .cast("binary"))
+    docs.select(col("doc_id"), col("source"), tag.as("mix_tag"),
+      counter(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("mix_tag").asc, col("doc_id").asc)))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_tokens") <= col("token_budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("token_budget"))
+  }
+
   /** The fixture's stand-in for a user-supplied weight table: one row
     * per source, weight (source number MOD 3) + 1 ∈ {1,2,3} — distinct
     * from [[mixWeighted]]'s parity convention so the two queries
@@ -717,6 +757,13 @@ object Curation {
       val docs = Tables(s, d, "documents")
       mixWeightedTable(docs, fixtureWeights(docs))
     }),
+    // "assemble 20k subword tokens, sources in w proportion" — the
+    // token-budgeted mixture on the staged-vocab kernel counter
+    "mix_token_budget" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      mixTokenBudget(docs, fixtureWeights(docs), 20000L,
+        t => TextOps.bpeCountCol(t, BpeVocab.pieces(s, d)))
+    }),
     "decontaminate" -> ((s, d) => decontaminate(Tables(s, d, "documents"))),
     "pii_scrub" -> ((s, d) => piiScrub(Tables(s, d, "documents"))),
     "token_pack" -> ((s, d) => packTokens(Tables(s, d, "documents"))),
@@ -1207,6 +1254,36 @@ object Curation {
          |  CAST((sum(n) OVER (ORDER BY doc_id) - n) // 512 AS BIGINT)
          |    AS pack_id
          |FROM bpe ORDER BY doc_id""".stripMargin,
+
+    // token-budgeted mixture: per-source budgets as exact integer
+    // shares of the 20k total, subword costs from the shared walk
+    // CTEs, greedy fill in md5 order under a hard per-source cap
+    "mix_token_budget" ->
+      s"""WITH RECURSIVE ${TextOps.bpeWalkCtes},
+         |wt AS (
+         |  SELECT DISTINCT source,
+         |    CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 3 + 1 AS w
+         |  FROM documents),
+         |ws AS (SELECT sum(w) AS wsum FROM wt),
+         |bud AS (
+         |  SELECT source, CAST((20000 * w) // wsum AS BIGINT)
+         |    AS token_budget
+         |  FROM wt, ws),
+         |tg AS (
+         |  SELECT d.doc_id, d.source,
+         |    md5('b:' || CAST(d.doc_id AS VARCHAR)) AS mix_tag,
+         |    CAST(b.n AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN bpe b ON b.doc_id = d.doc_id),
+         |cm AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY mix_tag ASC, doc_id ASC) AS BIGINT) AS cum_tokens
+         |  FROM tg)
+         |SELECT cm.doc_id, cm.source, cm.n_tokens, cm.cum_tokens,
+         |  b.token_budget
+         |FROM cm JOIN bud b USING (source)
+         |WHERE cm.cum_tokens <= b.token_budget
+         |ORDER BY cm.source, cm.cum_tokens""".stripMargin,
 
     // the oracle is the NAIVE single-window form — the point of the
     // comparison: the two-phase distributed prefix sum must equal it

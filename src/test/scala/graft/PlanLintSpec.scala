@@ -34,9 +34,9 @@ class PlanLintSpec extends SparkSpec {
     // vocab-anchor crossJoins: source-index/V/doc-count one-row or
     // source-count broadcasts under the NB domain model build
     "domain_classify", "domain_classify_bucketed",
-    // one-row balanced-take / λ-argmin / quantile-threshold anchors
+    // one-row balanced-take / λ-argmin / quantile-threshold / Σw anchors
     "mix_balanced", "mix_weighted", "mix_weighted_table",
-    "quality_quantile_gate")
+    "mix_token_budget", "quality_quantile_gate")
 
   test("no cartesian products; nested-loop joins only where bounded") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

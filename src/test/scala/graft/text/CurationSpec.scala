@@ -24,6 +24,36 @@ class CurationSpec extends SparkSpec {
       rescrub.getAs[Int]("initials") === 0)
   }
 
+  test("token-budgeted mixture: hard per-source caps in md5 order") {
+    import org.apache.spark.sql.functions._
+    // 4-token docs; s1 gets 40*1/4 = 10 tokens (2 docs), s2 gets
+    // 40*3/4 = 30 (7 docs); the hard cap drops the doc that would
+    // overflow and everything after it in md5 order
+    val docs = (1L to 4L).map(i => (i, "a b c d", "s1")) ++
+      (11L to 20L).map(i => (i, "w x y z", "s2"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val w = Seq(("s1", 1L), ("s2", 3L)).toDF("source", "w")
+    val out = Curation.mixTokenBudget(df, w, 40L,
+      t => size(split(TextOps.norm(t), " ")))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Long]("token_budget")))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expect(ids: Seq[Long], budget: Long): Set[Long] =
+      ids.sortBy(i => (md5hex(s"b:$i"), i))
+        .take((budget / 4).toInt).toSet
+    val s1 = out.filter(_._2 == "s1")
+    val s2 = out.filter(_._2 == "s2")
+    assert(s1.map(_._1).toSet === expect(1L to 4L, 10L), s1.toSeq)
+    assert(s2.map(_._1).toSet === expect(11L to 20L, 30L), s2.toSeq)
+    assert(s1.forall(r => r._5 === 10L && r._4 <= 10L))
+    assert(s2.forall(r => r._5 === 30L && r._4 <= 30L))
+    // cumulative totals are consistent: max cum == 4 * #kept
+    assert(s1.map(_._4).max === 4L * s1.length)
+    assert(s2.map(_._4).max === 4L * s2.length)
+  }
+
   test("decontamination flags docs sharing a 5-shingle with the benchmark") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // benchmark

@@ -129,6 +129,30 @@ object TextOps {
       .select(col("doc_id"), col("token_idx"), col("piece"),
         coalesce(col("piece_id"), lit(-1)).cast("int").as("piece_id"))
 
+  /** Vocabulary COVERAGE telemetry — the retrain signal: per source,
+    * how much of the token stream falls back to single-code-point OOV
+    * units. A drifting corpus (new domain, new language) shows up here
+    * as a rising `oov_rate` long before quality metrics move; real
+    * tokenizer pipelines alert on exactly this number. Scale shape:
+    * the per-row walk emits counts only (total via `bpe_count`, OOV
+    * via the split-size minus in-vocab arithmetic is avoided — one
+    * `bpe_split` + one filtered size, still per-row) and ONE map-side
+    * combined aggregate keyed by source. */
+  def vocabCoverage(docs: DataFrame, pieces: Seq[String]): DataFrame = {
+    val ps = bpeSplitCol(col("text"), pieces)
+    // an OOV unit is exactly a single-code-point fallback: learned
+    // pieces are >=2 chars, so emitted length 1 marks it (Spark
+    // `length` counts code points, matching the walk's fallback step)
+    val oov = size(filter(ps, p => length(p) === 1))
+    docs.select(col("source"), size(ps).as("nt"), oov.as("no"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("n_tokens"), sum(col("no")).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Tokenizer-faithful token counting: whitespace tokens alongside the
     * greedy-subword count — the number a context-window budget needs
     * (whitespace counts misprice real text by the avg word/piece
@@ -267,6 +291,9 @@ object TextOps {
       tokenIdsBpe(Tables(s, d, "documents"),
         BpeVocab.read(s, BpeVocab.fixtureStore(s, d)),
         BpeVocab.pieces(s, d))),
+    // per-source OOV rate — the tokenizer retrain signal
+    "vocab_coverage" -> ((s, d) =>
+      vocabCoverage(Tables(s, d, "documents"), BpeVocab.pieces(s, d))),
     "quality_score" -> ((s, d) => qualityScore(Tables(s, d, "documents"))),
     "lang_id" -> ((s, d) => langId(Tables(s, d, "documents"))),
     // quality with the detected language's stopword model
@@ -404,6 +431,24 @@ object TextOps {
          |JOIN bd d ON d.doc_id = w.doc_id
          |WHERE w.pos <= len(m.adv) AND m.adv[w.pos] != -1
          |ORDER BY w.doc_id, token_idx""".stripMargin,
+
+    // per-source OOV telemetry: a consumed unit with advance 1 is the
+    // single-code-point fallback (learned pieces start at 2 chars)
+    "vocab_coverage" ->
+      s"""WITH RECURSIVE $bpeWalkCtes,
+         |oo AS (
+         |  SELECT w.doc_id,
+         |    sum(CASE WHEN m.adv[w.pos] = 1 THEN 1 ELSE 0 END) AS n_oov
+         |  FROM bwalk w JOIN bml m ON m.doc_id = w.doc_id
+         |  WHERE w.pos <= len(m.adv) AND m.adv[w.pos] != -1
+         |  GROUP BY w.doc_id)
+         |SELECT d.source, CAST(sum(b.n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(coalesce(o.n_oov, 0)) AS BIGINT) AS n_oov,
+         |  CAST(sum(coalesce(o.n_oov, 0)) AS DOUBLE)
+         |    / CAST(sum(b.n) AS DOUBLE) AS oov_rate
+         |FROM documents d JOIN bpe b ON b.doc_id = d.doc_id
+         |LEFT JOIN oo o ON o.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // tokenization + id assignment: ids are the 0-based rank of the
     // derived vocab by (count DESC, piece ASC) — the exact total order

@@ -73,6 +73,17 @@ class BpeSplitSpec extends SparkSpec {
     }
   }
 
+  test("vocabCoverage counts single-code-point fallbacks as OOV") {
+    val docs = Seq((1L, "ab ab zz", "s1"), (2L, "q", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.text.TextOps.vocabCoverage(docs, Seq("ab"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // s1: [ab][ab][z][z] -> 4 tokens, 2 OOV; s2: [q] -> 1 token, 1 OOV
+    assert(out("s1") === ((4L, 2L, 0.5)), out)
+    assert(out("s2") === ((1L, 1L, 1.0)), out)
+  }
+
   test("null text yields null; non-constant pieces rejected") {
     val r = Seq(Option.empty[String]).toDF("t")
       .select(call_function("bpe_split", $"t", lit("ab")))

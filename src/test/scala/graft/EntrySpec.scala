@@ -9,6 +9,16 @@ package graft
   * unsetting both confs on the shared session before the call. */
 class EntrySpec extends SparkSpec {
 
+  test("every registered query carries an oracle, and vice versa") {
+    // the CORRECTNESS gate hashes queries against oracleSql by name: a
+    // query without an oracle silently downgrades to a rows-only check,
+    // an oracle without a query never runs — both are registry bugs
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
+  }
+
   test("entry self-provisions its read confs and returns rows") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.session.timeZone", "America/Chicago")

@@ -45,12 +45,24 @@ object BpeVocab {
   val MinN = 2
   val MaxN = 4
 
+  /** Java/RE2 character class matching any supplementary-plane code
+    * point — the grams/pieces [[BpeTrie]]'s BMP-only require forbids.
+    * Shared (same spelling) by the engine filters and the DuckDB
+    * oracle fragments so the two vocabularies cannot diverge on a
+    * non-BMP corpus. */
+  private[text] val NonBmpRe = "[\\x{10000}-\\x{10FFFF}]"
+
   /** The deterministic vocabulary derivation: every positional
     * `MinN`..`MaxN`-char gram of the normalized text that contains no
-    * space (spaces are free separators in the walk), counted across the
-    * corpus, top `topK` by (count DESC, piece ASC). One narrow explode
-    * + one map-side-combined aggregate + a TakeOrdered — the training
-    * cost is a single corpus pass at any scale. */
+    * space (spaces are free separators in the walk) and no
+    * supplementary-plane code point (a surrogate-bearing piece would
+    * violate [[graft.functions.BpeTrie]]'s asserted BMP-only
+    * precondition and crash every plan built from the staged store —
+    * filtered HERE so the staged vocabulary can never violate the
+    * kernel's boundary assert), counted across the corpus, top `topK`
+    * by (count DESC, piece ASC). One narrow explode + one
+    * map-side-combined aggregate + a TakeOrdered — the training cost is
+    * a single corpus pass at any scale. */
   def train(docs: DataFrame, topK: Int = DefaultTopK): DataFrame =
     docs.select(norm(col("text")).as("s"))
       .select(col("s"),
@@ -60,6 +72,7 @@ object BpeVocab {
           |  i -> substring(s, i, n)),
           |  g -> length(g) = n AND NOT contains(g, ' '))""".stripMargin))
         .as("piece"))
+      .filter(!col("piece").rlike(NonBmpRe))
       .groupBy(col("piece"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("piece").asc)
@@ -127,6 +140,7 @@ object BpeVocab {
        |  SELECT piece, c FROM (
        |    SELECT g AS piece, count(*) AS c FROM vraw
        |    WHERE len(g) = n AND NOT contains(g, ' ')
+       |      AND NOT regexp_matches(g, '$NonBmpRe')
        |    GROUP BY g)
        |  ORDER BY c DESC, piece ASC LIMIT $DefaultTopK),
        |${(MinN to MaxN).map(n =>

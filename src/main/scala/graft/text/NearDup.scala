@@ -776,7 +776,10 @@ object NearDup {
     val keyed = chunkSigs64(docs, window, stride).select(
       when(assert_true(col("chunk_idx") < ChunkKeySpan,
         lit(s"chunkNearDupClusters: chunk_idx overflows the " +
-          s"$ChunkKeySpan-per-doc key span")).isNull,
+          s"$ChunkKeySpan-per-doc key span")).isNull &&
+        assert_true(col("doc_id") < (Long.MaxValue / ChunkKeySpan),
+          lit(s"chunkNearDupClusters: doc_id * $ChunkKeySpan overflows " +
+            "the composite long key")).isNull,
         col("doc_id") * ChunkKeySpan + col("chunk_idx")).as("doc_id"),
       col("simhash64").as("sig"))
     val pairs = bandedHammingPairs(keyed, nBands = 4, bandBits = 16,
@@ -817,23 +820,28 @@ object NearDup {
       s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
     def bc(df: DataFrame): DataFrame =
       if (broadcastIncoming) broadcast(df) else df
-    // corpus chunks pre-grouped by signature before banding — the
-    // simhashIncremental64BothSigs collapse (the verdict is
-    // signature-determined): duplicated windows band once, with their
-    // distinct-doc count carried alongside
-    val egrouped = esigs.groupBy(col("simhash64"))
-      .agg(count_distinct(col("doc_id")).as("n_ex"))
-      .select(col("simhash64").as("esig"), col("n_ex"))
+    // corpus chunks collapse to DISTINCT (signature, doc) pairs before
+    // banding. This is deliberately WEAKER than the doc-level judge's
+    // per-signature count collapse (simhashIncremental64BothSigs): at
+    // chunk granularity one corpus doc carries MANY distinct chunk
+    // signatures, and two different windows of the same doc can both
+    // sit within Hamming range of one incoming window — a per-signature
+    // doc-count sum would then count that doc twice, where n_dups is
+    // defined (and oracled) as DISTINCT corpus docs. Carrying the doc
+    // id through the band join keeps the count exact; identical windows
+    // WITHIN a doc (the common duplication mode) still band once via
+    // the distinct.
+    val egrouped = esigs
+      .select(col("simhash64").as("esig"), col("doc_id").as("ex_doc"))
+      .distinct()
     val ebands = explodeBands4(egrouped, "esig")
     val ibands = bc(explodeBands4(
       isigs.select(col("doc_id"), col("chunk_idx"),
         col("simhash64").as("isig")), "isig"))
     val dups = ebands.join(ibands, Seq("band", "bval"))
       .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
-      .groupBy(col("doc_id"), col("chunk_idx"), col("esig"))
-      .agg(max(col("n_ex")).as("n_ex"))
       .groupBy(col("doc_id"), col("chunk_idx"))
-      .agg(sum(col("n_ex")).as("nd"))
+      .agg(count_distinct(col("ex_doc")).as("nd"))
     isigs.select(col("doc_id"), col("chunk_idx"))
       .join(bc(dups), Seq("doc_id", "chunk_idx"), "left")
       .select(col("doc_id"), col("chunk_idx"),

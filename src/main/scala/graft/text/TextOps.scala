@@ -148,8 +148,11 @@ object TextOps {
       .groupBy(col("source"))
       .agg(sum(col("nt")).as("n_tokens"), sum(col("no")).as("n_oov"))
       .select(col("source"), col("n_tokens"), col("n_oov"),
-        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
-          .as("oov_rate"))
+        // a source whose docs all tokenize to zero units has no defined
+        // rate: NULL, not NaN (Spark 0.0/0.0 is NaN, DuckDB errors —
+        // the nullif guard is mirrored in the oracle)
+        (col("n_oov").cast("double") /
+          nullif(col("n_tokens").cast("double"), lit(0.0))).as("oov_rate"))
       .orderBy(col("source"))
   }
 
@@ -445,7 +448,7 @@ object TextOps {
          |SELECT d.source, CAST(sum(b.n) AS BIGINT) AS n_tokens,
          |  CAST(sum(coalesce(o.n_oov, 0)) AS BIGINT) AS n_oov,
          |  CAST(sum(coalesce(o.n_oov, 0)) AS DOUBLE)
-         |    / CAST(sum(b.n) AS DOUBLE) AS oov_rate
+         |    / nullif(CAST(sum(b.n) AS DOUBLE), 0) AS oov_rate
          |FROM documents d JOIN bpe b ON b.doc_id = d.doc_id
          |LEFT JOIN oo o ON o.doc_id = d.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,

@@ -773,4 +773,21 @@ class TextSpec extends SparkSpec {
       "edited window is near both corpus copies")
     assert(verdict(4L) === ((0, true)))
   }
+
+  test("chunk near judge counts DISTINCT corpus docs, not matching sigs") {
+    // ADVICE r12: one corpus doc carrying TWO distinct window signatures
+    // both within Hamming<=3 of the same incoming window counts ONCE —
+    // n_dups is distinct corpus docs (the oracle's count(DISTINCT
+    // ex_id)); a per-signature doc-count sum would count it twice.
+    // Synthetic signature frames pin the geometry exactly: 1L and 2L are
+    // both Hamming 1 from the incoming 0L and collide on bands 1..3.
+    val esigs = Seq((1L, 0, 1L), (1L, 1, 2L), (2L, 0, 4L))
+      .toDF("doc_id", "chunk_idx", "simhash64")
+    val isigs = Seq((100L, 0, 0L)).toDF("doc_id", "chunk_idx", "simhash64")
+    val out = NearDup.chunkDedupNearBothSigs(esigs, isigs).collect()
+    assert(out.length === 1)
+    assert(out.head.getInt(2) === 2,
+      "doc 1's two near windows count once; doc 2 counts once")
+    assert(!out.head.getBoolean(3))
+  }
 }

@@ -132,7 +132,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         if (children.length < 2)
           wrongNumArgs("bpe_count", "2 or more", children.length)
-        functions.BpeCount(children)
+        functions.BpeCount(children.head, children.tail, Nil)
       }))
     ext.injectFunction((
       FunctionIdentifier("bpe_split"),
@@ -141,7 +141,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         if (children.length < 2)
           wrongNumArgs("bpe_split", "2 or more", children.length)
-        functions.BpeSplit(children)
+        functions.BpeSplit(children.head, children.tail, Nil)
       }))
     ext.injectFunction((
       FunctionIdentifier("norm_text"),

@@ -9,11 +9,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Longest-prefix trie over a BPE merge vocabulary — built ONCE per
-  * plan from the (loaded, broadcast-as-literals) piece set, so the
-  * per-position match cost is O(longest match), independent of
-  * vocabulary size: the property a real 50k-merge tokenizer vocab
-  * needs, where the r11 linear scan degraded as O(|vocab|) per
-  * position.
+  * plan from the loaded piece set, so the per-position match cost is
+  * O(longest match), independent of vocabulary size: the property a
+  * real 50k-merge tokenizer vocab needs, where the r11 linear scan
+  * degraded as O(|vocab|) per position.
   *
   * Flat int-indexed nodes; `ends(node)` carries the length of the
   * piece ending at that node (0 = none), so the walk tracks the
@@ -79,9 +78,47 @@ final class BpeTrie(piecesIn: Array[String]) extends Serializable {
   }
 }
 
+/** The vocabulary-transport contract shared by [[BpeCount]] and
+  * [[BpeSplit]]: a kernel carries its merge vocabulary EITHER by
+  * reference (`vocabRef` — the Column-API path: the staged piece set
+  * rides the expression as ONE constructor value and reaches executors
+  * through `addReferenceObj`, so plan size, analysis, and
+  * `withNewChildrenInternal` are all O(1) in |V|) OR as constant
+  * string expression arguments (`vocabArgs` — the SQL surface
+  * `bpe_count(text, 'the', 'ing', ...)`, where the pieces are
+  * necessarily parse-tree children). Exactly one side is populated;
+  * both normalize through [[prep]] into the same deduped
+  * length-descending array the trie compiles from. */
+private[functions] object BpeKernelVocab {
+  def prep(pieces: Iterable[String]): Array[String] =
+    pieces.iterator.filter(_ != null).filter(_.nonEmpty)
+      .toArray.distinct.sortBy(p => (-p.length, p))
+
+  def check(prettyName: String, text: Expression,
+            vocabArgs: Seq[Expression],
+            vocabRef: Seq[String]): TypeCheckResult =
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string as first argument")
+    else if (vocabRef.nonEmpty && vocabArgs.nonEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes a vocabulary by reference OR as constant " +
+          "arguments, not both")
+    else if (vocabRef.isEmpty && (vocabArgs.isEmpty ||
+      !vocabArgs.forall(e => e.foldable && e.dataType == StringType)))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires one or more constant string vocab pieces")
+    else TypeCheckResult.TypeCheckSuccess
+
+  def resolve(vocabArgs: Seq[Expression],
+              vocabRef: Seq[String]): Array[String] =
+    if (vocabRef.nonEmpty) prep(vocabRef)
+    else prep(vocabArgs.iterator.map(_.eval(null)).filter(_ != null)
+      .map(_.toString).toSeq)
+}
+
 /** Greedy longest-match subword (BPE/WordPiece-style) token count
-  * against a merge vocabulary passed as constant string arguments:
-  * `bpe_count(text, 'the', 'ing', ...)`.
+  * against a merge vocabulary.
   *
   * Tokenization contract (mirrored exactly by the DuckDB oracle's
   * per-length membership walk): scan the normalized string left to
@@ -96,37 +133,40 @@ final class BpeTrie(piecesIn: Array[String]) extends Serializable {
   * packing by 2–4× on real text.
   *
   * The vocabulary is DATA: `graft.text.BpeVocab` trains and stages it
-  * from the corpus, and its pieces arrive here as foldable literals
-  * (one copy per plan — a broadcast), compiled once per plan into a
-  * longest-prefix [[BpeTrie]], so per-position cost is O(match
-  * length), not O(|vocab|). The scan is a generated tight loop, no
-  * per-row allocation beyond the one String decode. Null text → null.
-  * Registered by `GraftExtensions` as SQL function `bpe_count`.
-  */
-case class BpeCount(children: Seq[Expression]) extends Expression {
+  * from the corpus, and the Column builders (`TextOps.bpeCountCol`)
+  * hand the loaded pieces to this expression BY REFERENCE
+  * ([[BpeKernelVocab]] — `children` holds only the text, so plan size,
+  * analysis, and plan serialization are O(1) in |V|; a real 50k-merge
+  * vocab costs the plan nothing). The trie compiles once per plan and
+  * rides `addReferenceObj` to the generated code; per-position cost is
+  * O(match length), not O(|vocab|). The scan is a generated tight
+  * loop, no per-row allocation beyond the one String decode. Null
+  * text → null. Registered by `GraftExtensions` as SQL function
+  * `bpe_count(text, 'piece', ...)` (the constant-argument surface —
+  * SQL text is the one transport where pieces are parse-tree
+  * children by construction). */
+case class BpeCount(text: Expression, vocabArgs: Seq[Expression],
+                    vocabRef: Seq[String]) extends Expression {
 
-  private def text: Expression = children.head
+  override def children: Seq[Expression] = text +: vocabArgs
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (text.dataType != StringType)
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a string as first argument")
-    else if (children.tail.isEmpty ||
-      !children.tail.forall(e => e.foldable && e.dataType == StringType))
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires one or more constant string vocab pieces")
-    else TypeCheckResult.TypeCheckSuccess
+    BpeKernelVocab.check(prettyName, text, vocabArgs, vocabRef)
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = text.nullable
   override def prettyName: String = "bpe_count"
 
-  @transient private lazy val pieces: Array[String] =
-    children.tail.iterator.map(_.eval(null)).filter(_ != null)
-      .map(_.toString).filter(_.nonEmpty).toArray
-      .distinct.sortBy(p => (-p.length, p))
+  // the vocab never prints into plan strings: a 50k-piece by-reference
+  // vocabulary would otherwise make every explain() O(|V|) text. Arg
+  // COUNT only — resolving here would evaluate constant args while
+  // rendering unresolved/failing plans
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(text,
+      s"vocab[${if (vocabRef.nonEmpty) vocabRef.length else vocabArgs.length}]")
 
-  @transient private lazy val trie: BpeTrie = new BpeTrie(pieces)
+  @transient private lazy val trie: BpeTrie =
+    new BpeTrie(BpeKernelVocab.resolve(vocabArgs, vocabRef))
 
   override def eval(input: InternalRow): Any = {
     val t = text.eval(input)
@@ -154,7 +194,7 @@ case class BpeCount(children: Seq[Expression]) extends Expression {
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): BpeCount =
-    copy(children = newChildren)
+    copy(text = newChildren.head, vocabArgs = newChildren.tail)
 }
 
 object BpeCount {

@@ -11,14 +11,16 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** The greedy longest-match subword TOKENIZATION — [[BpeCount]]'s
   * sibling that emits the pieces themselves instead of their count:
-  * `bpe_split(text, 'the', 'ing', ...)` returns the ordered array of
-  * consumed subword units. Identical walk contract (space = free
-  * separator; longest vocabulary match consumes, single CODE POINT
-  * falls back), identical vocabulary discipline (constant pieces,
-  * compiled once per plan into the shared longest-prefix [[BpeTrie]],
-  * O(match length) per position), so for every input
-  * `size(bpe_split(s, v...)) == bpe_count(s, v...)` by construction
-  * — property-tested, and the DuckDB oracle replays the same advance
+  * the ordered array of consumed subword units. Identical walk
+  * contract (space = free separator; longest vocabulary match
+  * consumes, single CODE POINT falls back), identical vocabulary
+  * transport ([[BpeKernelVocab]]: the Column path carries the staged
+  * piece set BY REFERENCE — one constructor value, plan size O(1) in
+  * |V| — while the SQL surface `bpe_split(text, 'piece', ...)` keeps
+  * constant-argument pieces), and the shared longest-prefix
+  * [[BpeTrie]] compiled once per plan, so for every input
+  * `size(bpe_split(s, v)) == bpe_count(s, v)` by construction —
+  * property-tested, and the DuckDB oracle replays the same advance
   * walk emitting `substr` slices.
   *
   * This is the operator a training pipeline runs right before
@@ -27,30 +29,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * keeps downstream explode codegen tight). Null text → null.
   * Registered by `GraftExtensions` as SQL function `bpe_split`.
   */
-case class BpeSplit(children: Seq[Expression]) extends Expression {
+case class BpeSplit(text: Expression, vocabArgs: Seq[Expression],
+                    vocabRef: Seq[String]) extends Expression {
 
-  private def text: Expression = children.head
+  override def children: Seq[Expression] = text +: vocabArgs
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (text.dataType != StringType)
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a string as first argument")
-    else if (children.tail.isEmpty ||
-      !children.tail.forall(e => e.foldable && e.dataType == StringType))
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires one or more constant string vocab pieces")
-    else TypeCheckResult.TypeCheckSuccess
+    BpeKernelVocab.check(prettyName, text, vocabArgs, vocabRef)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = text.nullable
   override def prettyName: String = "bpe_split"
 
-  @transient private lazy val pieces: Array[String] =
-    children.tail.iterator.map(_.eval(null)).filter(_ != null)
-      .map(_.toString).filter(_.nonEmpty).toArray
-      .distinct.sortBy(p => (-p.length, p))
+  // vocab stays out of plan strings (arg count only, no evaluation) —
+  // see BpeCount.stringArgs
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(text,
+      s"vocab[${if (vocabRef.nonEmpty) vocabRef.length else vocabArgs.length}]")
 
-  @transient private lazy val trie: BpeTrie = new BpeTrie(pieces)
+  @transient private lazy val trie: BpeTrie =
+    new BpeTrie(BpeKernelVocab.resolve(vocabArgs, vocabRef))
 
   override def eval(input: InternalRow): Any = {
     val t = text.eval(input)
@@ -78,7 +76,7 @@ case class BpeSplit(children: Seq[Expression]) extends Expression {
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): BpeSplit =
-    copy(children = newChildren)
+    copy(text = newChildren.head, vocabArgs = newChildren.tail)
 }
 
 object BpeSplit {

@@ -91,11 +91,13 @@ object BpeVocab {
     spark.read.parquet(path)
 
   /** The fixture vocabulary as driver-side piece strings — what the
-    * `bpe_count` kernel's constant arguments carry (one copy per plan,
-    * i.e. a broadcast). The collect is a bounded DIMENSION read (topK
-    * rows — the tokenizer-vocab analog of a weight table), memoized per
-    * (session, dir); sorted so the plan bytes are deterministic (the
-    * kernel re-sorts by length internally). */
+    * `bpe_count`/`bpe_split` kernels carry BY REFERENCE (one
+    * constructor value per plan, O(1) plan size in |V| — r13; the SQL
+    * surface keeps constant-argument pieces). The collect is a bounded
+    * DIMENSION read (topK rows — the tokenizer-vocab analog of a
+    * weight table), memoized per (session, dir); sorted so the plan
+    * bytes are deterministic (the kernel re-sorts by length
+    * internally). */
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[String]]
 

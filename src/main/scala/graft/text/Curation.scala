@@ -318,7 +318,7 @@ object Curation {
                          window: Int = 48): DataFrame = {
     require(window > 0, s"chunkDocsBpeBudget: window must be positive, got $window")
     val costsCol = transform(col("toks"), t =>
-      call_function("bpe_count", t +: pieces.map(lit): _*))
+      TextOps.bpeCountRaw(t, pieces))
     // greedy fill over the cost stream: state (cum, idx, acc) — a token
     // that would overflow a NON-empty chunk starts the next one
     val assignCol = aggregate(
@@ -387,7 +387,7 @@ object Curation {
     require(window > 0 && stride > 0 && stride <= window,
       s"chunkDocsBpeOverlap: need 0 < stride <= window, got window=$window stride=$stride")
     val costsCol = transform(col("toks"), t =>
-      call_function("bpe_count", t +: pieces.map(lit): _*))
+      TextOps.bpeCountRaw(t, pieces))
     // pr[k] (1-indexed) = P_{k-1}; pr[1] = 0, pr[n+1] = P_n
     val prefixCol = aggregate(col("costs"),
       expr("CAST(array(0) AS ARRAY<BIGINT>)"),

@@ -86,19 +86,38 @@ object TextOps {
     * kernel (`functions/BpeCount.scala`): greedy longest-match against
     * the given merge vocabulary (a [[BpeVocab]] load — vocab is DATA,
     * staged per fixture, never a source constant) with single-char
-    * fallback, spaces free. The pieces travel as foldable literals (one
-    * copy per plan — a broadcast) and compile into a longest-prefix
-    * trie once per plan. One pass, whole-stage codegen — the counter
-    * [[Curation.packTokens]] accepts for tokenizer-faithful budget
-    * packing. */
+    * fallback, spaces free. The pieces travel BY REFERENCE — one
+    * constructor value on the expression, compiled once per plan into
+    * a longest-prefix trie that rides `addReferenceObj` to executors —
+    * so plan size, analysis, and plan serialization are O(1) in |V| (a
+    * 50k-merge production vocab costs the plan nothing; the r12 form
+    * carried |V| literal expression children). One pass, whole-stage
+    * codegen — the counter [[Curation.packTokens]] accepts for
+    * tokenizer-faithful budget packing. */
   def bpeCountCol(text: Column, pieces: Seq[String]): Column =
-    call_function("bpe_count", norm(text) +: pieces.map(lit): _*)
+    bpeCountRaw(norm(text), pieces)
+
+  /** [[bpeCountCol]] over an ALREADY-normalized (or per-token) string
+    * column — the entry the chunkers' per-token lambdas and
+    * pre-normalized projections use. */
+  private[text] def bpeCountRaw(s: Column, pieces: Seq[String]): Column =
+    exprCol(graft.functions.BpeCount(colExpr(s), Nil, pieces))
 
   /** The ordered subword pieces themselves (`bpe_split` — same walk,
-    * same staged vocabulary, same trie): what the model trains on
-    * after the counts have budgeted the packing. */
+    * same staged vocabulary, same trie, same by-reference vocabulary
+    * transport): what the model trains on after the counts have
+    * budgeted the packing. */
   def bpeSplitCol(text: Column, pieces: Seq[String]): Column =
-    call_function("bpe_split", norm(text) +: pieces.map(lit): _*)
+    exprCol(graft.functions.BpeSplit(colExpr(norm(text)), Nil, pieces))
+
+  // Column <-> Expression bridging for by-reference kernel construction
+  // (call_function can only pass expression children, which is exactly
+  // the O(|V|)-literals transport the by-reference form removes)
+  private def colExpr(c: Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+  private def exprCol(
+      e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
 
   /** Corpus TOKENIZATION — one (doc_id, token_idx, piece) row per
     * consumed subword unit, the flat frame a numericalization stage
@@ -166,8 +185,7 @@ object TextOps {
       .select(
         col("doc_id"),
         size(tokens(col("n"))).as("ws_tokens"),
-        call_function("bpe_count", col("n") +: pieces.map(lit): _*)
-          .as("bpe_tokens"))
+        bpeCountRaw(col("n"), pieces).as("bpe_tokens"))
 
   /** Quality scoring: length/avg-token-length/stopword-ratio features and
     * the composite `min(tokens/100, 1) · (1 − stopword_ratio)`. */

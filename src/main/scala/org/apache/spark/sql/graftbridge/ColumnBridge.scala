@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** The one Column ↔ Expression bridge the engine needs, re-exported
+  * from Spark's `private[sql]` `ExpressionUtils` (the standard
+  * extension-library idiom: a minimal shim object declared inside the
+  * `org.apache.spark.sql` namespace).
+  *
+  * Why it exists: by-reference kernel construction
+  * (`graft.functions.BpeCount(text, Nil, pieces)`) carries its
+  * vocabulary as a plain constructor value instead of literal
+  * expression children, which keeps plan size O(1) in |vocab| — but a
+  * raw Catalyst `Expression` can only enter the public DataFrame API
+  * through a Column, and in Spark 4 the Column ⇄ Expression conversion
+  * lives behind `private[sql]`. Everything else in the engine still
+  * goes through `call_function` / registered extensions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -119,6 +119,46 @@ class BpeCountSpec extends SparkSpec {
     assert(e.getMessage.contains("BMP-only"))
   }
 
+  test("by-reference vocab: plan size is O(1) in a >=10k-piece vocabulary") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the r12 form carried |V| literal expression children, so a real
+    // 50k-merge vocab made every BPE plan O(|V|) to analyze, serialize,
+    // and print; by-reference transport must keep all three flat
+    val rng = new scala.util.Random(7)
+    val alpha = "abcdef"
+    val vocab = (0 until 30000).map { _ =>
+      val len = 2 + rng.nextInt(5)
+      (0 until len).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    }.distinct
+    assert(vocab.length >= 10000, s"got ${vocab.length}")
+    val small = vocab.take(8)
+    def probe(ps: Seq[String]) = {
+      val df = Seq("abc def fedcba").toDF("text")
+        .select(graft.text.TextOps.bpeCountCol(col("text"), ps).as("n"),
+          size(graft.text.TextOps.bpeSplitCol(col("text"), ps)).as("m"))
+      val plan = df.queryExecution.analyzed
+      val nodes = plan.expressions.map(e => e.collect { case x => x }.size).sum
+      (df, nodes, plan.toString.length)
+    }
+    val (dfBig, nBig, sBig) = probe(vocab)
+    val (_, nSmall, sSmall) = probe(small)
+    assert(nBig === nSmall,
+      s"expression node count grew with |V|: $nSmall -> $nBig")
+    // stringArgs renders vocab[N]: a 5-digit count vs 1-digit is the
+    // only allowed delta
+    assert(sBig <= sSmall + 64,
+      s"plan string grew with |V|: $sSmall -> $sBig chars")
+    // and the by-reference kernel agrees with the naive linear model
+    // over the big vocab
+    val row = dfBig.head()
+    val sorted = BpeKernelVocab.prep(vocab)
+    val expect = BpeCount.countLinear(
+      UTF8String.fromString("abc def fedcba"), sorted)
+    assert(row.getInt(0) === expect)
+    assert(row.getInt(1) === row.getInt(0),
+      "split size must equal count under the same by-reference vocab")
+  }
+
   test("null text yields null; non-constant pieces rejected") {
     val r = spark.sql(
       "SELECT bpe_count(CAST(NULL AS STRING), 'ab') AS n").head()

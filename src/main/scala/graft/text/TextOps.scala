@@ -136,17 +136,30 @@ object TextOps {
     * on: [[tokenizeBpe]]'s walk-ordered pieces joined against the
     * staged vocabulary's deterministic ids ([[BpeVocab.idFrame]]).
     * Single-code-point fallback units are out-of-vocabulary by
-    * construction (learned pieces start at 2 chars) and carry the
-    * reserved id −1, the byte/char-fallback convention real tokenizers
-    * reserve fixed id ranges for. Scale shape: per-row codegen walk +
-    * generator explode, then ONE broadcast hash join against the
-    * topK-row vocab dimension — no shuffle at any size. */
+    * construction (learned pieces start at 2 chars) and map into the
+    * RESERVED ID RANGE above the vocabulary — id = |V| + code point —
+    * the byte/char-fallback convention real tokenizers use: distinct
+    * OOV units keep distinct ids, so the id stream reconstructs the
+    * text exactly (id < |V| → vocab piece; id ≥ |V| → the code point
+    * id − |V|; round-trip-tested), where a single collapsed sentinel
+    * (the r12 −1) could not. The code point derives portably as the
+    * UTF-32 encoding read as an integer (big-endian, no BOM — Spark
+    * has no codepoint builtin; the oracle's `unicode()` is the same
+    * number). Scale
+    * shape: per-row codegen walk + generator explode, then ONE
+    * broadcast hash join against the topK-row vocab dimension — no
+    * shuffle at any size. */
   def tokenIdsBpe(docs: DataFrame, vocab: DataFrame,
-                  pieces: Seq[String]): DataFrame =
+                  pieces: Seq[String]): DataFrame = {
+    val vocabSize = pieces.size
     tokenizeBpe(docs, pieces)
       .join(broadcast(BpeVocab.idFrame(vocab)), Seq("piece"), "left")
       .select(col("doc_id"), col("token_idx"), col("piece"),
-        coalesce(col("piece_id"), lit(-1)).cast("int").as("piece_id"))
+        coalesce(col("piece_id"),
+          lit(vocabSize) +
+            expr("cast(conv(hex(encode(piece, 'UTF-32')), 16, 10) as bigint)"))
+          .cast("int").as("piece_id"))
+  }
 
   /** Vocabulary COVERAGE telemetry — the retrain signal: per source,
     * how much of the token stream falls back to single-code-point OOV
@@ -474,7 +487,10 @@ object TextOps {
     // tokenization + id assignment: ids are the 0-based rank of the
     // derived vocab by (count DESC, piece ASC) — the exact total order
     // the training LIMIT cut on — and unmatched (single-code-point
-    // fallback) units coalesce to the reserved OOV id -1
+    // fallback) units map into the reserved range above the
+    // vocabulary: |V| + code point (DuckDB unicode() == the engine's
+    // UTF-32BE-derived code point), so OOV units stay distinguishable
+    // and the id stream reconstructs the text
     "token_ids_bpe" ->
       s"""WITH RECURSIVE $bpeWalkCtes,
          |vid AS (
@@ -483,7 +499,10 @@ object TextOps {
          |  FROM vb)
          |SELECT w.doc_id, CAST(w.cnt AS INTEGER) AS token_idx,
          |  substr(d.s, w.pos, m.adv[w.pos]) AS piece,
-         |  CAST(coalesce(v.piece_id, -1) AS INTEGER) AS piece_id
+         |  CAST(coalesce(v.piece_id,
+         |    (SELECT count(*) FROM vb)
+         |      + unicode(substr(d.s, w.pos, m.adv[w.pos])))
+         |    AS INTEGER) AS piece_id
          |FROM bwalk w
          |JOIN bml m ON m.doc_id = w.doc_id
          |JOIN bd d ON d.doc_id = w.doc_id

@@ -52,25 +52,58 @@ class BpeSplitSpec extends SparkSpec {
     assert(out.toSeq === Seq((7L, 0, "the"), (7L, 1, "th"), (7L, 2, "ing")))
   }
 
-  test("tokenIdsBpe assigns dense rank ids; fallback units get -1") {
+  test("tokenIdsBpe: dense rank ids; OOV units get |V| + codepoint") {
     val dir = "/root/testdata/sf0.001"
     val vocab = graft.text.BpeVocab.read(spark,
       graft.text.BpeVocab.fixtureStore(spark, dir))
+    val pieces = graft.text.BpeVocab.pieces(spark, dir)
     val idMap = graft.text.BpeVocab.idFrame(vocab).collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     // dense 0..K-1, unique
     assert(idMap.values.toSeq.sorted === (0 until idMap.size))
+    val v = pieces.size
+    assert(v === idMap.size)
     val out = graft.text.TextOps.tokenIdsBpe(
       graft.sources.Tables(spark, dir, "documents").limit(20),
-      vocab, graft.text.BpeVocab.pieces(spark, dir)).collect()
+      vocab, pieces).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val piece = r.getString(2)
       val id = r.getInt(3)
       if (piece.codePointCount(0, piece.length) == 1)
-        assert(id === -1, s"fallback unit '$piece' must be OOV")
+        assert(id === v + piece.codePointAt(0),
+          s"fallback unit '$piece' must map to |V| + codepoint")
       else assert(id === idMap(piece), s"id mismatch for '$piece'")
     }
+  }
+
+  test("token ids round-trip: ids -> pieces -> text modulo normalization") {
+    // the point of the reserved OOV range: the id stream alone (plus
+    // the vocab dimension) reconstructs the normalized text exactly —
+    // impossible under a collapsed -1 sentinel. Includes an
+    // astral-plane fallback (id = |V| + codepoint above 0xFFFF).
+    val docs = Seq((1L, "The thing  RING"), (2L, "ab 😀 zz"))
+      .toDF("doc_id", "text")
+    val pieces = Seq("the", "th", "ing", "zz")
+    val vocab = Seq(("the", 100L), ("th", 90L), ("ing", 80L), ("zz", 10L))
+      .toDF("piece", "n_occurrences")
+    val v = pieces.size
+    val byRank = graft.text.BpeVocab.idFrame(vocab).collect()
+      .map(r => r.getInt(1) -> r.getString(0)).toMap
+    val rows = graft.text.TextOps.tokenIdsBpe(docs, vocab, pieces)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    def decode(id: Int): String =
+      if (id < v) byRank(id)
+      else new String(Character.toChars(id - v))
+    rows.foreach { case (_, _, piece, id) =>
+      assert(decode(id) === piece, s"id $id must decode to '$piece'")
+    }
+    val rebuilt = rows.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(t => decode(t._4)).mkString).toMap
+    assert(rebuilt(1L) === "thethingring")
+    assert(rebuilt(2L) === "ab😀zz")
   }
 
   test("vocabCoverage counts single-code-point fallbacks as OOV") {

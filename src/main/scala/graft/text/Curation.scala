@@ -136,29 +136,61 @@ object Curation {
     * budget is dropped (with everything after it; the running total is
     * monotone), so the assembled mixture never exceeds totalBudget.
     *
-    * Scale shape: one per-row counter pass, one running-sum window per
-    * source (the corpus exchanges once on the source key, rows carry
-    * (doc_id, tag, n_tokens) — never text), and two broadcast
-    * dimension frames (weights, budgets). The per-source window sort
-    * parallelizes across sources; a corpus of FEW huge sources would
-    * swap in the [[packTokens]] two-phase prefix sum per source —
-    * same arithmetic, partition-local scan + offset broadcast. */
+    * Scale shape (r13): the per-source running sum is the TWO-PHASE
+    * distributed prefix sum [[packTokens]] pioneered, keyed per
+    * (source, partition) — range-partition the priced rows by
+    * (source, tag, doc_id) so each source's global order is preserved
+    * ACROSS partition boundaries, collect one (source, partition,
+    * token-sum) row per pair (metadata, not data: |sources| × P rows),
+    * cumulate the within-source exclusive offsets on the driver,
+    * broadcast them back, and finish with a partition-LOCAL window.
+    * The r12 form's `Window.partitionBy(source)` funneled a dominant
+    * source's every row through ONE task for the ordered sum — the
+    * exact skew 100 TB corpora have (one source is usually most of
+    * the data). Rows carry (doc_id, tag, n_tokens) — never text — and
+    * the two dimension frames (weights, budgets) broadcast. Output is
+    * hash-identical to the single-window form. */
   def mixTokenBudget(docs: DataFrame, weights: DataFrame,
                      totalBudget: Long,
                      counter: org.apache.spark.sql.Column =>
                        org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     val wsum = weights.agg(sum(col("w")).as("wsum"))
     val budgets = weights.crossJoin(broadcast(wsum))
       .select(col("source"),
         expr(s"$totalBudget * w DIV wsum").as("token_budget"))
     val tag = md5(concat(lit("b:"), col("doc_id").cast("string"))
       .cast("binary"))
-    docs.select(col("doc_id"), col("source"), tag.as("mix_tag"),
-      counter(col("text")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("mix_tag").asc, col("doc_id").asc)))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // eager localCheckpoint (the packTokens discipline): one pricing
+    // pass feeds both the per-partition sum collect and the final
+    // window join; the counter kernel runs exactly once per doc
+    val priced = docs.select(col("doc_id"), col("source"),
+      tag.as("mix_tag"), counter(col("text")).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col("source"), col("mix_tag"),
+        col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    // |sources| × P rows of metadata: each (source, partition)'s token
+    // sum, cumulated into that source's exclusive "tokens before this
+    // partition" offset
+    val sums = priced.groupBy(col("source"), col("pid"))
+      .agg(sum(col("n_tokens")).as("s"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val offsets = sums.foldLeft(
+      (List.empty[(String, Int, Long)], "", 0L)) {
+      case ((acc, prevSrc, running), (src, pid, s)) =>
+        val base = if (src == prevSrc) running else 0L
+        ((src, pid, base) :: acc, src, base + s)
+    }._1.reverse
+    val offDf = spark.createDataFrame(offsets).toDF("source", "pid", "offset")
+    val w = Window.partitionBy(col("source"), col("pid"))
+      .orderBy(col("mix_tag").asc, col("doc_id").asc)
+    priced.join(broadcast(offDf), Seq("source", "pid"))
+      .withColumn("cum_tokens",
+        col("offset") + sum(col("n_tokens")).over(w))
       .join(broadcast(budgets), "source")
       .filter(col("cum_tokens") <= col("token_budget"))
       .select(col("doc_id"), col("source"), col("n_tokens"),

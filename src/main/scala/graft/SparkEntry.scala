@@ -31,6 +31,7 @@ object SparkEntry {
       scanner.PairScan.queries ++
       ledger.Ledger.queries ++
       text.TextOps.queries ++
+      text.BpeMerges.queries ++
       text.NearDup.queries ++
       text.Curation.queries ++
       text.Boilerplate.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       scanner.PairScan.oracle ++
       ledger.Ledger.oracle ++
       text.TextOps.oracle ++
+      text.BpeMerges.oracle ++
       text.NearDup.oracle ++
       text.Curation.oracle ++
       text.Boilerplate.oracle ++

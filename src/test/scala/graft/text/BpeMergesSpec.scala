@@ -1,0 +1,102 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeMergesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive scalar reference for one merge application: the while-loop
+    * every published BPE implementation uses — consume (l, r) pairs
+    * left-to-right, non-overlapping. */
+  private def applyRef(toks: Seq[String], l: String,
+                       r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  test("applyMerge equals the while-loop reference on adversarial runs") {
+    val cases = Seq(
+      Seq("a", "a", "a"), // odd run: merge, leftover
+      Seq("a", "a", "a", "a"), // even run: two merges
+      Seq("b", "a", "a", "b", "a", "a", "a"), // runs split by b
+      Seq("a"), Seq.empty[String],
+      Seq("a", "b", "a", "a", "b", "b")) // mixed
+    val df = cases.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "toks")
+      .select(col("id"), BpeMerges.applyMerge(col("toks"), "a", "a")
+        .as("merged"))
+    val got = df.collect()
+      .map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) === applyRef(t, "a", "a"), s"case $i: $t")
+    }
+    // a (l, r) pair with distinct sides, including a merged-piece side
+    val df2 = Seq((0, Seq("ab", "c", "ab", "ab", "c")))
+      .toDF("id", "toks")
+      .select(BpeMerges.applyMerge(col("toks"), "ab", "c").as("m"))
+    assert(df2.head().getSeq[String](0) ===
+      applyRef(Seq("ab", "c", "ab", "ab", "c"), "ab", "c"))
+  }
+
+  test("train learns the hand-computed merge sequence") {
+    // corpus: "aa ab" x3, "ab b" x2 -> word dict {aa:3, ab:5, b:2}
+    // round 0 pairs: (a,a):3, (a,b):5 -> merge (a,b)->ab, count 5
+    // round 1 pairs: (a,a):3 -> merge (a,a)->aa, count 3
+    // round 2: no pairs left (all words single-token) -> early stop
+    val docs = (Seq.fill(3)("aa ab") ++ Seq.fill(2)("ab b"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = BpeMerges.train(docs, rounds = 5)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(merges === Array(
+      (0, "a", "b", "ab", 5L),
+      (1, "a", "a", "aa", 3L)))
+  }
+
+  test("argmax tie-break is (count DESC, left ASC, right ASC)") {
+    // "ab" and "ba"-ish pairs with equal counts: (a,b):2 and (b,a):2
+    // from "abab" -> pairs (a,b):2, (b,a):1 ... use two words instead
+    val docs = Seq((1L, "ab ab ba ba")).toDF("doc_id", "text")
+    // dict {ab:2, ba:2}: pairs (a,b):2, (b,a):2 -> tie, (a,b) wins
+    val m = BpeMerges.train(docs, rounds = 1).head()
+    assert((m.getString(1), m.getString(2)) === ("a", "b"))
+  }
+
+  test("learned pieces drive the trie kernel: count agrees with countLinear") {
+    val dir = "/root/testdata/sf0.001"
+    val pieces = BpeMerges.pieces(spark, dir)
+    assert(pieces.nonEmpty && pieces.forall(_.length >= 2))
+    val sorted = pieces.toArray.sortBy(p => (-p.length, p))
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(TextOps.norm(col("text")).as("s")).collect().map(_.getString(0))
+    val viaKernel = TextOps.tokenCountsBpe(
+      graft.sources.Tables(spark, dir, "documents"), pieces)
+      .orderBy("doc_id").collect().map(_.getInt(2))
+    val viaLinear = docs.map(s => graft.functions.BpeCount.countLinear(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), sorted))
+    assert(viaKernel.toSeq === viaLinear.toSeq)
+  }
+
+  test("merge table stages once and re-reads with stable ranks") {
+    val dir = "/root/testdata/sf0.001"
+    val p1 = BpeMerges.fixtureStore(spark, dir)
+    val p2 = BpeMerges.fixtureStore(spark, dir)
+    assert(p1 === p2)
+    val rows = BpeMerges.read(spark, p1).orderBy(col("rank")).collect()
+    assert(rows.length === BpeMerges.DefaultRounds)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) === i)
+      assert(r.getString(3) === r.getString(1) + r.getString(2))
+    }
+  }
+}

@@ -66,4 +66,21 @@ object ChunkSigStore {
     stagedCorpus(s"benchmark_v1_$dir",
       new java.io.File(dir, "documents.parquet"),
       Tables(s, dir, "documents").filter(col("doc_id") < 10))
+
+  /** Benchmark-REFRESH fixture splits for the retro-active sweep
+    * ([[NearDup.retroSweep]]): the BASE suite (doc_id < 5) the lane
+    * originally judged against, and the DELTA (5 ≤ doc_id < 10)
+    * arriving at refresh time — together exactly the decontamination
+    * convention's doc_id < 10 benchmark, so base-then-delta replays
+    * the full suite arriving in two installments. */
+  def fixtureBenchmarkBaseStore(s: SparkSession, dir: String): String =
+    stagedCorpus(s"benchmark_base_v1_$dir",
+      new java.io.File(dir, "documents.parquet"),
+      Tables(s, dir, "documents").filter(col("doc_id") < 5))
+
+  def fixtureBenchmarkDeltaStore(s: SparkSession, dir: String): String =
+    stagedCorpus(s"benchmark_delta_v1_$dir",
+      new java.io.File(dir, "documents.parquet"),
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") >= 5 && col("doc_id") < 10))
 }

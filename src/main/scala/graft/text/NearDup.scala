@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.sources.Tables
+import graft.sources.{Staging, Tables}
 import graft.text.TextOps.norm
 
 /** Near-duplicate detection over `documents` — the LSH family a
@@ -1203,6 +1203,107 @@ object NearDup {
     (chunkVerdict, docVerdict)
   }
 
+  /** RETRO-ACTIVE decontamination sweep — the benchmark-REFRESH
+    * lifecycle for the one store the system kept without one: when the
+    * benchmark suite gains a DELTA (a new eval set published after the
+    * corpus was curated), the already-persisted CURATED chunk store
+    * must be re-judged against the new material without rebuilding the
+    * corpus from raw text. The sweep signs the persisted windows once
+    * (a production deployment persists the 8-byte signature column
+    * alongside the chunks and skips even that), judges them against
+    * ONLY the delta's banded signatures, and emits
+    * (doc_id, chunk_idx) EXCISION verdicts plus per-doc re-verdicts
+    * whose combined contaminated fraction folds the ingest-time flags
+    * back in.
+    *
+    * Ingest-ledger recovery: the ingest-time flag count is not
+    * persisted per doc, but the store carries each kept doc's
+    * `doc_contaminated_frac` and its surviving chunk count, and
+    * frac = f/(f+s) inverts exactly — n_chunks = round(s/(1−frac)),
+    * f = n_chunks − s (exact for any doc under 2^26 windows; the
+    * DuckDB oracle uses the TRUE ingest counts, so the CORRECTNESS row
+    * certifies the recovery is bit-exact, not merely close).
+    *
+    * Equivalence contract (StreamingSpec asserts it on the lane):
+    * lane(base) + sweep(delta) ≡ rebuild(base ∪ delta) — the surviving
+    * window set and the dropped-doc set are identical, because a chunk
+    * survives either path iff it matches neither suite, ingest already
+    * excised the base-flagged chunks (so base+delta flags never double
+    * count), and combined-fraction drops subsume ingest drops
+    * (frac_combined ≥ frac_base).
+    *
+    * Scale shape: the refresh delta is the bounded side — its DISTINCT
+    * signatures (the signature-grouped judge discipline) band-explode
+    * and broadcast; the curated corpus streams through ONE broadcast
+    * hash join plus one (doc, chunk)-keyed aggregate over matches
+    * only. No corpus shuffle, no store rewrite — the emitted excision
+    * list is the delete-set a compaction applies. Runs at benchmark
+    * cadence (rare), not ingest cadence.
+    *
+    * Returns (excisions: flagged store windows with their distinct
+    * delta-signature match counts, docVerdict: every store doc's
+    * recovered ledger + combined fraction + keep verdict; a doc
+    * dropped at INGEST never reached the store and so appears in
+    * neither frame). */
+  def retroSweep(deltaSigs: DataFrame, cleanStore: DataFrame,
+                 maxHamming: Int = 3, maxFrac: Double = 0.5)
+  : (DataFrame, DataFrame) = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+    // eager: the signed store feeds the banded judge AND the per-doc
+    // ledger aggregate — unpinned, the store would re-sign per consumer
+    val sigs = cleanStore.select(col("doc_id"), col("chunk_idx"),
+        col("doc_contaminated_frac"),
+        simhash64Col(col("chunk_text")).as("isig"))
+      .localCheckpoint(true)
+    val dbands = broadcast(explodeBands4(
+      deltaSigs.select(col("simhash64").as("esig")).distinct(), "esig"))
+    // eager: matches feed the excision list and the per-doc new-flag
+    // count (tiny frame — flagged windows only)
+    val matches = explodeBands4(
+        sigs.select(col("doc_id"), col("chunk_idx"), col("isig")), "isig")
+      .join(dbands, Seq("band", "bval"))
+      .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count_distinct(col("esig")).as("nb"))
+      .localCheckpoint(true)
+    val excisions = matches.select(col("doc_id"), col("chunk_idx"),
+      col("nb").cast("int").as("n_delta_matches"))
+    val perDocNew = matches.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    val docVerdict = sigs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_store"),
+        max(col("doc_contaminated_frac")).as("frac0"))
+      .join(perDocNew, Seq("doc_id"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_chunks",
+        round(col("n_store").cast("double") / (lit(1.0) - col("frac0")))
+          .cast("int"))
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - col("n_store")).cast("int")
+          .as("n_flagged_ingest"),
+        col("n_new").cast("int").as("n_new_flags"),
+        ((col("n_chunks") - col("n_store") + col("n_new")).cast("double")
+          / col("n_chunks").cast("double")).as("doc_contaminated_frac"))
+      .withColumn("is_new", col("doc_contaminated_frac") <= maxFrac)
+    (excisions, docVerdict)
+  }
+
+  /** The staged CURATED-chunk store under the BASE benchmark — what the
+    * decontamination lane's output store holds at refresh time (corpus
+    * docs ≥ 10 judged against the base suite, [[ChunkSigStore
+    * .fixtureBenchmarkBaseStore]]); the retro fixture's starting
+    * state. */
+  private def fixtureRetroCleanStore(s: SparkSession, dir: String): String =
+    Staging.stage(s"decontam_clean_v1_$dir",
+      new java.io.File(dir, "documents.parquet")) { tmp =>
+      decontamBatch(
+        ChunkSigStore.read(s,
+          ChunkSigStore.fixtureBenchmarkBaseStore(s, dir)),
+        Tables(s, dir, "documents").filter(col("doc_id") >= 10))._1
+        .write.parquet(tmp)
+    }
+
   /** Connected components over the 64-bit SimHash near-dup graph —
     * [[dedupClusters]]' Hamming sibling: pairs within `maxHamming`
     * ([[simhashNearDup64]], banded, never all-pairs) become edges, the
@@ -1497,6 +1598,19 @@ object NearDup {
         ChunkSigStore.read(s, ChunkSigStore.fixtureBenchmarkStore(s, d)),
         Tables(s, d, "documents")
           .filter(col("doc_id") >= 10 && col("doc_id") % 10 >= 8))._1),
+    // the benchmark-REFRESH lifecycle: the persisted curated store
+    // (built under the BASE suite) re-judged against only the DELTA's
+    // signatures — per-doc re-verdicts with the recovered ingest
+    // ledger folded into the combined contaminated fraction
+    "decontam_retro" -> ((s, d) => retroSweep(
+      ChunkSigStore.read(s, ChunkSigStore.fixtureBenchmarkDeltaStore(s, d)),
+      s.read.parquet(fixtureRetroCleanStore(s, d)))._2.orderBy("doc_id")),
+    // the delete-set a store compaction applies: store windows within
+    // Hamming range of a delta signature
+    "decontam_retro_excisions" -> ((s, d) => retroSweep(
+      ChunkSigStore.read(s, ChunkSigStore.fixtureBenchmarkDeltaStore(s, d)),
+      s.read.parquet(fixtureRetroCleanStore(s, d)))._1
+      .orderBy("doc_id", "chunk_idx")),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
   // --- oracle -------------------------------------------------------------
@@ -1893,7 +2007,86 @@ object NearDup {
        |FROM isig i LEFT JOIN m
        |  ON m.doc_id = i.doc_id AND m.chunk_idx = i.chunk_idx""".stripMargin
 
+  /** The retro-sweep replay: chunk+sign the three fixture splits (base
+    * suite < 5, delta 5..9, corpus ≥ 10), reconstruct the curated
+    * store under the BASE judge (banded Hamming gate, ≤ 0.5-fraction
+    * doc keep, flagged-window excision — the decontam_lane_twin
+    * machinery on the base split), then judge the store against the
+    * DELTA's distinct banded signatures. The doc verdict uses the TRUE
+    * ingest counts (n_chunks, f0) where the engine recovers them from
+    * the persisted fraction — the row certifies the recovery exact. */
+  private lazy val retroCtes: String = {
+    def bands(src: String, sigAs: String, extra: String = "") =
+      (0 until 4).map(i =>
+        s"SELECT $extra$sigAs, $i AS band, ($sigAs >> ${16 * i}) & 65535 " +
+          s"AS bval FROM $src").mkString("\n  UNION ALL\n  ")
+    s"""rbsrc AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+       |rdsrc AS (SELECT doc_id, text FROM documents
+       |          WHERE doc_id >= 5 AND doc_id < 10),
+       |rcsrc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+       |${Curation.chunkCtesSql(32, 24, "rbsrc", "rbch")},
+       |${Curation.chunkCtesSql(32, 24, "rdsrc", "rdch")},
+       |${Curation.chunkCtesSql(32, 24, "rcsrc", "rcch")},
+       |rbsig AS (
+       |  ${chunkSigCteSql("rbch")}),
+       |rdsig AS (
+       |  ${chunkSigCteSql("rdch")}),
+       |rcsig AS MATERIALIZED (
+       |  ${chunkSigCteSql("rcch")}),
+       |rbs AS (SELECT DISTINCT sig AS bsig FROM rbsig),
+       |rbb AS (
+       |  ${bands("rbs", "bsig")}),
+       |rcb AS MATERIALIZED (
+       |  ${bands("rcsig", "sig", "doc_id, chunk_idx, ")}),
+       |rbm AS MATERIALIZED (
+       |  SELECT DISTINCT rcb.doc_id, rcb.chunk_idx
+       |  FROM rcb JOIN rbb ON rcb.band = rbb.band AND rcb.bval = rbb.bval
+       |  WHERE bit_count(xor(rcb.sig, rbb.bsig)) <= 3),
+       |rfrac AS MATERIALIZED (
+       |  SELECT c.doc_id, count(*) AS n_chunks,
+       |    sum(CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END) AS f0
+       |  FROM rcch c LEFT JOIN rbm m
+       |    ON m.doc_id = c.doc_id AND m.chunk_idx = c.chunk_idx
+       |  GROUP BY c.doc_id),
+       |rkept AS MATERIALIZED (
+       |  SELECT doc_id, n_chunks, f0 FROM rfrac
+       |  WHERE CAST(f0 AS DOUBLE) / CAST(n_chunks AS DOUBLE) <= 0.5),
+       |rstore AS MATERIALIZED (
+       |  SELECT s.doc_id, s.chunk_idx, s.sig
+       |  FROM rcsig s JOIN rkept k ON k.doc_id = s.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM rbm m
+       |    WHERE m.doc_id = s.doc_id AND m.chunk_idx = s.chunk_idx)),
+       |rds AS (SELECT DISTINCT sig AS dsig FROM rdsig),
+       |rdb AS (
+       |  ${bands("rds", "dsig")}),
+       |rsb AS (
+       |  ${bands("rstore", "sig", "doc_id, chunk_idx, ")}),
+       |rnm AS MATERIALIZED (
+       |  SELECT s.doc_id, s.chunk_idx, count(DISTINCT d.dsig) AS nb
+       |  FROM rsb s JOIN rdb d ON s.band = d.band AND s.bval = d.bval
+       |  WHERE bit_count(xor(s.sig, d.dsig)) <= 3
+       |  GROUP BY s.doc_id, s.chunk_idx)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "decontam_retro" ->
+      s"""WITH $retroCtes,
+         |rnn AS (SELECT doc_id, count(*) AS n_new FROM rnm GROUP BY doc_id)
+         |SELECT k.doc_id, CAST(k.n_chunks AS INTEGER) AS n_chunks,
+         |  CAST(k.f0 AS INTEGER) AS n_flagged_ingest,
+         |  CAST(coalesce(n.n_new, 0) AS INTEGER) AS n_new_flags,
+         |  CAST(k.f0 + coalesce(n.n_new, 0) AS DOUBLE)
+         |    / CAST(k.n_chunks AS DOUBLE) AS doc_contaminated_frac,
+         |  (CAST(k.f0 + coalesce(n.n_new, 0) AS DOUBLE)
+         |    / CAST(k.n_chunks AS DOUBLE)) <= 0.5 AS is_new
+         |FROM rkept k LEFT JOIN rnn n ON n.doc_id = k.doc_id
+         |ORDER BY k.doc_id""".stripMargin,
+
+    "decontam_retro_excisions" ->
+      s"""WITH $retroCtes
+         |SELECT doc_id, chunk_idx, CAST(nb AS INTEGER) AS n_delta_matches
+         |FROM rnm ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "chunk_dedup_near" -> chunkNearClustersOracle,
     "chunk_dedup_near_staged" -> chunkNearStagedOracle,
     "dedup_near_lsh" -> lshOracle(MaxBucket),

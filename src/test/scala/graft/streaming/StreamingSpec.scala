@@ -720,6 +720,68 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("retro sweep after a benchmark delta equals a rebuild from scratch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{ChunkSigStore, NearDup}
+    val mem = MemoryStream[Doc]
+    val work = Files.createTempDirectory("decontam_retro_").toString
+    val base = Seq((1L, "alpha bravo charlie delta")).toDF("doc_id", "text")
+    val delta = Seq((2L, "echo foxtrot golf hotel")).toDF("doc_id", "text")
+    val benchStore = s"$work/bench"
+    val cleanStore = s"$work/clean"
+    ChunkSigStore.appendSigs(benchStore,
+      NearDup.chunkSigs64(base, window = 4, stride = 2))
+    val q = StreamingLanes.decontamStoreLane(
+      mem.toDF().select(col("doc_id"), col("text")), benchStore, cleanStore,
+      window = 4, stride = 2)((_, _) => ()).start()
+    try {
+      // two installments through the LANE against the BASE suite only
+      mem.addData(
+        Doc(ts(10), 20L, "x1 x2 alpha bravo charlie delta y1 y2"), // base excision at ingest
+        Doc(ts(11), 21L, "p1 p2 echo foxtrot golf hotel q1 q2")) // delta leak, unseen at ingest
+      q.processAllAvailable()
+      mem.addData(
+        Doc(ts(20), 22L, "echo foxtrot golf hotel"), // IS the delta passage
+        Doc(ts(21), 23L, "clean tokens only right here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the refresh: judge the persisted store against ONLY the delta
+    val (exc, docV) = NearDup.retroSweep(
+      NearDup.chunkSigs64(delta, window = 4, stride = 2),
+      spark.read.parquet(cleanStore))
+    val excSet = exc.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"))).toSet
+    val verdicts = docV.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_new")).toMap
+    // doc 22 is wholly the delta passage: combined frac 1 -> dropped;
+    // doc 21 embeds it in one window: excise, keep the doc
+    assert(verdicts(22L) === false)
+    assert(verdicts(21L) === true && verdicts(23L) === true)
+    assert(excSet.exists(_._1 == 21L) && !excSet.exists(_._1 == 23L))
+    val dropped = verdicts.collect { case (id, false) => id }.toSet
+    val stored = spark.read.parquet(cleanStore)
+      .select("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val incremental = stored.filter(k => !excSet(k) && !dropped(k._1))
+    // rebuild from scratch against base UNION delta in one pass
+    val bothStore = s"$work/benchBoth"
+    ChunkSigStore.appendSigs(bothStore,
+      NearDup.chunkSigs64(base.unionAll(delta), window = 4, stride = 2))
+    val corpus = Seq(
+      (20L, "x1 x2 alpha bravo charlie delta y1 y2"),
+      (21L, "p1 p2 echo foxtrot golf hotel q1 q2"),
+      (22L, "echo foxtrot golf hotel"),
+      (23L, "clean tokens only right here")).toDF("doc_id", "text")
+    val rebuild = NearDup.decontamBatch(
+      ChunkSigStore.read(spark, bothStore), corpus,
+      window = 4, stride = 2)._1
+      .select("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(incremental === rebuild,
+      s"lane+sweep $incremental must equal rebuild $rebuild")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("decontam lane killed and resumed mid-stream matches a single run") {
     import graft.text.ChunkSigStore
     val work = Files.createTempDirectory("decontam_restart_").toString

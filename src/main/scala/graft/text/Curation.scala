@@ -758,6 +758,15 @@ object Curation {
     // corpus-relative quality floor (drop the worst decile)
     "quality_quantile_gate" -> ((s, d) =>
       qualityQuantileGate(Tables(s, d, "documents"))),
+    // the percentile -> percentile_approx parity probe: both floors
+    // from the same QualityStore scan, divergence + admission flips
+    // over the full corpus (the % 10 split's sources are disjoint by
+    // fixture construction, so the learned-floor population IS the
+    // probe population; never-seen sources drop out of the inner join
+    // exactly as they bypass the gate)
+    "quality_floor_approx" -> ((s, d) => QualityStore.floorParityProbe(
+      QualityStore.read(s, QualityStore.fixtureCorpusStore(s, d)),
+      Tables(s, d, "documents"))),
     // one floor per source (drop each source's worst decile)
     "quality_gate_by_source" -> ((s, d) =>
       qualityQuantileGateBySource(Tables(s, d, "documents"))),
@@ -1129,6 +1138,40 @@ object Curation {
     "curation_lane_decontam_twin" -> curationLaneDecontamTwinOracle,
     "chunk_docs_bpe" -> chunkDocsBpeOracle,
     "chunk_docs_bpe_overlap" -> chunkDocsBpeOverlapOracle,
+    // the sketch floor's determinism contract: in the exact regime the
+    // GK summary answers the order statistic at 1-based rank
+    // ceil(p * n) — replayed with the IDENTICAL IEEE product (0.1 * n
+    // rounds the same way in both engines), the exact side via
+    // quantile_cont as everywhere else
+    "quality_floor_approx" ->
+      s"""WITH qs AS (
+         |  SELECT source, ${TextOps.qualityExprSql} AS quality
+         |  FROM documents WHERE doc_id % 10 < 8),
+         |ex AS (SELECT source, quantile_cont(quality, 0.1) AS q_thr_exact
+         |       FROM qs GROUP BY source),
+         |ap AS (SELECT source,
+         |         list_sort(list(quality))[CAST(ceil(0.1 * count(*))
+         |           AS BIGINT)] AS q_thr_approx
+         |       FROM qs GROUP BY source),
+         |qb AS (
+         |  SELECT source, ${TextOps.qualityExprSql} AS quality
+         |  FROM documents)
+         |SELECT b.source, ex.q_thr_exact, ap.q_thr_approx,
+         |  ap.q_thr_approx - ex.q_thr_exact AS thr_divergence,
+         |  count(*) AS n_batch,
+         |  CAST(sum(CASE WHEN b.quality >= ex.q_thr_exact
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admit_exact,
+         |  CAST(sum(CASE WHEN b.quality >= ap.q_thr_approx
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admit_approx,
+         |  CAST(sum(CASE WHEN (b.quality >= ex.q_thr_exact)
+         |    != (b.quality >= ap.q_thr_approx)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admission_flips
+         |FROM qb b
+         |JOIN ex ON ex.source = b.source
+         |JOIN ap ON ap.source = b.source
+         |GROUP BY b.source, ex.q_thr_exact, ap.q_thr_approx
+         |ORDER BY b.source""".stripMargin,
+
     // corpus-relative floor: quantile_cont shares Spark exact
     // percentile's linear interpolation, so the one-row threshold and
     // the boundary membership replay bit-exactly

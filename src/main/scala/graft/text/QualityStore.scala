@@ -69,6 +69,63 @@ object QualityStore {
     qualities.groupBy(col("source"))
       .agg(expr(s"percentile(quality, $p)").as("q_thr"))
 
+  /** Sketch-backed per-source floors — the 100 TB production form the
+    * header paragraph promised and r13 measures: `percentile_approx`
+    * over the SAME store scan, a fixed-size mergeable Greenwald-Khanna
+    * summary per source (map-side partials merge, so the aggregate
+    * never holds a source's values — the property the exact percentile
+    * lacks at corpus scale). Same plan shape as [[floors]]: one tiny
+    * aggregate → a |sources|-row broadcast.
+    *
+    * Determinism contract: while each source's stored count stays
+    * under `accuracy`, the GK summary retains every value exactly
+    * (merge threshold 2·count/accuracy < 2 can never absorb a sample)
+    * and the query returns the order statistic at 1-based rank
+    * ceil(p·n) — which the DuckDB oracle replays with the SAME IEEE
+    * arithmetic (`ceil(p * count)` computes identically in both
+    * engines, including the p·n float-boundary cases). Past the exact
+    * regime the answer is within ±count/accuracy ranks; the
+    * [[floorParityProbe]] telemetry measures what that does to
+    * admissions. */
+  def floorsApprox(qualities: DataFrame, p: Double,
+                   accuracy: Int = 10000): DataFrame =
+    qualities.groupBy(col("source"))
+      .agg(expr(s"percentile_approx(quality, $p, $accuracy)")
+        .as("q_thr_approx"))
+
+  /** Exact-vs-approx floor PARITY PROBE — the telemetry frame that
+    * prices the `percentile` → `percentile_approx` swap (the
+    * recall-sweep precedent applied to the quality stage): per source,
+    * both floors from the SAME store scan, their divergence, and what
+    * the divergence does where it matters — the admission decisions on
+    * a batch (`n_admission_flips` = batch docs the two floors
+    * disagree on). Run at retrain cadence, not per batch; a batch
+    * source the store has never seen has no floor on either side and
+    * drops out (the gate keeps such docs unconditionally — there is
+    * nothing to compare). */
+  def floorParityProbe(store: DataFrame, batch: DataFrame,
+                       p: Double = 0.1, accuracy: Int = 10000): DataFrame = {
+    val ex = floors(store, p).withColumnRenamed("q_thr", "q_thr_exact")
+    val ap = floorsApprox(store, p, accuracy)
+    qualityFrame(batch)
+      .join(broadcast(ex), Seq("source"))
+      .join(broadcast(ap), Seq("source"))
+      .groupBy(col("source"), col("q_thr_exact"), col("q_thr_approx"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("quality") >= col("q_thr_exact"), 1L).otherwise(0L))
+          .as("n_admit_exact"),
+        sum(when(col("quality") >= col("q_thr_approx"), 1L).otherwise(0L))
+          .as("n_admit_approx"),
+        sum(when((col("quality") >= col("q_thr_exact")) =!=
+          (col("quality") >= col("q_thr_approx")), 1L).otherwise(0L))
+          .as("n_admission_flips"))
+      .select(col("source"), col("q_thr_exact"), col("q_thr_approx"),
+        (col("q_thr_approx") - col("q_thr_exact")).as("thr_divergence"),
+        col("n_batch"), col("n_admit_exact"), col("n_admit_approx"),
+        col("n_admission_flips"))
+      .orderBy(col("source"))
+  }
+
   /** The staged store for the fixture's accumulated-corpus convention
     * (doc_id % 10 < 8, matching the incremental query family). */
   def fixtureCorpusStore(s: SparkSession, dir: String): String =

@@ -68,6 +68,35 @@ class CurationSpec extends SparkSpec {
       s"window must be keyed per (source, partition), got: $l"))
   }
 
+  test("approx floor is the rank-ceil order statistic in the exact regime") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val store = QualityStore.read(spark,
+      QualityStore.fixtureCorpusStore(spark, dir))
+    val ap = QualityStore.floorsApprox(store, 0.1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // independent scalar model: sorted qualities, 1-based rank
+    // ceil(0.1 * n) with the same double product
+    val bySource = store.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("quality")))
+      .groupBy(_._1).map { case (s, rows) =>
+        val sorted = rows.map(_._2).sorted
+        s -> sorted(math.ceil(0.1 * sorted.length).toInt - 1)
+      }
+    assert(ap === bySource)
+    // the probe's flip count is the one-sided admission delta (a lower
+    // approx floor admits a superset; a higher one a subset)
+    val probe = QualityStore.floorParityProbe(store,
+      graft.sources.Tables(spark, dir, "documents")).collect()
+    assert(probe.nonEmpty)
+    probe.foreach { r =>
+      val (ne, na, fl) = (r.getAs[Long]("n_admit_exact"),
+        r.getAs[Long]("n_admit_approx"), r.getAs[Long]("n_admission_flips"))
+      assert(fl === math.abs(na - ne), r.toString)
+      assert(r.getAs[Long]("n_batch") >= math.max(na, ne))
+    }
+  }
+
   test("decontamination flags docs sharing a 5-shingle with the benchmark") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // benchmark

@@ -215,6 +215,10 @@ object StreamBench {
     val curSigStore = s"$work/cur_sig_store"
     SimHashStore.appendBatch(curSigStore, corpus)
     val curStats = scala.collection.mutable.ArrayBuffer[String]()
+    // per-batch per-source OOV telemetry (the tokenizer retrain
+    // signal on the ingest path) against the staged fixture vocab
+    val curOov = scala.collection.mutable.ArrayBuffer[String]()
+    val curVocab = graft.text.BpeVocab.pieces(spark, sfDir)
     laneProbe("curation_lane", s"$work/cur_in",
       spark.read.parquet(s"$work/cur_in").schema, inRows)(st =>
       StreamingLanes.curationStoreLane(st, curSigStore, s"$work/cur_chunks",
@@ -222,10 +226,18 @@ object StreamBench {
           (s"""{"lane":"${r.getString(0)}","batch_id":${r.getLong(1)},""" +
             s""""n_in":${r.getLong(2)},"n_admitted":${r.getLong(3)},""" +
             s""""n_rejected":${r.getLong(4)},"compacted":${r.getBoolean(5)},""" +
-            s""""n_intra_batch":${r.getLong(6)}}"""))) {
+            s""""n_intra_batch":${r.getLong(6)}}""")),
+        vocabPieces = curVocab,
+        onOovStats = (df, _) => df.collect().foreach(r => curOov +=
+          (s"""{"batch_id":${r.getLong(1)},"source":"${r.getString(2)}",""" +
+            s""""n_tokens":${r.getLong(3)},"n_oov":${r.getLong(4)},""" +
+            s""""oov_rate":${if (r.isNullAt(5)) "null"
+            else r.getDouble(5).toString}}"""))) {
         (_, _) => laneBatches += 1 })
     println(
       s"""{"metric":"stream_curation_stats","rows":[${curStats.mkString(",")}]}""")
+    println(
+      s"""{"metric":"stream_curation_oov","rows":[${curOov.mkString(",")}]}""")
     }
 
     // FULL-pipeline curation lane: decontam gate + judge + intra-batch

@@ -504,7 +504,19 @@ object StreamingLanes {
     * mutate listings) and the same at-least-once caveat: a replayed
     * batch re-appends — duplicate signature/quality rows are harmless,
     * duplicate chunk rows carry their (doc_id, chunk_idx) key and
-    * compact away. */
+    * compact away.
+    *
+    * `vocabPieces` + `onOovStats` (optional, r13) put the tokenizer
+    * RETRAIN SIGNAL on the ingest path: per micro-batch, the
+    * per-source vocabulary-coverage frame
+    * ([[graft.text.TextOps.vocabCoverage]] — `oov_rate` = the fraction
+    * of the source's subword stream falling back to single-code-point
+    * units) over the ARRIVING docs, tagged (lane, batch_id). Arrivals,
+    * not survivors, deliberately: a drifting domain should alert
+    * BEFORE the quality and dedup gates strip it from the admitted
+    * set. One extra narrow per-row walk over the batch, only when the
+    * telemetry is enabled; the offline sweep (`vocab_coverage`) stays
+    * the certified batch form. */
   def curationStoreLane(docs: DataFrame, sigStorePath: String,
                         chunkStorePath: String, maxHamming: Int = 3,
                         p: Double = 0.1, window: Int = 32,
@@ -513,7 +525,9 @@ object StreamingLanes {
                         qualityStorePath: String = null,
                         benchStorePath: String = null,
                         maxFrac: Double = 0.5,
-                        onStats: (DataFrame, Long) => Unit = null)
+                        onStats: (DataFrame, Long) => Unit = null,
+                        vocabPieces: Seq[String] = null,
+                        onOovStats: (DataFrame, Long) => Unit = null)
                        (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -588,6 +602,11 @@ object StreamingLanes {
           .toDF("lane", "batch_id", "n_in", "n_admitted", "n_rejected",
             "compacted", "n_intra_batch"), batchId)
       }
+      if (onOovStats != null && vocabPieces != null)
+        onOovStats(graft.text.TextOps.vocabCoverage(batch, vocabPieces)
+          .select(lit("curation_store").as("lane"),
+            lit(batchId).as("batch_id"), col("source"), col("n_tokens"),
+            col("n_oov"), col("oov_rate")), batchId)
       process(curated, batchId)
       ()
     }

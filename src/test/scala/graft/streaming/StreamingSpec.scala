@@ -841,6 +841,55 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("curation lane surfaces per-source OOV drift in its stats stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.SimHashStore
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("curation_oov_").toString
+    val sigStore = s"$work/sigs"
+    val chunkStore = s"$work/chunks"
+    SimHashStore.appendBatch(sigStore,
+      Seq((100L, "zz zz")).toDF("doc_id", "text"))
+    // vocab learned on an 'aa'-shaped domain: every in-domain doc
+    // tokenizes to 2-char pieces, a drifted domain falls back to
+    // single-code-point units
+    val oov = scala.collection.mutable.ArrayBuffer[
+      (String, Long, String, Long, Long, Double)]()
+    val q = StreamingLanes.curationStoreLane(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      sigStore, chunkStore, window = 4, stride = 2,
+      vocabPieces = Seq("aa", "bb"),
+      onOovStats = (df, _) => df.collect().foreach(r => oov +=
+        ((r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))))(
+      (_, _) => ()).start()
+    try {
+      // batch 0: fully in-vocabulary arrivals from both sources
+      mem.addData(
+        CurDoc(ts(10), 200L, "aa bb aa bb aa", "s1"),
+        CurDoc(ts(11), 201L, "bb aa bb", "s2"))
+      q.processAllAvailable()
+      // batch 1: s2 drifts to an unseen domain (s1 stays in-domain)
+      mem.addData(
+        CurDoc(ts(20), 202L, "aa aa bb", "s1"),
+        CurDoc(ts(21), 203L, "qq rr ss tt qq rr", "s2"))
+      q.processAllAvailable()
+      val bySrc = oov.map(r => (r._2, r._3) -> r._6).toMap
+      assert(oov.forall(_._1 == "curation_store"))
+      assert(bySrc((0L, "s1")) === 0.0 && bySrc((0L, "s2")) === 0.0)
+      assert(bySrc((1L, "s1")) === 0.0)
+      // the retrain signal: s2's entire subword stream is now fallback
+      assert(bySrc((1L, "s2")) === 1.0,
+        s"drifted source must alert: $oov")
+      // telemetry covers ARRIVALS: counts reflect the raw batch docs
+      val s2b1 = oov.find(r => r._2 == 1L && r._3 == "s2").get
+      assert(s2b1._4 === 12L && s2b1._5 === 12L) // 6 words x 2 units
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   test("curation lane gated compaction fires and preserves both stores") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.SimHashStore

@@ -138,18 +138,25 @@ object Curation {
     *
     * Scale shape (r13): the per-source running sum is the TWO-PHASE
     * distributed prefix sum [[packTokens]] pioneered, keyed per
-    * (source, partition) — range-partition the priced rows by
-    * (source, tag, doc_id) so each source's global order is preserved
-    * ACROSS partition boundaries, collect one (source, partition,
-    * token-sum) row per pair (metadata, not data: |sources| × P rows),
-    * cumulate the within-source exclusive offsets on the driver,
-    * broadcast them back, and finish with a partition-LOCAL window.
-    * The r12 form's `Window.partitionBy(source)` funneled a dominant
-    * source's every row through ONE task for the ordered sum — the
-    * exact skew 100 TB corpora have (one source is usually most of
-    * the data). Rows carry (doc_id, tag, n_tokens) — never text — and
-    * the two dimension frames (weights, budgets) broadcast. Output is
-    * hash-identical to the single-window form. */
+    * (source, BUCKET) where the bucket is the first two hex chars of
+    * the doc's md5 selection tag. The bucket is a PREFIX of the order
+    * key, so (bucket, tag) ordering IS tag ordering — each source's
+    * global md5 order is preserved across bucket boundaries with no
+    * range-partitioner sampling pass and no partition-id capture
+    * (both deterministic-output hazards the first r13 cut paid a
+    * checkpoint to pin). Phase 1 collects one (source, bucket,
+    * token-sum) row per pair — metadata, not data: |sources| × 256
+    * rows — and cumulates the within-source exclusive offsets on the
+    * driver; phase 2 adds the broadcast offset to a (source, bucket)-
+    * keyed window. The r12 form's `Window.partitionBy(source)`
+    * funneled a dominant source's every row through ONE task for the
+    * ordered sum — the exact skew 100 TB corpora have (one source is
+    * usually most of the data); md5 uniformity spreads each source
+    * over 256 balanced buckets instead. Rows carry (doc_id, tag,
+    * n_tokens) — never text — and the priced frame is eagerly pinned
+    * so the counter kernel prices each doc exactly once across the
+    * two phases. Output is hash-identical to the single-window
+    * form. */
   def mixTokenBudget(docs: DataFrame, weights: DataFrame,
                      totalBudget: Long,
                      counter: org.apache.spark.sql.Column =>
@@ -162,33 +169,31 @@ object Curation {
         expr(s"$totalBudget * w DIV wsum").as("token_budget"))
     val tag = md5(concat(lit("b:"), col("doc_id").cast("string"))
       .cast("binary"))
-    val parts = spark.sessionState.conf.numShufflePartitions
     // eager localCheckpoint (the packTokens discipline): one pricing
-    // pass feeds both the per-partition sum collect and the final
-    // window join; the counter kernel runs exactly once per doc
+    // pass feeds both the bucket-sum collect and the final window join
     val priced = docs.select(col("doc_id"), col("source"),
       tag.as("mix_tag"), counter(col("text")).cast("long").as("n_tokens"))
-      .repartitionByRange(parts, col("source"), col("mix_tag"),
-        col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("bucket",
+        conv(substring(col("mix_tag"), 1, 2), 16, 10).cast("int"))
       .localCheckpoint(true)
-    // |sources| × P rows of metadata: each (source, partition)'s token
+    // |sources| × 256 rows of metadata: each (source, bucket)'s token
     // sum, cumulated into that source's exclusive "tokens before this
-    // partition" offset
-    val sums = priced.groupBy(col("source"), col("pid"))
+    // bucket" offset
+    val sums = priced.groupBy(col("source"), col("bucket"))
       .agg(sum(col("n_tokens")).as("s"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2))
     val offsets = sums.foldLeft(
       (List.empty[(String, Int, Long)], "", 0L)) {
-      case ((acc, prevSrc, running), (src, pid, s)) =>
+      case ((acc, prevSrc, running), (src, bucket, s)) =>
         val base = if (src == prevSrc) running else 0L
-        ((src, pid, base) :: acc, src, base + s)
+        ((src, bucket, base) :: acc, src, base + s)
     }._1.reverse
-    val offDf = spark.createDataFrame(offsets).toDF("source", "pid", "offset")
-    val w = Window.partitionBy(col("source"), col("pid"))
+    val offDf = spark.createDataFrame(offsets)
+      .toDF("source", "bucket", "offset")
+    val w = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(col("mix_tag").asc, col("doc_id").asc)
-    priced.join(broadcast(offDf), Seq("source", "pid"))
+    priced.join(broadcast(offDf), Seq("source", "bucket"))
       .withColumn("cum_tokens",
         col("offset") + sum(col("n_tokens")).over(w))
       .join(broadcast(budgets), "source")

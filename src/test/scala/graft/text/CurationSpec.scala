@@ -57,15 +57,16 @@ class CurationSpec extends SparkSpec {
   test("mix_token_budget: no source-global window funnels the data path") {
     // the r12 form's Window.partitionBy(source) sent a dominant
     // source's every row through ONE task; the two-phase prefix sum
-    // must leave only (source, pid)-keyed windows in the executed plan
+    // must leave only (source, bucket)-keyed windows in the executed
+    // plan
     val df = graft.SparkEntry.queries("mix_token_budget")(
       spark, "/root/testdata/sf0.001")
     val tree = df.queryExecution.executedPlan.toString
     val windowLines = tree.linesIterator.filter(_.contains("Window ")).toSeq
     assert(windowLines.nonEmpty,
       "expected the partition-local running-sum window")
-    windowLines.foreach(l => assert(l.contains("pid"),
-      s"window must be keyed per (source, partition), got: $l"))
+    windowLines.foreach(l => assert(l.contains("bucket"),
+      s"window must be keyed per (source, bucket), got: $l"))
   }
 
   test("approx floor is the rank-ceil order statistic in the exact regime") {

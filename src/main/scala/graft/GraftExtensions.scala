@@ -152,6 +152,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.NormText(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("first_codepoint"),
+      info(classOf[functions.FirstCodePoint].getName,
+        "first_codepoint",
+        "first_codepoint(s) - Unicode code point of the first character (-1 on empty, the DuckDB unicode() convention)"),
+      (children: Seq[Expression]) => {
+        checkArity("first_codepoint", 1, children)
+        functions.FirstCodePoint(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kalshi_max_cents"),
       info(classOf[functions.KalshiExtremeCents].getName,
         "kalshi_max_cents",

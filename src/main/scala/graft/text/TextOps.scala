@@ -142,10 +142,14 @@ object TextOps {
     * OOV units keep distinct ids, so the id stream reconstructs the
     * text exactly (id < |V| → vocab piece; id ≥ |V| → the code point
     * id − |V|; round-trip-tested), where a single collapsed sentinel
-    * (the r12 −1) could not. The code point derives portably as the
-    * UTF-32 encoding read as an integer (big-endian, no BOM — Spark
-    * has no codepoint builtin; the oracle's `unicode()` is the same
-    * number). Scale
+    * (the r12 −1) could not. The code point derives from the native
+    * `first_codepoint` kernel (`functions/FirstCodePoint.scala` — one
+    * UTF-8 byte decode, no allocation; the r13.0 spelling
+    * `conv(hex(encode(piece, 'UTF-32')), 16, 10)` built an encoder, a
+    * buffer, a hex string, and a base-16 parse per OOV token and
+    * showed up 2.7× on the 10× lap; the oracle's `unicode()` is the
+    * same number). Evaluated only on the coalesce's null branch — per
+    * OOV token, not per token. Scale
     * shape: per-row codegen walk + generator explode, then ONE
     * broadcast hash join against the topK-row vocab dimension — no
     * shuffle at any size. */
@@ -156,8 +160,7 @@ object TextOps {
       .join(broadcast(BpeVocab.idFrame(vocab)), Seq("piece"), "left")
       .select(col("doc_id"), col("token_idx"), col("piece"),
         coalesce(col("piece_id"),
-          lit(vocabSize) +
-            expr("cast(conv(hex(encode(piece, 'UTF-32')), 16, 10) as bigint)"))
+          lit(vocabSize) + call_function("first_codepoint", col("piece")))
           .cast("int").as("piece_id"))
   }
 

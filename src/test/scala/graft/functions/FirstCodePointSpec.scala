@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class FirstCodePointSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches String.codePointAt across ASCII, BMP, and astral planes") {
+    val cases = Seq("a", "z9", "é", "€uro", "你好", "߿", "￿",
+      "𝔘nicode", new String(Character.toChars(0x10FFFF)), " lead", "\tq")
+    cases.foreach { s =>
+      assert(FirstCodePoint.firstCodePoint(UTF8String.fromString(s)) ===
+        s.codePointAt(0), s"input: ${s.map(_.toInt)}")
+    }
+  }
+
+  test("empty string is -1 (the DuckDB unicode() convention); null is null") {
+    assert(FirstCodePoint.firstCodePoint(UTF8String.fromString("")) === -1)
+    val out = Seq(("x"), (""), (null: String)).toDF("s")
+      .select(call_function("first_codepoint", col("s"))).collect()
+    assert(out(0).getInt(0) === 'x'.toInt)
+    assert(out(1).getInt(0) === -1)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("property: agrees with codePointAt on 10k seeded random strings") {
+    val rnd = new scala.util.Random(13)
+    (1 to 10000).foreach { _ =>
+      // a random code point across all planes (skipping the surrogate
+      // range, which cannot lead a well-formed string), plus a tail
+      val cp = Iterator.continually(rnd.nextInt(0x110000))
+        .dropWhile(c => c >= 0xD800 && c <= 0xDFFF).next()
+      val s = new String(Character.toChars(cp)) + rnd.nextString(3)
+      assert(FirstCodePoint.firstCodePoint(UTF8String.fromString(s)) ===
+        s.codePointAt(0), s"cp: $cp")
+    }
+  }
+
+  test("SQL surface: registered via GraftExtensions and codegen-evaluated") {
+    val df = spark.sql("SELECT first_codepoint('Ωmega') AS cp")
+    assert(df.head().getInt(0) === 0x03A9)
+    // wrong arity surfaces as the builtin-style analysis error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT first_codepoint('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("first_codepoint"))
+  }
+}

@@ -613,10 +613,20 @@ object Similarity {
   /** [[embeddingNearDupCapped]] over an explicit quantized
     * (vec_id, v, n2) frame — the spec-testable core. */
   private[ann] def nearDupCappedFrame(c0: DataFrame, threshold: Double,
-                                      bucketBits: Int, cap: Int): DataFrame = {
-    val c = c0
+                                      bucketBits: Int, cap: Int): DataFrame =
+    cappedPairsWithin(c0
       .withColumn("bucket", bucket(col("v"), bucketBits))
-      .select(col("vec_id"), col("v"), col("n2"), col("bucket"))
+      .select(col("vec_id"), col("v"), col("n2"), col("bucket")),
+      threshold, cap)
+
+  /** Capped within-partition cosine pairs over a PRE-PARTITIONED
+    * (vec_id, v, n2, bucket) frame — the candidate-generation core
+    * shared by the hash-bucket form ([[nearDupCappedFrame]]) and the
+    * trained-cell form ([[embeddingNearDupSemantic]]); the partition
+    * key's provenance (sign bits vs trained quantizer) is the only
+    * difference between them. */
+  private[ann] def cappedPairsWithin(c: DataFrame, threshold: Double,
+                                     cap: Int): DataFrame = {
     // only cells over the cap survive — bounded by degenerate-cluster
     // count, not corpus size
     val oversized = c.groupBy(col("bucket"))
@@ -642,6 +652,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
       .orderBy("id_a", "id_b")
   }
+
+  /** SemDeDup-shaped semantic near-dedup: candidate pairs only within
+    * the same TRAINED IVF cell — the data-adaptive partition of the
+    * embedding space — instead of the data-oblivious sign-bit bucket
+    * the other `dedup_embedding*` forms key on. Clustering-then-
+    * within-cluster-pairs is the published recipe for semantic
+    * deduplication at corpus scale (pairs near in MEANING land in the
+    * same k-means cell even when no sign bit separates their cosine
+    * band), and it reuses the index the ANN serving path already
+    * persists: the plan is a parquet scan of the staged assignments
+    * ([[IvfStore.fixtureIndex]] — training happened once, inside the
+    * staging write, never in this plan) through the shared capped pair
+    * core. The bucket-size cap applies unchanged — a degenerate cell
+    * (the mode cluster of a templated corpus) sub-salts instead of
+    * going quadratic, the same worst-single-cell bound as the hash
+    * forms. Third partition axis of the family: fixed sign bits
+    * (priced quadratic demo), auto-sized bits (expected-cell control),
+    * trained cells (semantic recall). */
+  def embeddingNearDupSemantic(spark: SparkSession, dir: String,
+                               threshold: Double = 0.5,
+                               cap: Int = 256): DataFrame =
+    cappedPairsWithin(
+      IvfStore.fixtureIndex(spark, dir)
+        .select(col("vec_id"), col("v"), col("n2"),
+          col("cell").as("bucket")),
+      threshold, cap)
 
   /** IVF recall telemetry: recall@k of the bucketed variants against the
     * exact brute-force truth, per query and per `nprobe` (1 = own cell
@@ -783,11 +819,12 @@ object Similarity {
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)),
     "dedup_embedding_auto" -> ((s, d) => embeddingNearDupAuto(s, d)),
-    "dedup_embedding_capped" -> ((s, d) => embeddingNearDupCapped(s, d)))
+    "dedup_embedding_capped" -> ((s, d) => embeddingNearDupCapped(s, d)),
+    "dedup_embedding_semantic" -> ((s, d) => embeddingNearDupSemantic(s, d)))
 
   // --- oracle -------------------------------------------------------------
 
-  private val qCte =
+  private[graft] val qCte =
     """n AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
@@ -875,7 +912,7 @@ object Similarity {
     * — the same arithmetic as the ann_ivf_trained oracle, factored so
     * the health oracle can train TWO quantizers (fresh full-corpus and
     * stored sub-corpus) in one statement without name collisions. */
-  private def lloydCtes(tag: String, trainSrc: String): String =
+  private[graft] def lloydCtes(tag: String, trainSrc: String): String =
     s"""${tag}a1 AS (
        |  SELECT vec_id, v, cell FROM (
        |    SELECT m.vec_id, m.v, s.cell,
@@ -900,7 +937,7 @@ object Similarity {
 
   /** Assignment CTE: every `src` row argmin-assigned against centroid
     * CTE `cents` (ties to the lowest cell id) — `nearest_cell` replayed. */
-  private def assignCte(name: String, src: String, cents: String): String =
+  private[graft] def assignCte(name: String, src: String, cents: String): String =
     s"""$name AS (
        |  SELECT vec_id, v, n2, cell FROM (
        |    SELECT m.vec_id, m.v, m.n2, s.cell,
@@ -1472,6 +1509,41 @@ object Similarity {
          |    AS cosine
          |FROM sl a JOIN sl b ON a.vec_id < b.vec_id
          |  AND a.bucket = b.bucket AND a.salt = b.salt
+         |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |    i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the trained-cell partition replayed exactly: the ann_ivf_trained
+    // Lloyd chain (seeds vec_id < 8, 2 exact-integer iterations) +
+    // full-corpus assignment, then the same md5-nibble cap salt and
+    // within-cell pair predicate as the capped oracle
+    "dedup_embedding_semantic" ->
+      s"""WITH $qCte,
+         |s0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS c2
+         |  FROM n WHERE vec_id < 8),
+         |${lloydCtes("sem", "m")},
+         |${assignCte("semav", "m", "sems1")},
+         |ov AS (
+         |  SELECT cell, count(*) AS bn FROM semav GROUP BY cell
+         |  HAVING count(*) > 256),
+         |sl AS (
+         |  SELECT semav.vec_id, semav.v, semav.n2, semav.cell,
+         |    CASE WHEN ov.bn IS NULL THEN 0
+         |      ELSE ${graft.text.NearDup.saltHashSql("semav.vec_id")}
+         |        % ((ov.bn + 255) // 256)
+         |    END AS salt
+         |  FROM semav LEFT JOIN ov USING (cell))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM sl a JOIN sl b ON a.vec_id < b.vec_id
+         |  AND a.cell = b.cell AND a.salt = b.salt
          |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.v)),
          |    i -> a.v[i] * b.v[i])) AS DOUBLE)
          |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.5

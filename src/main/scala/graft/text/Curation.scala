@@ -202,6 +202,36 @@ object Curation {
         col("cum_tokens"), col("token_budget"))
   }
 
+  /** CLUSTER-balanced token-budget mixture — [[mixTokenBudget]] with
+    * the partition key swapped from the provenance `source` label to
+    * the doc's SEMANTIC cluster: the trained IVF cell of its embedding
+    * (`cells`: one (doc_id, cell) row per doc, read from the persisted
+    * ANN index — the quantizer is trained once, inside the index
+    * staging write, never in this plan). Balancing the assembled
+    * mixture across embedding clusters instead of source labels is the
+    * curation move when provenance is uninformative (one giant crawl
+    * "source") but the corpus has semantic modes a training run must
+    * not let one mode dominate — equal token budgets per cell is the
+    * uniform-weight instance of cluster-balanced data selection.
+    *
+    * Scale shape: one doc_id equi-join of two narrow frames (docs are
+    * priced AFTER the join; the cells side is (id, int) only), then
+    * the certified two-phase bucketed prefix sum VERBATIM — the cell
+    * relabel changes no machinery, so skew, determinism, and the hard
+    * cap all carry over. Weights derive from the index's cell set
+    * (one row per occupied cell), never from a corpus pass. */
+  def mixClusterBudget(docs: DataFrame, cells: DataFrame,
+                       totalBudget: Long,
+                       counter: org.apache.spark.sql.Column =>
+                         org.apache.spark.sql.Column): DataFrame = {
+    val labeled = cells.select(col("doc_id"),
+      concat(lit("cell"), col("cell")).as("source"))
+    mixTokenBudget(
+      docs.drop("source").join(labeled, "doc_id"),
+      labeled.select(col("source")).distinct().withColumn("w", lit(1L)),
+      totalBudget, counter)
+  }
+
   /** The fixture's stand-in for a user-supplied weight table: one row
     * per source, weight (source number MOD 3) + 1 ∈ {1,2,3} — distinct
     * from [[mixWeighted]]'s parity convention so the two queries
@@ -810,6 +840,14 @@ object Curation {
       mixTokenBudget(docs, fixtureWeights(docs), 20000L,
         t => TextOps.bpeCountCol(t, BpeVocab.pieces(s, d)))
     }),
+    // the same 20k-token assembly balanced across SEMANTIC clusters:
+    // per-doc cells from the persisted ANN index, uniform per-cell
+    // budgets through the identical two-phase prefix-sum machinery
+    "mix_cluster_budget" -> ((s, d) => mixClusterBudget(
+      Tables(s, d, "documents"),
+      graft.ann.IvfStore.fixtureIndex(s, d)
+        .select(col("vec_id").as("doc_id"), col("cell")),
+      20000L, t => TextOps.bpeCountCol(t, BpeVocab.pieces(s, d)))),
     "decontaminate" -> ((s, d) => decontaminate(Tables(s, d, "documents"))),
     "pii_scrub" -> ((s, d) => piiScrub(Tables(s, d, "documents"))),
     "token_pack" -> ((s, d) => packTokens(Tables(s, d, "documents"))),
@@ -1364,6 +1402,47 @@ object Curation {
          |FROM cm JOIN bud b USING (source)
          |WHERE cm.cum_tokens <= b.token_budget
          |ORDER BY cm.source, cm.cum_tokens""".stripMargin,
+
+    // cluster-balanced assembly: the ann_ivf_trained Lloyd replay
+    // assigns every embedding its trained cell, docs relabel to
+    // 'cell<k>', then the identical greedy md5-order fill under the
+    // uniform per-cell share of the 20k total
+    "mix_cluster_budget" ->
+      s"""WITH RECURSIVE ${TextOps.bpeWalkCtes},
+         |${graft.ann.Similarity.qCte},
+         |s0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS c2
+         |  FROM n WHERE vec_id < 8),
+         |${graft.ann.Similarity.lloydCtes("mx", "m")},
+         |${graft.ann.Similarity.assignCte("mxav", "m", "mxs1")},
+         |wt AS (
+         |  SELECT DISTINCT 'cell' || CAST(cell AS VARCHAR) AS source,
+         |    CAST(1 AS BIGINT) AS w
+         |  FROM mxav),
+         |ws AS (SELECT sum(w) AS wsum FROM wt),
+         |bud AS (
+         |  SELECT source, CAST((20000 * w) // wsum AS BIGINT)
+         |    AS token_budget
+         |  FROM wt, ws),
+         |tg AS (
+         |  SELECT d.doc_id, 'cell' || CAST(a.cell AS VARCHAR) AS source,
+         |    md5('b:' || CAST(d.doc_id AS VARCHAR)) AS mix_tag,
+         |    CAST(b.n AS BIGINT) AS n_tokens
+         |  FROM documents d
+         |  JOIN bpe b ON b.doc_id = d.doc_id
+         |  JOIN mxav a ON a.vec_id = d.doc_id),
+         |cm AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY mix_tag ASC, doc_id ASC) AS BIGINT) AS cum_tokens
+         |  FROM tg)
+         |SELECT cm.doc_id, cm.source, cm.n_tokens, cm.cum_tokens,
+         |  b.token_budget
+         |FROM cm JOIN bud b USING (source)
+         |WHERE cm.cum_tokens <= b.token_budget
+         |ORDER BY cm.doc_id""".stripMargin,
 
     // the oracle is the NAIVE single-window form — the point of the
     // comparison: the two-phase distributed prefix sum must equal it

@@ -1289,6 +1289,53 @@ object NearDup {
     (excisions, docVerdict)
   }
 
+  /** APPLY a [[retroSweep]]'s verdicts to the curated-chunk store frame —
+    * the delete-set made effective: dropped docs (combined contaminated
+    * fraction over `maxFrac`) lose every window, kept docs lose exactly
+    * the excised windows, and each survivor's persisted
+    * `doc_contaminated_frac` advances to the COMBINED fraction (what a
+    * rebuild under base ∪ delta would have stored — so the ledger
+    * inversion n_chunks = round(s/(1−frac)) keeps holding after the
+    * refresh: s drops by the doc's excision count and frac's numerator
+    * grows by the same amount).
+    *
+    * Scale shape: the store streams through two BROADCAST joins — the
+    * per-doc verdict (|store docs| rows of three columns) and the
+    * excision delete-set (flagged windows only, near-empty at benchmark
+    * cadence). No shuffle of store data, no window function. */
+  def refreshApply(cleanStore: DataFrame, excisions: DataFrame,
+                   docVerdict: DataFrame): DataFrame =
+    cleanStore
+      .join(broadcast(docVerdict.filter(col("is_new"))
+        .select(col("doc_id"), col("doc_contaminated_frac").as("cfrac"))),
+        Seq("doc_id"))
+      .join(broadcast(excisions.select(col("doc_id"), col("chunk_idx"))),
+        Seq("doc_id", "chunk_idx"), "left_anti")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        col("n_chunk_tokens"), col("cfrac").as("doc_contaminated_frac"))
+
+  /** The benchmark-refresh lifecycle CLOSED: sweep the persisted curated
+    * store against the delta, then atomically rewrite the store with the
+    * verdicts applied ([[graft.sinks.StoreMaintenance.rewrite]] — a
+    * complete copy exists on disk at every instant, crash-retryable).
+    * [[retroSweep]] eagerly checkpoints both the signed store and the
+    * match set, so the verdict frames are pinned BEFORE the rewrite
+    * moves the files they were derived from. Idempotent by the ledger
+    * invariant: a second sweep with the same delta matches nothing (the
+    * flagged windows are gone), recovers the advanced fraction exactly,
+    * and excises nothing (StreamingSpec asserts it). Runs at benchmark
+    * cadence from the store's maintenance window, like compaction.
+    * Returns the applied (excisions, docVerdict) for telemetry. */
+  def refreshStore(spark: SparkSession, storePath: String,
+                   deltaSigs: DataFrame, maxHamming: Int = 3,
+                   maxFrac: Double = 0.5): (DataFrame, DataFrame) = {
+    val (exc, docV) = retroSweep(deltaSigs,
+      spark.read.parquet(storePath), maxHamming, maxFrac)
+    graft.sinks.StoreMaintenance.rewrite(spark, storePath)(
+      refreshApply(_, exc, docV))
+    (exc, docV)
+  }
+
   /** The staged CURATED-chunk store under the BASE benchmark — what the
     * decontamination lane's output store holds at refresh time (corpus
     * docs ≥ 10 judged against the base suite, [[ChunkSigStore
@@ -1611,6 +1658,17 @@ object NearDup {
       ChunkSigStore.read(s, ChunkSigStore.fixtureBenchmarkDeltaStore(s, d)),
       s.read.parquet(fixtureRetroCleanStore(s, d)))._1
       .orderBy("doc_id", "chunk_idx")),
+    // the refresh APPLIED (pure frame form of refreshStore — the query
+    // surface must not mutate the staged fixture): the store content a
+    // rebuild under base UNION delta would have produced, certified
+    // window-for-window including the advanced per-doc fraction
+    "decontam_retro_refresh" -> ((s, d) => {
+      val (exc, docV) = retroSweep(
+        ChunkSigStore.read(s, ChunkSigStore.fixtureBenchmarkDeltaStore(s, d)),
+        s.read.parquet(fixtureRetroCleanStore(s, d)))
+      refreshApply(s.read.parquet(fixtureRetroCleanStore(s, d)), exc, docV)
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "ngram_jaccard" -> ((s, d) => bigramJaccard(Tables(s, d, "documents"))))
 
   // --- oracle -------------------------------------------------------------
@@ -2086,6 +2144,28 @@ object NearDup {
       s"""WITH $retroCtes
          |SELECT doc_id, chunk_idx, CAST(nb AS INTEGER) AS n_delta_matches
          |FROM rnm ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the refreshed store = rebuild(base UNION delta): kept docs'
+    // surviving windows with the COMBINED fraction, delta-flagged
+    // windows excised (base-flagged ones never reached the store)
+    "decontam_retro_refresh" ->
+      s"""WITH $retroCtes,
+         |rnn AS (SELECT doc_id, count(*) AS n_new FROM rnm GROUP BY doc_id),
+         |rk2 AS (
+         |  SELECT k.doc_id,
+         |    CAST(k.f0 + coalesce(n.n_new, 0) AS DOUBLE)
+         |      / CAST(k.n_chunks AS DOUBLE) AS cfrac
+         |  FROM rkept k LEFT JOIN rnn n ON n.doc_id = k.doc_id
+         |  WHERE CAST(k.f0 + coalesce(n.n_new, 0) AS DOUBLE)
+         |      / CAST(k.n_chunks AS DOUBLE) <= 0.5)
+         |SELECT s.doc_id, s.chunk_idx, c.chunk_text, c.n_chunk_tokens,
+         |  k.cfrac AS doc_contaminated_frac
+         |FROM rstore s
+         |JOIN rk2 k ON k.doc_id = s.doc_id
+         |JOIN rcch c ON c.doc_id = s.doc_id AND c.chunk_idx = s.chunk_idx
+         |WHERE NOT EXISTS (SELECT 1 FROM rnm m
+         |  WHERE m.doc_id = s.doc_id AND m.chunk_idx = s.chunk_idx)
+         |ORDER BY s.doc_id, s.chunk_idx""".stripMargin,
 
     "chunk_dedup_near" -> chunkNearClustersOracle,
     "chunk_dedup_near_staged" -> chunkNearStagedOracle,

@@ -189,6 +189,42 @@ class SimilaritySpec extends SparkSpec {
       pairs(Similarity.embeddingNearDup(spark, dir, threshold = 0.5)))
   }
 
+  test("semantic dedup: exact within-cell pairs off the persisted index") {
+    val dir = "/root/testdata/sf0.001"
+    // threshold −1 keeps EVERY within-cell pair (the tiny fixture's
+    // random vectors rarely clear a real cosine bar), making the
+    // reference-model equality below a full structural check of the
+    // cell partition + pair generation
+    val df = Similarity.embeddingNearDupSemantic(spark, dir,
+      threshold = -1.0)
+    // the trained partition comes from the STAGED index — training and
+    // assignment both happened inside the staging write, never here
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("nearest_cell"),
+      s"semantic dedup must scan the staged index, never assign in-plan:\n$plan")
+    assert(plan.contains("graft_ivf_asg_full"),
+      s"expected a scan of the staged assignment store in:\n$plan")
+    val out = df.collect().map(r => (r.getAs[Long]("id_a"),
+      r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
+    // reference model: all within-cell pairs over the persisted
+    // assignment (fixture cells are far under the cap, so no
+    // sub-salting — the engine must match EXACTLY)
+    val idx = IvfStore.fixtureIndex(spark, dir)
+      .select("vec_id", "v", "n2", "cell").collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Long]](1), r.getLong(2),
+        r.getInt(3)))
+    val expected = (for {
+      a <- idx; b <- idx if a._1 < b._1 && a._4 == b._4
+    } yield (a._1, b._1)).toSet
+    assert(out.nonEmpty && out.map(p => (p._1, p._2)).toSet === expected)
+    // and the fixture-registered 0.5 form is exactly the thresholded
+    // subset of the full pair set
+    val cosByPair = out.map(p => (p._1, p._2) -> p._3).toMap
+    val at05 = Similarity.embeddingNearDupSemantic(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(at05 === cosByPair.filter(_._2 >= 0.5).keySet)
+  }
+
   test("ann_recall quantifies the recall/nprobe knob per query") {
     val out = Similarity.annRecall(spark, "/root/testdata/sf0.001").collect()
     val byProbe = out.groupBy(_.getAs[Int]("nprobe"))

@@ -772,13 +772,37 @@ class StreamingSpec extends SparkSpec {
       (21L, "p1 p2 echo foxtrot golf hotel q1 q2"),
       (22L, "echo foxtrot golf hotel"),
       (23L, "clean tokens only right here")).toDF("doc_id", "text")
-    val rebuild = NearDup.decontamBatch(
+    val rebuildFracs = NearDup.decontamBatch(
       ChunkSigStore.read(spark, bothStore), corpus,
       window = 4, stride = 2)._1
-      .select("doc_id", "chunk_idx").collect()
-      .map(r => (r.getLong(0), r.getInt(1))).toSet
+      .select("doc_id", "chunk_idx", "doc_contaminated_frac").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val rebuild = rebuildFracs.keySet
     assert(incremental === rebuild,
       s"lane+sweep $incremental must equal rebuild $rebuild")
+    // CLOSE the lifecycle: refreshStore applies the sweep to the store
+    // ON DISK (atomic rewrite) — surviving windows AND the advanced
+    // per-doc fractions must equal the rebuild's store content exactly
+    val deltaSigs = NearDup.chunkSigs64(delta, window = 4, stride = 2)
+    NearDup.refreshStore(spark, cleanStore, deltaSigs)
+    val refreshed = spark.read.parquet(cleanStore)
+      .select("doc_id", "chunk_idx", "doc_contaminated_frac").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(refreshed === rebuildFracs,
+      s"refreshed store $refreshed must equal rebuild $rebuildFracs")
+    // idempotency by the ledger invariant: the same delta now matches
+    // nothing, the advanced fraction recovers exactly, nothing excises
+    val (exc2, docV2) = NearDup.retroSweep(
+      deltaSigs, spark.read.parquet(cleanStore))
+    assert(exc2.count() === 0L)
+    val v2 = docV2.select("doc_id", "is_new", "doc_contaminated_frac")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getDouble(2)))
+    assert(v2.forall(_._2._1), v2.mkString(","))
+    val storeFracByDoc = refreshed.groupBy(_._1._1).map {
+      case (id, m) => id -> m.values.head
+    }
+    assert(v2.forall { case (id, (_, f)) => f == storeFracByDoc(id) },
+      s"recovered fractions ${v2.mkString(",")} vs $storeFracByDoc")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 

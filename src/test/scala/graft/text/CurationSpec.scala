@@ -69,6 +69,26 @@ class CurationSpec extends SparkSpec {
       s"window must be keyed per (source, bucket), got: $l"))
   }
 
+  test("cluster-balanced mixture: uniform per-cell budgets off the index") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("mix_cluster_budget")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Long]("token_budget")))
+    assert(out.nonEmpty)
+    // per-doc labels match the PERSISTED assignment; budgets are the
+    // uniform per-cell share; the hard cap holds within every cell
+    val byDoc = graft.ann.IvfStore.fixtureIndex(spark, dir)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val k = byDoc.values.toSet.size
+    assert(out.forall(p => p._2 === s"cell${byDoc(p._1)}"), out.take(5).toSeq)
+    assert(out.forall(_._4 === 20000L / k))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).max <= 20000L / k)
+    }
+  }
+
   test("approx floor is the rank-ceil order statistic in the exact regime") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"

@@ -907,8 +907,21 @@ object Similarity {
        |  JOIN m q ON q.vec_id = cd.query_id
        |  QUALIFY rank <= 10)""".stripMargin
 
+  /** The quantizer-seeding CTE `s0` every Lloyd replay trains from:
+    * the first 8 corpus vectors (`vec_id < 8` of the scaled-lattice
+    * CTE `n`) as integer centroids with squared norms — ONE definition
+    * of the seeding rule, so changing it (k, seed predicate) cannot
+    * silently desync a subset of the training oracles. */
+  private[graft] lazy val seedCte: String =
+    """s0 AS (
+      |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
+      |    list_sum(list_transform(generate_series(1, len(v)),
+      |      i -> v[i] * v[i])) AS c2
+      |  FROM n WHERE vec_id < 8)""".stripMargin
+
   /** Tagged 2-iteration Lloyd replay over CTE `trainSrc` (m-shaped rows)
-    * seeded from the shared `s0`: emits `<tag>a1/<tag>d1/<tag>c1/<tag>s1`
+    * seeded from the shared `s0` ([[seedCte]]): emits
+    * `<tag>a1/<tag>d1/<tag>c1/<tag>s1`
     * — the same arithmetic as the ann_ivf_trained oracle, factored so
     * the health oracle can train TWO quantizers (fresh full-corpus and
     * stored sub-corpus) in one statement without name collisions. */
@@ -969,7 +982,7 @@ object Similarity {
     * `ann_ivf_stored_probe` differ only in the candidate predicate,
     * exactly like the engine plans. */
   private lazy val storedIdxCtes: String =
-    """n AS (
+    s"""n AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
       |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -980,11 +993,7 @@ object Similarity {
       |      i -> v[i] * v[i])) AS n2
       |  FROM n),
       |sub AS (SELECT * FROM m WHERE vec_id % 10 < 8),
-      |s0 AS (
-      |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
-      |    list_sum(list_transform(generate_series(1, len(v)),
-      |      i -> v[i] * v[i])) AS c2
-      |  FROM n WHERE vec_id < 8),
+      |$seedCte,
       |a1 AS (
       |  SELECT vec_id, v, cell FROM (
       |    SELECT m.vec_id, m.v, s.cell,
@@ -1217,7 +1226,7 @@ object Similarity {
     // vectors, centroids re-quantized to longs after each mean update,
     // all distances exact longs, ties to the lowest cell id
     "ann_ivf_trained" ->
-      """WITH n AS (
+      s"""WITH n AS (
         |  SELECT vec_id,
         |    list_transform(embedding,
         |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -1227,11 +1236,7 @@ object Similarity {
         |    list_sum(list_transform(generate_series(1, len(v)),
         |      i -> v[i] * v[i])) AS n2
         |  FROM n),
-        |s0 AS (
-        |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
-        |    list_sum(list_transform(generate_series(1, len(v)),
-        |      i -> v[i] * v[i])) AS c2
-        |  FROM n WHERE vec_id < 8),
+        |$seedCte,
         |a1 AS (
         |  SELECT vec_id, v, cell FROM (
         |    SELECT m.vec_id, m.v, s.cell,
@@ -1392,11 +1397,7 @@ object Similarity {
          |  FROM n),
          |sub AS (SELECT * FROM m WHERE vec_id % 10 < 8),
          |inc AS (SELECT * FROM m WHERE vec_id % 10 >= 8),
-         |s0 AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
-         |    list_sum(list_transform(generate_series(1, len(v)),
-         |      i -> v[i] * v[i])) AS c2
-         |  FROM n WHERE vec_id < 8),
+         |$seedCte,
          |${lloydCtes("f", "m")},
          |${assignCte("fa2", "m", "fs1")},
          |${cellTopkCte("ftk", "fa2")},
@@ -1520,11 +1521,7 @@ object Similarity {
     // within-cell pair predicate as the capped oracle
     "dedup_embedding_semantic" ->
       s"""WITH $qCte,
-         |s0 AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
-         |    list_sum(list_transform(generate_series(1, len(v)),
-         |      i -> v[i] * v[i])) AS c2
-         |  FROM n WHERE vec_id < 8),
+         |$seedCte,
          |${lloydCtes("sem", "m")},
          |${assignCte("semav", "m", "sems1")},
          |ov AS (

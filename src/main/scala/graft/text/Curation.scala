@@ -170,9 +170,15 @@ object Curation {
     val tag = md5(concat(lit("b:"), col("doc_id").cast("string"))
       .cast("binary"))
     // eager localCheckpoint (the packTokens discipline): one pricing
-    // pass feeds both the bucket-sum collect and the final window join
+    // pass feeds both the bucket-sum collect and the final window join.
+    // Null-priced docs (null text) leave the machinery here: the
+    // single-window form dropped them at the budget filter (null cum)
+    // without affecting later docs' running sums (window sum skips
+    // nulls) — filtering is output-identical and keeps the phase-1
+    // driver fold free of null group sums.
     val priced = docs.select(col("doc_id"), col("source"),
       tag.as("mix_tag"), counter(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens").isNotNull)
       .withColumn("bucket",
         conv(substring(col("mix_tag"), 1, 2), 16, 10).cast("int"))
       .localCheckpoint(true)
@@ -1410,11 +1416,7 @@ object Curation {
     "mix_cluster_budget" ->
       s"""WITH RECURSIVE ${TextOps.bpeWalkCtes},
          |${graft.ann.Similarity.qCte},
-         |s0 AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
-         |    list_sum(list_transform(generate_series(1, len(v)),
-         |      i -> v[i] * v[i])) AS c2
-         |  FROM n WHERE vec_id < 8),
+         |${graft.ann.Similarity.seedCte},
          |${graft.ann.Similarity.lloydCtes("mx", "m")},
          |${graft.ann.Similarity.assignCte("mxav", "m", "mxs1")},
          |wt AS (

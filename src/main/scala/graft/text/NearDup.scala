@@ -1251,8 +1251,14 @@ object NearDup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
     // eager: the signed store feeds the banded judge AND the per-doc
-    // ledger aggregate — unpinned, the store would re-sign per consumer
-    val sigs = cleanStore.select(col("doc_id"), col("chunk_idx"),
+    // ledger aggregate — unpinned, the store would re-sign per consumer.
+    // dropDuplicates first: the lane's at-least-once append contract
+    // permits (doc_id, chunk_idx)-key-identical replay rows until gated
+    // compaction sheds them, and the ledger inversion below counts rows —
+    // an un-deduped replayed doc would double n_store and flip verdicts.
+    val sigs = cleanStore
+      .dropDuplicates("doc_id", "chunk_idx")
+      .select(col("doc_id"), col("chunk_idx"),
         col("doc_contaminated_frac"),
         simhash64Col(col("chunk_text")).as("isig"))
       .localCheckpoint(true)
@@ -1302,10 +1308,16 @@ object NearDup {
     * Scale shape: the store streams through two BROADCAST joins — the
     * per-doc verdict (|store docs| rows of three columns) and the
     * excision delete-set (flagged windows only, near-empty at benchmark
-    * cadence). No shuffle of store data, no window function. */
+    * cadence) — plus one keyed exchange for the duplicate shed. The
+    * rewrite is a compaction-grade maintenance pass, so it also sheds
+    * the at-least-once contract's replay duplicates (the same
+    * (doc_id, chunk_idx) dedup gated compaction applies): the refreshed
+    * store's bytes match a rebuild's, and [[retroSweep]]'s row-count
+    * ledger inversion stays exact on the store it just wrote. */
   def refreshApply(cleanStore: DataFrame, excisions: DataFrame,
                    docVerdict: DataFrame): DataFrame =
     cleanStore
+      .dropDuplicates("doc_id", "chunk_idx")
       .join(broadcast(docVerdict.filter(col("is_new"))
         .select(col("doc_id"), col("doc_contaminated_frac").as("cfrac"))),
         Seq("doc_id"))

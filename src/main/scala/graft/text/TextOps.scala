@@ -155,12 +155,27 @@ object TextOps {
     * shuffle at any size. */
   def tokenIdsBpe(docs: DataFrame, vocab: DataFrame,
                   pieces: Seq[String]): DataFrame = {
+    // the two arguments MUST describe the same vocabulary: the reserved
+    // OOV range starts at |pieces|, and the id frame ranks `vocab`'s
+    // rows into [0, |vocab|) — a kernel piece set smaller than the
+    // frame would let OOV ids collide with real rank ids and decode to
+    // wrong pieces. One bounded dimension collect at plan build (topK
+    // rows, the same read `BpeVocab.pieces` memoizes) makes the trap a
+    // fail-fast instead of silent id corruption.
+    val vocabPieces = vocab.select(col("piece"))
+      .collect().map(_.getString(0))
+    require(vocabPieces.length == pieces.size &&
+        vocabPieces.toSet == pieces.toSet,
+      s"vocab frame (${vocabPieces.length} pieces) and kernel pieces " +
+        s"(${pieces.size}) must be the same vocabulary — mismatched " +
+        "sets would collide rank ids with the reserved OOV range")
     val vocabSize = pieces.size
     tokenizeBpe(docs, pieces)
       .join(broadcast(BpeVocab.idFrame(vocab)), Seq("piece"), "left")
       .select(col("doc_id"), col("token_idx"), col("piece"),
         coalesce(col("piece_id"),
-          lit(vocabSize) + call_function("first_codepoint", col("piece")))
+          lit(vocabSize) + exprCol(graft.functions.FirstCodePoint(
+            colExpr(col("piece")))))
           .cast("int").as("piece_id"))
   }
 

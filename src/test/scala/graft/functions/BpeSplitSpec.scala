@@ -106,6 +106,21 @@ class BpeSplitSpec extends SparkSpec {
     assert(rebuilt(2L) === "ab😀zz")
   }
 
+  test("tokenIdsBpe rejects a vocab frame that is not the kernel's piece set") {
+    // the reserved OOV range starts at |pieces| while the id frame
+    // ranks the FRAME's rows — mismatched arguments (e.g. a
+    // BpeMerges-trained piece set against the BpeVocab store) would
+    // silently collide OOV ids with real ranks; the plan build must
+    // fail fast instead
+    val docs = Seq((1L, "the thing")).toDF("doc_id", "text")
+    val vocab = Seq(("the", 100L), ("th", 90L), ("ing", 80L), ("zz", 10L))
+      .toDF("piece", "n_occurrences")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.TextOps.tokenIdsBpe(docs, vocab, Seq("the", "th", "ing"))
+    }
+    assert(e.getMessage.contains("same vocabulary"))
+  }
+
   test("vocabCoverage counts single-code-point fallbacks as OOV") {
     val docs = Seq((1L, "ab ab zz", "s1"), (2L, "q", "s2"))
       .toDF("doc_id", "text", "source")

@@ -54,6 +54,32 @@ class CurationSpec extends SparkSpec {
     assert(s2.map(_._4).max === 4L * s2.length)
   }
 
+  test("token-budgeted mixture: null-priced docs drop without poisoning sums") {
+    import org.apache.spark.sql.functions._
+    // a null-text doc prices to null n_tokens; the single-window form
+    // dropped it at the budget filter without touching later docs'
+    // running sums — the two-phase form must match (and must not NPE
+    // in the phase-1 driver fold when a (source, bucket) group sums to
+    // NULL, i.e. when a null doc is alone in its bucket: doc 99 is the
+    // only s3 row, so every s3 bucket sum is null or absent)
+    val docs = Seq((1L, "a b c d", "s1"), (2L, "a b c d", "s1"),
+      (3L, null.asInstanceOf[String], "s1"), (4L, "a b c d", "s1"),
+      (99L, null.asInstanceOf[String], "s3"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val w = Seq(("s1", 1L), ("s3", 1L)).toDF("source", "w")
+    val out = Curation.mixTokenBudget(df, w, 16L,
+      t => size(split(TextOps.norm(t), " ")))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens")))
+    assert(!out.exists(r => r._1 == 3L || r._1 == 99L),
+      s"null-priced docs must not be selected: ${out.toSeq}")
+    // s1's budget is 8: exactly the first two non-null docs in md5
+    // order fill it, each contributing its full 4 tokens
+    val s1 = out.filter(_._1 != 99L)
+    assert(s1.length === 2 && s1.forall(_._2 === 4L), s1.toSeq)
+    assert(s1.map(_._3).max === 8L, s1.toSeq)
+  }
+
   test("mix_token_budget: no source-global window funnels the data path") {
     // the r12 form's Window.partitionBy(source) sent a dominant
     // source's every row through ONE task; the two-phase prefix sum

@@ -74,4 +74,13 @@ object MediaSigStore {
     stagedCorpus(s"benchmark_v1_$dir",
       new java.io.File(dir, "documents.parquet"),
       Multimodal.assetStore(s, dir).filter(col("doc_id") < 10))
+
+  /** The benchmark DELTA (doc_id ∈ [5, 10) — the text retro fixture's
+    * split convention): eval assets published AFTER the corpus store
+    * was signed, the input to [[Multimodal.mediaRetroSweep]]. */
+  def fixtureBenchmarkDeltaStore(s: SparkSession, dir: String): String =
+    stagedCorpus(s"benchmark_delta_v1_$dir",
+      new java.io.File(dir, "documents.parquet"),
+      Multimodal.assetStore(s, dir)
+        .filter(col("doc_id") >= 5 && col("doc_id") < 10))
 }

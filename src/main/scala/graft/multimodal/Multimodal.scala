@@ -299,6 +299,71 @@ object Multimodal {
         col("n_dups").as("n_benchmark_matches"),
         col("is_new").as("is_clean"))
 
+  /** RETRO-ACTIVE media decontamination sweep — the benchmark-REFRESH
+    * lifecycle for the persisted corpus SIGNATURE store, mirroring the
+    * text family's [[graft.text.NearDup.retroSweep]]: when the media
+    * benchmark suite gains a DELTA (new eval assets published after
+    * the corpus was signed), the already-persisted corpus must be
+    * re-judged against only the new material. Assets have no chunk
+    * granularity, so the verdict is whole-asset keep/drop — no ledger
+    * inversion needed — and the store holds 8-byte signatures, so the
+    * sweep reads ZERO payload bytes: the delta's DISTINCT signatures
+    * band-explode and broadcast (the signature-grouped judge
+    * discipline), the store streams through ONE broadcast hash join.
+    * The store side dedupes by doc_id first (the at-least-once append
+    * contract permits replayed key-identical rows until compaction).
+    * Runs at benchmark cadence; the flagged set is the delete-set
+    * [[mediaRefreshStore]] applies. */
+  def mediaRetroSweep(deltaSigs: DataFrame, storeSigs: DataFrame,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall to Hamming 3; maxHamming=$maxHamming would be silently incomplete")
+    val store = storeSigs.dropDuplicates("doc_id")
+    val dbands = broadcast(graft.text.NearDup.explodeBands4(
+      deltaSigs.select(col("simhash64").as("esig")).distinct(), "esig"))
+    val matches = graft.text.NearDup.explodeBands4(
+        store.select(col("doc_id"), col("simhash64").as("isig")), "isig")
+      .join(dbands, Seq("band", "bval"))
+      .filter(bit_count(col("esig").bitwiseXOR(col("isig"))) <= maxHamming)
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("esig")).as("nb"))
+    store.join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).cast("int").as("n_delta_matches"),
+        coalesce(col("nb"), lit(0L)) === 0L).toDF(
+        "doc_id", "n_delta_matches", "is_clean")
+  }
+
+  /** A [[mediaRetroSweep]]'s verdicts made effective on a store FRAME:
+    * flagged assets' rows delete (one broadcast anti-join of the
+    * flagged doc_ids — near-empty at benchmark cadence), survivors
+    * keep their signatures verbatim, and the pass sheds at-least-once
+    * replay duplicates like compaction does. Shared VERBATIM by the
+    * on-disk [[mediaRefreshStore]] and the `media_retro_refresh`
+    * oracle query — the lane-twin discipline. */
+  def mediaRefreshApply(storeSigs: DataFrame,
+                        verdicts: DataFrame): DataFrame =
+    storeSigs.dropDuplicates("doc_id")
+      .join(broadcast(verdicts.filter(!col("is_clean"))
+        .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+
+  /** Apply a [[mediaRetroSweep]]'s verdicts to the signature store ON
+    * DISK ([[graft.sinks.StoreMaintenance.rewrite]] — atomic, a
+    * complete copy exists at every instant). Idempotent: a second
+    * sweep with the same delta flags nothing (the matching signatures
+    * are gone). Returns the verdict frame for telemetry, pinned BEFORE
+    * the rewrite moves the files it was derived from. */
+  def mediaRefreshStore(spark: SparkSession, storePath: String,
+                        deltaSigs: DataFrame,
+                        maxHamming: Int = 3): DataFrame = {
+    val verdicts = mediaRetroSweep(deltaSigs,
+      MediaSigStore.read(spark, storePath), maxHamming)
+      .localCheckpoint(true)
+    graft.sinks.StoreMaintenance.rewrite(spark, storePath)(
+      mediaRefreshApply(_, verdicts))
+    verdicts
+  }
+
   /** Connected components over the media Hamming≤`maxHamming` near-dup
     * graph — the transitive-family view the TEXT family has had since
     * r9 ([[graft.text.NearDup.simhashClusters64]]), now on the byte
@@ -376,6 +441,21 @@ object Multimodal {
       mediaDecontam(
         MediaSigStore.read(s, MediaSigStore.fixtureBenchmarkStore(s, d)),
         assetStore(s, d).filter(col("doc_id") % 10 >= 8))),
+    // benchmark-REFRESH sweep: the persisted corpus signature store
+    // judged against ONLY the staged delta (doc_id in [5,10)) — zero
+    // payload reads on either side
+    "media_retro" -> ((s, d) => mediaRetroSweep(
+      MediaSigStore.read(s, MediaSigStore.fixtureBenchmarkDeltaStore(s, d)),
+      MediaSigStore.read(s, MediaSigStore.fixtureCorpusStore(s, d)))),
+    // the refresh APPLIED (pure frame form of mediaRefreshStore):
+    // surviving store rows after the delta's flagged assets delete
+    "media_retro_refresh" -> ((s, d) => {
+      val store = MediaSigStore.read(s,
+        MediaSigStore.fixtureCorpusStore(s, d))
+      mediaRefreshApply(store, mediaRetroSweep(
+        MediaSigStore.read(s,
+          MediaSigStore.fixtureBenchmarkDeltaStore(s, d)), store))
+    }),
     "media_features" -> ((s, d) => decodeFeatures(assets(s, d)).toDF()),
     "frame_sample" -> ((s, d) => frameSample(assetStore(s, d))),
     "resize_meta" -> ((s, d) => resizeMeta(assetStore(s, d), 128)))
@@ -432,9 +512,9 @@ object Multimodal {
     * bands, Hamming ≤ 3 gate, count DISTINCT corpus matches per
     * incoming asset. No sub-salt cap — the incremental engine form has
     * none (the batch side is broadcast, never self-joined). */
-  private def mediaSim64SplitOracle(exPred: String, incPred: String,
-                                    ndName: String, newName: String): String =
-    s"""WITH sh AS (
+  private def mediaSim64SplitCtes(exPred: String,
+                                  incPred: String): String =
+    s"""sh AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(1, $bLen - 3),
        |      i -> $mixExpr) AS h1,
@@ -458,11 +538,25 @@ object Multimodal {
        |ver AS (
        |  SELECT inc_id, count(DISTINCT ex_id) AS nd FROM cand
        |  WHERE bit_count(xor(esig, isig)) <= 3
-       |  GROUP BY inc_id)
+       |  GROUP BY inc_id)""".stripMargin
+
+  private def mediaSim64SplitOracle(exPred: String, incPred: String,
+                                    ndName: String, newName: String): String =
+    s"""WITH ${mediaSim64SplitCtes(exPred, incPred)}
        |SELECT d.doc_id, CAST(coalesce(v.nd, 0) AS INTEGER) AS $ndName,
        |  coalesce(v.nd, 0) = 0 AS $newName
        |FROM sg d LEFT JOIN ver v ON v.inc_id = d.doc_id
        |WHERE $incPred
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The refresh APPLIED, replayed: surviving (doc_id, simhash64) store
+    * rows — the judged population minus the delta's flagged assets. */
+  private def mediaRetroRefreshOracle(exPred: String,
+                                      incPred: String): String =
+    s"""WITH ${mediaSim64SplitCtes(exPred, incPred)}
+       |SELECT d.doc_id, d.sig AS simhash64
+       |FROM sg d LEFT JOIN ver v ON v.inc_id = d.doc_id
+       |WHERE ($incPred) AND coalesce(v.nd, 0) = 0
        |ORDER BY d.doc_id""".stripMargin
 
   private lazy val mediaSim64IncrementalOracle: String =
@@ -515,6 +609,14 @@ object Multimodal {
     // precedent (the oracle re-derives the benchmark signatures)
     "media_decontam" -> mediaSim64SplitOracle("doc_id < 10",
       "doc_id % 10 >= 8", "n_benchmark_matches", "is_clean"),
+    // benchmark-refresh sweep: the delta assets (doc_id in [5,10)) are
+    // the judge side, the persisted corpus population the judged —
+    // the same shared split oracle with the roles transposed
+    "media_retro" -> mediaSim64SplitOracle(
+      "doc_id >= 5 AND doc_id < 10", "doc_id % 10 < 8",
+      "n_delta_matches", "is_clean"),
+    "media_retro_refresh" -> mediaRetroRefreshOracle(
+      "doc_id >= 5 AND doc_id < 10", "doc_id % 10 < 8"),
     // dense 4-byte-window SimHash replayed exactly; the banded candidate
     // join is the naive OR of the two 16-bit band agreements (same pair
     // set as the engine's distinct'd banded union)

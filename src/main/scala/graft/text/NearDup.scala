@@ -904,10 +904,11 @@ object NearDup {
       sigAs)
 
   /** The 4×16-bit band explode preserving every input column — the ONE
-    * place the fixed-band shift/mask arithmetic lives ([[sigBands]] and
-    * the chunk decontamination both delegate, so the recall contract
-    * cannot silently diverge between paths). */
-  private def explodeBands4(df: DataFrame, sigCol: String): DataFrame =
+    * place the fixed-band shift/mask arithmetic lives ([[sigBands]],
+    * the chunk decontamination, and the media retro sweep all
+    * delegate, so the recall contract cannot silently diverge between
+    * paths). */
+  private[graft] def explodeBands4(df: DataFrame, sigCol: String): DataFrame =
     df.select(col("*"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),

@@ -36,7 +36,7 @@ class PlanLintSpec extends SparkSpec {
     "domain_classify", "domain_classify_bucketed",
     // one-row balanced-take / λ-argmin / quantile-threshold / Σw anchors
     "mix_balanced", "mix_weighted", "mix_weighted_table",
-    "mix_token_budget", "quality_quantile_gate")
+    "mix_token_budget", "mix_cluster_budget", "quality_quantile_gate")
 
   test("no cartesian products; nested-loop joins only where bounded") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

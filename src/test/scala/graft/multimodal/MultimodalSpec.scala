@@ -279,6 +279,45 @@ class MultimodalSpec extends SparkSpec {
       "decontam plan must scan the staged benchmark signature store")
   }
 
+  test("media retro sweep: delta flags stored copies; refresh drops, idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files
+      .createTempDirectory("media_retro_").toString
+    val base = "some long payload content repeated several times " * 6
+    val corpus = Seq(
+      (1L, base), // exact copy of the delta asset — must flag
+      (2L, "clean corpus payload with totally different bytes " * 6),
+      (3L, "another unrelated corpus asset with its own statistics " * 6))
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val delta = Seq((100L, base)).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val storePath = s"$work/sigs"
+    MediaSigStore.appendBatch(storePath, corpus)
+    // at-least-once replay: doc 1's signature row appended twice — the
+    // sweep must judge it once and the refresh must shed the duplicate
+    MediaSigStore.appendBatch(storePath, corpus.filter(col("doc_id") === 1L))
+    val deltaSigs = Multimodal.mediaSigs64(delta)
+    val verdicts = Multimodal.mediaRetroSweep(deltaSigs,
+      MediaSigStore.read(spark, storePath))
+    val vm = verdicts.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(vm.size === 3, s"duplicate store row must judge once: $vm")
+    assert(vm(1L)._2 === false && vm(1L)._1 === 1, vm.toString)
+    assert(vm(2L)._2 && vm(3L)._2, vm.toString)
+    // refresh ON DISK: flagged asset deletes, duplicates shed
+    Multimodal.mediaRefreshStore(spark, storePath, deltaSigs)
+    val after = MediaSigStore.read(spark, storePath).collect()
+      .map(_.getLong(0)).toSeq
+    assert(after.sorted === Seq(2L, 3L), after.toString)
+    // idempotent: the same delta now flags nothing
+    val v2 = Multimodal.mediaRetroSweep(deltaSigs,
+      MediaSigStore.read(spark, storePath))
+    assert(v2.filter(!col("is_clean")).count() === 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("metadata queries prune the payload column at the scan") {
     // the 100 TB contract: frame_sample/resize_meta never read the fat
     // binary column — their parquet scans' ReadSchema excludes payload

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.StoreMaintenance
+
+/** The retrain POLICY for a LIVE vocabulary store — the tokenizer
+  * telemetry→action loop closed, mirroring [[graft.ann.IvfMaintenance]]
+  * for the other trained artifact the engine persists: the curation
+  * lane streams per-batch per-source `oov_rate`
+  * ([[graft.streaming.StreamingLanes]]' `onOovStats` hook — the
+  * early-warning channel an operator alerts on), and this object is
+  * the gated maintenance call behind that alert: measure what fraction
+  * of the CURRENT corpus's token stream falls back to single-code-point
+  * OOV units under the stored vocabulary, and when drift has pushed it
+  * above the ceiling, retrain from the same corpus and atomically swap
+  * the store.
+  *
+  * The vocabulary here is a LIVE store (a plain parquet directory an
+  * operator owns), distinct from the fingerprint-keyed fixture staging
+  * ([[BpeVocab.fixtureStore]]) whose content is immutable by
+  * construction — a production deployment points every
+  * `bpe_count`/`bpe_split`/ids plan at this path and re-reads pieces
+  * per plan build (a bounded topK-row dimension read).
+  *
+  * Cost shape (a CADENCE call, like the IVF retrain): the gauge is one
+  * corpus pass through the trie kernel (the same per-row walk every
+  * tokenization pays) plus one map-side-combined aggregate; the
+  * retrain is [[BpeVocab.train]]'s single corpus pass (or any
+  * (docs → (piece, n_occurrences)) trainer — the merge-learning
+  * [[BpeMerges]] slots in for true BPE). Between checks, every
+  * consumer keeps reading the stored pieces unchanged.
+  *
+  * Swap protocol: [[StoreMaintenance.rewrite]]'s atomic-rename dance —
+  * a complete vocabulary exists on disk at every instant; a reader
+  * mid-swap sees the OLD pieces in full, never a torn set. NOTE the
+  * operational contract a tokenizer swap carries that an index swap
+  * does not: ids minted under the old vocabulary are not comparable to
+  * ids under the new one, so a retrain marks a VERSION boundary —
+  * re-numericalize (or version-tag) downstream id streams, exactly as
+  * production tokenizer rollouts do.
+  */
+object VocabMaintenance {
+
+  /** Corpus-weighted OOV rate of `docs` under the pieces stored at
+    * `vocabPath`: Σ OOV units / Σ emitted units across the whole
+    * corpus, through the same by-reference trie kernel the per-source
+    * telemetry uses ([[TextOps.vocabCoverage]] — this is its weighted
+    * total, robust to tiny sources a per-source max would overweight).
+    * 0.0 on an empty/zero-token corpus (nothing to measure — a ceiling
+    * can never fire on it). */
+  def oovRate(spark: SparkSession, vocabPath: String,
+              docs: DataFrame): Double = {
+    val pieces = readPieces(spark, vocabPath)
+    val ps = TextOps.bpeSplitCol(col("text"), pieces)
+    val row = docs.select(size(ps).as("nt"),
+        size(filter(ps, p => length(p) === 1)).as("no"))
+      .agg(sum(col("nt")).as("nt"), sum(col("no")).as("no"))
+      .collect()(0)
+    if (row.isNullAt(0) || row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0).toDouble
+  }
+
+  /** The stored pieces as driver-side strings — the bounded dimension
+    * read every by-reference kernel build performs (topK rows; NOT
+    * memoized, unlike the immutable fixture staging: a live store's
+    * content changes under maintenance). */
+  def readPieces(spark: SparkSession, vocabPath: String): Seq[String] =
+    spark.read.parquet(vocabPath).select(col("piece"))
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Retrain the vocabulary from `docs` and atomically swap the store:
+    * `vocabPath` becomes the trainer's fresh (piece, n_occurrences)
+    * frame. The default trainer is [[BpeVocab.train]]'s single-pass
+    * frequency derivation; pass [[BpeMerges]]-based training for
+    * learned merges. */
+  def retrain(spark: SparkSession, vocabPath: String, docs: DataFrame,
+              trainer: DataFrame => DataFrame = BpeVocab.train(_)): Unit =
+    StoreMaintenance.rewrite(spark, vocabPath)(_ => trainer(docs))
+
+  /** POLICY next to mechanism: measure [[oovRate]], and when corpus
+    * drift (a new domain, a new language) has pushed it above
+    * `oovCeiling`, [[retrain]] from the same corpus. Returns true iff
+    * a retrain ran. Callable at cadence from the curation lane's stats
+    * callback — the per-source `onOovStats` stream says WHEN to come
+    * here; this call decides and acts. */
+  def retrainIfDrifted(spark: SparkSession, vocabPath: String,
+                       docs: DataFrame, oovCeiling: Double = 0.5,
+                       trainer: DataFrame => DataFrame =
+                         BpeVocab.train(_)): Boolean = {
+    require(oovCeiling > 0 && oovCeiling < 1,
+      s"oovCeiling must be in (0, 1), got $oovCeiling")
+    if (oovRate(spark, vocabPath, docs) > oovCeiling) {
+      retrain(spark, vocabPath, docs, trainer); true
+    } else false
+  }
+}

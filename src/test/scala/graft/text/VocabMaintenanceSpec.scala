@@ -1,0 +1,57 @@
+package graft.text
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class VocabMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // domain A: alphabetic grams only; domain B: digit grams only — the
+  // two vocabularies are disjoint by construction, so B under an
+  // A-trained store falls back per code point (oov_rate 1.0)
+  private def docsA = Seq((1L, "ababab cdcdcd"), (2L, "abab cdcd abab"))
+    .toDF("doc_id", "text")
+  private def docsB = Seq((3L, "012345 678678"), (4L, "0123 6786 0123"))
+    .toDF("doc_id", "text")
+
+  test("retrainIfDrifted: in-domain no-op, drifted corpus retrains and recovers") {
+    val work = java.nio.file.Files
+      .createTempDirectory("vocab_maint_").toString
+    val path = s"$work/vocab"
+    BpeVocab.train(docsA).write.parquet(path)
+    val piecesA = VocabMaintenance.readPieces(spark, path)
+    assert(piecesA.nonEmpty && piecesA.forall(!_.exists(_.isDigit)))
+
+    // in-domain: the walk consumes learned pieces, nothing falls back
+    assert(VocabMaintenance.oovRate(spark, path, docsA) === 0.0)
+    assert(!VocabMaintenance.retrainIfDrifted(spark, path, docsA))
+    assert(VocabMaintenance.readPieces(spark, path) === piecesA,
+      "a no-op check must not touch the store")
+
+    // drifted: every emitted unit is a single-code-point fallback
+    assert(VocabMaintenance.oovRate(spark, path, docsB) === 1.0)
+    assert(VocabMaintenance.retrainIfDrifted(spark, path, docsB))
+    val piecesB = VocabMaintenance.readPieces(spark, path)
+    assert(piecesB !== piecesA)
+    assert(piecesB.forall(_.forall(_.isDigit)),
+      s"retrained store must hold the drifted domain's grams: $piecesB")
+    // recovered: the swapped vocabulary covers the new domain, and a
+    // second check with the same corpus is a no-op (idempotent)
+    assert(VocabMaintenance.oovRate(spark, path, docsB) === 0.0)
+    assert(!VocabMaintenance.retrainIfDrifted(spark, path, docsB))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
+  test("oovRate: empty and null-text corpora gauge 0, never NaN") {
+    val work = java.nio.file.Files
+      .createTempDirectory("vocab_maint_empty_").toString
+    val path = s"$work/vocab"
+    BpeVocab.train(docsA).write.parquet(path)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(VocabMaintenance.oovRate(spark, path, empty) === 0.0)
+    val nulls = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(VocabMaintenance.oovRate(spark, path, nulls) === 0.0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+}

@@ -152,23 +152,21 @@ object TextOps {
     * OOV token, not per token. Scale
     * shape: per-row codegen walk + generator explode, then ONE
     * broadcast hash join against the topK-row vocab dimension — no
-    * shuffle at any size. */
-  def tokenIdsBpe(docs: DataFrame, vocab: DataFrame,
-                  pieces: Seq[String]): DataFrame = {
-    // the two arguments MUST describe the same vocabulary: the reserved
-    // OOV range starts at |pieces|, and the id frame ranks `vocab`'s
-    // rows into [0, |vocab|) — a kernel piece set smaller than the
-    // frame would let OOV ids collide with real rank ids and decode to
-    // wrong pieces. One bounded dimension collect at plan build (topK
-    // rows, the same read `BpeVocab.pieces` memoizes) makes the trap a
-    // fail-fast instead of silent id corruption.
-    val vocabPieces = vocab.select(col("piece"))
-      .collect().map(_.getString(0))
-    require(vocabPieces.length == pieces.size &&
-        vocabPieces.toSet == pieces.toSet,
-      s"vocab frame (${vocabPieces.length} pieces) and kernel pieces " +
-        s"(${pieces.size}) must be the same vocabulary — mismatched " +
-        "sets would collide rank ids with the reserved OOV range")
+    * shuffle at any size.
+    *
+    * The vocab FRAME is the single source of truth: the kernel's piece
+    * set is collected FROM it at plan build (a bounded topK-row
+    * dimension read), so a mismatch between the walk's vocabulary and
+    * the id frame's — where OOV ids |V|+cp would collide with real
+    * rank ids and decode to wrong pieces — is unrepresentable by
+    * construction, not guarded by a runtime cross-check. */
+  def tokenIdsBpe(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val pieces = vocab.select(col("piece"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    // a duplicate piece would take two rank ids and fan out the join —
+    // a malformed vocabulary, rejected at the boundary
+    require(pieces.distinct.size == pieces.size,
+      "vocab frame carries duplicate pieces — ids would be ambiguous")
     val vocabSize = pieces.size
     tokenizeBpe(docs, pieces)
       .join(broadcast(BpeVocab.idFrame(vocab)), Seq("piece"), "left")
@@ -338,11 +336,10 @@ object TextOps {
     // walk order — the frame numericalization joins against the vocab
     "token_split_bpe" -> ((s, d) =>
       tokenizeBpe(Tables(s, d, "documents"), BpeVocab.pieces(s, d))),
-    // tokenize -> deterministic vocab ids (OOV fallback units = -1)
+    // tokenize -> deterministic vocab ids (OOV = |V| + code point)
     "token_ids_bpe" -> ((s, d) =>
       tokenIdsBpe(Tables(s, d, "documents"),
-        BpeVocab.read(s, BpeVocab.fixtureStore(s, d)),
-        BpeVocab.pieces(s, d))),
+        BpeVocab.read(s, BpeVocab.fixtureStore(s, d)))),
     // per-source OOV rate — the tokenizer retrain signal
     "vocab_coverage" -> ((s, d) =>
       vocabCoverage(Tables(s, d, "documents"), BpeVocab.pieces(s, d))),

@@ -74,10 +74,26 @@ object VocabMaintenance {
     * `vocabPath` becomes the trainer's fresh (piece, n_occurrences)
     * frame. The default trainer is [[BpeVocab.train]]'s single-pass
     * frequency derivation; pass [[BpeMerges]]-based training for
-    * learned merges. */
+    * learned merges.
+    *
+    * The trainer's output is validated at this boundary: every piece
+    * must be ≥ [[BpeVocab.MinN]] code points. The [[oovRate]] gauge
+    * DEFINES an OOV unit as a length-1 emission (learned pieces start
+    * at 2 — the kernel's fallback contract), so a vocabulary carrying
+    * single-char pieces would make in-vocab emissions count as OOV
+    * forever: the gauge could never drop below the ceiling and every
+    * cadence call would rewrite the store — a permanent retrain loop
+    * masking the real drift signal. Asserted here, not assumed. */
   def retrain(spark: SparkSession, vocabPath: String, docs: DataFrame,
-              trainer: DataFrame => DataFrame = BpeVocab.train(_)): Unit =
-    StoreMaintenance.rewrite(spark, vocabPath)(_ => trainer(docs))
+              trainer: DataFrame => DataFrame = BpeVocab.train(_)): Unit = {
+    // one bounded dimension count (topK rows) before the swap
+    val fresh = trainer(docs).localCheckpoint(true)
+    val bad = fresh.filter(length(col("piece")) < BpeVocab.MinN).count()
+    require(bad == 0L,
+      s"trainer emitted $bad piece(s) under ${BpeVocab.MinN} code points" +
+        " — incompatible with the length-1-is-OOV gauge contract")
+    StoreMaintenance.rewrite(spark, vocabPath)(_ => fresh)
+  }
 
   /** POLICY next to mechanism: measure [[oovRate]], and when corpus
     * drift (a new domain, a new language) has pushed it above

@@ -65,7 +65,7 @@ class BpeSplitSpec extends SparkSpec {
     assert(v === idMap.size)
     val out = graft.text.TextOps.tokenIdsBpe(
       graft.sources.Tables(spark, dir, "documents").limit(20),
-      vocab, pieces).collect()
+      vocab).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val piece = r.getString(2)
@@ -90,7 +90,7 @@ class BpeSplitSpec extends SparkSpec {
     val v = pieces.size
     val byRank = graft.text.BpeVocab.idFrame(vocab).collect()
       .map(r => r.getInt(1) -> r.getString(0)).toMap
-    val rows = graft.text.TextOps.tokenIdsBpe(docs, vocab, pieces)
+    val rows = graft.text.TextOps.tokenIdsBpe(docs, vocab)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
       .sortBy(t => (t._1, t._2))
@@ -106,19 +106,19 @@ class BpeSplitSpec extends SparkSpec {
     assert(rebuilt(2L) === "ab😀zz")
   }
 
-  test("tokenIdsBpe rejects a vocab frame that is not the kernel's piece set") {
-    // the reserved OOV range starts at |pieces| while the id frame
-    // ranks the FRAME's rows — mismatched arguments (e.g. a
-    // BpeMerges-trained piece set against the BpeVocab store) would
-    // silently collide OOV ids with real ranks; the plan build must
-    // fail fast instead
+  test("tokenIdsBpe rejects a duplicate-piece vocab frame") {
+    // the vocab frame is the SINGLE source of truth for walk and ids
+    // (a mismatched kernel piece set is unrepresentable since the
+    // pieces are collected from the frame); the one malformation left
+    // is a duplicate piece, which would take two rank ids and fan out
+    // the join — rejected at the boundary
     val docs = Seq((1L, "the thing")).toDF("doc_id", "text")
-    val vocab = Seq(("the", 100L), ("th", 90L), ("ing", 80L), ("zz", 10L))
+    val vocab = Seq(("the", 100L), ("th", 90L), ("ing", 80L), ("the", 10L))
       .toDF("piece", "n_occurrences")
     val e = intercept[IllegalArgumentException] {
-      graft.text.TextOps.tokenIdsBpe(docs, vocab, Seq("the", "th", "ing"))
+      graft.text.TextOps.tokenIdsBpe(docs, vocab)
     }
-    assert(e.getMessage.contains("same vocabulary"))
+    assert(e.getMessage.contains("duplicate"))
   }
 
   test("vocabCoverage counts single-code-point fallbacks as OOV") {

@@ -301,9 +301,11 @@ class MultimodalSpec extends SparkSpec {
     val deltaSigs = Multimodal.mediaSigs64(delta)
     val verdicts = Multimodal.mediaRetroSweep(deltaSigs,
       MediaSigStore.read(spark, storePath))
-    val vm = verdicts.collect()
+    val rows = verdicts.collect()
+    assert(rows.length === 3,
+      s"duplicate store row must judge (and emit) once: ${rows.toSeq}")
+    val vm = rows
       .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
-    assert(vm.size === 3, s"duplicate store row must judge once: $vm")
     assert(vm(1L)._2 === false && vm(1L)._1 === 1, vm.toString)
     assert(vm(2L)._2 && vm(3L)._2, vm.toString)
     // refresh ON DISK: flagged asset deletes, duplicates shed

@@ -705,6 +705,47 @@ object StreamingLanes {
     }
   }
 
+  /** The TOKENIZER twin of [[ivfIngestLaneManaged]] — the vocabulary
+    * maintenance loop closed on the ingest path: the lane owns the
+    * corpus store and the LIVE vocab store by PATH; each batch appends
+    * to the corpus, re-reads the current pieces (a bounded topK-row
+    * dimension read — a cadence retrain is visible to the very next
+    * batch's stats), and hands `onStats` the batch's per-source OOV
+    * coverage under that CURRENT vocabulary; every `checkEvery`
+    * batches, [[graft.text.VocabMaintenance.retrainIfDrifted]] gauges
+    * the ACCUMULATED corpus (this batch included) and retrains + swaps
+    * atomically only past the ceiling. Between checks each batch pays
+    * one kernel pass over its own rows — the drift gauge's full corpus
+    * pass is the amortized cadence cost, exactly the IVF lane's
+    * shape. A retrain marks an id-VERSION boundary for downstream
+    * numericalization (the [[graft.text.VocabMaintenance]] contract). */
+  def tokenizerIngestLaneManaged(docs: DataFrame, corpusPath: String,
+                                 vocabPath: String,
+                                 oovCeiling: Double = 0.5,
+                                 checkEvery: Int = 4,
+                                 maxStoreFiles: Option[Int] = None)
+                                (onStats: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] = {
+    require(checkEvery > 0, s"checkEvery must be positive, got $checkEvery")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.text.{TextOps, VocabMaintenance}
+      val spark = batch.sparkSession
+      // eager: the batch feeds the corpus append AND the coverage
+      // stats — unpinned, two lazy consumers would re-read the source
+      val b = batch.localCheckpoint(true)
+      b.write.mode("append").parquet(corpusPath)
+      maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
+        .compactIfNeeded(spark, corpusPath, m, Seq("doc_id")))
+      val pieces = VocabMaintenance.readPieces(spark, vocabPath)
+      onStats(TextOps.vocabCoverage(b, pieces)
+        .withColumn("batch_id", lit(batchId)), batchId)
+      if ((batchId + 1) % checkEvery == 0)
+        VocabMaintenance.retrainIfDrifted(spark, vocabPath,
+          spark.read.parquet(corpusPath), oovCeiling)
+      ()
+    }
+  }
+
   /** S5/S6: dual-lane bifurcation — one foreachBatch, two sinks. The
     * storage lane appends Parquet partitioned by (source, date) (the
     * low-cardinality layout the reference chose for series pruning); the

@@ -1409,6 +1409,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("managed tokenizer lane: drift retrains the vocab at cadence, stats recover") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{BpeVocab, VocabMaintenance}
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("tok_lane_").toString
+    val corpusPath = s"$work/corpus"
+    val vocabPath = s"$work/vocab"
+    // live vocab seeded from an alphabetic domain
+    BpeVocab.train(Seq((1L, "aa bb aa bb")).toDF("doc_id", "text"))
+      .write.parquet(vocabPath)
+    val seed = VocabMaintenance.readPieces(spark, vocabPath)
+    val stats = scala.collection.mutable.ArrayBuffer[
+      (Long, String, Double)]()
+    val q = StreamingLanes.tokenizerIngestLaneManaged(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      corpusPath, vocabPath, oovCeiling = 0.5, checkEvery = 2)(
+      (df, _) => df.collect().foreach(r =>
+        stats += ((r.getLong(4), r.getString(0), r.getDouble(3))))).start()
+    try {
+      // batches 0-1: in-domain — the batch-1 cadence check must NOT
+      // retrain (gauge 0 under the seed vocab)
+      mem.addData(CurDoc(ts(10), 10L, "aa bb aa bb", "s1"))
+      q.processAllAvailable()
+      mem.addData(CurDoc(ts(11), 11L, "bb aa bb aa", "s1"))
+      q.processAllAvailable()
+      assert(VocabMaintenance.readPieces(spark, vocabPath) === seed,
+        "in-domain cadence check must be a no-op")
+      // batches 2-3: the stream drifts to a digit domain, token-heavy
+      // enough that the accumulated corpus gauge crosses 0.5 — the
+      // batch-3 cadence check retrains from the corpus store
+      mem.addData(CurDoc(ts(20), 12L, "01 23 45 67 89 01 23 45", "s2"))
+      q.processAllAvailable()
+      assert(stats.last === ((2L, "s2", 1.0)),
+        s"drifted batch must alarm at rate 1.0 under the old vocab: $stats")
+      mem.addData(CurDoc(ts(21), 13L, "89 67 45 23 01 89 67 45", "s2"))
+      q.processAllAvailable()
+      val retrained = VocabMaintenance.readPieces(spark, vocabPath)
+      assert(retrained !== seed, "cadence check must have retrained")
+      assert(retrained.exists(_.forall(_.isDigit)),
+        s"retrained vocab must cover the drifted domain: $retrained")
+      // batch 4: the very next batch's stats run under the NEW vocab
+      mem.addData(CurDoc(ts(30), 14L, "01 23 89 67", "s2"))
+      q.processAllAvailable()
+      assert(stats.last === ((4L, "s2", 0.0)),
+        s"post-retrain stats must read in-vocab: $stats")
+      // the corpus store accumulated every admitted doc exactly once
+      assert(spark.read.parquet(corpusPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(10L, 11L, 12L, 13L, 14L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   test("gated in-lane compaction: threshold crossing compacts, verdicts stable") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.SignatureStore

@@ -737,11 +737,21 @@ object StreamingLanes {
       maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
         .compactIfNeeded(spark, corpusPath, m, Seq("doc_id")))
       val pieces = VocabMaintenance.readPieces(spark, vocabPath)
+      // the sibling curation lane's (lane, batch_id, source, ...) OOV
+      // layout — one telemetry consumer serves both lanes
       onStats(TextOps.vocabCoverage(b, pieces)
-        .withColumn("batch_id", lit(batchId)), batchId)
+        .select(lit("tokenizer_ingest").as("lane"),
+          lit(batchId).as("batch_id"), col("source"), col("n_tokens"),
+          col("n_oov"), col("oov_rate")), batchId)
       if ((batchId + 1) % checkEvery == 0)
+        // doc_id dedup: the at-least-once append contract permits a
+        // replayed batch's key-identical rows until the gated
+        // compaction sheds them — an un-deduped gauge would double-
+        // weight the replay (diluting or inflating the drift signal)
+        // and the trainer would double-count its grams
         VocabMaintenance.retrainIfDrifted(spark, vocabPath,
-          spark.read.parquet(corpusPath), oovCeiling)
+          spark.read.parquet(corpusPath).dropDuplicates("doc_id"),
+          oovCeiling)
       ()
     }
   }

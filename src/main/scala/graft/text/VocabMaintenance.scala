@@ -86,12 +86,21 @@ object VocabMaintenance {
     * masking the real drift signal. Asserted here, not assumed. */
   def retrain(spark: SparkSession, vocabPath: String, docs: DataFrame,
               trainer: DataFrame => DataFrame = BpeVocab.train(_)): Unit = {
-    // one bounded dimension count (topK rows) before the swap
+    // one bounded dimension pass (topK rows) before the swap
     val fresh = trainer(docs).localCheckpoint(true)
-    val bad = fresh.filter(length(col("piece")) < BpeVocab.MinN).count()
-    require(bad == 0L,
-      s"trainer emitted $bad piece(s) under ${BpeVocab.MinN} code points" +
-        " — incompatible with the length-1-is-OOV gauge contract")
+    val counts = fresh.agg(count(lit(1)).as("n"),
+      count(when(length(col("piece")) < BpeVocab.MinN, 1)).as("bad"))
+      .collect()(0)
+    // an empty vocabulary would wedge every downstream plan build (the
+    // kernel requires ≥1 piece) — the store must never swap to a state
+    // the lane cannot retrain its way out of
+    require(counts.getLong(0) > 0L,
+      "trainer emitted an empty vocabulary — refusing to swap the store" +
+        " into an unrecoverable state (corpus has no trainable grams?)")
+    require(counts.getLong(1) == 0L,
+      s"trainer emitted ${counts.getLong(1)} piece(s) under " +
+        s"${BpeVocab.MinN} code points — incompatible with the " +
+        "length-1-is-OOV gauge contract")
     StoreMaintenance.rewrite(spark, vocabPath)(_ => fresh)
   }
 

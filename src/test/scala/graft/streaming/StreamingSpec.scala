@@ -1426,7 +1426,7 @@ class StreamingSpec extends SparkSpec {
       mem.toDF().select(col("doc_id"), col("text"), col("source")),
       corpusPath, vocabPath, oovCeiling = 0.5, checkEvery = 2)(
       (df, _) => df.collect().foreach(r =>
-        stats += ((r.getLong(4), r.getString(0), r.getDouble(3))))).start()
+        stats += ((r.getLong(1), r.getString(2), r.getDouble(5))))).start()
     try {
       // batches 0-1: in-domain — the batch-1 cadence check must NOT
       // retrain (gauge 0 under the seed vocab)

@@ -43,6 +43,25 @@ class VocabMaintenanceSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("retrain refuses an empty trainer output — the store stays recoverable") {
+    val work = java.nio.file.Files
+      .createTempDirectory("vocab_maint_guard_").toString
+    val path = s"$work/vocab"
+    BpeVocab.train(docsA).write.parquet(path)
+    val before = VocabMaintenance.readPieces(spark, path)
+    // single-char whitespace-separated tokens carry NO space-free
+    // 2..4-char gram: the default trainer returns zero rows, and an
+    // empty store would wedge every downstream kernel build
+    val degenerate = Seq((7L, "a b c d e")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      VocabMaintenance.retrain(spark, path, degenerate)
+    }
+    assert(e.getMessage.contains("empty vocabulary"))
+    assert(VocabMaintenance.readPieces(spark, path) === before,
+      "a refused retrain must leave the store untouched")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("oovRate: empty and null-text corpora gauge 0, never NaN") {
     val work = java.nio.file.Files
       .createTempDirectory("vocab_maint_empty_").toString

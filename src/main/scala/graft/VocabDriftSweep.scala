@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Vocabulary-drift sweep for SCALING.md — the tokenizer twin of
+  * [[IvfHealthSweep]]: [[graft.text.VocabMaintenance.oovRate]]
+  * evaluated as the DRIFTED fraction of the corpus grows. The
+  * vocabulary trains on the fixture documents; drift is simulated by
+  * deterministically transliterating a doc_id-keyed fraction of the
+  * corpus onto a disjoint character alphabet (digits + symbols — no
+  * gram shared with the trained pieces, the new-language/new-domain
+  * shape), so the gauge's response to a known drift level is measured,
+  * not assumed. Each level runs the FULL policy against a fresh copy
+  * of the seed store (ceiling check → candidate train → gain gate →
+  * swap), timing the gauge and the decision — the table shows the
+  * gain gate refusing the no-drift point (where the corpus's own
+  * baseline already exceeds the absolute ceiling) and swapping with a
+  * measured recovery everywhere real drift exists.
+  * Usage: runMain graft.VocabDriftSweep [sfDir] */
+object VocabDriftSweep {
+  // 26-char target alphabet disjoint from [a-z] and from whitespace;
+  // survives the kernel's norm (lower + whitespace collapse) unchanged
+  private val To = "0123456789#$%&*+=?@^_~<>!|"
+  private val From = "abcdefghijklmnopqrstuvwxyz"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = sources.Tables.session(s"local[$cpus]", cpus)
+    val docs = sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val work = java.nio.file.Files
+      .createTempDirectory("vocab_drift_").toString
+    val vocabPath = s"$work/vocab"
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    def drifted(quarters: Int): DataFrame =
+      docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(4)) < quarters,
+          translate(lower(col("text")), From, To))
+          .otherwise(col("text")))
+
+    val (_, trainS) = time {
+      text.BpeVocab.train(docs).write.parquet(vocabPath)
+    }
+    println(f"VOCABDRIFT train_s=$trainS%.2f")
+    (0 to 4).foreach { q =>
+      val corpus = drifted(q)
+      // every drift level decides against a FRESH copy of the seed
+      // store, so the table reads as independent what-if points
+      val decidePath = s"$work/vocab_q$q"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(vocabPath), new java.io.File(decidePath))
+      val (rate, gaugeS) =
+        time(text.VocabMaintenance.oovRate(spark, decidePath, corpus))
+      // the full policy: ceiling check, candidate train, gain gate
+      val (swapped, decideS) = time(
+        text.VocabMaintenance.retrainIfDrifted(spark, decidePath, corpus))
+      val post =
+        if (swapped) text.VocabMaintenance.oovRate(spark, decidePath, corpus)
+        else rate
+      println(f"VOCABDRIFT frac=${q * 25}%d%% oov=$rate%.3f " +
+        f"gauge_s=$gaugeS%.2f swapped=$swapped " +
+        f"decide_s=$decideS%.2f post_oov=$post%.3f")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    spark.stop()
+  }
+}

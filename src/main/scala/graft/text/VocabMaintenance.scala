@@ -51,8 +51,13 @@ object VocabMaintenance {
     * 0.0 on an empty/zero-token corpus (nothing to measure — a ceiling
     * can never fire on it). */
   def oovRate(spark: SparkSession, vocabPath: String,
-              docs: DataFrame): Double = {
-    val pieces = readPieces(spark, vocabPath)
+              docs: DataFrame): Double =
+    oovRateUnder(docs, readPieces(spark, vocabPath))
+
+  /** [[oovRate]] under an explicit piece set — the entry the
+    * candidate-gauge in [[retrainIfDrifted]] uses on a vocabulary that
+    * has not (and may never) become the store. */
+  def oovRateUnder(docs: DataFrame, pieces: Seq[String]): Double = {
     val ps = TextOps.bpeSplitCol(col("text"), pieces)
     val row = docs.select(size(ps).as("nt"),
         size(filter(ps, p => length(p) === 1)).as("no"))
@@ -85,9 +90,15 @@ object VocabMaintenance {
     * cadence call would rewrite the store — a permanent retrain loop
     * masking the real drift signal. Asserted here, not assumed. */
   def retrain(spark: SparkSession, vocabPath: String, docs: DataFrame,
-              trainer: DataFrame => DataFrame = BpeVocab.train(_)): Unit = {
-    // one bounded dimension pass (topK rows) before the swap
-    val fresh = trainer(docs).localCheckpoint(true)
+              trainer: DataFrame => DataFrame = BpeVocab.train(_)): Unit =
+    StoreMaintenance.rewrite(spark, vocabPath)(_ =>
+      validated(trainer(docs)))
+
+  /** Trainer-output validation shared by [[retrain]] and the
+    * candidate gauge — one bounded dimension pass (topK rows). Returns
+    * the pinned frame. */
+  private def validated(fresh0: DataFrame): DataFrame = {
+    val fresh = fresh0.localCheckpoint(true)
     val counts = fresh.agg(count(lit(1)).as("n"),
       count(when(length(col("piece")) < BpeVocab.MinN, 1)).as("bad"))
       .collect()(0)
@@ -101,23 +112,46 @@ object VocabMaintenance {
       s"trainer emitted ${counts.getLong(1)} piece(s) under " +
         s"${BpeVocab.MinN} code points — incompatible with the " +
         "length-1-is-OOV gauge contract")
-    StoreMaintenance.rewrite(spark, vocabPath)(_ => fresh)
+    fresh
   }
 
   /** POLICY next to mechanism: measure [[oovRate]], and when corpus
     * drift (a new domain, a new language) has pushed it above
-    * `oovCeiling`, [[retrain]] from the same corpus. Returns true iff
-    * a retrain ran. Callable at cadence from the curation lane's stats
+    * `oovCeiling`, train a CANDIDATE vocabulary and swap it in ONLY if
+    * it actually recovers coverage (candidate rate at least `minGain`
+    * below the current rate). Returns true iff a swap ran.
+    *
+    * Why the candidate gauge exists (measured, not hypothesized — the
+    * `VocabDriftSweep` at sf0.1): an absolute ceiling alone cannot
+    * distinguish DRIFT from an inherently high-fallback corpus/vocab
+    * pairing — the fixture corpus's baseline OOV under its own
+    * 128-piece vocabulary is 0.565, already past the default ceiling,
+    * so a ceiling-only policy would rewrite the store on EVERY cadence
+    * call while coverage never improved (the permanent-retrain-loop
+    * failure class). Training a throwaway candidate to price the
+    * decision is the same discipline [[graft.ann.IvfMaintenance
+    * .storeRecall]] pays (its drift gauge trains a throwaway
+    * quantizer); a no-gain candidate is discarded and the store is
+    * untouched. Callable at cadence from the ingest lane's stats
     * callback — the per-source `onOovStats` stream says WHEN to come
     * here; this call decides and acts. */
   def retrainIfDrifted(spark: SparkSession, vocabPath: String,
                        docs: DataFrame, oovCeiling: Double = 0.5,
+                       minGain: Double = 0.1,
                        trainer: DataFrame => DataFrame =
                          BpeVocab.train(_)): Boolean = {
     require(oovCeiling > 0 && oovCeiling < 1,
       s"oovCeiling must be in (0, 1), got $oovCeiling")
-    if (oovRate(spark, vocabPath, docs) > oovCeiling) {
-      retrain(spark, vocabPath, docs, trainer); true
+    require(minGain > 0 && minGain < 1,
+      s"minGain must be in (0, 1), got $minGain")
+    val rate = oovRate(spark, vocabPath, docs)
+    if (rate <= oovCeiling) return false
+    val candidate = validated(trainer(docs))
+    val candPieces = candidate.select(col("piece"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (rate - oovRateUnder(docs, candPieces) >= minGain) {
+      StoreMaintenance.rewrite(spark, vocabPath)(_ => candidate)
+      true
     } else false
   }
 }

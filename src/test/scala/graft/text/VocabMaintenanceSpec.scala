@@ -43,6 +43,29 @@ class VocabMaintenanceSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("gain gate: a high-baseline corpus above the ceiling never loops retrains") {
+    val work = java.nio.file.Files
+      .createTempDirectory("vocab_maint_gain_").toString
+    val path = s"$work/vocab"
+    // inherently high-fallback corpus: most tokens are single chars,
+    // so the baseline OOV under its OWN best vocabulary exceeds the
+    // ceiling — a ceiling-only policy would rewrite the store on every
+    // cadence call with zero coverage gain (the VocabDriftSweep
+    // measured exactly this shape on the fixture corpus: baseline
+    // 0.565 > 0.5 at drift 0)
+    val noisy = Seq((1L, "ab c d e f g h"), (2L, "ab c d e f g h"))
+      .toDF("doc_id", "text")
+    BpeVocab.train(noisy).write.parquet(path)
+    val before = VocabMaintenance.readPieces(spark, path)
+    assert(VocabMaintenance.oovRate(spark, path, noisy) > 0.5,
+      "fixture must sit above the ceiling at zero drift")
+    assert(!VocabMaintenance.retrainIfDrifted(spark, path, noisy),
+      "a no-gain candidate must be discarded")
+    assert(VocabMaintenance.readPieces(spark, path) === before,
+      "the store must be untouched after a refused swap")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("retrain refuses an empty trainer output — the store stays recoverable") {
     val work = java.nio.file.Files
       .createTempDirectory("vocab_maint_guard_").toString

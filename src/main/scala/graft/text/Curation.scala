@@ -238,6 +238,50 @@ object Curation {
       totalBudget, counter)
   }
 
+  /** EPOCH-seeded deterministic shuffle — the dataloader-facing
+    * ordering step a training run ends on: every doc gets a per-epoch
+    * md5 tag, a SHARD (the tag's leading 16 bits mod `nShards` —
+    * md5-uniform, so shards balance at any scale with no sampling
+    * pass), and a dense within-shard position. Deterministic: the same
+    * (epoch, nShards) reproduces the identical order on any cluster
+    * (restartable dataloaders, exact resume); a different epoch
+    * reshuffles. Scale shape: one narrow projection plus ONE window
+    * partitioned by shard — no global ordering anywhere (a global
+    * row_number would funnel the corpus through one task; the
+    * per-shard position is all a sharded reader consumes), no shuffle
+    * beyond the one per-shard exchange. */
+  def epochShuffle(docs: DataFrame, epoch: Int, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val tag = md5(concat(lit(s"e$epoch:"), col("doc_id").cast("string"))
+      .cast("binary"))
+    docs.select(col("doc_id"), tag.as("shuffle_tag"))
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_tag"), 1, 4), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("shuffle_tag"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Per-shard MANIFEST of an [[epochShuffle]] assignment — the sizes
+    * a dataloader reads before touching data: docs and tokens per
+    * shard (`counter` prices each doc; pass the subword kernel for
+    * tokenizer-faithful budgets, as [[mixTokenBudget]] does). One
+    * narrow doc_id equi-join (the shuffle frame carries no text) and
+    * one map-side-combined aggregate over `nShards` groups. */
+  def shardManifest(docs: DataFrame, epoch: Int, nShards: Int,
+                    counter: org.apache.spark.sql.Column =>
+                      org.apache.spark.sql.Column): DataFrame =
+    epochShuffle(docs, epoch, nShards)
+      .join(docs.select(col("doc_id"),
+        counter(col("text")).cast("long").as("n_tokens")), "doc_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard"))
+
   /** The fixture's stand-in for a user-supplied weight table: one row
     * per source, weight (source number MOD 3) + 1 ∈ {1,2,3} — distinct
     * from [[mixWeighted]]'s parity convention so the two queries
@@ -796,6 +840,14 @@ object Curation {
     // floor -> chunking -> flagged-window excision, one batch
     "curation_lane_decontam_twin" -> ((s, d) =>
       curationLaneDecontamTwin(s, d)),
+    // epoch-seeded deterministic shuffle: per-epoch md5 tag, balanced
+    // shard, dense within-shard position — no global ordering anywhere
+    "epoch_shuffle" -> ((s, d) =>
+      epochShuffle(Tables(s, d, "documents"), epoch = 1, nShards = 8)),
+    // the per-shard manifest a dataloader reads before touching data
+    "shard_manifest" -> ((s, d) =>
+      shardManifest(Tables(s, d, "documents"), epoch = 1, nShards = 8,
+        t => size(split(norm(t), " ")))),
     // corpus-relative quality floor (drop the worst decile)
     "quality_quantile_gate" -> ((s, d) =>
       qualityQuantileGate(Tables(s, d, "documents"))),
@@ -865,6 +917,14 @@ object Curation {
         TextOps.bpeCountCol(t, BpeVocab.pieces(s, d)).cast("long"))))
 
   private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Integer value of `tag`'s leading 4 hex chars (= Spark's
+    * `conv(substring(tag, 1, 4), 16, 10)`) — DuckDB has no hex→int
+    * cast, so the nibbles sum positionally (the media oracles'
+    * strpos pattern). */
+  private val nib16: String = (1 to 4).map(i =>
+    s"(strpos('0123456789abcdef', substr(tag, $i, 1)) - 1) * ${1L << (4 * (4 - i))}")
+    .mkString(" + ")
 
   /** [[chunkDocs]] as a DuckDB CTE chain ending in
     * `chunks(doc_id, chunk_idx, chunk_text, n_chunk_tokens)` — shared
@@ -1182,6 +1242,28 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    // per-epoch md5 tag; shard = leading 16 tag bits mod nShards
+    // (nibble arithmetic — DuckDB has no hex->int cast); position =
+    // dense rank within the shard by (tag, doc_id)
+    "epoch_shuffle" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, md5('e1:' || CAST(doc_id AS VARCHAR)) AS tag
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(($nib16) % 8 AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY ($nib16) % 8 ORDER BY tag, doc_id)
+         |    AS INTEGER) AS pos
+         |FROM t ORDER BY shard, pos""".stripMargin,
+    "shard_manifest" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, md5('e1:' || CAST(doc_id AS VARCHAR)) AS tag,
+         |    CAST(len(string_split($N, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT CAST(($nib16) % 8 AS INTEGER) AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM t GROUP BY 1 ORDER BY shard""".stripMargin,
     "curation_lane_twin" -> curationLaneTwinOracle,
     "curation_lane_corpus_twin" -> curationLaneCorpusTwinOracle,
     "curation_lane_decontam_twin" -> curationLaneDecontamTwinOracle,

@@ -80,6 +80,38 @@ class CurationSpec extends SparkSpec {
     assert(s1.map(_._3).max === 8L, s1.toSeq)
   }
 
+  test("epoch shuffle: deterministic, dense per-shard positions, no global window") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 200L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
+    def run(epoch: Int) = Curation.epochShuffle(docs, epoch, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val e1 = run(1)
+    // every doc exactly once; shards in range
+    assert(e1.map(_._1).sorted === (1L to 200L).toArray)
+    assert(e1.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions dense 1..n within each shard
+    e1.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted === (1 to rows.length).toArray,
+        s"shard $s positions not dense")
+    }
+    // deterministic: same epoch reproduces the identical assignment;
+    // a different epoch reshuffles
+    assert(run(1).toSeq === e1.toSeq)
+    assert(run(2).toSeq !== e1.toSeq)
+    // the scalable-plan contract: the one window is per-shard, never
+    // unpartitioned (a global row_number would funnel the corpus)
+    val tree = Curation.epochShuffle(docs, 1, 8)
+      .queryExecution.executedPlan.toString
+    val w = tree.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(w.nonEmpty && w.forall(_.contains("shard")),
+      s"window must partition by shard: $w")
+    // manifest: totals reconcile with the corpus
+    val m = Curation.shardManifest(docs, 1, 8,
+      t => size(split(TextOps.norm(t), " "))).collect()
+    assert(m.map(_.getLong(1)).sum === 200L)
+    assert(m.map(_.getLong(2)).sum === 1000L) // 5 ws tokens per doc
+  }
+
   test("mix_token_budget: no source-global window funnels the data path") {
     // the r12 form's Window.partitionBy(source) sent a dominant
     // source's every row through ONE task; the two-phase prefix sum

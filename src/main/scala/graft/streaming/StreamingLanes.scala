@@ -713,8 +713,11 @@ object StreamingLanes {
     * batch's stats), and hands `onStats` the batch's per-source OOV
     * coverage under that CURRENT vocabulary; every `checkEvery`
     * batches, [[graft.text.VocabMaintenance.retrainIfDrifted]] gauges
-    * the ACCUMULATED corpus (this batch included) and retrains + swaps
-    * atomically only past the ceiling. Between checks each batch pays
+    * the ACCUMULATED corpus (this batch included) and — past the
+    * ceiling — trains a candidate, swapping atomically only on
+    * measured coverage gain ≥ `minGain` (refusals are memoized, so a
+    * high-baseline corpus does not re-pay the candidate train every
+    * cadence). Between checks each batch pays
     * one kernel pass over its own rows — the drift gauge's full corpus
     * pass is the amortized cadence cost, exactly the IVF lane's
     * shape. A retrain marks an id-VERSION boundary for downstream
@@ -722,6 +725,7 @@ object StreamingLanes {
   def tokenizerIngestLaneManaged(docs: DataFrame, corpusPath: String,
                                  vocabPath: String,
                                  oovCeiling: Double = 0.5,
+                                 minGain: Double = 0.1,
                                  checkEvery: Int = 4,
                                  maxStoreFiles: Option[Int] = None)
                                 (onStats: (DataFrame, Long) => Unit)
@@ -751,7 +755,7 @@ object StreamingLanes {
         // and the trainer would double-count its grams
         VocabMaintenance.retrainIfDrifted(spark, vocabPath,
           spark.read.parquet(corpusPath).dropDuplicates("doc_id"),
-          oovCeiling)
+          oovCeiling, minGain)
       ()
     }
   }

@@ -268,19 +268,27 @@ object Curation {
   /** Per-shard MANIFEST of an [[epochShuffle]] assignment — the sizes
     * a dataloader reads before touching data: docs and tokens per
     * shard (`counter` prices each doc; pass the subword kernel for
-    * tokenizer-faithful budgets, as [[mixTokenBudget]] does). One
-    * narrow doc_id equi-join (the shuffle frame carries no text) and
-    * one map-side-combined aggregate over `nShards` groups. */
+    * tokenizer-faithful budgets, as [[mixTokenBudget]] does). The
+    * shard is a pure function of (epoch, doc_id), so the manifest is
+    * ONE projection (tag → shard, priced text) and one
+    * map-side-combined aggregate over `nShards` groups — no join, no
+    * second corpus scan, no window (positions are irrelevant to
+    * sizes). */
   def shardManifest(docs: DataFrame, epoch: Int, nShards: Int,
                     counter: org.apache.spark.sql.Column =>
-                      org.apache.spark.sql.Column): DataFrame =
-    epochShuffle(docs, epoch, nShards)
-      .join(docs.select(col("doc_id"),
-        counter(col("text")).cast("long").as("n_tokens")), "doc_id")
+                      org.apache.spark.sql.Column): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val tag = md5(concat(lit(s"e$epoch:"), col("doc_id").cast("string"))
+      .cast("binary"))
+    docs.select(
+        pmod(conv(substring(tag, 1, 4), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int").as("shard"),
+        counter(col("text")).cast("long").as("n_tokens"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("shard"))
+  }
 
   /** The fixture's stand-in for a user-supplied weight table: one row
     * per source, weight (source number MOD 3) + 1 ∈ {1,2,3} — distinct

@@ -90,30 +90,53 @@ object VocabMaintenance {
     * cadence call would rewrite the store — a permanent retrain loop
     * masking the real drift signal. Asserted here, not assumed. */
   def retrain(spark: SparkSession, vocabPath: String, docs: DataFrame,
-              trainer: DataFrame => DataFrame = BpeVocab.train(_)): Unit =
-    StoreMaintenance.rewrite(spark, vocabPath)(_ =>
-      validated(trainer(docs)))
+              trainer: DataFrame => DataFrame = BpeVocab.train(_)): Unit = {
+    val rows = validatedRows(trainer(docs))
+    refused.remove(vocabPath)
+    swap(spark, vocabPath, rows)
+  }
 
-  /** Trainer-output validation shared by [[retrain]] and the
-    * candidate gauge — one bounded dimension pass (topK rows). Returns
-    * the pinned frame. */
-  private def validated(fresh0: DataFrame): DataFrame = {
-    val fresh = fresh0.localCheckpoint(true)
-    val counts = fresh.agg(count(lit(1)).as("n"),
-      count(when(length(col("piece")) < BpeVocab.MinN, 1)).as("bad"))
-      .collect()(0)
-    // an empty vocabulary would wedge every downstream plan build (the
-    // kernel requires ≥1 piece) — the store must never swap to a state
-    // the lane cannot retrain its way out of
-    require(counts.getLong(0) > 0L,
+  /** Trainer-output validation shared by [[retrain]] and the candidate
+    * gauge: the vocabulary is a DIMENSION (topK rows), so it collects
+    * to the driver once — no executor-side pin to leak on a refused
+    * candidate — and validates there: non-empty (an empty store would
+    * wedge every downstream kernel build — the one state the lane
+    * could not retrain its way out of), no null pieces (a null would
+    * NPE the trie build or poison the store), every piece ≥
+    * [[BpeVocab.MinN]] code points (the gauge DEFINES OOV as a
+    * length-1 emission; a shorter piece would loop retrains
+    * forever). */
+  private def validatedRows(fresh: DataFrame): Array[(String, Long)] = {
+    val rows = fresh.collect().map(r =>
+      (r.getAs[String]("piece"), r.getAs[Long]("n_occurrences")))
+    require(rows.nonEmpty,
       "trainer emitted an empty vocabulary — refusing to swap the store" +
         " into an unrecoverable state (corpus has no trainable grams?)")
-    require(counts.getLong(1) == 0L,
-      s"trainer emitted ${counts.getLong(1)} piece(s) under " +
-        s"${BpeVocab.MinN} code points — incompatible with the " +
-        "length-1-is-OOV gauge contract")
-    fresh
+    val bad = rows.count(r => r._1 == null ||
+      r._1.codePointCount(0, r._1.length) < BpeVocab.MinN)
+    require(bad == 0,
+      s"trainer emitted $bad null or sub-${BpeVocab.MinN}-code-point " +
+        "piece(s) — incompatible with the length-1-is-OOV gauge contract")
+    rows
   }
+
+  private def swap(spark: SparkSession, vocabPath: String,
+                   rows: Array[(String, Long)]): Unit =
+    StoreMaintenance.rewrite(spark, vocabPath) { _ =>
+      import spark.implicits._
+      rows.toSeq.toDF("piece", "n_occurrences")
+    }
+
+  /** Last REFUSED corpus rate per vocab store path (driver-session
+    * state, like the fixture memos): once a candidate is refused, the
+    * throwaway train is not re-paid until the gauge has RISEN past the
+    * refusal point by `minGain` — the gain gate alone closes only the
+    * store-rewrite half of the retrain-loop failure class; without
+    * this memo a high-baseline corpus would re-train (and re-refuse) a
+    * full candidate on every cadence call forever. Cleared by a swap
+    * or an unconditional [[retrain]]. */
+  private[text] val refused =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
 
   /** POLICY next to mechanism: measure [[oovRate]], and when corpus
     * drift (a new domain, a new language) has pushed it above
@@ -132,9 +155,11 @@ object VocabMaintenance {
     * decision is the same discipline [[graft.ann.IvfMaintenance
     * .storeRecall]] pays (its drift gauge trains a throwaway
     * quantizer); a no-gain candidate is discarded and the store is
-    * untouched. Callable at cadence from the ingest lane's stats
-    * callback — the per-source `onOovStats` stream says WHEN to come
-    * here; this call decides and acts. */
+    * untouched and the refusal memoized (see [[refused]]) so the
+    * throwaway train is not re-paid until the gauge rises. Callable at
+    * cadence from the ingest lane's stats callback — the per-source
+    * `onOovStats` stream says WHEN to come here; this call decides and
+    * acts. */
   def retrainIfDrifted(spark: SparkSession, vocabPath: String,
                        docs: DataFrame, oovCeiling: Double = 0.5,
                        minGain: Double = 0.1,
@@ -145,13 +170,16 @@ object VocabMaintenance {
     require(minGain > 0 && minGain < 1,
       s"minGain must be in (0, 1), got $minGain")
     val rate = oovRate(spark, vocabPath, docs)
-    if (rate <= oovCeiling) return false
-    val candidate = validated(trainer(docs))
-    val candPieces = candidate.select(col("piece"))
-      .collect().map(_.getString(0)).toSeq.sorted
-    if (rate - oovRateUnder(docs, candPieces) >= minGain) {
-      StoreMaintenance.rewrite(spark, vocabPath)(_ => candidate)
+    if (rate <= oovCeiling) { refused.remove(vocabPath); return false }
+    // a prior refusal at this-or-higher drift: re-pricing a candidate
+    // cannot help more than last time until the gauge itself moves
+    if (refused.get(vocabPath).exists(r0 => rate <= r0 + minGain))
+      return false
+    val rows = validatedRows(trainer(docs))
+    if (rate - oovRateUnder(docs, rows.map(_._1).toSeq.sorted) >= minGain) {
+      refused.remove(vocabPath)
+      swap(spark, vocabPath, rows)
       true
-    } else false
+    } else { refused(vocabPath) = rate; false }
   }
 }

@@ -63,6 +63,12 @@ class VocabMaintenanceSpec extends SparkSpec {
       "a no-gain candidate must be discarded")
     assert(VocabMaintenance.readPieces(spark, path) === before,
       "the store must be untouched after a refused swap")
+    // the refusal is memoized: the next cadence call at an unmoved
+    // gauge must short-circuit WITHOUT re-paying the candidate train
+    // (a trainer that throws proves it was never invoked)
+    assert(VocabMaintenance.refused.contains(path))
+    assert(!VocabMaintenance.retrainIfDrifted(spark, path, noisy,
+      trainer = _ => sys.error("candidate must not re-train at an unmoved gauge")))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 

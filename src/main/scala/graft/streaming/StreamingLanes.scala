@@ -725,12 +725,21 @@ object StreamingLanes {
   def tokenizerIngestLaneManaged(docs: DataFrame, corpusPath: String,
                                  vocabPath: String,
                                  oovCeiling: Double = 0.5,
-                                 minGain: Double = 0.1,
                                  checkEvery: Int = 4,
+                                 minGain: Double = 0.1,
                                  maxStoreFiles: Option[Int] = None)
                                 (onStats: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] = {
     require(checkEvery > 0, s"checkEvery must be positive, got $checkEvery")
+    // fail at lane CONSTRUCTION, not at the first cadence batch mid-
+    // stream (the policy re-checks, but a streaming query dying on
+    // batch checkEvery-1 is the worse failure mode). minGain sits
+    // AFTER checkEvery so a positional Int in the old slot cannot
+    // silently widen into it.
+    require(oovCeiling > 0 && oovCeiling < 1,
+      s"oovCeiling must be in (0, 1), got $oovCeiling")
+    require(minGain > 0 && minGain < 1,
+      s"minGain must be in (0, 1), got $minGain")
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import graft.text.{TextOps, VocabMaintenance}
       val spark = batch.sparkSession

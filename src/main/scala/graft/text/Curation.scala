@@ -250,15 +250,26 @@ object Curation {
     * row_number would funnel the corpus through one task; the
     * per-shard position is all a sharded reader consumes), no shuffle
     * beyond the one per-shard exchange. */
+  /** The per-epoch shuffle tag — md5 of "e<epoch>:doc_id". */
+  private def shuffleTag(epoch: Int) =
+    md5(concat(lit(s"e$epoch:"), col("doc_id").cast("string"))
+      .cast("binary"))
+
+  /** The shard of a tag column — its leading 16 bits mod `nShards`.
+    * ONE definition shared by [[epochShuffle]] and [[shardManifest]]:
+    * the manifest's entire contract is describing the assignment the
+    * shuffle makes, so the hash arithmetic must not be able to
+    * diverge between the two (the oracle's nibble arithmetic replays
+    * this exact expression). */
+  private def shardCol(tag: org.apache.spark.sql.Column, nShards: Int) =
+    pmod(conv(substring(tag, 1, 4), 16, 10).cast("long"),
+      lit(nShards.toLong)).cast("int")
+
   def epochShuffle(docs: DataFrame, epoch: Int, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     import org.apache.spark.sql.expressions.Window
-    val tag = md5(concat(lit(s"e$epoch:"), col("doc_id").cast("string"))
-      .cast("binary"))
-    docs.select(col("doc_id"), tag.as("shuffle_tag"))
-      .withColumn("shard",
-        pmod(conv(substring(col("shuffle_tag"), 1, 4), 16, 10).cast("long"),
-          lit(nShards.toLong)).cast("int"))
+    docs.select(col("doc_id"), shuffleTag(epoch).as("shuffle_tag"))
+      .withColumn("shard", shardCol(col("shuffle_tag"), nShards))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard"))
           .orderBy(col("shuffle_tag"), col("doc_id"))))
@@ -278,11 +289,8 @@ object Curation {
                     counter: org.apache.spark.sql.Column =>
                       org.apache.spark.sql.Column): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val tag = md5(concat(lit(s"e$epoch:"), col("doc_id").cast("string"))
-      .cast("binary"))
     docs.select(
-        pmod(conv(substring(tag, 1, 4), 16, 10).cast("long"),
-          lit(nShards.toLong)).cast("int").as("shard"),
+        shardCol(shuffleTag(epoch), nShards).as("shard"),
         counter(col("text")).cast("long").as("n_tokens"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),

@@ -91,52 +91,64 @@ object VocabMaintenance {
     * masking the real drift signal. Asserted here, not assumed. */
   def retrain(spark: SparkSession, vocabPath: String, docs: DataFrame,
               trainer: DataFrame => DataFrame = BpeVocab.train(_)): Unit = {
-    val rows = validatedRows(trainer(docs))
-    refused.remove(vocabPath)
-    swap(spark, vocabPath, rows)
+    validatedPieces(trainer(docs))
+    forget(vocabPath)
+    // the trainer's frame is written VERBATIM (arbitrary extra columns
+    // — a merge table's ranks, pair counts — survive the swap; only
+    // `piece` is contractual), re-evaluated once by the rewrite's
+    // temp-dir materialization
+    StoreMaintenance.rewrite(spark, vocabPath)(_ => trainer(docs))
   }
 
   /** Trainer-output validation shared by [[retrain]] and the candidate
-    * gauge: the vocabulary is a DIMENSION (topK rows), so it collects
-    * to the driver once — no executor-side pin to leak on a refused
-    * candidate — and validates there: non-empty (an empty store would
-    * wedge every downstream kernel build — the one state the lane
-    * could not retrain its way out of), no null pieces (a null would
-    * NPE the trie build or poison the store), every piece ≥
+    * gauge: only the `piece` column is contractual (everything
+    * downstream — the kernels, [[readPieces]], the gauge — consumes
+    * pieces alone), and pieces are a DIMENSION (topK rows), so they
+    * collect to the driver once — no executor-side pin to leak on a
+    * refused candidate — and validate there: non-empty (an empty store
+    * would wedge every downstream kernel build — the one state the
+    * lane could not retrain its way out of), no null pieces (a null
+    * would NPE the trie build or poison the store), every piece ≥
     * [[BpeVocab.MinN]] code points (the gauge DEFINES OOV as a
-    * length-1 emission; a shorter piece would loop retrains
-    * forever). */
-  private def validatedRows(fresh: DataFrame): Array[(String, Long)] = {
-    val rows = fresh.collect().map(r =>
-      (r.getAs[String]("piece"), r.getAs[Long]("n_occurrences")))
-    require(rows.nonEmpty,
+    * length-1 emission; a shorter piece would loop retrains forever).
+    * Returns the sorted pieces. */
+  private def validatedPieces(fresh: DataFrame): Seq[String] = {
+    val pieces = fresh.select(col("piece"))
+      .collect().map(_.getString(0)).toSeq
+    require(pieces.nonEmpty,
       "trainer emitted an empty vocabulary — refusing to swap the store" +
         " into an unrecoverable state (corpus has no trainable grams?)")
-    val bad = rows.count(r => r._1 == null ||
-      r._1.codePointCount(0, r._1.length) < BpeVocab.MinN)
+    val bad = pieces.count(p => p == null ||
+      p.codePointCount(0, p.length) < BpeVocab.MinN)
     require(bad == 0,
       s"trainer emitted $bad null or sub-${BpeVocab.MinN}-code-point " +
         "piece(s) — incompatible with the length-1-is-OOV gauge contract")
-    rows
+    pieces.sorted
   }
 
-  private def swap(spark: SparkSession, vocabPath: String,
-                   rows: Array[(String, Long)]): Unit =
-    StoreMaintenance.rewrite(spark, vocabPath) { _ =>
-      import spark.implicits._
-      rows.toSeq.toDF("piece", "n_occurrences")
-    }
-
-  /** Last REFUSED corpus rate per vocab store path (driver-session
-    * state, like the fixture memos): once a candidate is refused, the
-    * throwaway train is not re-paid until the gauge has RISEN past the
-    * refusal point by `minGain` — the gain gate alone closes only the
-    * store-rewrite half of the retrain-loop failure class; without
-    * this memo a high-baseline corpus would re-train (and re-refuse) a
-    * full candidate on every cadence call forever. Cleared by a swap
-    * or an unconditional [[retrain]]. */
+  /** Refusal memo (driver-session state, like the fixture memos),
+    * keyed by (store path, stored-pieces fingerprint) and holding the
+    * refused CANDIDATE's achieved rate: the throwaway train is not
+    * re-paid until the corpus gauge has risen at least `minGain` ABOVE
+    * what the last candidate achieved — i.e. until a candidate that
+    * merely matched the old one could now clear the gain bar. Keying
+    * on the refusal-time corpus rate instead would ratchet into an
+    * absorbing no-retrain state (rate ≤ 1 ≤ r0 + minGain once
+    * r0 ≥ 1 − minGain) and block legitimate swaps with gain up to
+    * 2×minGain. The pieces fingerprint invalidates the memo on ANY
+    * store change (an out-of-band rewrite, another caller's swap);
+    * the memo still assumes one gauging corpus per store — the lane's
+    * usage — since rates from unrelated corpora are not comparable.
+    * Residual documented corner: a candidate achieving ≥ 1 − minGain
+    * (a corpus nearly untokenizable even by its own vocabulary) pins
+    * the memo until the rate falls below the ceiling, the store
+    * changes, or the unconditional [[retrain]] runs — the gauge alone
+    * carries no signal a fresh candidate could read there. */
   private[text] val refused =
-    scala.collection.concurrent.TrieMap.empty[String, Double]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Double]
+
+  private def forget(vocabPath: String): Unit =
+    refused.keys.filter(_._1 == vocabPath).foreach(refused.remove)
 
   /** POLICY next to mechanism: measure [[oovRate]], and when corpus
     * drift (a new domain, a new language) has pushed it above
@@ -169,17 +181,23 @@ object VocabMaintenance {
       s"oovCeiling must be in (0, 1), got $oovCeiling")
     require(minGain > 0 && minGain < 1,
       s"minGain must be in (0, 1), got $minGain")
-    val rate = oovRate(spark, vocabPath, docs)
-    if (rate <= oovCeiling) { refused.remove(vocabPath); return false }
-    // a prior refusal at this-or-higher drift: re-pricing a candidate
-    // cannot help more than last time until the gauge itself moves
-    if (refused.get(vocabPath).exists(r0 => rate <= r0 + minGain))
+    val stored = readPieces(spark, vocabPath)
+    val memoKey = (vocabPath, stored.hashCode)
+    val rate = oovRateUnder(docs, stored)
+    if (rate <= oovCeiling) { refused.remove(memoKey); return false }
+    // a prior refusal under THIS store content: skip the throwaway
+    // train while a candidate that merely matched the refused one
+    // could still not clear the gain bar
+    if (refused.get(memoKey).exists(c0 => rate - c0 < minGain))
       return false
-    val rows = validatedRows(trainer(docs))
-    if (rate - oovRateUnder(docs, rows.map(_._1).toSeq.sorted) >= minGain) {
-      refused.remove(vocabPath)
-      swap(spark, vocabPath, rows)
+    val candPieces = validatedPieces(trainer(docs))
+    val candRate = oovRateUnder(docs, candPieces)
+    if (rate - candRate >= minGain) {
+      forget(vocabPath)
+      // the validated trainer plan re-evaluates once into the rewrite's
+      // temp dir — the swap's price at cadence, paid only on gain
+      StoreMaintenance.rewrite(spark, vocabPath)(_ => trainer(docs))
       true
-    } else { refused(vocabPath) = rate; false }
+    } else { refused(memoKey) = candRate; false }
   }
 }

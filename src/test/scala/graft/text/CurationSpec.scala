@@ -105,11 +105,17 @@ class CurationSpec extends SparkSpec {
     val w = tree.linesIterator.filter(_.contains("Window ")).toSeq
     assert(w.nonEmpty && w.forall(_.contains("shard")),
       s"window must partition by shard: $w")
-    // manifest: totals reconcile with the corpus
+    // manifest: totals reconcile with the corpus, and the PER-SHARD
+    // doc counts match the shuffle's actual assignment exactly (the
+    // manifest describes the assignment — a totals-only check would
+    // pass under a diverged shard hash)
     val m = Curation.shardManifest(docs, 1, 8,
       t => size(split(TextOps.norm(t), " "))).collect()
     assert(m.map(_.getLong(1)).sum === 200L)
     assert(m.map(_.getLong(2)).sum === 1000L) // 5 ws tokens per doc
+    val byShard = e1.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(m.map(r => r.getInt(0) -> r.getLong(1)).toMap === byShard,
+      "manifest per-shard sizes must match the shuffle's assignment")
   }
 
   test("mix_token_budget: no source-global window funnels the data path") {

@@ -66,7 +66,7 @@ class VocabMaintenanceSpec extends SparkSpec {
     // the refusal is memoized: the next cadence call at an unmoved
     // gauge must short-circuit WITHOUT re-paying the candidate train
     // (a trainer that throws proves it was never invoked)
-    assert(VocabMaintenance.refused.contains(path))
+    assert(VocabMaintenance.refused.keys.exists(_._1 == path))
     assert(!VocabMaintenance.retrainIfDrifted(spark, path, noisy,
       trainer = _ => sys.error("candidate must not re-train at an unmoved gauge")))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))

@@ -20,8 +20,8 @@ import graft.streaming.{Replay, StreamingLanes}
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.StreamBench [section...]
   * With args, only the named sections run (ingest, pairscan, neardup,
-  * simhash, media, chunk, decontam, curation, fullcur, spanclean,
-  * ivf) — e.g.
+  * simhash, media, chunk, decontam, curation, fullcur, tokmaint,
+  * spanclean, ivf) — e.g.
   * `runMain graft.StreamBench curation` probes the composed curation
   * lane alone against a (possibly synth-scaled) fixture dir without
   * paying the full snapshot replay.
@@ -256,6 +256,28 @@ object StreamBench {
       StreamingLanes.curationStoreLane(st, fullSigStore,
         s"$work/fullcur_chunks", benchStorePath = fullBench) {
         (_, _) => laneBatches += 1 })
+    }
+
+    // managed tokenizer lane: corpus-store append + per-batch per-source
+    // OOV stats under the LIVE vocab store + the cadence gain-gated
+    // retrain decision (on the in-domain fixture stream the first
+    // cadence check prices one candidate, refuses on no-gain, and the
+    // refusal memo skips every later check — the decision cost lands
+    // in exactly one batch, visible in sec_per_batch)
+    if (want("tokmaint")) {
+      val tokIncoming = docs.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), col("text"), col("source"))
+      Replay.stage(tokIncoming, s"$work/tok_in", slices = 16)
+      val tokVocab = s"$work/tok_vocab"
+      graft.text.BpeVocab.train(corpus).write.parquet(tokVocab)
+      val before = graft.text.VocabMaintenance.readPieces(spark, tokVocab)
+      laneProbe("tokmaint_lane", s"$work/tok_in",
+        spark.read.parquet(s"$work/tok_in").schema, inRows)(st =>
+        StreamingLanes.tokenizerIngestLaneManaged(st, s"$work/tok_corpus",
+          tokVocab, checkEvery = 4)((_, _) => laneBatches += 1))
+      val retrained =
+        graft.text.VocabMaintenance.readPieces(spark, tokVocab) != before
+      println(s"""{"metric":"stream_tokmaint_retrained","value":$retrained}""")
     }
 
     if (want("spanclean")) {

@@ -123,6 +123,18 @@ object StreamBench {
     Replay.stage(incoming, s"$work/docs_in", slices = 16)
     val docSchema = spark.read.parquet(s"$work/docs_in").schema
 
+    // the (doc_id, text, source) incoming split, staged ONCE and shared
+    // by the curation / fullcur / tokmaint sections (each previously
+    // re-staged an identical copy — three repartition+write passes for
+    // one byte-identical frame)
+    lazy val srcInDir: String = {
+      val dir = s"$work/src_in"
+      Replay.stage(docs.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), col("text"), col("source")),
+        dir, slices = 16)
+      dir
+    }
+
     def laneProbe(name: String, inDir: String,
                   schema: org.apache.spark.sql.types.StructType,
                   rows: Long)(mk: org.apache.spark.sql.DataFrame =>
@@ -209,9 +221,6 @@ object StreamBench {
     // standard stats frame is printed whole (the one dashboard row per
     // batch an operator of six lanes reads)
     if (want("curation")) {
-    val curIncoming = docs.filter(col("doc_id") % 10 >= 8)
-      .select(col("doc_id"), col("text"), col("source"))
-    Replay.stage(curIncoming, s"$work/cur_in", slices = 16)
     val curSigStore = s"$work/cur_sig_store"
     SimHashStore.appendBatch(curSigStore, corpus)
     val curStats = scala.collection.mutable.ArrayBuffer[String]()
@@ -219,8 +228,8 @@ object StreamBench {
     // signal on the ingest path) against the staged fixture vocab
     val curOov = scala.collection.mutable.ArrayBuffer[String]()
     val curVocab = graft.text.BpeVocab.pieces(spark, sfDir)
-    laneProbe("curation_lane", s"$work/cur_in",
-      spark.read.parquet(s"$work/cur_in").schema, inRows)(st =>
+    laneProbe("curation_lane", srcInDir,
+      spark.read.parquet(srcInDir).schema, inRows)(st =>
       StreamingLanes.curationStoreLane(st, curSigStore, s"$work/cur_chunks",
         onStats = (df, _) => df.collect().foreach(r => curStats +=
           (s"""{"lane":"${r.getString(0)}","batch_id":${r.getLong(1)},""" +
@@ -243,16 +252,13 @@ object StreamBench {
     // FULL-pipeline curation lane: decontam gate + judge + intra-batch
     // gate + floor + chunking + window excision, the complete ingest
     if (want("fullcur")) {
-    val fullIncoming = docs.filter(col("doc_id") % 10 >= 8)
-      .select(col("doc_id"), col("text"), col("source"))
-    Replay.stage(fullIncoming, s"$work/fullcur_in", slices = 16)
     val fullSigStore = s"$work/fullcur_sig_store"
     SimHashStore.appendBatch(fullSigStore, corpus)
     val fullBench = s"$work/fullcur_bench_store"
     graft.text.ChunkSigStore.appendSigs(fullBench,
       graft.text.NearDup.chunkSigs64(docs.filter(col("doc_id") < 10)))
-    laneProbe("fullcur_lane", s"$work/fullcur_in",
-      spark.read.parquet(s"$work/fullcur_in").schema, inRows)(st =>
+    laneProbe("fullcur_lane", srcInDir,
+      spark.read.parquet(srcInDir).schema, inRows)(st =>
       StreamingLanes.curationStoreLane(st, fullSigStore,
         s"$work/fullcur_chunks", benchStorePath = fullBench) {
         (_, _) => laneBatches += 1 })
@@ -265,14 +271,11 @@ object StreamBench {
     // refusal memo skips every later check — the decision cost lands
     // in exactly one batch, visible in sec_per_batch)
     if (want("tokmaint")) {
-      val tokIncoming = docs.filter(col("doc_id") % 10 >= 8)
-        .select(col("doc_id"), col("text"), col("source"))
-      Replay.stage(tokIncoming, s"$work/tok_in", slices = 16)
       val tokVocab = s"$work/tok_vocab"
       graft.text.BpeVocab.train(corpus).write.parquet(tokVocab)
       val before = graft.text.VocabMaintenance.readPieces(spark, tokVocab)
-      laneProbe("tokmaint_lane", s"$work/tok_in",
-        spark.read.parquet(s"$work/tok_in").schema, inRows)(st =>
+      laneProbe("tokmaint_lane", srcInDir,
+        spark.read.parquet(srcInDir).schema, inRows)(st =>
         StreamingLanes.tokenizerIngestLaneManaged(st, s"$work/tok_corpus",
           tokVocab, checkEvery = 4)((_, _) => laneBatches += 1))
       val retrained =

@@ -91,28 +91,40 @@ object VocabMaintenance {
     * masking the real drift signal. Asserted here, not assumed. */
   def retrain(spark: SparkSession, vocabPath: String, docs: DataFrame,
               trainer: DataFrame => DataFrame = BpeVocab.train(_)): Unit = {
-    validatedPieces(trainer(docs))
+    // ONE trainer evaluation, pinned: the frame that was validated IS
+    // the frame the store receives (a second invocation of a custom
+    // trainer could emit what the first did not — unvalidated), and
+    // the training pass is not paid twice. The pin is dimension-sized
+    // (topK rows) and released by GC after the write.
+    val fresh = trainer(docs).localCheckpoint(true)
+    validatedPieces(fresh)
     forget(vocabPath)
-    // the trainer's frame is written VERBATIM (arbitrary extra columns
-    // — a merge table's ranks, pair counts — survive the swap; only
-    // `piece` is contractual), re-evaluated once by the rewrite's
-    // temp-dir materialization
-    StoreMaintenance.rewrite(spark, vocabPath)(_ => trainer(docs))
+    StoreMaintenance.rewrite(spark, vocabPath)(_ => fresh)
   }
 
   /** Trainer-output validation shared by [[retrain]] and the candidate
-    * gauge: only the `piece` column is contractual (everything
-    * downstream — the kernels, [[readPieces]], the gauge — consumes
-    * pieces alone), and pieces are a DIMENSION (topK rows), so they
-    * collect to the driver once — no executor-side pin to leak on a
-    * refused candidate — and validate there: non-empty (an empty store
-    * would wedge every downstream kernel build — the one state the
-    * lane could not retrain its way out of), no null pieces (a null
-    * would NPE the trie build or poison the store), every piece ≥
-    * [[BpeVocab.MinN]] code points (the gauge DEFINES OOV as a
-    * length-1 emission; a shorter piece would loop retrains forever).
-    * Returns the sorted pieces. */
+    * gauge — the LIVE store's schema contract, enforced fail-fast
+    * BEFORE any swap: a `piece` column (everything consumes it) and an
+    * `n_occurrences` column (the live store serves numericalization
+    * too — [[BpeVocab.idFrame]] ranks on it; a piece-only frame would
+    * swap fine and then break every `token_ids` plan downstream, the
+    * worse failure). A merge-learning trainer slots in via an adapter
+    * projecting (piece, n_occurrences) — e.g. a rank-derived count,
+    * since id order is all `idFrame` reads from it. Pieces are a
+    * DIMENSION (topK rows): they collect to the driver once and
+    * validate there — non-empty (an empty store would wedge every
+    * downstream kernel build — the one state the lane could not
+    * retrain its way out of), no null pieces (a null would NPE the
+    * trie build or poison the store), every piece ≥ [[BpeVocab.MinN]]
+    * code points (the gauge DEFINES OOV as a length-1 emission; a
+    * shorter piece would loop retrains forever). Returns the sorted
+    * pieces. */
   private def validatedPieces(fresh: DataFrame): Seq[String] = {
+    require(fresh.columns.contains("n_occurrences"),
+      "trainer frame lacks n_occurrences — the live store serves " +
+        "numericalization (BpeVocab.idFrame ranks on it); project " +
+        "(piece, n_occurrences) in the trainer (rank-derived counts " +
+        "work: id order is all idFrame reads)")
     val pieces = fresh.select(col("piece"))
       .collect().map(_.getString(0)).toSeq
     require(pieces.nonEmpty,
@@ -184,19 +196,22 @@ object VocabMaintenance {
     val stored = readPieces(spark, vocabPath)
     val memoKey = (vocabPath, stored.hashCode)
     val rate = oovRateUnder(docs, stored)
-    if (rate <= oovCeiling) { refused.remove(memoKey); return false }
+    // below the ceiling there is no refusal state worth keeping for
+    // ANY store fingerprint of this path (stale-hash entries from
+    // out-of-band rewrites evict here rather than leaking)
+    if (rate <= oovCeiling) { forget(vocabPath); return false }
     // a prior refusal under THIS store content: skip the throwaway
     // train while a candidate that merely matched the refused one
     // could still not clear the gain bar
     if (refused.get(memoKey).exists(c0 => rate - c0 < minGain))
       return false
-    val candPieces = validatedPieces(trainer(docs))
-    val candRate = oovRateUnder(docs, candPieces)
+    // ONE trainer evaluation, pinned (topK rows): the frame that is
+    // validated and gauged IS the frame a gain-accepted swap writes
+    val fresh = trainer(docs).localCheckpoint(true)
+    val candRate = oovRateUnder(docs, validatedPieces(fresh))
     if (rate - candRate >= minGain) {
       forget(vocabPath)
-      // the validated trainer plan re-evaluates once into the rewrite's
-      // temp dir — the swap's price at cadence, paid only on gain
-      StoreMaintenance.rewrite(spark, vocabPath)(_ => trainer(docs))
+      StoreMaintenance.rewrite(spark, vocabPath)(_ => fresh)
       true
     } else { refused(memoKey) = candRate; false }
   }

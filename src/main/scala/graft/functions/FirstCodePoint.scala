@@ -12,9 +12,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark has no code-point builtin; the composable spelling
   * `conv(hex(encode(piece, 'UTF-32')), 16, 10)` allocates an encoder,
   * a byte buffer, a hex string, and a base-16 parse PER OOV TOKEN —
-  * this is one branch-free UTF-8 decode of at most 4 bytes, no
-  * allocation (measured 2.7× on the 10× token_ids_bpe lap before the
-  * swap). DuckDB parity includes the empty-string convention:
+  * this is one UTF-8 decode of at most 4 bytes, no allocation
+  * (measured 2.7× on the 10× token_ids_bpe lap before the swap).
+  * Malformed UTF-8 (a continuation byte leading, a truncated tail)
+  * throws rather than minting a wrong OOV id — see the companion.
+  * DuckDB parity includes the empty-string convention:
   * `unicode('')` is −1. Null → null. Registered as SQL function
   * `first_codepoint`.
   */
@@ -39,21 +41,41 @@ case class FirstCodePoint(child: Expression) extends UnaryExpression {
 }
 
 object FirstCodePoint {
-  /** Decode the leading UTF-8 sequence directly from the backing bytes
-    * (UTF8String is UTF-8 by construction; Spark validates on ingest,
-    * so the continuation bytes are well-formed). −1 on empty input —
-    * the DuckDB `unicode('')` convention. Called from generated
-    * code. */
+  /** Decode the leading UTF-8 sequence directly from the backing bytes.
+    * −1 on empty input — the DuckDB `unicode('')` convention. Called
+    * from generated code.
+    *
+    * FAIL-FAST on malformed UTF-8 (the trie kernel's discipline):
+    * UTF8String is NOT validated on every ingress path (binary casts,
+    * foreign parquet), and in the numericalization hot path this value
+    * becomes an OOV id (|V| + code point) — silently decoding a
+    * continuation byte in lead position or a truncated tail would mint
+    * a WRONG-but-plausible id (a −1 sentinel is no better: |V| − 1
+    * collides with a real vocab id). Throwing names the corrupt input
+    * instead. */
   def firstCodePoint(t: UTF8String): Int = {
     val n = t.numBytes()
     if (n == 0) return -1
     val b0 = t.getByte(0) & 0xFF
     if (b0 < 0x80) return b0
+    if (b0 < 0xC0)
+      throw new IllegalArgumentException(
+        "first_codepoint: malformed UTF-8 — continuation byte 0x" +
+          b0.toHexString + " in lead position")
     val len = if (b0 >= 0xF0) 4 else if (b0 >= 0xE0) 3 else 2
+    if (n < len)
+      throw new IllegalArgumentException(
+        s"first_codepoint: malformed UTF-8 — truncated $len-byte " +
+          s"sequence (only $n byte(s) present)")
     var cp = b0 & (0x3F >> (len - 1))
     var i = 1
-    while (i < len && i < n) {
-      cp = (cp << 6) | (t.getByte(i) & 0x3F)
+    while (i < len) {
+      val bi = t.getByte(i) & 0xFF
+      if ((bi & 0xC0) != 0x80)
+        throw new IllegalArgumentException(
+          "first_codepoint: malformed UTF-8 — expected continuation " +
+            "byte, got 0x" + bi.toHexString)
+      cp = (cp << 6) | (bi & 0x3F)
       i += 1
     }
     cp

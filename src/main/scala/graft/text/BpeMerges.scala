@@ -82,10 +82,27 @@ object BpeMerges {
           .as("toks"),
         col("n"))
 
+  /** Release the block-manager copy behind an eager `localCheckpoint`:
+    * the checkpointed frame's plan is a `LogicalRDD` over the persisted
+    * internal RDD, and unpersisting that RDD frees its blocks NOW
+    * instead of waiting for GC/ContextCleaner — at a real 50k-merge
+    * run, R accumulated round checkpoints would otherwise pile up in
+    * block-manager memory. The frame must not be consumed again after
+    * this call. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** R rounds of pair-merge learning over `docs`. Returns the merge
     * table (rank INT, left_piece, right_piece, piece, n_pairs LONG) in
     * learning order; stops early if the dictionary runs out of pairs
-    * (every word fully merged). */
+    * (every word fully merged). Each round's dict checkpoint is
+    * explicitly unpersisted once the next round's materializes, so
+    * rounds never ACCUMULATE memory (one live dict copy at any
+    * instant, plus the one being written). */
   def train(docs: DataFrame, rounds: Int = DefaultRounds): DataFrame = {
     val spark = docs.sparkSession
     var dict = wordDict(docs).localCheckpoint(true)
@@ -111,12 +128,18 @@ object BpeMerges {
         val row = top.head
         val (l, rt, c) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += ((r, l, rt, l + rt, c))
-        dict = dict.select(col("w"),
+        val next = dict.select(col("w"),
           applyMerge(col("toks"), l, rt).as("toks"), col("n"))
           .localCheckpoint(true)
+        // the eager checkpoint above fully materialized `next`, so the
+        // previous round's blocks are dead — release them explicitly
+        unpersistCheckpoint(dict)
+        dict = next
         r += 1
       }
     }
+    // the merge table is driver-side by now; the final dict is dead too
+    unpersistCheckpoint(dict)
     spark.createDataFrame(merges.toSeq)
       .toDF("rank", "left_piece", "right_piece", "piece", "n_pairs")
   }

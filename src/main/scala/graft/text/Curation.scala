@@ -171,11 +171,13 @@ object Curation {
       .cast("binary"))
     // eager localCheckpoint (the packTokens discipline): one pricing
     // pass feeds both the bucket-sum collect and the final window join.
-    // Null-priced docs (null text) leave the machinery here: the
-    // single-window form dropped them at the budget filter (null cum)
-    // without affecting later docs' running sums (window sum skips
-    // nulls) — filtering is output-identical and keeps the phase-1
-    // driver fold free of null group sums.
+    // Null-priced docs (null text) are DROPPED here — a deliberate
+    // tightening of the r12 single-window form, where window `sum`
+    // skipped the null so the doc inherited the prior running total
+    // and could ride along inside the budget while contributing zero
+    // tokens. A doc the counter cannot price has no defensible claim
+    // on a token budget; dropping it also keeps the phase-1 driver
+    // fold free of null group sums.
     val priced = docs.select(col("doc_id"), col("source"),
       tag.as("mix_tag"), counter(col("text")).cast("long").as("n_tokens"))
       .filter(col("n_tokens").isNotNull)

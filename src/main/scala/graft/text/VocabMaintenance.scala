@@ -138,6 +138,26 @@ object VocabMaintenance {
     pieces.sorted
   }
 
+  /** Strong fingerprint of a piece set — SHA-256 over the
+    * length-prefixed UTF-8 pieces in their given (sorted) order. The
+    * refusal memo keys on this instead of `Seq.hashCode` (32-bit): a
+    * hash collision between old and new store contents after an
+    * out-of-band rewrite would carry a stale refusal forward and
+    * wrongly skip a warranted candidate train; at 2⁻¹²⁸ that failure
+    * mode is gone. Length-prefixing makes the encoding injective
+    * (("ab","c") and ("a","bc") digest differently). */
+  private[text] def piecesFingerprint(pieces: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val lenBuf = java.nio.ByteBuffer.allocate(4)
+    pieces.foreach { p =>
+      val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      lenBuf.clear(); lenBuf.putInt(b.length)
+      md.update(lenBuf.array())
+      md.update(b)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Refusal memo (driver-session state, like the fixture memos),
     * keyed by (store path, stored-pieces fingerprint) and holding the
     * refused CANDIDATE's achieved rate: the throwaway train is not
@@ -157,7 +177,7 @@ object VocabMaintenance {
     * changes, or the unconditional [[retrain]] runs — the gauge alone
     * carries no signal a fresh candidate could read there. */
   private[text] val refused =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Double]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Double]
 
   private def forget(vocabPath: String): Unit =
     refused.keys.filter(_._1 == vocabPath).foreach(refused.remove)
@@ -194,7 +214,7 @@ object VocabMaintenance {
     require(minGain > 0 && minGain < 1,
       s"minGain must be in (0, 1), got $minGain")
     val stored = readPieces(spark, vocabPath)
-    val memoKey = (vocabPath, stored.hashCode)
+    val memoKey = (vocabPath, piecesFingerprint(stored))
     val rate = oovRateUnder(docs, stored)
     // below the ceiling there is no refusal state worth keeping for
     // ANY store fingerprint of this path (stale-hash entries from

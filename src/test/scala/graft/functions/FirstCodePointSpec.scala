@@ -38,6 +38,22 @@ class FirstCodePointSpec extends SparkSpec {
     }
   }
 
+  test("malformed UTF-8 fails loudly instead of minting a wrong OOV id") {
+    def bad(bytes: Int*): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        FirstCodePoint.firstCodePoint(
+          UTF8String.fromBytes(bytes.map(_.toByte).toArray))
+      }
+      assert(e.getMessage.contains("malformed UTF-8"),
+        s"bytes: ${bytes.map(b => f"$b%02x")}")
+    }
+    bad(0x80)             // continuation byte in lead position
+    bad(0xBF, 0x41)       // top of the continuation range as lead
+    bad(0xE2, 0x82)       // truncated 3-byte sequence
+    bad(0xF0, 0x9D, 0x94) // truncated 4-byte sequence
+    bad(0xC3, 0x28)       // non-continuation byte in the tail
+  }
+
   test("SQL surface: registered via GraftExtensions and codegen-evaluated") {
     val df = spark.sql("SELECT first_codepoint('Ωmega') AS cp")
     assert(df.head().getInt(0) === 0x03A9)

@@ -281,6 +281,24 @@ object StreamBench {
       val retrained =
         graft.text.VocabMaintenance.readPieces(spark, tokVocab) != before
       println(s"""{"metric":"stream_tokmaint_retrained","value":$retrained}""")
+      // the same lane with the REAL merge-learning trainer wired in:
+      // the cadence batch prices BpeMerges.train as the candidate (one
+      // word-dict corpus pass + R dict rounds) — the decision cost an
+      // operator pays for learned merges instead of the frequency
+      // stand-in, visible in sec_per_batch vs the row above
+      val tokVocabM = s"$work/tok_vocab_merge"
+      graft.text.BpeVocab.train(corpus).write.parquet(tokVocabM)
+      val beforeM = graft.text.VocabMaintenance.readPieces(spark, tokVocabM)
+      laneProbe("tokmaint_merge_lane", srcInDir,
+        spark.read.parquet(srcInDir).schema, inRows)(st =>
+        StreamingLanes.tokenizerIngestLaneManaged(st,
+          s"$work/tok_corpus_merge", tokVocabM, checkEvery = 4,
+          trainer = graft.text.BpeMerges.mergeTrainer(rounds = 16))(
+          (_, _) => laneBatches += 1))
+      val retrainedM =
+        graft.text.VocabMaintenance.readPieces(spark, tokVocabM) != beforeM
+      println(
+        s"""{"metric":"stream_tokmaint_merge_retrained","value":$retrainedM}""")
     }
 
     if (want("spanclean")) {

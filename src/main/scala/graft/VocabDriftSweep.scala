@@ -17,7 +17,16 @@ import org.apache.spark.sql.functions._
   * gain gate refusing the no-drift point (where the corpus's own
   * baseline already exceeds the absolute ceiling) and swapping with a
   * measured recovery everywhere real drift exists.
-  * Usage: runMain graft.VocabDriftSweep [sfDir] */
+  *
+  * Each level also prices the MERGE-LEARNING candidate
+  * ([[graft.text.BpeMerges.mergeTrainer]], `mergeRounds` merges)
+  * against the frequency candidate the policy trained: achieved OOV
+  * and train seconds side by side — the frequency-vs-merge coverage
+  * comparison an operator reads before choosing which trainer to wire
+  * into the managed lane (a merge table R pieces deep cannot out-cover
+  * a topK frequency vocabulary on a gram-diverse corpus; the table
+  * QUANTIFIES the gap instead of assuming it).
+  * Usage: runMain graft.VocabDriftSweep [sfDir] [mergeRounds] */
 object VocabDriftSweep {
   // 26-char target alphabet disjoint from [a-z] and from whitespace;
   // survives the kernel's norm (lower + whitespace collapse) unchanged
@@ -64,9 +73,21 @@ object VocabDriftSweep {
       val post =
         if (swapped) text.VocabMaintenance.oovRate(spark, decidePath, corpus)
         else rate
+      // price the merge-learning candidate on the SAME corpus: what
+      // would wiring BpeMerges.mergeTrainer into the loop have bought?
+      val mergeRounds = args.drop(1).headOption.map(_.toInt).getOrElse(32)
+      val (mergePieces, mergeTrainS) = time {
+        text.BpeMerges.mergeTrainer(mergeRounds)(corpus)
+          .select(col("piece")).collect().map(_.getString(0)).toSeq
+      }
+      // (an exhausted dictionary yields no merges — everything OOV)
+      val mergeOov = if (mergePieces.isEmpty) 1.0
+        else text.VocabMaintenance.oovRateUnder(corpus, mergePieces)
       println(f"VOCABDRIFT frac=${q * 25}%d%% oov=$rate%.3f " +
         f"gauge_s=$gaugeS%.2f swapped=$swapped " +
-        f"decide_s=$decideS%.2f post_oov=$post%.3f")
+        f"decide_s=$decideS%.2f post_oov=$post%.3f " +
+        f"merge_oov=$mergeOov%.3f merge_pieces=${mergePieces.size}%d " +
+        f"merge_train_s=$mergeTrainS%.2f")
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     spark.stop()

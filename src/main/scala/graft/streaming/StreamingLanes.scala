@@ -721,13 +721,24 @@ object StreamingLanes {
     * one kernel pass over its own rows — the drift gauge's full corpus
     * pass is the amortized cadence cost, exactly the IVF lane's
     * shape. A retrain marks an id-VERSION boundary for downstream
-    * numericalization (the [[graft.text.VocabMaintenance]] contract). */
+    * numericalization (the [[graft.text.VocabMaintenance]] contract —
+    * [[graft.text.TokenIdStore.renumberSweep]] is the operator that
+    * enforces it on a persisted id store).
+    *
+    * `trainer` is the candidate-vocabulary derivation the gain gate
+    * prices — the frequency stand-in by default; pass
+    * [[graft.text.BpeMerges.mergeTrainer]] to run the REAL
+    * merge-learning trainer through the loop (same (piece,
+    * n_occurrences) live-store contract, validated at the maintenance
+    * boundary either way). */
   def tokenizerIngestLaneManaged(docs: DataFrame, corpusPath: String,
                                  vocabPath: String,
                                  oovCeiling: Double = 0.5,
                                  checkEvery: Int = 4,
                                  minGain: Double = 0.1,
-                                 maxStoreFiles: Option[Int] = None)
+                                 maxStoreFiles: Option[Int] = None,
+                                 trainer: DataFrame => DataFrame =
+                                   graft.text.BpeVocab.train(_))
                                 (onStats: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] = {
     require(checkEvery > 0, s"checkEvery must be positive, got $checkEvery")
@@ -764,7 +775,7 @@ object StreamingLanes {
         // and the trainer would double-count its grams
         VocabMaintenance.retrainIfDrifted(spark, vocabPath,
           spark.read.parquet(corpusPath).dropDuplicates("doc_id"),
-          oovCeiling, minGain)
+          oovCeiling, minGain, trainer)
       ()
     }
   }

@@ -144,6 +144,32 @@ object BpeMerges {
       .toDF("rank", "left_piece", "right_piece", "piece", "n_pairs")
   }
 
+  /** The merge-learning trainer as a LIVE-STORE adapter — the seam
+    * [[VocabMaintenance]]'s schema contract anticipated (rank-derived
+    * counts), now an operator: [[train]]'s merge table projected to
+    * the (piece, n_occurrences) frame every maintenance entry point
+    * consumes ([[VocabMaintenance.retrain]] /
+    * [[VocabMaintenance.retrainIfDrifted]] / the managed ingest lane).
+    *
+    * The count is DERIVED FROM THE MERGE RANK — `rounds − min(rank)` —
+    * because id order is all [[BpeVocab.idFrame]] reads from it
+    * (rank DESC on the derived count == learning order ASC, the id
+    * assignment real BPE tokenizers use), and pair counts from
+    * different rounds are not comparable as frequencies (each round
+    * counts pairs over a DIFFERENT tokenization). Distinct pieces keep
+    * their EARLIEST rank (two merges can compose the same string —
+    * a+bc and ab+c); min(rank) values are distinct per surviving
+    * piece, so the id total order needs no tiebreak. Every piece is
+    * left+right of prior-round units (≥ 2 BMP code points), satisfying
+    * the maintenance boundary's length-1-is-OOV gauge contract by
+    * construction. */
+  def mergeTrainer(rounds: Int = DefaultRounds)
+                  (docs: DataFrame): DataFrame =
+    train(docs, rounds)
+      .groupBy(col("piece")).agg(min(col("rank")).as("r"))
+      .select(col("piece"),
+        (lit(rounds.toLong) - col("r")).as("n_occurrences"))
+
   /** The staged merge table for a fixture dir — trained once per
     * (rounds, fixture fingerprint), then a plain parquet read: the
     * same artifact lifecycle as [[BpeVocab.fixtureStore]]. */

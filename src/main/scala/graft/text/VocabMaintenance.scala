@@ -28,9 +28,10 @@ import graft.sinks.StoreMaintenance
   * corpus pass through the trie kernel (the same per-row walk every
   * tokenization pays) plus one map-side-combined aggregate; the
   * retrain is [[BpeVocab.train]]'s single corpus pass (or any
-  * (docs → (piece, n_occurrences)) trainer — the merge-learning
-  * [[BpeMerges]] slots in for true BPE). Between checks, every
-  * consumer keeps reading the stored pieces unchanged.
+  * (docs → (piece, n_occurrences)) trainer — [[BpeMerges
+  * .mergeTrainer]] plugs true learned BPE merges in, rank-derived
+  * counts satisfying this store's schema contract). Between checks,
+  * every consumer keeps reading the stored pieces unchanged.
   *
   * Swap protocol: [[StoreMaintenance.rewrite]]'s atomic-rename dance —
   * a complete vocabulary exists on disk at every instant; a reader
@@ -108,9 +109,9 @@ object VocabMaintenance {
     * `n_occurrences` column (the live store serves numericalization
     * too — [[BpeVocab.idFrame]] ranks on it; a piece-only frame would
     * swap fine and then break every `token_ids` plan downstream, the
-    * worse failure). A merge-learning trainer slots in via an adapter
-    * projecting (piece, n_occurrences) — e.g. a rank-derived count,
-    * since id order is all `idFrame` reads from it. Pieces are a
+    * worse failure). The merge-learning trainer satisfies this via
+    * [[BpeMerges.mergeTrainer]]'s rank-derived counts (id order is
+    * all `idFrame` reads from it). Pieces are a
     * DIMENSION (topK rows): they collect to the driver once and
     * validate there — non-empty (an empty store would wedge every
     * downstream kernel build — the one state the lane could not

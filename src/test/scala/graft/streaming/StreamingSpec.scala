@@ -1463,6 +1463,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("managed tokenizer lane with the MERGE trainer: learned merges swap in at cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{BpeMerges, BpeVocab, TextOps, VocabMaintenance}
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("tok_lane_merge_").toString
+    val corpusPath = s"$work/corpus"
+    val vocabPath = s"$work/vocab"
+    BpeVocab.train(Seq((1L, "aa bb aa bb")).toDF("doc_id", "text"))
+      .write.parquet(vocabPath)
+    val seed = VocabMaintenance.readPieces(spark, vocabPath)
+    val stats = scala.collection.mutable.ArrayBuffer[
+      (Long, String, Double)]()
+    val q = StreamingLanes.tokenizerIngestLaneManaged(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      corpusPath, vocabPath, oovCeiling = 0.5, checkEvery = 2,
+      trainer = BpeMerges.mergeTrainer(rounds = 8))(
+      (df, _) => df.collect().foreach(r =>
+        stats += ((r.getLong(1), r.getString(2), r.getDouble(5))))).start()
+    try {
+      // batch 0: drifted digit words arrive; batch 1 closes the first
+      // cadence window — the MERGE trainer's candidate (learned 2-char
+      // merges covering every digit word) clears the gain gate
+      mem.addData(CurDoc(ts(10), 10L, "01 23 45 67 89 01 23 45", "s2"))
+      q.processAllAvailable()
+      assert(stats.last === ((0L, "s2", 1.0)),
+        s"drifted batch must alarm under the seed vocab: $stats")
+      mem.addData(CurDoc(ts(11), 11L, "89 67 45 23 01 89 67 45", "s2"))
+      q.processAllAvailable()
+      val retrained = VocabMaintenance.readPieces(spark, vocabPath)
+      assert(retrained !== seed, "cadence check must have swapped")
+      assert(retrained.forall(p => p.length == 2 && p.forall(_.isDigit)),
+        s"the merge trainer must have learned the digit-pair merges: $retrained")
+      // the very next batch's stats run under the LEARNED vocabulary
+      mem.addData(CurDoc(ts(20), 12L, "01 23 89 67", "s2"))
+      q.processAllAvailable()
+      assert(stats.last === ((2L, "s2", 0.0)),
+        s"post-swap stats must read in-vocab: $stats")
+      // the swapped store serves the BPE family end to end
+      val counts = TextOps.tokenCountsBpe(
+        Seq((20L, "01 23 45")).toDF("doc_id", "text"), retrained)
+        .collect().map(r => (r.getInt(1), r.getInt(2))).toSeq
+      assert(counts === Seq((3, 3)))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   test("gated in-lane compaction: threshold crossing compacts, verdicts stable") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.SignatureStore

@@ -72,6 +72,46 @@ class VocabMaintenanceSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("merge-learning trainer through the loop: gain-gated swap, BPE family serves the swapped store") {
+    val work = java.nio.file.Files
+      .createTempDirectory("vocab_maint_merge_").toString
+    val path = s"$work/vocab"
+    BpeVocab.train(docsA).write.parquet(path)
+    // drifted, repetitive digit domain — exactly what merge learning
+    // covers: 8 rounds learn 01, 012, 0123, 45, 456, 4567, 01230123,
+    // 45674567 (ties break (count DESC, left ASC, right ASC), and
+    // "01" < "2" lexicographically, so each chain extends greedily
+    // before the next pair starts)
+    val docsM = Seq((5L, "01230123 45674567"), (6L, "0123 4567 01230123"))
+      .toDF("doc_id", "text")
+    assert(VocabMaintenance.oovRate(spark, path, docsM) === 1.0)
+    assert(VocabMaintenance.retrainIfDrifted(spark, path, docsM,
+      trainer = BpeMerges.mergeTrainer(rounds = 8)),
+      "the merge candidate recovers full coverage — the gate must swap")
+    val swapped = VocabMaintenance.readPieces(spark, path)
+    assert(swapped === Seq("01", "012", "0123", "01230123", "45", "456",
+      "4567", "45674567"))
+    // the swapped LIVE store satisfies the numericalization contract:
+    // idFrame's (n_occurrences DESC, piece ASC) rank == learning order
+    val ids = BpeVocab.idFrame(BpeVocab.read(spark, path))
+      .orderBy(col("piece_id")).collect().map(_.getString(0)).toSeq
+    assert(ids === Seq("01", "012", "0123", "45", "456", "4567",
+      "01230123", "45674567"),
+      "ids must follow merge-rank order (rank-derived counts)")
+    // the BPE query family is green against the swapped store: the
+    // greedy walk consumes each word as ONE learned piece
+    val counts = TextOps.tokenCountsBpe(docsM, swapped)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(counts === Seq((5L, 2, 2), (6L, 3, 3)),
+      "every word must tokenize to exactly its fully-merged piece")
+    // post-swap the gauge reads 0 and the next cadence call is a no-op
+    assert(VocabMaintenance.oovRate(spark, path, docsM) === 0.0)
+    assert(!VocabMaintenance.retrainIfDrifted(spark, path, docsM,
+      trainer = BpeMerges.mergeTrainer(rounds = 8)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("retrain refuses an empty trainer output — the store stays recoverable") {
     val work = java.nio.file.Files
       .createTempDirectory("vocab_maint_guard_").toString

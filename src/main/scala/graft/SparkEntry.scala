@@ -32,6 +32,7 @@ object SparkEntry {
       ledger.Ledger.queries ++
       text.TextOps.queries ++
       text.BpeMerges.queries ++
+      text.TokenIdStore.queries ++
       text.NearDup.queries ++
       text.Curation.queries ++
       text.Boilerplate.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       ledger.Ledger.oracle ++
       text.TextOps.oracle ++
       text.BpeMerges.oracle ++
+      text.TokenIdStore.oracle ++
       text.NearDup.oracle ++
       text.Curation.oracle ++
       text.Boilerplate.oracle ++

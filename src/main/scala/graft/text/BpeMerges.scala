@@ -165,10 +165,23 @@ object BpeMerges {
     * construction. */
   def mergeTrainer(rounds: Int = DefaultRounds)
                   (docs: DataFrame): DataFrame =
-    train(docs, rounds)
-      .groupBy(col("piece")).agg(min(col("rank")).as("r"))
+    rankCounts(train(docs, rounds), rounds)
+
+  /** The rank→count projection [[mergeTrainer]] applies — factored so
+    * an ALREADY-TRAINED merge table (e.g. the staged fixture store)
+    * adapts without re-training. */
+  private def rankCounts(merges: DataFrame, rounds: Int): DataFrame =
+    merges.groupBy(col("piece")).agg(min(col("rank")).as("r"))
       .select(col("piece"),
         (lit(rounds.toLong) - col("r")).as("n_occurrences"))
+
+  /** The staged learned-merge vocabulary as a LIVE-STORE-shaped
+    * (piece, n_occurrences) frame — [[mergeTrainer]]'s output for the
+    * fixture corpus, adapted from the already-staged merge table (no
+    * re-training). What [[TokenIdStore.fixtureRenumberedStore]] swaps
+    * in as id-space version 2. */
+  def mergeVocab(s: SparkSession, dir: String): DataFrame =
+    rankCounts(read(s, fixtureStore(s, dir)), DefaultRounds)
 
   /** The staged merge table for a fixture dir — trained once per
     * (rounds, fixture fingerprint), then a plain parquet read: the
@@ -298,6 +311,38 @@ object BpeMerges {
        |  WHERE w.pos <= len(m.adv)),
        |lbpe AS (SELECT doc_id, max(cnt) AS nn FROM lwalk GROUP BY doc_id)"""
       .stripMargin
+
+  /** Fresh numericalization under the LEARNED vocabulary as one SQL
+    * statement — the [[TokenIdStore]] renumber oracle: the emitting
+    * variant of the learned walk (a walk row is the state BEFORE
+    * consuming at `pos`, so `cnt` is the 0-based index of the piece
+    * about to be consumed; space steps emit nothing — the
+    * token_split_bpe convention), each consumed slice joined against
+    * the learned id table `lvid` (0-based rank of distinct pieces by
+    * EARLIEST merge rank — exactly [[BpeVocab.idFrame]]'s
+    * (n_occurrences DESC, piece ASC) order under [[mergeVocab]]'s
+    * rank-derived counts, with ties impossible because min-ranks are
+    * distinct per piece), OOV units mapped to |V| + code point. */
+  private[text] lazy val learnedIdsSql: String =
+    s"""WITH RECURSIVE ${learnedWalkCtes(DefaultRounds)},
+       |lv AS MATERIALIZED (
+       |  SELECT piece, min(rank) AS r
+       |  FROM (${mergeUnion(DefaultRounds)}) GROUP BY piece),
+       |lvid AS MATERIALIZED (
+       |  SELECT piece, CAST(row_number() OVER (ORDER BY r ASC)
+       |    AS INTEGER) - 1 AS piece_id
+       |  FROM lv)
+       |SELECT w.doc_id, CAST(w.cnt AS INTEGER) AS token_idx,
+       |  CAST(coalesce(v.piece_id,
+       |    (SELECT count(*) FROM lv)
+       |      + unicode(substr(d.s, w.pos, m.adv[w.pos])))
+       |    AS INTEGER) AS piece_id,
+       |  CAST(2 AS INTEGER) AS vocab_version
+       |FROM lwalk w
+       |JOIN lbml m ON m.doc_id = w.doc_id
+       |JOIN lbd d ON d.doc_id = w.doc_id
+       |LEFT JOIN lvid v ON v.piece = substr(d.s, w.pos, m.adv[w.pos])
+       |WHERE w.pos <= len(m.adv) AND m.adv[w.pos] != -1""".stripMargin
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class TokenIdStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two-word digit docs whose merge vocabulary is fully learnable in
+  // a handful of rounds (the VocabMaintenanceSpec corpus)
+  private def docs = Seq((5L, "01230123 45674567"),
+    (6L, "0123 4567 01230123")).toDF("doc_id", "text")
+
+  test("numericalize tags the id-space version and append round-trips") {
+    val work = java.nio.file.Files
+      .createTempDirectory("token_ids_").toString
+    val store = s"$work/ids"
+    val vocab = BpeVocab.train(docs)
+    TokenIdStore.append(store, TokenIdStore.numericalize(docs, vocab, 1))
+    val rows = TokenIdStore.read(spark, store)
+    assert(rows.select("vocab_version").distinct()
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+    // ids are exactly the un-versioned numericalization
+    val expect = TextOps.tokenIdsBpe(docs, vocab)
+      .select(col("doc_id"), col("token_idx"), col("piece_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val got = rows.select(col("doc_id"), col("token_idx"), col("piece_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === expect)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
+  test("lane -> swap -> sweep: the version boundary is enforced store-wide") {
+    val work = java.nio.file.Files
+      .createTempDirectory("token_ids_sweep_").toString
+    val store = s"$work/ids"
+    val vocabPath = s"$work/vocab"
+    // live vocab (v1): the frequency derivation over an ALPHA domain —
+    // digit docs will numericalize to pure OOV ids under it
+    BpeVocab.train(Seq((1L, "abab abab")).toDF("doc_id", "text"))
+      .write.parquet(vocabPath)
+    // ingest path: two batches numericalized under the v1 store, with
+    // batch 2 replayed (the at-least-once contract) — the sweep's
+    // rewrite must shed the duplicate rows
+    val b1 = docs.filter(col("doc_id") === 5L)
+    val b2 = docs.filter(col("doc_id") === 6L)
+    val v1 = BpeVocab.read(spark, vocabPath)
+    TokenIdStore.append(store, TokenIdStore.numericalize(b1, v1, 1))
+    TokenIdStore.append(store, TokenIdStore.numericalize(b2, v1, 1))
+    TokenIdStore.append(store, TokenIdStore.numericalize(b2, v1, 1))
+    // maintenance swap: the MERGE trainer's vocabulary goes live
+    assert(VocabMaintenance.retrainIfDrifted(spark, vocabPath, docs,
+      trainer = BpeMerges.mergeTrainer(rounds = 8)))
+    val v2 = BpeVocab.read(spark, vocabPath)
+    // the sweep: every stale doc re-numericalizes under the new space
+    assert(TokenIdStore.renumberSweep(spark, store, docs, v2, 2) === 2L)
+    val after = TokenIdStore.read(spark, store)
+    assert(after.select("vocab_version").distinct()
+      .collect().map(_.getInt(0)).toSeq === Seq(2),
+      "post-sweep the store must hold exactly one id space")
+    // certified: ids-under-new-vocab == a fresh numericalization
+    val fresh = TokenIdStore.numericalize(docs, v2, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).toSeq.sorted
+    val swept = after.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getInt(2), r.getInt(3))).toSeq.sorted
+    assert(swept === fresh)
+    // idempotent: a second sweep at the same version touches nothing
+    assert(TokenIdStore.renumberSweep(spark, store, docs, v2, 2) === 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
+  test("sweep re-numericalizes whole docs that carry mixed versions") {
+    val work = java.nio.file.Files
+      .createTempDirectory("token_ids_mixed_").toString
+    val store = s"$work/ids"
+    val v1 = BpeVocab.train(Seq((1L, "abab abab")).toDF("doc_id", "text"))
+    val v2 = BpeMerges.mergeTrainer(rounds = 8)(docs)
+    // doc 5 appended under BOTH spaces (re-ingested after a swap);
+    // doc 6 stale-only
+    TokenIdStore.append(store, TokenIdStore.numericalize(docs, v1, 1))
+    TokenIdStore.append(store,
+      TokenIdStore.numericalize(docs.filter(col("doc_id") === 5L), v2, 2))
+    assert(TokenIdStore.renumberSweep(spark, store, docs, v2, 2) === 2L)
+    val after = TokenIdStore.read(spark, store)
+    val fresh = TokenIdStore.numericalize(docs, v2, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).toSeq.sorted
+    assert(after.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getInt(2), r.getInt(3))).toSeq.sorted === fresh,
+      "a doc must never end up with duplicate current-version rows")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
+  test("a stale doc absent from the corpus is dropped, not carried cross-space") {
+    val work = java.nio.file.Files
+      .createTempDirectory("token_ids_absent_").toString
+    val store = s"$work/ids"
+    val v1 = BpeVocab.train(Seq((1L, "abab abab")).toDF("doc_id", "text"))
+    val v2 = BpeMerges.mergeTrainer(rounds = 8)(docs)
+    TokenIdStore.append(store, TokenIdStore.numericalize(docs, v1, 1))
+    // the corpus lost doc 6 (compacted away / retention-expired)
+    val corpusNow = docs.filter(col("doc_id") === 5L)
+    assert(TokenIdStore.renumberSweep(spark, store, corpusNow, v2, 2) === 2L)
+    val after = TokenIdStore.read(spark, store)
+    assert(after.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(5L),
+      "old-space ids for a textless doc must not survive the sweep")
+    assert(after.select("vocab_version").distinct()
+      .collect().map(_.getInt(0)).toSeq === Seq(2))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+}

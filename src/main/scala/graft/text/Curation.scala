@@ -878,6 +878,20 @@ object Curation {
     "quality_floor_approx" -> ((s, d) => QualityStore.floorParityProbe(
       QualityStore.read(s, QualityStore.fixtureCorpusStore(s, d)),
       Tables(s, d, "documents"))),
+    // the floor-REFRESH lifecycle: every ledgered admission re-judged
+    // against the CURRENT per-source floors (which moved as the store
+    // accumulated past each doc's admission-time state)
+    "quality_retro" -> ((s, d) => QualityStore.retroSweep(
+      QualityStore.read(s, QualityStore.fixtureCorpusStore(s, d)))._2
+      .orderBy(col("doc_id"))),
+    // the delete-set applied: the curated chunks of the store epoch
+    // with every evicted doc's windows dropped (one broadcast anti-join)
+    "quality_retro_refresh" -> ((s, d) => QualityStore.applyRetro(
+      chunkDocs(Tables(s, d, "documents")
+        .filter(col("doc_id") % 10 < 8), window = 32, stride = 24),
+      QualityStore.retroSweep(
+        QualityStore.read(s, QualityStore.fixtureCorpusStore(s, d)))._1)
+      .orderBy(col("doc_id"), col("chunk_idx"))),
     // one floor per source (drop each source's worst decile)
     "quality_gate_by_source" -> ((s, d) =>
       qualityQuantileGateBySource(Tables(s, d, "documents"))),
@@ -1320,6 +1334,40 @@ object Curation {
          |JOIN ap ON ap.source = b.source
          |GROUP BY b.source, ex.q_thr_exact, ap.q_thr_approx
          |ORDER BY b.source""".stripMargin,
+
+    // the floor-refresh sweep: the ledger's qualities re-derived from
+    // text (the staged-store precedent), CURRENT per-source floors via
+    // quantile_cont (bit-exact vs Spark percentile), every ledgered
+    // admission's keep verdict
+    "quality_retro" ->
+      s"""WITH qs AS MATERIALIZED (
+         |  SELECT doc_id, source, ${TextOps.qualityExprSql} AS quality
+         |  FROM documents WHERE doc_id % 10 < 8),
+         |fl AS (SELECT source, quantile_cont(quality, 0.1) AS q_thr
+         |       FROM qs GROUP BY source)
+         |SELECT q.doc_id, q.source, q.quality, f.q_thr,
+         |  q.quality >= f.q_thr AS keep
+         |FROM qs q JOIN fl f USING (source)
+         |ORDER BY q.doc_id""".stripMargin,
+
+    // the delete-set applied to the curated chunks of the store epoch:
+    // shared chunk CTEs over the ledger population, evicted docs'
+    // windows anti-joined away
+    "quality_retro_refresh" ->
+      s"""WITH qsrc AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+         |${chunkCtesSql(32, 24, "qsrc", "qch")},
+         |qs AS MATERIALIZED (
+         |  SELECT doc_id, source, ${TextOps.qualityExprSql} AS quality
+         |  FROM documents WHERE doc_id % 10 < 8),
+         |fl AS (SELECT source, quantile_cont(quality, 0.1) AS q_thr
+         |       FROM qs GROUP BY source),
+         |keepd AS (
+         |  SELECT q.doc_id FROM qs q JOIN fl f USING (source)
+         |  WHERE q.quality >= f.q_thr)
+         |SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_chunk_tokens
+         |FROM qch c JOIN keepd k ON k.doc_id = c.doc_id
+         |ORDER BY c.doc_id, c.chunk_idx""".stripMargin,
 
     // corpus-relative floor: quantile_cont shares Spark exact
     // percentile's linear interpolation, so the one-row threshold and

@@ -126,6 +126,73 @@ object QualityStore {
       .orderBy(col("source"))
   }
 
+  /** RETRO-ACTIVE quality sweep — the floor-REFRESH lifecycle, the last
+    * admission gate that lacked one (decontam and media stores got
+    * their reverse direction in r13): admission gated each doc against
+    * the floor AT ARRIVAL TIME, and as the ledger accumulated past that
+    * state the per-source floor moved — so previously-admitted docs can
+    * now sit below it. This sweep re-judges EVERY ledgered admission
+    * against the CURRENT floors and emits eviction verdicts; the
+    * delete-set applies to the downstream CURATED store
+    * ([[applyRetro]] / [[refreshCurated]]), exactly like
+    * [[NearDup.retroSweep]]'s excisions.
+    *
+    * The quality LEDGER itself is never trimmed: it is the admission
+    * HISTORY the floor is defined over. Evicting ledger rows would
+    * re-derive a higher floor from the survivors on every pass — each
+    * sweep eating another decile of the store forever; keeping the full
+    * ledger makes the sweep IDEMPOTENT (same ledger → same floors →
+    * same verdicts; spec-pinned), the exact discipline under which the
+    * signature stores keep judged-duplicate signatures.
+    *
+    * Scale shape: one ledger scan (doc_id-deduped — the at-least-once
+    * append contract), ONE tiny per-source aggregate broadcast back
+    * over it, and the delete-set is eviction rows only; the curated
+    * store streams through one broadcast anti-join at refresh. Runs at
+    * maintenance cadence, never per batch.
+    *
+    * Returns (evictions, verdicts): the below-floor admissions, and
+    * every ledgered doc's (quality, current floor, keep) row. */
+  def retroSweep(qualities: DataFrame,
+                 p: Double = 0.1): (DataFrame, DataFrame) = {
+    // eager: the deduped ledger feeds the floor aggregate AND the
+    // verdict join — unpinned, the store would re-scan per consumer
+    // (and a caller's later rewrite could move files under the plan)
+    val led = qualities.dropDuplicates("doc_id").localCheckpoint(true)
+    val verdicts = led.join(broadcast(floors(led, p)), Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"), col("q_thr"),
+        (col("quality") >= col("q_thr")).as("keep"))
+    val evictions = verdicts.filter(!col("keep"))
+      .select(col("doc_id"), col("source"), col("quality"), col("q_thr"))
+    (evictions, verdicts)
+  }
+
+  /** Apply a [[retroSweep]] delete-set to a curated frame: every chunk
+    * (or row) of an evicted doc drops. One broadcast anti-join — the
+    * delete-set is eviction rows only. */
+  def applyRetro(curated: DataFrame, evictions: DataFrame): DataFrame =
+    curated.join(broadcast(evictions.select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+
+  /** The refresh lifecycle CLOSED: sweep the ledger, atomically rewrite
+    * the curated store at `curatedPath` with the delete-set applied
+    * ([[graft.sinks.StoreMaintenance.rewrite]] — a complete copy on
+    * disk at every instant). Idempotent: the ledger is untouched, so a
+    * second sweep re-derives the same floors and the same (already
+    * absent) delete-set. Returns the applied (evictions, verdicts) for
+    * telemetry. */
+  def refreshCurated(spark: SparkSession, curatedPath: String,
+                     qualities: DataFrame,
+                     p: Double = 0.1): (DataFrame, DataFrame) = {
+    val (evictions, verdicts) = retroSweep(qualities, p)
+    // pin the delete-set before the rewrite (it is consumed inside the
+    // rewrite AND returned for telemetry reads after it)
+    val exc = evictions.localCheckpoint(true)
+    graft.sinks.StoreMaintenance.rewrite(spark, curatedPath)(
+      applyRetro(_, exc))
+    (exc, verdicts)
+  }
+
   /** The staged store for the fixture's accumulated-corpus convention
     * (doc_id % 10 < 8, matching the incremental query family). */
   def fixtureCorpusStore(s: SparkSession, dir: String): String =

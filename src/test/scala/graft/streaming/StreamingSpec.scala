@@ -1201,6 +1201,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("quality retro sweep: the moved floor evicts a past admission; lane + sweep == one-shot re-gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{QualityStore, SimHashStore}
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("quality_retro_lane_").toString
+    def toks(pfx: String, n: Int) =
+      (0 until n).map(j => s"$pfx$j").mkString(" ")
+    val seeds = qualitySeedDocs.toDF("doc_id", "text", "source")
+    SimHashStore.appendBatch(s"$work/sigs", seeds.select("doc_id", "text"))
+    QualityStore.appendQualities(s"$work/quality",
+      QualityStore.qualityFrame(seeds))
+    val q = StreamingLanes.curationStoreLane(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      s"$work/sigs", s"$work/chunks", window = 4, stride = 2,
+      qualityStorePath = s"$work/quality")((_, _) => ()).start()
+    try {
+      // batch 1: 21 tokens -> quality 0.21, above the seed-epoch floor
+      // (0.19) — ADMITTED, chunks land in the curated store
+      mem.addData(CurDoc(ts(10), 1L, toks("b1w", 21), "src_a"))
+      q.processAllAvailable()
+      // batch 2: twelve high-quality docs accumulate — the ledger's
+      // 10th percentile moves ABOVE doc 1's admission-time quality
+      mem.addData((0 until 12).map(i =>
+        CurDoc(ts(20 + i), 20L + i, toks(s"b2x${i}w", 90 + i), "src_a")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val curatedBefore = spark.read.parquet(s"$work/chunks")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(curatedBefore === (Set(1L) ++ (20L until 32L)),
+      "both batches must have been admitted at their arrival-time floors")
+    val ledgerBefore = QualityStore.read(spark, s"$work/quality")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // the sweep: re-judge every ledgered admission at the CURRENT floor
+    val (exc, verdicts) = QualityStore.refreshCurated(spark,
+      s"$work/chunks", QualityStore.read(spark, s"$work/quality"))
+    val evicted = exc.select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent floor recomputation (Spark percentile's linear
+    // interpolation, re-derived in Scala — no circular plan reuse)
+    def pct(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      val h = (s.size - 1) * p
+      s(h.toInt) + (h - h.toInt) * (s(math.ceil(h).toInt) - s(h.toInt))
+    }
+    val floor = pct(ledgerBefore.values.toSeq, 0.1)
+    assert(evicted === ledgerBefore.filter(_._2 < floor).keySet,
+      s"evictions must be exactly the below-current-floor admissions (floor $floor)")
+    assert(evicted.contains(1L),
+      "the batch-1 admission must have sunk below the moved floor")
+    // lane + sweep == one-shot re-gate of the admitted population
+    val curatedAfter = spark.read.parquet(s"$work/chunks")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(curatedAfter === curatedBefore.filter(d =>
+      ledgerBefore(d) >= floor))
+    // the ledger is the admission HISTORY — never trimmed by the sweep
+    val ledgerAfter = QualityStore.read(spark, s"$work/quality")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(ledgerAfter === ledgerBefore,
+      "the quality ledger must survive the sweep intact")
+    // idempotent: an unchanged ledger re-derives the same verdicts and
+    // the refresh is a no-op
+    val (exc2, _) = QualityStore.refreshCurated(spark,
+      s"$work/chunks", QualityStore.read(spark, s"$work/quality"))
+    assert(exc2.select("doc_id").collect().map(_.getLong(0)).toSet
+      === evicted)
+    assert(spark.read.parquet(s"$work/chunks")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      === curatedAfter)
+    assert(verdicts.count() === ledgerBefore.size)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("corpus-floor curation lane killed and resumed matches a single run") {
     import graft.text.{QualityStore, SimHashStore}
     val work = Files.createTempDirectory("curation_corpus_restart_").toString

@@ -300,6 +300,67 @@ object Curation {
       .orderBy(col("shard"))
   }
 
+  /** EPOCH-PACKED shards — [[epochShuffle]] COMPOSED with the greedy
+    * subword packing into the artifact a training job actually reads:
+    * every doc gets its epoch-shuffled (shard, pos) plus the packed
+    * SEQUENCE it belongs to within its shard — `seq_id =
+    * floor(tokens_before_it_in_shard / budget)`, the [[packTokens]]
+    * convention applied per shard in pos order. Doc boundaries are
+    * preserved (whole docs, never split — the packer a dataloader pairs
+    * with the chunker upstream: [[chunkDocs]] cuts oversized docs to
+    * the context window BEFORE packing); `counter` prices each doc —
+    * pass the by-reference subword kernel for budgets in BPE units.
+    *
+    * Scale shape: one narrow pricing projection, ONE doc_id equi-join
+    * against the shuffle assignment, and one per-shard cumulative
+    * window. The window's parallelism is exactly `nShards` — the same
+    * bound [[epochShuffle]]'s position window carries, sized by the
+    * production rule in SCALING.md (nShards ≥ cluster cores; real
+    * dataloader shard counts are large). No global ordering anywhere. */
+  def epochPack(docs: DataFrame, epoch: Int, nShards: Int,
+                budget: Long,
+                counter: org.apache.spark.sql.Column =>
+                  org.apache.spark.sql.Column): DataFrame = {
+    require(budget > 0, s"epochPack: budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val priced = docs.select(col("doc_id"),
+      counter(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+    epochShuffle(docs, epoch, nShards)
+      .join(priced, "doc_id")
+      .withColumn("cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        expr(s"cum_before DIV $budget").as("seq_id"))
+  }
+
+  /** MATERIALIZE an epoch's packed shards — the shard WRITER closing
+    * the gap between "an ordering exists" ([[epochShuffle]]) and "a
+    * training job can read it": the packed assignment lands as one
+    * parquet directory per shard (`shard=K/`), each shard's rows
+    * pos-ordered within its files (`repartition(shard)` +
+    * `sortWithinPartitions` — a dataloader reads its shard
+    * sequentially, no shuffle at read time). Returns the WRITTEN
+    * artifact's manifest (shard, n_docs, n_tokens) re-derived from the
+    * files on disk, so a caller certifies it against [[shardManifest]]
+    * with one frame compare (the parity [[CurationSpec]] pins: the
+    * manifest predicted from the corpus == the totals actually
+    * written). */
+  def writeShards(spark: SparkSession, docs: DataFrame, path: String,
+                  epoch: Int, nShards: Int, budget: Long,
+                  counter: org.apache.spark.sql.Column =>
+                    org.apache.spark.sql.Column): DataFrame = {
+    epochPack(docs, epoch, nShards, budget, counter)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
   /** The fixture's stand-in for a user-supplied weight table: one row
     * per source, weight (source number MOD 3) + 1 ∈ {1,2,3} — distinct
     * from [[mixWeighted]]'s parity convention so the two queries
@@ -866,6 +927,13 @@ object Curation {
     "shard_manifest" -> ((s, d) =>
       shardManifest(Tables(s, d, "documents"), epoch = 1, nShards = 8,
         t => size(split(norm(t), " ")))),
+    // the shard writer's content: epoch shuffle composed with greedy
+    // per-shard packing, budgets in SUBWORD units via the by-reference
+    // kernel — (doc, shard, pos, priced tokens, packed sequence)
+    "epoch_pack" -> ((s, d) =>
+      epochPack(Tables(s, d, "documents"), epoch = 1, nShards = 8,
+        budget = 512,
+        t => TextOps.bpeCountCol(t, BpeVocab.pieces(s, d)))),
     // corpus-relative quality floor (drop the worst decile)
     "quality_quantile_gate" -> ((s, d) =>
       qualityQuantileGate(Tables(s, d, "documents"))),
@@ -1296,6 +1364,30 @@ object Curation {
          |  count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM t GROUP BY 1 ORDER BY shard""".stripMargin,
+    // the shard writer's content replayed: BPE walk prices each doc,
+    // nibble-arithmetic shard + per-shard md5-order position, then the
+    // per-shard running sum's DIV-budget sequence id (window sum is
+    // HUGEINT in DuckDB — cast before the subtraction)
+    "epoch_pack" ->
+      s"""WITH RECURSIVE ${TextOps.bpeWalkCtes},
+         |ept AS (
+         |  SELECT b.doc_id,
+         |    md5('e1:' || CAST(b.doc_id AS VARCHAR)) AS tag,
+         |    b.n AS n_tokens
+         |  FROM bpe b),
+         |epa AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(($nib16) % 8 AS INTEGER) AS shard,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY ($nib16) % 8 ORDER BY tag, doc_id)
+         |      AS INTEGER) AS pos
+         |  FROM ept)
+         |SELECT doc_id, shard, pos, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  (CAST(sum(n_tokens) OVER (
+         |     PARTITION BY shard ORDER BY pos) AS BIGINT) - n_tokens)
+         |    // 512 AS seq_id
+         |FROM epa ORDER BY shard, pos""".stripMargin,
+
     "curation_lane_twin" -> curationLaneTwinOracle,
     "curation_lane_corpus_twin" -> curationLaneCorpusTwinOracle,
     "curation_lane_decontam_twin" -> curationLaneDecontamTwinOracle,

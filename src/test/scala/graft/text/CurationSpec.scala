@@ -118,6 +118,70 @@ class CurationSpec extends SparkSpec {
       "manifest per-shard sizes must match the shuffle's assignment")
   }
 
+  test("epoch pack: whole-doc greedy packing per shard; written shards match the manifest") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    import graft.text.TextOps.norm
+    val docs = (0L until 40L).map(i =>
+      (i, (0 until (3 + (i % 7)).toInt).map(j => s"d${i}w$j")
+        .mkString(" "))).toDF("doc_id", "text")
+    val counter = (t: org.apache.spark.sql.Column) =>
+      size(split(norm(t), " ")).cast("long")
+    val packed = Curation.epochPack(docs, epoch = 1, nShards = 4,
+      budget = 10, counter)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    // every doc exactly once, whole (boundaries preserved)
+    assert(packed.map(_._1).sorted.toSeq === (0L until 40L))
+    // within each shard the model is the plain running-sum fold over
+    // pos order: seq_id = floor(tokens_before / budget)
+    packed.groupBy(_._2).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_._3).foreach { case (id, _, _, n, seq) =>
+        assert(seq === cum / 10L, s"doc $id in shard $shard")
+        cum += n
+      }
+    }
+    // determinism: the same (epoch, nShards, budget) reproduces the
+    // identical packing; a different epoch reshuffles
+    val again = Curation.epochPack(docs, 1, 4, 10, counter)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(_._1).toSeq === packed.sortBy(_._1).toSeq)
+    val other = Curation.epochPack(docs, 2, 4, 10, counter)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert((0L until 40L).exists(i =>
+      other(i) !== packed.find(_._1 == i).get._2),
+      "a different epoch must reshuffle shard assignment")
+
+    // the writer: one directory per shard, pos-ordered files, and the
+    // written totals certified by the corpus-predicted manifest
+    val work = java.nio.file.Files
+      .createTempDirectory("epoch_pack_").toString
+    val written = Curation.writeShards(spark, docs, s"$work/shards",
+      epoch = 1, nShards = 4, budget = 10, counter)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val predicted = Curation.shardManifest(docs, 1, 4, counter)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(written === predicted,
+      "the manifest must certify the written shard totals exactly")
+    val dirs = new java.io.File(s"$work/shards").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("shard=")) && dirs.length === 4)
+    // read-back content equals the packed assignment (partition column
+    // restored), and each shard's file order IS pos order
+    val back = spark.read.parquet(s"$work/shards")
+      .select(col("doc_id"), col("shard").cast("int"), col("pos"),
+        col("n_tokens"), col("seq_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(back.sortBy(_._1).toSeq === packed.sortBy(_._1).toSeq)
+    val shard0 = spark.read.parquet(s"$work/shards/shard=0")
+      .select("pos").collect().map(_.getInt(0)).toSeq
+    assert(shard0 === shard0.sorted,
+      "a shard's rows must be pos-ordered on disk for sequential reads")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("mix_token_budget: no source-global window funnels the data path") {
     // the r12 form's Window.partitionBy(source) sent a dominant
     // source's every row through ONE task; the two-phase prefix sum

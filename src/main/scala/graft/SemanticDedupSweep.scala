@@ -1,0 +1,47 @@
+package graft
+
+/** Recall-vs-k sweep for the SemDeDup-shaped semantic dedup — the
+  * [[IvfHealthSweep]] discipline applied to the dedup quantizer:
+  * SemDeDup's recall lever is the cell count k (target cell size ≈
+  * n / k — a bigger k means fewer candidate pairs per cell but more
+  * true near-pairs split across cell boundaries), and the serving
+  * index's k = 8 prices only the borrowed-index case. This sweep
+  * measures what each k actually buys: pairs found vs the brute-force
+  * exhaustive truth (recall IS the count ratio — every bucketed pair
+  * is exact-verified inside its cell, so found ⊆ truth), one-time
+  * train+stage seconds, and the per-run sweep seconds. The table backs
+  * SCALING.md's "size the dedup quantizer for dedup, not serving" rule.
+  * Usage: runMain graft.SemanticDedupSweep [sfDir] [k ...]
+  */
+object SemanticDedupSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ks = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+    else Seq(8, 32, 128)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = sources.Tables.session(s"local[$cpus]", cpus)
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val n = ann.Similarity.corpus(spark, sfDir).count()
+    // the priced quadratic truth pass — sweep-only, never a data path
+    val (truthN, bruteS) =
+      time(ann.Similarity.brutePairs(spark, sfDir).count())
+    println(f"SEMDEDUP n=$n truth_pairs=$truthN brute_s=$bruteS%.1f")
+    ks.foreach { k =>
+      // first call trains + stages the dedup quantizer (one-time cost);
+      // the sweep itself is the steady-state staged-index run
+      val (_, trainS) =
+        time(ann.IvfStore.dedupIndexPath(spark, sfDir, k))
+      val (pairs, sweepS) = time(
+        ann.Similarity.embeddingNearDupSemanticK(spark, sfDir, k).count())
+      val recall = if (truthN == 0) 1.0 else pairs.toDouble / truthN
+      println(f"SEMDEDUP k=$k target_cell=${n / k}%d pairs=$pairs " +
+        f"recall=$recall%.3f train_s=$trainS%.1f sweep_s=$sweepS%.1f")
+    }
+    spark.stop()
+  }
+}

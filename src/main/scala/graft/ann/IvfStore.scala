@@ -39,11 +39,13 @@ import graft.sources.Staging
 object IvfStore {
 
   /** Stage the trained centroid frame for `corpus` once per
-    * (key, fixture fingerprint); returns the store directory. */
+    * (key, fixture fingerprint); returns the store directory.
+    * `kCells` sizes the quantizer — 8 is the serving convention; the
+    * dedup path trains more cells ([[dedupIndexPath]]). */
   def stagedCentroids(key: String, fingerprintFile: java.io.File,
-                      corpus: DataFrame): String =
+                      corpus: DataFrame, kCells: Int = 8): String =
     Staging.stage(s"ivf_cents_$key", fingerprintFile) { tmp =>
-      Similarity.trainCentroids(corpus).write.parquet(tmp)
+      Similarity.trainCentroids(corpus, kCells).write.parquet(tmp)
     }
 
   /** Stage the assigned-corpus frame (vec_id, v, n2, cell) once per
@@ -51,9 +53,9 @@ object IvfStore {
     * if needed; returns the store directory. */
   def stagedAssignments(spark: SparkSession, key: String,
                         fingerprintFile: java.io.File,
-                        corpus: DataFrame): String = {
+                        corpus: DataFrame, kCells: Int = 8): String = {
     val cents = spark.read.parquet(
-      stagedCentroids(key, fingerprintFile, corpus))
+      stagedCentroids(key, fingerprintFile, corpus, kCells))
     Staging.stage(s"ivf_asg_$key", fingerprintFile) { tmp =>
       Similarity.assignCells(corpus, Similarity.packedCentroids(cents))
         .select(col("vec_id"), col("v"), col("n2"), col("cell"))
@@ -104,6 +106,17 @@ object IvfStore {
   def fixtureIndex(spark: SparkSession, dir: String): DataFrame =
     read(spark, stagedAssignments(spark, s"full_v1_$dir", fp(dir),
       fixtureCorpus(spark, dir)))
+
+  /** A DEDUP-SIZED quantizer's staged assignments: `kCells` trained
+    * cells over the full corpus, staged under its own key — the
+    * SemDeDup recall lever is k (target cell size ≈ n / k), and the
+    * serving index's k = 8 prices only the borrowed-index case. Same
+    * train-once lifecycle; the dedup sweep never touches the serving
+    * artifacts. */
+  def dedupIndexPath(spark: SparkSession, dir: String,
+                     kCells: Int): String =
+    stagedAssignments(spark, s"dedup${kCells}_v1_$dir", fp(dir),
+      fixtureCorpus(spark, dir), kCells)
 
   /** Accumulated-corpus (vec_id % 10 < keepMod) index — the incremental
     * convention generalized over the split so the health sweep can vary

@@ -47,7 +47,7 @@ object Similarity {
     * fingerprint tracks the FIXTURE, so a schema change to this frame
     * must move to a fresh key or a warm tmpdir would serve the old
     * columns. */
-  private[ann] def corpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Staging.stageFrame(spark, s"ann_corpus2_$dir",
       new java.io.File(dir, "embeddings.parquet"),
       Tables(spark, dir, "embeddings")
@@ -632,19 +632,35 @@ object Similarity {
     val oversized = c.groupBy(col("bucket"))
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") > cap)
-    val salted = c.join(broadcast(oversized), Seq("bucket"), "left")
+    // LATE MATERIALIZATION (r14, the round-13 verdict's one
+    // above-linear wall-clock): the pair self-join exchanges SKINNY
+    // (vec_id, bucket, salt) rows only — the r13 form carried both
+    // 64-long vectors through the (bucket, salt) sort-merge, and the
+    // two vector copies materialized per candidate were a measured
+    // allocation/GC residual (e = 1.31 at 10×→30×). Vectors re-join by
+    // id AFTER pair enumeration: each side's vectors cross one id-keyed
+    // hash exchange once, never ride a sort, and candidates are
+    // cap-bounded so the fetch joins are O(n·cap) rows of ids.
+    // Output is hash-identical (same pairs, same cosine arithmetic).
+    val keyed = c.select(col("vec_id"), col("bucket"))
+      .join(broadcast(oversized), Seq("bucket"), "left")
       .withColumn("salt",
         when(col("bn").isNull, lit(0L)).otherwise(
           pmod(graft.text.NearDup.saltHash(col("vec_id")),
             expr(s"(bn + ${cap - 1}) DIV $cap"))))
       .drop("bn")
-    val a = salted.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("n2").as("na"), col("bucket"), col("salt"))
-    val b = salted.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("n2").as("nb"), col("bucket").as("bucket_b"),
-      col("salt").as("salt_b"))
-    a.join(b, col("bucket") === col("bucket_b") &&
+    val a = keyed.select(col("vec_id").as("id_a"), col("bucket"),
+      col("salt"))
+    val b = keyed.select(col("vec_id").as("id_b"),
+      col("bucket").as("bucket_b"), col("salt").as("salt_b"))
+    val pairs = a.join(b, col("bucket") === col("bucket_b") &&
         col("salt") === col("salt_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val va = c.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("n2").as("na"))
+    val vb = c.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("n2").as("nb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine",
         dot(col("va"), col("vb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
@@ -678,6 +694,41 @@ object Similarity {
         .select(col("vec_id"), col("v"), col("n2"),
           col("cell").as("bucket")),
       threshold, cap)
+
+  /** [[embeddingNearDupSemantic]] with the quantizer SIZED FOR DEDUP
+    * instead of borrowed from the serving index: SemDeDup's recall
+    * lever is k — cells shrink toward the target cell size n / k, so
+    * more true near-pairs share a cell (recall) while per-cell pair
+    * work drops (cost); the production rule is k ≈ n / targetCellSize
+    * and the fixture pins `kCells` explicitly so the DuckDB oracle's
+    * Lloyd replay stays a compile-time constant. Trains and stages its
+    * own quantizer under a dedup key ([[IvfStore.dedupIndexPath]] —
+    * training happened once, inside the staging write, never in this
+    * plan); the serving index is untouched. The recall-vs-k trade is
+    * MEASURED, not assumed: `graft.SemanticDedupSweep` prices k ∈
+    * {8, 32, 128} against the brute-force truth (SCALING.md table). */
+  def embeddingNearDupSemanticK(spark: SparkSession, dir: String,
+                                kCells: Int = 32,
+                                threshold: Double = 0.5,
+                                cap: Int = 256): DataFrame =
+    cappedPairsWithin(
+      IvfStore.read(spark, IvfStore.dedupIndexPath(spark, dir, kCells))
+        .select(col("vec_id"), col("v"), col("n2"),
+          col("cell").as("bucket")),
+      threshold, cap)
+
+  /** EXHAUSTIVE near-dup pairs — the ground truth the recall sweep
+    * divides by (`graft.SemanticDedupSweep`), deliberately quadratic:
+    * one bucket, no cap, every pair cosine-checked. Every bucketed
+    * variant's output is a SUBSET of this (pairs are exact-verified
+    * inside their cells), so recall = count ratio, no pair join. Sweep
+    * telemetry only — never a registered query, never a data path. */
+  private[graft] def brutePairs(spark: SparkSession, dir: String,
+                                threshold: Double = 0.5): DataFrame =
+    cappedPairsWithin(
+      corpus(spark, dir).select(col("vec_id"), col("v"), col("n2"))
+        .withColumn("bucket", lit(0)),
+      threshold, Int.MaxValue)
 
   /** IVF recall telemetry: recall@k of the bucketed variants against the
     * exact brute-force truth, per query and per `nprobe` (1 = own cell
@@ -820,7 +871,12 @@ object Similarity {
     "dedup_embedding" -> ((s, d) => embeddingNearDup(s, d, threshold = 0.5)),
     "dedup_embedding_auto" -> ((s, d) => embeddingNearDupAuto(s, d)),
     "dedup_embedding_capped" -> ((s, d) => embeddingNearDupCapped(s, d)),
-    "dedup_embedding_semantic" -> ((s, d) => embeddingNearDupSemantic(s, d)))
+    "dedup_embedding_semantic" -> ((s, d) => embeddingNearDupSemantic(s, d)),
+    // the dedup-SIZED quantizer (k = 32 cells, its own staged
+    // training): SemDeDup's recall lever priced at the k a dedup run
+    // would pick, not the serving index's 8
+    "dedup_embedding_semantic_k" -> ((s, d) =>
+      embeddingNearDupSemanticK(s, d)))
 
   // --- oracle -------------------------------------------------------------
 
@@ -912,12 +968,18 @@ object Similarity {
     * CTE `n`) as integer centroids with squared norms — ONE definition
     * of the seeding rule, so changing it (k, seed predicate) cannot
     * silently desync a subset of the training oracles. */
-  private[graft] lazy val seedCte: String =
-    """s0 AS (
-      |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
-      |    list_sum(list_transform(generate_series(1, len(v)),
-      |      i -> v[i] * v[i])) AS c2
-      |  FROM n WHERE vec_id < 8)""".stripMargin
+  private[graft] lazy val seedCte: String = seedCteK(8)
+
+  /** [[seedCte]] at an explicit k — the dedup-sized quantizer rows
+    * train with more cells than the serving index's 8 (cell ids are
+    * seed RANKS; on the dense fixture the k lowest vec_ids ARE ranks
+    * 0..k−1, the same identity the k = 8 replay leans on). */
+  private[graft] def seedCteK(k: Int): String =
+    s"""s0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS c,
+       |    list_sum(list_transform(generate_series(1, len(v)),
+       |      i -> v[i] * v[i])) AS c2
+       |  FROM n WHERE vec_id < $k)""".stripMargin
 
   /** Tagged 2-iteration Lloyd replay over CTE `trainSrc` (m-shaped rows)
     * seeded from the shared `s0` ([[seedCte]]): emits
@@ -1534,6 +1596,35 @@ object Similarity {
          |        % ((ov.bn + 255) // 256)
          |    END AS salt
          |  FROM semav LEFT JOIN ov USING (cell))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM sl a JOIN sl b ON a.vec_id < b.vec_id
+         |  AND a.cell = b.cell AND a.salt = b.salt
+         |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |    i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the dedup-sized variant: identical machinery with the Lloyd
+    // chain seeded at k = 32 (seedCteK — same seeding rule, wider)
+    "dedup_embedding_semantic_k" ->
+      s"""WITH $qCte,
+         |${seedCteK(32)},
+         |${lloydCtes("semk", "m")},
+         |${assignCte("semkav", "m", "semks1")},
+         |ov AS (
+         |  SELECT cell, count(*) AS bn FROM semkav GROUP BY cell
+         |  HAVING count(*) > 256),
+         |sl AS (
+         |  SELECT semkav.vec_id, semkav.v, semkav.n2, semkav.cell,
+         |    CASE WHEN ov.bn IS NULL THEN 0
+         |      ELSE ${graft.text.NearDup.saltHashSql("semkav.vec_id")}
+         |        % ((ov.bn + 255) // 256)
+         |    END AS salt
+         |  FROM semkav LEFT JOIN ov USING (cell))
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
          |      i -> a.v[i] * b.v[i])) AS DOUBLE)

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** nShards-sensitivity sweep for the dataloader ordering operators —
+  * the measurement behind SCALING.md's sizing rule: [[graft.text
+  * .Curation.epochShuffle]]'s dense within-shard position (and
+  * [[graft.text.Curation.epochPack]]'s per-shard running sum) are
+  * windows partitioned BY SHARD, so their parallelism is exactly
+  * nShards. The fixture queries pin nShards = 8 for oracle
+  * compactness, which would funnel a 100 TB corpus through 8 tasks;
+  * production sizes nShards ≥ cluster cores (real dataloader shard
+  * counts are large — hundreds to thousands). This sweep shows the
+  * window cost is FLAT-TO-FALLING in nShards (more shards = more
+  * parallelism over the same rows, plus one small tag hash per row),
+  * i.e. the funnel is a fixture artifact, not an operator cost.
+  * Usage: runMain graft.ShardSweep [sfDir] [nShards ...]
+  */
+object ShardSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val shardCounts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+    else Seq(8, 64, 256)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = sources.Tables.session(s"local[$cpus]", cpus)
+    val docs = sources.Tables(spark, sfDir, "documents")
+    val counter = (t: org.apache.spark.sql.Column) =>
+      size(split(text.TextOps.norm(t), " ")).cast("long")
+
+    def timeNoop(df: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // lap twice per point, report the warm lap (the TimeOne rule)
+    shardCounts.foreach { n =>
+      val shufS = Seq.fill(2)(timeNoop(
+        text.Curation.epochShuffle(docs, epoch = 1, nShards = n))).last
+      val packS = Seq.fill(2)(timeNoop(
+        text.Curation.epochPack(docs, epoch = 1, nShards = n,
+          budget = 512, counter))).last
+      println(f"SHARDSWEEP nshards=$n shuffle_s=$shufS%.2f pack_s=$packS%.2f")
+    }
+    spark.stop()
+  }
+}

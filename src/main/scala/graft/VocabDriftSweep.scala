@@ -35,6 +35,7 @@ object VocabDriftSweep {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mergeRounds = args.drop(1).headOption.map(_.toInt).getOrElse(32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = sources.Tables.session(s"local[$cpus]", cpus)
     val docs = sources.Tables(spark, sfDir, "documents")
@@ -75,7 +76,6 @@ object VocabDriftSweep {
         else rate
       // price the merge-learning candidate on the SAME corpus: what
       // would wiring BpeMerges.mergeTrainer into the loop have bought?
-      val mergeRounds = args.drop(1).headOption.map(_.toInt).getOrElse(32)
       val (mergePieces, mergeTrainS) = time {
         text.BpeMerges.mergeTrainer(mergeRounds)(corpus)
           .select(col("piece")).collect().map(_.getString(0)).toSeq

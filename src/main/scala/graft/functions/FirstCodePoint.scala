@@ -62,6 +62,13 @@ object FirstCodePoint {
       throw new IllegalArgumentException(
         "first_codepoint: malformed UTF-8 — continuation byte 0x" +
           b0.toHexString + " in lead position")
+    // 0xC0/0xC1 can only encode overlong forms (cp < 0x80 — would
+    // collide with real ASCII OOV ids); 0xF5+ would decode past
+    // U+10FFFF. Both are invalid leads in well-formed UTF-8.
+    if (b0 == 0xC0 || b0 == 0xC1 || b0 >= 0xF5)
+      throw new IllegalArgumentException(
+        "first_codepoint: malformed UTF-8 — invalid lead byte 0x" +
+          b0.toHexString)
     val len = if (b0 >= 0xF0) 4 else if (b0 >= 0xE0) 3 else 2
     if (n < len)
       throw new IllegalArgumentException(

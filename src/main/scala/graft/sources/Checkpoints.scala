@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Explicit release for eager `localCheckpoint` frames — shared by
+  * every operator that pins INTERNAL intermediate state (the
+  * [[graft.text.BpeMerges]] training rounds, the maintenance sweeps'
+  * stale-set/fresh frames): the checkpointed frame's plan is a
+  * `LogicalRDD` over the persisted internal RDD, and unpersisting that
+  * RDD frees its blocks NOW instead of waiting for GC/ContextCleaner —
+  * at scale, checkpoints that accumulate across rounds or sweeps pile
+  * up in block-manager memory.
+  *
+  * Only for frames that do NOT escape the call: a checkpoint backing a
+  * RETURNED frame (a sweep's verdict telemetry, a query result) must
+  * live until its consumer drops it — those rely on the ContextCleaner
+  * lifecycle the way [[graft.text.Curation.packTokens]] documents. */
+object Checkpoints {
+  def unpersist(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

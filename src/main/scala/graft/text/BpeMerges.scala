@@ -82,19 +82,7 @@ object BpeMerges {
           .as("toks"),
         col("n"))
 
-  /** Release the block-manager copy behind an eager `localCheckpoint`:
-    * the checkpointed frame's plan is a `LogicalRDD` over the persisted
-    * internal RDD, and unpersisting that RDD frees its blocks NOW
-    * instead of waiting for GC/ContextCleaner — at a real 50k-merge
-    * run, R accumulated round checkpoints would otherwise pile up in
-    * block-manager memory. The frame must not be consumed again after
-    * this call. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  import graft.sources.Checkpoints.{unpersist => unpersistCheckpoint}
 
   /** R rounds of pair-merge learning over `docs`. Returns the merge
     * table (rank INT, left_piece, right_piece, piece, n_pairs LONG) in

@@ -294,6 +294,9 @@ object Curation {
     docs.select(
         shardCol(shuffleTag(epoch), nShards).as("shard"),
         counter(col("text")).cast("long").as("n_tokens"))
+      // the epochPack null-drop mirrored: the manifest certifies the
+      // WRITTEN shards, which never hold an unpriceable doc
+      .filter(col("n_tokens").isNotNull)
       .groupBy(col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
@@ -323,8 +326,13 @@ object Curation {
                   org.apache.spark.sql.Column): DataFrame = {
     require(budget > 0, s"epochPack: budget must be positive, got $budget")
     import org.apache.spark.sql.expressions.Window
+    // null-priced docs drop (the mixTokenBudget discipline): a doc the
+    // counter cannot price has no place in a token-budgeted shard —
+    // unfiltered, its null n_tokens would ride the window into a
+    // null-seq_id row INSIDE the written training shards
     val priced = docs.select(col("doc_id"),
       counter(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens").isNotNull)
     val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
     epochShuffle(docs, epoch, nShards)
       .join(priced, "doc_id")

@@ -157,7 +157,12 @@ object QualityStore {
                  p: Double = 0.1): (DataFrame, DataFrame) = {
     // eager: the deduped ledger feeds the floor aggregate AND the
     // verdict join — unpinned, the store would re-scan per consumer
-    // (and a caller's later rewrite could move files under the plan)
+    // (and a caller's later rewrite could move files under the plan).
+    // NOT explicitly released: the returned verdict/eviction frames
+    // are backed by this checkpoint and live as long as the caller
+    // consumes them — the ContextCleaner reclaims the blocks when the
+    // frames drop (the packTokens lifecycle), unlike the internal-only
+    // pins Checkpoints.unpersist frees eagerly.
     val led = qualities.dropDuplicates("doc_id").localCheckpoint(true)
     val verdicts = led.join(broadcast(floors(led, p)), Seq("source"))
       .select(col("doc_id"), col("source"), col("quality"), col("q_thr"),

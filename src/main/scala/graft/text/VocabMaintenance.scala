@@ -101,6 +101,8 @@ object VocabMaintenance {
     validatedPieces(fresh)
     forget(vocabPath)
     StoreMaintenance.rewrite(spark, vocabPath)(_ => fresh)
+    // the pin is internal — the store holds the bytes now
+    graft.sources.Checkpoints.unpersist(fresh)
   }
 
   /** Trainer-output validation shared by [[retrain]] and the candidate
@@ -230,10 +232,13 @@ object VocabMaintenance {
     // validated and gauged IS the frame a gain-accepted swap writes
     val fresh = trainer(docs).localCheckpoint(true)
     val candRate = oovRateUnder(docs, validatedPieces(fresh))
-    if (rate - candRate >= minGain) {
+    val swapped = if (rate - candRate >= minGain) {
       forget(vocabPath)
       StoreMaintenance.rewrite(spark, vocabPath)(_ => fresh)
       true
     } else { refused(memoKey) = candRate; false }
+    // accepted or refused, the candidate pin is internal — release it
+    graft.sources.Checkpoints.unpersist(fresh)
+    swapped
   }
 }

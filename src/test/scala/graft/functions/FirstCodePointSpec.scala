@@ -52,6 +52,10 @@ class FirstCodePointSpec extends SparkSpec {
     bad(0xE2, 0x82)       // truncated 3-byte sequence
     bad(0xF0, 0x9D, 0x94) // truncated 4-byte sequence
     bad(0xC3, 0x28)       // non-continuation byte in the tail
+    bad(0xC0, 0xAF)       // overlong lead (would decode to cp < 0x80)
+    bad(0xC1, 0x81)       // overlong lead
+    bad(0xF5, 0x80, 0x80, 0x80) // lead past U+10FFFF
+    bad(0xFF, 0x80, 0x80, 0x80) // invalid lead byte
   }
 
   test("SQL surface: registered via GraftExtensions and codegen-evaluated") {

@@ -93,6 +93,27 @@ class TokenIdStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("sweep dedups a replayed corpus-store row — token rows are never doubled") {
+    val work = java.nio.file.Files
+      .createTempDirectory("token_ids_replay_").toString
+    val store = s"$work/ids"
+    val v1 = BpeVocab.train(Seq((1L, "abab abab")).toDF("doc_id", "text"))
+    val v2 = BpeMerges.mergeTrainer(rounds = 8)(docs)
+    TokenIdStore.append(store, TokenIdStore.numericalize(docs, v1, 1))
+    // the corpus store replayed doc 6 (the at-least-once contract)
+    val corpusReplayed = docs.union(docs.filter(col("doc_id") === 6L))
+    assert(TokenIdStore.renumberSweep(spark, store, corpusReplayed,
+      v2, 2) === 2L)
+    val fresh = TokenIdStore.numericalize(docs, v2, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).toSeq.sorted
+    assert(TokenIdStore.read(spark, store).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).toSeq.sorted === fresh,
+      "a replayed corpus row must not fan the re-numericalization out")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("a stale doc absent from the corpus is dropped, not carried cross-space") {
     val work = java.nio.file.Files
       .createTempDirectory("token_ids_absent_").toString

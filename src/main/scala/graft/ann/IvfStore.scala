@@ -39,24 +39,28 @@ import graft.sources.Staging
 object IvfStore {
 
   /** Stage the trained centroid frame for `corpus` once per
-    * (key, fixture fingerprint); returns the store directory.
+    * (key, kCells, fixture fingerprint); returns the store directory.
     * `kCells` sizes the quantizer — 8 is the serving convention; the
-    * dedup path trains more cells ([[dedupIndexPath]]). */
+    * dedup path trains more cells ([[dedupIndexPath]]). kCells is
+    * folded into the staging key HERE, in the mechanism: staging
+    * memoizes on (key, fingerprint) and never re-runs the write, so a
+    * caller-side naming convention would silently serve a
+    * wrong-k quantizer to any caller that forgot it. */
   def stagedCentroids(key: String, fingerprintFile: java.io.File,
                       corpus: DataFrame, kCells: Int = 8): String =
-    Staging.stage(s"ivf_cents_$key", fingerprintFile) { tmp =>
+    Staging.stage(s"ivf_cents_k${kCells}_$key", fingerprintFile) { tmp =>
       Similarity.trainCentroids(corpus, kCells).write.parquet(tmp)
     }
 
   /** Stage the assigned-corpus frame (vec_id, v, n2, cell) once per
-    * (key, fixture fingerprint), training + staging the centroids first
-    * if needed; returns the store directory. */
+    * (key, kCells, fixture fingerprint), training + staging the
+    * centroids first if needed; returns the store directory. */
   def stagedAssignments(spark: SparkSession, key: String,
                         fingerprintFile: java.io.File,
                         corpus: DataFrame, kCells: Int = 8): String = {
     val cents = spark.read.parquet(
       stagedCentroids(key, fingerprintFile, corpus, kCells))
-    Staging.stage(s"ivf_asg_$key", fingerprintFile) { tmp =>
+    Staging.stage(s"ivf_asg_k${kCells}_$key", fingerprintFile) { tmp =>
       Similarity.assignCells(corpus, Similarity.packedCentroids(cents))
         .select(col("vec_id"), col("v"), col("n2"), col("cell"))
         .write.parquet(tmp)
@@ -115,7 +119,7 @@ object IvfStore {
     * artifacts. */
   def dedupIndexPath(spark: SparkSession, dir: String,
                      kCells: Int): String =
-    stagedAssignments(spark, s"dedup${kCells}_v1_$dir", fp(dir),
+    stagedAssignments(spark, s"dedup_v1_$dir", fp(dir),
       fixtureCorpus(spark, dir), kCells)
 
   /** Accumulated-corpus (vec_id % 10 < keepMod) index — the incremental

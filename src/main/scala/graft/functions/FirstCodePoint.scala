@@ -62,10 +62,7 @@ object FirstCodePoint {
       throw new IllegalArgumentException(
         "first_codepoint: malformed UTF-8 — continuation byte 0x" +
           b0.toHexString + " in lead position")
-    // 0xC0/0xC1 can only encode overlong forms (cp < 0x80 — would
-    // collide with real ASCII OOV ids); 0xF5+ would decode past
-    // U+10FFFF. Both are invalid leads in well-formed UTF-8.
-    if (b0 == 0xC0 || b0 == 0xC1 || b0 >= 0xF5)
+    if (b0 >= 0xF5)
       throw new IllegalArgumentException(
         "first_codepoint: malformed UTF-8 — invalid lead byte 0x" +
           b0.toHexString)
@@ -85,6 +82,17 @@ object FirstCodePoint {
       cp = (cp << 6) | (bi & 0x3F)
       i += 1
     }
+    // scalar-value validation — every non-shortest or non-scalar
+    // decode would mint a wrong-but-PLAUSIBLE OOV id (an overlong
+    // form collides with the real character's id; a surrogate or
+    // past-U+10FFFF value is not a character at all):
+    // shortest-form floor per length, the UTF-16 surrogate gap, and
+    // the Unicode ceiling
+    val floor = if (len == 2) 0x80 else if (len == 3) 0x800 else 0x10000
+    if (cp < floor || (cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF)
+      throw new IllegalArgumentException(
+        "first_codepoint: malformed UTF-8 — non-scalar or overlong " +
+          "decode U+" + cp.toHexString)
     cp
   }
 }

@@ -291,12 +291,14 @@ object Curation {
                     counter: org.apache.spark.sql.Column =>
                       org.apache.spark.sql.Column): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    docs.select(
+    docs.select(col("doc_id"),
         shardCol(shuffleTag(epoch), nShards).as("shard"),
         counter(col("text")).cast("long").as("n_tokens"))
-      // the epochPack null-drop mirrored: the manifest certifies the
-      // WRITTEN shards, which never hold an unpriceable doc
+      // the epochPack population EXACTLY (null-drop + replay dedup):
+      // the manifest certifies the WRITTEN shards, which never hold an
+      // unpriceable doc and never hold a replayed doc twice
       .filter(col("n_tokens").isNotNull)
+      .dropDuplicates("doc_id")
       .groupBy(col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
@@ -328,13 +330,23 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     // null-priced docs drop (the mixTokenBudget discipline): a doc the
     // counter cannot price has no place in a token-budgeted shard —
-    // unfiltered, its null n_tokens would ride the window into a
-    // null-seq_id row INSIDE the written training shards
+    // and it must not consume a POSITION either, so the shuffle runs
+    // over the PRICED population (mirrored in the oracle as `text IS
+    // NOT NULL`, the only null source for the token counters).
+    // doc_id-dedup FIRST: the documented corpus wiring is an
+    // at-least-once store, and a replayed doc would otherwise land
+    // twice in the written artifact while the manifest double-counted
+    // it identically — the parity check cannot catch what both sides
+    // get wrong together. Eager pin (the packTokens discipline): the
+    // priced frame feeds the shuffle assignment AND the final join,
+    // and the counter kernel must price each doc exactly once.
     val priced = docs.select(col("doc_id"),
       counter(col("text")).cast("long").as("n_tokens"))
       .filter(col("n_tokens").isNotNull)
+      .dropDuplicates("doc_id")
+      .localCheckpoint(true)
     val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
-    epochShuffle(docs, epoch, nShards)
+    epochShuffle(priced.select(col("doc_id")), epoch, nShards)
       .join(priced, "doc_id")
       .withColumn("cum_before",
         sum(col("n_tokens")).over(w) - col("n_tokens"))
@@ -1367,7 +1379,7 @@ object Curation {
       s"""WITH t AS (
          |  SELECT doc_id, md5('e1:' || CAST(doc_id AS VARCHAR)) AS tag,
          |    CAST(len(string_split($N, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents)
+         |  FROM documents WHERE text IS NOT NULL)
          |SELECT CAST(($nib16) % 8 AS INTEGER) AS shard,
          |  count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
@@ -1375,14 +1387,17 @@ object Curation {
     // the shard writer's content replayed: BPE walk prices each doc,
     // nibble-arithmetic shard + per-shard md5-order position, then the
     // per-shard running sum's DIV-budget sequence id (window sum is
-    // HUGEINT in DuckDB — cast before the subtraction)
+    // HUGEINT in DuckDB — cast before the subtraction). `text IS NOT
+    // NULL` mirrors the engine's null-priced drop: a null-text doc
+    // must neither pack nor consume a position
     "epoch_pack" ->
       s"""WITH RECURSIVE ${TextOps.bpeWalkCtes},
          |ept AS (
          |  SELECT b.doc_id,
          |    md5('e1:' || CAST(b.doc_id AS VARCHAR)) AS tag,
          |    b.n AS n_tokens
-         |  FROM bpe b),
+         |  FROM bpe b JOIN documents dd ON dd.doc_id = b.doc_id
+         |  WHERE dd.text IS NOT NULL),
          |epa AS (
          |  SELECT doc_id, n_tokens,
          |    CAST(($nib16) % 8 AS INTEGER) AS shard,

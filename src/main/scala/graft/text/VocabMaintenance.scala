@@ -98,11 +98,15 @@ object VocabMaintenance {
     // the training pass is not paid twice. The pin is dimension-sized
     // (topK rows) and released by GC after the write.
     val fresh = trainer(docs).localCheckpoint(true)
-    validatedPieces(fresh)
-    forget(vocabPath)
-    StoreMaintenance.rewrite(spark, vocabPath)(_ => fresh)
-    // the pin is internal — the store holds the bytes now
-    graft.sources.Checkpoints.unpersist(fresh)
+    // finally: the pin is internal either way — the store holds the
+    // bytes on success, and a validation throw must not leak blocks
+    // (a degenerate corpus throwing on every cadence call would
+    // otherwise accumulate exactly what explicit release prevents)
+    try {
+      validatedPieces(fresh)
+      forget(vocabPath)
+      StoreMaintenance.rewrite(spark, vocabPath)(_ => fresh)
+    } finally graft.sources.Checkpoints.unpersist(fresh)
   }
 
   /** Trainer-output validation shared by [[retrain]] and the candidate
@@ -231,14 +235,15 @@ object VocabMaintenance {
     // ONE trainer evaluation, pinned (topK rows): the frame that is
     // validated and gauged IS the frame a gain-accepted swap writes
     val fresh = trainer(docs).localCheckpoint(true)
-    val candRate = oovRateUnder(docs, validatedPieces(fresh))
-    val swapped = if (rate - candRate >= minGain) {
-      forget(vocabPath)
-      StoreMaintenance.rewrite(spark, vocabPath)(_ => fresh)
-      true
-    } else { refused(memoKey) = candRate; false }
-    // accepted or refused, the candidate pin is internal — release it
-    graft.sources.Checkpoints.unpersist(fresh)
-    swapped
+    // finally: accepted, refused, or validation-thrown, the candidate
+    // pin is internal — release it on every path
+    try {
+      val candRate = oovRateUnder(docs, validatedPieces(fresh))
+      if (rate - candRate >= minGain) {
+        forget(vocabPath)
+        StoreMaintenance.rewrite(spark, vocabPath)(_ => fresh)
+        true
+      } else { refused(memoKey) = candRate; false }
+    } finally graft.sources.Checkpoints.unpersist(fresh)
   }
 }

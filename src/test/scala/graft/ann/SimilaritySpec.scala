@@ -202,7 +202,7 @@ class SimilaritySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("nearest_cell"),
       s"semantic dedup must scan the staged index, never assign in-plan:\n$plan")
-    assert(plan.contains("graft_ivf_asg_full"),
+    assert(plan.contains("graft_ivf_asg_k8_full"),
       s"expected a scan of the staged assignment store in:\n$plan")
     val out = df.collect().map(r => (r.getAs[Long]("id_a"),
       r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
@@ -274,7 +274,7 @@ class SimilaritySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("nearest_cell"),
       s"store-backed trained IVF must not assign or train in-plan:\n$plan")
-    assert(plan.contains("graft_ivf_asg_full"),
+    assert(plan.contains("graft_ivf_asg_k8_full"),
       s"expected a scan of the staged assignment store in:\n$plan")
     assert(df.collect().nonEmpty)
   }
@@ -285,7 +285,7 @@ class SimilaritySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     // the corpus side is a parquet scan of assigned state; the single
     // nearest_cell pass is the incoming batch against stored centroids
-    assert(plan.contains("graft_ivf_asg_sub"),
+    assert(plan.contains("graft_ivf_asg_k8_sub"),
       s"expected a scan of the accumulated-corpus store in:\n$plan")
     assert(plan.contains("nearest_cell"),
       "the incoming batch must assign against the stored centroids")
@@ -317,7 +317,7 @@ class SimilaritySpec extends SparkSpec {
     // the probe side stays on the stored path: assigned-state scan +
     // one nearest_cell pass for the batch, no training in-plan
     val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_ivf_asg_sub"), plan)
+    assert(plan.contains("graft_ivf_asg_k8_sub"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     // nprobe=1 serves each query's own nearest centroid — for queries
     // drawn from the store that IS their assigned cell, so the result
@@ -368,7 +368,7 @@ class SimilaritySpec extends SparkSpec {
     }
     val plan = Similarity.annQueryExternalProbe(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("graft_ivf_asg_sub"), plan)
+    assert(plan.contains("graft_ivf_asg_k8_sub"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
@@ -401,7 +401,7 @@ class SimilaritySpec extends SparkSpec {
     val probed = Similarity.annServeProbe(assigned, centsRow, literal,
       nprobe = 2)
     val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_ivf_asg_sub"), plan)
+    assert(plan.contains("graft_ivf_asg_k8_sub"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert("""BroadcastHashJoin \[cell#\d+""".r.findFirstIn(plan).nonEmpty
       || """\[cell#\d+\], \[qcell#\d+\]""".r.findFirstIn(plan).nonEmpty,

@@ -52,9 +52,13 @@ class FirstCodePointSpec extends SparkSpec {
     bad(0xE2, 0x82)       // truncated 3-byte sequence
     bad(0xF0, 0x9D, 0x94) // truncated 4-byte sequence
     bad(0xC3, 0x28)       // non-continuation byte in the tail
-    bad(0xC0, 0xAF)       // overlong lead (would decode to cp < 0x80)
-    bad(0xC1, 0x81)       // overlong lead
-    bad(0xF5, 0x80, 0x80, 0x80) // lead past U+10FFFF
+    bad(0xC0, 0xAF)       // overlong 2-byte (would collide with '/')
+    bad(0xC1, 0x81)       // overlong 2-byte
+    bad(0xE0, 0x80, 0x8A) // overlong 3-byte (would collide with '\n')
+    bad(0xF0, 0x80, 0x80, 0x8A) // overlong 4-byte
+    bad(0xED, 0xA0, 0x80) // UTF-16 surrogate U+D800
+    bad(0xF4, 0x90, 0x80, 0x80) // U+110000, past the Unicode ceiling
+    bad(0xF5, 0x80, 0x80, 0x80) // invalid lead
     bad(0xFF, 0x80, 0x80, 0x80) // invalid lead byte
   }
 

@@ -98,6 +98,10 @@ object BpeMerges {
       .empty[(Int, String, String, String, Long)]
     var r = 0
     var exhausted = false
+    // finally releases the LIVE dict on every exit — including a
+    // mid-round throw, which would otherwise leak the in-flight
+    // checkpoint on a retrying caller (the exception-safe discipline)
+    try {
     while (r < rounds && !exhausted) {
       // adjacent pairs of the CURRENT tokenization, weighted by word
       // count; the (t, i) transform index keys each slice element to
@@ -126,10 +130,10 @@ object BpeMerges {
         r += 1
       }
     }
-    // the merge table is driver-side by now; the final dict is dead too
-    unpersistCheckpoint(dict)
+    // the merge table is driver-side by now; the final dict is dead
     spark.createDataFrame(merges.toSeq)
       .toDF("rank", "left_piece", "right_piece", "piece", "n_pairs")
+    } finally unpersistCheckpoint(dict)
   }
 
   /** The merge-learning trainer as a LIVE-STORE adapter — the seam

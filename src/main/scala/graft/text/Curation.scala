@@ -267,6 +267,26 @@ object Curation {
     pmod(conv(substring(tag, 1, 4), 16, 10).cast("long"),
       lit(nShards.toLong)).cast("int")
 
+  /** The dataloader family's POPULATION — one definition shared by
+    * [[epochPack]] and [[shardManifest]] so it cannot drift: priceable
+    * docs only (null-priced drop — a doc the counter cannot price has
+    * no place in a token-budgeted shard), doc_id-distinct (the
+    * documented corpus wiring is an at-least-once store; a replayed
+    * doc must not pack twice while the manifest double-counts it
+    * identically). Narrow rows: (doc_id, n_tokens), never text. */
+  private def pricedDocs(docs: DataFrame,
+                         counter: org.apache.spark.sql.Column =>
+                           org.apache.spark.sql.Column): DataFrame =
+    docs.select(col("doc_id"),
+      counter(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens").isNotNull)
+      .dropDuplicates("doc_id")
+
+  /** NOTE the population contract: this assigns over `docs` AS GIVEN
+    * (one row per doc_id expected). The token-budgeted family
+    * ([[epochPack]] / [[shardManifest]] / [[writeShards]]) restricts
+    * to [[pricedDocs]] first — pair a manifest only with an ordering
+    * computed over the same population. */
   def epochShuffle(docs: DataFrame, epoch: Int, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     import org.apache.spark.sql.expressions.Window
@@ -291,14 +311,12 @@ object Curation {
                     counter: org.apache.spark.sql.Column =>
                       org.apache.spark.sql.Column): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    docs.select(col("doc_id"),
-        shardCol(shuffleTag(epoch), nShards).as("shard"),
-        counter(col("text")).cast("long").as("n_tokens"))
-      // the epochPack population EXACTLY (null-drop + replay dedup):
-      // the manifest certifies the WRITTEN shards, which never hold an
-      // unpriceable doc and never hold a replayed doc twice
-      .filter(col("n_tokens").isNotNull)
-      .dropDuplicates("doc_id")
+    // the epochPack population EXACTLY ([[pricedDocs]] — null-drop +
+    // replay dedup): the manifest certifies the WRITTEN shards, which
+    // never hold an unpriceable doc and never hold a replayed doc twice
+    pricedDocs(docs, counter)
+      .select(shardCol(shuffleTag(epoch), nShards).as("shard"),
+        col("n_tokens"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
@@ -316,38 +334,37 @@ object Curation {
     * the context window BEFORE packing); `counter` prices each doc —
     * pass the by-reference subword kernel for budgets in BPE units.
     *
-    * Scale shape: one narrow pricing projection, ONE doc_id equi-join
-    * against the shuffle assignment, and one per-shard cumulative
-    * window. The window's parallelism is exactly `nShards` — the same
-    * bound [[epochShuffle]]'s position window carries, sized by the
-    * production rule in SCALING.md (nShards ≥ cluster cores; real
-    * dataloader shard counts are large). No global ordering anywhere. */
+    * Scale shape: one narrow pricing projection over [[pricedDocs]]
+    * (null-priced docs drop and must not consume a position; replayed
+    * docs dedup — the population definition shared with the manifest),
+    * then ONE exchange: position and running sum come from the SAME
+    * per-shard window (`pos` is the row_number of the (tag, doc_id)
+    * ordering, so cumulating in that ordering IS cumulating in pos
+    * order — no join, no second exchange). The window's parallelism is
+    * exactly `nShards` — the same bound [[epochShuffle]]'s position
+    * window carries, sized by the production rule in SCALING.md
+    * (nShards ≥ cluster cores; real dataloader shard counts are
+    * large). No global ordering anywhere. The tag/shard arithmetic is
+    * the shared [[shuffleTag]]/[[shardCol]] pair, so this ordering
+    * cannot diverge from [[epochShuffle]]'s over the same
+    * population. */
   def epochPack(docs: DataFrame, epoch: Int, nShards: Int,
                 budget: Long,
                 counter: org.apache.spark.sql.Column =>
                   org.apache.spark.sql.Column): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     require(budget > 0, s"epochPack: budget must be positive, got $budget")
     import org.apache.spark.sql.expressions.Window
-    // null-priced docs drop (the mixTokenBudget discipline): a doc the
-    // counter cannot price has no place in a token-budgeted shard —
-    // and it must not consume a POSITION either, so the shuffle runs
-    // over the PRICED population (mirrored in the oracle as `text IS
-    // NOT NULL`, the only null source for the token counters).
-    // doc_id-dedup FIRST: the documented corpus wiring is an
-    // at-least-once store, and a replayed doc would otherwise land
-    // twice in the written artifact while the manifest double-counted
-    // it identically — the parity check cannot catch what both sides
-    // get wrong together. Eager pin (the packTokens discipline): the
-    // priced frame feeds the shuffle assignment AND the final join,
-    // and the counter kernel must price each doc exactly once.
-    val priced = docs.select(col("doc_id"),
-      counter(col("text")).cast("long").as("n_tokens"))
-      .filter(col("n_tokens").isNotNull)
-      .dropDuplicates("doc_id")
-      .localCheckpoint(true)
-    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
-    epochShuffle(priced.select(col("doc_id")), epoch, nShards)
-      .join(priced, "doc_id")
+    val tagged = pricedDocs(docs, counter)
+      .withColumn("shuffle_tag", shuffleTag(epoch))
+      .withColumn("shard", shardCol(col("shuffle_tag"), nShards))
+    // one window spec serves both functions; (tag, doc_id) is unique,
+    // so the default RANGE frame degenerates to ROWS and the running
+    // sum is exact
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_tag"), col("doc_id"))
+    tagged
+      .withColumn("pos", row_number().over(w))
       .withColumn("cum_before",
         sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),

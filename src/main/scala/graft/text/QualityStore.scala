@@ -190,12 +190,12 @@ object QualityStore {
                      qualities: DataFrame,
                      p: Double = 0.1): (DataFrame, DataFrame) = {
     val (evictions, verdicts) = retroSweep(qualities, p)
-    // pin the delete-set before the rewrite (it is consumed inside the
-    // rewrite AND returned for telemetry reads after it)
-    val exc = evictions.localCheckpoint(true)
+    // no extra pin: the delete-set derives from the sweep's ledger
+    // checkpoint and the broadcast floors — never from curatedPath —
+    // so the rewrite moves no files under its plan
     graft.sinks.StoreMaintenance.rewrite(spark, curatedPath)(
-      applyRetro(_, exc))
-    (exc, verdicts)
+      applyRetro(_, evictions))
+    (evictions, verdicts)
   }
 
   /** The staged store for the fixture's accumulated-corpus convention

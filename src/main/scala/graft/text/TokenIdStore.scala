@@ -83,27 +83,30 @@ object TokenIdStore {
       .filter(col("vocab_version") =!= version)
       .select(col("doc_id")).distinct()
       .localCheckpoint(true)
-    val n = staleDocs.count()
-    if (n > 0) {
-      // only stale docs re-pay the walk; eager for the same reason.
-      // doc_id-dedup the corpus side first: the documented wiring is
-      // the streaming corpus store, whose at-least-once appends permit
-      // replayed key-identical rows — un-deduped, a replayed doc would
-      // fan the join out and mint every token row twice
-      val fresh = numericalize(
-        docs.dropDuplicates("doc_id").join(staleDocs, "doc_id"),
-        vocab, version).localCheckpoint(true)
-      StoreMaintenance.rewrite(spark, path)(st =>
-        st.filter(col("vocab_version") === version)
-          .join(staleDocs, Seq("doc_id"), "left_anti")
-          .dropDuplicates("doc_id", "token_idx")
-          .unionByName(fresh))
-      // both pins are internal to this sweep — release their blocks
-      // now rather than waiting for GC (the BpeMerges discipline)
-      graft.sources.Checkpoints.unpersist(fresh)
-    }
-    graft.sources.Checkpoints.unpersist(staleDocs)
-    n
+    // both pins are internal to this sweep — released in finally (the
+    // exception-safe discipline: a rewrite failing mid-sweep on a
+    // retrying maintenance job must not accumulate pinned token-row
+    // copies per attempt)
+    try {
+      val n = staleDocs.count()
+      if (n > 0) {
+        // only stale docs re-pay the walk; eager for the same reason.
+        // doc_id-dedup the corpus side first: the documented wiring is
+        // the streaming corpus store, whose at-least-once appends
+        // permit replayed key-identical rows — un-deduped, a replayed
+        // doc would fan the join out and mint every token row twice
+        val fresh = numericalize(
+          docs.dropDuplicates("doc_id").join(staleDocs, "doc_id"),
+          vocab, version).localCheckpoint(true)
+        try StoreMaintenance.rewrite(spark, path)(st =>
+          st.filter(col("vocab_version") === version)
+            .join(staleDocs, Seq("doc_id"), "left_anti")
+            .dropDuplicates("doc_id", "token_idx")
+            .unionByName(fresh))
+        finally graft.sources.Checkpoints.unpersist(fresh)
+      }
+      n
+    } finally graft.sources.Checkpoints.unpersist(staleDocs)
   }
 
   /** The staged renumbered fixture store — the full lifecycle run once

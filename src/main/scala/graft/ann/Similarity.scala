@@ -718,17 +718,41 @@ object Similarity {
       threshold, cap)
 
   /** EXHAUSTIVE near-dup pairs — the ground truth the recall sweep
-    * divides by (`graft.SemanticDedupSweep`), deliberately quadratic:
-    * one bucket, no cap, every pair cosine-checked. Every bucketed
-    * variant's output is a SUBSET of this (pairs are exact-verified
-    * inside their cells), so recall = count ratio, no pair join. Sweep
-    * telemetry only — never a registered query, never a data path. */
+    * divides by (`graft.SemanticDedupSweep`), deliberately quadratic
+    * in WORK but parallel in SHAPE: a triangle block decomposition —
+    * each vector lands in block id % `blocks`, a tiny broadcast
+    * relation enumerates the (ga ≤ gb) block pairs, and each block
+    * pair's task checks its (n/B)² candidates. Every unordered pair
+    * appears exactly once (cross-block pairs once by side assignment;
+    * diagonal blocks keep id_a < id_b), so this is complete — a
+    * single-bucket spelling through the capped core would funnel the
+    * whole n²/2 enumeration through ONE task. Every bucketed variant's
+    * output is a SUBSET of this (pairs are exact-verified inside their
+    * cells), so recall = count ratio, no pair join. Sweep telemetry
+    * only — never a registered query, never a data path. */
   private[graft] def brutePairs(spark: SparkSession, dir: String,
-                                threshold: Double = 0.5): DataFrame =
-    cappedPairsWithin(
-      corpus(spark, dir).select(col("vec_id"), col("v"), col("n2"))
-        .withColumn("bucket", lit(0)),
-      threshold, Int.MaxValue)
+                                threshold: Double = 0.5,
+                                blocks: Int = 16): DataFrame = {
+    val c = corpus(spark, dir).select(col("vec_id"), col("v"), col("n2"))
+    val a = c.select(col("vec_id").as("ia"), col("v").as("va"),
+      col("n2").as("na")).withColumn("ga", pmod(col("ia"), lit(blocks)))
+    val b = c.select(col("vec_id").as("ib"), col("v").as("vb"),
+      col("n2").as("nb")).withColumn("gb", pmod(col("ib"), lit(blocks)))
+    import spark.implicits._
+    val bp = broadcast(
+      (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+        .toDF("ga", "gb"))
+    a.join(bp, "ga").join(b, "gb")
+      // diagonal blocks order by id; cross blocks take every (a, b)
+      // combination once by construction — normalize the emitted pair
+      .filter(col("ga") =!= col("gb") || col("ia") < col("ib"))
+      .withColumn("cosine",
+        dot(col("va"), col("vb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cosine"))
+  }
 
   /** IVF recall telemetry: recall@k of the bucketed variants against the
     * exact brute-force truth, per query and per `nprobe` (1 = own cell

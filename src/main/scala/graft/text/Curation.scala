@@ -298,15 +298,19 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
-  /** Per-shard MANIFEST of an [[epochShuffle]] assignment — the sizes
-    * a dataloader reads before touching data: docs and tokens per
-    * shard (`counter` prices each doc; pass the subword kernel for
-    * tokenizer-faithful budgets, as [[mixTokenBudget]] does). The
-    * shard is a pure function of (epoch, doc_id), so the manifest is
-    * ONE projection (tag → shard, priced text) and one
-    * map-side-combined aggregate over `nShards` groups — no join, no
-    * second corpus scan, no window (positions are irrelevant to
-    * sizes). */
+  /** Per-shard MANIFEST of an [[epochPack]]/[[writeShards]] artifact —
+    * the sizes a dataloader reads before touching data: docs and
+    * tokens per shard (`counter` prices each doc; pass the subword
+    * kernel for tokenizer-faithful budgets, as [[mixTokenBudget]]
+    * does). The POPULATION is [[pricedDocs]] — exactly what the writer
+    * packs — so the manifest certifies the written shards on any
+    * corpus, including one with null-text or replayed docs; pair it
+    * with a raw [[epochShuffle]] only over an already-priced
+    * population (the shuffle assigns docs AS GIVEN). The shard is a
+    * pure function of (epoch, doc_id), so the manifest is ONE
+    * projection (tag → shard, priced text) and one map-side-combined
+    * aggregate over `nShards` groups — no join, no second corpus
+    * scan, no window (positions are irrelevant to sizes). */
   def shardManifest(docs: DataFrame, epoch: Int, nShards: Int,
                     counter: org.apache.spark.sql.Column =>
                       org.apache.spark.sql.Column): DataFrame = {

@@ -53,14 +53,28 @@ object TokenIdStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Steady-state compaction — the maintenance entry every appendable
+    * store here carries: one row per (doc_id, token_idx,
+    * vocab_version), few large files ((doc_id, token_idx) determines
+    * piece_id under a fixed version, so key-dedup is observationally
+    * free). This is what sheds an at-least-once replay's duplicate
+    * CURRENT-version rows — [[renumberSweep]]'s rewrite only runs when
+    * some doc is stale, so a fully-migrated store still needs the
+    * ordinary compaction cadence. Atomic-swap semantics:
+    * [[StoreMaintenance]]. */
+  def compact(spark: SparkSession, path: String): Unit =
+    StoreMaintenance.compactDistinct(spark, path,
+      Seq("doc_id", "token_idx", "vocab_version"))
+
   /** The RE-NUMERICALIZATION sweep — run once after a vocabulary swap
     * moved the live store to id-space `version`: every doc whose
     * stored rows carry any OTHER version is re-tokenized from `docs`
     * (the corpus store — the text source of truth) under `vocab` (the
     * swapped piece frame) and rewritten; docs already at `version`
-    * keep their rows untouched (deduplicated on (doc_id, token_idx) —
-    * the at-least-once append contract permits replayed key-identical
-    * rows, and this rewrite is the compaction that sheds them).
+    * keep their rows untouched (deduplicated on (doc_id, token_idx)
+    * while the rewrite is running anyway — steady-state replay
+    * duplicates on a store with NO stale docs are [[compact]]'s job,
+    * since a no-op sweep returns without rewriting).
     *
     * Post-conditions (RenumberSpec asserts both): the store holds
     * exactly ONE version — `version` — and its ids equal a fresh
@@ -91,12 +105,15 @@ object TokenIdStore {
       val n = staleDocs.count()
       if (n > 0) {
         // only stale docs re-pay the walk; eager for the same reason.
-        // doc_id-dedup the corpus side first: the documented wiring is
-        // the streaming corpus store, whose at-least-once appends
-        // permit replayed key-identical rows — un-deduped, a replayed
-        // doc would fan the join out and mint every token row twice
+        // RESTRICT first, dedup second: the corpus store's
+        // at-least-once appends permit replayed key-identical rows
+        // (un-deduped, a replayed doc would fan the join out and mint
+        // every token row twice), but deduplicating the whole corpus
+        // would shuffle every doc's text to migrate a handful — the
+        // join to the (tiny, broadcastable) stale set cuts the
+        // population BEFORE the dedup exchange
         val fresh = numericalize(
-          docs.dropDuplicates("doc_id").join(staleDocs, "doc_id"),
+          docs.join(staleDocs, "doc_id").dropDuplicates("doc_id"),
           vocab, version).localCheckpoint(true)
         try StoreMaintenance.rewrite(spark, path)(st =>
           st.filter(col("vocab_version") === version)

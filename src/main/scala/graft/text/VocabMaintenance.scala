@@ -184,7 +184,7 @@ object VocabMaintenance {
     * changes, or the unconditional [[retrain]] runs — the gauge alone
     * carries no signal a fresh candidate could read there. */
   private[text] val refused =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Double]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Double]
 
   private def forget(vocabPath: String): Unit =
     refused.keys.filter(_._1 == vocabPath).foreach(refused.remove)
@@ -221,7 +221,16 @@ object VocabMaintenance {
     require(minGain > 0 && minGain < 1,
       s"minGain must be in (0, 1), got $minGain")
     val stored = readPieces(spark, vocabPath)
-    val memoKey = (vocabPath, piecesFingerprint(stored))
+    // the memo key carries the TRAINER's identity (its closure class —
+    // stable per definition site) alongside the store fingerprint: a
+    // refusal priced for the frequency candidate must not suppress
+    // pricing the merge-learning candidate after an operator rewires
+    // the lane (the round's own upgrade path). Residual: two trainers
+    // from the SAME definition site differing only in captured
+    // parameters (mergeTrainer(8) vs mergeTrainer(16)) share a memo —
+    // conservative in the skip direction only until the gauge moves.
+    val memoKey = (vocabPath, piecesFingerprint(stored),
+      trainer.getClass.getName)
     val rate = oovRateUnder(docs, stored)
     // below the ceiling there is no refusal state worth keeping for
     // ANY store fingerprint of this path (stale-hash entries from

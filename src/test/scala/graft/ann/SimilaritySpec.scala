@@ -466,4 +466,26 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(r =>
       r.getAs[Long]("query_id") == r.getAs[Long]("vec_id")))
   }
+
+  test("brutePairs: triangle block decomposition is exhaustive and unique") {
+    val dir = "/root/testdata/sf0.001"
+    def pairs(blocks: Int) =
+      Similarity.brutePairs(spark, dir, threshold = 0.1, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // blocks = 1 is the trivially-complete spelling (one diagonal
+    // block, id-ordered); the parallel decomposition must emit the
+    // SAME pair set, each pair exactly once
+    val one = pairs(1)
+    val sixteen = pairs(16)
+    assert(one.nonEmpty, "threshold 0.1 must admit some fixture pairs")
+    assert(sixteen.sorted === one.sorted)
+    assert(sixteen.distinct.size === sixteen.size,
+      "no pair may be emitted twice across block pairs")
+    // every bucketed variant is a subset of the brute truth — the
+    // property that makes sweep recall a count ratio
+    val semantic = Similarity.embeddingNearDupSemantic(spark, dir,
+      threshold = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semantic.subsetOf(one.toSet))
+  }
 }

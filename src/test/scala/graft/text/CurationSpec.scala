@@ -115,7 +115,27 @@ class CurationSpec extends SparkSpec {
     assert(m.map(_.getLong(2)).sum === 1000L) // 5 ws tokens per doc
     val byShard = e1.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     assert(m.map(r => r.getInt(0) -> r.getLong(1)).toMap === byShard,
-      "manifest per-shard sizes must match the shuffle's assignment")
+      "manifest per-shard sizes must match the shuffle's assignment " +
+        "(valid here: this corpus IS its own priced population)")
+    // the population contract on a DIRTY corpus: the manifest counts
+    // pricedDocs (null-text dropped, replays deduped) — exactly the
+    // epochPack/writeShards population — while the raw shuffle assigns
+    // docs as given; the family pairs over the priced population
+    val dirty = docs
+      .union(Seq((7L, "a b c d e")).toDF("doc_id", "text")) // replay
+      .union(Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val md = Curation.shardManifest(dirty, 1, 8,
+      t => size(split(TextOps.norm(t), " ")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(md.map(_._2).sum === 200L,
+      "manifest must count the replayed doc once and the null doc never")
+    val packedDirty = Curation.epochPack(dirty, 1, 8, budget = 10,
+      t => size(split(TextOps.norm(t), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(packedDirty.map(_._1).sorted.toSeq === (1L to 200L),
+      "the writer packs the same population the manifest certifies")
+    assert(md.map(r => r._1 -> r._2).toMap ===
+      packedDirty.groupBy(_._2).view.mapValues(_.length.toLong).toMap)
   }
 
   test("epoch pack: whole-doc greedy packing per shard; written shards match the manifest") {

@@ -59,16 +59,34 @@ class VocabMaintenanceSpec extends SparkSpec {
     val before = VocabMaintenance.readPieces(spark, path)
     assert(VocabMaintenance.oovRate(spark, path, noisy) > 0.5,
       "fixture must sit above the ceiling at zero drift")
-    assert(!VocabMaintenance.retrainIfDrifted(spark, path, noisy),
+    // the refusal memo is keyed per TRAINER: the same trainer must not
+    // re-pay the candidate train at an unmoved gauge, while a
+    // DIFFERENT trainer is a new pricing question
+    var trains = 0
+    val counting: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame =
+      docs => { trains += 1; BpeVocab.train(docs) }
+    assert(!VocabMaintenance.retrainIfDrifted(spark, path, noisy,
+      trainer = counting),
       "a no-gain candidate must be discarded")
+    assert(trains === 1)
     assert(VocabMaintenance.readPieces(spark, path) === before,
       "the store must be untouched after a refused swap")
-    // the refusal is memoized: the next cadence call at an unmoved
-    // gauge must short-circuit WITHOUT re-paying the candidate train
-    // (a trainer that throws proves it was never invoked)
     assert(VocabMaintenance.refused.keys.exists(_._1 == path))
     assert(!VocabMaintenance.retrainIfDrifted(spark, path, noisy,
-      trainer = _ => sys.error("candidate must not re-train at an unmoved gauge")))
+      trainer = counting))
+    assert(trains === 1,
+      "memoized refusal must not re-pay the same trainer's candidate")
+    // a different trainer (new definition site) IS priced — its
+    // refusal memoizes independently
+    var trains2 = 0
+    val counting2: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame =
+      docs => { trains2 += 1; BpeVocab.train(docs) }
+    assert(!VocabMaintenance.retrainIfDrifted(spark, path, noisy,
+      trainer = counting2))
+    assert(trains2 === 1,
+      "a refusal priced for one trainer must not suppress another")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 

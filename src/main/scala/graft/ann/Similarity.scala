@@ -641,7 +641,13 @@ object Similarity {
     // id AFTER pair enumeration: each side's vectors cross one id-keyed
     // hash exchange once, never ride a sort, and candidates are
     // cap-bounded so the fetch joins are O(n·cap) rows of ids.
-    // Output is hash-identical (same pairs, same cosine arithmetic).
+    // PRECONDITION (every caller satisfies it: staged indexes,
+    // quantized corpus scans, brute blocks — one row per vec_id): ids
+    // are unique. Under unique ids the output is hash-identical to the
+    // r13 vector-carrying form (same pairs, same cosine arithmetic); a
+    // frame with replayed duplicate ids (a live assignment store
+    // between appends and IvfStore.compact) would fan the fetch joins
+    // out quadratically where r13 fanned linearly — compact first.
     val keyed = c.select(col("vec_id"), col("bucket"))
       .join(broadcast(oversized), Seq("bucket"), "left")
       .withColumn("salt",

@@ -308,9 +308,12 @@ object Curation {
     * with a raw [[epochShuffle]] only over an already-priced
     * population (the shuffle assigns docs AS GIVEN). The shard is a
     * pure function of (epoch, doc_id), so the manifest is ONE
-    * projection (tag → shard, priced text) and one map-side-combined
-    * aggregate over `nShards` groups — no join, no second corpus
-    * scan, no window (positions are irrelevant to sizes). */
+    * projection (tag → shard, priced text), the population dedup's
+    * doc_id-keyed exchange (narrow (doc_id, n_tokens) rows — the
+    * at-least-once wiring's price, shared with the writer), and one
+    * map-side-combined aggregate over `nShards` groups — no join, no
+    * second corpus scan, no window (positions are irrelevant to
+    * sizes). */
   def shardManifest(docs: DataFrame, epoch: Int, nShards: Int,
                     counter: org.apache.spark.sql.Column =>
                       org.apache.spark.sql.Column): DataFrame = {
@@ -340,11 +343,12 @@ object Curation {
     *
     * Scale shape: one narrow pricing projection over [[pricedDocs]]
     * (null-priced docs drop and must not consume a position; replayed
-    * docs dedup — the population definition shared with the manifest),
-    * then ONE exchange: position and running sum come from the SAME
-    * per-shard window (`pos` is the row_number of the (tag, doc_id)
-    * ordering, so cumulating in that ordering IS cumulating in pos
-    * order — no join, no second exchange). The window's parallelism is
+    * docs dedup — the population definition shared with the manifest;
+    * the dedup is a doc_id-keyed exchange of (doc_id, n_tokens) rows),
+    * then ONE data exchange: position and running sum come from the
+    * SAME per-shard window (`pos` is the row_number of the (tag,
+    * doc_id) ordering, so cumulating in that ordering IS cumulating in
+    * pos order — no join, no second window exchange). The window's parallelism is
     * exactly `nShards` — the same bound [[epochShuffle]]'s position
     * window carries, sized by the production rule in SCALING.md
     * (nShards ≥ cluster cores; real dataloader shard counts are

@@ -173,18 +173,28 @@ object QualityStore {
   }
 
   /** Apply a [[retroSweep]] delete-set to a curated frame: every chunk
-    * (or row) of an evicted doc drops. One broadcast anti-join — the
-    * delete-set is eviction rows only. */
+    * (or row) of an evicted doc drops. One anti-join with NO forced
+    * broadcast: unlike the decontam excision lists (near-empty at
+    * benchmark cadence), a FIRST floor sweep over a long-accumulated
+    * ledger can evict up to a full decile of every source's admissions
+    * — unbounded in corpus size, past any broadcast limit at the
+    * 100 TB posture. Spark/AQE broadcasts the delete-set exactly when
+    * it actually is small (the steady-state case). */
   def applyRetro(curated: DataFrame, evictions: DataFrame): DataFrame =
-    curated.join(broadcast(evictions.select(col("doc_id"))),
+    curated.join(evictions.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
   /** The refresh lifecycle CLOSED: sweep the ledger, atomically rewrite
     * the curated store at `curatedPath` with the delete-set applied
     * ([[graft.sinks.StoreMaintenance.rewrite]] — a complete copy on
-    * disk at every instant). Idempotent: the ledger is untouched, so a
-    * second sweep re-derives the same floors and the same (already
-    * absent) delete-set. Returns the applied (evictions, verdicts) for
+    * disk at every instant). Idempotent AND cheap at steady state: the
+    * ledger keeps evicted docs' rows by design, so an unchanged ledger
+    * re-derives the same NONEMPTY delete-set forever — the no-op guard
+    * must therefore probe the CURATED store (is any evicted doc still
+    * present?), never the delete-set's size. The probe is one
+    * early-out semi-join read pass; without it every cadence call
+    * after the first would re-copy the lifecycle's largest artifact to
+    * delete nothing. Returns the applied (evictions, verdicts) for
     * telemetry. */
   def refreshCurated(spark: SparkSession, curatedPath: String,
                      qualities: DataFrame,
@@ -192,9 +202,13 @@ object QualityStore {
     val (evictions, verdicts) = retroSweep(qualities, p)
     // no extra pin: the delete-set derives from the sweep's ledger
     // checkpoint and the broadcast floors — never from curatedPath —
-    // so the rewrite moves no files under its plan
-    graft.sinks.StoreMaintenance.rewrite(spark, curatedPath)(
-      applyRetro(_, evictions))
+    // so the rewrite moves no files under its plan (the probe below
+    // finishes before the rewrite starts)
+    val pending = spark.read.parquet(curatedPath)
+      .join(evictions.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    if (!pending.isEmpty)
+      graft.sinks.StoreMaintenance.rewrite(spark, curatedPath)(
+        applyRetro(_, evictions))
     (evictions, verdicts)
   }
 

@@ -33,6 +33,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StoreMaintenance {
 
+  /** Repair the crash window a prior [[rewrite]] can leave: if it died
+    * between its two swap renames, the data lives only at the
+    * fixed-name `.old` aside — restore it. [[rewrite]] runs this
+    * first; any caller that READS a store path outside a rewrite
+    * (e.g. a steady-state no-op probe before deciding whether to
+    * rewrite at all) must call it too, or a stranded store throws
+    * PATH_NOT_FOUND on every retry and stays stranded. Idempotent and
+    * cheap (two existence checks). */
+  def recover(path: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val dir = new java.io.File(path).getAbsoluteFile
+    val aside = new java.io.File(dir.getParentFile, dir.getName + ".old")
+    if (!dir.exists() && aside.exists())
+      Files.move(aside.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Atomically rewrite the parquet store at `path` as `transform` of
     * its current contents. */
   def rewrite(spark: SparkSession, path: String)
@@ -42,8 +58,7 @@ object StoreMaintenance {
     val dir = new java.io.File(path).getAbsoluteFile
     val aside = new java.io.File(dir.getParentFile, dir.getName + ".old")
     // recover from a crash between the swap renames of a previous run
-    if (!dir.exists() && aside.exists())
-      Files.move(aside.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    recover(path)
     // sweep garbage from failed prior runs (partial temps, stale aside)
     Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(dir.getName + ".compact.") ||

@@ -200,10 +200,19 @@ object QualityStore {
                      qualities: DataFrame,
                      p: Double = 0.1): (DataFrame, DataFrame) = {
     val (evictions, verdicts) = retroSweep(qualities, p)
+    // the probe READS the store outside rewrite, so repair the
+    // crashed-mid-swap state first or a stranded store would throw on
+    // every retry (rewrite used to do this implicitly when it was
+    // unconditional)
+    graft.sinks.StoreMaintenance.recover(curatedPath)
     // no extra pin: the delete-set derives from the sweep's ledger
     // checkpoint and the broadcast floors — never from curatedPath —
     // so the rewrite moves no files under its plan (the probe below
-    // finishes before the rewrite starts)
+    // finishes before the rewrite starts). Priced trade: when
+    // evictions ARE pending (the rare first sweep), the probe's pass
+    // is thrown away and the store is read twice — accepted, because
+    // the probe exists for the COMMON case (every later cadence call
+    // is a pure read instead of a full re-copy).
     val pending = spark.read.parquet(curatedPath)
       .join(evictions.select(col("doc_id")), Seq("doc_id"), "left_semi")
     if (!pending.isEmpty)

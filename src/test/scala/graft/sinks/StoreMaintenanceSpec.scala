@@ -120,6 +120,37 @@ class StoreMaintenanceSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(store.getParentFile)
   }
 
+  test("recover restores a store stranded mid-swap; the quality refresh probe retries through it") {
+    import graft.text.QualityStore
+    val work = tmpDir("recover_")
+    val ledger = s"$work/ledger"
+    val curated = s"$work/curated"
+    val docs = (0L until 20L).map(i =>
+      (i, (0 until (5 + i.toInt)).map(j => s"d${i}w$j").mkString(" "),
+        "s0")).toDF("doc_id", "text", "source")
+    QualityStore.appendQualities(ledger, QualityStore.qualityFrame(docs))
+    graft.text.Curation.chunkDocs(docs, 8, 6).write.parquet(curated)
+    // simulate a rewrite that died between its two swap renames: the
+    // data lives only at the fixed-name .old aside
+    val dir = new java.io.File(curated)
+    val aside = new java.io.File(dir.getParentFile, dir.getName + ".old")
+    java.nio.file.Files.move(dir.toPath, aside.toPath)
+    assert(!dir.exists() && aside.exists())
+    // the refresh's no-op probe READS the store before rewriting —
+    // it must repair the stranded state instead of throwing forever
+    val (exc, verdicts) = QualityStore.refreshCurated(spark, curated,
+      QualityStore.read(spark, ledger))
+    assert(dir.exists() && !aside.exists(), "recover must restore the store")
+    assert(verdicts.count() === 20L)
+    // and the sweep's semantics survived the recovery: evicted docs'
+    // chunks are gone, kept docs' chunks remain
+    val evicted = exc.select("doc_id").collect().map(_.getLong(0)).toSet
+    val left = spark.read.parquet(curated)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(evicted.nonEmpty && (left & evicted).isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(work)
+  }
+
   test("ivf-store compact: duplicate appended assignments collapse") {
     val dir = "/root/testdata/sf0.001"
     val src = IvfStore.fixtureSubIndexPath(spark, dir)

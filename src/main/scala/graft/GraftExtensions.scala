@@ -161,6 +161,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.FirstCodePoint(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("codepoint_char"),
+      info(classOf[functions.CodePointChar].getName,
+        "codepoint_char",
+        "codepoint_char(cp) - single-character string of a Unicode code point (the DuckDB chr() convention; inverse of first_codepoint)"),
+      (children: Seq[Expression]) => {
+        checkArity("codepoint_char", 1, children)
+        functions.CodePointChar(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kalshi_max_cents"),
       info(classOf[functions.KalshiExtremeCents].getName,
         "kalshi_max_cents",

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The single-character string of a Unicode code point — the INVERSE of
+  * [[FirstCodePoint]] and the native twin of DuckDB's `chr(cp)`: the
+  * decode side of the OOV-id contract (`TextOps.tokenIdsBpe`: fallback
+  * id = |V| + code point, so reconstruction is chr(id − |V|)). Spark's
+  * builtin `chr` is ASCII-only (code points above 255 wrap mod 256 —
+  * a silently WRONG character for every non-Latin OOV unit), and the
+  * composable spelling through `decode(..., 'UTF-32')` allocates an
+  * encoder and a byte buffer per OOV token; this is one 1–4 byte UTF-8
+  * encode straight into the output, no allocation beyond the result.
+  *
+  * FAIL-FAST on non-scalar values ([[FirstCodePoint]]'s discipline,
+  * mirrored exactly): a negative id (an in-vocab id routed here by a
+  * caller bug), a surrogate, or a past-U+10FFFF value is not a
+  * character — emitting replacement garbage would reconstruct
+  * WRONG-but-plausible text, the exact corruption a round-trip check
+  * exists to catch. Null → null. Registered as SQL function
+  * `codepoint_char`.
+  */
+case class CodePointChar(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case IntegerType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an int argument, got ${t.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "codepoint_char"
+
+  override protected def nullSafeEval(cp: Any): Any =
+    CodePointChar.codePointChar(cp.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, cp =>
+      s"${ev.value} = graft.functions.CodePointChar.codePointChar($cp);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CodePointChar = copy(child = newChild)
+}
+
+object CodePointChar {
+  /** UTF-8 encode one scalar value. Called from generated code. */
+  def codePointChar(cp: Int): UTF8String = {
+    if (cp < 0 || (cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF)
+      throw new IllegalArgumentException(
+        "codepoint_char: not a Unicode scalar value: " + cp +
+          " (a negative value here usually means an IN-VOCAB id was" +
+          " routed to the OOV decode path)")
+    val bytes =
+      if (cp < 0x80) Array(cp.toByte)
+      else if (cp < 0x800) Array(
+        (0xC0 | (cp >> 6)).toByte,
+        (0x80 | (cp & 0x3F)).toByte)
+      else if (cp < 0x10000) Array(
+        (0xE0 | (cp >> 12)).toByte,
+        (0x80 | ((cp >> 6) & 0x3F)).toByte,
+        (0x80 | (cp & 0x3F)).toByte)
+      else Array(
+        (0xF0 | (cp >> 18)).toByte,
+        (0x80 | ((cp >> 12) & 0x3F)).toByte,
+        (0x80 | ((cp >> 6) & 0x3F)).toByte,
+        (0x80 | (cp & 0x3F)).toByte)
+    UTF8String.fromBytes(bytes)
+  }
+}

@@ -316,25 +316,36 @@ object BpeMerges {
     * rank-derived counts, with ties impossible because min-ranks are
     * distinct per piece), OOV units mapped to |V| + code point. */
   private[text] lazy val learnedIdsSql: String =
-    s"""WITH RECURSIVE ${learnedWalkCtes(DefaultRounds)},
+    s"""WITH RECURSIVE $learnedIdsCtes
+       |SELECT doc_id, token_idx, piece_id,
+       |  CAST(2 AS INTEGER) AS vocab_version
+       |FROM lids""".stripMargin
+
+  /** [[learnedIdsSql]]'s machinery as a composable CTE chain ending in
+    * `lids(doc_id, token_idx, piece_id)` (plus `lv`/`lvid`/`lbd` for
+    * downstream joins) — shared by the renumber oracle and every
+    * oracle that consumes the learned-id stream (decode round-trip,
+    * packed-sequence export). Callers prepend `WITH RECURSIVE`. */
+  private[text] lazy val learnedIdsCtes: String =
+    s"""${learnedWalkCtes(DefaultRounds)},
        |lv AS MATERIALIZED (
        |  SELECT piece, min(rank) AS r
        |  FROM (${mergeUnion(DefaultRounds)}) GROUP BY piece),
        |lvid AS MATERIALIZED (
        |  SELECT piece, CAST(row_number() OVER (ORDER BY r ASC)
        |    AS INTEGER) - 1 AS piece_id
-       |  FROM lv)
-       |SELECT w.doc_id, CAST(w.cnt AS INTEGER) AS token_idx,
-       |  CAST(coalesce(v.piece_id,
-       |    (SELECT count(*) FROM lv)
-       |      + unicode(substr(d.s, w.pos, m.adv[w.pos])))
-       |    AS INTEGER) AS piece_id,
-       |  CAST(2 AS INTEGER) AS vocab_version
-       |FROM lwalk w
-       |JOIN lbml m ON m.doc_id = w.doc_id
-       |JOIN lbd d ON d.doc_id = w.doc_id
-       |LEFT JOIN lvid v ON v.piece = substr(d.s, w.pos, m.adv[w.pos])
-       |WHERE w.pos <= len(m.adv) AND m.adv[w.pos] != -1""".stripMargin
+       |  FROM lv),
+       |lids AS MATERIALIZED (
+       |  SELECT w.doc_id, CAST(w.cnt AS INTEGER) AS token_idx,
+       |    CAST(coalesce(v.piece_id,
+       |      (SELECT count(*) FROM lv)
+       |        + unicode(substr(d.s, w.pos, m.adv[w.pos])))
+       |      AS INTEGER) AS piece_id
+       |  FROM lwalk w
+       |  JOIN lbml m ON m.doc_id = w.doc_id
+       |  JOIN lbd d ON d.doc_id = w.doc_id
+       |  LEFT JOIN lvid v ON v.piece = substr(d.s, w.pos, m.adv[w.pos])
+       |  WHERE w.pos <= len(m.adv) AND m.adv[w.pos] != -1)""".stripMargin
 
   type Q = (SparkSession, String) => DataFrame
 

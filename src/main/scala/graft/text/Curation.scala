@@ -359,11 +359,23 @@ object Curation {
   def epochPack(docs: DataFrame, epoch: Int, nShards: Int,
                 budget: Long,
                 counter: org.apache.spark.sql.Column =>
-                  org.apache.spark.sql.Column): DataFrame = {
+                  org.apache.spark.sql.Column): DataFrame =
+    epochPackPriced(pricedDocs(docs, counter), epoch, nShards, budget)
+
+  /** [[epochPack]] over an ALREADY-priced (doc_id, n_tokens) frame —
+    * the shared core, factored so a caller whose prices come from
+    * somewhere other than a text counter (e.g. [[exportSequences]],
+    * whose per-doc counts are the id store's own row counts and
+    * therefore consistent with the ids BY CONSTRUCTION) packs through
+    * the identical tag/shard/window arithmetic. PRECONDITION: one row
+    * per doc_id, n_tokens non-null (what [[pricedDocs]] guarantees on
+    * the counter path). */
+  private[text] def epochPackPriced(priced: DataFrame, epoch: Int,
+                                    nShards: Int, budget: Long): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(budget > 0, s"epochPack: budget must be positive, got $budget")
     import org.apache.spark.sql.expressions.Window
-    val tagged = pricedDocs(docs, counter)
+    val tagged = priced
       .withColumn("shuffle_tag", shuffleTag(epoch))
       .withColumn("shard", shardCol(col("shuffle_tag"), nShards))
     // one window spec serves both functions; (tag, doc_id) is unique,
@@ -403,6 +415,78 @@ object Curation {
       .groupBy(col("shard").cast("int").as("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
+  /** PACKED SEQUENCES WITH THE ACTUAL TOKEN IDS — the dataloader
+    * artifact completed: [[writeShards]] materializes doc-level pack
+    * assignments (doc ids + counts), but what a trainer CONSUMES is
+    * sequences of token ids; this composes the epoch packing with a
+    * numericalized id stream ([[TokenIdStore]]-shaped: doc_id,
+    * token_idx, piece_id) into one row per token carrying its full
+    * address in the training artifact — (shard, seq_id, seq_pos,
+    * doc_id, token_idx, piece_id). `seq_pos` is the token's 0-based
+    * offset within its packed sequence; doc boundaries are preserved
+    * (a doc's tokens are contiguous in (pos, token_idx) order — the
+    * whole-doc packing contract), and the id values are bit-identical
+    * to the store's (export re-tokenizes nothing).
+    *
+    * Per-doc prices are the id stream's OWN row counts — consistent
+    * with the exported tokens by construction (a counter-priced pack
+    * could disagree with the ids if vocab or normalization drifted
+    * between the two derivations; deriving both from one frame makes
+    * that impossible). The id frame is deduped on (doc_id, token_idx)
+    * first: the store's at-least-once append contract permits replayed
+    * key-identical rows, and a replayed doc must neither pack twice
+    * nor double-price its sequence.
+    *
+    * Scale shape: one (doc_id, token_idx)-keyed dedup exchange over
+    * narrow id rows, the doc-level pack ([[epochPackPriced]] — window
+    * parallelism nShards, the documented SCALING bound), one
+    * doc_id-keyed join fanning assignments back to token rows (the
+    * pack side is docs-sized — AQE broadcasts it when small), and the
+    * seq_pos window partitioned by (shard, seq_id) — parallelism =
+    * number of SEQUENCES, each partition at most ~budget tokens. No
+    * global ordering anywhere. */
+  def exportSequences(ids: DataFrame, epoch: Int, nShards: Int,
+                      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deduped = ids.select(col("doc_id"), col("token_idx"),
+      col("piece_id")).dropDuplicates("doc_id", "token_idx")
+    val priced = deduped.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"))
+    val pack = epochPackPriced(priced, epoch, nShards, budget)
+      .select(col("doc_id"), col("shard"), col("pos"), col("seq_id"))
+    val w = Window.partitionBy(col("shard"), col("seq_id"))
+      .orderBy(col("pos"), col("token_idx"))
+    deduped.join(pack, Seq("doc_id"))
+      .withColumn("seq_pos", (row_number().over(w) - 1).cast("int"))
+      .select(col("shard"), col("seq_id"), col("seq_pos"),
+        col("doc_id"), col("token_idx"), col("piece_id"))
+  }
+
+  /** PACKING-EFFICIENCY telemetry — what the budget actually buys, per
+    * shard: sequence count, token total, mean fill ratio
+    * (seq_tokens / budget), and how many sequences OVERFLOW the budget
+    * (docs pack whole — `seq_id = cum_before DIV budget` — so a doc
+    * straddling a boundary overfills its sequence; a trainer sizing
+    * its context window reads this row before reading any shard). The
+    * number that moves when the upstream chunker's window is mis-sized
+    * relative to the pack budget: oversized docs → overflow count
+    * rises; tiny docs → fill ratio sags toward the last-partial-pack
+    * underfill. Two map-side-combined aggregates over the pack
+    * assignment's narrow rows — no data read. */
+  def packEfficiency(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"packEfficiency: budget must be positive, got $budget")
+    packed.groupBy(col("shard"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("seq_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_seqs"),
+        sum(col("seq_tokens")).as("n_tokens"),
+        avg(col("seq_tokens").cast("double") / lit(budget.toDouble))
+          .as("avg_fill"),
+        sum(when(col("seq_tokens") > budget, 1L).otherwise(0L))
+          .as("n_overflow"))
       .orderBy(col("shard"))
   }
 
@@ -979,6 +1063,22 @@ object Curation {
       epochPack(Tables(s, d, "documents"), epoch = 1, nShards = 8,
         budget = 512,
         t => TextOps.bpeCountCol(t, BpeVocab.pieces(s, d)))),
+    // the training artifact COMPLETED: packed sequences carrying the
+    // actual token ids (the renumbered store's learned-vocab id
+    // stream), one row per token with its (shard, seq, offset)
+    // address — what a trainer reads, not just where it would read
+    "seq_export" -> ((s, d) =>
+      exportSequences(
+        TokenIdStore.read(s, TokenIdStore.fixtureRenumberedStore(s, d)),
+        epoch = 1, nShards = 8, budget = 512)),
+    // packing telemetry over the epoch_pack fixture: per shard, how
+    // full the budget-512 sequences actually are and how many overflow
+    "pack_efficiency" -> ((s, d) =>
+      packEfficiency(
+        epochPack(Tables(s, d, "documents"), epoch = 1, nShards = 8,
+          budget = 512,
+          t => TextOps.bpeCountCol(t, BpeVocab.pieces(s, d))),
+        budget = 512)),
     // corpus-relative quality floor (drop the worst decile)
     "quality_quantile_gate" -> ((s, d) =>
       qualityQuantileGate(Tables(s, d, "documents"))),
@@ -1435,6 +1535,75 @@ object Curation {
          |     PARTITION BY shard ORDER BY pos) AS BIGINT) - n_tokens)
          |    // 512 AS seq_id
          |FROM epa ORDER BY shard, pos""".stripMargin,
+
+    // the sequence export replayed: the learned-id walk (lids) priced
+    // by its OWN per-doc row counts, the identical tag/shard/pos/cum
+    // arithmetic, then ids fanned back per doc with the within-sequence
+    // offset
+    "seq_export" ->
+      s"""WITH RECURSIVE ${BpeMerges.learnedIdsCtes},
+         |scnt AS (
+         |  SELECT doc_id, count(*) AS n_tokens FROM lids GROUP BY doc_id),
+         |sept AS (
+         |  SELECT doc_id, n_tokens,
+         |    md5('e1:' || CAST(doc_id AS VARCHAR)) AS tag
+         |  FROM scnt),
+         |sepa AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(($nib16) % 8 AS INTEGER) AS shard,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY ($nib16) % 8 ORDER BY tag, doc_id)
+         |      AS INTEGER) AS pos
+         |  FROM sept),
+         |seps AS (
+         |  SELECT doc_id, shard, pos,
+         |    (CAST(sum(n_tokens) OVER (
+         |       PARTITION BY shard ORDER BY pos) AS BIGINT) - n_tokens)
+         |      // 512 AS seq_id
+         |  FROM sepa)
+         |SELECT e.shard, e.seq_id,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY e.shard, e.seq_id ORDER BY e.pos, l.token_idx)
+         |    - 1 AS INTEGER) AS seq_pos,
+         |  l.doc_id, l.token_idx, l.piece_id
+         |FROM seps e JOIN lids l ON l.doc_id = e.doc_id
+         |ORDER BY shard, seq_id, seq_pos""".stripMargin,
+
+    // pack-efficiency telemetry replayed: the epoch_pack chain rolled
+    // up per sequence, then per shard (fill terms are multiples of
+    // 1/512 — exact doubles, so the avg is order-independent and
+    // engine-identical)
+    "pack_efficiency" ->
+      s"""WITH RECURSIVE ${TextOps.bpeWalkCtes},
+         |ept AS (
+         |  SELECT b.doc_id,
+         |    md5('e1:' || CAST(b.doc_id AS VARCHAR)) AS tag,
+         |    b.n AS n_tokens
+         |  FROM bpe b JOIN documents dd ON dd.doc_id = b.doc_id
+         |  WHERE dd.text IS NOT NULL),
+         |epa AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(($nib16) % 8 AS INTEGER) AS shard,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY ($nib16) % 8 ORDER BY tag, doc_id)
+         |      AS INTEGER) AS pos
+         |  FROM ept),
+         |eseq AS (
+         |  SELECT shard,
+         |    (CAST(sum(n_tokens) OVER (
+         |       PARTITION BY shard ORDER BY pos) AS BIGINT) - n_tokens)
+         |      // 512 AS seq_id,
+         |    n_tokens
+         |  FROM epa),
+         |stot AS (
+         |  SELECT shard, seq_id, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+         |  FROM eseq GROUP BY shard, seq_id)
+         |SELECT shard, count(*) AS n_seqs,
+         |  CAST(sum(seq_tokens) AS BIGINT) AS n_tokens,
+         |  avg(CAST(seq_tokens AS DOUBLE) / 512.0) AS avg_fill,
+         |  CAST(sum(CASE WHEN seq_tokens > 512 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_overflow
+         |FROM stot GROUP BY shard ORDER BY shard""".stripMargin,
 
     "curation_lane_twin" -> curationLaneTwinOracle,
     "curation_lane_corpus_twin" -> curationLaneCorpusTwinOracle,

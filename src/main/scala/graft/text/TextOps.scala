@@ -177,6 +177,67 @@ object TextOps {
           .cast("int").as("piece_id"))
   }
 
+  /** INVERSE numericalization — the decode side of the id contract
+    * ([[tokenIdsBpe]]: id < |V| → vocab piece, id ≥ |V| → code point
+    * id − |V|): each (doc_id, token_idx, piece_id) row becomes the
+    * piece STRING it encodes, from the ids alone (the store drops the
+    * piece strings — that is the point of a decode check). One
+    * broadcast against the |V|-row id dimension; OOV ids reconstruct
+    * through the native `codepoint_char` kernel (Spark's builtin `chr`
+    * is ASCII-only — it wraps code points mod 256, silently minting a
+    * WRONG character for every non-Latin OOV unit). An id that is
+    * neither in-vocab nor a valid scalar's OOV offset FAILS LOUDLY in
+    * the kernel (a negative argument is an in-vocab id routed to the
+    * OOV path — a caller bug, not data). */
+  def decodeTokenIds(ids: DataFrame, vocab: DataFrame): DataFrame = {
+    val pieces = vocab.select(col("piece"))
+      .collect().map(_.getString(0)).toSeq
+    // same boundary check as the encode side: a duplicate piece makes
+    // the id assignment ambiguous
+    require(pieces.distinct.size == pieces.size,
+      "vocab frame carries duplicate pieces — ids would be ambiguous")
+    val vocabSize = pieces.size
+    ids.select(col("doc_id"), col("token_idx"), col("piece_id"))
+      .join(broadcast(BpeVocab.idFrame(vocab)), Seq("piece_id"), "left")
+      .select(col("doc_id"), col("token_idx"),
+        coalesce(col("piece"),
+          call_function("codepoint_char",
+            (col("piece_id") - lit(vocabSize)).cast("int"))).as("piece"))
+  }
+
+  /** Decode ROUND-TRIP certification — (doc_id, n_tokens, ok): the
+    * ids of each doc decoded ([[decodeTokenIds]]) and reassembled in
+    * token order, compared against the doc's normalized text with
+    * spaces removed (the walk consumes spaces without emitting a
+    * token — the tokenizer's one documented lossy dimension, so the
+    * round-trip target is the space-stripped normalization). `ok` for
+    * every doc is the store-is-lossless contract
+    * ([[TokenIdStore]] scaladoc: "ids reconstruct the text") made an
+    * OPERATOR instead of prose.
+    *
+    * Scale shape: one broadcast join + ONE doc_id-keyed aggregate
+    * (collect_list of (token_idx, piece) structs sorted in-memory per
+    * doc — bounded by a doc's own token count, the same per-group
+    * bound every per-doc aggregate here carries); the docs side
+    * contributes one narrow projection. Docs that numericalize to
+    * zero tokens (null, empty, whitespace-only text) have no id rows
+    * and drop out — mirrored in the oracle. */
+  def decodeRoundTrip(ids: DataFrame, docs: DataFrame,
+                      vocab: DataFrame): DataFrame = {
+    val decoded = decodeTokenIds(ids, vocab)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("token_idx"), col("piece")))),
+          x => x.getField("piece"))).as("decoded"))
+    decoded
+      .join(docs.select(col("doc_id"),
+        regexp_replace(norm(col("text")), " ", "").as("spaceless")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("decoded") === col("spaceless")).as("ok"))
+  }
+
   /** Vocabulary COVERAGE telemetry — the retrain signal: per source,
     * how much of the token stream falls back to single-code-point OOV
     * units. A drifting corpus (new domain, new language) shows up here

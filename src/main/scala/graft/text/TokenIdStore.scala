@@ -160,7 +160,18 @@ object TokenIdStore {
     // ordering is no part of the store's contract — a training job
     // reads per-shard order from epoch_shuffle, never a corpus sort
     "token_ids_renumber" -> ((s, d) =>
-      read(s, fixtureRenumberedStore(s, d))))
+      read(s, fixtureRenumberedStore(s, d))),
+    // the store's LOSSLESSNESS contract as an operator: the renumbered
+    // store's ids — no piece strings, ids alone — decoded under the
+    // learned vocabulary and compared against each doc's normalized
+    // text (spaces stripped: the walk consumes them tokenlessly).
+    // ok = true everywhere IS the "ids reconstruct the text" scaladoc
+    // claim, machine-checked per doc
+    "token_decode" -> ((s, d) =>
+      TextOps.decodeRoundTrip(
+        read(s, fixtureRenumberedStore(s, d)),
+        Tables(s, d, "documents"),
+        BpeMerges.mergeVocab(s, d)).orderBy(col("doc_id"))))
 
   val oracle: Map[String, String] = Map(
     // the fresh numericalization under the LEARNED vocabulary,
@@ -168,5 +179,23 @@ object TokenIdStore {
     // distinct learned pieces by earliest merge rank (== idFrame's
     // (n_occurrences DESC, piece ASC) under mergeVocab's rank-derived
     // counts), OOV units map to |V| + code point
-    "token_ids_renumber" -> BpeMerges.learnedIdsSql)
+    "token_ids_renumber" -> BpeMerges.learnedIdsSql,
+    // decode replay: the learned-id stream joined back to the piece
+    // table (OOV ids through chr(id − |V|) — the codepoint_char
+    // kernel's DuckDB twin), reassembled in token order, compared to
+    // the space-stripped normalization
+    "token_decode" ->
+      s"""WITH RECURSIVE ${BpeMerges.learnedIdsCtes},
+         |dec AS (
+         |  SELECT l.doc_id, count(*) AS n_tokens,
+         |    string_agg(coalesce(v.piece,
+         |        chr(CAST(l.piece_id - (SELECT count(*) FROM lv)
+         |          AS INTEGER))),
+         |      '' ORDER BY l.token_idx) AS decoded
+         |  FROM lids l LEFT JOIN lvid v USING (piece_id)
+         |  GROUP BY l.doc_id)
+         |SELECT dec.doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  (decoded = replace(d.s, ' ', '')) AS ok
+         |FROM dec JOIN lbd d ON d.doc_id = dec.doc_id
+         |ORDER BY dec.doc_id""".stripMargin)
 }

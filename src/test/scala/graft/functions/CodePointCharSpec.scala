@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class CodePointCharSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("inverts first_codepoint across ASCII, BMP, and astral planes") {
+    val cps = Seq(0x20, 'a'.toInt, 'z'.toInt, 0xE9 /* é */,
+      0x20AC /* € */, 0x4F60 /* 你 */, 0x7FF, 0x800, 0xFFFF,
+      0x10000, 0x1D518 /* 𝔘 */, 0x10FFFF)
+    cps.foreach { cp =>
+      val s = CodePointChar.codePointChar(cp)
+      assert(s.toString === new String(Character.toChars(cp)), s"cp: $cp")
+      assert(FirstCodePoint.firstCodePoint(s) === cp, s"round-trip cp: $cp")
+    }
+  }
+
+  test("fails loudly on non-scalar values instead of minting garbage") {
+    // negative = an in-vocab id routed to the OOV path (a caller bug);
+    // surrogates and past-U+10FFFF are not characters
+    Seq(-1, -42, 0xD800, 0xDFFF, 0x110000).foreach { cp =>
+      val e = intercept[IllegalArgumentException](
+        CodePointChar.codePointChar(cp))
+      assert(e.getMessage.contains("codepoint_char"), s"cp: $cp")
+    }
+    // the boundary neighbors stay valid
+    Seq(0, 0xD7FF, 0xE000, 0x10FFFF).foreach { cp =>
+      assert(FirstCodePoint.firstCodePoint(
+        CodePointChar.codePointChar(cp)) === cp)
+    }
+  }
+
+  test("registered SQL function round-trips through codegen; null is null") {
+    val out = Seq[(Integer, String)]((Integer.valueOf(0x4F60), "你"),
+      (Integer.valueOf('q'.toInt), "q"), (null, null))
+      .toDF("cp", "want")
+      .select(call_function("codepoint_char", col("cp")).as("got"),
+        col("want")).collect()
+    out.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0))
+      else assert(r.getString(0) === r.getString(1))
+    }
+  }
+
+  test("property: round-trips 10k seeded random scalar values") {
+    val rnd = new scala.util.Random(17)
+    (1 to 10000).foreach { _ =>
+      val cp = Iterator.continually(rnd.nextInt(0x110000))
+        .dropWhile(c => c >= 0xD800 && c <= 0xDFFF).next()
+      assert(FirstCodePoint.firstCodePoint(
+        CodePointChar.codePointChar(cp)) === cp, s"cp: $cp")
+    }
+  }
+}

@@ -587,6 +587,84 @@ class CurationSpec extends SparkSpec {
       s"approx kept $approxN vs exact ${rows.length}")
   }
 
+  test("seq export: doc boundaries contiguous, offsets dense, ids verbatim, replays deduped") {
+    import org.apache.spark.sql.functions._
+    // 12 docs with 3..14 tokens each — small budget forces multi-doc
+    // sequences and boundary-straddling overflow
+    val ids = (0L until 12L).flatMap(doc =>
+      (0 until (3 + doc.toInt)).map(tok =>
+        (doc, tok, (doc * 100 + tok).toInt)))
+      .toDF("doc_id", "token_idx", "piece_id")
+    val out = Curation.exportSequences(ids, epoch = 1, nShards = 2,
+      budget = 16)
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("seq_id"),
+        r.getAs[Int]("seq_pos"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("token_idx"), r.getAs[Int]("piece_id")))
+    // every token row survives with its id verbatim
+    assert(out.length === (3 until 15).sum)
+    assert(out.forall { case (_, _, _, d, t, p) => p === d * 100 + t })
+    // offsets are dense 0..n-1 within each sequence
+    out.groupBy(t => (t._1, t._2)).foreach { case (sq, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0 until rows.length),
+        s"seq $sq offsets not dense")
+    }
+    // a doc's tokens are CONTIGUOUS in seq_pos and in token_idx order
+    // (whole-doc packing — the boundary-preservation contract)
+    out.groupBy(_._4).foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._5).toSeq === (0 until rows.length),
+        s"doc $doc token order broken")
+      assert(sorted.map(_._3).toSeq ===
+        (sorted.head._3 until sorted.head._3 + rows.length),
+        s"doc $doc not contiguous")
+      assert(rows.map(t => (t._1, t._2)).distinct.length === 1,
+        s"doc $doc split across sequences")
+    }
+    // at-least-once replay: duplicating every id row changes nothing
+    val replayed = Curation.exportSequences(ids.unionAll(ids),
+      epoch = 1, nShards = 2, budget = 16)
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("seq_id"),
+        r.getAs[Int]("seq_pos"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("token_idx"), r.getAs[Int]("piece_id")))
+    assert(replayed.sorted.toSeq === out.sorted.toSeq)
+    // and the assignment agrees with the doc-level pack over the same
+    // per-doc prices (the shared-arithmetic contract)
+    val pack = Curation.epochPackPriced(
+      ids.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens")),
+      epoch = 1, nShards = 2, budget = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("shard"), r.getAs[Long]("seq_id"))).toMap
+    out.foreach { case (sh, sq, _, d, _, _) =>
+      assert(pack(d) === ((sh, sq)), s"doc $d diverges from epochPack")
+    }
+  }
+
+  test("pack efficiency: fill ratios and overflow counts match the naive model") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, Seq.fill(10)("a").mkString(" ")),  // 10 tokens
+      (2L, Seq.fill(7)("b").mkString(" ")),   // 7
+      (3L, Seq.fill(12)("c").mkString(" ")),  // 12
+      (4L, Seq.fill(2)("d").mkString(" ")))   // 2
+      .toDF("doc_id", "text")
+    val budget = 8L
+    val packed = Curation.epochPack(docs, epoch = 1, nShards = 1,
+      budget = budget, t => size(split(TextOps.norm(t), " ")))
+    val rows = packed.collect().map(r =>
+      (r.getAs[Long]("seq_id"), r.getAs[Long]("n_tokens")))
+    // naive model over the same (seq -> tokens) assignment
+    val bySeq = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val eff = Curation.packEfficiency(packed, budget).collect()
+    assert(eff.length === 1)
+    val r = eff.head
+    assert(r.getAs[Long]("n_seqs") === bySeq.size)
+    assert(r.getAs[Long]("n_tokens") === rows.map(_._2).sum)
+    assert(r.getAs[Long]("n_overflow") ===
+      bySeq.values.count(_ > budget))
+    assert(math.abs(r.getAs[Double]("avg_fill") -
+      bySeq.values.map(_.toDouble / budget).sum / bySeq.size) < 1e-12)
+  }
+
   test("stratified sampling is deterministic and respects per-stratum rates") {
     val docs = (0 until 400).map(i =>
       (i.toLong, s"text $i", s"src${i % 4}")).toDF("doc_id", "text", "source")

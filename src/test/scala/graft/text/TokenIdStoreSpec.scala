@@ -132,4 +132,33 @@ class TokenIdStoreSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq === Seq(2))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
+
+  test("decode round-trips the store's ids to the space-stripped text, OOV included") {
+    // a vocab learned on DIGIT docs, then a corpus mixing in-vocab
+    // digits with alpha + non-Latin OOV characters — every OOV unit
+    // must reconstruct through codepoint_char, not collapse
+    val vocab = BpeMerges.mergeTrainer(rounds = 8)(docs)
+    val corpus = Seq((5L, "01230123 45674567"),
+      (6L, "0123 zebra 4567"), (7L, "你好 0123 é"))
+      .toDF("doc_id", "text")
+    val ids = TokenIdStore.numericalize(corpus, vocab, 1)
+    val out = TextOps.decodeRoundTrip(ids, corpus, vocab).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Boolean]("ok"))).toMap
+    assert(out.keySet === Set(5L, 6L, 7L))
+    assert(out.values.forall(_._2), s"round-trip failed: $out")
+    // decode reads IDS ONLY: corrupting one id must flip its doc's ok
+    import org.apache.spark.sql.functions._
+    val corrupted = ids.withColumn("piece_id",
+      when(col("doc_id") === 6L && col("token_idx") === 0,
+        col("piece_id") + 1).otherwise(col("piece_id")))
+    val bad = TextOps.decodeRoundTrip(corrupted, corpus, vocab).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("ok")).toMap
+    assert(!bad(6L) && bad(5L) && bad(7L),
+      "a corrupted id must break exactly its own doc's round-trip")
+    // zero-token docs (null / whitespace-only) drop out on both sides
+    val edge = Seq((8L, null: String), (9L, "   ")).toDF("doc_id", "text")
+    assert(TextOps.decodeRoundTrip(
+      TokenIdStore.numericalize(edge, vocab, 1), edge, vocab).count() === 0)
+  }
 }

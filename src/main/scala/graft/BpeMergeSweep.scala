@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Merge-budget sweep for the BPE trainer — the measurement behind
+  * SCALING.md's claim that [[graft.text.BpeMerges.train]]'s cost is
+  * ONE corpus pass plus rounds that run on the word DICTIONARY
+  * (Heaps-bounded), so the marginal cost per merge round is flat and
+  * tiny relative to the corpus scan: a real 50k-merge budget is
+  * priced by extrapolating the per-round marginal, not by multiplying
+  * the fixture's from-scratch time. Prints, per R: from-scratch train
+  * wall time (warm lap), the learned-piece count, and the word-dict
+  * row count the rounds iterate over (the corpus-independent term).
+  * Usage: runMain graft.BpeMergeSweep [sfDir] [rounds ...]
+  */
+object BpeMergeSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val budgets = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+    else Seq(4, 8, 16, 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = sources.Tables.session(s"local[$cpus]", cpus)
+    val docs = sources.Tables(spark, sfDir, "documents")
+
+    // the rounds' iteration space: the word dict is the corpus's
+    // DISTINCT words (Heaps' law — sublinear in corpus size), printed
+    // once so the per-round marginal has its denominator visible
+    val dictRows = docs
+      .select(explode(split(text.TextOps.norm(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("w")).distinct().count()
+    println(s"MERGESWEEP dict_words=$dictRows")
+
+    budgets.foreach { r =>
+      // lap twice, report the warm lap (the TimeOne rule); count()
+      // forces the returned merge table (training work happens inside
+      // train's own round loop either way)
+      val laps = Seq.fill(2) {
+        val t0 = System.nanoTime()
+        val merges = text.BpeMerges.train(docs, rounds = r)
+        val nPieces = merges.select(col("piece")).distinct().count()
+        ((System.nanoTime() - t0) / 1e9, nPieces)
+      }
+      val (trainS, nPieces) = laps.last
+      println(f"MERGESWEEP rounds=$r train_s=$trainS%.2f pieces=$nPieces")
+    }
+    spark.stop()
+  }
+}

@@ -440,6 +440,16 @@ object Curation {
     * key-identical rows, and a replayed doc must neither pack twice
     * nor double-price its sequence.
     *
+    * PRECONDITION: `ids` carries ONE id space. The dedup is sound only
+    * because replayed rows are bit-identical; a [[TokenIdStore]] read
+    * mid-renumber holds the same (doc_id, token_idx) under TWO
+    * versions with DIFFERENT piece_ids, and deduping across them would
+    * pick arbitrarily — exporting a nondeterministic mix of id spaces,
+    * the exact corruption the version boundary exists to prevent.
+    * Filter to the current version first (`vocab_version === v`), or
+    * export only from a swept store (the fixture's convention — the
+    * renumber sweep's post-condition IS single-version).
+    *
     * Scale shape: one (doc_id, token_idx)-keyed dedup exchange over
     * narrow id rows, the doc-level pack ([[epochPackPriced]] — window
     * parallelism nShards, the documented SCALING bound), one
@@ -463,6 +473,32 @@ object Curation {
       .withColumn("seq_pos", (row_number().over(w) - 1).cast("int"))
       .select(col("shard"), col("seq_id"), col("seq_pos"),
         col("doc_id"), col("token_idx"), col("piece_id"))
+  }
+
+  /** MATERIALIZE the packed-sequence artifact — [[writeShards]]'s twin
+    * at TOKEN granularity: [[exportSequences]] lands as one parquet
+    * directory per shard (`shard=K/`), rows ordered (seq_id, seq_pos)
+    * within each shard's files, so a training job reads its shard as
+    * one sequential pass emitting ready-to-consume sequences — no
+    * shuffle, no sort, no join at read time. Returns the WRITTEN
+    * artifact's per-shard totals (n_seqs, n_docs, n_tokens) re-derived
+    * from the files on disk, so a caller certifies the write against
+    * the plan-side export with one frame compare (the
+    * [[writeShards]]/[[shardManifest]] parity discipline, spec-pinned:
+    * predicted == written). */
+  def writeSequenceShards(spark: SparkSession, ids: DataFrame,
+                          path: String, epoch: Int, nShards: Int,
+                          budget: Long): DataFrame = {
+    exportSequences(ids, epoch, nShards, budget)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq_id"), col("seq_pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).cast("long").as("n_tokens"))
+      .orderBy(col("shard"))
   }
 
   /** PACKING-EFFICIENCY telemetry — what the budget actually buys, per

@@ -639,6 +639,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sequence shards on disk: read order is consume order; written totals certified") {
+    import org.apache.spark.sql.functions._
+    val ids = (0L until 20L).flatMap(doc =>
+      (0 until (4 + doc.toInt % 5)).map(tok =>
+        (doc, tok, (doc * 100 + tok).toInt)))
+      .toDF("doc_id", "token_idx", "piece_id")
+    val work = java.nio.file.Files
+      .createTempDirectory("seq_shards_").toString
+    val written = Curation.writeSequenceShards(spark, ids,
+      s"$work/shards", epoch = 1, nShards = 4, budget = 12)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // the written totals equal the plan-side export's, per shard
+    val predicted = Curation.exportSequences(ids, 1, 4, 12)
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("shard"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(written === predicted,
+      "written totals must certify against the plan-side export")
+    assert(written.map(_._4).sum === ids.count())
+    // a shard's file order IS (seq_id, seq_pos) order — one sequential
+    // read emits ready-to-consume sequences
+    val shard0 = spark.read.parquet(s"$work/shards/shard=0")
+      .select("seq_id", "seq_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(shard0 === shard0.sorted,
+      "a shard's rows must be (seq_id, seq_pos)-ordered on disk")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("pack efficiency: fill ratios and overflow counts match the naive model") {
     import org.apache.spark.sql.functions._
     val docs = Seq(

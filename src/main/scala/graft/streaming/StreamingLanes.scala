@@ -730,7 +730,19 @@ object StreamingLanes {
     * [[graft.text.BpeMerges.mergeTrainer]] to run the REAL
     * merge-learning trainer through the loop (same (piece,
     * n_occurrences) live-store contract, validated at the maintenance
-    * boundary either way). */
+    * boundary either way).
+    *
+    * `idStorePath` wires the NUMERICALIZED side of the lifecycle: each
+    * batch's ids append to a [[graft.text.TokenIdStore]] tagged with
+    * the live vocabulary's REGISTRY version
+    * ([[graft.text.VocabMaintenance.currentVersion]] — read, not
+    * invented), minted under the PRE-cadence-check store: a swap takes
+    * effect from the next batch, so the rows tagged with the old
+    * version are exactly the stale population
+    * [[graft.text.TokenIdStore.renumberSweep]] migrates at maintenance
+    * cadence. At-least-once appends leave key-identical duplicate id
+    * rows for [[graft.text.TokenIdStore.compact]] — the same contract
+    * as the corpus store. */
   def tokenizerIngestLaneManaged(docs: DataFrame, corpusPath: String,
                                  vocabPath: String,
                                  oovCeiling: Double = 0.5,
@@ -738,7 +750,8 @@ object StreamingLanes {
                                  minGain: Double = 0.1,
                                  maxStoreFiles: Option[Int] = None,
                                  trainer: DataFrame => DataFrame =
-                                   graft.text.BpeVocab.train(_))
+                                   graft.text.BpeVocab.train(_),
+                                 idStorePath: Option[String] = None)
                                 (onStats: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] = {
     require(checkEvery > 0, s"checkEvery must be positive, got $checkEvery")
@@ -767,6 +780,16 @@ object StreamingLanes {
         .select(lit("tokenizer_ingest").as("lane"),
           lit(batchId).as("batch_id"), col("source"), col("n_tokens"),
           col("n_oov"), col("oov_rate")), batchId)
+      // ids minted BEFORE the cadence check, under the same store the
+      // stats read: a swap takes effect from the next batch, and the
+      // old-version rows this ordering leaves behind are exactly the
+      // renumber sweep's population (scaladoc contract above)
+      idStorePath.foreach { idp =>
+        graft.text.TokenIdStore.append(idp,
+          graft.text.TokenIdStore.numericalize(b,
+            graft.text.BpeVocab.read(spark, vocabPath),
+            VocabMaintenance.currentVersion(spark, vocabPath)))
+      }
       if ((batchId + 1) % checkEvery == 0)
         // doc_id dedup: the at-least-once append contract permits a
         // replayed batch's key-identical rows until the gated

@@ -165,6 +165,47 @@ object VocabMaintenance {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** The id-space VERSION of the pieces currently live at `vocabPath`,
+    * from the sidecar REGISTRY at `vocabPath + ".versions"` — the
+    * operator that turns "a retrain marks a VERSION boundary" from a
+    * number callers invent into one they READ: the registry is an
+    * append-only (vocab_version, fingerprint) parquet; an unseen
+    * store fingerprint mints max+1 and appends, a seen one returns its
+    * recorded version. [[TokenIdStore.numericalize]] tags ids with
+    * this value; after a swap bumps it, [[TokenIdStore.renumberSweep]]
+    * migrates everything tagged otherwise.
+    *
+    * Durability contract: versions must be stable across processes and
+    * restarts (ids persist them), hence a store, not session state.
+    * At-least-once tolerant: a crash between parquet append and caller
+    * visibility re-appends the same (fingerprint → version) row —
+    * reads collapse duplicates keeping the MIN version per
+    * fingerprint, so every reader agrees. A concurrent race minting
+    * two versions for one fingerprint converges the same way; ids
+    * minted under the transient loser are merely ≠ current, which is
+    * exactly the stale population the renumber sweep re-walks — safe
+    * by construction. Registry size: one tiny row per DISTINCT
+    * vocabulary ever live — maintenance-cadence growth, not data
+    * growth. */
+  def currentVersion(spark: SparkSession, vocabPath: String): Int = {
+    val fpr = piecesFingerprint(readPieces(spark, vocabPath))
+    val regPath = vocabPath + ".versions"
+    val existing: Map[String, Int] =
+      if (new java.io.File(regPath).exists())
+        spark.read.parquet(regPath).collect()
+          .map(r => r.getAs[String]("fingerprint") ->
+            r.getAs[Int]("vocab_version"))
+          .groupBy(_._1).map { case (f, vs) => f -> vs.map(_._2).min }
+      else Map.empty
+    existing.getOrElse(fpr, {
+      val next = (existing.values ++ Seq(0)).max + 1
+      import spark.implicits._
+      Seq((next, fpr)).toDF("vocab_version", "fingerprint")
+        .coalesce(1).write.mode("append").parquet(regPath)
+      next
+    })
+  }
+
   /** Refusal memo (driver-session state, like the fixture memos),
     * keyed by (store path, stored-pieces fingerprint) and holding the
     * refused CANDIDATE's achieved rate: the throwaway train is not

@@ -1582,6 +1582,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("id-store lane: version-tagged ids across a swap; renumber sweep unifies the space") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{BpeVocab, TokenIdStore, VocabMaintenance}
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("tok_lane_ids_").toString
+    val corpusPath = s"$work/corpus"
+    val vocabPath = s"$work/vocab"
+    val idStore = s"$work/ids"
+    BpeVocab.train(Seq((1L, "aa bb aa bb")).toDF("doc_id", "text"))
+      .write.parquet(vocabPath)
+    // the registry mints v1 for the seed store and answers stably
+    val v1 = VocabMaintenance.currentVersion(spark, vocabPath)
+    assert(v1 === 1 &&
+      VocabMaintenance.currentVersion(spark, vocabPath) === v1)
+    val q = StreamingLanes.tokenizerIngestLaneManaged(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      corpusPath, vocabPath, oovCeiling = 0.5, checkEvery = 2,
+      idStorePath = Some(idStore))((_, _) => ()).start()
+    try {
+      // batch 0: in-domain — ids land under v1
+      mem.addData(CurDoc(ts(10), 10L, "aa bb aa bb", "s1"))
+      q.processAllAvailable()
+      // batches 1-2: drift; the batch-1 cadence check swaps the store
+      mem.addData(CurDoc(ts(20), 11L, "01 23 45 67 89 01 23 45", "s2"))
+      q.processAllAvailable()
+      // batch 2's ids mint under the SWAPPED store's bumped version
+      mem.addData(CurDoc(ts(21), 12L, "89 67 45 23 01 89 67", "s2"))
+      q.processAllAvailable()
+      val v2 = VocabMaintenance.currentVersion(spark, vocabPath)
+      assert(v2 === 2, "the swap must bump the registry version")
+      val byDoc = TokenIdStore.read(spark, idStore)
+        .select("doc_id", "vocab_version").distinct()
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getInt(1)).toSet).toMap
+      // pre-swap docs carry v1 (batch 1 minted BEFORE its own cadence
+      // check — the documented ordering), the post-swap doc carries v2
+      assert(byDoc(10L) === Set(1) && byDoc(11L) === Set(1) &&
+        byDoc(12L) === Set(2), s"version tags wrong: $byDoc")
+      // the maintenance-cadence sweep migrates everything to v2 and
+      // the result equals a fresh numericalization under the live store
+      val corpus = spark.read.parquet(corpusPath).dropDuplicates("doc_id")
+      val vocab = BpeVocab.read(spark, vocabPath)
+      assert(TokenIdStore.renumberSweep(spark, idStore, corpus,
+        vocab, v2) === 2L)
+      val after = TokenIdStore.read(spark, idStore)
+      assert(after.select("vocab_version").distinct()
+        .collect().map(_.getInt(0)).toSeq === Seq(2))
+      val fresh = TokenIdStore.numericalize(corpus, vocab, v2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      val got = after.select("doc_id", "token_idx", "piece_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got === fresh,
+        "swept store must equal a fresh numericalization")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   test("gated in-lane compaction: threshold crossing compacts, verdicts stable") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.SignatureStore

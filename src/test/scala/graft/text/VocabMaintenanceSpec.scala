@@ -149,6 +149,35 @@ class VocabMaintenanceSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("version registry: stable per fingerprint, bumps on swap, replay-duplicate tolerant") {
+    val work = java.nio.file.Files
+      .createTempDirectory("vocab_versions_").toString
+    val path = s"$work/vocab"
+    BpeVocab.train(docsA).write.parquet(path)
+    // unseen store mints 1; repeated reads answer the SAME version
+    assert(VocabMaintenance.currentVersion(spark, path) === 1)
+    assert(VocabMaintenance.currentVersion(spark, path) === 1)
+    // a swap to different pieces bumps; swapping BACK to previously
+    // seen pieces returns their RECORDED version, never a new one
+    // (ids minted under the first tenure stay valid)
+    val piecesA = VocabMaintenance.readPieces(spark, path)
+    VocabMaintenance.retrain(spark, path,
+      Seq((1L, "0123 4567 0123 4567")).toDF("doc_id", "text"))
+    assert(VocabMaintenance.currentVersion(spark, path) === 2)
+    VocabMaintenance.retrain(spark, path, docsA)
+    assert(VocabMaintenance.readPieces(spark, path) === piecesA)
+    assert(VocabMaintenance.currentVersion(spark, path) === 1)
+    // at-least-once registry appends: a replayed (fingerprint, version)
+    // row — and even a conflicting higher version for the same
+    // fingerprint — collapses to the MIN on read, so readers agree
+    import spark.implicits._
+    val fpr = VocabMaintenance.piecesFingerprint(piecesA)
+    Seq((9, fpr)).toDF("vocab_version", "fingerprint")
+      .write.mode("append").parquet(s"$path.versions")
+    assert(VocabMaintenance.currentVersion(spark, path) === 1)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("oovRate: empty and null-text corpora gauge 0, never NaN") {
     val work = java.nio.file.Files
       .createTempDirectory("vocab_maint_empty_").toString

@@ -295,6 +295,21 @@ object StreamBench {
           s"$work/tok_corpus_merge", tokVocabM, checkEvery = 4,
           trainer = graft.text.BpeMerges.mergeTrainer(rounds = 16))(
           (_, _) => laneBatches += 1))
+      // the lane with the ID side wired in: per batch, numericalize
+      // the arrivals under the live store at the registry's current
+      // version and append to the TokenIdStore — the delta over the
+      // first row prices the ids' per-batch trie walk + append
+      val tokVocabI = s"$work/tok_vocab_ids"
+      graft.text.BpeVocab.train(corpus).write.parquet(tokVocabI)
+      val tokIds = s"$work/tok_ids"
+      laneProbe("tokmaint_ids_lane", srcInDir,
+        spark.read.parquet(srcInDir).schema, inRows)(st =>
+        StreamingLanes.tokenizerIngestLaneManaged(st,
+          s"$work/tok_corpus_ids", tokVocabI, checkEvery = 4,
+          idStorePath = Some(tokIds))((_, _) => laneBatches += 1))
+      val idVersions = spark.read.parquet(tokIds)
+        .select("vocab_version").distinct().count()
+      println(s"""{"metric":"stream_tokmaint_id_versions","value":$idVersions}""")
       val retrainedM =
         graft.text.VocabMaintenance.readPieces(spark, tokVocabM) != beforeM
       println(

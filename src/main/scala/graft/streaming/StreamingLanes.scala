@@ -783,12 +783,20 @@ object StreamingLanes {
       // ids minted BEFORE the cadence check, under the same store the
       // stats read: a swap takes effect from the next batch, and the
       // old-version rows this ordering leaves behind are exactly the
-      // renumber sweep's population (scaladoc contract above)
+      // renumber sweep's population (scaladoc contract above). ONE
+      // pinned snapshot serves both the version fingerprint and the
+      // numericalization — two independent store reads would race a
+      // concurrent swap and tag new-vocab ids with the old version
       idStorePath.foreach { idp =>
-        graft.text.TokenIdStore.append(idp,
-          graft.text.TokenIdStore.numericalize(b,
-            graft.text.BpeVocab.read(spark, vocabPath),
-            VocabMaintenance.currentVersion(spark, vocabPath)))
+        val vocab = graft.text.BpeVocab.read(spark, vocabPath)
+          .localCheckpoint(true)
+        try {
+          val ps = vocab.select("piece").collect()
+            .map(_.getString(0)).toSeq.sorted
+          graft.text.TokenIdStore.append(idp,
+            graft.text.TokenIdStore.numericalize(b, vocab,
+              VocabMaintenance.currentVersionFor(spark, vocabPath, ps)))
+        } finally graft.sources.Checkpoints.unpersist(vocab)
       }
       if ((batchId + 1) % checkEvery == 0)
         // doc_id dedup: the at-least-once append contract permits a

@@ -187,8 +187,27 @@ object VocabMaintenance {
     * by construction. Registry size: one tiny row per DISTINCT
     * vocabulary ever live — maintenance-cadence growth, not data
     * growth. */
-  def currentVersion(spark: SparkSession, vocabPath: String): Int = {
-    val fpr = piecesFingerprint(readPieces(spark, vocabPath))
+  def currentVersion(spark: SparkSession, vocabPath: String): Int =
+    currentVersionFor(spark, vocabPath, readPieces(spark, vocabPath))
+
+  /** [[currentVersion]] for an ALREADY-read piece set of the store at
+    * `vocabPath` — the snapshot-consistent entry: a caller that reads
+    * the store once (e.g. a pinned frame it will also numericalize
+    * under) must fingerprint THAT read, not a second one — between two
+    * independent reads a swap can land, and ids minted under the new
+    * store would carry the old store's version tag (the exact mix-up
+    * the tag exists to prevent). `pieces` must be the sorted
+    * [[readPieces]] form.
+    *
+    * Single-MAINTAINER contract (the [[StoreMaintenance.rewrite]]
+    * assumption this whole module inherits): two writers racing
+    * DIFFERENT new vocabularies to one path could mint the same
+    * version number for two fingerprints — run one maintenance loop
+    * per store. Same-writer retries and replayed appends of the SAME
+    * fingerprint are safe (min-per-fingerprint collapse below). */
+  def currentVersionFor(spark: SparkSession, vocabPath: String,
+                        pieces: Seq[String]): Int = {
+    val fpr = piecesFingerprint(pieces)
     val regPath = vocabPath + ".versions"
     val existing: Map[String, Int] =
       if (new java.io.File(regPath).exists())

@@ -27,6 +27,7 @@ object SparkEntry {
       analytics.WindowStats.queries ++
       analytics.EventAnalytics.queries ++
       text.Vocab.queries ++
+      text.LmStore.queries ++
       relational.RelationalQueries.queries ++
       scanner.PairScan.queries ++
       ledger.Ledger.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       analytics.WindowStats.oracle ++
       analytics.EventAnalytics.oracle ++
       text.Vocab.oracle ++
+      text.LmStore.oracle ++
       relational.RelationalQueries.oracle ++
       scanner.PairScan.oracle ++
       ledger.Ledger.oracle ++

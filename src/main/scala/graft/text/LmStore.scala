@@ -1,0 +1,224 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Staging, Tables}
+import graft.text.TextOps.norm
+
+/** Persisted REFERENCE language model — the third trained artifact's
+  * store-backed lifecycle (the IVF index and the vocabulary already
+  * have theirs): [[Vocab.lmBigramScore]] trains its add-one bigram
+  * model in-plan on the SAME docs it scores, which certifies the
+  * arithmetic but is not how quality filtering works in production —
+  * a pipeline trains the LM ONCE on a trusted reference corpus,
+  * persists the counts, and scores every ARRIVING batch against that
+  * fixed model (the CCNet/KenLM shape: low reference likelihood =
+  * low quality or novel domain). This store holds exactly those
+  * counts: `uni/` (w, c1) and `bi/` (w1, w2, c2) parquet under one
+  * root, trained once per fixture fingerprint.
+  *
+  * Scoring semantics (the oracle replays them bit-exactly): per batch
+  * bigram, q = round(ln((c2 + 1) / (c1 + V)) · 10⁶) as an exact
+  * integer — c2/c1 are the REFERENCE counts (0 when unseen: add-one
+  * smoothing prices novel bigrams without special cases), V the
+  * reference's distinct-unigram count. Integer sums are
+  * order-independent; the one double division per doc happens at the
+  * end ([[Vocab.lmBigramScore]]'s established discipline). A batch
+  * bigram whose pair is UNSEEN in the reference is also counted
+  * (`n_oov_bigrams`) — the novelty numerator the drift telemetry
+  * reads.
+  *
+  * Scale shape: the batch side explodes to narrow bigram rows; both
+  * model joins are plain equi-joins (broadcast when the model is
+  * dimension-sized, shuffled-hash when a 100 TB reference model
+  * outgrows the driver — the `domain_classify_bucketed` precedent,
+  * nothing in this plan assumes broadcast); ONE per-doc aggregate.
+  * The V constant rides a one-row broadcast anchor (PlanLint
+  * allowlisted like every scalar anchor).
+  *
+  * Lifecycle: [[stagedModel]] once per fingerprint; a drifting corpus
+  * shows up in [[driftBySource]] (falling avg log-prob, rising OOV
+  * bigram rate) — the retrain signal; retraining is one
+  * [[trainUnigrams]]/[[trainBigrams]] pass over the new reference and
+  * an atomic store swap ([[graft.sinks.StoreMaintenance.rewrite]] per
+  * subdir), the vocabulary loop's protocol.
+  */
+object LmStore {
+
+  /** Reference unigram counts — one hash aggregate. */
+  def trainUnigrams(docs: DataFrame): DataFrame =
+    docs.select(explode(split(norm(col("text")), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+
+  /** Reference bigram counts — one explode + one hash aggregate. */
+  def trainBigrams(docs: DataFrame): DataFrame =
+    bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+
+  /** Adjacent-pair explode shared by training and scoring — ONE
+    * definition so the two sides cannot disagree on tokenization. */
+  private def bigrams(docs: DataFrame): DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), split(norm(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    toked
+      .withColumn("a", slice(col("toks"), lit(1), size(col("toks")) - 1))
+      .withColumn("b", slice(col("toks"), lit(2), size(col("toks")) - 1))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("a"), col("b"))).as("z"))
+      .select(col("doc_id"), col("z.a").as("w1"), col("z.b").as("w2"))
+  }
+
+  /** Score `docs` against a persisted reference model: per doc,
+    * bigram count, how many bigrams the reference has never seen,
+    * the exact integer log-prob sum, and its per-bigram average.
+    * Zero-bigram docs (null / empty / one-token text) have no rows —
+    * the [[Vocab.lmBigramScore]] convention, mirrored in the oracle. */
+  def scoreAgainst(docs: DataFrame, uni: DataFrame,
+                   bi: DataFrame): DataFrame = {
+    val v = uni.agg(count(lit(1)).as("v"))
+    bigrams(docs)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("q",
+        round(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+          * 1000000.0, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L))
+          .as("n_oov_bigrams"),
+        sum(col("q")).as("logprob_e6"))
+      .withColumn("avg_logprob",
+        col("logprob_e6").cast("double") /
+          (lit(1000000.0) * col("n_bigrams").cast("double")))
+  }
+
+  /** Per-SOURCE drift telemetry over a [[scoreAgainst]] pass — the
+    * retrain signal, aggregated where alerting happens: corpus-level
+    * per-bigram average log-prob under the reference and the unseen-
+    * bigram fraction, per arriving source. A drifting source shows a
+    * falling average and a rising OOV fraction long before per-doc
+    * scores are read individually (the `vocab_coverage` shape on the
+    * THIRD trained artifact). One extra broadcast-joined projection +
+    * one aggregate over |sources| groups. */
+  def driftBySource(docs: DataFrame, uni: DataFrame,
+                    bi: DataFrame): DataFrame =
+    scoreAgainst(docs, uni, bi)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("n_oov_bigrams")).as("n_oov_bigrams"),
+        sum(col("logprob_e6")).as("logprob_e6"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("n_oov_bigrams"), col("logprob_e6"),
+        (col("logprob_e6").cast("double") /
+          (lit(1000000.0) * col("n_bigrams").cast("double")))
+          .as("avg_logprob"),
+        (col("n_oov_bigrams").cast("double") /
+          col("n_bigrams").cast("double")).as("oov_bigram_rate"))
+      .orderBy(col("source"))
+
+  /** The staged reference model for a fixture dir — trained once on
+    * the accumulated-corpus convention (doc_id % 10 < 8, the split
+    * every incremental family uses: the 80% is the trusted reference,
+    * the arriving 20% is what gets scored). Returns the store root
+    * with `uni/` and `bi/` beneath it. */
+  def fixtureModel(s: SparkSession, dir: String): String =
+    Staging.stage(s"lm_ref_v1_$dir",
+      new java.io.File(dir, "documents.parquet")) { tmp =>
+      val ref = Tables(s, dir, "documents").filter(col("doc_id") % 10 < 8)
+      trainUnigrams(ref).write.parquet(s"$tmp/uni")
+      trainBigrams(ref).write.parquet(s"$tmp/bi")
+    }
+
+  def readUni(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/uni")
+  def readBi(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/bi")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // the production quality-filter shape: arriving docs (the % 10
+    // incremental convention's 20%) scored against the PERSISTED
+    // reference model trained on the other 80% — reference counts
+    // read from the store, never re-derived from the batch
+    "lm_score_ref" -> ((s, d) => {
+      val root = fixtureModel(s, d)
+      scoreAgainst(
+        Tables(s, d, "documents").filter(col("doc_id") % 10 >= 8),
+        readUni(s, root), readBi(s, root)).orderBy(col("doc_id"))
+    }),
+    // the retrain signal: the same scoring pass aggregated per source
+    "lm_drift_by_source" -> ((s, d) => {
+      val root = fixtureModel(s, d)
+      driftBySource(
+        Tables(s, d, "documents").filter(col("doc_id") % 10 >= 8),
+        readUni(s, root), readBi(s, root))
+    }))
+
+  private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** The scoring replay as CTEs ending in `lsc(doc_id, n_bigrams,
+    * n_oov_bigrams, logprob_e6)` — reference counts from the 80%
+    * split, batch bigrams from the 20%, LEFT joins + coalesce(0) for
+    * the unseen cases, the e6-quantized ln. */
+  private val scoreCtes: String =
+    s"""rt AS (SELECT doc_id, string_split($N, ' ') AS l
+       |        FROM documents WHERE doc_id % 10 < 8),
+       |runi AS (
+       |  SELECT w, count(*) AS c1
+       |  FROM (SELECT unnest(l) AS w FROM rt) GROUP BY w),
+       |rv AS (SELECT count(*) AS v FROM runi),
+       |rbi AS (
+       |  SELECT w1, w2, count(*) AS c2 FROM (
+       |    SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+       |    FROM rt WHERE len(l) >= 2)
+       |  GROUP BY w1, w2),
+       |bt AS (SELECT doc_id, string_split($N, ' ') AS l
+       |       FROM documents WHERE doc_id % 10 >= 8),
+       |bbi AS (
+       |  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1,
+       |         unnest(l[2:len(l)]) AS w2
+       |  FROM bt WHERE len(l) >= 2),
+       |lq AS (
+       |  SELECT b.doc_id, rbi.c2 IS NULL AS oov,
+       |    CAST(round(ln(CAST(coalesce(rbi.c2, 0) + 1 AS DOUBLE)
+       |      / CAST(coalesce(runi.c1, 0) + rv.v AS DOUBLE)) * 1000000.0)
+       |      AS BIGINT) AS q
+       |  FROM bbi b
+       |  LEFT JOIN rbi ON rbi.w1 = b.w1 AND rbi.w2 = b.w2
+       |  LEFT JOIN runi ON runi.w = b.w1
+       |  CROSS JOIN rv),
+       |lsc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_oov_bigrams,
+       |    CAST(sum(q) AS BIGINT) AS logprob_e6
+       |  FROM lq GROUP BY doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "lm_score_ref" ->
+      s"""WITH $scoreCtes
+         |SELECT doc_id, n_bigrams, n_oov_bigrams, logprob_e6,
+         |  CAST(logprob_e6 AS DOUBLE) / (1000000.0 * n_bigrams)
+         |    AS avg_logprob
+         |FROM lsc ORDER BY doc_id""".stripMargin,
+
+    "lm_drift_by_source" ->
+      s"""WITH $scoreCtes
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(s.n_bigrams) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(s.n_oov_bigrams) AS BIGINT) AS n_oov_bigrams,
+         |  CAST(sum(s.logprob_e6) AS BIGINT) AS logprob_e6,
+         |  CAST(sum(s.logprob_e6) AS DOUBLE)
+         |    / (1000000.0 * CAST(sum(s.n_bigrams) AS DOUBLE))
+         |    AS avg_logprob,
+         |  CAST(sum(s.n_oov_bigrams) AS DOUBLE)
+         |    / CAST(sum(s.n_bigrams) AS DOUBLE) AS oov_bigram_rate
+         |FROM lsc s JOIN documents d ON d.doc_id = s.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin)
+}

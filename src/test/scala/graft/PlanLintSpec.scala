@@ -31,6 +31,8 @@ class PlanLintSpec extends SparkSpec {
     // one-row scalar anchors: data-anchored NOW() or corpus totals
     "recent_analysis", "recent_lineitems", "trade_summary",
     "lm_bigram_score", "source_logodds", "tfidf_topk",
+    // reference-LM scoring: the one-row V (distinct reference unigrams) anchor
+    "lm_score_ref", "lm_drift_by_source",
     // vocab-anchor crossJoins: source-index/V/doc-count one-row or
     // source-count broadcasts under the NB domain model build
     "domain_classify", "domain_classify_bucketed",

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LmStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ref = Seq(
+    (0L, "the cat sat on the mat", "s0"),
+    (1L, "the cat ran on the mat", "s0"),
+    (2L, "the dog sat on the rug", "s0")).toDF("doc_id", "text", "source")
+
+  test("scores against the PERSISTED reference counts, never the batch's own") {
+    val uni = LmStore.trainUnigrams(ref)
+    val bi = LmStore.trainBigrams(ref)
+    // a batch doc repeating one reference bigram many times must score
+    // each occurrence by the REFERENCE count, not its own inflated one
+    val batch = Seq((10L, "the cat the cat the cat", "s1"))
+      .toDF("doc_id", "text", "source")
+    val row = LmStore.scoreAgainst(batch, uni, bi).head()
+    assert(row.getAs[Long]("n_bigrams") === 5)
+    // naive model: V = 8 reference words; "the cat" seen 2x in ref,
+    // c1(the) = 6; "cat the" never seen, c1(cat) = 2
+    val v = uni.count()
+    assert(v === 8)
+    def q(c2: Long, c1: Long): Long =
+      math.round(math.log((c2 + 1).toDouble / (c1 + v).toDouble) * 1e6)
+    val want = 3 * q(2, 6) + 2 * q(0, 2)
+    assert(row.getAs[Long]("logprob_e6") === want)
+    assert(row.getAs[Long]("n_oov_bigrams") === 2)
+  }
+
+  test("unseen unigrams and bigrams smooth via add-one, no special cases") {
+    val uni = LmStore.trainUnigrams(ref)
+    val bi = LmStore.trainBigrams(ref)
+    val batch = Seq((11L, "zebra quark", "s1")).toDF("doc_id", "text", "source")
+    val row = LmStore.scoreAgainst(batch, uni, bi).head()
+    // both words unseen: q = ln(1 / (0 + V))
+    assert(row.getAs[Long]("n_bigrams") === 1)
+    assert(row.getAs[Long]("n_oov_bigrams") === 1)
+    assert(row.getAs[Long]("logprob_e6") ===
+      math.round(math.log(1.0 / 8.0) * 1e6))
+    // zero-bigram docs emit nothing (the lmBigramScore convention)
+    val edge = Seq((12L, "one"), (13L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(LmStore.scoreAgainst(edge, uni, bi).count() === 0)
+  }
+
+  test("drift telemetry separates the in-domain source from the drifted one") {
+    val uni = LmStore.trainUnigrams(ref)
+    val bi = LmStore.trainBigrams(ref)
+    val batch = Seq(
+      (20L, "the cat sat on the mat", "in_domain"),
+      (21L, "the dog sat on the mat", "in_domain"),
+      (22L, "zorp blarg quux fizz wibble", "drifted"),
+      (23L, "gronk plip zorp blarg snee", "drifted"))
+      .toDF("doc_id", "text", "source")
+    val out = LmStore.driftBySource(batch, uni, bi).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("avg_logprob"), r.getAs[Double]("oov_bigram_rate")))
+      .toMap
+    assert(out("in_domain")._2 === 0.0,
+      "reference-covered bigrams must not read as OOV")
+    assert(out("drifted")._2 === 1.0,
+      "a fully novel source must read OOV rate 1.0")
+    assert(out("drifted")._1 < out("in_domain")._1,
+      "the drifted source must score lower under the reference")
+  }
+}

@@ -121,6 +121,65 @@ object LmStore {
           col("n_bigrams").cast("double")).as("oov_bigram_rate"))
       .orderBy(col("source"))
 
+  /** Corpus-level drift GAUGE over `recent` under the stored model —
+    * the scalar the retrain policy reads: the unseen-bigram fraction
+    * across all of `recent`'s bigrams (per-source detail:
+    * [[driftBySource]]). 0.0 on a zero-bigram batch — no signal, not
+    * NaN (the `vocabCoverage` convention). */
+  def oovBigramRate(spark: SparkSession, modelRoot: String,
+                    recent: DataFrame): Double = {
+    val agg = scoreAgainst(recent, readUni(spark, modelRoot),
+      readBi(spark, modelRoot))
+      .agg(sum(col("n_oov_bigrams")).as("o"), sum(col("n_bigrams")).as("n"))
+      .head()
+    if (agg.isNullAt(1) || agg.getLong(1) == 0L) 0.0
+    else agg.getLong(0).toDouble / agg.getLong(1).toDouble
+  }
+
+  /** The retrain POLICY — the telemetry→action loop closed for the
+    * THIRD trained artifact ([[graft.ann.IvfMaintenance]] /
+    * [[VocabMaintenance]] are the other two): gauge the unseen-bigram
+    * fraction of `recent` under the stored model; past `maxOovRate`,
+    * retrain both count tables on `reference` (the accumulated corpus
+    * — the new trusted state) and atomically swap each through
+    * [[graft.sinks.StoreMaintenance.rewrite]]. No gain gate here,
+    * unlike the vocabulary loop: a count model over a superset corpus
+    * cannot regress its own coverage the way a fixed-budget piece
+    * table can, so the ceiling alone is the right trigger.
+    *
+    * Swap staleness (the [[graft.ann.IvfMaintenance]] precedent,
+    * stated not hidden): `bi/` swaps first, `uni/` second; a reader
+    * between the two sees new pair counts with the old unigram
+    * denominators for one scoring pass — a bounded telemetry blur,
+    * never a torn file set (each subdir is complete at every instant).
+    * Run at maintenance cadence, never per batch: the gauge is one
+    * scoring pass over `recent`, the retrain two aggregates over
+    * `reference`. Returns whether a refresh ran. */
+  def refreshIfDrifted(spark: SparkSession, modelRoot: String,
+                       reference: DataFrame, recent: DataFrame,
+                       maxOovRate: Double = 0.5): Boolean = {
+    require(maxOovRate > 0 && maxOovRate < 1,
+      s"maxOovRate must be in (0, 1), got $maxOovRate")
+    if (oovBigramRate(spark, modelRoot, recent) <= maxOovRate) false
+    else {
+      // pin both fresh tables before any rewrite (reference may itself
+      // be store-backed; the rewrite must not move files under a lazy
+      // training plan), release on every path
+      val freshUni = trainUnigrams(reference).localCheckpoint(true)
+      val freshBi = trainBigrams(reference).localCheckpoint(true)
+      try {
+        graft.sinks.StoreMaintenance.rewrite(spark, s"$modelRoot/bi")(
+          _ => freshBi)
+        graft.sinks.StoreMaintenance.rewrite(spark, s"$modelRoot/uni")(
+          _ => freshUni)
+        true
+      } finally {
+        graft.sources.Checkpoints.unpersist(freshUni)
+        graft.sources.Checkpoints.unpersist(freshBi)
+      }
+    }
+  }
+
   /** The staged reference model for a fixture dir — trained once on
     * the accumulated-corpus convention (doc_id % 10 < 8, the split
     * every incremental family uses: the 80% is the trusted reference,

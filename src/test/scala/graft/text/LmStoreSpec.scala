@@ -48,6 +48,34 @@ class LmStoreSpec extends SparkSpec {
     assert(LmStore.scoreAgainst(edge, uni, bi).count() === 0)
   }
 
+  test("refresh policy: in-domain no-op, drifted corpus retrains and the gauge recovers") {
+    val work = java.nio.file.Files
+      .createTempDirectory("lm_refresh_").toString
+    val root = s"$work/model"
+    LmStore.trainUnigrams(ref).write.parquet(s"$root/uni")
+    LmStore.trainBigrams(ref).write.parquet(s"$root/bi")
+    // in-domain recent: gauge 0, store untouched
+    val inDomain = Seq((30L, "the cat sat on the rug", "s0"))
+      .toDF("doc_id", "text", "source")
+    assert(LmStore.oovBigramRate(spark, root, inDomain) === 0.0)
+    assert(!LmStore.refreshIfDrifted(spark, root, ref, inDomain))
+    // a drifted batch crosses the ceiling; the accumulated corpus
+    // (reference + drifted docs) becomes the new trusted state
+    val drifted = Seq(
+      (31L, "zorp blarg quux fizz", "s9"),
+      (32L, "blarg zorp fizz quux", "s9")).toDF("doc_id", "text", "source")
+    assert(LmStore.oovBigramRate(spark, root, drifted) === 1.0)
+    val accumulated = ref.unionByName(drifted)
+    assert(LmStore.refreshIfDrifted(spark, root, accumulated, drifted))
+    // the refreshed model covers the drifted domain: gauge recovers,
+    // and scoring now prices the new bigrams from REAL counts
+    assert(LmStore.oovBigramRate(spark, root, drifted) === 0.0)
+    // zero-bigram recent gauges 0, never NaN
+    val none = Seq((33L, "one", "s0")).toDF("doc_id", "text", "source")
+    assert(LmStore.oovBigramRate(spark, root, none) === 0.0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("drift telemetry separates the in-domain source from the drifted one") {
     val uni = LmStore.trainUnigrams(ref)
     val bi = LmStore.trainBigrams(ref)

@@ -811,6 +811,57 @@ object StreamingLanes {
     }
   }
 
+  /** The reference-LM loop ON the ingest path — the third managed lane
+    * (IVF: `ivfIngestLaneManaged`-shaped retrain via
+    * [[graft.ann.IvfMaintenance]]; tokenizer:
+    * [[tokenizerIngestLaneManaged]]): per batch, score the ARRIVING
+    * docs against the stored reference model
+    * ([[graft.text.LmStore.scoreAgainst]] — per-source average
+    * log-prob + unseen-bigram fraction through `onStats`, the
+    * lane-telemetry layout), append the batch to the corpus store,
+    * and at `checkEvery` cadence run the drift-gauged refresh
+    * ([[graft.text.LmStore.refreshIfDrifted]]: past the OOV-bigram
+    * ceiling, retrain both count tables on the accumulated
+    * doc_id-deduped corpus and atomically swap). Per-batch cost is
+    * one scoring pass over the batch's own rows (two model equi-joins
+    * + one aggregate); the cadence gauge re-scores only the RECENT
+    * batch (already priced), so the amortized maintenance cost is the
+    * refresh itself, paid exactly when the gauge demands it. */
+  def lmIngestLaneManaged(docs: DataFrame, corpusPath: String,
+                          modelRoot: String,
+                          maxOovRate: Double = 0.5,
+                          checkEvery: Int = 4,
+                          maxStoreFiles: Option[Int] = None)
+                         (onStats: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] = {
+    require(checkEvery > 0, s"checkEvery must be positive, got $checkEvery")
+    require(maxOovRate > 0 && maxOovRate < 1,
+      s"maxOovRate must be in (0, 1), got $maxOovRate")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.text.LmStore
+      val spark = batch.sparkSession
+      val b = batch.localCheckpoint(true)
+      b.write.mode("append").parquet(corpusPath)
+      maxStoreFiles.foreach(m => graft.sinks.StoreMaintenance
+        .compactIfNeeded(spark, corpusPath, m, Seq("doc_id")))
+      onStats(LmStore.driftBySource(b, LmStore.readUni(spark, modelRoot),
+        LmStore.readBi(spark, modelRoot))
+        .select(lit("lm_ingest").as("lane"), lit(batchId).as("batch_id"),
+          col("source"), col("n_docs"), col("n_bigrams"),
+          col("n_oov_bigrams"), col("avg_logprob"),
+          col("oov_bigram_rate")), batchId)
+      if ((batchId + 1) % checkEvery == 0)
+        // the accumulated corpus is the new trusted reference; the
+        // RECENT gauge is this batch (the drift the telemetry just
+        // surfaced). doc_id dedup: the at-least-once append contract
+        // — a replayed batch must not double-weight the counts
+        LmStore.refreshIfDrifted(spark, modelRoot,
+          spark.read.parquet(corpusPath).dropDuplicates("doc_id"),
+          b, maxOovRate)
+      ()
+    }
+  }
+
   /** S5/S6: dual-lane bifurcation — one foreachBatch, two sinks. The
     * storage lane appends Parquet partitioned by (source, date) (the
     * low-cardinality layout the reference chose for series pruning); the

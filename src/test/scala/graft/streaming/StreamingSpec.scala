@@ -1641,6 +1641,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("managed LM lane: drifted arrivals alarm, cadence refresh recovers the gauge") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.LmStore
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("lm_lane_").toString
+    val corpusPath = s"$work/corpus"
+    val modelRoot = s"$work/model"
+    val seed = Seq((1L, "aa bb aa bb cc", "s0"), (2L, "bb aa cc aa", "s0"))
+      .toDF("doc_id", "text", "source")
+    LmStore.trainUnigrams(seed).write.parquet(s"$modelRoot/uni")
+    LmStore.trainBigrams(seed).write.parquet(s"$modelRoot/bi")
+    val stats = scala.collection.mutable.ArrayBuffer[
+      (Long, String, Double)]()
+    val q = StreamingLanes.lmIngestLaneManaged(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      corpusPath, modelRoot, checkEvery = 2)(
+      (df, _) => df.collect().foreach(r =>
+        stats += ((r.getLong(1), r.getString(2), r.getDouble(7))))).start()
+    try {
+      // batch 0: in-domain — OOV bigram rate 0 under the seed model
+      mem.addData(CurDoc(ts(10), 10L, "aa bb cc aa", "s0"))
+      q.processAllAvailable()
+      assert(stats.last === ((0L, "s0", 0.0)),
+        s"in-domain batch must read OOV 0: $stats")
+      // batch 1: fully novel domain — alarms at 1.0, and its cadence
+      // check refreshes the model from the accumulated corpus
+      mem.addData(CurDoc(ts(20), 11L, "01 23 45 67 01 23", "s2"))
+      q.processAllAvailable()
+      assert(stats.last === ((1L, "s2", 1.0)),
+        s"drifted batch must alarm at OOV 1.0: $stats")
+      // batch 2: the same domain now reads against the REFRESHED model
+      mem.addData(CurDoc(ts(30), 12L, "01 23 45 67", "s2"))
+      q.processAllAvailable()
+      assert(stats.last === ((2L, "s2", 0.0)),
+        s"post-refresh stats must read in-model: $stats")
+      // the refreshed store scores batch text by real accumulated counts
+      assert(LmStore.oovBigramRate(spark, modelRoot,
+        Seq((20L, "01 23 45", "s2")).toDF("doc_id", "text", "source"))
+        === 0.0)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   test("gated in-lane compaction: threshold crossing compacts, verdicts stable") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.SignatureStore

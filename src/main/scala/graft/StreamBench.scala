@@ -316,6 +316,22 @@ object StreamBench {
         s"""{"metric":"stream_tokmaint_merge_retrained","value":$retrainedM}""")
     }
 
+    // managed reference-LM lane: per-batch scoring against the stored
+    // (uni, bi) counts + per-source drift telemetry + the cadence
+    // OOV-gauged refresh — the third trained artifact's loop priced on
+    // the ingest path (seed model = the accumulated-corpus split, so
+    // the in-domain fixture stream exercises the steady state: gauge
+    // paid at cadence, refresh skipped)
+    if (want("lmlane")) {
+      val lmRoot = s"$work/lm_model"
+      graft.text.LmStore.trainUnigrams(corpus).write.parquet(s"$lmRoot/uni")
+      graft.text.LmStore.trainBigrams(corpus).write.parquet(s"$lmRoot/bi")
+      laneProbe("lm_lane", srcInDir,
+        spark.read.parquet(srcInDir).schema, inRows)(st =>
+        StreamingLanes.lmIngestLaneManaged(st, s"$work/lm_corpus",
+          lmRoot, checkEvery = 4)((_, _) => laneBatches += 1))
+    }
+
     if (want("spanclean")) {
       val gramStore = s"$work/gram_store"
       SpanDedup.grams(corpus).write.parquet(gramStore)

@@ -440,29 +440,53 @@ object Curation {
     * key-identical rows, and a replayed doc must neither pack twice
     * nor double-price its sequence.
     *
-    * PRECONDITION: `ids` carries ONE id space. The dedup is sound only
-    * because replayed rows are bit-identical; a [[TokenIdStore]] read
-    * mid-renumber holds the same (doc_id, token_idx) under TWO
-    * versions with DIFFERENT piece_ids, and deduping across them would
-    * pick arbitrarily — exporting a nondeterministic mix of id spaces,
-    * the exact corruption the version boundary exists to prevent.
-    * Filter to the current version first (`vocab_version === v`), or
-    * export only from a swept store (the fixture's convention — the
-    * renumber sweep's post-condition IS single-version).
+    * SINGLE-ID-SPACE GUARD, enforced not assumed (r15 — the
+    * FirstCodePoint discipline: never mint plausible garbage): the
+    * dedup is sound only because replayed rows are bit-identical, but
+    * a [[TokenIdStore]] read mid-renumber holds the same
+    * (doc_id, token_idx) under TWO versions with DIFFERENT piece_ids,
+    * and deduping across them would pick arbitrarily — exporting a
+    * nondeterministic mix of id spaces into the one artifact a
+    * trainer consumes, silently. `version` is the id space the caller
+    * exports (READ from the registry —
+    * [[VocabMaintenance.currentVersion]] — never invented), and every
+    * id row asserts it in-plan: one codegen'd scalar compare per row,
+    * no extra pass, and a store with ANY residual stale row fails the
+    * export loudly instead of silently dropping or mixing (a stale
+    * row means the renumber sweep has not run — refusing is the only
+    * answer that cannot corrupt).
     *
     * Scale shape: one (doc_id, token_idx)-keyed dedup exchange over
-    * narrow id rows, the doc-level pack ([[epochPackPriced]] — window
-    * parallelism nShards, the documented SCALING bound), one
+    * narrow id rows — pinned eagerly (r15, ADVICE: three downstream
+    * branches read it; unpinned, the widest exchange in the plan
+    * re-ran per branch; the pin backs the RETURNED frame, so blocks
+    * release via ContextCleaner when the caller drops it — the
+    * [[QualityStore.retroSweep]] lifecycle, not the internal-pin
+    * eager release) — then the doc-level pack ([[epochPackPriced]] —
+    * window parallelism nShards, the documented SCALING bound), one
     * doc_id-keyed join fanning assignments back to token rows (the
     * pack side is docs-sized — AQE broadcasts it when small), and the
     * seq_pos window partitioned by (shard, seq_id) — parallelism =
     * number of SEQUENCES, each partition at most ~budget tokens. No
     * global ordering anywhere. */
   def exportSequences(ids: DataFrame, epoch: Int, nShards: Int,
-                      budget: Long): DataFrame = {
+                      budget: Long, version: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val deduped = ids.select(col("doc_id"), col("token_idx"),
-      col("piece_id")).dropDuplicates("doc_id", "token_idx")
+    require(ids.columns.contains("vocab_version"),
+      "exportSequences: ids frame lacks vocab_version — the export " +
+        "certifies a single id space and cannot do so on untagged rows " +
+        "(numericalize through TokenIdStore, which tags every row)")
+    // the guard rides the piece_id projection so the eager checkpoint
+    // below evaluates it on EVERY row before anything packs
+    val guarded = ids.select(col("doc_id"), col("token_idx"),
+      when(assert_true(col("vocab_version") === lit(version),
+        concat(lit("exportSequences: id row for doc "), col("doc_id"),
+          lit(" carries vocab_version "), col("vocab_version"),
+          lit(s" != export version $version — mid-renumber store; " +
+            "run TokenIdStore.renumberSweep before exporting"))).isNull,
+        col("piece_id")).as("piece_id"))
+    val deduped = guarded.dropDuplicates("doc_id", "token_idx")
+      .localCheckpoint(true)
     val priced = deduped.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_tokens"))
     val pack = epochPackPriced(priced, epoch, nShards, budget)
@@ -485,21 +509,57 @@ object Curation {
     * from the files on disk, so a caller certifies the write against
     * the plan-side export with one frame compare (the
     * [[writeShards]]/[[shardManifest]] parity discipline, spec-pinned:
-    * predicted == written). */
+    * predicted == written).
+    *
+    * The written artifact carries its MANIFEST (r15): the per-shard
+    * totals PLUS the `vocab_version` the ids were exported under,
+    * landed as parquet beside the shard directories (`_manifest/` —
+    * the underscore prefix keeps it invisible to a plain scan of the
+    * shard root, the `_SUCCESS` convention). The version tag is what
+    * [[sequenceShardStaleness]] probes: after a vocabulary swap +
+    * renumber sweep move the live id space past the one recorded
+    * here, the shards are STALE — bit-valid parquet a training job
+    * would happily read — and the probe is the freshness signal that
+    * says so (the [[graft.ann.IvfMaintenance]] staleness-telemetry
+    * shape, applied to the ids' downstream artifact). */
   def writeSequenceShards(spark: SparkSession, ids: DataFrame,
                           path: String, epoch: Int, nShards: Int,
-                          budget: Long): DataFrame = {
-    exportSequences(ids, epoch, nShards, budget)
+                          budget: Long, version: Int): DataFrame = {
+    exportSequences(ids, epoch, nShards, budget, version)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("seq_id"), col("seq_pos"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
-    spark.read.parquet(path)
+    val written = spark.read.parquet(path)
       .groupBy(col("shard").cast("int").as("shard"))
       .agg(countDistinct(col("seq_id")).as("n_seqs"),
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).cast("long").as("n_tokens"))
       .orderBy(col("shard"))
+    // manifest AFTER the shard write (a manifest must never describe
+    // an artifact that failed to land), version-tagged, overwritten
+    // atomically with the re-export it describes
+    written.withColumn("vocab_version", lit(version).cast("int"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    written
   }
+
+  /** STALENESS PROBE for a written sequence-shard artifact — compares
+    * the manifest's recorded `vocab_version` against the registry's
+    * CURRENT one ([[VocabMaintenance.currentVersion]], read by the
+    * caller): one row per distinct recorded version (one, for any
+    * artifact [[writeSequenceShards]] wrote) with the verdict. After
+    * a swap + renumber sweep, previously-written shard directories
+    * are silently stale — still bit-valid parquet — and this probe is
+    * the freshness signal a training job reads BEFORE reading any
+    * shard. A manifest-only read: never touches token rows. */
+  def sequenceShardStaleness(spark: SparkSession, path: String,
+                             currentVersion: Int): DataFrame =
+    spark.read.parquet(s"$path/_manifest")
+      .select(col("vocab_version")).distinct()
+      .select(col("vocab_version").as("artifact_version"),
+        lit(currentVersion).cast("int").as("current_version"),
+        (col("vocab_version") =!= currentVersion).as("stale"))
+      .orderBy(col("artifact_version"))
 
   /** PACKING-EFFICIENCY telemetry — what the budget actually buys, per
     * shard: sequence count, token total, mean fill ratio
@@ -1103,10 +1163,14 @@ object Curation {
     // actual token ids (the renumbered store's learned-vocab id
     // stream), one row per token with its (shard, seq, offset)
     // address — what a trainer reads, not just where it would read
+    // version 2 is the renumbered fixture store's post-sweep id space
+    // (TokenIdStore.fixtureRenumberedStore seeds v1, swaps to the
+    // learned vocab as v2, sweeps); the in-plan guard certifies every
+    // exported row carries it — a mid-renumber store would fail loudly
     "seq_export" -> ((s, d) =>
       exportSequences(
         TokenIdStore.read(s, TokenIdStore.fixtureRenumberedStore(s, d)),
-        epoch = 1, nShards = 8, budget = 512)),
+        epoch = 1, nShards = 8, budget = 512, version = 2)),
     // packing telemetry over the epoch_pack fixture: per shard, how
     // full the budget-512 sequences actually are and how many overflow
     "pack_efficiency" -> ((s, d) =>

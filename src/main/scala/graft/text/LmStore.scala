@@ -46,9 +46,17 @@ import graft.text.TextOps.norm
   */
 object LmStore {
 
-  /** Reference unigram counts — one hash aggregate. */
+  /** Reference unigram counts — one hash aggregate. Empty tokens are
+    * excluded (norm('') → '' splits to ['']): an empty/whitespace-only
+    * doc must not mint an empty-string "word" that inflates V and
+    * skews every add-one denominator — the length > 0 discipline the
+    * word-dictionary builders already apply ([[BpeMerges.wordDict]]).
+    * Scoring is unaffected structurally (bigrams require ≥ 2 tokens,
+    * and the normalized form has no interior empties), so the filter
+    * only removes the whole-empty-doc artifact. */
   def trainUnigrams(docs: DataFrame): DataFrame =
     docs.select(explode(split(norm(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c1"))
 
   /** Reference bigram counts — one explode + one hash aggregate. */
@@ -148,13 +156,20 @@ object LmStore {
     * table can, so the ceiling alone is the right trigger.
     *
     * Swap staleness (the [[graft.ann.IvfMaintenance]] precedent,
-    * stated not hidden): `bi/` swaps first, `uni/` second; a reader
-    * between the two sees new pair counts with the old unigram
-    * denominators for one scoring pass — a bounded telemetry blur,
-    * never a torn file set (each subdir is complete at every instant).
-    * Run at maintenance cadence, never per batch: the gauge is one
-    * scoring pass over `recent`, the retrain two aggregates over
-    * `reference`. Returns whether a refresh ran. */
+    * stated not hidden): `uni/` swaps first, `bi/` second; a reader
+    * between the two sees new unigram denominators with the old pair
+    * counts for one scoring pass — a bounded telemetry blur, never a
+    * torn file set (each subdir is complete at every instant). The
+    * ORDER matters for crash recovery, not just blur: a crash between
+    * the two rewrites leaves new uni with OLD bi, whose unseen-pair
+    * numerator keeps the OOV gauge HIGH, so the next cadence call
+    * re-triggers the refresh and completes the swap. The reverse
+    * order would be self-suppressing — new bi reads as low drift,
+    * the gauge never fires again, and the mixed model persists
+    * indefinitely instead of for one pass. Run at maintenance
+    * cadence, never per batch: the gauge is one scoring pass over
+    * `recent`, the retrain two aggregates over `reference`. Returns
+    * whether a refresh ran. */
   def refreshIfDrifted(spark: SparkSession, modelRoot: String,
                        reference: DataFrame, recent: DataFrame,
                        maxOovRate: Double = 0.5): Boolean = {
@@ -168,10 +183,13 @@ object LmStore {
       val freshUni = trainUnigrams(reference).localCheckpoint(true)
       val freshBi = trainBigrams(reference).localCheckpoint(true)
       try {
-        graft.sinks.StoreMaintenance.rewrite(spark, s"$modelRoot/bi")(
-          _ => freshBi)
+        // uni/ FIRST (scaladoc: a crash after it leaves old bi, whose
+        // high OOV gauge re-triggers and completes the swap; bi-first
+        // would read as low drift and strand the mixed model forever)
         graft.sinks.StoreMaintenance.rewrite(spark, s"$modelRoot/uni")(
           _ => freshUni)
+        graft.sinks.StoreMaintenance.rewrite(spark, s"$modelRoot/bi")(
+          _ => freshBi)
         true
       } finally {
         graft.sources.Checkpoints.unpersist(freshUni)
@@ -230,7 +248,8 @@ object LmStore {
        |        FROM documents WHERE doc_id % 10 < 8),
        |runi AS (
        |  SELECT w, count(*) AS c1
-       |  FROM (SELECT unnest(l) AS w FROM rt) GROUP BY w),
+       |  FROM (SELECT unnest(l) AS w FROM rt)
+       |  WHERE len(w) > 0 GROUP BY w),
        |rv AS (SELECT count(*) AS v FROM runi),
        |rbi AS (
        |  SELECT w1, w2, count(*) AS c2 FROM (

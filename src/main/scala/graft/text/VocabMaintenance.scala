@@ -209,15 +209,26 @@ object VocabMaintenance {
                         pieces: Seq[String]): Int = {
     val fpr = piecesFingerprint(pieces)
     val regPath = vocabPath + ".versions"
-    val existing: Map[String, Int] =
+    val rows: Seq[(String, Int)] =
       if (new java.io.File(regPath).exists())
         spark.read.parquet(regPath).collect()
           .map(r => r.getAs[String]("fingerprint") ->
-            r.getAs[Int]("vocab_version"))
-          .groupBy(_._1).map { case (f, vs) => f -> vs.map(_._2).min }
-      else Map.empty
+            r.getAs[Int]("vocab_version")).toSeq
+      else Seq.empty
+    val existing: Map[String, Int] =
+      rows.groupBy(_._1).map { case (f, vs) => f -> vs.map(_._2).min }
     existing.getOrElse(fpr, {
-      val next = (existing.values ++ Seq(0)).max + 1
+      // mint from the RAW registry maximum (all rows, BEFORE the
+      // min-per-fingerprint collapse): a tolerated duplicate/conflict
+      // row — the race loser the collapse orphans — permanently
+      // RETIRES its version number. Minting from the collapsed map's
+      // max could re-issue an orphaned higher number to a DIFFERENT
+      // vocabulary; ids tagged under the orphan's transient tenure
+      // would then alias the new vocabulary's current version, and
+      // the renumber sweep (which migrates only rows ≠ current)
+      // would never touch them — the exact id-space mix the version
+      // boundary exists to prevent.
+      val next = (rows.map(_._2) ++ Seq(0)).max + 1
       import spark.implicits._
       Seq((next, fpr)).toDF("vocab_version", "fingerprint")
         .coalesce(1).write.mode("append").parquet(regPath)

@@ -593,10 +593,10 @@ class CurationSpec extends SparkSpec {
     // sequences and boundary-straddling overflow
     val ids = (0L until 12L).flatMap(doc =>
       (0 until (3 + doc.toInt)).map(tok =>
-        (doc, tok, (doc * 100 + tok).toInt)))
-      .toDF("doc_id", "token_idx", "piece_id")
+        (doc, tok, (doc * 100 + tok).toInt, 1)))
+      .toDF("doc_id", "token_idx", "piece_id", "vocab_version")
     val out = Curation.exportSequences(ids, epoch = 1, nShards = 2,
-      budget = 16)
+      budget = 16, version = 1)
       .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("seq_id"),
         r.getAs[Int]("seq_pos"), r.getAs[Long]("doc_id"),
         r.getAs[Int]("token_idx"), r.getAs[Int]("piece_id")))
@@ -622,7 +622,7 @@ class CurationSpec extends SparkSpec {
     }
     // at-least-once replay: duplicating every id row changes nothing
     val replayed = Curation.exportSequences(ids.unionAll(ids),
-      epoch = 1, nShards = 2, budget = 16)
+      epoch = 1, nShards = 2, budget = 16, version = 1)
       .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("seq_id"),
         r.getAs[Int]("seq_pos"), r.getAs[Long]("doc_id"),
         r.getAs[Int]("token_idx"), r.getAs[Int]("piece_id")))
@@ -643,16 +643,16 @@ class CurationSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val ids = (0L until 20L).flatMap(doc =>
       (0 until (4 + doc.toInt % 5)).map(tok =>
-        (doc, tok, (doc * 100 + tok).toInt)))
-      .toDF("doc_id", "token_idx", "piece_id")
+        (doc, tok, (doc * 100 + tok).toInt, 1)))
+      .toDF("doc_id", "token_idx", "piece_id", "vocab_version")
     val work = java.nio.file.Files
       .createTempDirectory("seq_shards_").toString
     val written = Curation.writeSequenceShards(spark, ids,
-      s"$work/shards", epoch = 1, nShards = 4, budget = 12)
+      s"$work/shards", epoch = 1, nShards = 4, budget = 12, version = 1)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq
     // the written totals equal the plan-side export's, per shard
-    val predicted = Curation.exportSequences(ids, 1, 4, 12)
+    val predicted = Curation.exportSequences(ids, 1, 4, 12, version = 1)
       .groupBy(col("shard"))
       .agg(countDistinct(col("seq_id")).as("n_seqs"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -670,6 +670,84 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(shard0 === shard0.sorted,
       "a shard's rows must be (seq_id, seq_pos)-ordered on disk")
+    // the manifest landed beside the shards, version-tagged — and the
+    // underscore prefix keeps it out of a plain scan of the shard root
+    val manifest = spark.read.parquet(s"$work/shards/_manifest")
+    assert(manifest.columns.contains("vocab_version"))
+    assert(manifest.select("vocab_version").distinct()
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+    assert(!spark.read.parquet(s"$work/shards").columns
+      .contains("n_seqs"), "the manifest must not leak into shard reads")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
+  test("seq export refuses a mid-renumber store: the version guard trips on any stale row") {
+    import org.apache.spark.sql.functions._
+    // doc 0 fully at v2, doc 1 still carrying v1 rows — the
+    // mid-renumber state whose (doc_id, token_idx) dedup would
+    // otherwise pick an id space nondeterministically
+    val mixed = Seq((0L, 0, 100, 2), (0L, 1, 101, 2),
+      (1L, 0, 7, 1), (1L, 1, 8, 1))
+      .toDF("doc_id", "token_idx", "piece_id", "vocab_version")
+    val e = intercept[Exception] {
+      Curation.exportSequences(mixed, epoch = 1, nShards = 2,
+        budget = 16, version = 2).count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("mid-renumber")),
+      s"expected the version-guard message, got: $e")
+    // an untagged frame is refused at construction, not silently deduped
+    val untagged = Seq((0L, 0, 100)).toDF("doc_id", "token_idx", "piece_id")
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.exportSequences(untagged, 1, 2, 16, version = 1)
+    }
+    assert(e2.getMessage.contains("vocab_version"))
+  }
+
+  test("shard staleness probe: swap -> sweep flags written shards; a refreshed export clears") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((5L, "01230123 45674567"),
+      (6L, "0123 4567 01230123")).toDF("doc_id", "text")
+    val work = java.nio.file.Files
+      .createTempDirectory("seq_stale_").toString
+    val idStore = s"$work/ids"
+    val vocabPath = s"$work/vocab"
+    val shards = s"$work/shards"
+    // live vocab v1 + registry mint; ids numericalized and exported
+    // under it — the probe reads FRESH while the registry agrees
+    BpeVocab.train(docs).write.parquet(vocabPath)
+    val ver1 = VocabMaintenance.currentVersion(spark, vocabPath)
+    TokenIdStore.append(idStore, TokenIdStore.numericalize(docs,
+      BpeVocab.read(spark, vocabPath), ver1))
+    Curation.writeSequenceShards(spark,
+      TokenIdStore.read(spark, idStore), shards, epoch = 1,
+      nShards = 2, budget = 16, version = ver1)
+    assert(Curation.sequenceShardStaleness(spark, shards,
+      VocabMaintenance.currentVersion(spark, vocabPath))
+      .collect().map(_.getAs[Boolean]("stale")).toSeq === Seq(false))
+    // maintenance swap (merge trainer goes live) -> registry bumps ->
+    // renumber sweep migrates the id store; the WRITTEN artifact is
+    // now silently stale bit-valid parquet — the probe must say so
+    assert(VocabMaintenance.retrainIfDrifted(spark, vocabPath,
+      Seq((9L, "abab cdcd abab cdcd")).toDF("doc_id", "text"),
+      trainer = BpeMerges.mergeTrainer(rounds = 8)))
+    val ver2 = VocabMaintenance.currentVersion(spark, vocabPath)
+    assert(ver2 > ver1, "the swap must mint a fresh registry version")
+    TokenIdStore.renumberSweep(spark, idStore, docs,
+      BpeVocab.read(spark, vocabPath), ver2)
+    val verdict = Curation.sequenceShardStaleness(spark, shards, ver2)
+      .collect()
+    assert(verdict.map(_.getAs[Boolean]("stale")).toSeq === Seq(true))
+    assert(verdict.head.getAs[Int]("artifact_version") === ver1)
+    // the refreshed export (from the swept store, at the new version)
+    // clears the probe
+    Curation.writeSequenceShards(spark,
+      TokenIdStore.read(spark, idStore), shards, epoch = 1,
+      nShards = 2, budget = 16, version = ver2)
+    assert(Curation.sequenceShardStaleness(spark, shards, ver2)
+      .collect().map(_.getAs[Boolean]("stale")).toSeq === Seq(false))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 

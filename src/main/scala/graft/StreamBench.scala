@@ -20,8 +20,8 @@ import graft.streaming.{Replay, StreamingLanes}
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.StreamBench [section...]
   * With args, only the named sections run (ingest, pairscan, neardup,
-  * simhash, media, chunk, decontam, curation, fullcur, tokmaint,
-  * spanclean, ivf) — e.g.
+  * simhash, media, chunk, decontam, curation, curlm, fullcur,
+  * tokmaint, lmlane, spanclean, ivf) — e.g.
   * `runMain graft.StreamBench curation` probes the composed curation
   * lane alone against a (possibly synth-scaled) fixture dir without
   * paying the full snapshot replay.
@@ -247,6 +247,28 @@ object StreamBench {
       s"""{"metric":"stream_curation_stats","rows":[${curStats.mkString(",")}]}""")
     println(
       s"""{"metric":"stream_curation_oov","rows":[${curOov.mkString(",")}]}""")
+    }
+
+    // LM-GATED curation lane: the reference model composed into the
+    // admission gate (judge -> intra-batch gate -> heuristic floor AND
+    // per-source log-prob floor -> chunk) + the admission ledger
+    // append. The delta over the curation row prices the per-batch
+    // gate: the scoring pass's two model equi-joins + one aggregate +
+    // one floor broadcast (expected ~ the lmlane's per-batch cost)
+    if (want("curlm")) {
+      val lmSigStore = s"$work/curlm_sig_store"
+      SimHashStore.appendBatch(lmSigStore, corpus)
+      val lmRoot = s"$work/curlm_model"
+      graft.text.LmStore.trainUnigrams(corpus).write.parquet(s"$lmRoot/uni")
+      graft.text.LmStore.trainBigrams(corpus).write.parquet(s"$lmRoot/bi")
+      laneProbe("curlm_lane", srcInDir,
+        spark.read.parquet(srcInDir).schema, inRows)(st =>
+        StreamingLanes.curationStoreLane(st, lmSigStore,
+          s"$work/curlm_chunks", lmModelRoot = lmRoot,
+          lmLedgerPath = s"$work/curlm_ledger") {
+          (_, _) => laneBatches += 1 })
+      val ledgered = spark.read.parquet(s"$work/curlm_ledger").count()
+      println(s"""{"metric":"stream_curlm_ledgered","value":$ledgered}""")
     }
 
     // FULL-pipeline curation lane: decontam gate + judge + intra-batch

@@ -527,15 +527,27 @@ object StreamingLanes {
                         maxFrac: Double = 0.5,
                         onStats: (DataFrame, Long) => Unit = null,
                         vocabPieces: Seq[String] = null,
-                        onOovStats: (DataFrame, Long) => Unit = null)
+                        onOovStats: (DataFrame, Long) => Unit = null,
+                        lmModelRoot: String = null,
+                        lmLedgerPath: String = null,
+                        pLm: Double = 0.1)
                        (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      import graft.text.{ChunkSigStore, Curation, QualityStore, SimHashStore}
+      import graft.text.{ChunkSigStore, Curation, LmStore, QualityStore,
+        SimHashStore}
       require(benchStorePath == null || qualityStorePath == null,
         "curationStoreLane: the decontam stage is certified with the " +
           "batch-relative floor (curation_lane_decontam_twin); compose " +
           "it with the corpus floor explicitly if you need both")
+      require(lmModelRoot == null ||
+        (benchStorePath == null && qualityStorePath == null),
+        "curationStoreLane: the LM gate is certified with the " +
+          "batch-relative heuristic floor (curation_lane_lm_twin); " +
+          "compose other stages explicitly if you need them")
+      require(lmLedgerPath == null || lmModelRoot != null,
+        "curationStoreLane: an LM admission ledger needs the LM gate " +
+          "(lmModelRoot) that produces its verdicts")
       val spark = batch.sparkSession
       // decontamDocV is non-null only in the FULL-pipeline form: the
       // stats frame then counts the whole batch (decontam drops fold
@@ -547,6 +559,16 @@ object StreamingLanes {
             SimHashStore.read(spark, sigStorePath), batch,
             maxHamming, p, window, stride, maxFrac)
           (c, ss, g, sv, dv)
+        } else if (lmModelRoot != null) {
+          // the reference-LM gate inline: the model is a STORE scan
+          // (counts persisted by LmStore — trained once, refreshed at
+          // maintenance cadence), never re-derived from the batch
+          val (c, ss, g, sv) = Curation.curateBatchLm(
+            SimHashStore.read(spark, sigStorePath),
+            LmStore.readUni(spark, lmModelRoot),
+            LmStore.readBi(spark, lmModelRoot), batch,
+            maxHamming, p, pLm, window, stride)
+          (c, ss, g, sv, null)
         } else if (qualityStorePath == null) {
           val (c, ss, g, sv) = Curation.curateBatch(
             SimHashStore.read(spark, sigStorePath), batch,
@@ -570,6 +592,14 @@ object StreamingLanes {
       // append cannot feed back into the floor plan that read the store
       if (qualityStorePath != null)
         QualityStore.appendQualities(qualityStorePath, survivors)
+      // the LM admission LEDGER: one verdict row per admitted doc
+      // (arrival-time score + floor — history telemetry; the retro
+      // sweep re-scores from text, never from these). Checkpointed
+      // survivor state, so the append cannot feed back either.
+      if (lmLedgerPath != null)
+        survivors.select(col("doc_id"), col("source"),
+          col("avg_logprob"), col("lm_thr"))
+          .write.mode("append").parquet(lmLedgerPath)
       val compacted = maxStoreFiles.exists { m =>
         val sigC = graft.sinks.StoreMaintenance.compactIfNeeded(
           spark, sigStorePath, m, Seq("doc_id"))

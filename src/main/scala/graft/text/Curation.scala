@@ -1000,6 +1000,37 @@ object Curation {
       admitted => qualityGateAgainstFloors(admitted,
         QualityStore.floors(qualities, p)))
 
+  /** [[curateBatch]] with the REFERENCE-LM gate composed into the
+    * quality stage — the CCNet shape the LM store was built for,
+    * finally gating instead of only telling dashboards: survivors
+    * must clear BOTH floors, the heuristic per-source quality
+    * percentile AND the per-source avg-log-prob percentile under the
+    * PERSISTED reference model ([[LmStore.lmGateBySource]] — `uni`/
+    * `bi` are store scans, counts never re-derived from the batch).
+    * The two gates are independent conjuncts over the same admitted
+    * set (floors each derive from ALL admissions, so composition
+    * order cannot change either threshold), joined by doc_id; the
+    * survivor frame carries both verdicts
+    * (quality, q_thr, avg_logprob, lm_thr) into the curated chunks.
+    * Un-judgeable docs pass the LM conjunct unconditionally (the
+    * [[LmStore.lmGateBySource]] NULL-keep contract). Per-batch cost
+    * over [[curateBatch]]: the scoring pass's two model equi-joins +
+    * one aggregate + one tiny floor broadcast — priced in
+    * `StreamBench curlm`. */
+  private[graft] def curateBatchLm(esigs: DataFrame, uni: DataFrame,
+                                   bi: DataFrame, batch: DataFrame,
+                                   maxHamming: Int = 3, p: Double = 0.1,
+                                   pLm: Double = 0.1, window: Int = 32,
+                                   stride: Int = 24)
+  : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    curateCore(esigs, batch, maxHamming, window, stride,
+      admitted => qualityQuantileGateBySource(admitted, p)
+        .join(LmStore.lmGateBySource(admitted, uni, bi, pLm)
+          .select(col("doc_id"), col("avg_logprob"), col("lm_thr")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("q_thr"), col("avg_logprob"), col("lm_thr")))
+
   /** Gate raw docs against a prebuilt (source, q_thr) floor frame —
     * the corpus-floor stage: score once ([[TextOps.qualityCol]], the
     * same composite the store persists), one broadcast hash join on
@@ -1030,12 +1061,16 @@ object Curation {
     // input, curated join, signature join) — unpinned, each would
     // re-run it per batch
     val survivors = floor(admitted).localCheckpoint(true)
+    // survivor columns project through generically: the base floor
+    // carries (doc_id, source, quality, q_thr); a composed floor (the
+    // LM gate) appends its own verdict columns and they ride along
     val curated = chunkDocs(
       admitted.join(survivors.select(col("doc_id")), "doc_id"),
       window, stride)
       .join(survivors, "doc_id")
-      .select(col("doc_id"), col("source"), col("quality"), col("q_thr"),
-        col("chunk_idx"), col("chunk_text"), col("n_chunk_tokens"))
+      .select(survivors.columns.map(col).toSeq ++
+        Seq(col("chunk_idx"), col("chunk_text"),
+          col("n_chunk_tokens")): _*)
     (curated, isigs.join(survivors.select(col("doc_id")), "doc_id"),
       gated, survivors)
   }
@@ -1116,6 +1151,23 @@ object Curation {
       docs.filter(col("doc_id") % 10 >= 8))._1
   }
 
+  /** The LM-gate twin — [[curationLaneTwin]] with the reference-LM
+    * floor composed into the quality stage: the model is the staged
+    * 80%-trained store ([[LmStore.fixtureModel]] — the SAME split the
+    * signature store accumulates, so "trained on what was admitted"
+    * holds across both stores), the batch the arriving 20%. The DuckDB
+    * oracle replays judge, keeper gate, BOTH floors (heuristic
+    * percentile + add-one LM scoring percentile), and chunking end to
+    * end. */
+  def curationLaneLmTwin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val root = LmStore.fixtureModel(spark, dir)
+    curateBatchLm(
+      SimHashStore.read(spark, SimHashStore.fixtureCorpusStore(spark, dir)),
+      LmStore.readUni(spark, root), LmStore.readBi(spark, root),
+      docs.filter(col("doc_id") % 10 >= 8))._1
+  }
+
   /** The FULL-pipeline twin — [[curationLaneTwin]] with the benchmark
     * decontamination stage composed in (static chunk store over
     * doc_id < 10): the fixture batch split CONTAINS two benchmark
@@ -1144,6 +1196,10 @@ object Curation {
     // floor -> chunking -> flagged-window excision, one batch
     "curation_lane_decontam_twin" -> ((s, d) =>
       curationLaneDecontamTwin(s, d)),
+    // the LM-gated twin: the heuristic floor AND the persisted
+    // reference model's per-source log-prob floor as conjuncts —
+    // scoring that finally gates (the CCNet composition)
+    "curation_lane_lm_twin" -> ((s, d) => curationLaneLmTwin(s, d)),
     // epoch-seeded deterministic shuffle: per-epoch md5 tag, balanced
     // shard, dense within-shard position — no global ordering anywhere
     "epoch_shuffle" -> ((s, d) =>
@@ -1309,7 +1365,9 @@ object Curation {
     * admissions CTE `q`), then the shared chunk CTEs over the
     * survivors. */
   private def curationTwinOracleWith(floorCtes: String,
-                                     decontam: Boolean = false): String = {
+                                     decontam: Boolean = false,
+                                     extraSurvCols: Seq[String] = Nil)
+  : String = {
     val bandOf = (src: String, idAs: String, sigAs: String, pred: String) =>
       (0 until 4).map(i =>
         s"SELECT doc_id AS $idAs, sig AS $sigAs, $i AS band, " +
@@ -1423,7 +1481,8 @@ object Curation {
        |  SELECT d.doc_id, d.text FROM documents d
        |  JOIN surv s ON s.doc_id = d.doc_id),
        |${chunkCtesSql(32, 24, "ssrc", "cchunks")}
-       |SELECT s.doc_id, s.source, s.quality, s.q_thr,
+       |SELECT s.doc_id, s.source, s.quality, s.q_thr${
+      extraSurvCols.map(c => s", s.$c").mkString},
        |  c.chunk_idx, c.chunk_text, c.n_chunk_tokens${
       if (decontam) ",\n  k.doc_contaminated_frac" else ""}
        |FROM cchunks c JOIN surv s USING (doc_id)${
@@ -1467,6 +1526,37 @@ object Curation {
          |  SELECT q.doc_id, q.source, q.quality, t.q_thr
          |  FROM q LEFT JOIN thr t USING (source)
          |  WHERE t.q_thr IS NULL OR q.quality >= t.q_thr)""".stripMargin)
+
+  /** The LM-composed floor: the batch-relative heuristic percentile
+    * (the r11 CTEs) AND the reference-LM percentile over the SAME
+    * admitted set — [[LmStore]]'s scoring chain replayed (counts from
+    * the 80% split, the staged model's population), per-source
+    * `quantile_cont` over the admissions' avg log-probs, NULL-keep
+    * arms exactly as [[LmStore.lmGateBySource]] filters them. */
+  private lazy val curationLaneLmTwinOracle: String =
+    curationTwinOracleWith(
+      s"""${LmStore.scoreCtes},
+         |thr AS (
+         |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
+         |  FROM q GROUP BY source),
+         |lavg AS (
+         |  SELECT q.doc_id, q.source,
+         |    CAST(s.logprob_e6 AS DOUBLE) / (1000000.0 * s.n_bigrams)
+         |      AS avg_logprob
+         |  FROM q LEFT JOIN lsc s ON s.doc_id = q.doc_id),
+         |lthr AS (
+         |  SELECT source, quantile_cont(avg_logprob, 0.1) AS lm_thr
+         |  FROM lavg WHERE avg_logprob IS NOT NULL GROUP BY source),
+         |surv AS (
+         |  SELECT q.doc_id, q.source, q.quality, t.q_thr,
+         |    l.avg_logprob, lt.lm_thr
+         |  FROM q JOIN thr t USING (source)
+         |  JOIN lavg l ON l.doc_id = q.doc_id
+         |  LEFT JOIN lthr lt ON lt.source = q.source
+         |  WHERE q.quality >= t.q_thr
+         |    AND (l.avg_logprob IS NULL OR lt.lm_thr IS NULL
+         |         OR l.avg_logprob >= lt.lm_thr))""".stripMargin,
+      extraSurvCols = Seq("avg_logprob", "lm_thr"))
 
   /** The BPE-budgeted chunker replayed: per-token greedy-match costs via
     * a token-level advance-list walk (the TextOps.bpeWalkCtes shape, one
@@ -1708,6 +1798,7 @@ object Curation {
     "curation_lane_twin" -> curationLaneTwinOracle,
     "curation_lane_corpus_twin" -> curationLaneCorpusTwinOracle,
     "curation_lane_decontam_twin" -> curationLaneDecontamTwinOracle,
+    "curation_lane_lm_twin" -> curationLaneLmTwinOracle,
     "chunk_docs_bpe" -> chunkDocsBpeOracle,
     "chunk_docs_bpe_overlap" -> chunkDocsBpeOverlapOracle,
     // the sketch floor's determinism contract: in the exact regime the

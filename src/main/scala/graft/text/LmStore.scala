@@ -103,6 +103,106 @@ object LmStore {
           (lit(1000000.0) * col("n_bigrams").cast("double")))
   }
 
+  /** The LM score as an ADMISSION GATE — the reason this store exists
+    * (scoring that never gates is a dashboard, not a filter): keep the
+    * docs whose per-bigram average log-prob under the PERSISTED
+    * reference model clears their source's `p`-quantile floor — the
+    * CCNet shape (perplexity-percentile filtering against a trusted
+    * reference), per source because reference likelihood differs
+    * structurally by domain exactly as the heuristic quality score
+    * does ([[Curation.qualityQuantileGateBySource]]'s argument, on the
+    * trained model instead of the hand-built composite). Composes with
+    * the heuristic floor by doc_id join ([[Curation]]'s `curateBatchLm`
+    * runs both as a conjunction).
+    *
+    * Kept unconditionally, stated not hidden: zero-bigram docs (null /
+    * empty / one-token text — no score rows exist for them, the
+    * [[scoreAgainst]] contract) and docs from a source with NO scored
+    * docs (no floor is learnable) — a model that cannot judge a doc
+    * must not reject it, the NULL-floor convention every gate here
+    * shares. Scale shape: the scoring pass's two model equi-joins +
+    * one per-doc aggregate, ONE tiny per-source percentile broadcast
+    * back — the corpus crosses no extra exchange. The exact
+    * `percentile` is the fixture form (the oracle replays it
+    * bit-exactly via `quantile_cont`); at 100 TB swap
+    * `percentile_approx` on the same plan (the
+    * [[Curation.qualityQuantileGate]] pairing). */
+  def lmGateBySource(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+                     p: Double = 0.1): DataFrame = {
+    val scored = scoreAgainst(docs, uni, bi)
+      .select(col("doc_id"), col("avg_logprob"))
+    val withSrc = docs.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+    val thr = withSrc.filter(col("avg_logprob").isNotNull)
+      .groupBy(col("source"))
+      .agg(expr(s"percentile(avg_logprob, $p)").as("lm_thr"))
+    withSrc.join(broadcast(thr), Seq("source"), "left")
+      .filter(col("avg_logprob").isNull || col("lm_thr").isNull ||
+        col("avg_logprob") >= col("lm_thr"))
+      .select(col("doc_id"), col("source"), col("avg_logprob"),
+        col("lm_thr"))
+  }
+
+  /** RETRO-ACTIVE LM sweep — the reverse direction the gate needs once
+    * it admits (the [[QualityStore.retroSweep]] shape on the trained
+    * model): admission judged each doc against the model AND floors AT
+    * ARRIVAL TIME; after [[refreshIfDrifted]] swaps the model (or the
+    * ledger accumulates past a doc's admission-time distribution),
+    * previously-admitted docs can sit below the CURRENT floor. This
+    * re-SCORES every ledgered admission against the CURRENT stored
+    * model — scores are model-dependent, so unlike the heuristic
+    * sweep the ledgered score is not reusable; the text re-reads from
+    * `docs` (the corpus store, the text source of truth) — derives
+    * fresh per-source `p`-quantile floors over the re-scores, and
+    * emits eviction verdicts. The delete-set applies to the curated
+    * store via [[QualityStore.applyRetro]] / a
+    * [[graft.sinks.StoreMaintenance.rewrite]], exactly like the
+    * heuristic floor's refresh.
+    *
+    * The LEDGER is never trimmed (the admission history — the
+    * [[QualityStore.retroSweep]] idempotence argument verbatim: same
+    * ledger + same model → same floors → same verdicts). The
+    * un-judgeable stay kept (zero-bigram docs, floor-less sources, and
+    * ledgered docs whose TEXT is gone from `docs` — evicting on a
+    * missing row would turn retention expiry into quality eviction).
+    *
+    * Scale shape: one ledger dedup, one doc_id semi-join restricting
+    * the corpus BEFORE the scoring explode (only admissions re-pay the
+    * bigram walk), the two model equi-joins, ONE tiny per-source
+    * percentile broadcast back. Runs at maintenance cadence (after a
+    * model refresh), never per batch. Returns (evictions, verdicts) —
+    * verdict frames are backed by an internal eager checkpoint on the
+    * ContextCleaner lifecycle (the [[QualityStore.retroSweep]] pin
+    * discipline). */
+  def retroSweep(docs: DataFrame, ledger: DataFrame, uni: DataFrame,
+                 bi: DataFrame, p: Double = 0.1): (DataFrame, DataFrame) = {
+    val led = ledger.select(col("doc_id"), col("source"))
+      .dropDuplicates("doc_id")
+    // restrict-then-score: only ledgered docs pay the bigram explode;
+    // the corpus store's at-least-once replays dedup AFTER the
+    // restriction (the renumberSweep ordering argument)
+    val admitted = docs.join(led.select(col("doc_id")), "doc_id")
+      .dropDuplicates("doc_id")
+    val scored = scoreAgainst(admitted, uni, bi)
+      .select(col("doc_id"), col("avg_logprob"))
+    // eager: feeds the floor aggregate AND the verdict join; backs the
+    // returned frames (ContextCleaner reclaims when the caller drops
+    // them — never unpersist an escaping pin eagerly)
+    val withScores = led.join(scored, Seq("doc_id"), "left")
+      .localCheckpoint(true)
+    val thr = withScores.filter(col("avg_logprob").isNotNull)
+      .groupBy(col("source"))
+      .agg(expr(s"percentile(avg_logprob, $p)").as("lm_thr"))
+    val verdicts = withScores.join(broadcast(thr), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("avg_logprob"),
+        col("lm_thr"),
+        (col("avg_logprob").isNull || col("lm_thr").isNull ||
+          col("avg_logprob") >= col("lm_thr")).as("keep"))
+    (verdicts.filter(!col("keep"))
+      .select(col("doc_id"), col("source"), col("avg_logprob"),
+        col("lm_thr")), verdicts)
+  }
+
   /** Per-SOURCE drift telemetry over a [[scoreAgainst]] pass — the
     * retrain signal, aggregated where alerting happens: corpus-level
     * per-bigram average log-prob under the reference and the unseen-
@@ -235,15 +335,35 @@ object LmStore {
       driftBySource(
         Tables(s, d, "documents").filter(col("doc_id") % 10 >= 8),
         readUni(s, root), readBi(s, root))
+    }),
+    // the score AS A FILTER — the CCNet shape the store was built for:
+    // arriving docs kept iff their avg log-prob under the PERSISTED
+    // reference clears their source's 10th-percentile floor
+    "quality_gate_lm" -> ((s, d) => {
+      val root = fixtureModel(s, d)
+      lmGateBySource(
+        Tables(s, d, "documents").filter(col("doc_id") % 10 >= 8),
+        readUni(s, root), readBi(s, root)).orderBy(col("doc_id"))
+    }),
+    // the gate's reverse direction: every ledgered admission (fixture:
+    // the arriving split, admitted as-is) re-scored against the
+    // CURRENT stored model and re-judged at the current floors
+    "lm_retro" -> ((s, d) => {
+      val root = fixtureModel(s, d)
+      val docs = Tables(s, d, "documents")
+      retroSweep(docs,
+        docs.filter(col("doc_id") % 10 >= 8)
+          .select(col("doc_id"), col("source")),
+        readUni(s, root), readBi(s, root))._2.orderBy(col("doc_id"))
     }))
 
-  private val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private[text] val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   /** The scoring replay as CTEs ending in `lsc(doc_id, n_bigrams,
     * n_oov_bigrams, logprob_e6)` — reference counts from the 80%
     * split, batch bigrams from the 20%, LEFT joins + coalesce(0) for
     * the unseen cases, the e6-quantized ln. */
-  private val scoreCtes: String =
+  private[text] val scoreCtes: String =
     s"""rt AS (SELECT doc_id, string_split($N, ' ') AS l
        |        FROM documents WHERE doc_id % 10 < 8),
        |runi AS (
@@ -278,7 +398,46 @@ object LmStore {
        |    CAST(sum(q) AS BIGINT) AS logprob_e6
        |  FROM lq GROUP BY doc_id)""".stripMargin
 
+  /** The gate's replay fragments, composable downstream (the curation
+    * LM twin embeds them): per-doc avg log-prob of the batch split
+    * under the stored reference (`lsrc` — NULL for zero-bigram docs)
+    * and the per-source 10th-percentile floors over the scored docs
+    * (`lthr`). */
+  private[text] val gateCtes: String =
+    s"""$scoreCtes,
+       |lsrc AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(s.logprob_e6 AS DOUBLE) / (1000000.0 * s.n_bigrams)
+       |      AS avg_logprob
+       |  FROM documents d LEFT JOIN lsc s ON s.doc_id = d.doc_id
+       |  WHERE d.doc_id % 10 >= 8),
+       |lthr AS (
+       |  SELECT source, quantile_cont(avg_logprob, 0.1) AS lm_thr
+       |  FROM lsrc WHERE avg_logprob IS NOT NULL GROUP BY source)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the add-one scoring + per-source quantile floor replayed end to
+    // end; the NULL-keep arms (zero-bigram doc, floor-less source)
+    // spelled out exactly as the engine filters them
+    "quality_gate_lm" ->
+      s"""WITH $gateCtes
+         |SELECT l.doc_id, l.source, l.avg_logprob, t.lm_thr
+         |FROM lsrc l LEFT JOIN lthr t USING (source)
+         |WHERE l.avg_logprob IS NULL OR t.lm_thr IS NULL
+         |   OR l.avg_logprob >= t.lm_thr
+         |ORDER BY l.doc_id""".stripMargin,
+
+    // the sweep's verdicts: every ledgered admission (the batch split)
+    // with its re-score, current floor, and keep flag
+    "lm_retro" ->
+      s"""WITH $gateCtes
+         |SELECT l.doc_id, l.source, l.avg_logprob, t.lm_thr,
+         |  (l.avg_logprob IS NULL OR t.lm_thr IS NULL
+         |    OR l.avg_logprob >= t.lm_thr) AS keep
+         |FROM lsrc l LEFT JOIN lthr t USING (source)
+         |ORDER BY l.doc_id""".stripMargin,
+
     "lm_score_ref" ->
       s"""WITH $scoreCtes
          |SELECT doc_id, n_bigrams, n_oov_bigrams, logprob_e6,

@@ -3,17 +3,27 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Merge-budget sweep for the BPE trainer — the measurement behind
-  * SCALING.md's claim that [[graft.text.BpeMerges.train]]'s cost is
-  * ONE corpus pass plus rounds that run on the word DICTIONARY
-  * (Heaps-bounded), so the marginal cost per merge round is flat and
-  * tiny relative to the corpus scan: a real 50k-merge budget is
-  * priced by extrapolating the per-round marginal, not by multiplying
-  * the fixture's from-scratch time. Prints, per R: from-scratch train
-  * wall time (warm lap), the learned-piece count, and the word-dict
-  * row count the rounds iterate over (the corpus-independent term).
+  * SCALING.md's merge-training cost model, pricing BOTH paths per
+  * budget R:
+  *   - `train_s`: [[graft.text.BpeMerges.train]], the distributed
+  *     oracle twin — one corpus pass + R dict rounds, each round one
+  *     Spark job + a 1-row collect + a checkpoint (~0.1 s/round of
+  *     pure scheduling, the term that walls at real budgets);
+  *   - `local_s`: [[graft.text.BpeMerges.trainLocal]], the
+  *     production path — the SAME one corpus pass, then the loop
+  *     driver-local over the collected Heaps-bounded dict with
+  *     incremental pair counts (what real tokenizer trainers do).
+  * Distributed laps stop past `MaxDistributedRounds` (the wall being
+  * replaced is not worth re-paying to demonstrate); the local path
+  * runs every budget, so a 1k+/50k row is a MEASURED point, not an
+  * extrapolation. `pieces` counts distinct learned pieces — a value
+  * below R means the dict exhausted (every word fully merged) and
+  * deeper budgets are free.
   * Usage: runMain graft.BpeMergeSweep [sfDir] [rounds ...]
   */
 object BpeMergeSweep {
+  private val MaxDistributedRounds = 64
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val budgets = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
@@ -34,15 +44,24 @@ object BpeMergeSweep {
     budgets.foreach { r =>
       // lap twice, report the warm lap (the TimeOne rule); count()
       // forces the returned merge table (training work happens inside
-      // train's own round loop either way)
-      val laps = Seq.fill(2) {
+      // each trainer's own round loop either way)
+      val distS =
+        if (r > MaxDistributedRounds) None
+        else Some(Seq.fill(2) {
+          val t0 = System.nanoTime()
+          text.BpeMerges.train(docs, rounds = r).count()
+          (System.nanoTime() - t0) / 1e9
+        }.last)
+      val (localS, nPieces) = Seq.fill(2) {
         val t0 = System.nanoTime()
-        val merges = text.BpeMerges.train(docs, rounds = r)
-        val nPieces = merges.select(col("piece")).distinct().count()
-        ((System.nanoTime() - t0) / 1e9, nPieces)
-      }
-      val (trainS, nPieces) = laps.last
-      println(f"MERGESWEEP rounds=$r train_s=$trainS%.2f pieces=$nPieces")
+        val merges = text.BpeMerges.trainLocal(docs, rounds = r)
+        val nP = merges.select(col("piece")).distinct().count()
+        ((System.nanoTime() - t0) / 1e9, nP)
+      }.last
+      val distCol = distS.map(s => f"train_s=$s%.2f").getOrElse(
+        "train_s=skipped")
+      println(f"MERGESWEEP rounds=$r $distCol local_s=$localS%.2f " +
+        s"pieces=$nPieces")
     }
     spark.stop()
   }

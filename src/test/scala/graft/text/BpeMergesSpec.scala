@@ -72,6 +72,29 @@ class BpeMergesSpec extends SparkSpec {
     assert((m.getString(1), m.getString(2)) === ("a", "b"))
   }
 
+  test("driver-local training == distributed training at 8/16/32 rounds") {
+    // the real-budget path must be bit-identical to the certified
+    // oracle twin: same merges, same ranks, same pair counts, same
+    // early exhaustion — on the fixture corpus (ties, multi-round
+    // re-merges, and exhaustion all occur within 32 rounds)
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("rank")).collect().map(r => (r.getInt(0),
+        r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq
+    Seq(8, 16, 32).foreach { r =>
+      assert(tbl(BpeMerges.trainLocal(docs, r)) ===
+        tbl(BpeMerges.train(docs, r)),
+        s"local/distributed merge tables diverge at rounds=$r")
+    }
+    // early exhaustion parity on a corpus that runs dry mid-budget
+    val tiny = (Seq.fill(3)("aa ab") ++ Seq.fill(2)("ab b"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    assert(tbl(BpeMerges.trainLocal(tiny, 5)) === tbl(BpeMerges.train(tiny, 5)))
+  }
+
   test("learned pieces drive the trie kernel: count agrees with countLinear") {
     val dir = "/root/testdata/sf0.001"
     val pieces = BpeMerges.pieces(spark, dir)

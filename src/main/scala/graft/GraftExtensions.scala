@@ -81,6 +81,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.ByteSimHash64(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("byte_hist16"),
+      info(classOf[functions.ByteHist16].getName,
+        "byte_hist16", "byte_hist16(payload) - 16-bin low-nibble byte histogram of a binary payload as array<bigint>"),
+      (children: Seq[Expression]) => {
+        checkArity("byte_hist16", 1, children)
+        functions.ByteHist16(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("jaccard_sim"),
       info(classOf[functions.ArrayJaccard].getName,
         "jaccard_sim", "jaccard_sim(a, b) - set-semantics Jaccard similarity of two string arrays"),

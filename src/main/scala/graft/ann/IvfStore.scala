@@ -47,19 +47,23 @@ object IvfStore {
     * caller-side naming convention would silently serve a
     * wrong-k quantizer to any caller that forgot it. */
   def stagedCentroids(key: String, fingerprintFile: java.io.File,
-                      corpus: DataFrame, kCells: Int = 8): String =
+                      corpus: DataFrame, kCells: Int = 8,
+                      dim: Int = 64): String =
     Staging.stage(s"ivf_cents_k${kCells}_$key", fingerprintFile) { tmp =>
-      Similarity.trainCentroids(corpus, kCells).write.parquet(tmp)
+      Similarity.trainCentroids(corpus, kCells, dim).write.parquet(tmp)
     }
 
   /** Stage the assigned-corpus frame (vec_id, v, n2, cell) once per
     * (key, kCells, fixture fingerprint), training + staging the
-    * centroids first if needed; returns the store directory. */
+    * centroids first if needed; returns the store directory. `dim`
+    * sizes the training guard — 64 is the embeddings-table convention;
+    * the media feature vectors train at 16. */
   def stagedAssignments(spark: SparkSession, key: String,
                         fingerprintFile: java.io.File,
-                        corpus: DataFrame, kCells: Int = 8): String = {
+                        corpus: DataFrame, kCells: Int = 8,
+                        dim: Int = 64): String = {
     val cents = spark.read.parquet(
-      stagedCentroids(key, fingerprintFile, corpus, kCells))
+      stagedCentroids(key, fingerprintFile, corpus, kCells, dim))
     Staging.stage(s"ivf_asg_k${kCells}_$key", fingerprintFile) { tmp =>
       Similarity.assignCells(corpus, Similarity.packedCentroids(cents))
         .select(col("vec_id"), col("v"), col("n2"), col("cell"))

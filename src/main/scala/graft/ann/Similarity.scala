@@ -625,8 +625,8 @@ object Similarity {
     * trained-cell form ([[embeddingNearDupSemantic]]); the partition
     * key's provenance (sign bits vs trained quantizer) is the only
     * difference between them. */
-  private[ann] def cappedPairsWithin(c: DataFrame, threshold: Double,
-                                     cap: Int): DataFrame = {
+  private[graft] def cappedPairsWithin(c: DataFrame, threshold: Double,
+                                       cap: Int): DataFrame = {
     // only cells over the cap survive — bounded by degenerate-cluster
     // count, not corpus size
     val oversized = c.groupBy(col("bucket"))

@@ -373,6 +373,68 @@ object Multimodal {
     verdicts
   }
 
+  /** The media FEATURE-VECTOR derivation — the embedding-space analog
+    * of [[mediaSigs64]]: one `byte_hist16` pass per payload (the
+    * 16-bin low-nibble content-distribution vector, the perceptual-
+    * embedding stand-in this container affords) + the exact integer
+    * squared norm. Sub-window assets (byte_len < 4) are excluded — the
+    * signable-population convention, and a near-empty payload's
+    * histogram is noise. This is the ONE pass that reads payload
+    * bytes; [[mediaVectorStore]] persists it so every semantic query
+    * scans 16 longs per asset instead. */
+  def mediaVectors(store: DataFrame): DataFrame =
+    store.filter(octet_length(col("payload")) >= 4)
+      .select(col("doc_id").as("vec_id"),
+        call_function("byte_hist16", col("payload")).as("v"))
+      .withColumn("n2", call_function("long_dot", col("v"), col("v")))
+
+  /** Staged media feature-vector store — payloads featurized once per
+    * fixture fingerprint; queries scan (vec_id, v, n2). */
+  def mediaVectorStore(spark: SparkSession, dir: String): DataFrame =
+    Staging.stageFrame(spark, s"media_vecs_v1_$dir",
+      new java.io.File(dir, "documents.parquet"),
+      mediaVectors(assetStore(spark, dir)))
+
+  /** The media feature vectors through the TRAINED-cell quantizer —
+    * [[graft.ann.IvfStore.stagedAssignments]] at dim 16 under a
+    * media-specific key (trained once, inside the staging write). */
+  def mediaSemanticIndexPath(spark: SparkSession, dir: String,
+                             kCells: Int = 8): String =
+    graft.ann.IvfStore.stagedAssignments(spark, s"media_sem_v1_$dir",
+      new java.io.File(dir, "documents.parquet"),
+      mediaVectorStore(spark, dir), kCells, dim = 16)
+
+  /** EMBEDDING-SPACE media near-dup — the SemDeDup recipe composed
+    * onto the media feature vectors, closing the gap the byte-hash
+    * family leaves: [[mediaDedupNear64]] catches drifting RE-ENCODES
+    * (local byte edits flip few signature bits) but misses content
+    * duplicates whose byte streams share nothing (a re-render, a
+    * different codec of the same content — in real pipelines caught
+    * by embedding-space near-dup, byte hashes structurally cannot).
+    * Candidates pair only within the same TRAINED k-means cell of the
+    * feature space, exact-cosine-verified at `threshold`, through the
+    * SAME late-materialized capped core as the text/embedding family
+    * ([[graft.ann.Similarity.cappedPairsWithin]] — skinny
+    * (vec_id, cell, salt) rows through the pair self-join, vectors
+    * re-join by id post-enumeration; degenerate cells sub-salt at
+    * `cap`). The plan is a parquet scan of two staged stores — the
+    * featurized corpus and its trained assignments — composed by one
+    * projection: payloads are read by neither.
+    *
+    * Threshold 0.995 is MEASURED, not guessed: the low-nibble
+    * histogram's random-pair cosine distribution on the fixture is
+    * p50 ≈ 0.977 / p99 ≈ 0.995 ([[graft.functions.ByteHist16]]), so
+    * 0.995 marks the ~top-1% most content-similar pairs. */
+  def mediaDedupSemantic(spark: SparkSession, dir: String,
+                         threshold: Double = 0.995, kCells: Int = 8,
+                         cap: Int = 256): DataFrame =
+    graft.ann.Similarity.cappedPairsWithin(
+      graft.ann.IvfStore.read(spark, mediaSemanticIndexPath(spark, dir,
+        kCells))
+        .select(col("vec_id"), col("v"), col("n2"),
+          col("cell").as("bucket")),
+      threshold, cap)
+
   /** Connected components over the media Hamming≤`maxHamming` near-dup
     * graph — the transitive-family view the TEXT family has had since
     * r9 ([[graft.text.NearDup.simhashClusters64]]), now on the byte
@@ -465,6 +527,11 @@ object Multimodal {
         MediaSigStore.read(s,
           MediaSigStore.fixtureBenchmarkDeltaStore(s, d)), store))
     }),
+    // embedding-space media near-dup: trained cells over the staged
+    // 16-dim feature vectors, exact cosine verify at the measured
+    // top-1% threshold — the re-render/cross-codec duplicate class the
+    // byte-signature family structurally misses
+    "media_dedup_semantic" -> ((s, d) => mediaDedupSemantic(s, d)),
     "media_features" -> ((s, d) => decodeFeatures(assets(s, d)).toDF()),
     "frame_sample" -> ((s, d) => frameSample(assetStore(s, d))),
     "resize_meta" -> ((s, d) => resizeMeta(assetStore(s, d), 128)))
@@ -610,7 +677,53 @@ object Multimodal {
   private lazy val mediaPair64Ctes: String =
     mediaPair64CtesLayout((0 until 4).map(i => (16 * i, 16)))
 
+  /** The 16-bin low-nibble histogram replayed from the hex payload
+    * encoding: the low nibble of byte i is hex character 2i. */
+  private lazy val lowNibbleHistSql: String =
+    s"""list_transform(generate_series(0, 15),
+       |  k -> CAST(len(list_filter(generate_series(1, $bLen),
+       |    i -> ${nib("2*i")} = k)) AS BIGINT))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the trained-cell semantic partition on the MEDIA feature vectors:
+    // byte_hist16 replayed from hex, the shared Lloyd chain (seeds
+    // vec_id < 8, 2 exact-integer iterations, dim 16), assignment, the
+    // family cap salt, within-cell exact-cosine pairs at 0.995
+    "media_dedup_semantic" ->
+      s"""WITH n AS (
+         |  SELECT doc_id AS vec_id, $lowNibbleHistSql AS v
+         |  FROM documents WHERE $bLen >= 4),
+         |m AS (
+         |  SELECT vec_id, v,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS n2
+         |  FROM n),
+         |${graft.ann.Similarity.seedCteK(8)},
+         |${graft.ann.Similarity.lloydCtes("msem", "m")},
+         |${graft.ann.Similarity.assignCte("msemav", "m", "msems1")},
+         |ov AS (
+         |  SELECT cell, count(*) AS bn FROM msemav GROUP BY cell
+         |  HAVING count(*) > 256),
+         |sl AS (
+         |  SELECT msemav.vec_id, msemav.v, msemav.n2, msemav.cell,
+         |    CASE WHEN ov.bn IS NULL THEN 0
+         |      ELSE ${graft.text.NearDup.saltHashSql("msemav.vec_id")}
+         |        % ((ov.bn + 255) // 256)
+         |    END AS salt
+         |  FROM msemav LEFT JOIN ov USING (cell))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM sl a JOIN sl b ON a.vec_id < b.vec_id
+         |  AND a.cell = b.cell AND a.salt = b.salt
+         |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |    i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |  >= 0.995
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "media_dedup_near64_incremental" -> mediaSim64IncrementalOracle,
     "media_dedup_near64_staged" -> mediaSim64IncrementalOracle,
     // decontamination split: the benchmark assets (doc_id < 10) are the

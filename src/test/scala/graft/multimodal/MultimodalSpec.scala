@@ -180,6 +180,60 @@ class MultimodalSpec extends SparkSpec {
     assert(out(9L) === (9L, true)) // edge-less asset is its own keeper
   }
 
+  test("byte_hist16 kernel: low-nibble counts match a per-byte reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val payloads = Seq("abc", "zzzz 0123", "", "é你")
+      .map(_.getBytes("UTF-8"))
+    val got = payloads.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("id", "p")
+      .select(col("id"), call_function("byte_hist16", col("p")).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      val ref = new Array[Long](16)
+      p.foreach(b => ref(b & 0xF) += 1L)
+      assert(got(i) === ref.toSeq, s"payload $i")
+    }
+  }
+
+  test("media semantic dedup: same-cell exact-cosine pairs, subset of brute, none missed in-cell") {
+    import org.apache.spark.sql.functions._
+    val pairs = Multimodal.mediaDedupSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty,
+      "the measured top-1% threshold must surface fixture pairs")
+    assert(pairs.forall(_._3 >= 0.995))
+    assert(pairs.forall(p => p._1 < p._2))
+    // brute truth over the staged feature vectors (driver-side — the
+    // fixture is 500 assets): every emitted pair is a true >= 0.995
+    // pair, and every same-CELL true pair is emitted (cells are under
+    // the cap at fixture scale, so no sub-salt recall loss here)
+    val vecs = Multimodal.mediaVectorStore(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Long](1).toArray).toMap
+    val cells = graft.ann.IvfStore.read(spark,
+      Multimodal.mediaSemanticIndexPath(spark, dir))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    pairs.foreach { case (a, b, c) =>
+      assert(math.abs(cos(vecs(a), vecs(b)) - c) < 1e-12)
+      assert(cells(a) === cells(b), s"pair ($a,$b) crosses cells")
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      if cells(ids(i)) === cells(ids(j))
+      if cos(vecs(ids(i)), vecs(ids(j))) >= 0.995
+    } yield (ids(i), ids(j))).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet === expected)
+  }
+
   test("frame sampling covers each asset with its n_frames windows") {
     val assets = Multimodal.assets(spark, dir).collect()
     val frames = Multimodal.frameSample(Multimodal.assetStore(spark, dir))

@@ -329,6 +329,18 @@ object StreamBench {
         StreamingLanes.tokenizerIngestLaneManaged(st,
           s"$work/tok_corpus_ids", tokVocabI, checkEvery = 4,
           idStorePath = Some(tokIds))((_, _) => laneBatches += 1))
+      // the REAL-budget candidate through the same loop: the driver-
+      // local merge trainer at 1024 rounds (dict-bounded — exhausts
+      // far earlier on this fixture) — the cadence batch's decision
+      // cost at a budget the distributed trainer cannot price inline
+      val tokVocabL = s"$work/tok_vocab_local"
+      graft.text.BpeVocab.train(corpus).write.parquet(tokVocabL)
+      laneProbe("tokmaint_local_lane", srcInDir,
+        spark.read.parquet(srcInDir).schema, inRows)(st =>
+        StreamingLanes.tokenizerIngestLaneManaged(st,
+          s"$work/tok_corpus_local", tokVocabL, checkEvery = 4,
+          trainer = graft.text.BpeMerges.mergeTrainerLocal(rounds = 1024))(
+          (_, _) => laneBatches += 1))
       val idVersions = spark.read.parquet(tokIds)
         .select("vocab_version").distinct().count()
       println(s"""{"metric":"stream_tokmaint_id_versions","value":$idVersions}""")

@@ -270,6 +270,15 @@ object BpeMerges {
                   (docs: DataFrame): DataFrame =
     rankCounts(train(docs, rounds), rounds)
 
+  /** [[mergeTrainer]] on the DRIVER-LOCAL loop ([[trainLocal]] — bit-
+    * identical merges, spec-pinned) — what an operator points the
+    * maintenance lane at when the budget is real: a 50k-round
+    * candidate prices as one corpus pass + a sub-second driver loop
+    * instead of 50k Spark jobs (the BpeMergeSweep r15 measurement). */
+  def mergeTrainerLocal(rounds: Int = DefaultRounds)
+                       (docs: DataFrame): DataFrame =
+    rankCounts(trainLocal(docs, rounds), rounds)
+
   /** The rank→count projection [[mergeTrainer]] applies — factored so
     * an ALREADY-TRAINED merge table (e.g. the staged fixture store)
     * adapts without re-training. */

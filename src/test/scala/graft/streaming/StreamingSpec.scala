@@ -1201,6 +1201,67 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("managed tokenizer lane: pinned drift fixture exercises the ACCEPT path deterministically") {
+    // SCALING.md's tokmaint flags flip with batch splits because the
+    // regenerated fixture's gain sits near the 0.1 bar; this fixture
+    // CONSTRUCTS the drift so the decision cannot flip: the live store
+    // is trained on a digit domain, every arriving batch is pure alpha
+    // — the corpus gauge reads 1.0 under the stored pieces (every
+    // emission is a length-1 fallback) and the candidate trained on
+    // the accumulated corpus covers it fully, so the gain is ~1.0 >>
+    // minGain at ANY split of these batches. Asserts the whole accept
+    // path end to end: swap applied, registry version bumped, ids
+    // minted pre-swap tagged v1 and post-swap v2, renumber sweep
+    // converges the store to one space.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{BpeVocab, TokenIdStore, VocabMaintenance}
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("tok_accept_").toString
+    val vocabPath = s"$work/vocab"
+    val idStore = s"$work/ids"
+    BpeVocab.train(Seq((900L, "01230123 45674567")).toDF("doc_id", "text"))
+      .write.parquet(vocabPath)
+    val ver1 = VocabMaintenance.currentVersion(spark, vocabPath)
+    val piecesBefore = VocabMaintenance.readPieces(spark, vocabPath)
+    val q = StreamingLanes.tokenizerIngestLaneManaged(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      s"$work/corpus", vocabPath, checkEvery = 2,
+      idStorePath = Some(idStore))((_, _) => ()).start()
+    try {
+      // batch 0: no cadence check; ids minted under v1
+      mem.addData(CurDoc(ts(1), 1L, "abab cdcd abab cdcd", "src_a"))
+      q.processAllAvailable()
+      // batch 1: cadence fires — gauge 1.0 > ceiling, candidate gain
+      // ~1.0 > minGain -> ACCEPTED swap (ids of this batch still v1:
+      // minted before the check, the renumber sweep's population)
+      mem.addData(CurDoc(ts(2), 2L, "abab cdcd cdcd abab", "src_a"))
+      q.processAllAvailable()
+      // batch 2: ids minted under the SWAPPED store -> v2
+      mem.addData(CurDoc(ts(3), 3L, "abab abab cdcd", "src_a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val piecesAfter = VocabMaintenance.readPieces(spark, vocabPath)
+    assert(piecesAfter !== piecesBefore, "the swap must have been accepted")
+    assert(VocabMaintenance.oovRateUnder(
+      Seq((1L, "abab cdcd")).toDF("doc_id", "text"), piecesAfter) === 0.0,
+      "the swapped store must cover the drifted domain")
+    val ver2 = VocabMaintenance.currentVersion(spark, vocabPath)
+    assert(ver2 > ver1, "an accepted swap must mint a fresh version")
+    val byVer = TokenIdStore.read(spark, idStore)
+      .select("doc_id", "vocab_version").distinct().collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byVer === Map(1L -> ver1, 2L -> ver1, 3L -> ver2),
+      s"pre-swap batches tag $ver1, post-swap $ver2: $byVer")
+    // the version boundary then converges through the sweep
+    val corpus = spark.read.parquet(s"$work/corpus")
+      .dropDuplicates("doc_id")
+    assert(TokenIdStore.renumberSweep(spark, idStore, corpus,
+      BpeVocab.read(spark, vocabPath), ver2) === 2L)
+    assert(TokenIdStore.read(spark, idStore).select("vocab_version")
+      .distinct().collect().map(_.getInt(0)).toSeq === Seq(ver2))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   /** LM-lane fixture: model A's reference corpus (alpha-beta and
     * gamma-delta bigram domains) and a 3-doc batch — two in-domain
     * docs and one whose bigrams the reference has never seen. All

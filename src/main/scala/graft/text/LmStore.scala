@@ -143,6 +143,45 @@ object LmStore {
         col("lm_thr"))
   }
 
+  /** Per-source floors from a persisted LM-score LEDGER — the
+    * corpus-relative form of [[lmGateBySource]]'s batch percentile
+    * (the [[QualityStore.floors]] shape on the trained model): the
+    * `p`-quantile of each source's LEDGERED avg log-probs, one tiny
+    * aggregate → a |sources|-row broadcast. Valid while the model the
+    * ledger was scored under is the CURRENT model (scores are
+    * model-relative — after a refresh, [[retroSweep]] re-derives; the
+    * ledger's arrival-time scores and an arriving batch's scores are
+    * comparable exactly because both came from the same stored
+    * counts). Doc-deduped (the at-least-once append contract);
+    * zero-bigram ledger rows carry no score and drop out of the
+    * floor derivation. */
+  def floors(ledger: DataFrame, p: Double = 0.1): DataFrame =
+    ledger.dropDuplicates("doc_id")
+      .filter(col("avg_logprob").isNotNull)
+      .groupBy(col("source"))
+      .agg(expr(s"percentile(avg_logprob, $p)").as("lm_thr"))
+
+  /** Gate `docs` against PREBUILT per-source LM floors — the
+    * corpus-floor gate: the batch-relative percentile is noisy at
+    * production trigger rates (a 1-doc source is always its own floor
+    * and always survives — the exact argument that moved the
+    * heuristic gate to [[QualityStore]] floors in r13), while a floor
+    * over the accumulated admission ledger is stable across batches
+    * and evolves only as admissions append. Scoring is one pass over
+    * the batch against the stored model; the floor frame broadcasts.
+    * NULL-keep arms as everywhere: un-scoreable docs and sources with
+    * no learned floor pass. */
+  def lmGateAgainstFloors(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+                          floors: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(scoreAgainst(docs, uni, bi)
+        .select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
+      .join(broadcast(floors), Seq("source"), "left")
+      .filter(col("avg_logprob").isNull || col("lm_thr").isNull ||
+        col("avg_logprob") >= col("lm_thr"))
+      .select(col("doc_id"), col("source"), col("avg_logprob"),
+        col("lm_thr"))
+
   /** RETRO-ACTIVE LM sweep — the reverse direction the gate needs once
     * it admits (the [[QualityStore.retroSweep]] shape on the trained
     * model): admission judged each doc against the model AND floors AT
@@ -316,6 +355,35 @@ object LmStore {
   def readBi(s: SparkSession, root: String): DataFrame =
     s.read.parquet(s"$root/bi")
 
+  /** The staged LM admission LEDGER: the (doc_id, source, avg_logprob)
+    * of the docs with `doc_id % 40 < 20` under the staged reference
+    * model — the frame a production lane's `lmLedgerPath` accumulates,
+    * staged once per fixture fingerprint. NOT the % 10 split: the
+    * fixture's split sources are DISJOINT (source keys off
+    * doc_id % 20), so an 80%-only ledger would learn no floor for any
+    * arriving source and the corpus gate would be vacuously NULL-kept
+    * — and not the full table either, whose per-source population
+    * EQUALS the arriving split's for every arriving source (each
+    * source lives wholly inside one % 10 class), collapsing the
+    * corpus floor into the batch floor. `% 40 < 20` takes exactly
+    * half of every source — the "earlier batches of the same source"
+    * an admission history actually holds — so the staged floors are
+    * genuinely distinct from any batch's own percentile. Zero-bigram
+    * docs carry a NULL score (ledgered — they were admitted — but
+    * contributing nothing to floors). */
+  def fixtureLedger(s: SparkSession, dir: String): String =
+    Staging.stage(s"lm_ledger_v2_$dir",
+      new java.io.File(dir, "documents.parquet")) { tmp =>
+      val root = fixtureModel(s, dir)
+      val led = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 40 < 20)
+      led.select(col("doc_id"), col("source"))
+        .join(scoreAgainst(led, readUni(s, root), readBi(s, root))
+          .select(col("doc_id"), col("avg_logprob")),
+          Seq("doc_id"), "left")
+        .write.parquet(tmp)
+    }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -344,6 +412,17 @@ object LmStore {
       lmGateBySource(
         Tables(s, d, "documents").filter(col("doc_id") % 10 >= 8),
         readUni(s, root), readBi(s, root)).orderBy(col("doc_id"))
+    }),
+    // the CORPUS-floor form: arrivals gated against floors from the
+    // persisted admission LEDGER (stable across batches — the
+    // QualityStore corpus-floor argument on the trained model) instead
+    // of their own batch's percentile
+    "quality_gate_lm_corpus" -> ((s, d) => {
+      val root = fixtureModel(s, d)
+      lmGateAgainstFloors(
+        Tables(s, d, "documents").filter(col("doc_id") % 10 >= 8),
+        readUni(s, root), readBi(s, root),
+        floors(s.read.parquet(fixtureLedger(s, d)))).orderBy(col("doc_id"))
     }),
     // the gate's reverse direction: every ledgered admission (fixture:
     // the arriving split, admitted as-is) re-scored against the
@@ -416,7 +495,49 @@ object LmStore {
        |  FROM lsrc WHERE avg_logprob IS NOT NULL GROUP BY source)"""
       .stripMargin
 
+  /** The LEDGER side replayed: the half-per-source admission history
+    * [[fixtureLedger]] stages (doc_id % 40 < 20 — see its scaladoc for
+    * why neither the % 10 split nor the full table models a ledger on
+    * this fixture) scored against the stored reference counts,
+    * per-source `quantile_cont` floors over the scores. */
+  private val corpusFloorCtes: String =
+    s"""at AS (SELECT doc_id, string_split($N, ' ') AS l
+       |       FROM documents WHERE doc_id % 40 < 20),
+       |rbb AS (
+       |  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1,
+       |         unnest(l[2:len(l)]) AS w2
+       |  FROM at WHERE len(l) >= 2),
+       |rlq AS (
+       |  SELECT b.doc_id,
+       |    CAST(round(ln(CAST(coalesce(rbi.c2, 0) + 1 AS DOUBLE)
+       |      / CAST(coalesce(runi.c1, 0) + rv.v AS DOUBLE)) * 1000000.0)
+       |      AS BIGINT) AS q
+       |  FROM rbb b
+       |  LEFT JOIN rbi ON rbi.w1 = b.w1 AND rbi.w2 = b.w2
+       |  LEFT JOIN runi ON runi.w = b.w1
+       |  CROSS JOIN rv),
+       |rlsc AS (
+       |  SELECT doc_id, count(*) AS n, CAST(sum(q) AS BIGINT) AS lp
+       |  FROM rlq GROUP BY doc_id),
+       |lthrc AS (
+       |  SELECT d.source,
+       |    quantile_cont(CAST(r.lp AS DOUBLE) / (1000000.0 * r.n), 0.1)
+       |      AS lm_thr
+       |  FROM rlsc r JOIN documents d ON d.doc_id = r.doc_id
+       |  GROUP BY d.source)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // arrivals' scores (lsrc) gated against the LEDGER-derived
+    // per-source floors (lthrc) — same NULL-keep arms
+    "quality_gate_lm_corpus" ->
+      s"""WITH $gateCtes,
+         |$corpusFloorCtes
+         |SELECT l.doc_id, l.source, l.avg_logprob, t.lm_thr
+         |FROM lsrc l LEFT JOIN lthrc t USING (source)
+         |WHERE l.avg_logprob IS NULL OR t.lm_thr IS NULL
+         |   OR l.avg_logprob >= t.lm_thr
+         |ORDER BY l.doc_id""".stripMargin,
+
     // the add-one scoring + per-source quantile floor replayed end to
     // end; the NULL-keep arms (zero-bigram doc, floor-less source)
     // spelled out exactly as the engine filters them

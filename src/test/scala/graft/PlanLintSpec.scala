@@ -35,7 +35,8 @@ class PlanLintSpec extends SparkSpec {
     "lm_score_ref", "lm_drift_by_source",
     // the LM gate / retro sweep / gated lane twin ride the same one-row
     // V anchor through their scoring pass
-    "quality_gate_lm", "lm_retro", "curation_lane_lm_twin",
+    "quality_gate_lm", "quality_gate_lm_corpus", "lm_retro",
+    "curation_lane_lm_twin",
     // vocab-anchor crossJoins: source-index/V/doc-count one-row or
     // source-count broadcasts under the NB domain model build
     "domain_classify", "domain_classify_bucketed",

@@ -48,6 +48,38 @@ class LmStoreSpec extends SparkSpec {
     assert(LmStore.scoreAgainst(edge, uni, bi).count() === 0)
   }
 
+  test("corpus floors gate a lone arrival its batch percentile would keep") {
+    val uni = LmStore.trainUnigrams(ref)
+    val bi = LmStore.trainBigrams(ref)
+    // the LEDGER: three admitted s1 docs, two in-domain (high scores)
+    // and one moderate — the 10th-percentile floor sits above the
+    // worst-possible score
+    val ledgered = Seq(
+      (20L, "the cat sat on the mat", "s1"),
+      (21L, "the dog sat on the rug", "s1"),
+      (22L, "the cat ran on the rug", "s1")).toDF("doc_id", "text", "source")
+    val ledger = ledgered.select(col("doc_id"), col("source"))
+      .join(LmStore.scoreAgainst(ledgered, uni, bi)
+        .select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
+    val floors = LmStore.floors(ledger)
+    // the batch: ONE s1 doc, fully out-of-domain. Batch-relative
+    // percentile keeps it (its own floor); the corpus floor drops it.
+    val batch = Seq((30L, "zz qq ww rr tt yy", "s1"),
+      (31L, "the cat sat on the mat", "s1"),
+      (32L, "anything at all here", "s_new")).toDF("doc_id", "text", "source")
+    val kept = LmStore.lmGateAgainstFloors(batch, uni, bi, floors)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(31L, 32L),
+      s"OOV lone arrival must drop at the corpus floor; unseen source keeps: $kept")
+    // the batch-relative form keeps ALL of them (each source its own
+    // floor; ties at the threshold stay) — the noise the corpus floor
+    // removes, asserted side by side
+    val batchRel = LmStore.lmGateBySource(
+      batch.filter(col("doc_id") === 30L), uni, bi)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(batchRel === Set(30L))
+  }
+
   test("refresh policy: in-domain no-op, drifted corpus retrains and the gauge recovers") {
     val work = java.nio.file.Files
       .createTempDirectory("lm_refresh_").toString

@@ -530,7 +530,8 @@ object StreamingLanes {
                         onOovStats: (DataFrame, Long) => Unit = null,
                         lmModelRoot: String = null,
                         lmLedgerPath: String = null,
-                        pLm: Double = 0.1)
+                        pLm: Double = 0.1,
+                        lmCorpusFloor: Boolean = false)
                        (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -548,6 +549,9 @@ object StreamingLanes {
       require(lmLedgerPath == null || lmModelRoot != null,
         "curationStoreLane: an LM admission ledger needs the LM gate " +
           "(lmModelRoot) that produces its verdicts")
+      require(!lmCorpusFloor || lmLedgerPath != null,
+        "curationStoreLane: the corpus-floor LM gate derives its floors " +
+          "from the admission ledger (lmLedgerPath)")
       val spark = batch.sparkSession
       // decontamDocV is non-null only in the FULL-pipeline form: the
       // stats frame then counts the whole batch (decontam drops fold
@@ -562,12 +566,26 @@ object StreamingLanes {
         } else if (lmModelRoot != null) {
           // the reference-LM gate inline: the model is a STORE scan
           // (counts persisted by LmStore — trained once, refreshed at
-          // maintenance cadence), never re-derived from the batch
-          val (c, ss, g, sv) = Curation.curateBatchLm(
-            SimHashStore.read(spark, sigStorePath),
-            LmStore.readUni(spark, lmModelRoot),
-            LmStore.readBi(spark, lmModelRoot), batch,
-            maxHamming, p, pLm, window, stride)
+          // maintenance cadence), never re-derived from the batch.
+          // Corpus-floor form: floors from a scan of the lane's OWN
+          // admission ledger (the loop the QualityStore lane closes —
+          // a fresh deployment with no ledger yet gates nothing, the
+          // no-learned-floor keep)
+          val uni = LmStore.readUni(spark, lmModelRoot)
+          val bi = LmStore.readBi(spark, lmModelRoot)
+          val (c, ss, g, sv) =
+            if (lmCorpusFloor) {
+              import spark.implicits._
+              val floors =
+                if (new java.io.File(lmLedgerPath).exists())
+                  LmStore.floors(spark.read.parquet(lmLedgerPath), pLm)
+                else Seq.empty[(String, Double)].toDF("source", "lm_thr")
+              Curation.curateBatchLmCorpus(
+                SimHashStore.read(spark, sigStorePath), uni, bi, floors,
+                batch, maxHamming, p, window, stride)
+            } else Curation.curateBatchLm(
+              SimHashStore.read(spark, sigStorePath), uni, bi, batch,
+              maxHamming, p, pLm, window, stride)
           (c, ss, g, sv, null)
         } else if (qualityStorePath == null) {
           val (c, ss, g, sv) = Curation.curateBatch(

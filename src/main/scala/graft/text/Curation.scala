@@ -1031,6 +1031,31 @@ object Curation {
         .select(col("doc_id"), col("source"), col("quality"),
           col("q_thr"), col("avg_logprob"), col("lm_thr")))
 
+  /** [[curateBatchLm]] with the LM stage gated against PREBUILT
+    * per-source floors ([[LmStore.floors]] over a persisted admission
+    * ledger) instead of the batch's own percentile — the
+    * corpus-relative composition ([[curateBatchCorpusFloor]]'s
+    * argument applied to the trained model): batch-relative LM
+    * percentiles are noisy at production trigger rates, the ledger
+    * floor is stable across batches and evolves only as admissions
+    * append their scores. The heuristic quality stage stays
+    * batch-relative here (compose [[QualityStore]] floors explicitly
+    * for the fully corpus-relative form). */
+  private[graft] def curateBatchLmCorpus(esigs: DataFrame, uni: DataFrame,
+                                         bi: DataFrame, lmFloors: DataFrame,
+                                         batch: DataFrame,
+                                         maxHamming: Int = 3,
+                                         p: Double = 0.1, window: Int = 32,
+                                         stride: Int = 24)
+  : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    curateCore(esigs, batch, maxHamming, window, stride,
+      admitted => qualityQuantileGateBySource(admitted, p)
+        .join(LmStore.lmGateAgainstFloors(admitted, uni, bi, lmFloors)
+          .select(col("doc_id"), col("avg_logprob"), col("lm_thr")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("q_thr"), col("avg_logprob"), col("lm_thr")))
+
   /** Gate raw docs against a prebuilt (source, q_thr) floor frame —
     * the corpus-floor stage: score once ([[TextOps.qualityCol]], the
     * same composite the store persists), one broadcast hash join on

@@ -1193,6 +1193,21 @@ object Curation {
       docs.filter(col("doc_id") % 10 >= 8))._1
   }
 
+  /** The corpus-floor LM twin — [[curationLaneLmTwin]] with the LM
+    * stage gated against the STAGED admission ledger's floors
+    * ([[LmStore.fixtureLedger]] — the half-per-source convention its
+    * scaladoc motivates) instead of the batch percentile: the
+    * certified batch form of the lane's `lmCorpusFloor` mode. */
+  def curationLaneLmCorpusTwin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val root = LmStore.fixtureModel(spark, dir)
+    curateBatchLmCorpus(
+      SimHashStore.read(spark, SimHashStore.fixtureCorpusStore(spark, dir)),
+      LmStore.readUni(spark, root), LmStore.readBi(spark, root),
+      LmStore.floors(spark.read.parquet(LmStore.fixtureLedger(spark, dir))),
+      docs.filter(col("doc_id") % 10 >= 8))._1
+  }
+
   /** The FULL-pipeline twin — [[curationLaneTwin]] with the benchmark
     * decontamination stage composed in (static chunk store over
     * doc_id < 10): the fixture batch split CONTAINS two benchmark
@@ -1225,6 +1240,10 @@ object Curation {
     // reference model's per-source log-prob floor as conjuncts —
     // scoring that finally gates (the CCNet composition)
     "curation_lane_lm_twin" -> ((s, d) => curationLaneLmTwin(s, d)),
+    // the corpus-floor LM mode certified: the LM conjunct gates
+    // against the staged admission ledger's stable floors
+    "curation_lane_lm_corpus_twin" -> ((s, d) =>
+      curationLaneLmCorpusTwin(s, d)),
     // epoch-seeded deterministic shuffle: per-epoch md5 tag, balanced
     // shard, dense within-shard position — no global ordering anywhere
     "epoch_shuffle" -> ((s, d) =>
@@ -1583,6 +1602,33 @@ object Curation {
          |         OR l.avg_logprob >= lt.lm_thr))""".stripMargin,
       extraSurvCols = Seq("avg_logprob", "lm_thr"))
 
+  /** The corpus-floor LM composition: batch-relative heuristic floor,
+    * LM floors from the LEDGER replay ([[LmStore]]'s half-per-source
+    * admission-history convention) — `lthrc` instead of the batch
+    * percentile, same NULL-keep arms. */
+  private lazy val curationLaneLmCorpusTwinOracle: String =
+    curationTwinOracleWith(
+      s"""${LmStore.scoreCtes},
+         |${LmStore.corpusFloorCtes},
+         |thr AS (
+         |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
+         |  FROM q GROUP BY source),
+         |lavg AS (
+         |  SELECT q.doc_id, q.source,
+         |    CAST(s.logprob_e6 AS DOUBLE) / (1000000.0 * s.n_bigrams)
+         |      AS avg_logprob
+         |  FROM q LEFT JOIN lsc s ON s.doc_id = q.doc_id),
+         |surv AS (
+         |  SELECT q.doc_id, q.source, q.quality, t.q_thr,
+         |    l.avg_logprob, lt.lm_thr
+         |  FROM q JOIN thr t USING (source)
+         |  JOIN lavg l ON l.doc_id = q.doc_id
+         |  LEFT JOIN lthrc lt ON lt.source = q.source
+         |  WHERE q.quality >= t.q_thr
+         |    AND (l.avg_logprob IS NULL OR lt.lm_thr IS NULL
+         |         OR l.avg_logprob >= lt.lm_thr))""".stripMargin,
+      extraSurvCols = Seq("avg_logprob", "lm_thr"))
+
   /** The BPE-budgeted chunker replayed: per-token greedy-match costs via
     * a token-level advance-list walk (the TextOps.bpeWalkCtes shape, one
     * row per (doc, token)) over the corpus-derived vocabulary
@@ -1824,6 +1870,7 @@ object Curation {
     "curation_lane_corpus_twin" -> curationLaneCorpusTwinOracle,
     "curation_lane_decontam_twin" -> curationLaneDecontamTwinOracle,
     "curation_lane_lm_twin" -> curationLaneLmTwinOracle,
+    "curation_lane_lm_corpus_twin" -> curationLaneLmCorpusTwinOracle,
     "chunk_docs_bpe" -> chunkDocsBpeOracle,
     "chunk_docs_bpe_overlap" -> chunkDocsBpeOverlapOracle,
     // the sketch floor's determinism contract: in the exact regime the

@@ -500,7 +500,7 @@ object LmStore {
     * why neither the % 10 split nor the full table models a ledger on
     * this fixture) scored against the stored reference counts,
     * per-source `quantile_cont` floors over the scores. */
-  private val corpusFloorCtes: String =
+  private[text] val corpusFloorCtes: String =
     s"""at AS (SELECT doc_id, string_split($N, ' ') AS l
        |       FROM documents WHERE doc_id % 40 < 20),
        |rbb AS (

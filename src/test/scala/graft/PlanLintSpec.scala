@@ -36,7 +36,7 @@ class PlanLintSpec extends SparkSpec {
     // the LM gate / retro sweep / gated lane twin ride the same one-row
     // V anchor through their scoring pass
     "quality_gate_lm", "quality_gate_lm_corpus", "lm_retro",
-    "curation_lane_lm_twin",
+    "curation_lane_lm_twin", "curation_lane_lm_corpus_twin",
     // vocab-anchor crossJoins: source-index/V/doc-count one-row or
     // source-count broadcasts under the NB domain model build
     "domain_classify", "domain_classify_bucketed",

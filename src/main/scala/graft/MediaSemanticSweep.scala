@@ -1,0 +1,45 @@
+package graft
+
+/** Recall-vs-k sweep for the MEDIA semantic dedup — the
+  * [[SemanticDedupSweep]] discipline on the feature-vector family
+  * (`Multimodal.mediaDedupSemantic`): per quantizer size k, the pairs
+  * found within trained cells at the measured 0.995 threshold against
+  * the triangle-block brute truth over the same staged vectors
+  * (found ⊆ truth — every candidate is exact-verified in-cell, so
+  * recall IS the count ratio), plus the one-time train+stage and the
+  * steady-state sweep seconds. Backs SCALING.md's media-semantic row
+  * with measurement instead of the text family's assumption carrying
+  * over. Usage: runMain graft.MediaSemanticSweep [sfDir] [k ...]
+  */
+object MediaSemanticSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ks = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+    else Seq(8, 32, 128)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = sources.Tables.session(s"local[$cpus]", cpus)
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val vecs = multimodal.Multimodal.mediaVectorStore(spark, sfDir)
+    val n = vecs.count()
+    val (truthN, bruteS) = time(
+      ann.Similarity.brutePairsFrame(spark, vecs, threshold = 0.995)
+        .count())
+    println(f"MEDIASEM n=$n truth_pairs=$truthN brute_s=$bruteS%.1f")
+    ks.foreach { k =>
+      val (_, trainS) = time(
+        multimodal.Multimodal.mediaSemanticIndexPath(spark, sfDir, k))
+      val (pairs, sweepS) = time(
+        multimodal.Multimodal.mediaDedupSemantic(spark, sfDir,
+          kCells = k).count())
+      val recall = if (truthN == 0) 1.0 else pairs.toDouble / truthN
+      println(f"MEDIASEM k=$k target_cell=${n / k}%d pairs=$pairs " +
+        f"recall=$recall%.3f train_s=$trainS%.1f sweep_s=$sweepS%.1f")
+    }
+    spark.stop()
+  }
+}

@@ -738,8 +738,17 @@ object Similarity {
     * only — never a registered query, never a data path. */
   private[graft] def brutePairs(spark: SparkSession, dir: String,
                                 threshold: Double = 0.5,
-                                blocks: Int = 16): DataFrame = {
-    val c = corpus(spark, dir).select(col("vec_id"), col("v"), col("n2"))
+                                blocks: Int = 16): DataFrame =
+    brutePairsFrame(spark,
+      corpus(spark, dir).select(col("vec_id"), col("v"), col("n2")),
+      threshold, blocks)
+
+  /** [[brutePairs]] over an explicit (vec_id, v, n2) frame — the
+    * media feature vectors' truth pass reuses the same triangle-block
+    * decomposition (`graft.MediaSemanticSweep`). */
+  private[graft] def brutePairsFrame(spark: SparkSession, c: DataFrame,
+                                     threshold: Double,
+                                     blocks: Int = 16): DataFrame = {
     val a = c.select(col("vec_id").as("ia"), col("v").as("va"),
       col("n2").as("na")).withColumn("ga", pmod(col("ia"), lit(blocks)))
     val b = c.select(col("vec_id").as("ib"), col("v").as("vb"),

@@ -404,6 +404,107 @@ object Multimodal {
       new java.io.File(dir, "documents.parquet"),
       mediaVectorStore(spark, dir), kCells, dim = 16)
 
+  /** The quantizer auto-sizing rule for the media feature space (r16 —
+    * the [[graft.ann.Similarity.autoBits]] discipline applied to
+    * TRAINED cells, wired in because the r15 sweep measured the fixed
+    * k = 8 default as the WORST point): cells ≈ ceil(n / targetCell),
+    * floor 8 (the serving convention at small corpora). targetCell =
+    * 160 is the sweep's MEASURED peak, not a guess —
+    * `MediaSemanticSweep` at sf0.1 (5,000 vectors) peaks at k = 32 ≈
+    * 156 vectors/cell: large enough that true pairs rarely straddle a
+    * cell boundary, small enough that no cell blows the 256 sub-salt
+    * cap (the two loss mechanisms the sweep exposes at k = 128 and
+    * k = 8 respectively). Expected cell population stays ~constant as
+    * the corpus grows, so in-cell pair work stays bounded at any
+    * scale. */
+  private[multimodal] def autoCells(n: Long, targetCell: Int = 160): Int =
+    math.max(8, ((n + targetCell - 1) / targetCell).toInt)
+
+  /** [[mediaDedupSemantic]] with the quantizer AUTO-SIZED from the
+    * corpus count — the form a dedup run should default to (the count
+    * is a metadata-cheap scalar probe of the staged vector store; the
+    * k-sized index stages once per (k, fixture) like every quantizer).
+    * The oracle derives the same k from its own count. */
+  def mediaDedupSemanticAuto(spark: SparkSession, dir: String,
+                             threshold: Double = 0.995,
+                             cap: Int = 256): DataFrame =
+    mediaDedupSemantic(spark, dir, threshold,
+      kCells = autoCells(mediaVectorStore(spark, dir).count()), cap = cap)
+
+  /** Staged CORPUS-split media vectors (doc_id % 10 < 8 — the
+    * incremental fixture convention): the population the semantic
+    * index accumulates, featurized once. */
+  def mediaSemanticCorpusVectors(spark: SparkSession,
+                                 dir: String): DataFrame =
+    Staging.stageFrame(spark, s"media_vecs_cor_v1_$dir",
+      new java.io.File(dir, "documents.parquet"),
+      mediaVectors(assetStore(spark, dir).filter(col("doc_id") % 10 < 8)))
+
+  /** The corpus split's trained semantic index (assignments at dim 16,
+    * k = 8 over the accumulated population) and its centroid store —
+    * the two artifacts the incremental judge and the ingest lane
+    * read. */
+  def mediaSemanticCorpusIndexPath(spark: SparkSession, dir: String,
+                                   kCells: Int = 8): String =
+    graft.ann.IvfStore.stagedAssignments(spark, s"media_sem_cor_v1_$dir",
+      new java.io.File(dir, "documents.parquet"),
+      mediaSemanticCorpusVectors(spark, dir), kCells, dim = 16)
+
+  def mediaSemanticCorpusCentroids(spark: SparkSession, dir: String,
+                                   kCells: Int = 8): DataFrame =
+    spark.read.parquet(graft.ann.IvfStore.stagedCentroids(
+      s"media_sem_cor_v1_$dir", new java.io.File(dir, "documents.parquet"),
+      mediaSemanticCorpusVectors(spark, dir), kCells, dim = 16))
+
+  /** INCREMENTAL semantic media judge (r16 — the lifecycle the r15
+    * verdict named as missing: an arriving asset judged semantically
+    * against the corpus WITHOUT re-running the full pair enumeration):
+    * featurize the arriving batch (`byte_hist16`, the one payload
+    * read), assign each vector to its trained cell through the packed
+    * one-row centroid broadcast ([[graft.ann.IvfStore.assignBatch]] —
+    * the corpus untouched), then exact-cosine-verify ONLY against the
+    * STORED assignments of the same cell: one equi-join on `cell`
+    * (the stored side is a parquet scan of (vec_id, v, n2, cell) —
+    * 16 longs per asset, corpus payloads never re-read), one per-
+    * arrival aggregate. No cap is needed — the batch side never
+    * self-joins (the [[mediaDedupIncremental64]] posture in embedding
+    * space). Verdict per arriving asset: distinct same-cell corpus
+    * neighbors at ≥ `threshold`, and `is_new` for the admit gate. */
+  def mediaSemanticIncrementalJudge(storeAsg: DataFrame,
+                                    incoming: DataFrame,
+                                    centsRow: DataFrame,
+                                    threshold: Double = 0.995): DataFrame = {
+    val arr = graft.ann.IvfStore.assignBatch(mediaVectors(incoming),
+      centsRow)
+    val matches = arr.select(col("vec_id").as("in_id"),
+        col("v").as("iv"), col("n2").as("in2"), col("cell"))
+      .join(storeAsg.dropDuplicates("vec_id")
+        .select(col("vec_id").as("cor_id"), col("v").as("cv"),
+          col("n2").as("cn2"), col("cell")), Seq("cell"))
+      .filter(call_function("long_dot", col("iv"), col("cv"))
+        .cast("double") /
+        (sqrt(col("in2").cast("double")) * sqrt(col("cn2").cast("double")))
+        >= threshold)
+      .groupBy(col("in_id"))
+      .agg(countDistinct(col("cor_id")).as("nd"))
+    arr.select(col("vec_id").as("doc_id")).join(
+        matches.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nd"), lit(0L)).as("n_sem_dups"),
+        (coalesce(col("nd"), lit(0L)) === 0L).as("is_new"))
+  }
+
+  /** The incremental semantic judge on the fixture convention: staged
+    * corpus index (doc_id % 10 < 8), arriving split the rest. */
+  def mediaDedupSemanticIncremental(spark: SparkSession, dir: String,
+                                    threshold: Double = 0.995): DataFrame =
+    mediaSemanticIncrementalJudge(
+      graft.ann.IvfStore.read(spark,
+        mediaSemanticCorpusIndexPath(spark, dir)),
+      assetStore(spark, dir).filter(col("doc_id") % 10 >= 8),
+      graft.ann.IvfStore.packedRow(
+        mediaSemanticCorpusCentroids(spark, dir)), threshold)
+
   /** EMBEDDING-SPACE media near-dup — the SemDeDup recipe composed
     * onto the media feature vectors, closing the gap the byte-hash
     * family leaves: [[mediaDedupNear64]] catches drifting RE-ENCODES
@@ -532,6 +633,18 @@ object Multimodal {
     // top-1% threshold — the re-render/cross-codec duplicate class the
     // byte-signature family structurally misses
     "media_dedup_semantic" -> ((s, d) => mediaDedupSemantic(s, d)),
+    // the AUTO-SIZED quantizer — what a dedup run should default to:
+    // k from the corpus count at the sweep's measured peak density
+    // (~160 vectors/cell); k = 8 above stays as the sweep's
+    // comparison point
+    "media_dedup_semantic_auto" -> ((s, d) =>
+      mediaDedupSemanticAuto(s, d)),
+    // the semantic lifecycle's incremental direction: arriving assets
+    // featurized + cell-assigned against the STORED quantizer, exact-
+    // cosine-judged only within their cell — corpus payloads never
+    // re-read, no pair re-enumeration
+    "media_dedup_semantic_incremental" -> ((s, d) =>
+      mediaDedupSemanticIncremental(s, d).orderBy(col("doc_id"))),
     "media_features" -> ((s, d) => decodeFeatures(assets(s, d)).toDF()),
     "frame_sample" -> ((s, d) => frameSample(assetStore(s, d))),
     "resize_meta" -> ((s, d) => resizeMeta(assetStore(s, d), 128)))
@@ -723,6 +836,93 @@ object Multimodal {
          |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
          |  >= 0.995
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the auto-sized quantizer: k derived from the oracle's OWN count
+    // (GREATEST(8, ceil(n/160)) — the engine's autoCells rule), seeds
+    // as the k LOWEST vec_ids by rank (the trainCentroids contract,
+    // id-space-agnostic), then the same Lloyd/assign/salt/pair chain
+    "media_dedup_semantic_auto" ->
+      s"""WITH n AS (
+         |  SELECT doc_id AS vec_id, $lowNibbleHistSql AS v
+         |  FROM documents WHERE $bLen >= 4),
+         |m AS (
+         |  SELECT vec_id, v,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS n2
+         |  FROM n),
+         |kc AS (
+         |  SELECT GREATEST(8, CAST(CEIL(count(*) / 160.0) AS INTEGER))
+         |    AS k FROM n),
+         |s0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |      AS INTEGER) AS cell, v AS c,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS c2
+         |  FROM n, kc
+         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= kc.k),
+         |${graft.ann.Similarity.lloydCtes("msau", "m")},
+         |${graft.ann.Similarity.assignCte("msauav", "m", "msaus1")},
+         |ov AS (
+         |  SELECT cell, count(*) AS bn FROM msauav GROUP BY cell
+         |  HAVING count(*) > 256),
+         |sl AS (
+         |  SELECT msauav.vec_id, msauav.v, msauav.n2, msauav.cell,
+         |    CASE WHEN ov.bn IS NULL THEN 0
+         |      ELSE ${graft.text.NearDup.saltHashSql("msauav.vec_id")}
+         |        % ((ov.bn + 255) // 256)
+         |    END AS salt
+         |  FROM msauav LEFT JOIN ov USING (cell))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM sl a JOIN sl b ON a.vec_id < b.vec_id
+         |  AND a.cell = b.cell AND a.salt = b.salt
+         |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |    i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |  >= 0.995
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the incremental judge replayed: corpus quantizer trained on the
+    // % 10 < 8 split (seeds = its 8 lowest ids, 0..7), corpus + batch
+    // assigned against the SAME trained centroids, same-cell exact
+    // cosine at 0.995, distinct corpus neighbors per arrival
+    "media_dedup_semantic_incremental" ->
+      s"""WITH n AS (
+         |  SELECT doc_id AS vec_id, $lowNibbleHistSql AS v
+         |  FROM documents WHERE $bLen >= 4 AND doc_id % 10 < 8),
+         |m AS (
+         |  SELECT vec_id, v,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS n2
+         |  FROM n),
+         |${graft.ann.Similarity.seedCteK(8)},
+         |${graft.ann.Similarity.lloydCtes("msin", "m")},
+         |${graft.ann.Similarity.assignCte("msinav", "m", "msins1")},
+         |bn AS (
+         |  SELECT doc_id AS vec_id, $lowNibbleHistSql AS v
+         |  FROM documents WHERE $bLen >= 4 AND doc_id % 10 >= 8),
+         |bm AS (
+         |  SELECT vec_id, v,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS n2
+         |  FROM bn),
+         |${graft.ann.Similarity.assignCte("msinbv", "bm", "msins1")},
+         |mt AS (
+         |  SELECT b.vec_id, count(DISTINCT a.vec_id) AS nd
+         |  FROM msinbv b JOIN msinav a ON a.cell = b.cell
+         |  WHERE CAST(list_sum(list_transform(generate_series(1, len(b.v)),
+         |      i -> b.v[i] * a.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+         |    >= 0.995
+         |  GROUP BY b.vec_id)
+         |SELECT b.vec_id AS doc_id,
+         |  CAST(coalesce(mt.nd, 0) AS BIGINT) AS n_sem_dups,
+         |  coalesce(mt.nd, 0) = 0 AS is_new
+         |FROM bm b LEFT JOIN mt ON mt.vec_id = b.vec_id
+         |ORDER BY doc_id""".stripMargin,
 
     "media_dedup_near64_incremental" -> mediaSim64IncrementalOracle,
     "media_dedup_near64_staged" -> mediaSim64IncrementalOracle,

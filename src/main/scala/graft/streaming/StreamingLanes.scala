@@ -537,15 +537,28 @@ object StreamingLanes {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import graft.text.{ChunkSigStore, Curation, LmStore, QualityStore,
         SimHashStore}
-      require(benchStorePath == null || qualityStorePath == null,
-        "curationStoreLane: the decontam stage is certified with the " +
-          "batch-relative floor (curation_lane_decontam_twin); compose " +
-          "it with the corpus floor explicitly if you need both")
-      require(lmModelRoot == null ||
+      // the FULL production form (r16 — the composition the pairwise
+      // requires below used to forbid): decontam gate + store judge +
+      // corpus heuristic floor + corpus LM floor + chunk, all four
+      // stores and both ledgers in one lane
+      val fullForm = benchStorePath != null && qualityStorePath != null &&
+        lmModelRoot != null
+      require(!fullForm || (lmLedgerPath != null && lmCorpusFloor),
+        "curationStoreLane: the full pipeline gates corpus-relative on " +
+          "BOTH floors — it needs the admission ledger (lmLedgerPath) " +
+          "and lmCorpusFloor = true (the certified " +
+          "curation_lane_full_twin composition)")
+      require(fullForm || benchStorePath == null ||
+        qualityStorePath == null,
+        "curationStoreLane: decontam + corpus floor without the LM gate " +
+          "is not a certified composition — run the full form (add " +
+          "lmModelRoot + lmLedgerPath + lmCorpusFloor) or the decontam " +
+          "lane (curation_lane_decontam_twin)")
+      require(fullForm || lmModelRoot == null ||
         (benchStorePath == null && qualityStorePath == null),
-        "curationStoreLane: the LM gate is certified with the " +
-          "batch-relative heuristic floor (curation_lane_lm_twin); " +
-          "compose other stages explicitly if you need them")
+        "curationStoreLane: the LM gate composes with other stages only " +
+          "in the full form (curation_lane_full_twin) or standalone " +
+          "(curation_lane_lm_twin)")
       require(lmLedgerPath == null || lmModelRoot != null,
         "curationStoreLane: an LM admission ledger needs the LM gate " +
           "(lmModelRoot) that produces its verdicts")
@@ -553,11 +566,33 @@ object StreamingLanes {
         "curationStoreLane: the corpus-floor LM gate derives its floors " +
           "from the admission ledger (lmLedgerPath)")
       val spark = batch.sparkSession
-      // decontamDocV is non-null only in the FULL-pipeline form: the
+      // the fingerprint of the model every LM score this batch derives
+      // from — stamped onto ledger appends, asserted by floorsChecked
+      // (one sidecar read per batch; a mid-lane model refresh is the
+      // exact race the stamp makes detectable)
+      lazy val lmFp = LmStore.readFingerprint(spark, lmModelRoot)
+      def lmLedgerFloors(pQ: Double) = {
+        import spark.implicits._
+        if (new java.io.File(lmLedgerPath).exists())
+          LmStore.floorsChecked(spark.read.parquet(lmLedgerPath),
+            lmFp, pQ)
+        else Seq.empty[(String, Double)].toDF("source", "lm_thr")
+      }
+      // decontamDocV is non-null only in the decontam/full forms: the
       // stats frame then counts the whole batch (decontam drops fold
       // into n_rejected alongside judge/gate/floor rejections)
       val (curated0, survivorSigs0, gated, survivors, decontamDocV) =
-        if (benchStorePath != null) {
+        if (fullForm) {
+          val (c, ss, g, sv, dv) = Curation.curateBatchFull(
+            ChunkSigStore.read(spark, benchStorePath),
+            SimHashStore.read(spark, sigStorePath),
+            QualityStore.read(spark, qualityStorePath),
+            LmStore.readUni(spark, lmModelRoot),
+            LmStore.readBi(spark, lmModelRoot),
+            lmLedgerFloors(pLm), batch, maxHamming, p, window, stride,
+            maxFrac)
+          (c, ss, g, sv, dv)
+        } else if (benchStorePath != null) {
           val (c, ss, g, sv, dv) = Curation.curateBatchDecontam(
             ChunkSigStore.read(spark, benchStorePath),
             SimHashStore.read(spark, sigStorePath), batch,
@@ -574,16 +609,12 @@ object StreamingLanes {
           val uni = LmStore.readUni(spark, lmModelRoot)
           val bi = LmStore.readBi(spark, lmModelRoot)
           val (c, ss, g, sv) =
-            if (lmCorpusFloor) {
-              import spark.implicits._
-              val floors =
-                if (new java.io.File(lmLedgerPath).exists())
-                  LmStore.floors(spark.read.parquet(lmLedgerPath), pLm)
-                else Seq.empty[(String, Double)].toDF("source", "lm_thr")
+            if (lmCorpusFloor)
               Curation.curateBatchLmCorpus(
-                SimHashStore.read(spark, sigStorePath), uni, bi, floors,
+                SimHashStore.read(spark, sigStorePath), uni, bi,
+                lmLedgerFloors(pLm),
                 batch, maxHamming, p, window, stride)
-            } else Curation.curateBatchLm(
+            else Curation.curateBatchLm(
               SimHashStore.read(spark, sigStorePath), uni, bi, batch,
               maxHamming, p, pLm, window, stride)
           (c, ss, g, sv, null)
@@ -612,11 +643,15 @@ object StreamingLanes {
         QualityStore.appendQualities(qualityStorePath, survivors)
       // the LM admission LEDGER: one verdict row per admitted doc
       // (arrival-time score + floor — history telemetry; the retro
-      // sweep re-scores from text, never from these). Checkpointed
+      // sweep re-scores from text, never from these), stamped with the
+      // fingerprint of the model that scored it (r16 — floorsChecked's
+      // refusal contract: a post-refresh lane cannot silently gate
+      // new-model scores against old-model floors). Checkpointed
       // survivor state, so the append cannot feed back either.
       if (lmLedgerPath != null)
         survivors.select(col("doc_id"), col("source"),
           col("avg_logprob"), col("lm_thr"))
+          .withColumn("model_fp", lit(lmFp))
           .write.mode("append").parquet(lmLedgerPath)
       val compacted = maxStoreFiles.exists { m =>
         val sigC = graft.sinks.StoreMaintenance.compactIfNeeded(
@@ -715,6 +750,28 @@ object StreamingLanes {
       ()
     }
 
+  /** MEDIA SEMANTIC ingestion lane (r16 — the vector-store lifecycle
+    * the byte-signature media lane has had since r13, for the
+    * embedding-space family): each micro-batch of assets is FEATURIZED
+    * once (`byte_hist16` — the one payload read,
+    * [[graft.multimodal.Multimodal.mediaVectors]]) and flows through
+    * the [[ivfIngestLane]] machinery verbatim: assigned against the
+    * stored trained centroids (one argmin pass, corpus untouched),
+    * appended to the assignment store — so an arriving asset is
+    * immediately judgeable semantically
+    * ([[graft.multimodal.Multimodal.mediaSemanticIncrementalJudge]]
+    * reads exactly this store) and the corpus-wide
+    * `media_dedup_semantic` sweep reads it instead of re-featurizing.
+    * Same at-least-once caveat and vec_id-keyed compaction as the IVF
+    * lane. */
+  def mediaSemanticIngestLane(assets: DataFrame, storePath: String,
+                              centsRow: DataFrame,
+                              maxStoreFiles: Option[Int] = None)
+                             (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    ivfIngestLane(graft.multimodal.Multimodal.mediaVectors(assets),
+      storePath, centsRow, maxStoreFiles)(process)
+
   /** [[ivfIngestLane]] with the MAINTENANCE LOOP closed — the lane
     * variant that owns both IVF artifacts by PATH (centroids +
     * assignment store) instead of holding a frozen centroid broadcast:
@@ -799,7 +856,10 @@ object StreamingLanes {
                                  maxStoreFiles: Option[Int] = None,
                                  trainer: DataFrame => DataFrame =
                                    graft.text.BpeVocab.train(_),
-                                 idStorePath: Option[String] = None)
+                                 idStorePath: Option[String] = None,
+                                 seqShardPath: Option[String] = None,
+                                 onStaleness: (DataFrame, Long) => Unit =
+                                   null)
                                 (onStats: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] = {
     require(checkEvery > 0, s"checkEvery must be positive, got $checkEvery")
@@ -846,7 +906,7 @@ object StreamingLanes {
               VocabMaintenance.currentVersionFor(spark, vocabPath, ps)))
         } finally graft.sources.Checkpoints.unpersist(vocab)
       }
-      if ((batchId + 1) % checkEvery == 0)
+      if ((batchId + 1) % checkEvery == 0) {
         // doc_id dedup: the at-least-once append contract permits a
         // replayed batch's key-identical rows until the gated
         // compaction sheds them — an un-deduped gauge would double-
@@ -855,6 +915,25 @@ object StreamingLanes {
         VocabMaintenance.retrainIfDrifted(spark, vocabPath,
           spark.read.parquet(corpusPath).dropDuplicates("doc_id"),
           oovCeiling, minGain, trainer)
+        // downstream-artifact FRESHNESS at the same cadence boundary
+        // (r16 — a probe nobody calls is a dashboard nobody opens):
+        // after an accepted swap (and the renumber sweep it mandates),
+        // previously-written sequence shards are silently stale
+        // bit-valid parquet; the probe reads the manifest only (~0
+        // cost) against the registry's CURRENT version and surfaces
+        // the verdict — the caller's cue to re-export (the action the
+        // telemetry exists for; a missing manifest reads stale too).
+        // AFTER the retrain call, so this cadence tick sees its own
+        // swap's bump.
+        seqShardPath.foreach { sp =>
+          if (onStaleness != null)
+            onStaleness(graft.text.Curation.sequenceShardStaleness(
+              spark, sp, VocabMaintenance.currentVersion(spark, vocabPath))
+              .select(lit("tokenizer_ingest").as("lane"),
+                lit(batchId).as("batch_id"), col("artifact_version"),
+                col("current_version"), col("stale")), batchId)
+        }
+      }
       ()
     }
   }

@@ -449,12 +449,18 @@ object Curation {
     * nondeterministic mix of id spaces into the one artifact a
     * trainer consumes, silently. `version` is the id space the caller
     * exports (READ from the registry —
-    * [[VocabMaintenance.currentVersion]] — never invented), and every
-    * id row asserts it in-plan: one codegen'd scalar compare per row,
-    * no extra pass, and a store with ANY residual stale row fails the
-    * export loudly instead of silently dropping or mixing (a stale
-    * row means the renumber sweep has not run — refusing is the only
-    * answer that cannot corrupt).
+    * [[VocabMaintenance.currentVersion]] — never invented), and the
+    * guard is DETERMINISTIC over every input row (r16, ADVICE: a
+    * per-row assert projected through the dedup only ran on each
+    * key's FIRST row per partition — a stale duplicate that lost the
+    * dedup passed silently): the dedup is spelled as the per-key
+    * aggregate it already was, with min/max `vocab_version` riding
+    * the same exchange, and the assert fires on the aggregated
+    * bounds — every row's version flows into min/max by aggregate
+    * semantics, so a store with ANY residual stale row (winner OR
+    * loser of the dedup) fails the export loudly instead of silently
+    * dropping or mixing (a stale row means the renumber sweep has not
+    * run — refusing is the only answer that cannot corrupt).
     *
     * Scale shape: one (doc_id, token_idx)-keyed dedup exchange over
     * narrow id rows — pinned eagerly (r15, ADVICE: three downstream
@@ -476,16 +482,26 @@ object Curation {
       "exportSequences: ids frame lacks vocab_version — the export " +
         "certifies a single id space and cannot do so on untagged rows " +
         "(numericalize through TokenIdStore, which tags every row)")
-    // the guard rides the piece_id projection so the eager checkpoint
-    // below evaluates it on EVERY row before anything packs
-    val guarded = ids.select(col("doc_id"), col("token_idx"),
-      when(assert_true(col("vocab_version") === lit(version),
-        concat(lit("exportSequences: id row for doc "), col("doc_id"),
-          lit(" carries vocab_version "), col("vocab_version"),
-          lit(s" != export version $version — mid-renumber store; " +
-            "run TokenIdStore.renumberSweep before exporting"))).isNull,
-        col("piece_id")).as("piece_id"))
-    val deduped = guarded.dropDuplicates("doc_id", "token_idx")
+    // the dedup AS an aggregate, min/max version riding the same
+    // (doc_id, token_idx) exchange dropDuplicates would pay: the
+    // guard sees the BOUNDS of every input row's version (aggregate
+    // semantics — dedup losers included), and the eager checkpoint
+    // below evaluates it on every key before anything packs.
+    // first(piece_id) is deterministic exactly when the guard passes:
+    // a single version means replayed rows are bit-identical.
+    val deduped = ids.groupBy(col("doc_id"), col("token_idx"))
+      .agg(first(col("piece_id")).as("piece_id0"),
+        min(col("vocab_version")).as("vmin"),
+        max(col("vocab_version")).as("vmax"))
+      .select(col("doc_id"), col("token_idx"),
+        when(assert_true(
+          col("vmin") === lit(version) && col("vmax") === lit(version),
+          concat(lit("exportSequences: id rows for doc "), col("doc_id"),
+            lit(" carry vocab_version in ["), col("vmin"), lit(", "),
+            col("vmax"),
+            lit(s"] != export version $version — mid-renumber store; " +
+              "run TokenIdStore.renumberSweep before exporting"))).isNull,
+          col("piece_id0")).as("piece_id"))
       .localCheckpoint(true)
     val priced = deduped.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_tokens"))
@@ -551,15 +567,32 @@ object Curation {
     * a swap + renumber sweep, previously-written shard directories
     * are silently stale — still bit-valid parquet — and this probe is
     * the freshness signal a training job reads BEFORE reading any
-    * shard. A manifest-only read: never touches token rows. */
+    * shard. A manifest-only read: never touches token rows.
+    *
+    * A MISSING manifest is a verdict, not an error (r16, ADVICE):
+    * it is exactly the state after a crash between the shard write
+    * and the manifest write, and the state of every shard artifact
+    * written before the manifest existed — a freshness probe that
+    * throws on crash remnants is unusable where it matters most. The
+    * verdict is one row with a NULL `artifact_version` and
+    * `stale = true`: an artifact whose version is unknowable must be
+    * re-exported, never trusted. */
   def sequenceShardStaleness(spark: SparkSession, path: String,
-                             currentVersion: Int): DataFrame =
-    spark.read.parquet(s"$path/_manifest")
-      .select(col("vocab_version")).distinct()
-      .select(col("vocab_version").as("artifact_version"),
-        lit(currentVersion).cast("int").as("current_version"),
-        (col("vocab_version") =!= currentVersion).as("stale"))
-      .orderBy(col("artifact_version"))
+                             currentVersion: Int): DataFrame = {
+    import spark.implicits._
+    if (!new java.io.File(s"$path/_manifest").exists())
+      Seq((Option.empty[Int], currentVersion, true))
+        .toDF("artifact_version", "current_version", "stale")
+        .select(col("artifact_version").cast("int"),
+          col("current_version").cast("int"), col("stale"))
+    else
+      spark.read.parquet(s"$path/_manifest")
+        .select(col("vocab_version")).distinct()
+        .select(col("vocab_version").as("artifact_version"),
+          lit(currentVersion).cast("int").as("current_version"),
+          (col("vocab_version") =!= currentVersion).as("stale"))
+        .orderBy(col("artifact_version"))
+  }
 
   /** PACKING-EFFICIENCY telemetry — what the budget actually buys, per
     * shard: sequence count, token total, mean fill ratio
@@ -1130,24 +1163,70 @@ object Curation {
       benchSigs: DataFrame, esigs: DataFrame, batch: DataFrame,
       maxHamming: Int = 3, p: Double = 0.1, window: Int = 32,
       stride: Int = 24, maxFrac: Double = 0.5)
+  : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    curateBatchDecontamWith(benchSigs, esigs, batch, maxHamming, window,
+      stride, maxFrac, admitted => qualityQuantileGateBySource(admitted, p))
+
+  /** [[curateBatchDecontam]] generalized over the floor stage (r16 —
+    * the [[curateCore]] parameterization lifted through the decontam
+    * wrapper, so the FULL production composition stops being
+    * structurally impossible): the floor's verdict columns ride the
+    * curated chunks generically, exactly as [[curateCore]] projects
+    * them. */
+  private[graft] def curateBatchDecontamWith(
+      benchSigs: DataFrame, esigs: DataFrame, batch: DataFrame,
+      maxHamming: Int, window: Int, stride: Int, maxFrac: Double,
+      floor: DataFrame => DataFrame)
   : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (chunkV, docV) = NearDup.decontamVerdicts(
       benchSigs, batch, maxHamming, window, stride, maxFrac)
     val keep = docV.filter(col("is_new"))
       .select(col("doc_id"), col("doc_contaminated_frac"))
-    val (curated0, survivorSigs, gated, survivors) = curateBatch(
+    val (curated0, survivorSigs, gated, survivors) = curateCore(
       esigs, batch.join(keep.select(col("doc_id")), "doc_id"),
-      maxHamming, p, window, stride)
+      maxHamming, window, stride, floor)
     val flagged = chunkV.filter(col("n_benchmark_matches") > 0)
       .select(col("doc_id"), col("chunk_idx"))
     val curated = curated0
       .join(flagged, Seq("doc_id", "chunk_idx"), "left_anti")
       .join(keep, "doc_id")
-      .select(col("doc_id"), col("source"), col("quality"), col("q_thr"),
-        col("chunk_idx"), col("chunk_text"), col("n_chunk_tokens"),
-        col("doc_contaminated_frac"))
+      .select(curated0.columns.map(col).toSeq :+
+        col("doc_contaminated_frac"): _*)
     (curated, survivorSigs, gated, survivors, docV)
   }
+
+  /** The FULLY-composed production lane stage (r16 — the one pipeline
+    * a real ingest run actually is, until now certified only
+    * piecewise): benchmark DECONTAMINATION gate → signature-store
+    * dedup judge + intra-batch keeper gate → CORPUS-relative
+    * heuristic floor ([[QualityStore]] per-source thresholds — stable
+    * across batches) ∧ CORPUS-relative reference-LM floor (prebuilt
+    * [[LmStore.floorsChecked]] floors over the stamped admission
+    * ledger) → context-window chunking → flagged-window EXCISION.
+    * Every conjunct keeps its own certified semantics — the heuristic
+    * floor's NULL-keep for never-seen sources, the LM gate's
+    * NULL-keep for un-scoreable docs and floor-less sources, the
+    * decontam whole-doc drop before any signing — because the
+    * composition is the SAME [[curateCore]] plan with the floor
+    * stage's conjunction swapped in, not a re-derivation. Per-batch
+    * cost over the decontam form: the LM scoring pass (two model
+    * equi-joins + one aggregate) + two |sources|-row floor broadcasts
+    * — the corpus crosses no additional exchange (the measured
+    * `curlm` pricing argument, now inside the full plan). */
+  private[graft] def curateBatchFull(
+      benchSigs: DataFrame, esigs: DataFrame, qualities: DataFrame,
+      uni: DataFrame, bi: DataFrame, lmFloors: DataFrame,
+      batch: DataFrame, maxHamming: Int = 3, p: Double = 0.1,
+      window: Int = 32, stride: Int = 24, maxFrac: Double = 0.5)
+  : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    curateBatchDecontamWith(benchSigs, esigs, batch, maxHamming, window,
+      stride, maxFrac, admitted =>
+        qualityGateAgainstFloors(admitted, QualityStore.floors(qualities, p))
+          .join(LmStore.lmGateAgainstFloors(admitted, uni, bi, lmFloors)
+            .select(col("doc_id"), col("avg_logprob"), col("lm_thr")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("quality"),
+            col("q_thr"), col("avg_logprob"), col("lm_thr")))
 
   /** The batch TWIN of the streaming curation lane on the fixture
     * convention (store = doc_id % 10 < 8 signed into [[SimHashStore]],
@@ -1224,6 +1303,29 @@ object Curation {
       docs.filter(col("doc_id") % 10 >= 8))._1
   }
 
+  /** The FULL-pipeline twin at production composition (r16): decontam
+    * gate (static benchmark chunk store, doc_id < 10) → store dedup
+    * judge → corpus heuristic floor ([[QualityStore]], doc_id % 10 < 8)
+    * ∧ corpus LM floor (the stamped admission ledger through
+    * [[LmStore.floorsChecked]], under the staged reference model) →
+    * chunking → flagged-window excision. The DuckDB oracle replays all
+    * six stages end to end — the one row that certifies the lane a
+    * real ingest pipeline runs. */
+  def curationLaneFullTwin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val root = LmStore.fixtureModel(spark, dir)
+    curateBatchFull(
+      ChunkSigStore.read(spark,
+        ChunkSigStore.fixtureBenchmarkStore(spark, dir)),
+      SimHashStore.read(spark, SimHashStore.fixtureCorpusStore(spark, dir)),
+      QualityStore.read(spark, QualityStore.fixtureCorpusStore(spark, dir)),
+      LmStore.readUni(spark, root), LmStore.readBi(spark, root),
+      LmStore.floorsChecked(
+        spark.read.parquet(LmStore.fixtureLedger(spark, dir)),
+        LmStore.readFingerprint(spark, root)),
+      docs.filter(col("doc_id") % 10 >= 8))._1
+  }
+
   val queries: Map[String, Q] = Map(
     // the composed lane's batch twin: store judge -> intra-batch keeper
     // gate -> per-source quality floor -> chunking, one batch
@@ -1244,6 +1346,10 @@ object Curation {
     // against the staged admission ledger's stable floors
     "curation_lane_lm_corpus_twin" -> ((s, d) =>
       curationLaneLmCorpusTwin(s, d)),
+    // the FULLY-composed production lane: decontam -> store judge ->
+    // corpus heuristic floor AND corpus LM floor (checked against the
+    // model fingerprint) -> chunk -> excision, ONE certified plan
+    "curation_lane_full_twin" -> ((s, d) => curationLaneFullTwin(s, d)),
     // epoch-seeded deterministic shuffle: per-epoch md5 tag, balanced
     // shard, dense within-shard position — no global ordering anywhere
     "epoch_shuffle" -> ((s, d) =>
@@ -1271,6 +1377,24 @@ object Curation {
       exportSequences(
         TokenIdStore.read(s, TokenIdStore.fixtureRenumberedStore(s, d)),
         epoch = 1, nShards = 8, budget = 512, version = 2)),
+    // the END-TO-END training-data export (r16 — the composition a
+    // training job actually calls, until now certified piecewise):
+    // curated store (quality floors over the persisted QualityStore)
+    // -> TokenIdStore numericalization under the LEARNED merge vocab
+    // (version 2, the renumbered-fixture convention) -> epoch pack ->
+    // packed-sequence export, version guard in-plan
+    "export_pipeline" -> ((s, d) => {
+      val store = Tables(s, d, "documents")
+        .filter(col("doc_id") % 10 < 8)
+      val kept = qualityGateAgainstFloors(store,
+        QualityStore.floors(
+          QualityStore.read(s, QualityStore.fixtureCorpusStore(s, d)),
+          0.1)).select(col("doc_id"))
+      exportSequences(
+        TokenIdStore.numericalize(store.join(kept, "doc_id"),
+          BpeMerges.mergeVocab(s, d), 2),
+        epoch = 1, nShards = 8, budget = 512, version = 2)
+    }),
     // packing telemetry over the epoch_pack fixture: per shard, how
     // full the budget-512 sequences actually are and how many overflow
     "pack_efficiency" -> ((s, d) =>
@@ -1629,6 +1753,40 @@ object Curation {
          |         OR l.avg_logprob >= lt.lm_thr))""".stripMargin,
       extraSurvCols = Seq("avg_logprob", "lm_thr"))
 
+  /** The FULL production composition replayed end to end: the decontam
+    * machinery (gate + excision), the corpus-relative heuristic floor
+    * (store population re-derived from text, LEFT JOIN NULL-keep), and
+    * the corpus-relative LM floor (the ledger replay's `lthrc`) as
+    * conjuncts over the same admitted set — every fragment shared
+    * verbatim with the pairwise twins it composes, so the six-stage
+    * oracle is a composition proof, not a re-derivation. */
+  private lazy val curationLaneFullTwinOracle: String =
+    curationTwinOracleWith(
+      s"""${LmStore.scoreCtes},
+         |${LmStore.corpusFloorCtes},
+         |cq AS (
+         |  SELECT source, ${TextOps.qualityExprSql} AS quality
+         |  FROM documents WHERE doc_id % 10 < 8),
+         |thr AS (
+         |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
+         |  FROM cq GROUP BY source),
+         |lavg AS (
+         |  SELECT q.doc_id, q.source,
+         |    CAST(s.logprob_e6 AS DOUBLE) / (1000000.0 * s.n_bigrams)
+         |      AS avg_logprob
+         |  FROM q LEFT JOIN lsc s ON s.doc_id = q.doc_id),
+         |surv AS (
+         |  SELECT q.doc_id, q.source, q.quality, t.q_thr,
+         |    l.avg_logprob, lt.lm_thr
+         |  FROM q LEFT JOIN thr t USING (source)
+         |  JOIN lavg l ON l.doc_id = q.doc_id
+         |  LEFT JOIN lthrc lt ON lt.source = q.source
+         |  WHERE (t.q_thr IS NULL OR q.quality >= t.q_thr)
+         |    AND (l.avg_logprob IS NULL OR lt.lm_thr IS NULL
+         |         OR l.avg_logprob >= lt.lm_thr))""".stripMargin,
+      decontam = true,
+      extraSurvCols = Seq("avg_logprob", "lm_thr"))
+
   /** The BPE-budgeted chunker replayed: per-token greedy-match costs via
     * a token-level advance-list walk (the TextOps.bpeWalkCtes shape, one
     * row per (doc, token)) over the corpus-derived vocabulary
@@ -1830,6 +1988,50 @@ object Curation {
          |FROM seps e JOIN lids l ON l.doc_id = e.doc_id
          |ORDER BY shard, seq_id, seq_pos""".stripMargin,
 
+    // the composed export: the seq_export machinery restricted to the
+    // CURATED population (per-source quality floors over the store
+    // split, re-derived from text — the staged-store precedent), the
+    // same learned-id stream, the same pack arithmetic
+    "export_pipeline" ->
+      s"""WITH RECURSIVE ${BpeMerges.learnedIdsCtes},
+         |eqs AS MATERIALIZED (
+         |  SELECT doc_id, source, ${TextOps.qualityExprSql} AS quality
+         |  FROM documents WHERE doc_id % 10 < 8),
+         |efl AS (
+         |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
+         |  FROM eqs GROUP BY source),
+         |ekeep AS MATERIALIZED (
+         |  SELECT q.doc_id FROM eqs q JOIN efl f USING (source)
+         |  WHERE q.quality >= f.q_thr),
+         |klids AS MATERIALIZED (
+         |  SELECT l.* FROM lids l JOIN ekeep k USING (doc_id)),
+         |scnt AS (
+         |  SELECT doc_id, count(*) AS n_tokens FROM klids GROUP BY doc_id),
+         |sept AS (
+         |  SELECT doc_id, n_tokens,
+         |    md5('e1:' || CAST(doc_id AS VARCHAR)) AS tag
+         |  FROM scnt),
+         |sepa AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(($nib16) % 8 AS INTEGER) AS shard,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY ($nib16) % 8 ORDER BY tag, doc_id)
+         |      AS INTEGER) AS pos
+         |  FROM sept),
+         |seps AS (
+         |  SELECT doc_id, shard, pos,
+         |    (CAST(sum(n_tokens) OVER (
+         |       PARTITION BY shard ORDER BY pos) AS BIGINT) - n_tokens)
+         |      // 512 AS seq_id
+         |  FROM sepa)
+         |SELECT e.shard, e.seq_id,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY e.shard, e.seq_id ORDER BY e.pos, l.token_idx)
+         |    - 1 AS INTEGER) AS seq_pos,
+         |  l.doc_id, l.token_idx, l.piece_id
+         |FROM seps e JOIN klids l ON l.doc_id = e.doc_id
+         |ORDER BY shard, seq_id, seq_pos""".stripMargin,
+
     // pack-efficiency telemetry replayed: the epoch_pack chain rolled
     // up per sequence, then per shard (fill terms are multiples of
     // 1/512 — exact doubles, so the avg is order-independent and
@@ -1869,6 +2071,7 @@ object Curation {
     "curation_lane_twin" -> curationLaneTwinOracle,
     "curation_lane_corpus_twin" -> curationLaneCorpusTwinOracle,
     "curation_lane_decontam_twin" -> curationLaneDecontamTwinOracle,
+    "curation_lane_full_twin" -> curationLaneFullTwinOracle,
     "curation_lane_lm_twin" -> curationLaneLmTwinOracle,
     "curation_lane_lm_corpus_twin" -> curationLaneLmCorpusTwinOracle,
     "chunk_docs_bpe" -> chunkDocsBpeOracle,

@@ -83,11 +83,23 @@ object LmStore {
     * Zero-bigram docs (null / empty / one-token text) have no rows —
     * the [[Vocab.lmBigramScore]] convention, mirrored in the oracle. */
   def scoreAgainst(docs: DataFrame, uni: DataFrame,
-                   bi: DataFrame): DataFrame = {
+                   bi: DataFrame, broadcastModel: Boolean = true)
+  : DataFrame = {
     val v = uni.agg(count(lit(1)).as("v"))
+    // broadcastModel = false is the BUCKETED-model form (r16 — the
+    // domain_classify_bucketed precedent applied to this plan instead
+    // of cited by it): a 100 TB reference model outgrows the driver,
+    // and the shuffle_hash hint proves the plan is a plain pair of
+    // equi-joins that degrade to shuffled-hash with NOTHING else
+    // changing — lm_score_ref_bucketed shares lm_score_ref's oracle
+    // text, so result equality is the proof. Default leaves the
+    // optimizer's choice (broadcast at fixture scale) untouched.
+    val (biSide, uniSide) =
+      if (broadcastModel) (bi, uni)
+      else (bi.hint("shuffle_hash"), uni.hint("shuffle_hash"))
     bigrams(docs)
-      .join(bi, Seq("w1", "w2"), "left")
-      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .join(biSide, Seq("w1", "w2"), "left")
+      .join(uniSide.withColumnRenamed("w", "w1"), Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .withColumn("q",
         round(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
@@ -154,12 +166,64 @@ object LmStore {
     * comparable exactly because both came from the same stored
     * counts). Doc-deduped (the at-least-once append contract);
     * zero-bigram ledger rows carry no score and drop out of the
-    * floor derivation. */
+    * floor derivation.
+    *
+    * This raw form TRUSTS the caller on model freshness — the
+    * convention-guarded seam. Production paths (the streaming lane,
+    * the certified twins) go through [[floorsChecked]], which
+    * enforces it by construction against the ledger's per-row
+    * [[readFingerprint]] stamps. */
   def floors(ledger: DataFrame, p: Double = 0.1): DataFrame =
     ledger.dropDuplicates("doc_id")
       .filter(col("avg_logprob").isNotNull)
       .groupBy(col("source"))
       .agg(expr(s"percentile(avg_logprob, $p)").as("lm_thr"))
+
+  /** [[floors]] with the model-freshness invariant ENFORCED, not
+    * assumed (r16 — the exportSequences id-space guard's class, closed
+    * for the score space): ledger rows are stamped with the
+    * fingerprint of the model that scored them ([[readFingerprint]] —
+    * the lane stamps every append), and a floor derived from rows
+    * scored under any OTHER model is refused in-plan. Scores are
+    * model-relative; after [[refreshIfDrifted]] swaps the counts, a
+    * corpus-floor lane would otherwise gate NEW-model scores against
+    * OLD-model floors silently — two incomparable score spaces mixed
+    * with no symptom. The guard rides the floor aggregate itself
+    * (min/max fingerprint per source over the SAME exchange — every
+    * scored row's stamp flows in by aggregate semantics), so a stale
+    * or mixed ledger fails the gate loudly; recovery is
+    * [[restampLedger]] (re-score under the current model, the retro
+    * re-derivation) — refusing then re-deriving is the only pair that
+    * cannot corrupt. NULL-score rows carry no score in ANY space and
+    * stay exempt, exactly as they never contribute to floors. */
+  def floorsChecked(ledger: DataFrame, modelFp: Long,
+                    p: Double = 0.1): DataFrame = {
+    require(ledger.columns.contains("model_fp"),
+      "floorsChecked: ledger lacks model_fp — floors over unstamped " +
+        "rows cannot certify the score space they were derived in " +
+        "(append through the lane, or restampLedger an existing store)")
+    // the doc-dedup spelled as the aggregate it is, fingerprint bounds
+    // riding BOTH levels (the exportSequences guard discipline): a
+    // stale row that loses the per-doc dedup still flows into
+    // min/max, so no replay/restamp interleaving can hide a stamp
+    ledger.groupBy(col("doc_id"))
+      .agg(first(col("source")).as("source"),
+        first(col("avg_logprob")).as("avg_logprob"),
+        min(col("model_fp")).as("fmin0"), max(col("model_fp")).as("fmax0"))
+      .filter(col("avg_logprob").isNotNull)
+      .groupBy(col("source"))
+      .agg(expr(s"percentile(avg_logprob, $p)").as("lm_thr0"),
+        min(col("fmin0")).as("fmin"), max(col("fmax0")).as("fmax"))
+      .select(col("source"),
+        when(assert_true(
+          col("fmin") === lit(modelFp) && col("fmax") === lit(modelFp),
+          concat(lit("floorsChecked: ledger rows for source "),
+            col("source"), lit(" scored under model fingerprint(s) ["),
+            col("fmin"), lit(", "), col("fmax"),
+            lit(s"] != current model $modelFp — stale score space; " +
+              "run LmStore.restampLedger after a model refresh"))).isNull,
+          col("lm_thr0")).as("lm_thr"))
+  }
 
   /** Gate `docs` against PREBUILT per-source LM floors — the
     * corpus-floor gate: the batch-relative percentile is noisy at
@@ -242,6 +306,92 @@ object LmStore {
         col("lm_thr")), verdicts)
   }
 
+  /** The LM refresh lifecycle CLOSED ON DISK (r16 — the
+    * [[QualityStore.refreshCurated]] shape on the trained model;
+    * until now [[retroSweep]]'s delete-set applied only by scaladoc
+    * reference): sweep the ledgered admissions against the CURRENT
+    * stored model, atomically rewrite the curated store at
+    * `curatedPath` with the eviction set anti-joined away
+    * ([[graft.sinks.StoreMaintenance.rewrite]] — a complete copy on
+    * disk at every instant; [[QualityStore.applyRetro]] is the shared
+    * anti-join, no forced broadcast for the same first-sweep-decile
+    * reason). Idempotent AND cheap at steady state, by the same probe
+    * argument verbatim: the ledger keeps evicted docs' rows by design
+    * (the admission history), so an unchanged (ledger, model) pair
+    * re-derives the same nonempty delete-set forever — the no-op
+    * guard probes the CURATED store (is any evicted doc still
+    * present?), never the delete-set's size. Duplicate-store
+    * immunity for free: the anti-join drops every chunk row of an
+    * evicted doc, replayed duplicates included. Runs at maintenance
+    * cadence after a model refresh, never per batch. Returns the
+    * applied (evictions, verdicts) for telemetry — both backed by
+    * [[retroSweep]]'s internal pin, so the rewrite moves no files
+    * under their plans. */
+  def refreshCurated(spark: SparkSession, curatedPath: String,
+                     docs: DataFrame, ledger: DataFrame, uni: DataFrame,
+                     bi: DataFrame, p: Double = 0.1)
+  : (DataFrame, DataFrame) = {
+    val (evictions, verdicts) = retroSweep(docs, ledger, uni, bi, p)
+    // the probe READS the store outside rewrite — repair a crashed
+    // mid-swap state first (the QualityStore.refreshCurated argument)
+    graft.sinks.StoreMaintenance.recover(curatedPath)
+    val pending = spark.read.parquet(curatedPath)
+      .join(evictions.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    if (!pending.isEmpty)
+      graft.sinks.StoreMaintenance.rewrite(spark, curatedPath)(
+        QualityStore.applyRetro(_, evictions))
+    (evictions, verdicts)
+  }
+
+  /** RESTAMP a persisted admission ledger under the CURRENT model —
+    * the recovery arm [[floorsChecked]]'s refusal points at: after
+    * [[refreshIfDrifted]] swaps the counts, every ledgered score is
+    * in the OLD model's space and the corpus-floor gate correctly
+    * refuses to derive floors from it. This re-scores each ledgered
+    * admission from TEXT against the current stored model (scores are
+    * model-relative — the ledgered value is not reusable, the
+    * [[retroSweep]] argument) and atomically rewrites the ledger with
+    * the fresh scores stamped `modelFp`. The doc SET is preserved
+    * (admission history is never trimmed); only scores and stamps
+    * move. Ledgered docs whose text is gone from `docs` keep a NULL
+    * score — un-judgeable, exactly the floor-exempt arm. One
+    * restricted scoring pass (only ledgered docs pay the bigram
+    * walk) + one atomic rewrite of a skinny store; maintenance
+    * cadence, immediately after the model refresh. */
+  def restampLedger(spark: SparkSession, ledgerPath: String,
+                    docs: DataFrame, uni: DataFrame, bi: DataFrame,
+                    modelFp: Long): Unit = {
+    val (_, verdicts) = retroSweep(docs,
+      spark.read.parquet(ledgerPath), uni, bi)
+    // verdicts are backed by retroSweep's internal eager pin — the
+    // rewrite moves no files under the write plan
+    graft.sinks.StoreMaintenance.rewrite(spark, ledgerPath)(_ =>
+      verdicts.select(col("doc_id"), col("source"), col("avg_logprob"))
+        .withColumn("model_fp", lit(modelFp)))
+  }
+
+  /** Current model fingerprint from the store's `_meta` sidecar — the
+    * integer that names the SCORE SPACE: bumped by every
+    * [[refreshIfDrifted]] swap, stamped onto every ledger append, and
+    * asserted by [[floorsChecked]] before any floor derives. A root
+    * with no sidecar reads as epoch 0 (models staged before the stamp
+    * existed); [[fixtureModel]] stamps epoch 1 at staging. */
+  def readFingerprint(spark: SparkSession, root: String): Long = {
+    val meta = new java.io.File(s"$root/_meta")
+    if (!meta.exists()) 0L
+    else spark.read.parquet(meta.toString).head().getLong(0)
+  }
+
+  private def writeFingerprint(spark: SparkSession, root: String,
+                               fp: Long): Unit = {
+    import spark.implicits._
+    val frame = Seq(fp).toDF("model_fp")
+    if (new java.io.File(s"$root/_meta").exists())
+      graft.sinks.StoreMaintenance.rewrite(spark, s"$root/_meta")(
+        _ => frame)
+    else frame.coalesce(1).write.parquet(s"$root/_meta")
+  }
+
   /** Per-SOURCE drift telemetry over a [[scoreAgainst]] pass — the
     * retrain signal, aggregated where alerting happens: corpus-level
     * per-bigram average log-prob under the reference and the unseen-
@@ -322,7 +472,18 @@ object LmStore {
       val freshUni = trainUnigrams(reference).localCheckpoint(true)
       val freshBi = trainBigrams(reference).localCheckpoint(true)
       try {
-        // uni/ FIRST (scaladoc: a crash after it leaves old bi, whose
+        // fingerprint FIRST (r16): the stamp names the score space, so
+        // every crash window must read as refuse-or-retrigger, never
+        // as silent mixing. Bumped-fp-over-old-counts (crash before
+        // the swaps) makes floorsChecked REFUSE valid-but-now-
+        // unverifiable floors — conservative, and the still-high OOV
+        // gauge re-triggers and completes. The reverse order's window
+        // (new counts under the old fp) would let a corpus-floor lane
+        // gate new-model scores against old-model floors with the
+        // check PASSING — the exact seam the stamp exists to close.
+        writeFingerprint(spark, modelRoot,
+          readFingerprint(spark, modelRoot) + 1)
+        // uni/ next (scaladoc: a crash after it leaves old bi, whose
         // high OOV gauge re-triggers and completes the swap; bi-first
         // would read as low drift and strand the mixed model forever)
         graft.sinks.StoreMaintenance.rewrite(spark, s"$modelRoot/uni")(
@@ -343,11 +504,20 @@ object LmStore {
     * the arriving 20% is what gets scored). Returns the store root
     * with `uni/` and `bi/` beneath it. */
   def fixtureModel(s: SparkSession, dir: String): String =
-    Staging.stage(s"lm_ref_v1_$dir",
+    // v2 (r16, ADVICE): trainUnigrams' empty-token filter changed the
+    // derivation (V and every add-one denominator on corpora with
+    // whitespace-only docs) — the repo's own convention says a
+    // derivation change bumps the staging key so a pre-change staged
+    // model cannot be served stale against the updated oracle. Also
+    // stamps fingerprint epoch 1 (the score-space name floorsChecked
+    // asserts).
+    Staging.stage(s"lm_ref_v2_$dir",
       new java.io.File(dir, "documents.parquet")) { tmp =>
       val ref = Tables(s, dir, "documents").filter(col("doc_id") % 10 < 8)
       trainUnigrams(ref).write.parquet(s"$tmp/uni")
       trainBigrams(ref).write.parquet(s"$tmp/bi")
+      import s.implicits._
+      Seq(1L).toDF("model_fp").coalesce(1).write.parquet(s"$tmp/_meta")
     }
 
   def readUni(s: SparkSession, root: String): DataFrame =
@@ -372,7 +542,11 @@ object LmStore {
     * docs carry a NULL score (ledgered — they were admitted — but
     * contributing nothing to floors). */
   def fixtureLedger(s: SparkSession, dir: String): String =
-    Staging.stage(s"lm_ledger_v2_$dir",
+    // v3 (r16): derives from the v2 model (its derivation chain — a
+    // restaged upstream means a restaged ledger) and stamps each row
+    // with the model fingerprint it was scored under, as every lane
+    // append now does.
+    Staging.stage(s"lm_ledger_v3_$dir",
       new java.io.File(dir, "documents.parquet")) { tmp =>
       val root = fixtureModel(s, dir)
       val led = Tables(s, dir, "documents")
@@ -381,6 +555,7 @@ object LmStore {
         .join(scoreAgainst(led, readUni(s, root), readBi(s, root))
           .select(col("doc_id"), col("avg_logprob")),
           Seq("doc_id"), "left")
+        .withColumn("model_fp", lit(readFingerprint(s, root)))
         .write.parquet(tmp)
     }
 
@@ -413,16 +588,29 @@ object LmStore {
         Tables(s, d, "documents").filter(col("doc_id") % 10 >= 8),
         readUni(s, root), readBi(s, root)).orderBy(col("doc_id"))
     }),
+    // the model joins forced to shuffled-hash — the 100 TB
+    // degradation path certified on THIS plan (result-equal to
+    // lm_score_ref: the two rows share one oracle text)
+    "lm_score_ref_bucketed" -> ((s, d) => {
+      val root = fixtureModel(s, d)
+      scoreAgainst(
+        Tables(s, d, "documents").filter(col("doc_id") % 10 >= 8),
+        readUni(s, root), readBi(s, root), broadcastModel = false)
+        .orderBy(col("doc_id"))
+    }),
     // the CORPUS-floor form: arrivals gated against floors from the
     // persisted admission LEDGER (stable across batches — the
     // QualityStore corpus-floor argument on the trained model) instead
-    // of their own batch's percentile
+    // of their own batch's percentile; floors derive through the
+    // CHECKED form (every ledger row's model_fp asserted against the
+    // store's current fingerprint in-plan)
     "quality_gate_lm_corpus" -> ((s, d) => {
       val root = fixtureModel(s, d)
       lmGateAgainstFloors(
         Tables(s, d, "documents").filter(col("doc_id") % 10 >= 8),
         readUni(s, root), readBi(s, root),
-        floors(s.read.parquet(fixtureLedger(s, d)))).orderBy(col("doc_id"))
+        floorsChecked(s.read.parquet(fixtureLedger(s, d)),
+          readFingerprint(s, root))).orderBy(col("doc_id"))
     }),
     // the gate's reverse direction: every ledgered admission (fixture:
     // the arriving split, admitted as-is) re-scored against the
@@ -434,6 +622,22 @@ object LmStore {
         docs.filter(col("doc_id") % 10 >= 8)
           .select(col("doc_id"), col("source")),
         readUni(s, root), readBi(s, root))._2.orderBy(col("doc_id"))
+    }),
+    // the sweep's delete-set APPLIED — the pure frame form of
+    // refreshCurated's rewrite (the quality_retro_refresh shape on the
+    // trained model): the curated chunks of the ledgered epoch with
+    // every below-current-floor doc's windows anti-joined away
+    "lm_retro_refresh" -> ((s, d) => {
+      val root = fixtureModel(s, d)
+      val docs = Tables(s, d, "documents")
+      QualityStore.applyRetro(
+        Curation.chunkDocs(docs.filter(col("doc_id") % 10 >= 8),
+          window = 32, stride = 24),
+        retroSweep(docs,
+          docs.filter(col("doc_id") % 10 >= 8)
+            .select(col("doc_id"), col("source")),
+          readUni(s, root), readBi(s, root))._1)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }))
 
   private[text] val N = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -559,7 +763,33 @@ object LmStore {
          |FROM lsrc l LEFT JOIN lthr t USING (source)
          |ORDER BY l.doc_id""".stripMargin,
 
+    // the delete-set applied to the ledgered epoch's curated chunks:
+    // keep-set from the gate replay, chunk CTEs over the same split,
+    // evicted docs' windows dropped
+    "lm_retro_refresh" ->
+      s"""WITH $gateCtes,
+         |l8 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id % 10 >= 8),
+         |${Curation.chunkCtesSql(32, 24, "l8", "lch")},
+         |keepd AS (
+         |  SELECT l.doc_id FROM lsrc l LEFT JOIN lthr t USING (source)
+         |  WHERE l.avg_logprob IS NULL OR t.lm_thr IS NULL
+         |     OR l.avg_logprob >= t.lm_thr)
+         |SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_chunk_tokens
+         |FROM lch c JOIN keepd k ON k.doc_id = c.doc_id
+         |ORDER BY c.doc_id, c.chunk_idx""".stripMargin,
+
     "lm_score_ref" ->
+      s"""WITH $scoreCtes
+         |SELECT doc_id, n_bigrams, n_oov_bigrams, logprob_e6,
+         |  CAST(logprob_e6 AS DOUBLE) / (1000000.0 * n_bigrams)
+         |    AS avg_logprob
+         |FROM lsc ORDER BY doc_id""".stripMargin,
+
+    // ONE oracle text for both join strategies — the bucketed twin
+    // changes the physical plan, never the semantics; sharing the
+    // string is the proof (the domain_classify_bucketed discipline)
+    "lm_score_ref_bucketed" ->
       s"""WITH $scoreCtes
          |SELECT doc_id, n_bigrams, n_oov_bigrams, logprob_e6,
          |  CAST(logprob_e6 AS DOUBLE) / (1000000.0 * n_bigrams)

@@ -28,15 +28,21 @@ class PlanLintSpec extends SparkSpec {
     "ann_sq_rerank", "ann_sq_recall",
     // ann_ivf_health: the above plus one-row occupancy/hits/truth anchors
     "ann_ivf_health",
+    // the media semantic incremental judge: the arriving batch assigns
+    // against the one-row packed-centroid broadcast (the assignBatch
+    // anchor — same class as the stored-index ANN rows)
+    "media_dedup_semantic_incremental",
     // one-row scalar anchors: data-anchored NOW() or corpus totals
     "recent_analysis", "recent_lineitems", "trade_summary",
     "lm_bigram_score", "source_logodds", "tfidf_topk",
     // reference-LM scoring: the one-row V (distinct reference unigrams) anchor
     "lm_score_ref", "lm_drift_by_source",
-    // the LM gate / retro sweep / gated lane twin ride the same one-row
-    // V anchor through their scoring pass
+    // the LM gate / retro sweep / gated lane twins / bucketed scoring
+    // ride the same one-row V anchor through their scoring pass
     "quality_gate_lm", "quality_gate_lm_corpus", "lm_retro",
+    "lm_retro_refresh", "lm_score_ref_bucketed",
     "curation_lane_lm_twin", "curation_lane_lm_corpus_twin",
+    "curation_lane_full_twin",
     // vocab-anchor crossJoins: source-index/V/doc-count one-row or
     // source-count broadcasts under the NB domain model build
     "domain_classify", "domain_classify_bucketed",

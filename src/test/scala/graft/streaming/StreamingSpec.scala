@@ -1262,6 +1262,74 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("managed tokenizer lane probes downstream shard staleness at cadence: swap flags, re-export clears") {
+    // the r15 verdict's "dashboard nobody opens": the probe existed but
+    // nothing called it. Same constructed digit-store/alpha-arrival
+    // drift as the ACCEPT test (gain ~1.0 at any split), with a
+    // sequence-shard artifact written under the PRE-swap version: the
+    // lane's cadence tick must surface stale=true after its own swap,
+    // and a renumber + re-export must read fresh at the next tick.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{BpeVocab, Curation, TokenIdStore, VocabMaintenance}
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("tok_stale_probe_").toString
+    val vocabPath = s"$work/vocab"
+    val idStore = s"$work/ids"
+    val shards = s"$work/shards"
+    BpeVocab.train(Seq((900L, "01230123 45674567")).toDF("doc_id", "text"))
+      .write.parquet(vocabPath)
+    val ver1 = VocabMaintenance.currentVersion(spark, vocabPath)
+    // the downstream artifact, exported under the live (v1) id space
+    TokenIdStore.append(idStore, TokenIdStore.numericalize(
+      Seq((800L, "0123 4567")).toDF("doc_id", "text"),
+      BpeVocab.read(spark, vocabPath), ver1))
+    Curation.writeSequenceShards(spark, TokenIdStore.read(spark, idStore),
+      shards, epoch = 1, nShards = 2, budget = 16, version = ver1)
+    val verdicts = scala.collection.mutable.ArrayBuffer[
+      (Long, Option[Int], Int, Boolean)]()
+    val q = StreamingLanes.tokenizerIngestLaneManaged(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      s"$work/corpus", vocabPath, checkEvery = 2,
+      idStorePath = Some(idStore), seqShardPath = Some(shards),
+      onStaleness = (df, bid) => df.collect().foreach(r => verdicts +=
+        ((bid, if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          r.getInt(3), r.getBoolean(4)))))((_, _) => ()).start()
+    try {
+      mem.addData(CurDoc(ts(1), 1L, "abab cdcd abab cdcd", "src_a"))
+      q.processAllAvailable()
+      // cadence tick: drift accepts the swap, registry bumps — the
+      // SAME tick's probe must already flag the v1 artifact
+      mem.addData(CurDoc(ts(2), 2L, "abab cdcd cdcd abab", "src_a"))
+      q.processAllAvailable()
+      val ver2 = VocabMaintenance.currentVersion(spark, vocabPath)
+      assert(ver2 > ver1, "the constructed drift must accept the swap")
+      assert(verdicts.toList === List((1L, Some(ver1), ver2, true)),
+        s"the cadence probe must flag the pre-swap artifact: $verdicts")
+      // the maintenance response: sweep the id store, re-export the
+      // artifact at the new version
+      TokenIdStore.renumberSweep(spark, idStore,
+        spark.read.parquet(s"$work/corpus").dropDuplicates("doc_id")
+          .unionByName(Seq((800L, "0123 4567", "src_a"))
+            .toDF("doc_id", "text", "source")),
+        BpeVocab.read(spark, vocabPath), ver2)
+      Curation.writeSequenceShards(spark,
+        TokenIdStore.read(spark, idStore), shards, epoch = 1,
+        nShards = 2, budget = 16, version = ver2)
+      verdicts.clear()
+      // next cadence tick (no further drift: arrivals stay alpha,
+      // covered by the swapped store): the probe reads FRESH
+      mem.addData(CurDoc(ts(3), 3L, "abab cdcd", "src_a"))
+      q.processAllAvailable()
+      mem.addData(CurDoc(ts(4), 4L, "cdcd abab", "src_a"))
+      q.processAllAvailable()
+      assert(verdicts.toList === List((3L, Some(ver2), ver2, false)),
+        s"a re-exported artifact must read fresh: $verdicts")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   /** LM-lane fixture: model A's reference corpus (alpha-beta and
     * gamma-delta bigram domains) and a 3-doc batch — two in-domain
     * docs and one whose bigrams the reference has never seen. All
@@ -1353,6 +1421,9 @@ class StreamingSpec extends SparkSpec {
         LmStore.readUni(spark, modelRoot), LmStore.readBi(spark, modelRoot))
         .select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
       .withColumn("lm_thr", lit(null).cast("double"))
+      // stamped with the meta-less root's epoch-0 fingerprint — the
+      // floorsChecked contract every lane append now carries
+      .withColumn("model_fp", lit(0L))
       .write.mode("append").parquet(ledger)
     val curated = scala.collection.mutable.Set[Long]()
     val q = StreamingLanes.curationStoreLane(
@@ -1387,6 +1458,235 @@ class StreamingSpec extends SparkSpec {
       q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
+  }
+
+  test("FULL production lane: decontam + dedup + corpus heuristic floor AND corpus LM floor in ONE plan == its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{ChunkSigStore, Curation, LmStore, NearDup,
+      QualityStore, SimHashStore}
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("curation_fullprod_").toString
+    val (sigStore, chunkStore, benchStore, qualityStore, modelRoot,
+      ledger) = (s"$work/sigs", s"$work/chunks", s"$work/bench",
+      s"$work/quality", s"$work/lm", s"$work/ledger")
+    // all four stores + both ledgers seeded: signature store, corpus
+    // quality floors, benchmark chunk sigs, trained LM, stamped
+    // admission ledger
+    val seeds = qualitySeedDocs.toDF("doc_id", "text", "source")
+    val benchDoc = Seq((200L, "alpha bravo charlie delta"))
+      .toDF("doc_id", "text")
+    SimHashStore.appendBatch(sigStore, seeds.select("doc_id", "text"))
+    QualityStore.appendQualities(qualityStore,
+      QualityStore.qualityFrame(seeds))
+    ChunkSigStore.appendSigs(benchStore,
+      NearDup.chunkSigs64(benchDoc, window = 4, stride = 2))
+    LmStore.trainUnigrams(lmRefDocs).write.parquet(s"$modelRoot/uni")
+    LmStore.trainBigrams(lmRefDocs).write.parquet(s"$modelRoot/bi")
+    val ledSeeds = Seq(
+      (300L, "alpha beta alpha beta alpha beta", "src_a"),
+      (301L, "gamma delta gamma delta gamma delta", "src_a"))
+      .toDF("doc_id", "text", "source")
+    val seedLedger = ledSeeds.select(col("doc_id"), col("source"))
+      .join(LmStore.scoreAgainst(ledSeeds,
+        LmStore.readUni(spark, modelRoot),
+        LmStore.readBi(spark, modelRoot))
+        .select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
+      .withColumn("lm_thr", lit(null).cast("double"))
+      .withColumn("model_fp", lit(0L))
+    seedLedger.write.mode("append").parquet(ledger)
+    def toks(pfx: String, n: Int) =
+      (0 until n).map(j => s"$pfx$j").mkString(" ")
+    val arrivals = Seq(
+      CurDoc(ts(10), 1L, toks("b1w", 12), "src_a"),
+      CurDoc(ts(11), 2L, toks("b2w", 50), "src_a"),
+      CurDoc(ts(12), 3L,
+        "alpha beta alpha beta alpha beta alpha beta alpha beta alpha " +
+          "beta alpha beta alpha beta alpha beta alpha beta", "src_a"),
+      // a verbatim benchmark passage: whole-doc decontam drop
+      CurDoc(ts(13), 30L, "alpha bravo charlie delta", "src_c"),
+      // embeds it mid-doc: window excision if otherwise admitted
+      CurDoc(ts(14), 31L,
+        "x1 x2 alpha bravo charlie delta y1 y2", "src_c"))
+    val q = StreamingLanes.curationStoreLane(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      sigStore, chunkStore, window = 4, stride = 2,
+      benchStorePath = benchStore, qualityStorePath = qualityStore,
+      lmModelRoot = modelRoot, lmLedgerPath = ledger,
+      lmCorpusFloor = true)((_, _) => ()).start()
+    try {
+      mem.addData(arrivals: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the lane == curateBatchFull over the same pre-batch store state
+    // (every stage's semantics certified by the twin's own oracle row)
+    val batchDf = arrivals.map(d => (d.doc_id, d.text, d.source))
+      .toDF("doc_id", "text", "source")
+    val (twinChunks, twinSigs, _, twinSurv, _) = Curation.curateBatchFull(
+      NearDup.chunkSigs64(benchDoc, window = 4, stride = 2),
+      NearDup.simhash64(seeds.select("doc_id", "text")),
+      QualityStore.qualityFrame(seeds),
+      LmStore.readUni(spark, modelRoot),
+      LmStore.readBi(spark, modelRoot),
+      LmStore.floorsChecked(seedLedger, modelFp = 0L),
+      batchDf, window = 4, stride = 2)
+    def chunkKey(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "chunk_idx", "chunk_text",
+        "doc_contaminated_frac").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(3))).toSet
+    val laneChunks = spark.read.parquet(chunkStore)
+    assert(laneChunks.columns.toSet === Set("doc_id", "source",
+      "quality", "q_thr", "avg_logprob", "lm_thr", "chunk_idx",
+      "chunk_text", "n_chunk_tokens", "doc_contaminated_frac"),
+      "both floors' verdicts AND the decontam fraction must ride along")
+    assert(chunkKey(laneChunks) === chunkKey(twinChunks),
+      "the full lane must equal its certified batch twin")
+    val admitted = twinSurv.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // the composition actually exercised every gate: the in-domain
+    // long doc survives BOTH corpus floors; the all-OOV long doc
+    // passes quality but falls to the LM ledger floor; the short doc
+    // falls to the quality floor; the benchmark copy drops whole
+    assert(admitted.contains(3L), s"in-domain doc must survive: $admitted")
+    assert(!admitted.contains(2L), "all-OOV doc must fall to the LM floor")
+    assert(!admitted.contains(1L), "short doc must fall to the quality floor")
+    assert(!admitted.contains(30L), "benchmark copy must drop whole")
+    // stores grew by exactly the survivors; the decontam-dropped doc
+    // never signed anything
+    val sigIds = SimHashStore.read(spark, sigStore).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sigIds === seeds.collect().map(_.getLong(0)).toSet ++ admitted)
+    assert(twinSigs.select("doc_id").collect().map(_.getLong(0)).toSet
+      === admitted)
+    val qualIds = QualityStore.read(spark, qualityStore)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(qualIds === seeds.collect().map(_.getLong(0)).toSet ++ admitted)
+    // the ledger grew with the admissions, every row fingerprint-stamped
+    val led = spark.read.parquet(ledger)
+    assert(led.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(300L, 301L) ++ admitted)
+    assert(led.select("model_fp").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(0L),
+      "every ledger row must carry the model fingerprint it was scored under")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
+  test("FULL production lane killed and resumed matches a single run across ALL stores") {
+    import graft.text.{ChunkSigStore, LmStore, NearDup, QualityStore,
+      SimHashStore}
+    val work = Files.createTempDirectory("curation_fullprod_restart_")
+      .toString
+    def toks(pfx: String, n: Int) =
+      (0 until n).map(j => s"$pfx$j").mkString(" ")
+    // pure in-domain bigrams (alpha-beta both directions are reference
+    // pairs), 40 tokens: clears the 0.19 quality floor AND the LM
+    // ledger floor
+    val inDomain = (0 until 20).map(_ => "alpha beta").mkString(" ")
+    val docs = Seq(
+      (1L, inDomain, "src_a"),                  // admitted pre-kill
+      (2L, toks("b2w", 50), "src_a"),           // LM-floor reject
+      // post-resume permutation of 1's ADMITTED signature: store dup
+      (3L, inDomain.split(" ").reverse.mkString(" "), "src_a"),
+      (4L, toks("b1w", 12), "src_a"))           // quality-floor reject
+    val slices = docs.zipWithIndex.map { case ((id, t, src), i) =>
+      val tmp = s"$work/slice$i"
+      Seq((id, t, src)).toDF("doc_id", "text", "source")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part, s"s$i.parquet", 1700000000000L + i * 60000L)
+    }
+    def copyTo(dir: String, n: Int): Unit = slices.take(n).foreach {
+      case (part, name, mtime) =>
+        val dst = new java.io.File(dir, name)
+        if (!dst.exists()) {
+          org.apache.commons.io.FileUtils.copyFile(part, dst)
+          dst.setLastModified(mtime)
+        }
+    }
+    val schema = spark.read.parquet(s"$work/slice0").schema
+    def seedStores(tag: String): Unit = {
+      val seeds = qualitySeedDocs.toDF("doc_id", "text", "source")
+      SimHashStore.appendBatch(s"$work/sigs$tag",
+        seeds.select("doc_id", "text"))
+      QualityStore.appendQualities(s"$work/quality$tag",
+        QualityStore.qualityFrame(seeds))
+      ChunkSigStore.appendSigs(s"$work/bench$tag", NearDup.chunkSigs64(
+        Seq((200L, "one benchmark passage kept static"))
+          .toDF("doc_id", "text"), window = 4, stride = 2))
+      val mr = s"$work/lm$tag"
+      LmStore.trainUnigrams(lmRefDocs).write.parquet(s"$mr/uni")
+      LmStore.trainBigrams(lmRefDocs).write.parquet(s"$mr/bi")
+      val ledSeeds = Seq(
+        (300L, "alpha beta alpha beta alpha beta", "src_a"),
+        (301L, "gamma delta gamma delta gamma delta", "src_a"))
+        .toDF("doc_id", "text", "source")
+      ledSeeds.select(col("doc_id"), col("source"))
+        .join(LmStore.scoreAgainst(ledSeeds, LmStore.readUni(spark, mr),
+          LmStore.readBi(spark, mr))
+          .select(col("doc_id"), col("avg_logprob")),
+          Seq("doc_id"), "left")
+        .withColumn("lm_thr", lit(null).cast("double"))
+        .withColumn("model_fp", lit(0L))
+        .write.mode("append").parquet(s"$work/ledger$tag")
+    }
+    def runLane(tag: String, out: scala.collection.mutable.Set[Long])
+    : Long = {
+      var batches = 0L
+      val q = StreamingLanes.curationStoreLane(
+        Replay.paced(spark, s"$work/in$tag", schema,
+          maxFilesPerTrigger = 1),
+        s"$work/sigs$tag", s"$work/chunks$tag", window = 4, stride = 2,
+        benchStorePath = s"$work/bench$tag",
+        qualityStorePath = s"$work/quality$tag",
+        lmModelRoot = s"$work/lm$tag",
+        lmLedgerPath = s"$work/ledger$tag", lmCorpusFloor = true)(
+        (chunks, _) => { batches += 1
+          chunks.select("doc_id").collect()
+            .foreach(r => out += r.getLong(0))
+        })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck$tag")
+        .start()
+      q.awaitTermination()
+      batches
+    }
+    def sigSet(tag: String) = SimHashStore.read(spark, s"$work/sigs$tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def qualSet(tag: String) = QualityStore
+      .read(spark, s"$work/quality$tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    def ledSet(tag: String) = spark.read.parquet(s"$work/ledger$tag")
+      .select("doc_id", "source", "model_fp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def chunkSet(tag: String) = spark.read
+      .parquet(s"$work/chunks$tag")
+      .select("doc_id", "chunk_idx", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // restarted path: two batches, die, resume on the SAME checkpoint
+    val resumed = scala.collection.mutable.Set[Long]()
+    seedStores("A")
+    new java.io.File(s"$work/inA").mkdirs()
+    copyTo(s"$work/inA", 2)
+    assert(runLane("A", resumed) === 2L)
+    copyTo(s"$work/inA", 4)
+    assert(runLane("A", resumed) === 2L)
+    // single-run oracle: fresh stores + checkpoint, all four batches
+    val single = scala.collection.mutable.Set[Long]()
+    seedStores("B")
+    new java.io.File(s"$work/inB").mkdirs()
+    copyTo(s"$work/inB", 4)
+    assert(runLane("B", single) === 4L)
+    assert(resumed.toSet === single.toSet)
+    assert(resumed.toSet === Set(1L),
+      "LM reject, quality reject, and sig-store dup must stay rejected " +
+        "across the restart")
+    assert(sigSet("A") === sigSet("B"))
+    assert(qualSet("A") === qualSet("B"))
+    assert(ledSet("A") === ledSet("B"),
+      "resumed admission ledger must equal the single-run ledger")
+    assert(chunkSet("A") === chunkSet("B"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
   test("LM retro sweep: a model refresh moves the floors; sweep + apply == one-shot re-gate") {
@@ -2062,6 +2362,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(store).getParentFile)
+  }
+
+  test("media semantic ingest lane featurizes, assigns against stored centroids, appends — arrivals judgeable immediately") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ann.IvfStore
+    import graft.multimodal.Multimodal
+    val mem = MemoryStream[MediaIn]
+    val work = Files.createTempDirectory("media_sem_lane_").toString
+    val store = s"$work/vecstore"
+    def bytes(s: String) = s.getBytes("UTF-8")
+    // two trained 16-dim centroids: cell 0 at the all-'0' payload's
+    // histogram corner (low nibble 0), cell 1 at all-'?' (nibble 15)
+    val cents = Seq(
+      (0, Seq(100L) ++ Seq.fill(15)(0L)),
+      (1, Seq.fill(15)(0L) :+ 100L)).toDF("cell", "c")
+    val centsRow = IvfStore.packedRow(cents)
+    val assigned = scala.collection.mutable.Map[Long, Int]()
+    val q = StreamingLanes.mediaSemanticIngestLane(
+      mem.toDF().select(col("doc_id"), col("payload")), store, centsRow)(
+      (batch, _) => batch.collect().foreach { r =>
+        assigned(r.getAs[Long]("vec_id")) = r.getAs[Int]("cell")
+      }).start()
+    try {
+      mem.addData(
+        MediaIn(ts(10), 1L, bytes("0000000000000000")),
+        MediaIn(ts(11), 2L, bytes("????????????????")),
+        MediaIn(ts(12), 3L, bytes("0?"))) // sub-window: never featurized
+      q.processAllAvailable()
+      assert(assigned === Map(1L -> 0, 2L -> 1),
+        s"nibble-corner payloads must land in their cells: $assigned")
+      // a second batch appends to the SAME store
+      mem.addData(MediaIn(ts(20), 4L, bytes("000000000000000?")))
+      q.processAllAvailable()
+      assert(assigned(4L) === 0, "15/16 zero nibbles stays in cell 0")
+      val stored = IvfStore.read(spark, store)
+      assert(stored.select("vec_id").collect().map(_.getLong(0)).toSet
+        === Set(1L, 2L, 4L))
+      // the store IS the incremental judge's corpus side: a near-copy
+      // arriving later is flagged semantically without any payload
+      // re-read or pair re-enumeration
+      val verdict = Multimodal.mediaSemanticIncrementalJudge(
+        stored,
+        Seq((10L, bytes("00000000000000000000")),
+          (11L, bytes("}}}}}}}}}}}}}}}}}}}}")))
+          .toDF("doc_id", "payload"),
+        centsRow, threshold = 0.9)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_sem_dups"), r.getAs[Boolean]("is_new"))).toMap
+      assert(verdict(10L)._1 >= 1L && !verdict(10L)._2,
+        s"the all-zero-nibble arrival must match stored 1/4: $verdict")
+      assert(verdict(11L)._2,
+        s"the nibble-13 arrival shares no cell-0/1 content: $verdict")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
   }
 
   test("span-clean lane killed and resumed mid-stream matches a single run") {

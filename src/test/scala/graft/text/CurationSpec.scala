@@ -704,6 +704,19 @@ class CurationSpec extends SparkSpec {
       Curation.exportSequences(untagged, 1, 2, 16, version = 1)
     }
     assert(e2.getMessage.contains("vocab_version"))
+    // DETERMINISTIC over dedup losers (r16, ADVICE): a stale duplicate
+    // of a key whose winner is current — the row dropDuplicates would
+    // silently discard — still trips the guard, because every row's
+    // version flows into the per-key min/max aggregate
+    val hidden = Seq((0L, 0, 100, 2), (0L, 0, 99, 1), (0L, 1, 101, 2))
+      .toDF("doc_id", "token_idx", "piece_id", "vocab_version")
+    val e3 = intercept[Exception] {
+      Curation.exportSequences(hidden, epoch = 1, nShards = 2,
+        budget = 16, version = 2).count()
+    }
+    assert(causes(e3).exists(c => c.getMessage != null &&
+      c.getMessage.contains("mid-renumber")),
+      s"a dedup-losing stale row must still refuse the export, got: $e3")
   }
 
   test("shard staleness probe: swap -> sweep flags written shards; a refreshed export clears") {
@@ -715,6 +728,14 @@ class CurationSpec extends SparkSpec {
     val idStore = s"$work/ids"
     val vocabPath = s"$work/vocab"
     val shards = s"$work/shards"
+    // a missing manifest (crash between shard and manifest writes, or
+    // a pre-manifest artifact) is a STALE verdict, never an error —
+    // the probe must be usable exactly on crash remnants (r16, ADVICE)
+    val blind = Curation.sequenceShardStaleness(spark,
+      s"$work/notwritten", 1).collect()
+    assert(blind.length === 1 && blind.head.getAs[Boolean]("stale"))
+    assert(blind.head.isNullAt(0),
+      "an unknowable artifact version reads NULL, not invented")
     // live vocab v1 + registry mint; ids numericalized and exported
     // under it — the probe reads FRESH while the registry agrees
     BpeVocab.train(docs).write.parquet(vocabPath)

@@ -108,6 +108,151 @@ class LmStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("checked floors: the score space is enforced, not assumed — stale or mixed ledgers refuse, restamp heals") {
+    val work = java.nio.file.Files
+      .createTempDirectory("lm_floors_checked_").toString
+    val root = s"$work/model"
+    val ledgerPath = s"$work/ledger"
+    LmStore.trainUnigrams(ref).write.parquet(s"$root/uni")
+    LmStore.trainBigrams(ref).write.parquet(s"$root/bi")
+    // meta-less root reads as the pre-stamp epoch
+    assert(LmStore.readFingerprint(spark, root) === 0L)
+    val docs = Seq(
+      (40L, "the cat sat on the mat", "s0"),
+      (41L, "the dog ran on the rug", "s0"),
+      (42L, "zorp blarg quux fizz", "s0")).toDF("doc_id", "text", "source")
+    docs.select(col("doc_id"), col("source"))
+      .join(LmStore.scoreAgainst(docs, LmStore.readUni(spark, root),
+        LmStore.readBi(spark, root))
+        .select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
+      .withColumn("model_fp", lit(0L))
+      .write.parquet(ledgerPath)
+    // current-fingerprint floors derive and agree with the raw form
+    val checked = LmStore.floorsChecked(
+      spark.read.parquet(ledgerPath), 0L).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val raw = LmStore.floors(spark.read.parquet(ledgerPath)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(checked === raw)
+    // an unstamped ledger is refused at construction
+    val e0 = intercept[IllegalArgumentException] {
+      LmStore.floorsChecked(
+        spark.read.parquet(ledgerPath).drop("model_fp"), 0L)
+    }
+    assert(e0.getMessage.contains("model_fp"))
+    // the model REFRESHES: fingerprint bumps, and floors over the
+    // old-stamped ledger now refuse — new-model scores must never gate
+    // against old-model floors silently
+    val drifted = Seq((50L, "zorp blarg quux fizz", "s9"),
+      (51L, "blarg zorp fizz quux", "s9")).toDF("doc_id", "text", "source")
+    assert(LmStore.refreshIfDrifted(spark, root,
+      ref.unionByName(drifted), drifted))
+    assert(LmStore.readFingerprint(spark, root) === 1L,
+      "a refresh must bump the score-space fingerprint")
+    val e1 = intercept[Exception] {
+      LmStore.floorsChecked(spark.read.parquet(ledgerPath), 1L).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e1).exists(c => c.getMessage != null &&
+      c.getMessage.contains("stale score space")), s"got: $e1")
+    // restamp: re-score the ledgered admissions under the CURRENT
+    // model, rewrite atomically — floors derive again, in the new space
+    LmStore.restampLedger(spark, ledgerPath, docs,
+      LmStore.readUni(spark, root), LmStore.readBi(spark, root), 1L)
+    val led2 = spark.read.parquet(ledgerPath)
+    assert(led2.select("model_fp").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    assert(led2.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(40L, 41L, 42L), "the admission history is preserved, not trimmed")
+    val healed = LmStore.floorsChecked(led2, 1L).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the restamped scores ARE the current model's: floor == the floor
+    // a fresh re-score derives
+    val fresh = docs.select(col("doc_id"), col("source"))
+      .join(LmStore.scoreAgainst(docs, LmStore.readUni(spark, root),
+        LmStore.readBi(spark, root))
+        .select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
+    assert(healed === LmStore.floors(fresh).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    // a MIXED ledger (old rows restamped, new appends under a newer
+    // model) refuses too — the in-between state a crashed restamp or a
+    // missed cadence leaves
+    Seq((43L, "s0", -1.0, 2L))
+      .toDF("doc_id", "source", "avg_logprob", "model_fp")
+      .write.mode("append").parquet(ledgerPath)
+    val e2 = intercept[Exception] {
+      LmStore.floorsChecked(spark.read.parquet(ledgerPath), 2L).collect()
+    }
+    assert(causes(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("stale score space")), s"got: $e2")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
+  test("LM curated-store refresh: the delete-set applies on disk atomically, idempotently, duplicates included") {
+    val work = java.nio.file.Files
+      .createTempDirectory("lm_refresh_curated_").toString
+    val root = s"$work/model"
+    val curatedPath = s"$work/curated"
+    LmStore.trainUnigrams(ref).write.parquet(s"$root/uni")
+    LmStore.trainBigrams(ref).write.parquet(s"$root/bi")
+    // two in-domain admissions, one all-OOV admission: under the
+    // current model the OOV doc sits below the p=0.5 floor
+    val docs = Seq(
+      (60L, "the cat sat on the mat", "s0"),
+      (61L, "the dog sat on the rug", "s0"),
+      (62L, "zorp blarg quux fizz wibble", "s0"))
+      .toDF("doc_id", "text", "source")
+    val ledger = docs.select(col("doc_id"), col("source"))
+    // the curated store: two chunks per doc, PLUS a replayed duplicate
+    // row for the evictee (at-least-once appends)
+    val chunks = Seq((60L, 0), (60L, 1), (61L, 0), (61L, 1),
+      (62L, 0), (62L, 1), (62L, 0))
+      .toDF("doc_id", "chunk_idx")
+    chunks.write.parquet(curatedPath)
+    val (ev1, _) = LmStore.refreshCurated(spark, curatedPath, docs,
+      ledger, LmStore.readUni(spark, root), LmStore.readBi(spark, root),
+      p = 0.5)
+    val evicted = ev1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(evicted === Set(62L),
+      "the all-OOV admission must fall below the current floor")
+    val after = spark.read.parquet(curatedPath).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(after.sorted === Seq((60L, 0), (60L, 1), (61L, 0), (61L, 1)),
+      "every chunk row of the evictee drops — replayed duplicates included")
+    // idempotent at steady state: the ledger still derives the same
+    // nonempty delete-set, but the store probe finds nothing pending —
+    // the second call must not rewrite (mtime unchanged)
+    val before = new java.io.File(curatedPath).lastModified()
+    val (ev2, _) = LmStore.refreshCurated(spark, curatedPath, docs,
+      ledger, LmStore.readUni(spark, root), LmStore.readBi(spark, root),
+      p = 0.5)
+    assert(ev2.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(62L))
+    assert(new java.io.File(curatedPath).lastModified() === before,
+      "a no-op refresh must not re-copy the curated store")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
+  test("bucketed scoring degrades the model joins to shuffled-hash: same results, no broadcast of the model") {
+    val uni = LmStore.trainUnigrams(ref)
+    val bi = LmStore.trainBigrams(ref)
+    val batch = Seq(
+      (70L, "the cat sat on the mat", "s1"),
+      (71L, "zebra quark flim", "s1")).toDF("doc_id", "text", "source")
+    val bucketed = LmStore.scoreAgainst(batch, uni, bi,
+      broadcastModel = false)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the model joins must be shuffled-hash in the bucketed form:\n$plan")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("n_oov_bigrams"), r.getAs[Long]("logprob_e6")))
+      .toSet
+    assert(key(bucketed) === key(LmStore.scoreAgainst(batch, uni, bi)),
+      "join strategy must never change the scores")
+  }
+
   test("drift telemetry separates the in-domain source from the drifted one") {
     val uni = LmStore.trainUnigrams(ref)
     val bi = LmStore.trainBigrams(ref)

@@ -20,17 +20,53 @@ import org.apache.spark.sql.functions._
   * below R means the dict exhausted (every word fully merged) and
   * deeper budgets are free.
   * Usage: runMain graft.BpeMergeSweep [sfDir] [rounds ...]
+  *
+  * `sfDir` may be `zipf:<nWords>` (r16): a DETERMINISTIC synthetic
+  * corpus whose word dictionary has ~nWords distinct entries — the
+  * 10⁵-word scale a real tokenizer trainer iterates over, which no
+  * fixture reaches (the sf0.1 dict exhausts at 89 merges). Words are
+  * base-7 alphabet encodings with a varying tail (rich shared-pair
+  * structure, so tens of thousands of merges are LEARNABLE, not
+  * exhausted), frequencies 1..3 by index — no randomness anywhere.
+  * `parity=<R>` as an extra arg additionally asserts
+  * trainLocal == train bit-identically at that budget (bypassing the
+  * distributed-round ceiling once — the deep-R equivalence proof on
+  * the big dict).
   */
 object BpeMergeSweep {
   private val MaxDistributedRounds = 64
 
+  /** The synthetic dictionary corpus for `zipf:<n>`: one doc per word,
+    * text = the word repeated 1 + (i % 3) times. */
+  private[graft] def zipfDocs(spark: org.apache.spark.sql.SparkSession,
+                              n: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val sb = new StringBuilder
+      var x = i.toLong + 7L * n // uniform length band, no empty word
+      while (x > 0) { sb.append(('a' + (x % 7).toInt).toChar); x /= 7 }
+      sb.append(('h' + (i % 13)).toChar)
+      val w = sb.toString
+      (i.toLong, Seq.fill(1 + i % 3)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val budgets = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
-    else Seq(4, 8, 16, 32)
+    val parityR = args.find(_.startsWith("parity="))
+      .map(_.stripPrefix("parity=").toInt)
+    val budgets =
+      if (args.length > 1)
+        args.drop(1).filterNot(_.startsWith("parity="))
+          .map(_.toInt).toSeq
+      else Seq(4, 8, 16, 32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = sources.Tables.session(s"local[$cpus]", cpus)
-    val docs = sources.Tables(spark, sfDir, "documents")
+    val docs =
+      if (sfDir.startsWith("zipf:"))
+        zipfDocs(spark, sfDir.stripPrefix("zipf:").toInt)
+          .localCheckpoint(true)
+      else sources.Tables(spark, sfDir, "documents")
 
     // the rounds' iteration space: the word dict is the corpus's
     // DISTINCT words (Heaps' law — sublinear in corpus size), printed
@@ -62,6 +98,25 @@ object BpeMergeSweep {
         "train_s=skipped")
       println(f"MERGESWEEP rounds=$r $distCol local_s=$localS%.2f " +
         s"pieces=$nPieces")
+    }
+    // the deep-R equivalence proof: the driver-local trainer must be
+    // BIT-IDENTICAL to the distributed oracle twin at a budget past
+    // the sweep's distributed ceiling — run once, printed + asserted
+    parityR.foreach { r =>
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("rank", "left_piece", "right_piece", "piece", "n_pairs")
+        .collect().map(row => (row.getInt(0), row.getString(1),
+          row.getString(2), row.getString(3), row.getLong(4))).toSet
+      val t0 = System.nanoTime()
+      val dist = key(text.BpeMerges.train(docs, rounds = r))
+      val tDist = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val loc = key(text.BpeMerges.trainLocal(docs, rounds = r))
+      val tLoc = (System.nanoTime() - t1) / 1e9
+      assert(dist == loc,
+        s"trainLocal diverged from train at rounds=$r")
+      println(f"MERGESWEEP parity rounds=$r identical=true " +
+        f"train_s=$tDist%.2f local_s=$tLoc%.2f merges=${dist.size}")
     }
     spark.stop()
   }

@@ -30,15 +30,22 @@ object MediaSemanticSweep {
       ann.Similarity.brutePairsFrame(spark, vecs, threshold = 0.995)
         .count())
     println(f"MEDIASEM n=$n truth_pairs=$truthN brute_s=$bruteS%.1f")
-    ks.foreach { k =>
+    // the auto-sizing rule's pick, swept alongside the fixed ks so the
+    // table shows where the default lands relative to the measured
+    // peak (r16 — the operator now defaults to what the sweep
+    // measured, and this column keeps that claim honest per fixture)
+    val kAuto = multimodal.Multimodal.autoCells(n)
+    (ks :+ kAuto).distinct.foreach { k =>
       val (_, trainS) = time(
         multimodal.Multimodal.mediaSemanticIndexPath(spark, sfDir, k))
       val (pairs, sweepS) = time(
         multimodal.Multimodal.mediaDedupSemantic(spark, sfDir,
           kCells = k).count())
       val recall = if (truthN == 0) 1.0 else pairs.toDouble / truthN
+      val tag = if (k == kAuto) " auto=true" else ""
       println(f"MEDIASEM k=$k target_cell=${n / k}%d pairs=$pairs " +
-        f"recall=$recall%.3f train_s=$trainS%.1f sweep_s=$sweepS%.1f")
+        f"recall=$recall%.3f train_s=$trainS%.1f sweep_s=$sweepS%.1f" +
+        tag)
     }
     spark.stop()
   }

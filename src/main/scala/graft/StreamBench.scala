@@ -21,7 +21,7 @@ import graft.streaming.{Replay, StreamingLanes}
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.StreamBench [section...]
   * With args, only the named sections run (ingest, pairscan, neardup,
   * simhash, media, chunk, decontam, curation, curlm, fullcur,
-  * tokmaint, lmlane, spanclean, ivf) — e.g.
+  * curprod, tokmaint, lmlane, spanclean, ivf) — e.g.
   * `runMain graft.StreamBench curation` probes the composed curation
   * lane alone against a (possibly synth-scaled) fixture dir without
   * paying the full snapshot replay.
@@ -284,6 +284,50 @@ object StreamBench {
       StreamingLanes.curationStoreLane(st, fullSigStore,
         s"$work/fullcur_chunks", benchStorePath = fullBench) {
         (_, _) => laneBatches += 1 })
+    }
+
+    // the FULLY-COMPOSED production lane (r16): decontam gate + store
+    // judge + corpus heuristic floor AND corpus LM floor + chunk +
+    // excision, all four stores and both ledgers appending — the
+    // curation_lane_full_twin's streaming form. The delta over the
+    // fullcur row prices the two corpus-relative floors (one store
+    // floor aggregate + the LM scoring pass — the gate r15 measured
+    // at parity with the ungated lane).
+    if (want("curprod")) {
+      import org.apache.spark.sql.functions.lit
+      val sigStore = s"$work/curprod_sig_store"
+      SimHashStore.appendBatch(sigStore, corpus)
+      val bench = s"$work/curprod_bench_store"
+      graft.text.ChunkSigStore.appendSigs(bench,
+        graft.text.NearDup.chunkSigs64(docs.filter(col("doc_id") < 10)))
+      val qual = s"$work/curprod_quality"
+      graft.text.QualityStore.appendQualities(qual,
+        graft.text.QualityStore.qualityFrame(corpus))
+      val root = s"$work/curprod_model"
+      graft.text.LmStore.trainUnigrams(corpus).write.parquet(s"$root/uni")
+      graft.text.LmStore.trainBigrams(corpus).write.parquet(s"$root/bi")
+      // the admission ledger seeded from the corpus split scored under
+      // the model (stamped with the meta-less root's epoch-0
+      // fingerprint), so the LM corpus floor gates from batch 0
+      val led = s"$work/curprod_ledger"
+      corpus.select(col("doc_id"), col("source"))
+        .join(graft.text.LmStore.scoreAgainst(corpus,
+          graft.text.LmStore.readUni(spark, root),
+          graft.text.LmStore.readBi(spark, root))
+          .select(col("doc_id"), col("avg_logprob")),
+          Seq("doc_id"), "left")
+        .withColumn("lm_thr", lit(null).cast("double"))
+        .withColumn("model_fp", lit(0L))
+        .write.parquet(led)
+      laneProbe("curprod_lane", srcInDir,
+        spark.read.parquet(srcInDir).schema, inRows)(st =>
+        StreamingLanes.curationStoreLane(st, sigStore,
+          s"$work/curprod_chunks", benchStorePath = bench,
+          qualityStorePath = qual, lmModelRoot = root,
+          lmLedgerPath = led, lmCorpusFloor = true) {
+          (_, _) => laneBatches += 1 })
+      val ledgered = spark.read.parquet(led).count()
+      println(s"""{"metric":"stream_curprod_ledgered","value":$ledgered}""")
     }
 
     // managed tokenizer lane: corpus-store append + per-batch per-source

@@ -417,7 +417,7 @@ object Multimodal {
     * k = 8 respectively). Expected cell population stays ~constant as
     * the corpus grows, so in-cell pair work stays bounded at any
     * scale. */
-  private[multimodal] def autoCells(n: Long, targetCell: Int = 160): Int =
+  private[graft] def autoCells(n: Long, targetCell: Int = 160): Int =
     math.max(8, ((n + targetCell - 1) / targetCell).toInt)
 
   /** [[mediaDedupSemantic]] with the quantizer AUTO-SIZED from the

@@ -495,15 +495,23 @@ object Multimodal {
   }
 
   /** The incremental semantic judge on the fixture convention: staged
-    * corpus index (doc_id % 10 < 8), arriving split the rest. */
+    * corpus index (doc_id % 10 < 8), arriving split the rest. The
+    * corpus quantizer is AUTO-SIZED ([[autoCells]] over the corpus
+    * count — the measured r16 point: at the fixed k = 8 the judge's
+    * same-cell join grew 7× for 10× data as cells fattened; auto-sized
+    * cell population stays ~constant, so the per-arrival candidate set
+    * does too). At sf0.01 the rule lands on k = 8, so the oracle's
+    * count-derived replay and the fixed-k history agree there. */
   def mediaDedupSemanticIncremental(spark: SparkSession, dir: String,
-                                    threshold: Double = 0.995): DataFrame =
+                                    threshold: Double = 0.995): DataFrame = {
+    val k = autoCells(mediaSemanticCorpusVectors(spark, dir).count())
     mediaSemanticIncrementalJudge(
       graft.ann.IvfStore.read(spark,
-        mediaSemanticCorpusIndexPath(spark, dir)),
+        mediaSemanticCorpusIndexPath(spark, dir, k)),
       assetStore(spark, dir).filter(col("doc_id") % 10 >= 8),
       graft.ann.IvfStore.packedRow(
-        mediaSemanticCorpusCentroids(spark, dir)), threshold)
+        mediaSemanticCorpusCentroids(spark, dir, k)), threshold)
+  }
 
   /** EMBEDDING-SPACE media near-dup — the SemDeDup recipe composed
     * onto the media feature vectors, closing the gap the byte-hash
@@ -886,7 +894,8 @@ object Multimodal {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // the incremental judge replayed: corpus quantizer trained on the
-    // % 10 < 8 split (seeds = its 8 lowest ids, 0..7), corpus + batch
+    // % 10 < 8 split at the AUTO-derived k (count-derived, rank-based
+    // seeds — at sf0.01 the rule lands on k = 8), corpus + batch
     // assigned against the SAME trained centroids, same-cell exact
     // cosine at 0.995, distinct corpus neighbors per arrival
     "media_dedup_semantic_incremental" ->
@@ -898,7 +907,16 @@ object Multimodal {
          |    list_sum(list_transform(generate_series(1, len(v)),
          |      i -> v[i] * v[i])) AS n2
          |  FROM n),
-         |${graft.ann.Similarity.seedCteK(8)},
+         |kc AS (
+         |  SELECT GREATEST(8, CAST(CEIL(count(*) / 160.0) AS INTEGER))
+         |    AS k FROM n),
+         |s0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |      AS INTEGER) AS cell, v AS c,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS c2
+         |  FROM n, kc
+         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= kc.k),
          |${graft.ann.Similarity.lloydCtes("msin", "m")},
          |${graft.ann.Similarity.assignCte("msinav", "m", "msins1")},
          |bn AS (

@@ -499,6 +499,29 @@ object StreamingLanes {
     * STATIC judge state (never appended); decontam drops fold into the
     * stats frame's `n_rejected` with `n_in` counting the whole batch.
     *
+    * `lmModelRoot` (optional) composes the persisted REFERENCE-LM gate
+    * into the quality stage ([[graft.text.Curation.curateBatchLm]], the
+    * `curation_lane_lm_twin` row); `lmLedgerPath` appends each
+    * admission's verdict stamped with the scoring model's FINGERPRINT
+    * ([[graft.text.LmStore.readFingerprint]]); `lmCorpusFloor = true`
+    * gates against the ledger's stable floors through
+    * [[graft.text.LmStore.floorsChecked]] — which REFUSES floors from
+    * a stale or mixed score space (after a model refresh, run
+    * [[graft.text.LmStore.restampLedger]]; the
+    * `curation_lane_lm_corpus_twin` row).
+    *
+    * THE FULL PRODUCTION FORM (r16 — `curation_lane_full_twin`): all
+    * of the above at once. `benchStorePath` + `qualityStorePath` +
+    * `lmModelRoot` + `lmLedgerPath` + `lmCorpusFloor = true` runs
+    * decontam gate → store dedup judge + keeper gate → corpus
+    * heuristic floor ∧ corpus LM floor → chunk → excision as ONE
+    * [[graft.text.Curation.curateBatchFull]] plan, all four stores and
+    * both ledgers appending — the composition the r15 requires
+    * structurally forbade, now the certified default for a real
+    * ingest pipeline (priced: StreamBench `curprod`, ~+0.5 s/batch
+    * over the plain curation lane at sf0.1). Partial compositions
+    * beyond the certified pairwise forms still refuse loudly.
+    *
     * Same eager-checkpoint ordering as every store lane (judge state
     * AND the floor's survivor frame materialize before the appends
     * mutate listings) and the same at-least-once caveat: a replayed

@@ -833,6 +833,25 @@ object StreamingLanes {
     }
   }
 
+  /** [[mediaSemanticIngestLane]] with the MAINTENANCE LOOP closed —
+    * the media feature stream through [[ivfIngestLaneManaged]]
+    * verbatim (featurize once, then the lane owns both IVF artifacts
+    * by path: assignment append per batch, recall-gauged retrain at
+    * cadence). The media semantic store thereby inherits the ANN
+    * family's whole health lifecycle — occupancy skew telemetry,
+    * store-vs-retrain recall, atomic centroid swap — instead of
+    * re-deriving any of it. */
+  def mediaSemanticIngestLaneManaged(assets: DataFrame, storePath: String,
+                                     centsPath: String,
+                                     recallFloor: Double = 0.9,
+                                     checkEvery: Int = 8,
+                                     maxStoreFiles: Option[Int] = None)
+                                    (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    ivfIngestLaneManaged(
+      graft.multimodal.Multimodal.mediaVectors(assets), storePath,
+      centsPath, recallFloor, checkEvery, maxStoreFiles)(process)
+
   /** The TOKENIZER twin of [[ivfIngestLaneManaged]] — the vocabulary
     * maintenance loop closed on the ingest path: the lane owns the
     * corpus store and the LIVE vocab store by PATH; each batch appends

@@ -370,6 +370,44 @@ object LmStore {
         .withColumn("model_fp", lit(modelFp)))
   }
 
+  /** The LM MAINTENANCE CADENCE as one call (r16 — the composed form
+    * of the protocol the pieces define, so a production cadence job
+    * cannot skip a step or run them out of order): gauge drift on
+    * `recent` and — past the ceiling — (1) [[refreshIfDrifted]]
+    * retrains + swaps the model (fingerprint bumps meta-first),
+    * (2) [[restampLedger]] re-scores every ledgered admission under
+    * the NEW model and rewrites the stamps (without this, every
+    * corpus-floor lane REFUSES at its next batch — correct but
+    * unavailable), (3) [[refreshCurated]] applies the new floors'
+    * delete-set to the curated store on disk. No refresh → all three
+    * no-op (the steady-state cadence call is one scoring pass over
+    * `recent`). Returns whether a refresh ran, plus the eviction
+    * count applied. Ordering is the protocol: restamp BEFORE the
+    * curated refresh so the sweep's floors derive from current-model
+    * scores; a crash between (1) and (2) leaves floorsChecked
+    * refusing — fail-safe — and the next cadence call's gauge reads
+    * the refreshed model as in-domain, skips (1), but the caller can
+    * always run restamp directly (idempotent: re-scoring under the
+    * same model rewrites the same values). */
+  def maintainCadence(spark: SparkSession, modelRoot: String,
+                      ledgerPath: String, curatedPath: String,
+                      docs: DataFrame, reference: DataFrame,
+                      recent: DataFrame, maxOovRate: Double = 0.5,
+                      p: Double = 0.1): (Boolean, Long) = {
+    val refreshed =
+      refreshIfDrifted(spark, modelRoot, reference, recent, maxOovRate)
+    if (!refreshed) (false, 0L)
+    else {
+      val uni = readUni(spark, modelRoot)
+      val bi = readBi(spark, modelRoot)
+      restampLedger(spark, ledgerPath, docs, uni, bi,
+        readFingerprint(spark, modelRoot))
+      val (evictions, _) = refreshCurated(spark, curatedPath, docs,
+        spark.read.parquet(ledgerPath), uni, bi, p)
+      (true, evictions.count())
+    }
+  }
+
   /** Current model fingerprint from the store's `_meta` sidecar — the
     * integer that names the SCORE SPACE: bumped by every
     * [[refreshIfDrifted]] swap, stamped onto every ledger append, and

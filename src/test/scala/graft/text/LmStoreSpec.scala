@@ -234,6 +234,65 @@ class LmStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("LM maintenance cadence: ONE call refreshes the model, restamps the ledger, applies the floors on disk") {
+    val work = java.nio.file.Files
+      .createTempDirectory("lm_cadence_").toString
+    val (root, ledgerPath, curatedPath) =
+      (s"$work/model", s"$work/ledger", s"$work/curated")
+    LmStore.trainUnigrams(ref).write.parquet(s"$root/uni")
+    LmStore.trainBigrams(ref).write.parquet(s"$root/bi")
+    val docs = Seq(
+      (60L, "the cat sat on the mat", "s0"),
+      (61L, "the dog sat on the rug", "s0"),
+      (62L, "zorp blarg quux fizz wibble", "s0"))
+      .toDF("doc_id", "text", "source")
+    docs.select(col("doc_id"), col("source"))
+      .join(LmStore.scoreAgainst(docs, LmStore.readUni(spark, root),
+        LmStore.readBi(spark, root))
+        .select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
+      .withColumn("model_fp", lit(0L))
+      .write.parquet(ledgerPath)
+    Seq((60L, 0), (60L, 1), (61L, 0), (62L, 0), (62L, 1))
+      .toDF("doc_id", "chunk_idx").write.parquet(curatedPath)
+    // in-domain recent: the whole cadence is one scoring pass, nothing
+    // moves (fingerprint, ledger, curated store all untouched)
+    val inDomain = Seq((70L, "the cat sat on the rug", "s0"))
+      .toDF("doc_id", "text", "source")
+    val mtime0 = new java.io.File(curatedPath).lastModified()
+    assert(LmStore.maintainCadence(spark, root, ledgerPath, curatedPath,
+      docs, ref, inDomain, p = 0.5) === ((false, 0L)))
+    assert(LmStore.readFingerprint(spark, root) === 0L)
+    assert(new java.io.File(curatedPath).lastModified() === mtime0)
+    // drift crosses the ceiling: one call must leave every artifact
+    // consistent — refreshed model, bumped fingerprint, restamped
+    // ledger (floors derive again), evictions applied on disk
+    val drifted = Seq((71L, "zz qq ww ee rr tt", "s9"),
+      (72L, "qq zz ee ww tt rr", "s9")).toDF("doc_id", "text", "source")
+    val (did, nev) = LmStore.maintainCadence(spark, root, ledgerPath,
+      curatedPath, docs, ref.unionByName(drifted), drifted, p = 0.5)
+    assert(did, "the drifted recent must trigger the refresh")
+    assert(LmStore.readFingerprint(spark, root) === 1L)
+    val led = spark.read.parquet(ledgerPath)
+    assert(led.select("model_fp").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(1L),
+      "the restamp must move every ledger row into the new score space")
+    // floorsChecked derives without refusing — the corpus-floor lane
+    // is available again immediately after the one call
+    val floors = LmStore.floorsChecked(led, 1L, p = 0.5).collect()
+    assert(floors.nonEmpty)
+    // the curated store holds exactly the keep-set an independent
+    // sweep under the current artifacts derives
+    val (ev, _) = LmStore.retroSweep(docs, led,
+      LmStore.readUni(spark, root), LmStore.readBi(spark, root), p = 0.5)
+    val evicted = ev.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nev === evicted.size.toLong)
+    val stored = spark.read.parquet(curatedPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(stored === Set(60L, 61L, 62L) -- evicted,
+      s"on-disk keep-set must match the sweep: evicted=$evicted")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("bucketed scoring degrades the model joins to shuffled-hash: same results, no broadcast of the model") {
     val uni = LmStore.trainUnigrams(ref)
     val bi = LmStore.trainBigrams(ref)

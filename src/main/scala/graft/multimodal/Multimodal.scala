@@ -494,6 +494,68 @@ object Multimodal {
         (coalesce(col("nd"), lit(0L)) === 0L).as("is_new"))
   }
 
+  /** SEMANTIC media benchmark decontamination (r16 — the re-render
+    * class [[mediaDecontam]]'s byte signatures structurally miss: a
+    * re-encoded benchmark asset shares few byte windows, but its
+    * content distribution survives re-encoding): incoming assets
+    * featurize once and exact-cosine-judge against EVERY benchmark
+    * feature vector. Deliberately NO quantizer on this path: a
+    * benchmark set is small by nature (the same fact that lets
+    * decontam stores stay static), so the right plan is one broadcast
+    * of the benchmark vectors and one narrow pass over the batch —
+    * never a trained-cell recall trade on the side where a miss means
+    * a leaked eval asset. Whole-asset verdict, the [[mediaDecontam]]
+    * layout. */
+  def mediaSemanticDecontam(benchAssets: DataFrame, incoming: DataFrame,
+                            threshold: Double = 0.995): DataFrame = {
+    val bench = mediaVectors(benchAssets)
+      .select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("n2").as("bn2"))
+    val inc = mediaVectors(incoming)
+    val matches = inc.join(broadcast(bench),
+        call_function("long_dot", col("v"), col("bv")).cast("double") /
+          (sqrt(col("n2").cast("double")) *
+            sqrt(col("bn2").cast("double"))) >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(countDistinct(col("b_id")).as("nb"))
+    inc.select(col("vec_id").as("doc_id"))
+      .join(matches.withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_benchmark_sem_matches"),
+        (coalesce(col("nb"), lit(0L)) === 0L).as("is_clean"))
+  }
+
+  /** RETRO-ACTIVE semantic decontamination sweep — the
+    * [[mediaRetroSweep]] direction in embedding space: when the media
+    * benchmark gains a DELTA, the already-persisted corpus VECTORS
+    * (the staged [[mediaVectorStore]] — 16 longs per asset, payloads
+    * never re-read) are re-judged against only the new benchmark
+    * material. The delta featurizes once and broadcasts (small by the
+    * same benchmark-cadence argument); the store streams through one
+    * pass. Verdict per stored asset; the flagged set applies through
+    * the same anti-join shape as every refresh. */
+  def mediaSemanticRetroSweep(deltaAssets: DataFrame, storeVecs: DataFrame,
+                              threshold: Double = 0.995): DataFrame = {
+    val delta = mediaVectors(deltaAssets)
+      .select(col("vec_id").as("d_id"), col("v").as("dv"),
+        col("n2").as("dn2"))
+    val store = storeVecs.dropDuplicates("vec_id")
+    val matches = store.join(broadcast(delta),
+        call_function("long_dot", col("v"), col("dv")).cast("double") /
+          (sqrt(col("n2").cast("double")) *
+            sqrt(col("dn2").cast("double"))) >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(countDistinct(col("d_id")).as("nd"))
+    store.select(col("vec_id").as("doc_id"))
+      .join(matches.withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nd"), lit(0L)).cast("int")
+          .as("n_delta_sem_matches"),
+        (coalesce(col("nd"), lit(0L)) === 0L).as("is_clean"))
+  }
+
   /** The incremental semantic judge on the fixture convention: staged
     * corpus index (doc_id % 10 < 8), arriving split the rest. The
     * corpus quantizer is AUTO-SIZED ([[autoCells]] over the corpus
@@ -653,6 +715,23 @@ object Multimodal {
     // re-read, no pair re-enumeration
     "media_dedup_semantic_incremental" -> ((s, d) =>
       mediaDedupSemanticIncremental(s, d).orderBy(col("doc_id"))),
+    // semantic benchmark decontamination: the incoming split judged by
+    // exact cosine against the (small, broadcast) benchmark vectors —
+    // the re-encoded-benchmark class byte signatures miss
+    "media_decontam_semantic" -> ((s, d) =>
+      mediaSemanticDecontam(
+        assetStore(s, d).filter(col("doc_id") < 10),
+        assetStore(s, d).filter(col("doc_id") % 10 >= 8))
+        .orderBy(col("doc_id"))),
+    // the benchmark-REFRESH direction in embedding space: the staged
+    // corpus vector store re-judged against only the delta assets
+    // (doc_id in [5,10)) — payloads read on neither side beyond the
+    // delta's one featurize pass
+    "media_retro_semantic" -> ((s, d) =>
+      mediaSemanticRetroSweep(
+        assetStore(s, d).filter(col("doc_id") >= 5 && col("doc_id") < 10),
+        mediaSemanticCorpusVectors(s, d))
+        .orderBy(col("doc_id"))),
     "media_features" -> ((s, d) => decodeFeatures(assets(s, d)).toDF()),
     "frame_sample" -> ((s, d) => frameSample(assetStore(s, d))),
     "resize_meta" -> ((s, d) => resizeMeta(assetStore(s, d), 128)))
@@ -805,6 +884,46 @@ object Multimodal {
        |  k -> CAST(len(list_filter(generate_series(1, $bLen),
        |    i -> ${nib("2*i")} = k)) AS BIGINT))""".stripMargin
 
+  /** The semantic judge-vs-broadcast-set replay: featurize both splits
+    * (low-nibble histogram from hex), exact cosine ≥ 0.995 between
+    * every (judged, judge) pair, distinct judge ids per judged asset,
+    * NULL-match rows kept clean. */
+  private def mediaSemJudgeOracle(judgePred: String, judgedPred: String,
+                                  cntName: String,
+                                  cntType: String): String = {
+    def cos(a: String, b: String, an2: String, bn2: String) =
+      s"""CAST(list_sum(list_transform(generate_series(1, len($a)),
+         |    k -> $a[k] * $b[k])) AS DOUBLE)
+         |  / (sqrt(CAST($an2 AS DOUBLE)) * sqrt(CAST($bn2 AS DOUBLE)))"""
+        .stripMargin
+    s"""WITH jn AS (
+       |  SELECT doc_id AS b_id, $lowNibbleHistSql AS bv
+       |  FROM documents WHERE $bLen >= 4 AND ($judgePred)),
+       |jm AS (
+       |  SELECT b_id, bv,
+       |    list_sum(list_transform(generate_series(1, len(bv)),
+       |      i -> bv[i] * bv[i])) AS bn2
+       |  FROM jn),
+       |dn AS (
+       |  SELECT doc_id AS vec_id, $lowNibbleHistSql AS v
+       |  FROM documents WHERE $bLen >= 4 AND ($judgedPred)),
+       |dm AS (
+       |  SELECT vec_id, v,
+       |    list_sum(list_transform(generate_series(1, len(v)),
+       |      i -> v[i] * v[i])) AS n2
+       |  FROM dn),
+       |mt AS (
+       |  SELECT d.vec_id, count(DISTINCT j.b_id) AS nb
+       |  FROM dm d JOIN jm j
+       |    ON ${cos("d.v", "j.bv", "d.n2", "j.bn2")} >= 0.995
+       |  GROUP BY d.vec_id)
+       |SELECT d.vec_id AS doc_id,
+       |  CAST(coalesce(mt.nb, 0) AS $cntType) AS $cntName,
+       |  coalesce(mt.nb, 0) = 0 AS is_clean
+       |FROM dm d LEFT JOIN mt ON mt.vec_id = d.vec_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // the trained-cell semantic partition on the MEDIA feature vectors:
     // byte_hist16 replayed from hex, the shared Lloyd chain (seeds
@@ -941,6 +1060,18 @@ object Multimodal {
          |  coalesce(mt.nd, 0) = 0 AS is_new
          |FROM bm b LEFT JOIN mt ON mt.vec_id = b.vec_id
          |ORDER BY doc_id""".stripMargin,
+
+    // the semantic judge-vs-small-set shape shared by benchmark
+    // decontamination (judge = bench, judged = incoming) and the
+    // benchmark-refresh sweep (judge = delta, judged = the corpus
+    // store population): byte_hist16 from hex on both sides, exact
+    // cosine at 0.995, distinct judge matches per judged asset
+    "media_decontam_semantic" -> mediaSemJudgeOracle(
+      "doc_id < 10", "doc_id % 10 >= 8",
+      "n_benchmark_sem_matches", "BIGINT"),
+    "media_retro_semantic" -> mediaSemJudgeOracle(
+      "doc_id >= 5 AND doc_id < 10", "doc_id % 10 < 8",
+      "n_delta_sem_matches", "INTEGER"),
 
     "media_dedup_near64_incremental" -> mediaSim64IncrementalOracle,
     "media_dedup_near64_staged" -> mediaSim64IncrementalOracle,

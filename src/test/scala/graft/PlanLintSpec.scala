@@ -32,6 +32,11 @@ class PlanLintSpec extends SparkSpec {
     // against the one-row packed-centroid broadcast (the assignBatch
     // anchor — same class as the stored-index ANN rows)
     "media_dedup_semantic_incremental",
+    // semantic decontam/retro: non-equi cosine join against the
+    // BENCHMARK/DELTA vector broadcast — bounded by the benchmark
+    // set's size by design (deliberately quantizer-free on the side
+    // where a miss leaks an eval asset)
+    "media_decontam_semantic", "media_retro_semantic",
     // one-row scalar anchors: data-anchored NOW() or corpus totals
     "recent_analysis", "recent_lineitems", "trade_summary",
     "lm_bigram_score", "source_logodds", "tfidf_topk",

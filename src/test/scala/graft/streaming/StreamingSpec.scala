@@ -1689,6 +1689,106 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("corpus-floor LM lane across a model refresh: refuses stale floors loudly, restamp resumes it") {
+    import graft.text.{LmStore, SimHashStore}
+    val work = Files.createTempDirectory("lm_lane_refresh_").toString
+    val (sigStore, chunkStore, modelRoot, ledger) =
+      (s"$work/sigs", s"$work/chunks", s"$work/lm", s"$work/ledger")
+    SimHashStore.appendBatch(sigStore,
+      Seq((100L, "wholly unrelated seed content rows"))
+        .toDF("doc_id", "text"))
+    LmStore.trainUnigrams(lmRefDocs).write.parquet(s"$modelRoot/uni")
+    LmStore.trainBigrams(lmRefDocs).write.parquet(s"$modelRoot/bi")
+    // stamped ledger seeds under the epoch-0 (meta-less) model; the
+    // all-OOV seed 302 anchors the p=0.1 floor BELOW every in-domain
+    // score (under the old AND the refreshed model), so admissions
+    // here exercise the stamp machinery, not floor-boundary luck
+    val ledSeeds = Seq(
+      (300L, "alpha beta alpha beta alpha beta", "src_a"),
+      (301L, "gamma delta gamma delta gamma delta", "src_a"),
+      (302L, "xx yy xx yy xx yy", "src_a"))
+      .toDF("doc_id", "text", "source")
+    ledSeeds.select(col("doc_id"), col("source"))
+      .join(LmStore.scoreAgainst(ledSeeds,
+        LmStore.readUni(spark, modelRoot),
+        LmStore.readBi(spark, modelRoot))
+        .select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
+      .withColumn("lm_thr", lit(null).cast("double"))
+      .withColumn("model_fp", lit(0L))
+      .write.mode("append").parquet(ledger)
+    // two file slices: one pre-refresh batch, one post-refresh batch
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "src_a"),
+      (2L, "gamma delta gamma delta gamma delta", "src_a"))
+    val slices = docs.zipWithIndex.map { case ((id, t, src), i) =>
+      val tmp = s"$work/slice$i"
+      Seq((id, t, src)).toDF("doc_id", "text", "source")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part, s"s$i.parquet", 1700000000000L + i * 60000L)
+    }
+    def copyTo(n: Int): Unit = slices.take(n).foreach {
+      case (part, name, mtime) =>
+        val dst = new java.io.File(s"$work/in", name)
+        if (!dst.exists()) {
+          org.apache.commons.io.FileUtils.copyFile(part, dst)
+          dst.setLastModified(mtime)
+        }
+    }
+    val schema = spark.read.parquet(s"$work/slice0").schema
+    val admitted = scala.collection.mutable.Set[Long]()
+    def runLane(): Unit = {
+      val q = StreamingLanes.curationStoreLane(
+        Replay.paced(spark, s"$work/in", schema, maxFilesPerTrigger = 1),
+        sigStore, chunkStore, window = 4, stride = 2,
+        lmModelRoot = modelRoot, lmLedgerPath = ledger,
+        lmCorpusFloor = true)(
+        (chunks, _) => chunks.select("doc_id").collect()
+          .foreach(r => admitted += r.getLong(0)))
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .start()
+      q.awaitTermination()
+    }
+    new java.io.File(s"$work/in").mkdirs()
+    copyTo(1)
+    runLane()
+    assert(admitted.toSet === Set(1L), s"pre-refresh batch admits: $admitted")
+    // the model REFRESHES (fingerprint bumps meta-first): the next
+    // batch must REFUSE — old-stamped floors are a stale score space
+    val drifted = Seq((900L, "zz qq zz qq", "s9"),
+      (901L, "qq zz qq zz", "s9")).toDF("doc_id", "text", "source")
+    assert(LmStore.refreshIfDrifted(spark, modelRoot,
+      lmRefDocs.withColumn("source", lit("s0")).unionByName(drifted),
+      drifted))
+    copyTo(2)
+    val e = intercept[Exception] { runLane() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("stale score space")),
+      s"the lane must refuse, not silently mix score spaces: $e")
+    assert(!admitted.contains(2L), "nothing admits through a refusal")
+    // the maintenance response: restamp under the current model; the
+    // SAME checkpoint resumes and the held batch processes
+    val ledgerTexts = ledSeeds.unionByName(
+      Seq((1L, "alpha beta alpha beta alpha beta", "src_a"))
+        .toDF("doc_id", "text", "source"))
+    LmStore.restampLedger(spark, ledger, ledgerTexts,
+      LmStore.readUni(spark, modelRoot),
+      LmStore.readBi(spark, modelRoot),
+      LmStore.readFingerprint(spark, modelRoot))
+    runLane()
+    assert(admitted.contains(2L),
+      "the restamped lane must resume and judge the held batch")
+    // post-restamp appends carry the CURRENT fingerprint; the ledger
+    // holds both epochs' rows, all restamped or minted at fp 1
+    assert(spark.read.parquet(ledger).select("model_fp").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("LM retro sweep: a model refresh moves the floors; sweep + apply == one-shot re-gate") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.{LmStore, QualityStore, SimHashStore}

@@ -887,6 +887,60 @@ object Similarity {
     embeddingNearDup(spark, dir, threshold,
       bucketBits = autoBits(corpus(spark, dir).count()))
 
+  /** EMBEDDING-SPACE benchmark decontamination (r16 — the media
+    * semantic-decontam shape on the text family's vectors, completing
+    * the decontam grid: exact chunk signatures catch verbatim
+    * benchmark text, this catches PARAPHRASED/near-duplicate leakage
+    * that shares no window): judged vectors exact-cosine against the
+    * SMALL broadcast benchmark set at the family's near-dup threshold.
+    * Deliberately quantizer-free — a benchmark set is small by nature
+    * and a recall trade on this path leaks an eval item. Fixture
+    * convention mirrors `media_decontam`: benchmark = vec_id < 10,
+    * judged = the arriving split. */
+  def embeddingDecontam(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame = {
+    val c = corpus(spark, dir)
+    semJudgeSmallSet(
+      c.filter(col("vec_id") < 10),
+      c.filter(col("vec_id") % 10 >= 8), threshold,
+      "n_benchmark_sem_matches")
+  }
+
+  /** The benchmark-REFRESH direction ([[embeddingDecontam]]'s
+    * [[graft.multimodal.Multimodal.mediaSemanticRetroSweep]] twin):
+    * the persisted corpus vectors re-judged against only the DELTA
+    * benchmark items (vec_id in [5, 10) — the media fixture's delta
+    * convention), one broadcast pass over the store. */
+  def embeddingDecontamRetro(spark: SparkSession, dir: String,
+                             threshold: Double = 0.5): DataFrame = {
+    val c = corpus(spark, dir)
+    semJudgeSmallSet(
+      c.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+      c.filter(col("vec_id") % 10 < 8), threshold,
+      "n_delta_sem_matches")
+  }
+
+  /** The judge-vs-broadcast-set core: distinct judge matches at
+    * `threshold` per judged vector, NULL-match rows clean. */
+  private def semJudgeSmallSet(judge: DataFrame, judged: DataFrame,
+                               threshold: Double,
+                               cntName: String): DataFrame = {
+    val j = judge.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("n2").as("bn2"))
+    val d = judged.select(col("vec_id"), col("v"), col("n2"))
+    val matches = d.join(broadcast(j),
+        dot(col("v"), col("bv")).cast("double") /
+          (sqrt(col("n2").cast("double")) *
+            sqrt(col("bn2").cast("double"))) >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(countDistinct(col("b_id")).as("nb"))
+    d.select(col("vec_id"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("nb"), lit(0L)).as(cntName),
+        (coalesce(col("nb"), lit(0L)) === 0L).as("is_clean"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_recall" -> ((s, d) => annRecall(s, d)),
     "ann_topk" -> ((s, d) => annTopK(s, d)),
@@ -915,7 +969,16 @@ object Similarity {
     // training): SemDeDup's recall lever priced at the k a dedup run
     // would pick, not the serving index's 8
     "dedup_embedding_semantic_k" -> ((s, d) =>
-      embeddingNearDupSemanticK(s, d)))
+      embeddingNearDupSemanticK(s, d)),
+    // embedding-space benchmark decontamination: paraphrased/near-dup
+    // leakage exact chunk signatures miss — judged split vs the small
+    // broadcast benchmark vector set at the family threshold
+    "embedding_decontam" -> ((s, d) =>
+      embeddingDecontam(s, d).orderBy(col("vec_id"))),
+    // the benchmark-refresh direction: persisted corpus vectors
+    // re-judged against only the delta benchmark items
+    "embedding_decontam_retro" -> ((s, d) =>
+      embeddingDecontamRetro(s, d).orderBy(col("vec_id"))))
 
   // --- oracle -------------------------------------------------------------
 
@@ -1169,7 +1232,36 @@ object Similarity {
       |FROM m a CROSS JOIN qn q
       |QUALIFY rank <= 10""".stripMargin
 
+  /** The judge-vs-broadcast-set replay shared by the decontam pair:
+    * distinct judge matches at the family's 0.5 near-dup threshold per
+    * judged vector, NULL-match rows clean. */
+  private def semJudgeOracleSql(judgePred: String, judgedPred: String,
+                                cntName: String): String =
+    s"""WITH $qCte,
+       |jb AS (
+       |  SELECT vec_id AS b_id, v AS bv, n2 AS bn2 FROM m
+       |  WHERE $judgePred),
+       |jd AS (SELECT vec_id, v, n2 FROM m WHERE $judgedPred),
+       |mt AS (
+       |  SELECT d.vec_id, count(DISTINCT b.b_id) AS nb
+       |  FROM jd d JOIN jb b
+       |    ON CAST(list_sum(list_transform(generate_series(1, len(d.v)),
+       |        k -> d.v[k] * b.bv[k])) AS DOUBLE)
+       |      / (sqrt(CAST(d.n2 AS DOUBLE)) * sqrt(CAST(b.bn2 AS DOUBLE)))
+       |      >= 0.5
+       |  GROUP BY d.vec_id)
+       |SELECT d.vec_id, CAST(coalesce(mt.nb, 0) AS BIGINT) AS $cntName,
+       |  coalesce(mt.nb, 0) = 0 AS is_clean
+       |FROM jd d LEFT JOIN mt ON mt.vec_id = d.vec_id
+       |ORDER BY d.vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "embedding_decontam" -> semJudgeOracleSql(
+      "vec_id < 10", "vec_id % 10 >= 8", "n_benchmark_sem_matches"),
+    "embedding_decontam_retro" -> semJudgeOracleSql(
+      "vec_id >= 5 AND vec_id < 10", "vec_id % 10 < 8",
+      "n_delta_sem_matches"),
+
     // brute-force cosine top-10 for the literal external query set —
     // the baseline serving answer for non-corpus vectors
     "ann_query_external" ->

@@ -37,6 +37,7 @@ class PlanLintSpec extends SparkSpec {
     // set's size by design (deliberately quantizer-free on the side
     // where a miss leaks an eval asset)
     "media_decontam_semantic", "media_retro_semantic",
+    "embedding_decontam", "embedding_decontam_retro",
     // one-row scalar anchors: data-anchored NOW() or corpus totals
     "recent_analysis", "recent_lineitems", "trade_summary",
     "lm_bigram_score", "source_logodds", "tfidf_topk",

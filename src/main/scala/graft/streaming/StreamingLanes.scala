@@ -590,10 +590,14 @@ object StreamingLanes {
           "from the admission ledger (lmLedgerPath)")
       val spark = batch.sparkSession
       // the fingerprint of the model every LM score this batch derives
-      // from — stamped onto ledger appends, asserted by floorsChecked
-      // (one sidecar read per batch; a mid-lane model refresh is the
-      // exact race the stamp makes detectable)
-      lazy val lmFp = LmStore.readFingerprint(spark, lmModelRoot)
+      // from — stamped onto ledger appends, asserted by floorsChecked.
+      // A STRICT read at batch start (r17: lazy, it forced at the
+      // append in the non-corpus form — AFTER scoring — so the
+      // pre/post bracket below could not certify which model the scans
+      // actually read): one sidecar read per batch, re-read after the
+      // scoring actions before any ledger append commits.
+      val lmFp = if (lmModelRoot == null) 0L
+      else LmStore.readFingerprint(spark, lmModelRoot)
       def lmLedgerFloors(pQ: Double) = {
         import spark.implicits._
         if (new java.io.File(lmLedgerPath).exists())
@@ -671,11 +675,33 @@ object StreamingLanes {
       // refusal contract: a post-refresh lane cannot silently gate
       // new-model scores against old-model floors). Checkpointed
       // survivor state, so the append cannot feed back either.
-      if (lmLedgerPath != null)
+      if (lmLedgerPath != null) {
+        // the fingerprint RE-READ after the batch's scoring actions
+        // (r17, ADVICE: the pre-batch sidecar read is not atomic with
+        // the uni/bi scans, which execute at the survivor checkpoint —
+        // a maintainCadence refresh landing in that window would stamp
+        // scores produced under one model with the other's fingerprint,
+        // the exact silent mix the stamp exists to make detectable).
+        // The scoring is already materialized (curateCore's eager
+        // survivor checkpoint), so fp-unchanged across [first read,
+        // here] certifies the scans ran under the stamped model: a
+        // refresh bumps the fingerprint meta-FIRST, so counts swapped
+        // before scoring imply a bump visible to this re-read. On
+        // mismatch the append REFUSES loudly — the checkpoint has not
+        // committed, so a restart replays the batch under the
+        // refreshed model (refuse-then-re-derive, the floorsChecked
+        // recovery pair).
+        val lmFpAfter = LmStore.readFingerprint(spark, lmModelRoot)
+        require(lmFpAfter == lmFp,
+          s"curationStoreLane: model fingerprint moved $lmFp -> " +
+            s"$lmFpAfter during batch $batchId (concurrent " +
+            "maintainCadence refresh) — refusing the ledger append; " +
+            "the restarted batch re-scores under the refreshed model")
         survivors.select(col("doc_id"), col("source"),
           col("avg_logprob"), col("lm_thr"))
           .withColumn("model_fp", lit(lmFp))
           .write.mode("append").parquet(lmLedgerPath)
+      }
       val compacted = maxStoreFiles.exists { m =>
         val sigC = graft.sinks.StoreMaintenance.compactIfNeeded(
           spark, sigStorePath, m, Seq("doc_id"))

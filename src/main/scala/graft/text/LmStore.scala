@@ -335,11 +335,19 @@ object LmStore {
     // the probe READS the store outside rewrite — repair a crashed
     // mid-swap state first (the QualityStore.refreshCurated argument)
     graft.sinks.StoreMaintenance.recover(curatedPath)
-    val pending = spark.read.parquet(curatedPath)
-      .join(evictions.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    if (!pending.isEmpty)
-      graft.sinks.StoreMaintenance.rewrite(spark, curatedPath)(
-        QualityStore.applyRetro(_, evictions))
+    // a curated store that does not exist yet is NOTHING-TO-EVICT, not
+    // an error (r17, ADVICE): drift can trigger a cadence refresh
+    // before the lane has written its first curated chunk (fresh
+    // deployment), and a maintenance call must not die on the empty
+    // state it exists to keep healthy — the verdicts still return for
+    // telemetry, exactly as a store with no pending evictions would
+    if (new java.io.File(curatedPath).exists()) {
+      val pending = spark.read.parquet(curatedPath)
+        .join(evictions.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      if (!pending.isEmpty)
+        graft.sinks.StoreMaintenance.rewrite(spark, curatedPath)(
+          QualityStore.applyRetro(_, evictions))
+    }
     (evictions, verdicts)
   }
 
@@ -357,7 +365,18 @@ object LmStore {
     * score — un-judgeable, exactly the floor-exempt arm. One
     * restricted scoring pass (only ledgered docs pay the bigram
     * walk) + one atomic rewrite of a skinny store; maintenance
-    * cadence, immediately after the model refresh. */
+    * cadence, immediately after the model refresh.
+    *
+    * The restamped rows keep the `lm_thr` telemetry column (r17,
+    * ADVICE: the streaming lane appends 5-column verdict rows; a
+    * 4-column restamp would leave one parquet directory with mixed
+    * schemas, and whether `lm_thr` survived a later read depended on
+    * which file's footer won schema inference). The restamped value
+    * is the sweep's RE-DERIVED current floor — the admission-history
+    * reading of the column after a refresh (arrival-time floors are
+    * old-score-space numbers, meaningless once the scores they
+    * bounded are re-derived); [[floors]]/[[floorsChecked]] never read
+    * it, so the gate is unaffected either way. */
   def restampLedger(spark: SparkSession, ledgerPath: String,
                     docs: DataFrame, uni: DataFrame, bi: DataFrame,
                     modelFp: Long): Unit = {
@@ -366,7 +385,8 @@ object LmStore {
     // verdicts are backed by retroSweep's internal eager pin — the
     // rewrite moves no files under the write plan
     graft.sinks.StoreMaintenance.rewrite(spark, ledgerPath)(_ =>
-      verdicts.select(col("doc_id"), col("source"), col("avg_logprob"))
+      verdicts.select(col("doc_id"), col("source"), col("avg_logprob"),
+          col("lm_thr"))
         .withColumn("model_fp", lit(modelFp)))
   }
 
@@ -397,6 +417,11 @@ object LmStore {
     val refreshed =
       refreshIfDrifted(spark, modelRoot, reference, recent, maxOovRate)
     if (!refreshed) (false, 0L)
+    // a ledger that does not exist yet (fresh deployment, lane not
+    // past its first batch) means no admissions to restamp and no
+    // floors to re-derive — the refresh alone IS the cadence action
+    // (the refreshCurated missing-store argument, one step earlier)
+    else if (!new java.io.File(ledgerPath).exists()) (true, 0L)
     else {
       val uni = readUni(spark, modelRoot)
       val bi = readBi(spark, modelRoot)

@@ -920,11 +920,68 @@ object Similarity {
       "n_delta_sem_matches")
   }
 
+  /** [[embeddingDecontamRetro]]'s verdicts made EFFECTIVE on a
+    * vector/assignment store frame (r17 — the refresh row every other
+    * gate family has, closing the semantic decontam grid ON DISK):
+    * flagged vectors' rows delete (one broadcast anti-join of the
+    * flagged ids — near-empty at benchmark cadence), survivors keep
+    * their rows verbatim, and the pass sheds at-least-once replay
+    * duplicates like compaction does. Shared VERBATIM by the on-disk
+    * [[embeddingDecontamRefreshStore]] and the
+    * `embedding_decontam_refresh` oracle row — the
+    * [[graft.multimodal.Multimodal.mediaRefreshApply]] discipline in
+    * embedding space. */
+  def embeddingDecontamRefreshApply(store: DataFrame,
+                                    verdicts: DataFrame): DataFrame =
+    store.dropDuplicates("vec_id")
+      .join(broadcast(verdicts.filter(!col("is_clean"))
+        .select(col("vec_id"))), Seq("vec_id"), "left_anti")
+
+  /** The benchmark-delta sweep over EXPLICIT frames — the
+    * [[embeddingDecontamRetro]] judge generalized off the fixture
+    * convention so a production store path can be swept: every stored
+    * vector exact-cosine-judged against the (small, broadcast) delta
+    * set; verdict per stored vector. Store side doc-deduped (the
+    * at-least-once append contract). */
+  def embeddingDecontamSweep(deltaVecs: DataFrame, storeVecs: DataFrame,
+                             threshold: Double = 0.5): DataFrame =
+    semJudgeSmallSet(deltaVecs, storeVecs.dropDuplicates("vec_id"),
+      threshold, "n_delta_sem_matches")
+
+  /** The embedding decontam refresh lifecycle CLOSED ON DISK — sweep
+    * the persisted assignment store at `asgStorePath` (an
+    * [[IvfStore]]-shaped (vec_id, v, n2[, cell]) parquet directory)
+    * against the benchmark delta, then atomically rewrite the store
+    * with the flagged vectors anti-joined away
+    * ([[graft.sinks.StoreMaintenance.rewrite]] — a complete copy on
+    * disk at every instant). Idempotent: a second sweep with the same
+    * delta flags vectors that are already gone, and the no-op guard
+    * probes the STORE (is any flagged vector still present?), never
+    * the flagged set's size — the [[graft.text.QualityStore
+    * .refreshCurated]] probe argument verbatim. The verdict frame is
+    * pinned BEFORE the rewrite moves the files it derives from.
+    * Returns the verdicts for telemetry. Runs at benchmark cadence. */
+  def embeddingDecontamRefreshStore(spark: SparkSession,
+                                    asgStorePath: String,
+                                    deltaVecs: DataFrame,
+                                    threshold: Double = 0.5): DataFrame = {
+    graft.sinks.StoreMaintenance.recover(asgStorePath)
+    val verdicts = embeddingDecontamSweep(deltaVecs,
+      spark.read.parquet(asgStorePath), threshold).localCheckpoint(true)
+    val flagged = verdicts.filter(!col("is_clean")).select(col("vec_id"))
+    val pending = spark.read.parquet(asgStorePath)
+      .join(flagged, Seq("vec_id"), "left_semi")
+    if (!pending.isEmpty)
+      graft.sinks.StoreMaintenance.rewrite(spark, asgStorePath)(
+        embeddingDecontamRefreshApply(_, verdicts))
+    verdicts
+  }
+
   /** The judge-vs-broadcast-set core: distinct judge matches at
     * `threshold` per judged vector, NULL-match rows clean. */
-  private def semJudgeSmallSet(judge: DataFrame, judged: DataFrame,
-                               threshold: Double,
-                               cntName: String): DataFrame = {
+  private[graft] def semJudgeSmallSet(judge: DataFrame, judged: DataFrame,
+                                      threshold: Double,
+                                      cntName: String): DataFrame = {
     val j = judge.select(col("vec_id").as("b_id"), col("v").as("bv"),
       col("n2").as("bn2"))
     val d = judged.select(col("vec_id"), col("v"), col("n2"))
@@ -978,7 +1035,16 @@ object Similarity {
     // the benchmark-refresh direction: persisted corpus vectors
     // re-judged against only the delta benchmark items
     "embedding_decontam_retro" -> ((s, d) =>
-      embeddingDecontamRetro(s, d).orderBy(col("vec_id"))))
+      embeddingDecontamRetro(s, d).orderBy(col("vec_id"))),
+    // the refresh APPLIED (r17 — the pure frame form of
+    // embeddingDecontamRefreshStore's rewrite): the surviving corpus
+    // vectors after the delta's flagged set anti-joins away
+    "embedding_decontam_refresh" -> ((s, d) =>
+      embeddingDecontamRefreshApply(
+        corpus(s, d).filter(col("vec_id") % 10 < 8),
+        embeddingDecontamRetro(s, d))
+        .select(col("vec_id"), col("n2"))
+        .orderBy(col("vec_id"))))
 
   // --- oracle -------------------------------------------------------------
 
@@ -1255,12 +1321,36 @@ object Similarity {
        |FROM jd d LEFT JOIN mt ON mt.vec_id = d.vec_id
        |ORDER BY d.vec_id""".stripMargin
 
+  /** The refresh APPLIED, replayed: the judged store population minus
+    * every vector with a delta match — survivors with their exact
+    * squared norms (the frame a rewritten store would serve). */
+  private def semRefreshOracleSql(judgePred: String,
+                                  judgedPred: String): String =
+    s"""WITH $qCte,
+       |jb AS (
+       |  SELECT vec_id AS b_id, v AS bv, n2 AS bn2 FROM m
+       |  WHERE $judgePred),
+       |jd AS (SELECT vec_id, v, n2 FROM m WHERE $judgedPred),
+       |mt AS (
+       |  SELECT DISTINCT d.vec_id
+       |  FROM jd d JOIN jb b
+       |    ON CAST(list_sum(list_transform(generate_series(1, len(d.v)),
+       |        k -> d.v[k] * b.bv[k])) AS DOUBLE)
+       |      / (sqrt(CAST(d.n2 AS DOUBLE)) * sqrt(CAST(b.bn2 AS DOUBLE)))
+       |      >= 0.5)
+       |SELECT d.vec_id, CAST(d.n2 AS BIGINT) AS n2
+       |FROM jd d
+       |WHERE d.vec_id NOT IN (SELECT vec_id FROM mt)
+       |ORDER BY d.vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "embedding_decontam" -> semJudgeOracleSql(
       "vec_id < 10", "vec_id % 10 >= 8", "n_benchmark_sem_matches"),
     "embedding_decontam_retro" -> semJudgeOracleSql(
       "vec_id >= 5 AND vec_id < 10", "vec_id % 10 < 8",
       "n_delta_sem_matches"),
+    "embedding_decontam_refresh" -> semRefreshOracleSql(
+      "vec_id >= 5 AND vec_id < 10", "vec_id % 10 < 8"),
 
     // brute-force cosine top-10 for the literal external query set —
     // the baseline serving answer for non-corpus vectors

@@ -556,6 +556,60 @@ object Multimodal {
         (coalesce(col("nd"), lit(0L)) === 0L).as("is_clean"))
   }
 
+  /** A [[mediaSemanticRetroSweep]]'s verdicts made EFFECTIVE on a
+    * vector/assignment store FRAME (r17 — the [[mediaRefreshApply]]
+    * shape in embedding space, closing the semantic decontam grid ON
+    * DISK): flagged assets' rows delete (one broadcast anti-join of
+    * the flagged ids — near-empty at benchmark cadence), survivors
+    * keep their vectors/assignments verbatim, and the pass sheds
+    * at-least-once replay duplicates like compaction does. Works on
+    * any (vec_id, ...)-keyed store — the vector store AND the trained
+    * assignment store apply the same delete-set. Shared VERBATIM by
+    * the on-disk [[mediaSemanticRefreshStore]] and the
+    * `media_retro_semantic_refresh` oracle row. */
+  def mediaSemanticRefreshApply(store: DataFrame,
+                                verdicts: DataFrame): DataFrame =
+    store.dropDuplicates("vec_id")
+      .join(broadcast(verdicts.filter(!col("is_clean"))
+        .select(col("doc_id").as("vec_id"))), Seq("vec_id"), "left_anti")
+
+  /** The media semantic refresh lifecycle CLOSED ON DISK: sweep the
+    * persisted vector store at `vecStorePath` against the delta assets
+    * (ONE featurize pass over the delta — store payloads never read),
+    * then atomically rewrite the vector store AND, when given, the
+    * trained assignment store with the flagged assets anti-joined away
+    * ([[graft.sinks.StoreMaintenance.rewrite]] — a complete copy on
+    * disk at every instant). Both stores hold the same vec_id
+    * population, so one verdict frame drives both delete-sets — a
+    * flagged asset disappears from the semantic dedup's candidate
+    * space AND from the quantizer's serving assignments in one
+    * cadence call. Idempotent: a second sweep with the same delta
+    * flags vectors already gone, and each store's no-op guard probes
+    * the STORE (is any flagged asset still present?), never the
+    * flagged set's size (the [[graft.text.QualityStore
+    * .refreshCurated]] probe argument). Verdicts pinned BEFORE any
+    * rewrite moves the files they derive from. Runs at benchmark
+    * cadence. */
+  def mediaSemanticRefreshStore(spark: SparkSession, vecStorePath: String,
+                                deltaAssets: DataFrame,
+                                asgStorePath: String = null,
+                                threshold: Double = 0.995): DataFrame = {
+    graft.sinks.StoreMaintenance.recover(vecStorePath)
+    val verdicts = mediaSemanticRetroSweep(deltaAssets,
+      spark.read.parquet(vecStorePath), threshold).localCheckpoint(true)
+    val flagged = verdicts.filter(!col("is_clean"))
+      .select(col("doc_id").as("vec_id"))
+    Seq(vecStorePath, asgStorePath).filter(_ != null).foreach { p =>
+      graft.sinks.StoreMaintenance.recover(p)
+      val pending = spark.read.parquet(p)
+        .join(flagged, Seq("vec_id"), "left_semi")
+      if (!pending.isEmpty)
+        graft.sinks.StoreMaintenance.rewrite(spark, p)(
+          mediaSemanticRefreshApply(_, verdicts))
+    }
+    verdicts
+  }
+
   /** The incremental semantic judge on the fixture convention: staged
     * corpus index (doc_id % 10 < 8), arriving split the rest. The
     * corpus quantizer is AUTO-SIZED ([[autoCells]] over the corpus
@@ -732,6 +786,20 @@ object Multimodal {
         assetStore(s, d).filter(col("doc_id") >= 5 && col("doc_id") < 10),
         mediaSemanticCorpusVectors(s, d))
         .orderBy(col("doc_id"))),
+    // the semantic refresh APPLIED (r17 — the pure frame form of
+    // mediaSemanticRefreshStore's rewrite): the surviving corpus
+    // vector-store rows after the delta's flagged assets anti-join
+    // away — the delete-set both persisted stores (vectors +
+    // assignments) apply at benchmark cadence
+    "media_retro_semantic_refresh" -> ((s, d) =>
+      mediaSemanticRefreshApply(
+        mediaSemanticCorpusVectors(s, d),
+        mediaSemanticRetroSweep(
+          assetStore(s, d)
+            .filter(col("doc_id") >= 5 && col("doc_id") < 10),
+          mediaSemanticCorpusVectors(s, d)))
+        .select(col("vec_id").as("doc_id"), col("n2"))
+        .orderBy(col("doc_id"))),
     "media_features" -> ((s, d) => decodeFeatures(assets(s, d)).toDF()),
     "frame_sample" -> ((s, d) => frameSample(assetStore(s, d))),
     "resize_meta" -> ((s, d) => resizeMeta(assetStore(s, d), 128)))
@@ -884,19 +952,19 @@ object Multimodal {
        |  k -> CAST(len(list_filter(generate_series(1, $bLen),
        |    i -> ${nib("2*i")} = k)) AS BIGINT))""".stripMargin
 
-  /** The semantic judge-vs-broadcast-set replay: featurize both splits
+  /** The semantic judge-vs-broadcast-set CTE chain shared by the
+    * verdict replay and the refresh replay: featurize both splits
     * (low-nibble histogram from hex), exact cosine ≥ 0.995 between
-    * every (judged, judge) pair, distinct judge ids per judged asset,
-    * NULL-match rows kept clean. */
-  private def mediaSemJudgeOracle(judgePred: String, judgedPred: String,
-                                  cntName: String,
-                                  cntType: String): String = {
+    * every (judged, judge) pair, distinct judge ids per judged asset
+    * — ends at `mt(vec_id, nb)` plus the judged population `dm`. */
+  private def mediaSemJudgeCtes(judgePred: String,
+                                judgedPred: String): String = {
     def cos(a: String, b: String, an2: String, bn2: String) =
       s"""CAST(list_sum(list_transform(generate_series(1, len($a)),
          |    k -> $a[k] * $b[k])) AS DOUBLE)
          |  / (sqrt(CAST($an2 AS DOUBLE)) * sqrt(CAST($bn2 AS DOUBLE)))"""
         .stripMargin
-    s"""WITH jn AS (
+    s"""jn AS (
        |  SELECT doc_id AS b_id, $lowNibbleHistSql AS bv
        |  FROM documents WHERE $bLen >= 4 AND ($judgePred)),
        |jm AS (
@@ -916,13 +984,31 @@ object Multimodal {
        |  SELECT d.vec_id, count(DISTINCT j.b_id) AS nb
        |  FROM dm d JOIN jm j
        |    ON ${cos("d.v", "j.bv", "d.n2", "j.bn2")} >= 0.995
-       |  GROUP BY d.vec_id)
+       |  GROUP BY d.vec_id)""".stripMargin
+  }
+
+  /** The judge's verdict replay: every judged asset's distinct judge
+    * match count, NULL-match rows kept clean. */
+  private def mediaSemJudgeOracle(judgePred: String, judgedPred: String,
+                                  cntName: String,
+                                  cntType: String): String =
+    s"""WITH ${mediaSemJudgeCtes(judgePred, judgedPred)}
        |SELECT d.vec_id AS doc_id,
        |  CAST(coalesce(mt.nb, 0) AS $cntType) AS $cntName,
        |  coalesce(mt.nb, 0) = 0 AS is_clean
        |FROM dm d LEFT JOIN mt ON mt.vec_id = d.vec_id
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** The refresh APPLIED, replayed: the judged store population minus
+    * every asset with a delta match — survivors with their exact
+    * squared norms (the frame a rewritten vector store serves). */
+  private def mediaSemRefreshOracle(judgePred: String,
+                                    judgedPred: String): String =
+    s"""WITH ${mediaSemJudgeCtes(judgePred, judgedPred)}
+       |SELECT d.vec_id AS doc_id, CAST(d.n2 AS BIGINT) AS n2
+       |FROM dm d
+       |WHERE d.vec_id NOT IN (SELECT vec_id FROM mt)
+       |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the trained-cell semantic partition on the MEDIA feature vectors:
@@ -1072,6 +1158,8 @@ object Multimodal {
     "media_retro_semantic" -> mediaSemJudgeOracle(
       "doc_id >= 5 AND doc_id < 10", "doc_id % 10 < 8",
       "n_delta_sem_matches", "INTEGER"),
+    "media_retro_semantic_refresh" -> mediaSemRefreshOracle(
+      "doc_id >= 5 AND doc_id < 10", "doc_id % 10 < 8"),
 
     "media_dedup_near64_incremental" -> mediaSim64IncrementalOracle,
     "media_dedup_near64_staged" -> mediaSim64IncrementalOracle,

@@ -38,6 +38,9 @@ class PlanLintSpec extends SparkSpec {
     // where a miss leaks an eval asset)
     "media_decontam_semantic", "media_retro_semantic",
     "embedding_decontam", "embedding_decontam_retro",
+    // the semantic refresh rows apply the same bounded delta-broadcast
+    // judge before the anti-join delete-set
+    "media_retro_semantic_refresh", "embedding_decontam_refresh",
     // one-row scalar anchors: data-anchored NOW() or corpus totals
     "recent_analysis", "recent_lineitems", "trade_summary",
     "lm_bigram_score", "source_logodds", "tfidf_topk",

@@ -488,4 +488,40 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(semantic.subsetOf(one.toSet))
   }
+
+  test("embedding decontam refresh: flagged vectors evict on disk, idempotent") {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("emb_decontam_refresh_").toString
+    val asgPath = s"$work/asg"
+    // tiny quantized store: vec 1 is colinear with the delta item
+    // (cosine 1.0 >= 0.5 flags), 2 orthogonal, 3 anti-parallel
+    def row(id: Long, v: Seq[Long]) =
+      (id, v, v.map(x => x * x).sum, 0)
+    Seq(row(1L, Seq(1000L, 0L, 0L)), row(2L, Seq(0L, 1000L, 0L)),
+      row(3L, Seq(-1000L, 0L, 0L)))
+      .toDF("vec_id", "v", "n2", "cell").write.parquet(asgPath)
+    // at-least-once replay: vec 1's row lands twice; the sweep judges
+    // it once and the refresh sheds the duplicate
+    Seq(row(1L, Seq(1000L, 0L, 0L)))
+      .toDF("vec_id", "v", "n2", "cell")
+      .write.mode("append").parquet(asgPath)
+    val delta = Seq(row(100L, Seq(500L, 0L, 0L)))
+      .toDF("vec_id", "v", "n2", "cell").select("vec_id", "v", "n2")
+    val verdicts = Similarity.embeddingDecontamRefreshStore(
+      spark, asgPath, delta)
+    val vm = verdicts.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(vm === Map(1L -> false, 2L -> true, 3L -> true), vm.toString)
+    // the store lost the flagged vector, duplicate shed, cell intact
+    val after = spark.read.parquet(asgPath)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(after === Seq(2L, 3L), after.toString)
+    // idempotent: the same delta flags nothing on the refreshed store
+    val v2 = Similarity.embeddingDecontamRefreshStore(
+      spark, asgPath, delta)
+    assert(v2.filter(!col("is_clean")).count() === 0L)
+    assert(spark.read.parquet(asgPath).count() === 2L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
 }

@@ -374,6 +374,62 @@ class MultimodalSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("semantic retro refresh: delta evicts from vector AND assignment stores, idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val work = java.nio.file.Files
+      .createTempDirectory("media_sem_retro_").toString
+    val base = "aaaa bbbb cccc dddd eeee ffff gggg hhhh " * 8
+    val corpus = Seq(
+      (1L, base), // identical content distribution to the delta — flags
+      (2L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss " * 8),
+      (3L, "mmmm nnnn oooo pppp qqqq rrrr 0000 1111 " * 8))
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val delta = Seq((100L, base)).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val vecPath = s"$work/vecs"
+    val asgPath = s"$work/asg"
+    Multimodal.mediaVectors(corpus).write.parquet(vecPath)
+    // at-least-once replay: asset 1's vector row appended twice — the
+    // sweep judges it once and the refresh sheds the duplicate
+    Multimodal.mediaVectors(corpus.filter(col("doc_id") === 1L))
+      .write.mode("append").parquet(vecPath)
+    // the trained assignment store shares the vec_id population (cell
+    // values are irrelevant to the delete-set — anti-join is by id)
+    Multimodal.mediaVectors(corpus).withColumn("cell", lit(0))
+      .write.parquet(asgPath)
+    val verdicts = Multimodal.mediaSemanticRefreshStore(
+      spark, vecPath, delta, asgStorePath = asgPath)
+    val vm = verdicts.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(vm === Map(1L -> false, 2L -> true, 3L -> true), vm.toString)
+    // BOTH stores lost the flagged asset; the duplicate is shed
+    val vAfter = spark.read.parquet(vecPath).collect()
+      .map(_.getLong(0)).toSeq.sorted
+    val aAfter = spark.read.parquet(asgPath).select("vec_id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(vAfter === Seq(2L, 3L), vAfter.toString)
+    assert(aAfter === Seq(2L, 3L), aAfter.toString)
+    // lane ≡ rebuild: the refreshed vector store equals one built from
+    // the surviving population directly
+    val rebuilt = Multimodal.mediaVectors(
+      corpus.filter(col("doc_id") =!= 1L))
+      .select("vec_id", "n2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = spark.read.parquet(vecPath)
+      .select("vec_id", "n2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served === rebuilt)
+    // idempotent: a second refresh with the same delta is a pure no-op
+    // (flagged vectors are gone; the store probe refuses the rewrite)
+    val v2 = Multimodal.mediaSemanticRefreshStore(
+      spark, vecPath, delta, asgStorePath = asgPath)
+    assert(v2.filter(!col("is_clean")).count() === 0L)
+    assert(spark.read.parquet(vecPath).count() === 2L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("metadata queries prune the payload column at the scan") {
     // the 100 TB contract: frame_sample/resize_meta never read the fat
     // binary column — their parquet scans' ReadSchema excludes payload

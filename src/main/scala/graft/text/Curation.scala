@@ -1395,6 +1395,28 @@ object Curation {
           BpeMerges.mergeVocab(s, d), 2),
         epoch = 1, nShards = 8, budget = 512, version = 2)
     }),
+    // the STAGED steady-state export (r17): the same composed
+    // training-data export served from the PERSISTED id store instead
+    // of re-numericalizing in-plan — curated keep-set (the identical
+    // floor derivation) restricting a TokenIdStore scan (version
+    // guard in-plan), then the identical pack/export arithmetic. The
+    // oracle TEXT is shared with export_pipeline verbatim (the
+    // lm_score_ref / lm_score_ref_bucketed discipline): result
+    // equality is the proof the staged read path serves what the
+    // composition certifies, and the e ≈ 0.06 staged scaling replaces
+    // export_pipeline's deliberate e ≈ 1.05 re-derivation
+    "export_pipeline_staged" -> ((s, d) => {
+      val store = Tables(s, d, "documents")
+        .filter(col("doc_id") % 10 < 8)
+      val kept = qualityGateAgainstFloors(store,
+        QualityStore.floors(
+          QualityStore.read(s, QualityStore.fixtureCorpusStore(s, d)),
+          0.1)).select(col("doc_id"))
+      exportSequences(
+        TokenIdStore.read(s, TokenIdStore.fixtureRenumberedStore(s, d))
+          .join(kept, "doc_id"),
+        epoch = 1, nShards = 8, budget = 512, version = 2)
+    }),
     // packing telemetry over the epoch_pack fixture: per shard, how
     // full the budget-512 sequences actually are and how many overflow
     "pack_efficiency" -> ((s, d) =>
@@ -1905,6 +1927,52 @@ object Curation {
        |ORDER BY c.doc_id, chunk_idx""".stripMargin
   }
 
+  /** The composed-export replay shared by `export_pipeline` (in-plan
+    * numericalization) and `export_pipeline_staged` (the persisted id
+    * store read): the seq_export machinery restricted to the CURATED
+    * population (per-source quality floors over the store split,
+    * re-derived from text — the staged-store precedent), the same
+    * learned-id stream, the same pack arithmetic. */
+  private lazy val exportPipelineOracle: String =
+    s"""WITH RECURSIVE ${BpeMerges.learnedIdsCtes},
+       |eqs AS MATERIALIZED (
+       |  SELECT doc_id, source, ${TextOps.qualityExprSql} AS quality
+       |  FROM documents WHERE doc_id % 10 < 8),
+       |efl AS (
+       |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
+       |  FROM eqs GROUP BY source),
+       |ekeep AS MATERIALIZED (
+       |  SELECT q.doc_id FROM eqs q JOIN efl f USING (source)
+       |  WHERE q.quality >= f.q_thr),
+       |klids AS MATERIALIZED (
+       |  SELECT l.* FROM lids l JOIN ekeep k USING (doc_id)),
+       |scnt AS (
+       |  SELECT doc_id, count(*) AS n_tokens FROM klids GROUP BY doc_id),
+       |sept AS (
+       |  SELECT doc_id, n_tokens,
+       |    md5('e1:' || CAST(doc_id AS VARCHAR)) AS tag
+       |  FROM scnt),
+       |sepa AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(($nib16) % 8 AS INTEGER) AS shard,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY ($nib16) % 8 ORDER BY tag, doc_id)
+       |      AS INTEGER) AS pos
+       |  FROM sept),
+       |seps AS (
+       |  SELECT doc_id, shard, pos,
+       |    (CAST(sum(n_tokens) OVER (
+       |       PARTITION BY shard ORDER BY pos) AS BIGINT) - n_tokens)
+       |      // 512 AS seq_id
+       |  FROM sepa)
+       |SELECT e.shard, e.seq_id,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY e.shard, e.seq_id ORDER BY e.pos, l.token_idx)
+       |    - 1 AS INTEGER) AS seq_pos,
+       |  l.doc_id, l.token_idx, l.piece_id
+       |FROM seps e JOIN klids l ON l.doc_id = e.doc_id
+       |ORDER BY shard, seq_id, seq_pos""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // per-epoch md5 tag; shard = leading 16 tag bits mod nShards
     // (nibble arithmetic — DuckDB has no hex->int cast); position =
@@ -1992,45 +2060,12 @@ object Curation {
     // CURATED population (per-source quality floors over the store
     // split, re-derived from text — the staged-store precedent), the
     // same learned-id stream, the same pack arithmetic
-    "export_pipeline" ->
-      s"""WITH RECURSIVE ${BpeMerges.learnedIdsCtes},
-         |eqs AS MATERIALIZED (
-         |  SELECT doc_id, source, ${TextOps.qualityExprSql} AS quality
-         |  FROM documents WHERE doc_id % 10 < 8),
-         |efl AS (
-         |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
-         |  FROM eqs GROUP BY source),
-         |ekeep AS MATERIALIZED (
-         |  SELECT q.doc_id FROM eqs q JOIN efl f USING (source)
-         |  WHERE q.quality >= f.q_thr),
-         |klids AS MATERIALIZED (
-         |  SELECT l.* FROM lids l JOIN ekeep k USING (doc_id)),
-         |scnt AS (
-         |  SELECT doc_id, count(*) AS n_tokens FROM klids GROUP BY doc_id),
-         |sept AS (
-         |  SELECT doc_id, n_tokens,
-         |    md5('e1:' || CAST(doc_id AS VARCHAR)) AS tag
-         |  FROM scnt),
-         |sepa AS (
-         |  SELECT doc_id, n_tokens,
-         |    CAST(($nib16) % 8 AS INTEGER) AS shard,
-         |    CAST(row_number() OVER (
-         |      PARTITION BY ($nib16) % 8 ORDER BY tag, doc_id)
-         |      AS INTEGER) AS pos
-         |  FROM sept),
-         |seps AS (
-         |  SELECT doc_id, shard, pos,
-         |    (CAST(sum(n_tokens) OVER (
-         |       PARTITION BY shard ORDER BY pos) AS BIGINT) - n_tokens)
-         |      // 512 AS seq_id
-         |  FROM sepa)
-         |SELECT e.shard, e.seq_id,
-         |  CAST(row_number() OVER (
-         |    PARTITION BY e.shard, e.seq_id ORDER BY e.pos, l.token_idx)
-         |    - 1 AS INTEGER) AS seq_pos,
-         |  l.doc_id, l.token_idx, l.piece_id
-         |FROM seps e JOIN klids l ON l.doc_id = e.doc_id
-         |ORDER BY shard, seq_id, seq_pos""".stripMargin,
+    "export_pipeline" -> exportPipelineOracle,
+    // ONE oracle text for both export paths — the staged twin changes
+    // WHERE the ids come from (the persisted renumbered store instead
+    // of an in-plan numericalization), never what they are; sharing
+    // the string is the proof (the lm_score_ref_bucketed discipline)
+    "export_pipeline_staged" -> exportPipelineOracle,
 
     // pack-efficiency telemetry replayed: the epoch_pack chain rolled
     // up per sequence, then per shard (fill terms are multiples of

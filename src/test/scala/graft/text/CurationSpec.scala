@@ -772,6 +772,26 @@ class CurationSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("staged export equals the in-plan composition and reads the persisted store") {
+    val dir = "/root/testdata/sf0.001"
+    // the two registered forms must be row-identical at version parity
+    // (they also share one oracle TEXT — this pins it engine-side too)
+    def rows(name: String) = Curation.queries(name)(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val composed = rows("export_pipeline")
+    val staged = rows("export_pipeline_staged")
+    assert(staged === composed)
+    assert(staged.nonEmpty)
+    // the staged input reads the persisted renumbered id store (the
+    // final plan can't show it — exportSequences eagerly checkpoints
+    // its dedup, truncating lineage — so pin the INPUT frame's scan)
+    val inPlan = TokenIdStore.read(spark,
+      TokenIdStore.fixtureRenumberedStore(spark, dir))
+      .queryExecution.toString
+    assert(inPlan.contains("token_ids_renum"),
+      "staged export must scan the persisted renumbered id store")
+  }
+
   test("pack efficiency: fill ratios and overflow counts match the naive model") {
     import org.apache.spark.sql.functions._
     val docs = Seq(

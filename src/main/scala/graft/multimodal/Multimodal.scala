@@ -629,6 +629,33 @@ object Multimodal {
         mediaSemanticCorpusCentroids(spark, dir, k)), threshold)
   }
 
+  /** POST-RETRAIN semantic RE-AUDIT (r17 — the admit-under-stale-index
+    * seam closed for the media vector store, the [[graft.text.LmStore
+    * .floorsChecked]] argument applied to cell structure): a managed
+    * lane's retrain ([[graft.ann.IvfMaintenance.retrainIfStale]])
+    * moves cell boundaries, and assets ADMITTED under the old
+    * centroids were judged only against their old cell's neighbors —
+    * a pair that straddled an old boundary but shares a NEW cell was
+    * never compared. This re-judges the whole persisted store under
+    * the CURRENT centroids: stored vectors re-assign in one argmin
+    * pass (16 longs per asset — payloads never re-read) and
+    * exact-cosine pair-verify within their new cells through the
+    * family's capped core. Runs at retrain cadence, immediately after
+    * a swap; emitted pairs are the delete-set an operator applies
+    * with the usual keeper election. Replayed-append duplicate rows
+    * dedup first (the [[cappedPairsWithin]] unique-id
+    * precondition). */
+  def mediaSemanticReaudit(storeAsg: DataFrame, centsRow: DataFrame,
+                           threshold: Double = 0.995,
+                           cap: Int = 256): DataFrame =
+    graft.ann.Similarity.cappedPairsWithin(
+      graft.ann.IvfStore.assignBatch(
+        storeAsg.dropDuplicates("vec_id")
+          .select(col("vec_id"), col("v"), col("n2")), centsRow)
+        .select(col("vec_id"), col("v"), col("n2"),
+          col("cell").as("bucket")),
+      threshold, cap)
+
   /** EMBEDDING-SPACE media near-dup — the SemDeDup recipe composed
     * onto the media feature vectors, closing the gap the byte-hash
     * family leaves: [[mediaDedupNear64]] catches drifting RE-ENCODES
@@ -800,6 +827,17 @@ object Multimodal {
           mediaSemanticCorpusVectors(s, d)))
         .select(col("vec_id").as("doc_id"), col("n2"))
         .orderBy(col("doc_id"))),
+    // the post-retrain re-audit: the persisted corpus assignments
+    // (signed under the ORIGINAL fixed-k quantizer) re-assigned and
+    // pair-judged under the CURRENT auto-sized centroids — the pairs
+    // a boundary move exposes that admission-time judging never saw
+    "media_sem_reaudit" -> ((s, d) => {
+      val k = autoCells(mediaSemanticCorpusVectors(s, d).count())
+      mediaSemanticReaudit(
+        graft.ann.IvfStore.read(s, mediaSemanticCorpusIndexPath(s, d)),
+        graft.ann.IvfStore.packedRow(
+          mediaSemanticCorpusCentroids(s, d, k)))
+    }),
     "media_features" -> ((s, d) => decodeFeatures(assets(s, d)).toDF()),
     "frame_sample" -> ((s, d) => frameSample(assetStore(s, d))),
     "resize_meta" -> ((s, d) => resizeMeta(assetStore(s, d), 128)))
@@ -1085,6 +1123,55 @@ object Multimodal {
          |        % ((ov.bn + 255) // 256)
          |    END AS salt
          |  FROM msauav LEFT JOIN ov USING (cell))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM sl a JOIN sl b ON a.vec_id < b.vec_id
+         |  AND a.cell = b.cell AND a.salt = b.salt
+         |WHERE CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+         |    i -> a.v[i] * b.v[i])) AS DOUBLE)
+         |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |  >= 0.995
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the post-retrain re-audit replayed: the corpus-split population
+    // (the persisted store's vectors, re-derived from payload hex),
+    // the CURRENT auto-k quantizer trained on that same split
+    // (count-derived k, rank-based seeds — the autoCells contract),
+    // assignment, the family cap salt, within-cell exact-cosine pairs
+    "media_sem_reaudit" ->
+      s"""WITH n AS (
+         |  SELECT doc_id AS vec_id, $lowNibbleHistSql AS v
+         |  FROM documents WHERE $bLen >= 4 AND doc_id % 10 < 8),
+         |m AS (
+         |  SELECT vec_id, v,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS n2
+         |  FROM n),
+         |kc AS (
+         |  SELECT GREATEST(8, CAST(CEIL(count(*) / 160.0) AS INTEGER))
+         |    AS k FROM n),
+         |s0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |      AS INTEGER) AS cell, v AS c,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS c2
+         |  FROM n, kc
+         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= kc.k),
+         |${graft.ann.Similarity.lloydCtes("msrd", "m")},
+         |${graft.ann.Similarity.assignCte("msrdav", "m", "msrds1")},
+         |ov AS (
+         |  SELECT cell, count(*) AS bn FROM msrdav GROUP BY cell
+         |  HAVING count(*) > 256),
+         |sl AS (
+         |  SELECT msrdav.vec_id, msrdav.v, msrdav.n2, msrdav.cell,
+         |    CASE WHEN ov.bn IS NULL THEN 0
+         |      ELSE ${graft.text.NearDup.saltHashSql("msrdav.vec_id")}
+         |        % ((ov.bn + 255) // 256)
+         |    END AS salt
+         |  FROM msrdav LEFT JOIN ov USING (cell))
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  CAST(list_sum(list_transform(generate_series(1, len(a.v)),
          |      i -> a.v[i] * b.v[i])) AS DOUBLE)

@@ -32,6 +32,9 @@ class PlanLintSpec extends SparkSpec {
     // against the one-row packed-centroid broadcast (the assignBatch
     // anchor — same class as the stored-index ANN rows)
     "media_dedup_semantic_incremental",
+    // the post-retrain re-audit re-assigns the store against the same
+    // one-row packed-centroid broadcast
+    "media_sem_reaudit",
     // semantic decontam/retro: non-equi cosine join against the
     // BENCHMARK/DELTA vector broadcast — bounded by the benchmark
     // set's size by design (deliberately quantizer-free on the side

@@ -112,4 +112,44 @@ class IvfMaintenanceSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(storePath).getParentFile)
   }
+
+  test("post-retrain re-audit surfaces pairs that straddled old cell boundaries") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    def frame(rows: Seq[(Long, Seq[Long], Int)]) =
+      rows.toDF("vec_id", "v", "cell")
+        .withColumn("n2", expr("aggregate(v, 0L, (a, x) -> a + x * x)"))
+        .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+    // a near-identical pair (cosine ~0.9999) admitted under OLD
+    // centroids that split it across cells 0/1 — admission-time
+    // same-cell judging never compared them; vec 3 is a far singleton
+    val store = frame(Seq(
+      (1L, Seq(700L, 690L, 0L, 0L), 0),
+      (2L, Seq(690L, 700L, 0L, 0L), 1),
+      (3L, Seq(0L, 0L, 1000L, 0L), 0)))
+    val oldCents = Seq((0, Seq(1000L, 0L, 0L, 0L)),
+      (1, Seq(0L, 1000L, 0L, 0L))).toDF("cell", "c")
+    val newCents = Seq((0, Seq(700L, 700L, 0L, 0L)),
+      (1, Seq(0L, 0L, 1000L, 0L))).toDF("cell", "c")
+    // under the old quantizer the pair stays invisible (different cells)
+    val oldPairs = Multimodal.mediaSemanticReaudit(
+      store, IvfStore.packedRow(oldCents))
+    assert(oldPairs.count() === 0L)
+    // the retrain moves the boundary; the re-audit finds exactly it —
+    // replayed-append duplicate rows must not fan the pair out
+    val dup = store.filter(col("vec_id") === 1L)
+    val found = Multimodal.mediaSemanticReaudit(
+      store.unionByName(dup), IvfStore.packedRow(newCents))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(found === Seq((1L, 2L)))
+    // rebuild equivalence: the re-audit over the store equals a fresh
+    // assign + judge over the same vectors under the new centroids
+    val fresh = Similarity.cappedPairsWithin(
+      IvfStore.assignBatch(store.select("vec_id", "v", "n2"),
+        IvfStore.packedRow(newCents))
+        .select(col("vec_id"), col("v"), col("n2"),
+          col("cell").as("bucket")), 0.995, 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(found === fresh)
+  }
 }

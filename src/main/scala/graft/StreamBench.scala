@@ -21,7 +21,7 @@ import graft.streaming.{Replay, StreamingLanes}
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.StreamBench [section...]
   * With args, only the named sections run (ingest, pairscan, neardup,
   * simhash, media, chunk, decontam, curation, curlm, fullcur,
-  * curprod, tokmaint, lmlane, spanclean, ivf) — e.g.
+  * curprod, curgrid, tokmaint, lmlane, spanclean, ivf, medprod) — e.g.
   * `runMain graft.StreamBench curation` probes the composed curation
   * lane alone against a (possibly synth-scaled) fixture dir without
   * paying the full snapshot replay.
@@ -328,6 +328,51 @@ object StreamBench {
           (_, _) => laneBatches += 1 })
       val ledgered = spark.read.parquet(led).count()
       println(s"""{"metric":"stream_curprod_ledgered","value":$ledgered}""")
+    }
+
+    // the GRID-gated production lane (r17): the curprod composition
+    // with stage 0 widened to exact windows + fuzzy whole-doc sigs +
+    // semantic embedding cosine (all three benchmark stores static).
+    // The delta over curprod prices the two extra arms — both
+    // benchmark-side-bounded broadcasts, so expect ≈ curprod ± warmth.
+    if (want("curgrid")) {
+      import org.apache.spark.sql.functions.lit
+      val sigStore = s"$work/curgrid_sig_store"
+      SimHashStore.appendBatch(sigStore, corpus)
+      val bench = s"$work/curgrid_bench_store"
+      graft.text.ChunkSigStore.appendSigs(bench,
+        graft.text.NearDup.chunkSigs64(docs.filter(col("doc_id") < 10)))
+      val benchDoc = s"$work/curgrid_benchdoc_store"
+      SimHashStore.appendBatch(benchDoc, docs.filter(col("doc_id") < 10))
+      val qual = s"$work/curgrid_quality"
+      graft.text.QualityStore.appendQualities(qual,
+        graft.text.QualityStore.qualityFrame(corpus))
+      val root = s"$work/curgrid_model"
+      graft.text.LmStore.trainUnigrams(corpus).write.parquet(s"$root/uni")
+      graft.text.LmStore.trainBigrams(corpus).write.parquet(s"$root/bi")
+      val led = s"$work/curgrid_ledger"
+      corpus.select(col("doc_id"), col("source"))
+        .join(graft.text.LmStore.scoreAgainst(corpus,
+          graft.text.LmStore.readUni(spark, root),
+          graft.text.LmStore.readBi(spark, root))
+          .select(col("doc_id"), col("avg_logprob")),
+          Seq("doc_id"), "left")
+        .withColumn("lm_thr", lit(null).cast("double"))
+        .withColumn("model_fp", lit(0L))
+        .write.parquet(led)
+      val emb = graft.ann.Similarity.corpus(spark, sfDir)
+        .select(col("vec_id"), col("v"), col("n2"))
+      laneProbe("curgrid_lane", srcInDir,
+        spark.read.parquet(srcInDir).schema, inRows)(st =>
+        StreamingLanes.curationStoreLane(st, sigStore,
+          s"$work/curgrid_chunks", benchStorePath = bench,
+          qualityStorePath = qual, lmModelRoot = root,
+          lmLedgerPath = led, lmCorpusFloor = true,
+          benchDocSigStorePath = benchDoc,
+          benchVecs = emb.filter(col("vec_id") < 10), vecs = emb) {
+          (_, _) => laneBatches += 1 })
+      val ledgered = spark.read.parquet(led).count()
+      println(s"""{"metric":"stream_curgrid_ledgered","value":$ledgered}""")
     }
 
     // managed tokenizer lane: corpus-store append + per-batch per-source

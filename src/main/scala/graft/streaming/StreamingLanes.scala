@@ -522,6 +522,18 @@ object StreamingLanes {
     * over the plain curation lane at sf0.1). Partial compositions
     * beyond the certified pairwise forms still refuse loudly.
     *
+    * THE GRID GATE (r17 — `curation_lane_grid_twin`):
+    * `benchDocSigStorePath` (+ optionally `benchVecs`/`vecs`) widens
+    * the full form's stage 0 to the complete decontam grid
+    * ([[graft.text.Curation.curateBatchGridFull]]): exact chunk
+    * windows ∧ fuzzy whole-doc signatures (banded Hamming against the
+    * static benchmark DOC sig store) ∧ semantic embedding cosine
+    * (against the static `benchVecs` broadcast; `vecs` is the
+    * arrival-side vector lookup, joined per batch — a doc with no
+    * vector passes that conjunct). Both extra arms are
+    * benchmark-side-bounded broadcasts: the corpus crosses no new
+    * exchange (priced: StreamBench `curgrid`).
+    *
     * Same eager-checkpoint ordering as every store lane (judge state
     * AND the floor's survivor frame materialize before the appends
     * mutate listings) and the same at-least-once caveat: a replayed
@@ -554,7 +566,11 @@ object StreamingLanes {
                         lmModelRoot: String = null,
                         lmLedgerPath: String = null,
                         pLm: Double = 0.1,
-                        lmCorpusFloor: Boolean = false)
+                        lmCorpusFloor: Boolean = false,
+                        benchDocSigStorePath: String = null,
+                        benchVecs: DataFrame = null,
+                        vecs: DataFrame = null,
+                        semThreshold: Double = 0.5)
                        (process: (DataFrame, Long) => Unit)
   : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -566,6 +582,23 @@ object StreamingLanes {
       // stores and both ledgers in one lane
       val fullForm = benchStorePath != null && qualityStorePath != null &&
         lmModelRoot != null
+      // the GRID form (r17): the full form with stage 0 widened to the
+      // complete decontam grid — exact chunk windows AND fuzzy
+      // whole-doc signatures (the benchmark DOC sig store) AND, where
+      // `vecs` provides arrival vectors, semantic cosine against the
+      // static `benchVecs` set (curation_lane_grid_twin)
+      val gridForm = fullForm && benchDocSigStorePath != null
+      require(benchDocSigStorePath == null || fullForm,
+        "curationStoreLane: the grid decontam gate composes over the " +
+          "FULL production form — provide benchStorePath + " +
+          "qualityStorePath + lmModelRoot (+ ledger, corpus floor)")
+      require((benchVecs == null && vecs == null) ||
+        benchDocSigStorePath != null,
+        "curationStoreLane: the semantic decontam arm runs inside the " +
+          "grid gate — provide benchDocSigStorePath")
+      require((benchVecs == null) == (vecs == null),
+        "curationStoreLane: the semantic arm needs BOTH the benchmark " +
+          "vectors (benchVecs) and the arrival vector side (vecs)")
       require(!fullForm || (lmLedgerPath != null && lmCorpusFloor),
         "curationStoreLane: the full pipeline gates corpus-relative on " +
           "BOTH floors — it needs the admission ledger (lmLedgerPath) " +
@@ -609,7 +642,19 @@ object StreamingLanes {
       // stats frame then counts the whole batch (decontam drops fold
       // into n_rejected alongside judge/gate/floor rejections)
       val (curated0, survivorSigs0, gated, survivors, decontamDocV) =
-        if (fullForm) {
+        if (gridForm) {
+          val (c, ss, g, sv, dv) = Curation.curateBatchGridFull(
+            ChunkSigStore.read(spark, benchStorePath),
+            SimHashStore.read(spark, benchDocSigStorePath),
+            benchVecs, vecs,
+            SimHashStore.read(spark, sigStorePath),
+            QualityStore.read(spark, qualityStorePath),
+            LmStore.readUni(spark, lmModelRoot),
+            LmStore.readBi(spark, lmModelRoot),
+            lmLedgerFloors(pLm), batch, maxHamming, p, window, stride,
+            maxFrac, semThreshold)
+          (c, ss, g, sv, dv)
+        } else if (fullForm) {
           val (c, ss, g, sv, dv) = Curation.curateBatchFull(
             ChunkSigStore.read(spark, benchStorePath),
             SimHashStore.read(spark, sigStorePath),

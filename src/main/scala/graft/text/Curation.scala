@@ -1220,13 +1220,119 @@ object Curation {
       window: Int = 32, stride: Int = 24, maxFrac: Double = 0.5)
   : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
     curateBatchDecontamWith(benchSigs, esigs, batch, maxHamming, window,
-      stride, maxFrac, admitted =>
-        qualityGateAgainstFloors(admitted, QualityStore.floors(qualities, p))
-          .join(LmStore.lmGateAgainstFloors(admitted, uni, bi, lmFloors)
-            .select(col("doc_id"), col("avg_logprob"), col("lm_thr")),
-            Seq("doc_id"))
-          .select(col("doc_id"), col("source"), col("quality"),
-            col("q_thr"), col("avg_logprob"), col("lm_thr")))
+      stride, maxFrac, fullFloor(qualities, uni, bi, lmFloors, p))
+
+  /** The production floor conjunction — corpus heuristic floor ∧
+    * corpus LM floor — factored so the full and grid forms share ONE
+    * derivation (floors each derive from persisted state, so
+    * composition order cannot change either threshold). */
+  private def fullFloor(qualities: DataFrame, uni: DataFrame,
+                        bi: DataFrame, lmFloors: DataFrame,
+                        p: Double): DataFrame => DataFrame =
+    admitted =>
+      qualityGateAgainstFloors(admitted, QualityStore.floors(qualities, p))
+        .join(LmStore.lmGateAgainstFloors(admitted, uni, bi, lmFloors)
+          .select(col("doc_id"), col("avg_logprob"), col("lm_thr")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("q_thr"), col("avg_logprob"), col("lm_thr"))
+
+  /** The GRID decontamination gate (r17 — the full decontam grid
+    * composed into the one pipeline a real ingest run executes:
+    * [[curateBatchFull]] gated on exact chunk signatures ONLY, while
+    * the fuzzy and semantic judges existed standalone): stage 0 is a
+    * CONJUNCTION of three independent verdicts over the arriving doc —
+    *
+    *   - EXACT-window arm: context windows judged against the static
+    *     benchmark CHUNK store ([[NearDup.decontamVerdicts]] — docs
+    *     over `maxFrac` contaminated drop whole, flagged windows
+    *     excise after chunking), verbatim from the decontam form;
+    *   - FUZZY whole-doc arm: the batch's 64-bit doc signatures judged
+    *     against the static benchmark DOC signature store (banded
+    *     Hamming ≤ `maxHamming` — the paraphrased whole-doc leakage
+    *     whose every window drifts past the chunk radius while the
+    *     doc signature stays within it);
+    *   - SEMANTIC arm (where vectors exist): the batch docs' embedding
+    *     rows exact-cosine-judged against the (small, broadcast)
+    *     benchmark vector set at `semThreshold` — the re-write /
+    *     paraphrase class no signature family catches; a doc with no
+    *     vector passes this conjunct (NULL-keep, the grid's honest
+    *     arm for a corpus whose embedding coverage is partial).
+    *
+    * A doc drops if ANY arm flags it; the surviving set then runs the
+    * identical judge → keeper gate → floor → chunk → excision plan.
+    * The per-doc verdict frame carries every arm's count
+    * (`n_dups` exact-flagged windows, `n_fuzzy_matches`,
+    * `n_sem_matches`) so a drop's reason is recoverable downstream.
+    * Per-batch cost over the full form: one banded judge against the
+    * benchmark doc sigs (benchmark-side-bounded broadcast) + one
+    * cosine judge against the benchmark vectors (same bound) — the
+    * corpus crosses no new exchange. */
+  private[graft] def curateBatchGridWith(
+      benchChunkSigs: DataFrame, benchDocSigs: DataFrame,
+      benchVecs: DataFrame, batchVecs: DataFrame,
+      esigs: DataFrame, batch: DataFrame,
+      maxHamming: Int, window: Int, stride: Int, maxFrac: Double,
+      semThreshold: Double, floor: DataFrame => DataFrame)
+  : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (chunkV, docV0) = NearDup.decontamVerdicts(
+      benchChunkSigs, batch, maxHamming, window, stride, maxFrac)
+    val fuzzy = NearDup.simhashIncremental64BothSigs(
+      benchDocSigs, NearDup.simhash64(batch), maxHamming)
+      .select(col("doc_id"), col("n_dups").as("n_fuzzy_matches"),
+        col("is_new").as("fuzzy_clean"))
+    val sem =
+      if (benchVecs == null || batchVecs == null) null
+      else graft.ann.Similarity.semJudgeSmallSet(benchVecs,
+        batchVecs.join(batch.select(col("doc_id").as("vec_id")),
+          "vec_id"),
+        semThreshold, "n_sem_matches")
+        .select(col("vec_id").as("doc_id"), col("n_sem_matches"),
+          col("is_clean").as("sem_clean"))
+    val joined0 = docV0.join(fuzzy, Seq("doc_id"), "left")
+    val joined =
+      if (sem == null)
+        joined0.withColumn("n_sem_matches", lit(0L))
+          .withColumn("sem_clean", lit(true))
+      else joined0.join(sem, Seq("doc_id"), "left")
+    val docV = joined.select(col("doc_id"), col("n_chunks"),
+      col("n_dups"), col("doc_contaminated_frac"),
+      coalesce(col("n_fuzzy_matches"), lit(0)).as("n_fuzzy_matches"),
+      coalesce(col("n_sem_matches"), lit(0L)).as("n_sem_matches"),
+      (col("is_new") && coalesce(col("fuzzy_clean"), lit(true)) &&
+        coalesce(col("sem_clean"), lit(true))).as("is_new"))
+      .localCheckpoint(true)
+    val keep = docV.filter(col("is_new"))
+      .select(col("doc_id"), col("doc_contaminated_frac"))
+    val (curated0, survivorSigs, gated, survivors) = curateCore(
+      esigs, batch.join(keep.select(col("doc_id")), "doc_id"),
+      maxHamming, window, stride, floor)
+    val flagged = chunkV.filter(col("n_benchmark_matches") > 0)
+      .select(col("doc_id"), col("chunk_idx"))
+    val curated = curated0
+      .join(flagged, Seq("doc_id", "chunk_idx"), "left_anti")
+      .join(keep, "doc_id")
+      .select(curated0.columns.map(col).toSeq :+
+        col("doc_contaminated_frac"): _*)
+    (curated, survivorSigs, gated, survivors, docV)
+  }
+
+  /** The grid gate at the PRODUCTION floor composition — stage-0
+    * conjunction (exact ∧ fuzzy ∧ semantic) over [[curateBatchFull]]'s
+    * corpus-relative heuristic ∧ LM floors: the complete certified
+    * form (`curation_lane_grid_twin`). */
+  private[graft] def curateBatchGridFull(
+      benchChunkSigs: DataFrame, benchDocSigs: DataFrame,
+      benchVecs: DataFrame, batchVecs: DataFrame,
+      esigs: DataFrame, qualities: DataFrame,
+      uni: DataFrame, bi: DataFrame, lmFloors: DataFrame,
+      batch: DataFrame, maxHamming: Int = 3, p: Double = 0.1,
+      window: Int = 32, stride: Int = 24, maxFrac: Double = 0.5,
+      semThreshold: Double = 0.5)
+  : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    curateBatchGridWith(benchChunkSigs, benchDocSigs, benchVecs,
+      batchVecs, esigs, batch, maxHamming, window, stride, maxFrac,
+      semThreshold, fullFloor(qualities, uni, bi, lmFloors, p))
 
   /** The batch TWIN of the streaming curation lane on the fixture
     * convention (store = doc_id % 10 < 8 signed into [[SimHashStore]],
@@ -1326,10 +1432,40 @@ object Curation {
       docs.filter(col("doc_id") % 10 >= 8))._1
   }
 
+  /** The GRID-gated production twin (r17): the full twin's six stages
+    * with stage 0 widened to the complete decontam grid — exact chunk
+    * windows ∧ fuzzy whole-doc signatures ∧ semantic embedding
+    * cosine, every arm judged against its own static benchmark store
+    * (chunk sigs / doc sigs / vectors over the shared doc_id < 10
+    * convention). The DuckDB oracle replays all three arms and the
+    * conjunction end to end. */
+  def curationLaneGridTwin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val root = LmStore.fixtureModel(spark, dir)
+    val emb = graft.ann.Similarity.corpus(spark, dir)
+      .select(col("vec_id"), col("v"), col("n2"))
+    curateBatchGridFull(
+      ChunkSigStore.read(spark,
+        ChunkSigStore.fixtureBenchmarkStore(spark, dir)),
+      SimHashStore.read(spark, SimHashStore.fixtureBenchmarkStore(spark, dir)),
+      emb.filter(col("vec_id") < 10), emb,
+      SimHashStore.read(spark, SimHashStore.fixtureCorpusStore(spark, dir)),
+      QualityStore.read(spark, QualityStore.fixtureCorpusStore(spark, dir)),
+      LmStore.readUni(spark, root), LmStore.readBi(spark, root),
+      LmStore.floorsChecked(
+        spark.read.parquet(LmStore.fixtureLedger(spark, dir)),
+        LmStore.readFingerprint(spark, root)),
+      docs.filter(col("doc_id") % 10 >= 8))._1
+  }
+
   val queries: Map[String, Q] = Map(
     // the composed lane's batch twin: store judge -> intra-batch keeper
     // gate -> per-source quality floor -> chunking, one batch
     "curation_lane_twin" -> ((s, d) => curationLaneTwin(s, d)),
+    // the GRID-gated production lane (r17): stage 0 = the complete
+    // decontam grid (exact windows AND fuzzy whole-doc sigs AND
+    // semantic embedding cosine) over the full twin's corpus floors
+    "curation_lane_grid_twin" -> ((s, d) => curationLaneGridTwin(s, d)),
     // the corpus-floor twin: the quality stage gates against the
     // persisted QualityStore's per-source floors (stable across
     // batches) instead of the batch-relative percentile
@@ -1556,13 +1692,68 @@ object Curation {
     * survivors. */
   private def curationTwinOracleWith(floorCtes: String,
                                      decontam: Boolean = false,
-                                     extraSurvCols: Seq[String] = Nil)
+                                     extraSurvCols: Seq[String] = Nil,
+                                     grid: Boolean = false)
   : String = {
     val bandOf = (src: String, idAs: String, sigAs: String, pred: String) =>
       (0 until 4).map(i =>
         s"SELECT doc_id AS $idAs, sig AS $sigAs, $i AS band, " +
           s"(sig >> ${16 * i}) & 65535 AS bval FROM $src WHERE $pred")
         .mkString("\n  UNION ALL\n  ")
+    // the grid gate's two extra arms (r17): fuzzy whole-doc signatures
+    // vs the benchmark DOC sigs (banded Hamming <= 3 — its own sig
+    // derivation, restricted to the two splits it compares: the shared
+    // `sg` CTE is defined later in the WITH and cannot be referenced
+    // here), and semantic embedding cosine vs the benchmark vectors at
+    // the family's 0.5 threshold (the qCte quantization verbatim)
+    val gridCtes = if (!grid) "" else
+      s"""gfs AS MATERIALIZED (
+         |  SELECT doc_id, CAST(${NearDup.simhash64Terms} AS BIGINT) AS sig
+         |  FROM (SELECT doc_id, l, list_transform(l, t -> md5(t)) AS lh
+         |        FROM (SELECT doc_id,
+         |                list_distinct(string_split($N, ' ')) AS l
+         |              FROM documents
+         |              WHERE doc_id < 10 OR doc_id % 10 >= 8))),
+         |gfb AS (
+         |  ${bandOf("gfs", "b_id", "esig", "doc_id < 10")}),
+         |gfi AS (
+         |  ${bandOf("gfs", "doc_id", "isig", "doc_id % 10 >= 8")}),
+         |gfz AS MATERIALIZED (
+         |  SELECT DISTINCT i.doc_id
+         |  FROM gfi i JOIN gfb e ON i.band = e.band AND i.bval = e.bval
+         |  WHERE bit_count(xor(e.esig, i.isig)) <= 3),
+         |gbn AS (
+         |  SELECT vec_id AS b_id,
+         |    list_transform(embedding,
+         |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS bv
+         |  FROM embeddings WHERE vec_id < 10),
+         |gbm AS (
+         |  SELECT b_id, bv,
+         |    list_sum(list_transform(generate_series(1, len(bv)),
+         |      i -> bv[i] * bv[i])) AS bn2
+         |  FROM gbn),
+         |gin AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings WHERE vec_id % 10 >= 8),
+         |gim AS (
+         |  SELECT vec_id, v,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS n2
+         |  FROM gin),
+         |gsem AS MATERIALIZED (
+         |  SELECT DISTINCT d.vec_id
+         |  FROM gim d JOIN gbm b
+         |    ON CAST(list_sum(list_transform(generate_series(1, len(d.v)),
+         |        k -> d.v[k] * b.bv[k])) AS DOUBLE)
+         |      / (sqrt(CAST(d.n2 AS DOUBLE)) * sqrt(CAST(b.bn2 AS DOUBLE)))
+         |      >= 0.5),
+         |""".stripMargin
+    val gridKeep = if (!grid) "" else
+      """
+        |    AND doc_id NOT IN (SELECT doc_id FROM gfz)
+        |    AND doc_id NOT IN (SELECT vec_id FROM gsem)""".stripMargin
     // stage 0 when composed: the batch split's windows judged against
     // the benchmark chunk set (the decontam_lane_twin oracle machinery
     // verbatim), producing flagged windows (dm), per-doc fractions
@@ -1597,9 +1788,9 @@ object Curation {
          |  FROM dich c LEFT JOIN dm
          |    ON dm.doc_id = c.doc_id AND dm.chunk_idx = c.chunk_idx
          |  GROUP BY c.doc_id),
-         |dkeep AS MATERIALIZED (
+         |${gridCtes}dkeep AS MATERIALIZED (
          |  SELECT doc_id, doc_contaminated_frac FROM dfrac
-         |  WHERE doc_contaminated_frac <= 0.5),
+         |  WHERE doc_contaminated_frac <= 0.5$gridKeep),
          |""".stripMargin
     val inKeep =
       if (decontam) " AND doc_id IN (SELECT doc_id FROM dkeep)" else ""
@@ -1808,6 +1999,42 @@ object Curation {
          |         OR l.avg_logprob >= lt.lm_thr))""".stripMargin,
       decontam = true,
       extraSurvCols = Seq("avg_logprob", "lm_thr"))
+
+  /** The GRID composition replayed end to end (r17): the full twin's
+    * oracle with stage 0 widened to the three-arm conjunction — the
+    * exact-window machinery verbatim, the fuzzy whole-doc banded judge
+    * (its own signature CTEs over the two compared splits), and the
+    * semantic cosine judge over the quantized embeddings — composed
+    * into the kept-doc set. Every fragment is shared with the rows it
+    * composes (decontam machinery, corpus floors, LM ledger floors),
+    * so the oracle is a composition proof, not a re-derivation. */
+  private lazy val curationLaneGridTwinOracle: String =
+    curationTwinOracleWith(
+      s"""${LmStore.scoreCtes},
+         |${LmStore.corpusFloorCtes},
+         |cq AS (
+         |  SELECT source, ${TextOps.qualityExprSql} AS quality
+         |  FROM documents WHERE doc_id % 10 < 8),
+         |thr AS (
+         |  SELECT source, quantile_cont(quality, 0.1) AS q_thr
+         |  FROM cq GROUP BY source),
+         |lavg AS (
+         |  SELECT q.doc_id, q.source,
+         |    CAST(s.logprob_e6 AS DOUBLE) / (1000000.0 * s.n_bigrams)
+         |      AS avg_logprob
+         |  FROM q LEFT JOIN lsc s ON s.doc_id = q.doc_id),
+         |surv AS (
+         |  SELECT q.doc_id, q.source, q.quality, t.q_thr,
+         |    l.avg_logprob, lt.lm_thr
+         |  FROM q LEFT JOIN thr t USING (source)
+         |  JOIN lavg l ON l.doc_id = q.doc_id
+         |  LEFT JOIN lthrc lt ON lt.source = q.source
+         |  WHERE (t.q_thr IS NULL OR q.quality >= t.q_thr)
+         |    AND (l.avg_logprob IS NULL OR lt.lm_thr IS NULL
+         |         OR l.avg_logprob >= lt.lm_thr))""".stripMargin,
+      decontam = true,
+      extraSurvCols = Seq("avg_logprob", "lm_thr"),
+      grid = true)
 
   /** The BPE-budgeted chunker replayed: per-token greedy-match costs via
     * a token-level advance-list walk (the TextOps.bpeWalkCtes shape, one
@@ -2107,6 +2334,7 @@ object Curation {
     "curation_lane_corpus_twin" -> curationLaneCorpusTwinOracle,
     "curation_lane_decontam_twin" -> curationLaneDecontamTwinOracle,
     "curation_lane_full_twin" -> curationLaneFullTwinOracle,
+    "curation_lane_grid_twin" -> curationLaneGridTwinOracle,
     "curation_lane_lm_twin" -> curationLaneLmTwinOracle,
     "curation_lane_lm_corpus_twin" -> curationLaneLmCorpusTwinOracle,
     "chunk_docs_bpe" -> chunkDocsBpeOracle,

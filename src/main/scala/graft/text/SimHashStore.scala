@@ -62,4 +62,17 @@ object SimHashStore {
     stagedCorpus(s"corpus_v1_$dir",
       new java.io.File(dir, "documents.parquet"),
       Tables(s, dir, "documents").filter(col("doc_id") % 10 < 8))
+
+  /** The staged BENCHMARK whole-doc signature store (doc_id < 10, the
+    * shared decontamination fixture convention) — STATIC judge state
+    * for the grid gate's FUZZY arm ([[graft.text.Curation]]'s
+    * `curation_lane_grid_twin`): benchmark docs signed once, ever,
+    * only ever scanned. The [[ChunkSigStore]] benchmark store holds
+    * the same docs at WINDOW granularity; this one catches the
+    * paraphrased whole-doc leakage whose every window drifts past the
+    * chunk radius while the doc signature stays within it. */
+  def fixtureBenchmarkStore(s: SparkSession, dir: String): String =
+    stagedCorpus(s"benchmark_v1_$dir",
+      new java.io.File(dir, "documents.parquet"),
+      Tables(s, dir, "documents").filter(col("doc_id") < 10))
 }

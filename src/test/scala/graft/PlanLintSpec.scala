@@ -55,6 +55,9 @@ class PlanLintSpec extends SparkSpec {
     "lm_retro_refresh", "lm_score_ref_bucketed",
     "curation_lane_lm_twin", "curation_lane_lm_corpus_twin",
     "curation_lane_full_twin",
+    // the grid twin adds the bounded benchmark-vector cosine broadcast
+    // to the full twin's one-row V anchor
+    "curation_lane_grid_twin",
     // vocab-anchor crossJoins: source-index/V/doc-count one-row or
     // source-count broadcasts under the NB domain model build
     "domain_classify", "domain_classify_bucketed",

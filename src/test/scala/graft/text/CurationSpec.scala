@@ -772,6 +772,64 @@ class CurationSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("grid gate: fuzzy and semantic arms drop docs the exact windows miss") {
+    import org.apache.spark.sql.functions.col
+    val b1 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
+    val b2 = ("one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen ") * 4
+    // batch: 1 = verbatim copy of the DOC-SIG benchmark member b2 (its
+    // windows share nothing with the CHUNK store's b1 — only the fuzzy
+    // arm can flag it); 2 = clean text whose embedding matches a
+    // benchmark vector (only the semantic arm flags); 3 = clean
+    val batch = Seq(
+      (1L, b2, "src0"),
+      (2L, "completely unrelated clean prose about weather patterns " +
+        "and the migration of birds across continents every year", "src0"),
+      (3L, "another clean document concerning the history of bridge " +
+        "construction and the materials engineers prefer", "src0"))
+      .toDF("doc_id", "text", "source")
+    val benchChunkSigs = NearDup.chunkSigs64(
+      Seq((100L, b1)).toDF("doc_id", "text"))
+    val benchDocSigs = NearDup.simhash64(
+      Seq((200L, b2)).toDF("doc_id", "text"))
+    val benchVecs = Seq((500L, Seq(500L, 0L, 0L), 250000L))
+      .toDF("vec_id", "v", "n2")
+    val batchVecs = Seq((2L, Seq(1000L, 0L, 0L), 1000000L))
+      .toDF("vec_id", "v", "n2")
+    val esigs = Seq.empty[(Long, Long)].toDF("doc_id", "simhash64")
+    val (curated, _, _, _, docV) = Curation.curateBatchGridWith(
+      benchChunkSigs, benchDocSigs, benchVecs, batchVecs, esigs, batch,
+      maxHamming = 3, window = 32, stride = 24, maxFrac = 0.5,
+      semThreshold = 0.5,
+      floor = admitted => Curation.qualityQuantileGateBySource(admitted))
+    val v = docV.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Int]("n_dups"), r.getAs[Int]("n_fuzzy_matches"),
+        r.getAs[Long]("n_sem_matches"), r.getAs[Boolean]("is_new")))).toMap
+    // doc 1: exact windows clean, fuzzy arm flags (identical doc sig)
+    assert(v(1L)._1 === 0 && v(1L)._2 >= 1 && !v(1L)._4, v.toString)
+    // doc 2: signatures clean, semantic arm flags (cosine 1.0 >= 0.5)
+    assert(v(2L)._1 === 0 && v(2L)._2 === 0 && v(2L)._3 === 1L &&
+      !v(2L)._4, v.toString)
+    // doc 3: all arms clean — admitted
+    assert(v(3L)._4, v.toString)
+    // only the clean doc's chunks reach the curated output
+    val docsOut = curated.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(docsOut === Seq(3L), docsOut.toString)
+  }
+
+  test("grid twin is a restriction of the full twin (extra arms only drop)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) = Curation.queries(name)(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val full = rows("curation_lane_full_twin")
+    val grid = rows("curation_lane_grid_twin")
+    assert(grid.subsetOf(full),
+      "the grid gate adds drop arms; it can never admit what the full gate rejects")
+    assert(grid.nonEmpty)
+  }
+
   test("staged export equals the in-plan composition and reads the persisted store") {
     val dir = "/root/testdata/sf0.001"
     // the two registered forms must be row-identical at version parity

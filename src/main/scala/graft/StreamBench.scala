@@ -192,6 +192,47 @@ object StreamBench {
         (_, _) => laneBatches += 1 })
     }
 
+    // the MEDIA PRODUCTION lane (r17): byte + semantic near-dup store
+    // judges AND byte + semantic benchmark decontam as one four-judge
+    // conjunction per arriving asset, both corpus stores appending.
+    // The delta over the plain media row prices the three extra
+    // judges: one featurize pass over batch payloads + one argmin
+    // assign + two benchmark-bounded broadcasts + the same-cell
+    // cosine join against the assignment store.
+    if (want("medprod")) {
+      import graft.ann.IvfStore
+      import graft.multimodal.{MediaSigStore, Multimodal}
+      val assetStore = Multimodal.assetStore(spark, sfDir)
+      val mediaIn = assetStore.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), col("payload"))
+      val mediaRows = mediaIn.count()
+      Replay.stage(mediaIn, s"$work/medprod_in", slices = 16)
+      val sigStore = s"$work/medprod_sig_store"
+      MediaSigStore.appendBatch(sigStore,
+        assetStore.filter(col("doc_id") % 10 < 8))
+      val k = Multimodal.autoCells(
+        Multimodal.mediaSemanticCorpusVectors(spark, sfDir).count())
+      val centsPath = s"$work/medprod_cents"
+      Multimodal.mediaSemanticCorpusCentroids(spark, sfDir, k)
+        .coalesce(1).write.parquet(centsPath)
+      val asgStore = s"$work/medprod_asg"
+      IvfStore.read(spark,
+        Multimodal.mediaSemanticCorpusIndexPath(spark, sfDir, k))
+        .write.parquet(asgStore)
+      val benchSigs = s"$work/medprod_bench"
+      MediaSigStore.appendBatch(benchSigs,
+        assetStore.filter(col("doc_id") < 10))
+      val benchVecs = Multimodal.mediaVectors(
+        assetStore.filter(col("doc_id") < 10))
+      laneProbe("medprod_lane", s"$work/medprod_in",
+        spark.read.parquet(s"$work/medprod_in").schema, mediaRows)(st =>
+        StreamingLanes.mediaProductionLane(st, sigStore, asgStore,
+          centsPath, benchSigs, benchVecs) {
+          (_, _) => laneBatches += 1 })
+      val admitted = MediaSigStore.read(spark, sigStore).count()
+      println(s"""{"metric":"stream_medprod_sig_rows","value":$admitted}""")
+    }
+
     // chunk-granularity dedup lane: windows judged by exact signature
     // vs the persisted chunk store (corpus chunked once, ever)
     if (want("chunk")) {

@@ -473,9 +473,20 @@ object Multimodal {
   def mediaSemanticIncrementalJudge(storeAsg: DataFrame,
                                     incoming: DataFrame,
                                     centsRow: DataFrame,
-                                    threshold: Double = 0.995): DataFrame = {
-    val arr = graft.ann.IvfStore.assignBatch(mediaVectors(incoming),
-      centsRow)
+                                    threshold: Double = 0.995): DataFrame =
+    mediaSemanticJudgeAssigned(storeAsg,
+      graft.ann.IvfStore.assignBatch(mediaVectors(incoming), centsRow),
+      threshold)
+
+  /** The same-cell judge over an ALREADY-assigned batch frame — the
+    * shared core, factored (r17) so the media production lane
+    * ([[mediaCurateBatch]]) featurizes + assigns ONCE and feeds both
+    * this judge and the admitted-assignment append from the same
+    * pinned frame. */
+  private[graft] def mediaSemanticJudgeAssigned(storeAsg: DataFrame,
+                                                arr: DataFrame,
+                                                threshold: Double)
+  : DataFrame = {
     val matches = arr.select(col("vec_id").as("in_id"),
         col("v").as("iv"), col("n2").as("in2"), col("cell"))
       .join(storeAsg.dropDuplicates("vec_id")
@@ -627,6 +638,114 @@ object Multimodal {
       assetStore(spark, dir).filter(col("doc_id") % 10 >= 8),
       graft.ann.IvfStore.packedRow(
         mediaSemanticCorpusCentroids(spark, dir, k)), threshold)
+  }
+
+  /** The MEDIA PRODUCTION ingest stage (r17 — the one certified
+    * composition an arriving ASSET runs, the text family's
+    * `curateBatchGridFull` posture for media: until now byte near-dup,
+    * semantic near-dup, byte decontam, and semantic decontam were four
+    * separate lanes an operator had to sequence by convention): per
+    * batch of (doc_id, payload) rows, ONE signing pass and ONE
+    * featurize pass (the only payload reads), then FOUR independent
+    * judges as a conjunction —
+    *
+    *   - byte benchmark decontam: signatures vs the static benchmark
+    *     sig store (drifting re-encodes of eval assets);
+    *   - semantic benchmark decontam: vectors vs the broadcast
+    *     benchmark vectors (re-renders sharing no byte windows);
+    *   - byte near-dup: signatures vs the corpus [[MediaSigStore]]
+    *     scan (the accumulated admissions);
+    *   - semantic near-dup: vectors cell-assigned against the stored
+    *     quantizer and exact-cosine-judged within their cell against
+    *     the corpus assignment store.
+    *
+    * An asset admits iff ALL four judges clear; the verdict carries
+    * each judge's count so a rejection's reason is recoverable. A
+    * sub-window asset (< 4 payload bytes — unsignable AND
+    * unfeaturizable) passes through admitted-unjudged, the
+    * [[graft.streaming.StreamingLanes.mediaSigStoreLane]] convention.
+    * Returns (verdict, admitted signatures, admitted assignments):
+    * the lane appends the last two to the byte-sig and assignment
+    * stores, so later batches judge against everything this one
+    * admitted — in BOTH spaces. All three frames derive from eagerly
+    * pinned state (batch signatures, batch assignments, the verdict
+    * itself), so the appends cannot feed back into the judge plans.
+    *
+    * Scale shape: two payload passes over the BATCH only (corpus
+    * payloads never read), two corpus-store scans of narrow rows
+    * (8 bytes/asset; 16 longs + cell/asset), two benchmark-side
+    * bounded broadcasts, one packed-centroid argmin pass. No corpus
+    * exchange anywhere. */
+  private[graft] def mediaCurateBatch(
+      benchSigs: DataFrame, benchVecs: DataFrame, esigs: DataFrame,
+      storeAsg: DataFrame, centsRow: DataFrame, batch: DataFrame,
+      maxHamming: Int = 3, threshold: Double = 0.995)
+  : (DataFrame, DataFrame, DataFrame) = {
+    import graft.text.NearDup
+    val isigs = mediaSigs64(batch).localCheckpoint(true)
+    val vecs = mediaVectors(batch).localCheckpoint(true)
+    val arr = graft.ann.IvfStore.assignBatch(vecs, centsRow)
+      .localCheckpoint(true)
+    val byteDedup = NearDup.simhashIncremental64BothSigs(
+      esigs, isigs, maxHamming)
+      .select(col("doc_id"), col("n_dups"),
+        col("is_new").as("byte_new"))
+    val semDedup = mediaSemanticJudgeAssigned(storeAsg, arr, threshold)
+      .select(col("doc_id"), col("n_sem_dups"),
+        col("is_new").as("sem_new"))
+    val byteDecontam = NearDup.simhashIncremental64BothSigs(
+      benchSigs, isigs, maxHamming)
+      .select(col("doc_id"), col("n_dups").as("n_benchmark_matches"),
+        col("is_new").as("byte_clean"))
+    val semDecontam = graft.ann.Similarity.semJudgeSmallSet(
+      benchVecs, vecs, threshold, "n_benchmark_sem_matches")
+      .select(col("vec_id").as("doc_id"),
+        col("n_benchmark_sem_matches"),
+        col("is_clean").as("sem_clean"))
+    val verdict = batch.select(col("doc_id"))
+      .join(byteDedup, Seq("doc_id"), "left")
+      .join(semDedup, Seq("doc_id"), "left")
+      .join(byteDecontam, Seq("doc_id"), "left")
+      .join(semDecontam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0)).as("n_dups"),
+        coalesce(col("n_sem_dups"), lit(0L)).as("n_sem_dups"),
+        coalesce(col("n_benchmark_matches"), lit(0))
+          .as("n_benchmark_matches"),
+        coalesce(col("n_benchmark_sem_matches"), lit(0L))
+          .as("n_benchmark_sem_matches"),
+        (coalesce(col("byte_new"), lit(true)) &&
+          coalesce(col("sem_new"), lit(true)) &&
+          coalesce(col("byte_clean"), lit(true)) &&
+          coalesce(col("sem_clean"), lit(true))).as("is_new"))
+      .localCheckpoint(true)
+    val admitted = verdict.filter(col("is_new")).select(col("doc_id"))
+    (verdict,
+      isigs.join(admitted, "doc_id"),
+      arr.join(admitted.select(col("doc_id").as("vec_id")), "vec_id"))
+  }
+
+  /** The batch TWIN of the media production lane on the fixture
+    * convention (corpus stores = doc_id % 10 < 8 staged in both
+    * spaces, benchmark = doc_id < 10, batch = the rest): one
+    * [[mediaCurateBatch]] invocation, output = the four-judge verdict
+    * the lane would act on. The DuckDB oracle replays all four judges
+    * and the conjunction end to end. */
+  def mediaLaneFullTwin(spark: SparkSession, dir: String): DataFrame = {
+    val store = assetStore(spark, dir)
+    val k = autoCells(mediaSemanticCorpusVectors(spark, dir).count())
+    mediaCurateBatch(
+      MediaSigStore.read(spark,
+        MediaSigStore.fixtureBenchmarkStore(spark, dir)),
+      mediaVectors(store.filter(col("doc_id") < 10)),
+      MediaSigStore.read(spark,
+        MediaSigStore.fixtureCorpusStore(spark, dir)),
+      graft.ann.IvfStore.read(spark,
+        mediaSemanticCorpusIndexPath(spark, dir, k)),
+      graft.ann.IvfStore.packedRow(
+        mediaSemanticCorpusCentroids(spark, dir, k)),
+      store.filter(col("doc_id") % 10 >= 8))._1
+      .orderBy(col("doc_id"))
   }
 
   /** POST-RETRAIN semantic RE-AUDIT (r17 — the admit-under-stale-index
@@ -827,6 +946,10 @@ object Multimodal {
           mediaSemanticCorpusVectors(s, d)))
         .select(col("vec_id").as("doc_id"), col("n2"))
         .orderBy(col("doc_id"))),
+    // the MEDIA PRODUCTION lane's batch twin (r17): byte + semantic
+    // near-dup store judges AND byte + semantic benchmark decontam as
+    // ONE four-judge conjunction per arriving asset
+    "media_lane_full_twin" -> ((s, d) => mediaLaneFullTwin(s, d)),
     // the post-retrain re-audit: the persisted corpus assignments
     // (signed under the ORIGINAL fixed-k quantizer) re-assigned and
     // pair-judged under the CURRENT auto-sized centroids — the pairs
@@ -1135,6 +1258,121 @@ object Multimodal {
          |  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
          |  >= 0.995
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the media production lane's four-judge conjunction replayed end
+    // to end: ONE byte-signature derivation banded three ways (corpus
+    // store, benchmark store, batch), the auto-k semantic quantizer
+    // over the corpus split with corpus + batch assigned against the
+    // SAME trained centroids, the broadcast benchmark vectors — every
+    // judge an existing oracle fragment, composed per batch asset
+    "media_lane_full_twin" ->
+      s"""WITH msh AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, $bLen - 3),
+         |      i -> $mixExpr) AS h1,
+         |    list_transform(generate_series(1, $bLen - 3),
+         |      i -> $mix2Expr) AS h2
+         |  FROM documents WHERE $bLen >= 4),
+         |msg AS MATERIALIZED (
+         |  SELECT doc_id, CAST($byteSim64Terms AS BIGINT) AS sig
+         |  FROM msh),
+         |meb AS (
+         |  ${(0 until 4).map(i =>
+        s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM msg WHERE doc_id % 10 < 8")
+        .mkString("\n  UNION ALL\n  ")}),
+         |mbb AS (
+         |  ${(0 until 4).map(i =>
+        s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM msg WHERE doc_id < 10")
+        .mkString("\n  UNION ALL\n  ")}),
+         |mib AS (
+         |  ${(0 until 4).map(i =>
+        s"SELECT doc_id, sig, $i AS band, (sig >> ${16 * i}) & 65535 AS bval FROM msg WHERE doc_id % 10 >= 8")
+        .mkString("\n  UNION ALL\n  ")}),
+         |mver AS MATERIALIZED (
+         |  SELECT inc_id, count(DISTINCT ex_id) AS nd FROM (
+         |    SELECT DISTINCT e.doc_id AS ex_id, i.doc_id AS inc_id,
+         |      e.sig AS esig, i.sig AS isig
+         |    FROM meb e JOIN mib i
+         |      ON e.band = i.band AND e.bval = i.bval)
+         |  WHERE bit_count(xor(esig, isig)) <= 3
+         |  GROUP BY inc_id),
+         |mbver AS MATERIALIZED (
+         |  SELECT inc_id, count(DISTINCT ex_id) AS nd FROM (
+         |    SELECT DISTINCT e.doc_id AS ex_id, i.doc_id AS inc_id,
+         |      e.sig AS esig, i.sig AS isig
+         |    FROM mbb e JOIN mib i
+         |      ON e.band = i.band AND e.bval = i.bval)
+         |  WHERE bit_count(xor(esig, isig)) <= 3
+         |  GROUP BY inc_id),
+         |n AS (
+         |  SELECT doc_id AS vec_id, $lowNibbleHistSql AS v
+         |  FROM documents WHERE $bLen >= 4 AND doc_id % 10 < 8),
+         |m AS (
+         |  SELECT vec_id, v,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS n2
+         |  FROM n),
+         |kc AS (
+         |  SELECT GREATEST(8, CAST(CEIL(count(*) / 160.0) AS INTEGER))
+         |    AS k FROM n),
+         |s0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |      AS INTEGER) AS cell, v AS c,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS c2
+         |  FROM n, kc
+         |  QUALIFY row_number() OVER (ORDER BY vec_id) <= kc.k),
+         |${graft.ann.Similarity.lloydCtes("mlf", "m")},
+         |${graft.ann.Similarity.assignCte("mlfav", "m", "mlfs1")},
+         |bn AS (
+         |  SELECT doc_id AS vec_id, $lowNibbleHistSql AS v
+         |  FROM documents WHERE $bLen >= 4 AND doc_id % 10 >= 8),
+         |bm AS (
+         |  SELECT vec_id, v,
+         |    list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * v[i])) AS n2
+         |  FROM bn),
+         |${graft.ann.Similarity.assignCte("mlfbv", "bm", "mlfs1")},
+         |smt AS MATERIALIZED (
+         |  SELECT b.vec_id, count(DISTINCT a.vec_id) AS nd
+         |  FROM mlfbv b JOIN mlfav a ON a.cell = b.cell
+         |  WHERE CAST(list_sum(list_transform(generate_series(1, len(b.v)),
+         |      i -> b.v[i] * a.v[i])) AS DOUBLE)
+         |    / (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+         |    >= 0.995
+         |  GROUP BY b.vec_id),
+         |jn AS (
+         |  SELECT doc_id AS b_id, $lowNibbleHistSql AS bv
+         |  FROM documents WHERE $bLen >= 4 AND doc_id < 10),
+         |jm AS (
+         |  SELECT b_id, bv,
+         |    list_sum(list_transform(generate_series(1, len(bv)),
+         |      i -> bv[i] * bv[i])) AS bn2
+         |  FROM jn),
+         |bmt AS MATERIALIZED (
+         |  SELECT d.vec_id, count(DISTINCT j.b_id) AS nb
+         |  FROM bm d JOIN jm j
+         |    ON CAST(list_sum(list_transform(generate_series(1, len(d.v)),
+         |        k -> d.v[k] * j.bv[k])) AS DOUBLE)
+         |      / (sqrt(CAST(d.n2 AS DOUBLE)) * sqrt(CAST(j.bn2 AS DOUBLE)))
+         |      >= 0.995
+         |  GROUP BY d.vec_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(v1.nd, 0) AS INTEGER) AS n_dups,
+         |  CAST(coalesce(smt.nd, 0) AS BIGINT) AS n_sem_dups,
+         |  CAST(coalesce(v2.nd, 0) AS INTEGER) AS n_benchmark_matches,
+         |  CAST(coalesce(bmt.nb, 0) AS BIGINT)
+         |    AS n_benchmark_sem_matches,
+         |  (coalesce(v1.nd, 0) = 0 AND coalesce(smt.nd, 0) = 0
+         |    AND coalesce(v2.nd, 0) = 0 AND coalesce(bmt.nb, 0) = 0)
+         |    AS is_new
+         |FROM documents d
+         |LEFT JOIN mver v1 ON v1.inc_id = d.doc_id
+         |LEFT JOIN smt ON smt.vec_id = d.doc_id
+         |LEFT JOIN mbver v2 ON v2.inc_id = d.doc_id
+         |LEFT JOIN bmt ON bmt.vec_id = d.doc_id
+         |WHERE d.doc_id % 10 >= 8
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the post-retrain re-audit replayed: the corpus-split population
     // (the persisted store's vectors, re-derived from payload hex),

@@ -349,6 +349,68 @@ object StreamingLanes {
       ()
     }
 
+  /** The MEDIA PRODUCTION lane (r17 — the text family's grid-gated
+    * `curationStoreLane` posture for assets; until now byte near-dup,
+    * semantic near-dup, byte decontam, and semantic decontam were
+    * separate lanes an operator sequenced by convention): per
+    * micro-batch of (doc_id, payload) rows, run
+    * [[graft.multimodal.Multimodal.mediaCurateBatch]] — one signing
+    * pass + one featurize pass (the only payload reads), four judges
+    * as a conjunction (byte + semantic benchmark decontam against
+    * static judge state; byte + semantic near-dup against the corpus
+    * stores) — then append the ADMITTED assets' signatures to the
+    * [[graft.multimodal.MediaSigStore]] and their assignments to the
+    * assignment store, so later batches judge against everything this
+    * one admitted in BOTH spaces. The centroids re-read per batch
+    * (tiny) from `centsPath`, so a maintenance retrain is visible to
+    * the very next batch.
+    *
+    * Same eager-checkpoint ordering as every store lane (batch
+    * signatures, batch assignments, and the verdict pin before any
+    * append mutates a listing) and the same at-least-once caveat
+    * (replayed appends are key-identical rows the gated compaction
+    * sheds). Stats granularity: ASSETS; for this lane
+    * `n_intra_batch` counts rejections whose BYTE near-dup count is
+    * zero — i.e. drops by the semantic or decontam arms (there is no
+    * intra-batch gate; the column reuses the shared stats layout's
+    * "rejected for a reason other than a store byte-dup" slot). */
+  def mediaProductionLane(assets: DataFrame, sigStorePath: String,
+                          asgStorePath: String, centsPath: String,
+                          benchSigStorePath: String,
+                          benchVecs: DataFrame,
+                          maxHamming: Int = 3,
+                          threshold: Double = 0.995,
+                          maxStoreFiles: Option[Int] = None,
+                          onStats: (DataFrame, Long) => Unit = null)
+                         (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    assets.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.ann.IvfStore
+      import graft.multimodal.{MediaSigStore, Multimodal}
+      val spark = batch.sparkSession
+      val centsRow = IvfStore.packedRow(IvfStore.read(spark, centsPath))
+      val (verdict, admittedSigs, admittedAsg) =
+        Multimodal.mediaCurateBatch(
+          MediaSigStore.read(spark, benchSigStorePath), benchVecs,
+          MediaSigStore.read(spark, sigStorePath),
+          IvfStore.read(spark, asgStorePath), centsRow,
+          batch, maxHamming, threshold)
+      MediaSigStore.appendSigs(sigStorePath, admittedSigs)
+      admittedAsg.write.mode("append").parquet(asgStorePath)
+      val compacted = maxStoreFiles.exists { m =>
+        val sigC = graft.sinks.StoreMaintenance.compactIfNeeded(
+          spark, sigStorePath, m, Seq("doc_id"))
+        val asgC = graft.sinks.StoreMaintenance.compactIfNeeded(
+          spark, asgStorePath, m, Seq("vec_id"))
+        sigC || asgC
+      }
+      if (onStats != null)
+        onStats(laneStats("media_prod", batchId, verdict, compacted),
+          batchId)
+      process(verdict, batchId)
+      ()
+    }
+
   /** Store-backed streaming CHUNK dedup lane — [[simhashStoreLane]]'s
     * sibling at chunk granularity over the persisted
     * [[graft.text.ChunkSigStore]]: per micro-batch, chunk + sign the

@@ -35,6 +35,9 @@ class PlanLintSpec extends SparkSpec {
     // the post-retrain re-audit re-assigns the store against the same
     // one-row packed-centroid broadcast
     "media_sem_reaudit",
+    // the media production twin composes the packed-centroid anchor
+    // with the bounded benchmark-vector cosine broadcast
+    "media_lane_full_twin",
     // semantic decontam/retro: non-equi cosine join against the
     // BENCHMARK/DELTA vector broadcast — bounded by the benchmark
     // set's size by design (deliberately quantizer-free on the side

@@ -2666,6 +2666,123 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("media production lane killed and resumed across BOTH stores matches a single run") {
+    import graft.ann.IvfStore
+    import graft.multimodal.{MediaSigStore, Multimodal}
+    val work = Files.createTempDirectory("medprod_restart_").toString
+    val cText = "aaaa bbbb cccc dddd eeee ffff gggg hhhh " * 8
+    val bText = "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss " * 8
+    val a2Text = "mmmm nnnn oooo pppp qqqq rrrr kkkk llll " * 8
+    val assetsIn = Seq(
+      (11L, cText),  // copy of the corpus asset — byte+semantic reject
+      (12L, a2Text), // admitted pre-kill (both stores append)
+      (13L, a2Text), // post-resume copy of 12 — must reject via the
+                     // RESUMED stores in both spaces
+      (14L, bText),  // benchmark copy — decontam reject (both arms)
+      (15L, "0000 1111 2222 3333 4444 5555 6666 7777 " * 8)) // admitted
+    val slices = assetsIn.zipWithIndex.map { case ((id, t), i) =>
+      val tmp = s"$work/slice$i"
+      Seq((id, t)).toDF("doc_id", "text")
+        .withColumn("payload", col("text").cast("binary"))
+        .select("doc_id", "payload").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part, s"s$i.parquet", 1700000000000L + i * 60000L)
+    }
+    def copyTo(dir: String, n: Int): Unit = slices.take(n).foreach {
+      case (part, name, mtime) =>
+        val dst = new java.io.File(dir, name)
+        if (!dst.exists()) {
+          org.apache.commons.io.FileUtils.copyFile(part, dst)
+          dst.setLastModified(mtime)
+        }
+    }
+    val schema = spark.read.parquet(s"$work/slice0").schema
+    def asset(id: Long, t: String) = Seq((id, t)).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val corpus = asset(100L, cText)
+    val bench = asset(200L, bText)
+    // one hand-written centroid (all assets share cell 0) + static
+    // benchmark judge state, shared by both runs
+    val centsPath = s"$work/cents"
+    Seq((0, Seq.fill(16)(0L))).toDF("cell", "c")
+      .coalesce(1).write.parquet(centsPath)
+    val centsRow = IvfStore.packedRow(spark.read.parquet(centsPath))
+    val benchSigs = s"$work/bench_sigs"
+    MediaSigStore.appendBatch(benchSigs, bench)
+    val benchVecs = Multimodal.mediaVectors(bench)
+    def seed(sigP: String, asgP: String): Unit = {
+      MediaSigStore.appendBatch(sigP, corpus)
+      IvfStore.assignBatch(Multimodal.mediaVectors(corpus), centsRow)
+        .write.parquet(asgP)
+    }
+    def runLane(inDir: String, sigP: String, asgP: String, ck: String,
+                out: scala.collection.mutable.Map[Long, (Int, Long, Int, Long, Boolean)])
+    : Long = {
+      var batches = 0L
+      val q = StreamingLanes.mediaProductionLane(
+        Replay.paced(spark, inDir, schema, maxFilesPerTrigger = 1),
+        sigP, asgP, centsPath, benchSigs, benchVecs)(
+        (batch, _) => { batches += 1
+          batch.collect().foreach { r =>
+            val k = r.getAs[Long]("doc_id")
+            if (!out.contains(k)) out(k) = (r.getAs[Int]("n_dups"),
+              r.getAs[Long]("n_sem_dups"),
+              r.getAs[Int]("n_benchmark_matches"),
+              r.getAs[Long]("n_benchmark_sem_matches"),
+              r.getAs[Boolean]("is_new"))
+          } })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+      batches
+    }
+    // RUN A: two slices, kill, add the rest, resume from the checkpoint
+    val resumed =
+      scala.collection.mutable.Map[Long, (Int, Long, Int, Long, Boolean)]()
+    seed(s"$work/sigA", s"$work/asgA")
+    new java.io.File(s"$work/inA").mkdirs()
+    copyTo(s"$work/inA", 2)
+    assert(runLane(s"$work/inA", s"$work/sigA", s"$work/asgA",
+      s"$work/ckA", resumed) === 2L)
+    copyTo(s"$work/inA", 5)
+    assert(runLane(s"$work/inA", s"$work/sigA", s"$work/asgA",
+      s"$work/ckA", resumed) === 3L)
+    // RUN B: all five in one go
+    val single =
+      scala.collection.mutable.Map[Long, (Int, Long, Int, Long, Boolean)]()
+    seed(s"$work/sigB", s"$work/asgB")
+    new java.io.File(s"$work/inB").mkdirs()
+    copyTo(s"$work/inB", 5)
+    runLane(s"$work/inB", s"$work/sigB", s"$work/asgB", s"$work/ckB",
+      single)
+    assert(resumed === single, s"resumed $resumed vs single $single")
+    // the scripted outcomes: 11 rejects in both dedup spaces; 12
+    // admits; 13 rejects against the RESUMED stores in both spaces
+    // (the post-kill appends survived); 14 rejects via both decontam
+    // arms; 15 admits
+    assert(!resumed(11L)._5 && resumed(11L)._1 >= 1 &&
+      resumed(11L)._2 >= 1L, resumed(11L).toString)
+    assert(resumed(12L)._5)
+    assert(!resumed(13L)._5 && resumed(13L)._1 >= 1 &&
+      resumed(13L)._2 >= 1L, resumed(13L).toString)
+    assert(!resumed(14L)._5 && resumed(14L)._3 >= 1 &&
+      resumed(14L)._4 >= 1L, resumed(14L).toString)
+    assert(resumed(15L)._5)
+    // BOTH stores converge to the single run's state: corpus + the two
+    // admitted assets, once each
+    def sigIds(p: String) = MediaSigStore.read(spark, p).collect()
+      .map(_.getLong(0)).toSeq.sorted
+    def asgIds(p: String) = spark.read.parquet(p).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(sigIds(s"$work/sigA") === Seq(12L, 15L, 100L))
+    assert(sigIds(s"$work/sigA") === sigIds(s"$work/sigB"))
+    assert(asgIds(s"$work/asgA") === Seq(12L, 15L, 100L))
+    assert(asgIds(s"$work/asgA") === asgIds(s"$work/asgB"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("ST8: last-write-wins view over replayed storage matches latest state") {
     // two "writes" of the same series key at different event times: the
     // read-side view (latestPerKey in batch) is the LWW state

@@ -21,7 +21,7 @@ import graft.streaming.{Replay, StreamingLanes}
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.StreamBench [section...]
   * With args, only the named sections run (ingest, pairscan, neardup,
   * simhash, media, chunk, decontam, curation, curlm, fullcur,
-  * curprod, curgrid, tokmaint, lmlane, spanclean, ivf, medprod) — e.g.
+  * curprod, curgrid, cadence, tokmaint, lmlane, spanclean, ivf, medprod) — e.g.
   * `runMain graft.StreamBench curation` probes the composed curation
   * lane alone against a (possibly synth-scaled) fixture dir without
   * paying the full snapshot replay.
@@ -494,6 +494,80 @@ object StreamBench {
         spark.read.parquet(srcInDir).schema, inRows)(st =>
         StreamingLanes.lmIngestLaneManaged(st, s"$work/lm_corpus",
           lmRoot, checkEvery = 4)((_, _) => laneBatches += 1))
+    }
+
+    // the COMPOSED maintenance cadence (r17): one Maintenance.runCadence
+    // over all three trained-artifact protocols + gated compactions, in
+    // the NO-DRIFT steady state — the common cadence call an operator
+    // schedules. Cost = one LM scoring pass over `recent`, one
+    // tokenizer-kernel pass over the gauge corpus, one throwaway-
+    // quantizer recall gauge, a manifest read, and directory listings.
+    // (oovCeiling sits above the fixture's 0.565 baseline so the vocab
+    // gauge reads steady instead of pricing a candidate — the candidate
+    // price is tokmaint's row.)
+    if (want("cadence")) {
+      import graft.sinks.Maintenance
+      val lmRoot = s"$work/cad_lm"
+      graft.text.LmStore.trainUnigrams(corpus).write.parquet(s"$lmRoot/uni")
+      graft.text.LmStore.trainBigrams(corpus).write.parquet(s"$lmRoot/bi")
+      val cadLedger = s"$work/cad_ledger"
+      corpus.select(col("doc_id"), col("source"))
+        .join(graft.text.LmStore.scoreAgainst(corpus,
+          graft.text.LmStore.readUni(spark, lmRoot),
+          graft.text.LmStore.readBi(spark, lmRoot))
+          .select(col("doc_id"), col("avg_logprob")),
+          Seq("doc_id"), "left")
+        .withColumn("model_fp", org.apache.spark.sql.functions.lit(0L))
+        .write.parquet(cadLedger)
+      val cadVocab = s"$work/cad_vocab"
+      graft.text.BpeVocab.train(corpus).write.parquet(cadVocab)
+      val v1 = graft.text.VocabMaintenance.currentVersion(spark, cadVocab)
+      val cadIds = s"$work/cad_ids"
+      graft.text.TokenIdStore.append(cadIds,
+        graft.text.TokenIdStore.numericalize(incoming.limit(200),
+          graft.text.BpeVocab.read(spark, cadVocab), v1))
+      val cadShards = s"$work/cad_shards"
+      graft.text.Curation.writeSequenceShards(spark,
+        graft.text.TokenIdStore.read(spark, cadIds), cadShards,
+        epoch = 1, nShards = 8, budget = 512, version = v1)
+      import graft.ann.IvfStore
+      // live copies of the HEALTHY staged sub-index + its centroids
+      // (assignments == a fresh train over the same population, so the
+      // recall gauge reads 1.0 and the cadence call is pure steady
+      // state; copies because a retrain — if one ever fired — must not
+      // mutate staged fixtures)
+      val cadIvf = s"$work/cad_ivf"
+      val cadCents = s"$work/cad_cents"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(IvfStore.subIndexPath(spark, sfDir, 8)),
+        new java.io.File(cadIvf))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(IvfStore.stagedCentroids(s"sub8_v1_$sfDir",
+          new java.io.File(sfDir, "embeddings.parquet"),
+          graft.ann.Similarity.corpus(spark, sfDir)
+            .select(col("vec_id"), col("v"), col("n2"))
+            .filter(col("vec_id") % 10 < 8))),
+        new java.io.File(cadCents))
+      val t0 = System.nanoTime()
+      val report = Maintenance.runCadence(spark,
+        lm = Some(Maintenance.LmCadence(lmRoot, cadLedger,
+          s"$work/cad_curated", corpus, corpus, incoming)),
+        vocab = Some(Maintenance.VocabCadence(cadVocab,
+          docs.select(col("doc_id"), col("text")), oovCeiling = 0.7,
+          idStorePath = Some(cadIds), seqShardPath = Some(cadShards))),
+        ivf = Some(Maintenance.IvfCadence(cadIvf, cadCents,
+          recallFloor = 0.5)),
+        compact = Seq((cadLedger, Seq("doc_id")), (cadIds,
+          Seq("doc_id", "token_idx", "vocab_version"))),
+        maxFiles = 64)
+        .collect().map(r =>
+          s"""{"protocol":"${r.getString(0)}","action":"${r.getString(1)
+            .replace("\\", "/")}","n":${r.getLong(2)}}""")
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"""{"metric":"stream_cadence_steady_sec","value":$secs,""" +
+        s""""unit":"sec","sf":"$sfDir"}""")
+      println(s"""{"metric":"stream_cadence_report","rows":[${
+        report.mkString(",")}]}""")
     }
 
     if (want("spanclean")) {

@@ -1,0 +1,154 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PRODUCTION MAINTENANCE CADENCE as one call (r17) — the engine
+  * persists four trained/derived artifact families, and each closed
+  * its own telemetry→action loop in earlier rounds:
+  *
+  *   - the reference LM ([[graft.text.LmStore.maintainCadence]]:
+  *     drift gauge → retrain + fingerprint bump → ledger restamp →
+  *     curated refresh);
+  *   - the live tokenizer ([[graft.text.VocabMaintenance
+  *     .retrainIfDrifted]]: OOV gauge → gain-gated swap; a swap marks
+  *     a version boundary [[graft.text.TokenIdStore.renumberSweep]]
+  *     must then enforce, and [[graft.text.Curation
+  *     .sequenceShardStaleness]] must then surface);
+  *   - the IVF quantizer ([[graft.ann.IvfMaintenance.retrainIfStale]]:
+  *     recall gauge → retrain + atomic double swap);
+  *   - every append-only store's gated compaction
+  *     ([[StoreMaintenance.compactIfNeeded]]).
+  *
+  * Until now a cadence JOB had to call them in the right order by
+  * convention — the exact seam class this repo keeps closing by
+  * construction. This object is the one entry: each family is opt-in
+  * by config, the ordering is fixed here (see below), and the call
+  * returns one telemetry frame saying what actually moved.
+  *
+  * ORDERING IS THE PROTOCOL:
+  *   1. LM first — `maintainCadence` is internally ordered (refresh →
+  *      restamp → curated refresh) and independent of the others;
+  *   2. vocabulary second, and WITHIN it: gain-gated swap → renumber
+  *      sweep (the sweep must run under the registry version of the
+  *      store that is live NOW — running it before a swap would
+  *      migrate to a version about to be retired) → shard staleness
+  *      probe (after the sweep, so the verdict reflects the
+  *      post-migration id space);
+  *   3. IVF third (independent; ordered after only so a crash mid-run
+  *      leaves the text-side artifacts, which gate admission,
+  *      consistent first);
+  *   4. compactions LAST — every earlier protocol may have appended
+  *      or rewritten, and compaction must see the final file sets.
+  *
+  * CRASH WINDOWS compose because every step is idempotent or
+  * refuse-or-retrigger on its own (the per-family scaladocs): a crash
+  * anywhere leaves a state from which re-running `runCadence` with
+  * the same config converges — the LM gauge re-triggers an
+  * incomplete swap, `floorsChecked` refuses an unstamped ledger until
+  * the restamp lands, the renumber sweep re-finds any still-stale
+  * docs, the staleness probe treats a missing manifest as stale, and
+  * `StoreMaintenance.rewrite` self-recovers its rename windows.
+  * MaintenanceSpec drives a model + vocabulary + quantizer
+  * all-drifted scenario through ONE call to a consistent end state.
+  *
+  * Steady-state cost (no drift anywhere — the common cadence call):
+  * one LM scoring pass over `recent`, one tokenizer-kernel pass over
+  * the vocab corpus, one throwaway-quantizer recall gauge, a manifest
+  * read, and one directory listing per compaction target — priced by
+  * StreamBench's `cadence` section.
+  */
+object Maintenance {
+
+  /** The LM protocol's roots — [[graft.text.LmStore.maintainCadence]]
+    * arguments, named. */
+  case class LmCadence(modelRoot: String, ledgerPath: String,
+                       curatedPath: String, docs: DataFrame,
+                       reference: DataFrame, recent: DataFrame,
+                       maxOovRate: Double = 0.5, p: Double = 0.1)
+
+  /** The tokenizer protocol's roots: the live vocab store, the gauge
+    * corpus, and (optionally) the persisted id store the renumber
+    * sweep migrates plus the sequence-shard artifact the staleness
+    * probe reads. */
+  case class VocabCadence(vocabPath: String, corpus: DataFrame,
+                          oovCeiling: Double = 0.5,
+                          minGain: Double = 0.1,
+                          trainer: DataFrame => DataFrame =
+                            graft.text.BpeVocab.train(_),
+                          idStorePath: Option[String] = None,
+                          seqShardPath: Option[String] = None)
+
+  /** The IVF protocol's roots —
+    * [[graft.ann.IvfMaintenance.retrainIfStale]] arguments, named. */
+  case class IvfCadence(storePath: String, centsPath: String,
+                        recallFloor: Double = 0.9, nQueries: Int = 5,
+                        k: Int = 10)
+
+  /** Run the composed cadence. Returns one (protocol, action, n) row
+    * per decision the call made — the operator's telemetry frame
+    * (`n` is a count where the action has one, else 0/1 for
+    * did-not/did). */
+  def runCadence(spark: SparkSession,
+                 lm: Option[LmCadence] = None,
+                 vocab: Option[VocabCadence] = None,
+                 ivf: Option[IvfCadence] = None,
+                 compact: Seq[(String, Seq[String])] = Nil,
+                 maxFiles: Int = 64): DataFrame = {
+    import graft.text.{BpeVocab, Curation, LmStore, TokenIdStore,
+      VocabMaintenance}
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (String, String, Long)]
+    lm.foreach { c =>
+      val (refreshed, evicted) = LmStore.maintainCadence(spark,
+        c.modelRoot, c.ledgerPath, c.curatedPath, c.docs, c.reference,
+        c.recent, c.maxOovRate, c.p)
+      rows += (("lm", "refreshed", if (refreshed) 1L else 0L))
+      rows += (("lm", "evicted_docs", evicted))
+    }
+    vocab.foreach { c =>
+      val swapped = VocabMaintenance.retrainIfDrifted(spark,
+        c.vocabPath, c.corpus, c.oovCeiling, c.minGain, c.trainer)
+      rows += (("vocab", "swapped", if (swapped) 1L else 0L))
+      c.idStorePath.filter(p => new java.io.File(p).exists())
+        .foreach { idp =>
+          // UNCONDITIONALLY, not only when THIS call swapped: a crash
+          // after a prior swap (or an out-of-band rewrite) leaves
+          // stale rows only the sweep can migrate, and a no-op sweep
+          // is one bounded stale-set scan. ONE pinned store read
+          // serves the version fingerprint AND the sweep's vocab
+          // dimension (the snapshot-consistency contract of
+          // currentVersionFor).
+          val vocabDf = BpeVocab.read(spark, c.vocabPath)
+            .localCheckpoint(true)
+          try {
+            val pieces = vocabDf.select("piece").collect()
+              .map(_.getString(0)).toSeq.sorted
+            val ver = VocabMaintenance.currentVersionFor(spark,
+              c.vocabPath, pieces)
+            rows += (("vocab", "renumbered_docs",
+              TokenIdStore.renumberSweep(spark, idp, c.corpus,
+                vocabDf, ver)))
+          } finally graft.sources.Checkpoints.unpersist(vocabDf)
+        }
+      c.seqShardPath.foreach { sp =>
+        rows += (("vocab", "shards_stale",
+          Curation.sequenceShardStaleness(spark, sp,
+            VocabMaintenance.currentVersion(spark, c.vocabPath))
+            .filter(col("stale")).count()))
+      }
+    }
+    ivf.foreach { c =>
+      rows += (("ivf", "retrained",
+        if (graft.ann.IvfMaintenance.retrainIfStale(spark, c.storePath,
+          c.centsPath, c.recallFloor, c.nQueries, c.k)) 1L else 0L))
+    }
+    compact.foreach { case (path, keys) =>
+      rows += (("compact", path,
+        if (StoreMaintenance.compactIfNeeded(spark, path, maxFiles,
+          keys)) 1L else 0L))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("protocol", "action", "n")
+  }
+}

@@ -1,0 +1,157 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ann.{IvfMaintenance, IvfStore, Similarity}
+import graft.text.{BpeVocab, Curation, LmStore, TokenIdStore,
+  VocabMaintenance}
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one cadence call drives model + vocab + quantizer drift to a consistent end state") {
+    val work = java.nio.file.Files
+      .createTempDirectory("maint_cadence_").toString
+
+    // --- LM family: model trained on an English-ish reference, the
+    // recent batch fully drifted (every bigram unseen) — the
+    // LmStoreSpec cadence scenario, composed
+    val lmRoot = s"$work/lm_model"
+    val ledgerPath = s"$work/lm_ledger"
+    val curatedPath = s"$work/lm_curated"
+    val ref = Seq((1L, "the cat sat on the mat", "s0"),
+      (2L, "the dog sat on the rug", "s0")).toDF("doc_id", "text", "source")
+    LmStore.trainUnigrams(ref).write.parquet(s"$lmRoot/uni")
+    LmStore.trainBigrams(ref).write.parquet(s"$lmRoot/bi")
+    val lmDocs = Seq(
+      (60L, "the cat sat on the mat", "s0"),
+      (61L, "the dog sat on the rug", "s0"),
+      (62L, "zorp blarg quux fizz wibble", "s0"))
+      .toDF("doc_id", "text", "source")
+    lmDocs.select(col("doc_id"), col("source"))
+      .join(LmStore.scoreAgainst(lmDocs, LmStore.readUni(spark, lmRoot),
+        LmStore.readBi(spark, lmRoot))
+        .select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
+      .withColumn("model_fp", lit(0L))
+      .write.parquet(ledgerPath)
+    Seq((60L, 0), (61L, 0), (62L, 0))
+      .toDF("doc_id", "chunk_idx").write.parquet(curatedPath)
+    val drifted = Seq((71L, "zz qq ww ee rr tt", "s9"),
+      (72L, "qq zz ee ww tt rr", "s9")).toDF("doc_id", "text", "source")
+
+    // --- tokenizer family: live store trained on one domain, the
+    // corpus fully moved to another (the VocabMaintenanceSpec drift
+    // pair); ids seeded under the OLD store's registry version, a
+    // sequence-shard artifact written under it too
+    val docsA = Seq((1L, "ababab cdcdcd"), (2L, "abab cdcd abab"))
+      .toDF("doc_id", "text")
+    val docsB = Seq((3L, "012345 678678"), (4L, "0123 6786 0123"))
+      .toDF("doc_id", "text")
+    val vocabPath = s"$work/vocab"
+    BpeVocab.train(docsA).write.parquet(vocabPath)
+    val v1 = VocabMaintenance.currentVersion(spark, vocabPath)
+    val idStore = s"$work/ids"
+    TokenIdStore.append(idStore, TokenIdStore.numericalize(docsB,
+      BpeVocab.read(spark, vocabPath), v1))
+    val shardPath = s"$work/shards"
+    Curation.writeSequenceShards(spark,
+      TokenIdStore.read(spark, idStore), shardPath,
+      epoch = 1, nShards = 2, budget = 8, version = v1)
+
+    // --- IVF family: the drifted-store scenario (index trained on the
+    // 20% split, 80% append-assigned against the frozen centroids)
+    val dir = "/root/testdata/sf0.001"
+    val ivfStore = s"$work/ivf_store"
+    val ivfCents = s"$work/ivf_cents"
+    val fpFile = new java.io.File(dir, "embeddings.parquet")
+    val corpus = Similarity.corpus(spark, dir)
+      .select(col("vec_id"), col("v"), col("n2"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(IvfStore.subIndexPath(spark, dir, keepMod = 2)),
+      new java.io.File(ivfStore))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(IvfStore.stagedCentroids(s"sub2_v1_$dir", fpFile,
+        corpus.filter(col("vec_id") % 10 < 2))),
+      new java.io.File(ivfCents))
+    IvfStore.appendAssigned(ivfStore,
+      corpus.filter(col("vec_id") % 10 >= 2),
+      IvfStore.packedRow(IvfStore.read(spark, ivfCents)))
+    val recBefore = IvfMaintenance.storeRecall(spark, ivfStore)
+    assert(recBefore < 1.0, "scenario must actually drift the quantizer")
+
+    // --- a compaction target with a guaranteed multi-file state (two
+    // separate append jobs) so the gated compaction demonstrably fires
+    val cstore = s"$work/cstore"
+    Seq((1L, 10L)).toDF("doc_id", "x").write.mode("append").parquet(cstore)
+    Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "x")
+      .write.mode("append").parquet(cstore)
+
+    // --- ONE cadence call over all three protocols + a compaction
+    val report = Maintenance.runCadence(spark,
+      lm = Some(Maintenance.LmCadence(lmRoot, ledgerPath, curatedPath,
+        lmDocs, ref.unionByName(drifted), drifted, p = 0.5)),
+      vocab = Some(Maintenance.VocabCadence(vocabPath, docsB,
+        idStorePath = Some(idStore), seqShardPath = Some(shardPath))),
+      ivf = Some(Maintenance.IvfCadence(ivfStore, ivfCents,
+        recallFloor = math.min(0.99, (recBefore + 1.0) / 2))),
+      compact = Seq((cstore, Seq("doc_id"))), maxFiles = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(report(("lm", "refreshed")) === 1L, report.toString)
+    assert(report(("vocab", "swapped")) === 1L, report.toString)
+    assert(report(("vocab", "renumbered_docs")) === 2L, report.toString)
+    assert(report(("vocab", "shards_stale")) === 1L, report.toString)
+    assert(report(("ivf", "retrained")) === 1L, report.toString)
+    assert(report(("compact", cstore)) === 1L, report.toString)
+    assert(spark.read.parquet(cstore).count() === 2L,
+      "compaction must dedup the replayed doc_id row")
+
+    // every family ends CONSISTENT:
+    // LM — fingerprint bumped, ledger restamped into the new score
+    // space, the corpus-floor gate derives without refusing
+    assert(LmStore.readFingerprint(spark, lmRoot) === 1L)
+    val led = spark.read.parquet(ledgerPath)
+    assert(led.select("model_fp").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    assert(LmStore.floorsChecked(led, 1L, p = 0.5).collect().nonEmpty)
+    // tokenizer — the live store serves the new domain, the id store
+    // holds ONE version whose ids equal a fresh numericalization
+    val piecesNow = VocabMaintenance.readPieces(spark, vocabPath)
+    assert(piecesNow.forall(_.forall(_.isDigit)), piecesNow.toString)
+    val v2 = VocabMaintenance.currentVersion(spark, vocabPath)
+    assert(v2 !== v1)
+    val ids = TokenIdStore.read(spark, idStore)
+    assert(ids.select("vocab_version").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(v2))
+    val fresh = TokenIdStore.numericalize(docsB,
+      BpeVocab.read(spark, vocabPath), v2)
+    assert(ids.collect().map(_.toSeq).toSet ===
+      fresh.collect().map(_.toSeq).toSet)
+    // shards — the probe flagged them (the report row); a re-export
+    // under the current version clears the flag
+    Curation.writeSequenceShards(spark, ids, shardPath,
+      epoch = 1, nShards = 2, budget = 8, version = v2)
+    assert(Curation.sequenceShardStaleness(spark, shardPath, v2)
+      .filter(col("stale")).count() === 0L)
+    // IVF — the retrain restored serving recall by construction
+    assert(IvfMaintenance.storeRecall(spark, ivfStore) === 1.0)
+
+    // the steady-state call: nothing drifts, nothing moves
+    val report2 = Maintenance.runCadence(spark,
+      lm = Some(Maintenance.LmCadence(lmRoot, ledgerPath, curatedPath,
+        lmDocs, ref.unionByName(drifted), drifted, p = 0.5)),
+      vocab = Some(Maintenance.VocabCadence(vocabPath, docsB,
+        idStorePath = Some(idStore), seqShardPath = Some(shardPath))),
+      ivf = Some(Maintenance.IvfCadence(ivfStore, ivfCents,
+        recallFloor = 0.9)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(report2(("lm", "refreshed")) === 0L, report2.toString)
+    assert(report2(("vocab", "swapped")) === 0L, report2.toString)
+    assert(report2(("vocab", "renumbered_docs")) === 0L, report2.toString)
+    assert(report2(("vocab", "shards_stale")) === 0L, report2.toString)
+    assert(report2(("ivf", "retrained")) === 0L, report2.toString)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+}

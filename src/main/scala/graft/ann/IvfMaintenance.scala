@@ -37,6 +37,18 @@ object IvfMaintenance {
     * `store_recall_at_k` number, on a live store path). Replayed-append
     * duplicate rows are ignored (vec_id keyed), so the gauge is exact
     * even before a compaction has run. */
+  /** The store's vector dimensionality, probed from one row — the
+    * retrain/gauge paths train throwaway or replacement quantizers
+    * over the STORE's own vectors, and a hardcoded default would pin
+    * them to the embeddings convention (r17, found by the media
+    * managed lane: `mediaSemanticIngestLaneManaged` serves 16-dim
+    * `byte_hist16` vectors, and the 64-dim training guard would have
+    * thrown at its first cadence check — the exact call the lane
+    * exists to make). One `limit(1)` probe per cadence call. */
+  private def vecDim(df: DataFrame): Option[Int] =
+    df.select(size(col("v")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+
   def storeRecall(spark: SparkSession, storePath: String,
                   nQueries: Int = 5, k: Int = 10): Double = {
     val all = IvfStore.read(spark, storePath).dropDuplicates("vec_id")
@@ -58,12 +70,19 @@ object IvfMaintenance {
     }
     val served = topk(all)
     val vecs = all.select(col("vec_id"), col("v"), col("n2"))
+    // an empty store has nothing to gauge (and no row to probe a
+    // dimension from) — report healthy, the tn == 0 convention below
+    val dim = vecDim(vecs) match {
+      case Some(d) => d
+      case None => return 1.0
+    }
     // pin the throwaway retrain ONCE: truth's count and the semi-join
     // are separate actions, and topk's corpus/query sides reference the
     // fresh assignment twice within one action — without the eager
     // checkpoint each evaluation re-runs the full Lloyd training
     val fresh = Similarity.assignCells(vecs,
-      Similarity.packedCentroids(Similarity.trainCentroids(vecs)))
+      Similarity.packedCentroids(Similarity.trainCentroids(vecs,
+        dim = dim)))
       .localCheckpoint(true)
     val truth = topk(fresh)
     val tn = truth.count()
@@ -88,10 +107,13 @@ object IvfMaintenance {
     * SET is unchanged; only cell structure moves. */
   def retrain(spark: SparkSession, storePath: String,
               centsPath: String): Unit = {
+    val vecs = IvfStore.read(spark, storePath).dropDuplicates("vec_id")
+      .select(col("vec_id"), col("v"), col("n2"))
+    val dim = vecDim(vecs).getOrElse(
+      throw new IllegalArgumentException(
+        s"retrain: empty assignment store at $storePath"))
     StoreMaintenance.rewrite(spark, centsPath) { _ =>
-      Similarity.trainCentroids(
-        IvfStore.read(spark, storePath).dropDuplicates("vec_id")
-          .select(col("vec_id"), col("v"), col("n2")))
+      Similarity.trainCentroids(vecs, dim = dim)
     }
     val centsRow = IvfStore.packedRow(IvfStore.read(spark, centsPath))
     StoreMaintenance.rewrite(spark, storePath) { df =>

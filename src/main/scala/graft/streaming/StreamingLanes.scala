@@ -411,6 +411,76 @@ object StreamingLanes {
       ()
     }
 
+  /** [[mediaProductionLane]] with the MAINTENANCE loop closed (r17 —
+    * the `ivfIngestLaneManaged` posture for the four-judge lane):
+    * every `checkEvery` batches, gauge the assignment store's serving
+    * recall and — past `recallFloor` — retrain + atomically swap both
+    * IVF artifacts ([[graft.ann.IvfMaintenance.retrainIfStale]], now
+    * dimension-agnostic so the 16-dim media feature space trains
+    * correctly), then immediately RE-AUDIT the store under the new
+    * centroids ([[graft.multimodal.Multimodal.mediaSemanticReaudit]])
+    * and hand the surfaced within-new-cell pairs to `onReaudit` — the
+    * pairs admission-time judging could not see while a boundary sat
+    * between them (the admit-under-stale-index seam, closed at the
+    * moment it opens instead of left to an operator's convention).
+    * The re-audit is a full-store re-judge and runs ONLY when a
+    * retrain actually fired — the priced retrain-cadence cost, never
+    * per batch. */
+  def mediaProductionLaneManaged(assets: DataFrame, sigStorePath: String,
+                                 asgStorePath: String, centsPath: String,
+                                 benchSigStorePath: String,
+                                 benchVecs: DataFrame,
+                                 maxHamming: Int = 3,
+                                 threshold: Double = 0.995,
+                                 recallFloor: Double = 0.9,
+                                 checkEvery: Int = 8,
+                                 maxStoreFiles: Option[Int] = None,
+                                 onStats: (DataFrame, Long) => Unit = null,
+                                 onReaudit: (DataFrame, Long) => Unit =
+                                   null)
+                                (process: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] = {
+    require(checkEvery > 0, s"checkEvery must be positive, got $checkEvery")
+    assets.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.ann.{IvfMaintenance, IvfStore}
+      import graft.multimodal.{MediaSigStore, Multimodal}
+      val spark = batch.sparkSession
+      val centsRow = IvfStore.packedRow(IvfStore.read(spark, centsPath))
+      val (verdict, admittedSigs, admittedAsg) =
+        Multimodal.mediaCurateBatch(
+          MediaSigStore.read(spark, benchSigStorePath), benchVecs,
+          MediaSigStore.read(spark, sigStorePath),
+          IvfStore.read(spark, asgStorePath), centsRow,
+          batch, maxHamming, threshold)
+      MediaSigStore.appendSigs(sigStorePath, admittedSigs)
+      admittedAsg.write.mode("append").parquet(asgStorePath)
+      val compacted = maxStoreFiles.exists { m =>
+        val sigC = graft.sinks.StoreMaintenance.compactIfNeeded(
+          spark, sigStorePath, m, Seq("doc_id"))
+        val asgC = graft.sinks.StoreMaintenance.compactIfNeeded(
+          spark, asgStorePath, m, Seq("vec_id"))
+        sigC || asgC
+      }
+      if ((batchId + 1) % checkEvery == 0 &&
+        IvfMaintenance.retrainIfStale(spark, asgStorePath, centsPath,
+          recallFloor)) {
+        if (onReaudit != null)
+          // pinned: the caller will act on this frame after the batch
+          // callback returns, and the swap already moved the files the
+          // unpinned plan would re-list
+          onReaudit(Multimodal.mediaSemanticReaudit(
+            IvfStore.read(spark, asgStorePath),
+            IvfStore.packedRow(IvfStore.read(spark, centsPath)),
+            threshold).localCheckpoint(true), batchId)
+      }
+      if (onStats != null)
+        onStats(laneStats("media_prod_managed", batchId, verdict,
+          compacted), batchId)
+      process(verdict, batchId)
+      ()
+    }
+  }
+
   /** Store-backed streaming CHUNK dedup lane — [[simhashStoreLane]]'s
     * sibling at chunk granularity over the persisted
     * [[graft.text.ChunkSigStore]]: per micro-batch, chunk + sign the

@@ -113,6 +113,46 @@ class IvfMaintenanceSpec extends SparkSpec {
       new java.io.File(storePath).getParentFile)
   }
 
+  test("maintenance is dimension-agnostic: a 16-dim media store gauges, retrains, recovers") {
+    import spark.implicits._
+    // r17 regression guard: storeRecall/retrain used trainCentroids'
+    // DEFAULT dim = 64, so the media managed lane's first cadence
+    // check on 16-dim byte_hist16 vectors would have thrown. The
+    // scenario also drifts for real: five near-identical pairs
+    // (a_i, b_i) in disjoint 2-dim planes, frozen centroids splitting
+    // every pair across cells (a -> even-axis cell, b -> odd-axis
+    // cell), so served top-k misses each query's true twin.
+    def unit(d: Int, x: Long) = Seq.tabulate(16)(i => if (i == d) x else 0L)
+    def add(u: Seq[Long], v: Seq[Long]) = u.zip(v).map { case (a, b) => a + b }
+    val rows =
+      (0 until 5).map(i => (i.toLong,
+        add(unit(2 * i, 700L), unit(2 * i + 1, 690L)), 0)) ++
+      (0 until 5).map(i => (10L + i,
+        add(unit(2 * i, 690L), unit(2 * i + 1, 700L)), 1))
+    val work = java.nio.file.Files
+      .createTempDirectory("ivf_media_dim_").toString
+    val storePath = s"$work/store"
+    val centsPath = s"$work/cents"
+    rows.toDF("vec_id", "v", "cell")
+      .withColumn("n2", expr("aggregate(v, 0L, (a, x) -> a + x * x)"))
+      .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+      .write.parquet(storePath)
+    Seq((0, Seq.tabulate(16)(i => if (i % 2 == 0) 1000L else 0L)),
+      (1, Seq.tabulate(16)(i => if (i % 2 == 1) 1000L else 0L)))
+      .toDF("cell", "c").write.parquet(centsPath)
+    val rec = IvfMaintenance.storeRecall(spark, storePath)
+    info(s"16-dim drifted store recall: $rec")
+    assert(rec < 1.0, "split twins must cost served recall")
+    assert(IvfMaintenance.retrainIfStale(spark, storePath, centsPath,
+      recallFloor = math.min(0.99, (rec + 1.0) / 2)))
+    // the swapped centroids live in the store's OWN dimension
+    val cdims = spark.read.parquet(centsPath)
+      .select(size(col("c"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(cdims === Seq(16), cdims.toString)
+    assert(IvfMaintenance.storeRecall(spark, storePath) === 1.0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("post-retrain re-audit surfaces pairs that straddled old cell boundaries") {
     import spark.implicits._
     import graft.multimodal.Multimodal

@@ -1571,6 +1571,106 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 
+  test("GRID production lane: the fuzzy and semantic arms drop in-stream what the exact gate misses == its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{ChunkSigStore, Curation, LmStore, NearDup,
+      QualityStore, SimHashStore}
+    val mem = MemoryStream[CurDoc]
+    val work = Files.createTempDirectory("curation_grid_").toString
+    val (sigStore, chunkStore, benchStore, benchDocStore, qualityStore,
+      modelRoot, ledger) = (s"$work/sigs", s"$work/chunks",
+      s"$work/bench", s"$work/benchdoc", s"$work/quality", s"$work/lm",
+      s"$work/ledger")
+    val seeds = qualitySeedDocs.toDF("doc_id", "text", "source")
+    val benchDoc = Seq((200L, "alpha bravo charlie delta"))
+      .toDF("doc_id", "text")
+    // a SECOND benchmark member, doc-sig store only: its text shares
+    // no window with the chunk store's member, so only the fuzzy
+    // whole-doc arm can flag a copy of it
+    val benchDoc2 = Seq((201L,
+      "november oscar papa quebec romeo sierra tango uniform"))
+      .toDF("doc_id", "text")
+    SimHashStore.appendBatch(sigStore, seeds.select("doc_id", "text"))
+    SimHashStore.appendBatch(benchDocStore, benchDoc2)
+    QualityStore.appendQualities(qualityStore,
+      QualityStore.qualityFrame(seeds))
+    ChunkSigStore.appendSigs(benchStore,
+      NearDup.chunkSigs64(benchDoc, window = 4, stride = 2))
+    LmStore.trainUnigrams(lmRefDocs).write.parquet(s"$modelRoot/uni")
+    LmStore.trainBigrams(lmRefDocs).write.parquet(s"$modelRoot/bi")
+    val ledSeeds = Seq(
+      (300L, "alpha beta alpha beta alpha beta", "src_a"),
+      (301L, "gamma delta gamma delta gamma delta", "src_a"))
+      .toDF("doc_id", "text", "source")
+    val seedLedger = ledSeeds.select(col("doc_id"), col("source"))
+      .join(LmStore.scoreAgainst(ledSeeds,
+        LmStore.readUni(spark, modelRoot),
+        LmStore.readBi(spark, modelRoot))
+        .select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
+      .withColumn("lm_thr", lit(null).cast("double"))
+      .withColumn("model_fp", lit(0L))
+    seedLedger.write.mode("append").parquet(ledger)
+    // the semantic arm's vector sides: doc 32's embedding is colinear
+    // with the benchmark vector (cosine 1.0 >= 0.5)
+    val benchVecs = Seq((500L, Seq(500L, 0L, 0L), 250000L))
+      .toDF("vec_id", "v", "n2")
+    val vecs = Seq((32L, Seq(1000L, 0L, 0L), 1000000L))
+      .toDF("vec_id", "v", "n2")
+    val inDomain = (0 until 10).map(_ => "alpha beta").mkString(" ")
+    val arrivals = Seq(
+      CurDoc(ts(10), 3L, inDomain, "src_a"),          // admitted
+      // in-domain text with a DISTINCT signature whose only flag is
+      // its embedding — the semantic arm's drop
+      CurDoc(ts(11), 32L,
+        (0 until 10).map(_ => "beta alpha").mkString(" "), "src_a"),
+      // verbatim copy of the doc-sig benchmark member — windows share
+      // nothing with the chunk store, only the fuzzy arm flags it
+      CurDoc(ts(12), 33L,
+        "november oscar papa quebec romeo sierra tango uniform", "src_a"))
+    val q = StreamingLanes.curationStoreLane(
+      mem.toDF().select(col("doc_id"), col("text"), col("source")),
+      sigStore, chunkStore, window = 4, stride = 2,
+      benchStorePath = benchStore, qualityStorePath = qualityStore,
+      lmModelRoot = modelRoot, lmLedgerPath = ledger,
+      lmCorpusFloor = true, benchDocSigStorePath = benchDocStore,
+      benchVecs = benchVecs, vecs = vecs)((_, _) => ()).start()
+    try {
+      mem.addData(arrivals: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchDf = arrivals.map(d => (d.doc_id, d.text, d.source))
+      .toDF("doc_id", "text", "source")
+    val (twinChunks, _, _, _, twinDocV) = Curation.curateBatchGridFull(
+      NearDup.chunkSigs64(benchDoc, window = 4, stride = 2),
+      NearDup.simhash64(benchDoc2), benchVecs, vecs,
+      NearDup.simhash64(seeds.select("doc_id", "text")),
+      QualityStore.qualityFrame(seeds),
+      LmStore.readUni(spark, modelRoot),
+      LmStore.readBi(spark, modelRoot),
+      LmStore.floorsChecked(seedLedger, modelFp = 0L),
+      batchDf, window = 4, stride = 2)
+    def chunkKey(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "chunk_idx", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(chunkKey(spark.read.parquet(chunkStore))
+      === chunkKey(twinChunks),
+      "the grid lane must equal its certified batch twin")
+    // each extra arm dropped its doc for ITS reason, recoverable from
+    // the verdict columns; neither doc ever signed the store
+    val v = twinDocV.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Int]("n_fuzzy_matches"), r.getAs[Long]("n_sem_matches"),
+        r.getAs[Boolean]("is_new")))).toMap
+    assert(v(3L)._3, v.toString)
+    assert(!v(32L)._3 && v(32L)._2 === 1L && v(32L)._1 === 0, v.toString)
+    assert(!v(33L)._3 && v(33L)._1 >= 1 && v(33L)._2 === 0L, v.toString)
+    val sigIds = SimHashStore.read(spark, sigStore).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!sigIds.contains(32L) && !sigIds.contains(33L),
+      "grid-dropped docs must never sign the dedup store")
+    assert(sigIds.contains(3L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+
   test("FULL production lane killed and resumed matches a single run across ALL stores") {
     import graft.text.{ChunkSigStore, LmStore, NearDup, QualityStore,
       SimHashStore}

@@ -125,6 +125,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.MinhashBands(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("hamming_near_pairs"),
+      info(classOf[functions.HammingNearPairs].getName,
+        "hamming_near_pairs",
+        "hamming_near_pairs(members, maxHamming) - value-ordered near pairs (id_a, id_b, hamming) within one banded bucket"),
+      (children: Seq[Expression]) => {
+        checkArity("hamming_near_pairs", 2, children)
+        functions.HammingNearPairs(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("nearest_cell"),
       info(classOf[functions.NearestCell].getName,
         "nearest_cell", "nearest_cell(v, flat, cells, c2s) - IVF cell argmin by exact integer distance"),

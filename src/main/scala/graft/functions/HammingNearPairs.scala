@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Gated Hamming pair generation over one banded bucket's members — the
+  * per-bucket kernel of the banded SimHash near-dup families
+  * (`text/NearDup.bandedHammingPairsLayout`).
+  *
+  * The composable form is a bucket-keyed SELF-JOIN: both sides of the
+  * banded frame are exchanged on (band, bval, salt), sort-merged, and
+  * EVERY candidate pair of a bucket is materialized as a joined row just
+  * to be filtered by `id_a < id_b` and `bit_count(xor) <= maxHamming` —
+  * at 10x fixture scale that is tens of millions of UnsafeRows built and
+  * immediately dropped, and the banded frame crosses two exchanges. This
+  * expression receives one bucket's members (bounded by the sub-salt cap,
+  * so the array is small by construction) and runs the n(n-1)/2 loop as
+  * straight long xor + popcount, emitting ONLY the surviving near pairs.
+  * The banded frame then crosses ONE exchange (the groupBy), not two join
+  * sides, and no candidate row is ever materialized.
+  *
+  * Pair order within the emitted structs is value-ordered
+  * (id_a = min, id_b = max) and the output array order is irrelevant —
+  * callers `distinct()` across bands exactly as the join form did.
+  *
+  * Registered as SQL function `hamming_near_pairs` by
+  * `graft.GraftExtensions`.
+  */
+case class HammingNearPairs(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  // builtin-parity coercion; no explicit Seq[AbstractDataType] ascription
+  // (the type is sql-private in this build — the ArrayJaccard convention)
+  override def inputTypes = Seq(
+    ArrayType(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sig", LongType)))),
+    IntegerType)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("hamming", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "hamming_near_pairs"
+
+  override protected def nullSafeEval(members: Any, maxH: Any): Any =
+    HammingNearPairs.compute(members.asInstanceOf[ArrayData],
+      maxH.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, h) =>
+      s"${ev.value} = graft.functions.HammingNearPairs.compute($m, $h);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingNearPairs =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingNearPairs {
+  /** All value-ordered member pairs within `maxHamming` — one tight
+    * popcount loop per bucket. Called from generated code. */
+  def compute(members: ArrayData, maxHamming: Int): ArrayData = {
+    val n = members.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!members.isNullAt(i)) {
+        val row = members.getStruct(i, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          ids(m) = row.getLong(0)
+          sigs(m) = row.getLong(1)
+          m += 1
+        }
+      }
+      i += 1
+    }
+    val out = new java.util.ArrayList[InternalRow]()
+    i = 0
+    while (i < m) {
+      val idI = ids(i)
+      val sigI = sigs(i)
+      var j = i + 1
+      while (j < m) {
+        val h = java.lang.Long.bitCount(sigI ^ sigs(j))
+        if (h <= maxHamming && idI != ids(j)) {
+          val a = if (idI < ids(j)) idI else ids(j)
+          val b = if (idI < ids(j)) ids(j) else idI
+          out.add(new GenericInternalRow(Array[Any](a, b, h)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -194,20 +194,21 @@ object Multimodal {
           col("sig").bitwiseAND(lit(65535L)).as("bval")))).as("b"))
       .select(col("doc_id"), col("sig"),
         col("b.band").as("band"), col("b.bval").as("bval"))
-    val a = banded.select(col("doc_id").as("id_a"),
-      col("sig").as("sig_a"), col("band"), col("bval"))
-    val b = banded.select(col("doc_id").as("id_b"),
-      col("sig").as("sig_b"), col("band"), col("bval"))
-    a.join(b, Seq("band", "bval"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      // a pair agreeing on both bands matched twice — once per band;
-      // the Hamming gate runs BEFORE the dedup exchange so distinct()
-      // shuffles only near pairs, not the full candidate stream. No
-      // output sort — a global orderBy of the pair list is a
-      // presentation-only range exchange (see simhashNearDup).
-      .filter(col("hamming") <= maxHamming)
+    // r17: bucket members grouped once and pair-gated inside the
+    // `hamming_near_pairs` kernel (the bandedHammingPairsLayout plan
+    // shape, minus the cap this UNCAPPED audit view never had): the
+    // payload-signing pass runs once instead of once per join side,
+    // the banded frame crosses ONE exchange, and no candidate row is
+    // materialized. Per-bucket member arrays are bounded only by band
+    // population here — same buffering the self-join's key groups paid
+    // — and the capped 64-bit family stays the production form.
+    // distinct() dedups pairs agreeing on both bands, as before. No
+    // output sort — a global orderBy of the pair list is a
+    // presentation-only range exchange (see simhashNearDup).
+    banded.groupBy(col("band"), col("bval"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .select(inline(call_function("hamming_near_pairs",
+        col("members"), lit(maxHamming))))
       .distinct()
   }
 

@@ -151,6 +151,14 @@ object NearDup {
             expr(s"(bn + ${maxBucket - 1}) DIV $maxBucket"))))
       .drop("bn")
 
+    // NOTE (r17): rewriting this self-join as the bucket-groupBy +
+    // `hamming_near_pairs` shape that carried the SimHash families was
+    // MEASURED SLOWER here (10×: 3.3 s → 7.5 s, reverted): LSH has no
+    // in-kernel gate — every in-bucket pair is a candidate — so the
+    // kernel's win (never materializing dropped candidates) does not
+    // apply, and its per-pair generic-row allocation loses to the
+    // codegen'd join, while the derivation-duplication cost the SimHash
+    // rewrite removed is already absent here (sigs are memo-persisted).
     val cands = salted.as("x")
       .join(salted.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
@@ -551,11 +559,33 @@ object NearDup {
 
   /** [[bandedHammingPairs]] over an explicit (shift, width) band layout —
     * the generalization that serves radius-derived bandings
-    * ([[bandLayout]]); uniform bandings delegate here. */
+    * ([[bandLayout]]); uniform bandings delegate here.
+    *
+    * Plan shape (r17): the banded frame crosses ONE exchange and the
+    * signature derivation runs ONCE. Before r17 this was a bucket-keyed
+    * SELF-JOIN — the derivation (the md5-per-token pass for the text
+    * family) was evaluated once per plan branch (oversized aggregate +
+    * each join side — FOUR derivation subtrees in the physical plan),
+    * the banded frame crossed an exchange per join side, and EVERY
+    * in-bucket candidate pair was materialized as a joined row just to
+    * be dropped by the Hamming gate (tens of millions of rows at 10×).
+    * Now the bucket size rides a window count over the banded frame's
+    * one (band, bval) exchange (a separate count-aggregate branch does
+    * NOT reuse that exchange — column pruning narrows its subtree and
+    * canonical equality fails — so the window form is what actually
+    * collapses the plan to one derivation), the sub-salt cap is applied
+    * from that in-partition count with identical semantics, members are
+    * grouped per (band, bval, salt) bucket (bounded by the cap; the
+    * coarser (band, bval) partitioning already satisfies the aggregate —
+    * no second exchange), and the `hamming_near_pairs` kernel
+    * (`functions/HammingNearPairs.scala`) emits ONLY the gated pairs
+    * from one popcount loop per bucket. distinct() then dedups pairs
+    * meeting in several bands, exactly as the join form did. */
   private[graft] def bandedHammingPairsLayout(sigs: DataFrame,
                                               layout: Seq[(Int, Int)],
                                               maxHamming: Int,
                                               maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def mask(width: Int) = if (width >= 64) -1L else (1L << width) - 1
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array(layout.zipWithIndex.map { case ((shift, width), i) =>
@@ -565,31 +595,25 @@ object NearDup {
       }: _*)).as("b"))
       .select(col("doc_id"), col("sig"),
         col("b.band").as("band"), col("b.bval").as("bval"))
-    val oversized = banded.groupBy(col("band"), col("bval"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > maxBucket)
-    val salted = banded.join(broadcast(oversized), Seq("band", "bval"), "left")
+    // bucket size as an unordered window count: the window's required
+    // distribution creates the ONE (band, bval) exchange of the plan,
+    // and every stage below (salting, the bucket groupBy) runs on it
+    val salted = banded.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bval"))))
       .withColumn("salt",
-        when(col("bn").isNull, lit(0L)).otherwise(
+        when(col("bn") <= maxBucket, lit(0L)).otherwise(
           pmod(saltHash(col("doc_id")),
             expr(s"(bn + ${maxBucket - 1}) DIV $maxBucket"))))
       .drop("bn")
-    val a = salted.select(col("doc_id").as("id_a"),
-      col("sig").as("sig_a"), col("band"), col("bval"), col("salt"))
-    val b = salted.select(col("doc_id").as("id_b"),
-      col("sig").as("sig_b"), col("band"), col("bval"), col("salt"))
-    a.join(b, Seq("band", "bval", "salt"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      // gate BEFORE the dedup exchange: the Hamming filter drops the
-      // bulk of the candidate stream map-side, so distinct() shuffles
-      // only near pairs (measured 10×: 23.5 s → the gate-first plan's
-      // exchange carries the output, not the candidates). No output
-      // sort: at 10× the pair list is 8.7M rows, and a global orderBy
-      // range-exchanges + fully sorts it for presentation only —
+    salted.groupBy(col("band"), col("bval"), col("salt"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .select(inline(call_function("hamming_near_pairs",
+        col("members"), lit(maxHamming))))
+      // distinct across bands only — the gate already ran inside the
+      // kernel, so this exchange carries near pairs, never candidates.
+      // No output sort: at 10× the pair list is 8.7M rows, and a global
+      // orderBy range-exchanges + fully sorts it for presentation only —
       // consumers that need order sort their own (bounded) slice.
-      .filter(col("hamming") <= maxHamming)
       .distinct()
   }
 

@@ -87,6 +87,54 @@ object Similarity {
     scoreRankLimit(
       corpus.join(broadcast(queries), col("vec_id") =!= col("query_id")), k)
 
+  /** Fused multi-arm top-k (r17): the recall rows used to run one full
+    * candidate join + rank window PER arm (nprobe / coarse_k value) and
+    * union the arms — the corpus was scanned and scored once per arm for
+    * candidate sets that NEST by construction (arm a's candidates ⊆ arm
+    * b's for a < b). Here the join runs ONCE at the deepest arm with
+    * each candidate tagged `pmin` = the shallowest arm containing it;
+    * candidates then explode into the arms that include them (bounded:
+    * |arms| copies of top-k-bound rows, never of the corpus) and ONE
+    * rank window partitioned by (arm, query) replays every arm's
+    * ranking exactly. The literal rank filter still triggers
+    * InferWindowGroupLimit, so each input partition pre-reduces to its
+    * local top-k per (arm, query) before the window exchange. */
+  private def armRankLimit(cand: DataFrame, arms: Seq[Int],
+                           armCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cand
+      .withColumn("cosine",
+        dot(col("v"), col("qv")).cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .withColumn(armCol, explode(filter(array(arms.map(lit): _*),
+        n => n >= col("pmin"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(armCol), col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col(armCol), col("query_id"), col("vec_id"))
+  }
+
+  /** Hits-vs-truth + per-(arm, query) recall grid shared by the fused
+    * recall rows — one semi-join and one aggregate over all arms where
+    * the unfused form paid one per arm. */
+  private def recallGrid(truth: DataFrame, qids: DataFrame,
+                         served: DataFrame, armCol: String,
+                         arms: Seq[Int], k: Int): DataFrame = {
+    val hits = served
+      .join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col(armCol), col("query_id"))
+      .agg(count(lit(1)).as("h"))
+    qids.select(col("query_id"),
+        explode(array(arms.map(lit): _*)).as(armCol))
+      .join(hits, Seq(armCol, "query_id"), "left")
+      .select(col("query_id"), col(armCol),
+        coalesce(col("h"), lit(0L)).cast("int").as("hits"),
+        (coalesce(col("h"), lit(0L)).cast("double") / k)
+          .as("recall_at_k"))
+      .orderBy(armCol, "query_id")
+  }
+
   /** Brute-force exact cosine top-k for a bounded query set. */
   def annTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
               k: Int = 10): DataFrame = {
@@ -349,8 +397,7 @@ object Similarity {
     * distances against the one-row packed centroid broadcast, sorted
     * in-row (ties to the lowest cell id), top-`nprobe` exploded.
     * `q` must carry (query_id, qv, qn2). */
-  private def probedCells(q: DataFrame, centsRow: DataFrame,
-                          nprobe: Int): DataFrame =
+  private def scoredCells(q: DataFrame, centsRow: DataFrame): DataFrame =
     q.crossJoin(broadcast(centsRow))
       .withColumn("scored", transform(
         sequence(lit(0), size(col("cells")) - 1),
@@ -360,10 +407,27 @@ object Similarity {
                 slice(col("flat"), i * size(col("qv")) + 1, size(col("qv"))))
             + element_at(col("c2s"), i + 1)).as("dist"),
           element_at(col("cells"), i + 1).as("cell"))))
+
+  private def probedCells(q: DataFrame, centsRow: DataFrame,
+                          nprobe: Int): DataFrame =
+    scoredCells(q, centsRow)
       .select(col("query_id"), col("qv"), col("qn2"),
         explode(slice(sort_array(col("scored")), 1, nprobe)).as("p"))
       .select(col("query_id"), col("qv"), col("qn2"),
         col("p.cell").as("qcell"))
+
+  /** [[probedCells]] with each probed cell's RANK (1-based nearness
+    * position) kept as `pmin` — the fused recall rows probe once at the
+    * deepest requested nprobe and reconstruct every shallower arm from
+    * this rank (a cell probed at rank r belongs to all arms np >= r). */
+  private def probedCellsRanked(q: DataFrame, centsRow: DataFrame,
+                                nprobe: Int): DataFrame =
+    scoredCells(q, centsRow)
+      .select(col("query_id"), col("qv"), col("qn2"),
+        posexplode(slice(sort_array(col("scored")), 1, nprobe))
+          .as(Seq("pidx", "p")))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        col("p.cell").as("qcell"), (col("pidx") + 1).as("pmin"))
 
   /** The fixture's EXTERNAL query frame — vectors NOT present in any
     * store or corpus scan: query q is the elementwise SUM of corpus
@@ -449,21 +513,18 @@ object Similarity {
     val truth = annQueryExternal(spark, dir, k = k)
       .select(col("query_id"), col("vec_id"))
     val qids = truth.select(col("query_id")).distinct()
-    Seq(1, 2, 4)
-      .map { np =>
-        val served = annQueryExternalProbe(spark, dir, k = k, nprobe = np)
-        val hits = truth
-          .join(served.select(col("query_id"), col("vec_id")),
-            Seq("query_id", "vec_id"), "left_semi")
-          .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
-        qids.join(hits, Seq("query_id"), "left")
-          .select(col("query_id"), lit(np).as("nprobe"),
-            coalesce(col("h"), lit(0L)).cast("int").as("hits"),
-            (coalesce(col("h"), lit(0L)).cast("double") / k)
-              .as("recall_at_k"))
-      }
-      .reduce(_ unionByName _)
-      .orderBy("nprobe", "query_id")
+    // fused arms (r17, see armRankLimit): probe once at nprobe = 4 with
+    // cell ranks kept, join the store ONCE (the annServeProbe join, no
+    // self-exclusion — external ids are their own space), replay each
+    // arm's ranking from the rank tags. Was: one store join + window +
+    // semi-join per arm, unioned.
+    val probed = probedCellsRanked(externalQueries(spark, dir),
+      IvfStore.subCentroidsRow(spark, dir, 8), 4)
+    val served = armRankLimit(
+      storedAll(spark, dir).join(broadcast(probed),
+        col("cell") === col("qcell")),
+      Seq(1, 2, 4), "nprobe", k)
+    recallGrid(truth, qids, served, "nprobe", Seq(1, 2, 4), k)
   }
 
   /** Index-freshness telemetry for the persisted IVF store — the drift
@@ -785,20 +846,30 @@ object Similarity {
     val truth = annTopK(spark, dir, k = k)
       .select(col("query_id"), col("vec_id"))
     val qids = truth.select(col("query_id")).distinct()
-    Seq(1 -> annIvf(spark, dir, k = k), 4 -> annIvfProbe(spark, dir, k = k))
-      .map { case (np, approx) =>
-        val hits = truth
-          .join(approx.select(col("query_id"), col("vec_id")),
-            Seq("query_id", "vec_id"), "left_semi")
-          .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
-        qids.join(hits, Seq("query_id"), "left")
-          .select(col("query_id"), lit(np).as("nprobe"),
-            coalesce(col("h"), lit(0L)).cast("int").as("hits"),
-            (coalesce(col("h"), lit(0L)).cast("double") / k)
-              .as("recall_at_k"))
-      }
-      .reduce(_ unionByName _)
-      .orderBy("nprobe", "query_id")
+    // fused arms (r17, see armRankLimit): nprobe = 1 is the query's own
+    // sign-bit cell (annIvf), nprobe = 4 adds the bits Hamming-1
+    // neighbor cells (annIvfProbe) — nested by construction, so ONE
+    // corpus join tagged with each probed cell's shallowest arm replays
+    // both. Was: two corpus joins + windows + semi-joins, unioned.
+    val bits = 3
+    val c = corpus(spark, dir).withColumn("bucket", bucket(col("v"), bits))
+    val q = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("bucket").as("qbucket"))
+    val probed = q.select(col("query_id"), col("qv"), col("qn2"),
+      explode(array(
+        struct(col("qbucket").as("pbucket"), lit(1).as("pmin")) +:
+          (0 until bits).map(j =>
+            struct(col("qbucket").bitwiseXOR(lit(1 << j)).as("pbucket"),
+              lit(4).as("pmin"))): _*)).as("p"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        col("p.pbucket").as("pbucket"), col("p.pmin").as("pmin"))
+    val served = armRankLimit(
+      c.join(broadcast(probed),
+        col("bucket") === col("pbucket") &&
+          col("vec_id") =!= col("query_id")),
+      Seq(1, 4), "nprobe", k)
+    recallGrid(truth, qids, served, "nprobe", Seq(1, 4), k)
   }
 
   /** Recall@k of the STORED-index serving path vs the exact brute-force
@@ -818,21 +889,22 @@ object Similarity {
     val truth = annTopK(spark, dir, k = k)
       .select(col("query_id"), col("vec_id"))
     val qids = truth.select(col("query_id")).distinct()
-    Seq(1, 2, 4)
-      .map { np =>
-        val served = annIvfStoredProbe(spark, dir, k = k, nprobe = np)
-        val hits = truth
-          .join(served.select(col("query_id"), col("vec_id")),
-            Seq("query_id", "vec_id"), "left_semi")
-          .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
-        qids.join(hits, Seq("query_id"), "left")
-          .select(col("query_id"), lit(np).as("nprobe"),
-            coalesce(col("h"), lit(0L)).cast("int").as("hits"),
-            (coalesce(col("h"), lit(0L)).cast("double") / k)
-              .as("recall_at_k"))
-      }
-      .reduce(_ unionByName _)
-      .orderBy("nprobe", "query_id")
+    // fused arms (r17, see armRankLimit): probe once at nprobe = 4 with
+    // cell ranks kept, join the store ONCE (the annIvfStoredProbe join,
+    // self-exclusion included), replay each arm's ranking from the rank
+    // tags. Was: one store join + window + semi-join per arm, unioned.
+    val q = IvfStore.subIndex(spark, dir, 8)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    val probed = probedCellsRanked(q,
+      IvfStore.subCentroidsRow(spark, dir, 8), 4)
+    val served = armRankLimit(
+      storedAll(spark, dir).join(broadcast(probed),
+        col("cell") === col("qcell") &&
+          col("vec_id") =!= col("query_id")),
+      Seq(1, 2, 4), "nprobe", k)
+    recallGrid(truth, qids, served, "nprobe", Seq(1, 2, 4), k)
   }
 
   /** Recall@k of the SQ rerank vs the brute-force truth, per coarseK —
@@ -844,21 +916,28 @@ object Similarity {
     val truth = annTopK(spark, dir, k = k)
       .select(col("query_id"), col("vec_id"))
     val qids = truth.select(col("query_id")).distinct()
-    Seq(10, 50)
-      .map { ck =>
-        val approx = annSqRerank(spark, dir, k = k, coarseK = ck)
-        val hits = truth
-          .join(approx.select(col("query_id"), col("vec_id")),
-            Seq("query_id", "vec_id"), "left_semi")
-          .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
-        qids.join(hits, Seq("query_id"), "left")
-          .select(col("query_id"), lit(ck).as("coarse_k"),
-            coalesce(col("h"), lit(0L)).cast("int").as("hits"),
-            (coalesce(col("h"), lit(0L)).cast("double") / k)
-              .as("recall_at_k"))
-      }
-      .reduce(_ unionByName _)
-      .orderBy("coarse_k", "query_id")
+    // fused arms (r17, see armRankLimit): the coarse_k = 10 candidate
+    // set is exactly the coarse-rank-<=-10 prefix of the coarse_k = 50
+    // set, so ONE coarse pass at 50 (keeping each candidate's coarse
+    // rank) + ONE exact rescore replays both arms. Was: two full
+    // coarse scans + two exact rescores, unioned.
+    val base = corpus(spark, dir)
+    val q = base.filter(col("vec_id") < 5)
+    val qCoarse = q.select(col("vec_id").as("query_id"),
+      col("cv").as("qv"), col("cn2").as("qn2"))
+    val cand = scoreRankLimit(
+      base.select(col("vec_id"), col("cv").as("v"), col("cn2").as("n2"))
+        .join(broadcast(qCoarse), col("vec_id") =!= col("query_id")),
+      50)
+      .select(col("query_id"), col("vec_id"), col("rank").as("pmin"))
+    val qExact = q.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("n2").as("qn2"))
+    val served = armRankLimit(
+      base.select(col("vec_id"), col("v"), col("n2"))
+        .join(broadcast(cand), "vec_id")
+        .join(broadcast(qExact), "query_id"),
+      Seq(10, 50), "coarse_k", k)
+    recallGrid(truth, qids, served, "coarse_k", Seq(10, 50), k)
   }
 
   /** The documented cell-sizing rule, executable: bits ≈

@@ -276,10 +276,81 @@ object NearDup {
     * factored out so the Jaccard (LSH) and Hamming (SimHash) cluster
     * views share one propagation implementation; the similarity
     * predicate is the caller's concern. */
+  /** Edge-count bound under which the min-label fixpoint collapses to
+    * ONE single-task union-find pass ([[localComponents]]): a fixpoint
+    * loop over a few thousand edges spends its wall time on round
+    * bookkeeping — per round one neighbor join, one pointer-jump join,
+    * one eager checkpoint job and one convergence-count job, all over
+    * near-empty frames (measured r17: the loop inside every curation
+    * twin's intra-batch gate contributed a dozen-plus ~0.1 s jobs per
+    * twin at sf0.1) — while the same graph union-finds in milliseconds
+    * in one task. 1M edges ≈ a ~100 MB boxed map in the worst case,
+    * comfortably one-executor-task sized; graphs past the bound keep
+    * the distributed loop, whose per-round cost is then actually
+    * data-bound. */
+  private val LocalCcMaxEdges = 1000000L
+
+  /** Single-task connected components over a SMALL edge list: min-root
+    * union-find with path compression, one `mapPartitions` over the
+    * edges coalesced to one partition — not a driver collect; the task
+    * runs on an executor and returns (doc_id, label) rows, label = the
+    * component's min doc_id (the exact fixpoint contract: union always
+    * keeps the smaller root, so the final root IS the component min).
+    * Deterministic regardless of edge order. Eagerly checkpointed like
+    * the loop's result — the returned frame is a flat cached scan. */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          if (!parent.containsKey(x)) { parent.put(x, x); return x }
+          // pass 1: walk to the root
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          // pass 2: path compression
+          while (parent.get(x) != r) { val nxt = parent.get(x); parent.put(x, r); x = nxt }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        parent.keySet().forEach(v => out += ((v.longValue(), find(v))))
+        out.iterator
+      }
+      .toDF("doc_id", "label")
+      .localCheckpoint(true)
+  }
+
   def dedupClustersFromEdges(docs: DataFrame, edges: DataFrame,
                              maxIter: Int = 25): DataFrame = {
-    val biRaw = edges.unionByName(
-      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // measure the edge set once: small graphs short-circuit to the
+    // single-task union-find (see LocalCcMaxEdges), big ones run the
+    // distributed fixpoint below on the same persisted frame
+    val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e0.count()
+    if (nEdges <= LocalCcMaxEdges) {
+      val result = localComponents(e0)
+      e0.unpersist()
+      return docs.select(col("doc_id"))
+        .join(result.select(col("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id"))
+            .as("is_keeper"))
+    }
+    val biRaw = e0.unionByName(
+      e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // size the loop's parallelism from the MEASURED edge count (the
@@ -291,11 +362,12 @@ object NearDup {
     // the cached partitioning is reused by every round's neighbor join.
     val maxParts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val parts = math.max(1L, math.min(maxParts.toLong,
-      biRaw.count() / 2000000L + 1)).toInt
+      nEdges * 2 / 2000000L + 1)).toInt
     val bi = biRaw.repartition(parts, col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    bi.count() // materialize from the biRaw cache, then drop the raw copy
+    bi.count() // materialize from the biRaw cache, then drop the raw copies
     biRaw.unpersist()
+    e0.unpersist()
 
     // propagate ONLY over edge-endpoint vertices: every doc with no
     // near-dup edge is a singleton cluster by construction and rejoins

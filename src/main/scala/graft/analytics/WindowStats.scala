@@ -119,28 +119,50 @@ object WindowStats {
     // J4: snapshot-correlation semi-join — containment on a collected id
     // array (ref `database/postgres/writer.py:470-497`). The collect_set
     // is per-order (bounded), the filter is an array_contains.
-    "order_parts_semijoin" -> ((s, d) =>
-      Tables(s, d, "lineitem")
+    // r17: the containment filter keeps only orders with a partkey-1
+    // line (a handful at any scale), but the old plan built a sorted
+    // partkey set for EVERY order first and filtered after the
+    // aggregate. Pre-reduce with a semi-join on the selective key
+    // (guide §2.3 — don't aggregate what the filter will drop): the
+    // matching order keys are a tiny distinct broadcast, the aggregate
+    // then runs over only their lines. Identical rows. 10x: 6.6 → sub-s.
+    "order_parts_semijoin" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val keys = li.filter(col("l_partkey") === 1L)
+        .select(col("l_orderkey")).distinct()
+      li.join(broadcast(keys), Seq("l_orderkey"), "left_semi")
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("partkeys"))
         .filter(array_contains(col("partkeys"), lit(1L)))
         .select(col("l_orderkey"), size(col("partkeys")).as("n_parts"))
-        .orderBy("l_orderkey")),
+        .orderBy("l_orderkey")
+    }),
 
     // J4 exact shape: trades-using-a-snapshot is a disjunction of the
     // direct key AND array containment — `executed_snapshot_id = $1 OR
     // analyzed_snapshot_ids @> [$1]` (ref `database/postgres/writer.py:
     // 482-489`). Derived trades frame: executed id is key arithmetic,
     // analyzed ids are the collected partkeys.
-    "snapshot_correlation" -> ((s, d) =>
-      Tables(s, d, "lineitem")
+    "snapshot_correlation" -> ((s, d) => {
+      // the output only needs the distinct COUNT and a membership FLAG,
+      // so the id-set disjunction (`executed = $1 OR analyzed @> [$1]`)
+      // is computed without ever materializing the per-order array —
+      // collect_set buffers are the one agg shape whose memory is
+      // unbounded in group size, exactly what a 100 TB shuffle can't
+      // carry. bool_or(l_partkey = 42) ≡ array_contains(set, 42).
+      // r17: pre-reduce with a semi-join on the disjunction's order
+      // keys (guide §2.3) — both disjuncts are selective (the key
+      // arithmetic keeps ~1/3000 of orders, the partkey-42 containment
+      // a handful), but the old plan aggregated EVERY order and
+      // filtered after. The surviving key set is a tiny distinct
+      // broadcast; the aggregate runs over only its lines. Identical
+      // rows. 10x: 6.3 → sub-s.
+      val li = Tables(s, d, "lineitem")
+      val keys = li.filter(
+        (col("l_orderkey") * 7) % 3000 === 42 || col("l_partkey") === 42)
+        .select(col("l_orderkey")).distinct()
+      li.join(broadcast(keys), Seq("l_orderkey"), "left_semi")
         .groupBy(col("l_orderkey"))
-        // the output only needs the distinct COUNT and a membership FLAG,
-        // so the id-set disjunction (`executed = $1 OR analyzed @> [$1]`)
-        // is computed without ever materializing the per-order array —
-        // collect_set buffers are the one agg shape whose memory is
-        // unbounded in group size, exactly what a 100 TB shuffle can't
-        // carry. bool_or(l_partkey = 42) ≡ array_contains(set, 42).
         .agg(
           count_distinct(col("l_partkey")).cast("int").as("n_analyzed"),
           bool_or(col("l_partkey") === 42).as("used_in_analysis"))
@@ -148,7 +170,8 @@ object WindowStats {
         .filter(col("executed_snapshot_id") === 42 || col("used_in_analysis"))
         .select(col("l_orderkey"), col("executed_snapshot_id"),
           col("n_analyzed"), col("used_in_analysis"))
-        .orderBy("l_orderkey")),
+        .orderBy("l_orderkey")
+    }),
 
     // SET1 completion: `array_union` dedup-on-append — the reference's
     // add_analyzed_snapshot appends an id only if absent

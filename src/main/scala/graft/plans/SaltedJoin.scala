@@ -31,8 +31,18 @@ object SaltedJoin {
   def join(big: DataFrame, small: DataFrame, bigKey: String,
            smallKey: String, bigUnique: String, salts: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt", salt(col(bigUnique), salts))
+    // SHUFFLE_HASH pins the join to the shuffle path salting exists for
+    // (r17): left to estimates, Catalyst BROADCASTS the replicated small
+    // side — at the 10x probe that is a 12M-row hash relation built on
+    // the driver (measured 20 s, the whole query's cost) for a join
+    // whose salt then spreads nothing (a broadcast join never shuffles
+    // the big side, so the skew the salt mitigates cannot arise).
+    // Shuffled-hash over sort-merge: the salted exchange spreads each
+    // hot key over `salts` partitions by construction, so per-partition
+    // build sides are bounded and neither side needs a sort.
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
+      .hint("shuffle_hash")
     saltedBig
       .join(replicatedSmall,
         saltedBig(bigKey) === replicatedSmall(smallKey) &&

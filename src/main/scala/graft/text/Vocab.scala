@@ -183,7 +183,14 @@ object Vocab {
       explode(split(norm(col("text")), " ")).as("w"))
     // every model statistic derives from the ONE (w, source) count
     // aggregate, not from tk: the derivations share an identical
-    // corpus-scan subtree instead of independent explode passes
+    // corpus-scan subtree instead of independent explode passes.
+    // NOT pinned (r17): an eager localCheckpoint here — to stop the
+    // four consumers (ts, v, vocab, the model join) from each
+    // re-running the tokenize pass — was MEASURED far slower at 10x
+    // (5.7 s → 16-52 s, reverted): the checkpointed scan loses its
+    // aggregate statistics and partitioning, and the replanned
+    // downstream joins degrade worse than the repeated (cheap,
+    // codegen'd, scan-local) tokenize passes cost.
     val cws = tk.groupBy(col("w"), col("source")).agg(count(lit(1)).as("c"))
     val ts = cws.groupBy(col("source")).agg(sum(col("c")).as("t"))
     val v = cws.agg(countDistinct(col("w")).as("v"))

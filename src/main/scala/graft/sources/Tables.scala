@@ -62,6 +62,14 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing stays parallelismFirst (the default): the r17
+      // optimization pass MEASURED volume-based coalescing
+      // (parallelismFirst=false, advisory 16m) and reverted it — byte
+      // size is the wrong proxy for downstream compute here (the
+      // quadratic-contrast row dedup_embedding sits behind a 5 MB
+      // exchange and went 37 -> 46 s at 10x when that exchange
+      // collapsed to two tasks), and the wins on kB-scale exchanges
+      // were inside the per-query scheduling floor.
       // inert on Spark builds that dropped this legacy conf (they read
       // TIMESTAMP(NANOS) as TimestampNTZ — see `events`); lets older 4.x
       // builds read the events fixture at all
